@@ -1,0 +1,108 @@
+"""Spatial cross-match join (SURVEY.md J2) — cell-explode equi-join.
+
+The reference's link phase matches each spectrum to all images whose footprint
+overlaps it: healpix query_disc → binary-search probe of a sorted image index
+→ WCS cutout bounds → wholeness post-filter, capped at MAX_CUTOUT_REFS=200
+(metadata_strategy_spectrum.py:440-477,727-734; astrometry.py:71-182).
+
+Spark-first formulation — no custom join strategy needed:
+
+    probes.withColumn("cell", explode(disc_cells(ra, dec)))
+          .join(targets, "cell")            # shuffle/broadcast equi-join
+          .where(exact_distance <= radius)  # superset-cover post-filter
+
+* The disc cover is a superset, so the equi-join is a candidate generator and
+  the distance predicate restores exactness.
+* Catalyst picks broadcast vs sort-merge; at 100 TB both sides partition by
+  `cell`, so the shuffle is key-local and AQE handles skewed cells (dense sky
+  regions).
+* A candidate can match through several cover cells → dedupe on the pair key
+  before the post-filter (cheap: same shuffle key).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from hiss_cube_spark.functions.spatial import grid_cell, grid_disc_cells, sphere_dist_deg
+
+__all__ = ["crossmatch", "cap_matches_per_probe"]
+
+
+def crossmatch(
+    probes: DataFrame,
+    targets: DataFrame,
+    radius_deg: float,
+    cell_deg: float | None = None,
+    probe_ra: str = "ra",
+    probe_dec: str = "dec",
+    target_ra: str = "ra",
+    target_dec: str = "dec",
+    disc_cells_fn: Callable[[Column, Column], Column] | None = None,
+    cell_fn: Callable[[Column, Column], Column] | None = None,
+    broadcast_targets: bool = False,
+) -> DataFrame:
+    """All (probe, target) pairs within ``radius_deg``.
+
+    Probe columns are prefixed ``p_`` and target columns ``t_`` in the output,
+    plus a ``match_dist`` column. The spatial index family is pluggable:
+    defaults to the native grid index with ``cell_deg = radius_deg`` (3×3
+    covers); pass ``disc_cells_fn``/``cell_fn`` for HEALPix.
+    """
+    if cell_deg is None:
+        cell_deg = radius_deg
+    if disc_cells_fn is None:
+        disc_cells_fn = lambda ra, dec: grid_disc_cells(ra, dec, radius_deg, cell_deg)
+    if cell_fn is None:
+        cell_fn = lambda ra, dec: grid_cell(ra, dec, cell_deg)
+
+    p = probes.select(
+        *[F.col(c).alias(f"p_{c}") for c in probes.columns],
+        F.explode(disc_cells_fn(F.col(probe_ra), F.col(probe_dec))).alias("_cell"),
+    )
+    t = targets.select(
+        *[F.col(c).alias(f"t_{c}") for c in targets.columns],
+        cell_fn(F.col(target_ra), F.col(target_dec)).alias("_cell"),
+    )
+    if broadcast_targets:
+        t = F.broadcast(t)
+
+    dist = sphere_dist_deg(
+        F.col(f"p_{probe_ra}"),
+        F.col(f"p_{probe_dec}"),
+        F.col(f"t_{target_ra}"),
+        F.col(f"t_{target_dec}"),
+    )
+    # No pair-dedup needed: disc covers are distinct-cell arrays and each
+    # target owns exactly one cell, so a pair joins through at most one cell.
+    return (
+        p.join(t, "_cell")
+        .drop("_cell")
+        .withColumn("match_dist", dist)
+        .where(F.col("match_dist") <= F.lit(float(radius_deg)))
+    )
+
+
+def cap_matches_per_probe(
+    matches: DataFrame,
+    probe_key: str,
+    order_col: str,
+    max_refs: int = 200,
+) -> DataFrame:
+    """Keep at most ``max_refs`` matches per probe, deterministically.
+
+    Mirrors MAX_CUTOUT_REFS=200 (config.ini:36, metadata_strategy_spectrum.py:690).
+    Uses row_number over (probe, order) — a single window on the join's
+    existing partitioning.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(probe_key).orderBy(F.col(order_col).asc())
+    return (
+        matches.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= max_refs)
+        .drop("_rn")
+    )

@@ -1,0 +1,71 @@
+"""Local replica of the driver's DuckDB-oracle comparison.
+
+Runs a Spark query and its oracle SQL side by side, normalizes both result
+sets (column-name sort, row sort, canonical cell rendering) and diffs them.
+Stricter than a hash: reports the first differing rows.
+"""
+
+from __future__ import annotations
+
+import datetime
+import math
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def _canon_cell(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, (np.floating, float)):
+        f = float(v)
+        if math.isnan(f):
+            return "NaN"
+        if f == 0.0:
+            f = 0.0  # normalize -0.0
+        return f"{f:.9g}"
+    if isinstance(v, (np.integer, int)):
+        return str(int(v))
+    if isinstance(v, (np.bool_, bool)):
+        return str(bool(v))
+    if isinstance(v, (pd.Timestamp, datetime.datetime)):
+        ts = pd.Timestamp(v)
+        if ts.tzinfo is not None:
+            ts = ts.tz_convert("UTC").tz_localize(None)
+        return ts.isoformat()
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return "[" + ",".join(_canon_cell(x) for x in v) + "]"
+    if isinstance(v, bytes):
+        return v.hex()
+    return str(v)
+
+
+def canonical_rows(df: pd.DataFrame) -> list[tuple]:
+    cols = sorted(df.columns)
+    rows = [tuple(_canon_cell(v) for v in row) for row in df[cols].itertuples(index=False, name=None)]
+    return sorted(rows)
+
+
+def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str, name: str = "?") -> None:
+    sp = spark_df.toPandas()
+    dk = con.execute(sql).df()
+    assert sorted(sp.columns) == sorted(dk.columns), (
+        f"{name}: column mismatch spark={sorted(sp.columns)} duck={sorted(dk.columns)}"
+    )
+    assert len(sp) == len(dk), f"{name}: row count spark={len(sp)} duck={len(dk)}"
+    a, b = canonical_rows(sp), canonical_rows(dk)
+    diffs = [(x, y) for x, y in zip(a, b) if x != y]
+    assert not diffs, f"{name}: {len(diffs)} differing rows; first: spark={diffs[0][0]} duck={diffs[0][1]}"
