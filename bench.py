@@ -1,0 +1,74 @@
+#!/usr/bin/env python
+"""Benchmark the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}. Each query is forced end-to-end with the
+noop sink (full computation, no driver collect).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from hiss_cube_spark import get_spark  # noqa: E402
+
+# Headline set: the flagship + one representative per operator family.
+HEADLINE = [
+    "flagship_ml_cube",
+    "j2_crossmatch",
+    "q1_pricing_summary",
+    "a1_ivw_mean",
+    "j4_left_join",
+    "j7_first_in_group",
+    "dedup_exact",
+    "f17_unpivot",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    spark = get_spark("hiss-cube-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qreg = entrymod.queries()
+    names = [n for n in HEADLINE if n in qreg]
+    timings: dict[str, float] = {}
+
+    # Warm the JVM/codegen once on the smallest query so timings measure the
+    # plan, not session startup.
+    qreg[names[0]](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    total = 0.0
+    for name in names:
+        t0 = time.perf_counter()
+        qreg[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
