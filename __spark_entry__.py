@@ -490,6 +490,956 @@ def f17_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ==========================================================================
+# Classic relational surface (validates the generic engine: multi-joins,
+# semi/anti, rollup/cube/grouping sets, set ops, windows)
+# ==========================================================================
+
+@_q(
+    "q3_shipping_priority",
+    """
+    SELECT l.l_orderkey,
+           round(CAST(sum(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(30,8))) AS DOUBLE), 6) AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-06-01'
+      AND l.l_shipdate > TIMESTAMP '1998-06-01'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l.l_orderkey LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") < F.lit("1998-06-01").cast("timestamp"))
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > F.lit("1998-06-01").cast("timestamp"))
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_r6(F.sum(_dec(rev))).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+@_q(
+    "q5_region_revenue",
+    """
+    SELECT n.n_name,
+           round(CAST(sum(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(30,8))) AS DOUBLE), 6) AS revenue
+    FROM customer c
+      JOIN orders o ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01' AND o.o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(s, (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(_r6(F.sum(_dec(rev))).alias("revenue"))
+    )
+
+
+@_q(
+    "j_semi_exists",
+    """
+    SELECT c_custkey, c_mktsegment FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderpriority = '1-URGENT')
+    """,
+)
+def j_semi_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_mktsegment")
+
+
+@_q(
+    "j_anti_not_exists",
+    """
+    SELECT p_partkey, p_brand FROM part p
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
+    """,
+)
+def j_anti_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    return p.join(li, p.p_partkey == li.l_partkey, "left_anti").select("p_partkey", "p_brand")
+
+
+@_q(
+    "a_rollup",
+    """
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           count(*) AS n,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE), 6) AS sum_qty
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def a_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"), _r6(F.sum(_dec(F.col("l_quantity")))).alias("sum_qty"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n",
+            "sum_qty",
+        )
+    )
+
+
+@_q(
+    "a_cube",
+    """
+    SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+           coalesce(o_orderstatus, 'ALL') AS status,
+           count(*) AS n
+    FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
+    """,
+)
+def a_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderpriority", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            "n",
+        )
+    )
+
+
+@_q(
+    "a_grouping_sets",
+    """
+    SELECT coalesce(r_name, 'ALL') AS region_name,
+           coalesce(n_name, 'ALL') AS nation_name,
+           count(*) AS n_suppliers
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+                    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY GROUPING SETS ((r_name), (n_name), ())
+    """,
+)
+def a_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
+    _t(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    _t(spark, sf_dir, "region").createOrReplaceTempView("region")
+    return spark.sql(
+        """
+        SELECT coalesce(r_name, 'ALL') AS region_name,
+               coalesce(n_name, 'ALL') AS nation_name,
+               count(*) AS n_suppliers
+        FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+                        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY GROUPING SETS ((r_name), (n_name), ())
+        """
+    )
+
+
+@_q(
+    "set_ops",
+    """
+    SELECT 'union' AS op, k FROM (
+      SELECT p_partkey AS k FROM part WHERE p_size > 40
+      UNION SELECT l_partkey AS k FROM lineitem WHERE l_quantity > 45)
+    UNION ALL
+    SELECT 'intersect' AS op, k FROM (
+      SELECT p_partkey AS k FROM part WHERE p_size > 40
+      INTERSECT SELECT l_partkey AS k FROM lineitem WHERE l_quantity > 45)
+    UNION ALL
+    SELECT 'except' AS op, k FROM (
+      SELECT p_partkey AS k FROM part WHERE p_size > 40
+      EXCEPT SELECT l_partkey AS k FROM lineitem WHERE l_quantity > 45)
+    """,
+)
+def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = _t(spark, sf_dir, "part").where(F.col("p_size") > 40).select(F.col("p_partkey").alias("k"))
+    b = (
+        _t(spark, sf_dir, "lineitem")
+        .where(F.col("l_quantity") > 45)
+        .select(F.col("l_partkey").alias("k"))
+    )
+    return (
+        a.union(b).distinct().select(F.lit("union").alias("op"), "k")
+        .unionByName(a.intersect(b).select(F.lit("intersect").alias("op"), "k"))
+        .unionByName(a.subtract(b).select(F.lit("except").alias("op"), "k"))
+    )
+
+
+@_q(
+    "w_rank_topk",
+    """
+    SELECT c_mktsegment, rnk, c_custkey, c_acctbal FROM (
+      SELECT c_mktsegment, c_custkey, c_acctbal,
+             row_number() OVER (PARTITION BY c_mktsegment
+                                ORDER BY c_acctbal DESC, c_custkey) AS rnk
+      FROM customer) WHERE rnk <= 3
+    """,
+)
+def w_rank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return (
+        c.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("c_mktsegment", "rnk", "c_custkey", "c_acctbal")
+    )
+
+
+@_q(
+    "w_moving_sum",
+    """
+    SELECT event_id, user_id,
+           round(CAST(sum(CAST(value AS DECIMAL(30,8)))
+                 OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE), 6) AS mv_sum
+    FROM events WHERE user_id % 20 = 0
+    """,
+)
+def w_moving_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir).where(F.col("user_id") % 20 == 0)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts_us"), F.col("event_id"))
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return e.select(
+        "event_id", "user_id", _r6(F.sum(_dec(F.col("value"))).over(w)).alias("mv_sum")
+    )
+
+
+@_q(
+    "w_lag_sessionize",
+    """
+    WITH e AS (SELECT user_id, epoch_us(ts) AS tu FROM events),
+    s AS (
+      SELECT user_id, tu,
+             CASE WHEN lag(tu) OVER (PARTITION BY user_id ORDER BY tu) IS NULL
+                    OR tu - lag(tu) OVER (PARTITION BY user_id ORDER BY tu) >= 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM e)
+    SELECT user_id, sum(new_s) AS n_sessions, count(*) AS n_events
+    FROM s GROUP BY user_id
+    """,
+)
+def w_lag_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us")
+    gap = F.col("ts_us") - F.lag("ts_us").over(w)
+    s = e.withColumn(
+        "new_s", F.when(gap.isNull() | (gap >= 1800000000), F.lit(1)).otherwise(F.lit(0))
+    )
+    return s.groupBy("user_id").agg(
+        F.sum("new_s").alias("n_sessions"), F.count(F.lit(1)).alias("n_events")
+    )
+
+
+# ==========================================================================
+# Scans / filters / scalar functions (S1, S2+P1, P3, P6, P8, F6, F16, J5, A5,
+# A6, A1-array)
+# ==========================================================================
+
+@_q(
+    "s1_scan_filter_limit",
+    """
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem WHERE l_returnflag = 'R'
+    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 20
+    """,
+)
+def s1_scan_filter_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    return (
+        li.orderBy(F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber")
+        .limit(20)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+    )
+
+
+@_q(
+    "s2_path_synthesis",
+    """
+    SELECT p_partkey,
+           printf('run%04d/camcol%d/frame-%s-%06d.fits',
+                  CAST(p_partkey % 8000 AS INT), CAST(p_partkey % 6 + 1 AS INT),
+                  p_brand, CAST(p_partkey AS INT)) AS path
+    FROM part
+    WHERE regexp_matches(printf('run%04d/camcol%d/frame-%s-%06d.fits',
+                  CAST(p_partkey % 8000 AS INT), CAST(p_partkey % 6 + 1 AS INT),
+                  p_brand, CAST(p_partkey AS INT)), 'camcol[1-3]/frame-Brand#1')
+    """,
+)
+def s2_path_synthesis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    path = F.format_string(
+        "run%04d/camcol%d/frame-%s-%06d.fits",
+        (F.col("p_partkey") % 8000).cast("int"),
+        (F.col("p_partkey") % 6 + 1).cast("int"),
+        F.col("p_brand"),
+        F.col("p_partkey").cast("int"),
+    )
+    return (
+        p.withColumn("path", path)
+        .where(F.col("path").rlike("camcol[1-3]/frame-Brand#1"))
+        .select("p_partkey", "path")
+    )
+
+
+@_q(
+    "p3_nan_sanitize",
+    """
+    WITH raw AS (
+      SELECT event_type,
+             CASE WHEN value > 400 THEN CAST('Infinity' AS DOUBLE)
+                  WHEN value < 10 THEN CAST('NaN' AS DOUBLE)
+                  ELSE value END AS v
+      FROM events),
+    san AS (
+      SELECT event_type,
+             CASE WHEN isinf(v) OR isnan(v) THEN NULL ELSE v END AS v
+      FROM raw)
+    SELECT event_type, count(*) AS n_total, count(v) AS n_finite,
+           round(CAST(sum(CAST(v AS DECIMAL(30,8))) AS DOUBLE), 6) AS sum_finite
+    FROM san GROUP BY event_type
+    """,
+)
+def p3_nan_sanitize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hiss_cube_spark.functions.arrays import sanitize_nonfinite
+
+    e = _events(spark, sf_dir)
+    raw = F.when(F.col("value") > 400, F.lit(float("inf"))).when(
+        F.col("value") < 10, F.lit(float("nan"))
+    ).otherwise(F.col("value"))
+    san = sanitize_nonfinite(raw)
+    return (
+        e.select("event_type", san.alias("v"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.count("v").alias("n_finite"),
+            _r6(F.sum(_dec(F.col("v")))).alias("sum_finite"),
+        )
+    )
+
+
+@_q(
+    "p6_json_projection",
+    """
+    SELECT event_id, CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k
+    FROM events WHERE event_id % 50 = 0
+    """,
+)
+def p6_json_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir).where(F.col("event_id") % 50 == 0)
+    return e.select(
+        "event_id", F.get_json_object("props", "$.k").cast("bigint").alias("k")
+    )
+
+
+@_q(
+    "p8_cutout_wholeness",
+    """
+    WITH rect AS (
+      SELECT p_partkey,
+             CAST(p_partkey % 70 AS BIGINT) - 8 AS x0, CAST(p_partkey % 70 AS BIGINT) + 8 AS x1,
+             CAST((p_partkey * 3) % 55 AS BIGINT) - 8 AS y0, CAST((p_partkey * 3) % 55 AS BIGINT) + 8 AS y1
+      FROM part)
+    SELECT p_partkey, x0, x1, y0, y1,
+           (x0 >= 0 AND y0 >= 0 AND x1 <= 64 AND y1 <= 48) AS is_whole
+    FROM rect
+    """,
+)
+def p8_cutout_wholeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    cx = (F.col("p_partkey") % 70).cast("long")
+    cy = ((F.col("p_partkey") * 3) % 55).cast("long")
+    r = p.select(
+        "p_partkey",
+        (cx - 8).alias("x0"),
+        (cx + 8).alias("x1"),
+        (cy - 8).alias("y0"),
+        (cy + 8).alias("y1"),
+    )
+    whole = (F.col("x0") >= 0) & (F.col("y0") >= 0) & (F.col("x1") <= 64) & (F.col("y1") <= 48)
+    return r.withColumn("is_whole", whole)
+
+
+@_q(
+    "f6_mag_to_flux",
+    """
+    SELECT event_id,
+           CASE event_type WHEN 'click' THEN 3551 WHEN 'view' THEN 4686
+                WHEN 'purchase' THEN 6166 WHEN 'signup' THEN 7480 ELSE 8932 END AS wl,
+           round(value * 3.631e-6 * 2.99792458e-5 /
+                 (CASE event_type WHEN 'click' THEN 3551 WHEN 'view' THEN 4686
+                       WHEN 'purchase' THEN 6166 WHEN 'signup' THEN 7480 ELSE 8932 END *
+                  CASE event_type WHEN 'click' THEN 3551 WHEN 'view' THEN 4686
+                       WHEN 'purchase' THEN 6166 WHEN 'signup' THEN 7480 ELSE 8932 END) * 1e20, 6) AS flux_e20
+    FROM events WHERE event_id % 25 = 0
+    """,
+)
+def f6_mag_to_flux(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hiss_cube_spark.functions.photometry import mag_to_flux
+
+    e = _events(spark, sf_dir).where(F.col("event_id") % 25 == 0)
+    wl = (
+        F.when(F.col("event_type") == "click", 3551)
+        .when(F.col("event_type") == "view", 4686)
+        .when(F.col("event_type") == "purchase", 6166)
+        .when(F.col("event_type") == "signup", 7480)
+        .otherwise(8932)
+    )
+    return e.select(
+        "event_id",
+        wl.alias("wl"),
+        _r6(mag_to_flux(F.col("value"), wl) * F.lit(1e20)).alias("flux_e20"),
+    )
+
+
+@_q(
+    "f16_string_funcs",
+    """
+    WITH p AS (
+      SELECT p_partkey, printf('sdss/dr14/%s/%d/frame-%07d.fits',
+             lower(p_brand), CAST(p_partkey % 6 + 1 AS INT), CAST(p_partkey AS INT)) AS path
+      FROM part WHERE p_partkey % 40 = 0)
+    SELECT p_partkey, path,
+           string_split(path, '/')[-1] AS fits_name,
+           upper(substr(string_split(path, '/')[-1], 1, 5)) AS prefix5,
+           length(path) AS path_len
+    FROM p
+    """,
+)
+def f16_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part").where(F.col("p_partkey") % 40 == 0)
+    path = F.format_string(
+        "sdss/dr14/%s/%d/frame-%07d.fits",
+        F.lower(F.col("p_brand")),
+        (F.col("p_partkey") % 6 + 1).cast("int"),
+        F.col("p_partkey").cast("int"),
+    )
+    base = F.element_at(F.split(F.col("path"), "/"), -1)
+    return (
+        p.withColumn("path", path)
+        .select(
+            "p_partkey",
+            "path",
+            base.alias("fits_name"),
+            F.upper(F.substring(base, 1, 5)).alias("prefix5"),
+            F.length("path").alias("path_len"),
+        )
+    )
+
+
+@_q(
+    "j5_cutout_deref",
+    """
+    WITH refs AS (
+      SELECT vec_id, CAST(vec_id % 8 AS INT) * 4 AS x0 FROM embeddings WHERE vec_id % 5 = 0)
+    SELECT r.vec_id, r.x0,
+           round(CAST((SELECT sum(CAST(CAST(e.embedding[g.i] AS DOUBLE) AS DECIMAL(30,12)))
+                       FROM unnest(generate_series(r.x0 + 1, r.x0 + 8)) g(i)) AS DOUBLE), 6) AS slice_sum
+    FROM refs r JOIN embeddings e ON r.vec_id = e.vec_id
+    """,
+)
+def j5_cutout_deref(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    refs = e.where(F.col("vec_id") % 5 == 0).select(
+        "vec_id", ((F.col("vec_id") % 8) * 4).cast("int").alias("x0")
+    )
+    j = refs.join(e.select("vec_id", "embedding"), "vec_id")
+    sl = F.slice(F.col("embedding"), F.col("x0") + 1, 8)
+    ssum = F.aggregate(
+        sl,
+        F.lit(0).cast("decimal(30,12)"),
+        # Spark widens decimal adds to (31,12); cast back (exact) to keep the
+        # accumulator type stable — required by higher-order aggregate.
+        lambda acc, x: (acc + x.cast("double").cast("decimal(30,12)")).cast("decimal(30,12)"),
+    )
+    return j.select("vec_id", "x0", _r6(ssum).alias("slice_sum"))
+
+
+@_q(
+    "a5_l1_distance",
+    """
+    WITH m AS (
+      SELECT label, g.i AS pos,
+             CAST(sum(CAST(CAST(embedding[g.i] AS DOUBLE) AS DECIMAL(30,12))) AS DOUBLE)
+               / count(*) AS mean_v
+      FROM embeddings, unnest(generate_series(1, len(embedding))) g(i)
+      GROUP BY label, g.i)
+    SELECT a.label AS label_a, b.label AS label_b,
+           round(CAST(sum(CAST(abs(a.mean_v - b.mean_v) AS DECIMAL(30,12))) AS DOUBLE), 6) AS l1
+    FROM m a JOIN m b ON a.pos = b.pos AND a.label < b.label
+    GROUP BY a.label, b.label
+    """,
+)
+def a5_l1_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    exploded = e.select("label", F.posexplode("embedding").alias("pos0", "v")).select(
+        "label", (F.col("pos0") + 1).alias("pos"), F.col("v").cast("double").alias("v")
+    )
+    m = exploded.groupBy("label", "pos").agg(
+        (F.sum(F.col("v").cast("decimal(30,12)")).cast("double") / F.count(F.lit(1))).alias("mean_v")
+    )
+    a = m.alias("a")
+    b = m.alias("b")
+    return (
+        a.join(b, (F.col("a.pos") == F.col("b.pos")) & (F.col("a.label") < F.col("b.label")))
+        .groupBy(F.col("a.label").alias("label_a"), F.col("b.label").alias("label_b"))
+        .agg(
+            _r6(
+                F.sum(F.abs(F.col("a.mean_v") - F.col("b.mean_v")).cast("decimal(30,12)"))
+            ).alias("l1")
+        )
+    )
+
+
+@_q(
+    "a6_max_merge",
+    """
+    SELECT n_nationkey, max(s_acctbal) AS max_bal, arg_max(s_name, s_acctbal) AS best_supplier
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY n_nationkey
+    """,
+)
+def a6_max_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_nationkey")
+        .agg(
+            F.max("s_acctbal").alias("max_bal"),
+            F.max_by("s_name", "s_acctbal").alias("best_supplier"),
+        )
+    )
+
+
+@_q(
+    "a1_ivw_arrays",
+    """
+    WITH x AS (
+      SELECT label, g.i - 1 AS pos, CAST(embedding[g.i] AS DOUBLE) AS flux,
+             0.5 + (vec_id % 10) * 0.25 AS sigma
+      FROM embeddings, unnest(generate_series(1, len(embedding))) g(i)),
+    g2 AS (
+      SELECT label, pos,
+             sum(CAST(flux * (1.0 / (sigma * sigma)) AS DECIMAL(30,8))) AS _sfw,
+             sum(CAST(1.0 / (sigma * sigma) AS DECIMAL(30,8))) AS _sw
+      FROM x GROUP BY label, pos)
+    SELECT label, pos,
+           round(CAST(_sfw AS DOUBLE) / CAST(_sw AS DOUBLE), 6) AS ivw_mean,
+           round(sqrt(1.0 / CAST(_sw AS DOUBLE)), 6) AS ivw_sigma
+    FROM g2
+    """,
+)
+def a1_ivw_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    x = e.select(
+        "label",
+        (F.lit(0.5) + (F.col("vec_id") % 10) * F.lit(0.25)).alias("sigma"),
+        F.posexplode("embedding").alias("pos", "v"),
+    ).select("label", "pos", F.col("v").cast("double").alias("flux"), "sigma")
+    sfw, sw = _ivw_sums(F.col("flux"), F.col("sigma"))
+    g = x.groupBy("label", "pos").agg(sfw, sw)
+    return g.select(
+        "label",
+        "pos",
+        _r6(F.col("_sfw").cast("double") / F.col("_sw").cast("double")).alias("ivw_mean"),
+        _r6(F.sqrt(F.lit(1.0) / F.col("_sw").cast("double"))).alias("ivw_sigma"),
+    )
+
+
+# ==========================================================================
+# Streaming-shaped event-time windows (batch/streaming dual-mode plans)
+# ==========================================================================
+
+@_q(
+    "stream_tumbling_window",
+    """
+    SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start_s,
+           event_type, count(*) AS n_events,
+           round(CAST(sum(CAST(value AS DECIMAL(30,8))) AS DOUBLE), 6) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hiss_cube_spark.streaming import tumbling_window_agg
+
+    e = _events(spark, sf_dir)
+    out = tumbling_window_agg(e, ts_col="ts", window="1 hour", group_cols=["event_type"])
+    return out.select(
+        F.col("window_start").cast("long").alias("window_start_s"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+@_q(
+    "stream_session_window",
+    """
+    WITH e AS (SELECT user_id, epoch_us(ts) AS tu FROM events),
+    s AS (
+      SELECT user_id, tu,
+             CASE WHEN lag(tu) OVER (PARTITION BY user_id ORDER BY tu) IS NULL
+                    OR tu - lag(tu) OVER (PARTITION BY user_id ORDER BY tu) >= 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM e),
+    g AS (
+      SELECT user_id, tu,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY tu
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM s)
+    SELECT user_id, min(tu) AS session_start_us,
+           max(tu) + 1800000000 AS session_end_us, count(*) AS n_events
+    FROM g GROUP BY user_id, sid
+    """,
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hiss_cube_spark.streaming import session_window_agg
+
+    e = _events(spark, sf_dir)
+    out = session_window_agg(e, ts_col="ts", gap="30 minutes", group_cols=["user_id"])
+    return out.select(
+        "user_id",
+        F.unix_micros("session_start").alias("session_start_us"),
+        F.unix_micros("session_end").alias("session_end_us"),
+        "n_events",
+    )
+
+
+# ==========================================================================
+# Training-data pipeline: dedup, similarity search, text analysis, multimodal
+# ==========================================================================
+
+_SQL_SHINGLE_JACCARD = """
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+               WHERE len(string_split(text, ' ')) >= 3),
+    sh AS (
+      SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram
+      FROM d, unnest(generate_series(1, len(w) - 2)) t(i)),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           round(n_inter * 1.0 / (sa.sz + sb.sz - n_inter), 6) AS jaccard
+    FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE n_inter * 1.0 / (sa.sz + sb.sz - n_inter) >= 0.8
+"""
+
+
+@_q("dedup_ngram_jaccard", _SQL_SHINGLE_JACCARD)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hiss_cube_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents").where(F.size(F.split("text", " ")) >= 3)
+    out = ngram_jaccard_pairs(d, threshold=0.8, n=3)
+    return out.select("doc_a", "doc_b", _r6(F.col("jaccard")).alias("jaccard"))
+
+
+@_q("dedup_minhash_lsh", _SQL_SHINGLE_JACCARD)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash banding + exact verification; the oracle is the exact-Jaccard
+    pair set (with 128 hashes / 32 bands, P[miss a j≥0.8 pair] < 1e-7 and the
+    corpus' near-dup pairs sit at j≥0.95)."""
+    from hiss_cube_spark.operators.dedup import minhash_lsh_pairs
+
+    d = _t(spark, sf_dir, "documents").where(F.size(F.split("text", " ")) >= 3)
+    out = minhash_lsh_pairs(d, threshold=0.8, n=3)
+    return out.select("doc_a", "doc_b", _r6(F.col("jaccard")).alias("jaccard"))
+
+
+def _sql_simhash_mults() -> str:
+    from hiss_cube_spark.operators.dedup import _BIT_MULTS
+
+    return "[" + ",".join(str(m) for m in _BIT_MULTS) + "]"
+
+
+_SQL_SIMHASH = f"""
+    WITH mults AS (SELECT {_sql_simhash_mults()} AS m),
+    toks AS (
+      SELECT doc_id, tok, count(*) AS cnt FROM (
+        SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS tok
+        FROM documents)
+      GROUP BY doc_id, tok),
+    codes AS (
+      SELECT doc_id, cnt,
+             CAST(ascii(substr(tok, 1, 1)) * 131 + length(tok) * 7
+                  + ascii(substr(tok, 2, 1)) AS BIGINT) AS code
+      FROM toks),
+    votes AS (
+      SELECT doc_id, g.b AS b,
+             sum(CASE WHEN (code * (SELECT m FROM mults)[g.b + 1]) % 2147483648 > 1073741824
+                      THEN cnt ELSE -cnt END) AS v
+      FROM codes, unnest(generate_series(0, 63)) g(b)
+      GROUP BY doc_id, g.b),
+    fp AS (
+      -- CAST to BIGINT: duckdb sums to HUGEINT, whose 128-bit xor would
+      -- sign-extend and inflate bit_count for mixed-sign pairs
+      SELECT doc_id,
+             CAST(sum(CASE WHEN v > 0 THEN
+                   (CASE WHEN b = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+                         ELSE (CAST(1 AS BIGINT) << CAST(b AS INT)) END)
+                 ELSE 0 END) AS BIGINT) AS simhash
+      FROM votes GROUP BY doc_id)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 7
+"""
+
+
+@_q("dedup_simhash", _SQL_SIMHASH)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hiss_cube_spark.operators.dedup import simhash_fingerprints, simhash_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    fps = simhash_fingerprints(d)
+    return simhash_pairs(fps, max_hamming=7, n_chunks=8)
+
+
+_SQL_EMB_NORMS = """
+    norms AS (
+      SELECT vec_id,
+             CAST(sum(CAST(CAST(embedding[g.i] AS DOUBLE) * CAST(embedding[g.i] AS DOUBLE)
+                  AS DECIMAL(38,20))) AS DOUBLE) AS nrm
+      FROM embeddings, unnest(generate_series(1, len(embedding))) g(i)
+      GROUP BY vec_id)
+"""
+
+
+@_q(
+    "ann_cosine_topk",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+    {_SQL_EMB_NORMS},
+    dots AS (
+      SELECT q.query_id, c.neighbor_id,
+             CAST(sum(CAST(CAST(q.qv[g.i] AS DOUBLE) * CAST(c.cv[g.i] AS DOUBLE)
+                  AS DECIMAL(38,20))) AS DOUBLE) AS dot
+      FROM q, c, unnest(generate_series(1, len(q.qv))) g(i)
+      WHERE q.query_id != c.neighbor_id
+      GROUP BY q.query_id, c.neighbor_id),
+    sims AS (
+      SELECT query_id, neighbor_id,
+             dot / (sqrt(nq.nrm) * sqrt(nc.nrm)) AS cosine
+      FROM dots JOIN norms nq ON nq.vec_id = query_id
+                JOIN norms nc ON nc.vec_id = neighbor_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM sims)
+    SELECT query_id, rank, neighbor_id, round(cosine, 6) AS cosine
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hiss_cube_spark.operators.similarity import cosine_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 10)
+    out = cosine_topk(q, e, k=5, exact=True)
+    return out.select("query_id", "rank", "neighbor_id", _r6(F.col("cosine")).alias("cosine"))
+
+
+@_q("ann_lsh_topk")
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate LSH-bucketed top-k (rows-only check: recall is
+    probabilistic by design; the exact baseline above is the oracle-gated
+    one)."""
+    from hiss_cube_spark.operators.similarity import lsh_bucketed_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 10)
+    return lsh_bucketed_topk(q, e, k=5)
+
+
+@_q(
+    "emb_cosine_pairs",
+    f"""
+    WITH {_SQL_EMB_NORMS},
+    dots AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             CAST(sum(CAST(CAST(a.embedding[g.i] AS DOUBLE) * CAST(b.embedding[g.i] AS DOUBLE)
+                  AS DECIMAL(38,20))) AS DOUBLE) AS dot
+      FROM embeddings a, embeddings b, unnest(generate_series(1, len(a.embedding))) g(i)
+      WHERE a.vec_id < b.vec_id
+      GROUP BY a.vec_id, b.vec_id)
+    SELECT id_a, id_b, round(dot / (sqrt(na.nrm) * sqrt(nb.nrm)), 6) AS cosine
+    FROM dots JOIN norms na ON na.vec_id = id_a JOIN norms nb ON nb.vec_id = id_b
+    WHERE dot / (sqrt(na.nrm) * sqrt(nb.nrm)) >= 0.4
+    """,
+)
+def emb_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hiss_cube_spark.operators.similarity import cosine_pairs
+
+    e = _t(spark, sf_dir, "embeddings")
+    out = cosine_pairs(e, threshold=0.4, exact=True)
+    return out.select("id_a", "id_b", _r6(F.col("cosine")).alias("cosine"))
+
+
+_SQL_LANG_SCORES = """
+      SELECT doc_id, lang,
+        len(list_filter(string_split(text,' '), t -> list_contains(['the','a','order','table'], t))) AS score_en,
+        len(list_filter(string_split(text,' '), t -> list_contains(['customer','hash','join','row'], t))) AS score_de,
+        len(list_filter(string_split(text,' '), t -> list_contains(['slow','agg','merge','vector'], t))) AS score_es,
+        len(list_filter(string_split(text,' '), t -> list_contains(['scan','data','query','batch'], t))) AS score_fr,
+        len(list_filter(string_split(text,' '), t -> list_contains(['join','small','row','column'], t))) AS score_zh
+      FROM documents
+"""
+
+
+@_q(
+    "text_langid",
+    f"""
+    WITH s AS ({_SQL_LANG_SCORES})
+    SELECT doc_id, lang, score_en, score_de, score_es, score_fr, score_zh,
+           CASE WHEN score_en >= score_de AND score_en >= score_es
+                     AND score_en >= score_fr AND score_en >= score_zh THEN 'en'
+                WHEN score_de >= score_es AND score_de >= score_fr
+                     AND score_de >= score_zh THEN 'de'
+                WHEN score_es >= score_fr AND score_es >= score_zh THEN 'es'
+                WHEN score_fr >= score_zh THEN 'fr'
+                ELSE 'zh' END AS pred_lang
+    FROM s
+    """,
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hiss_cube_spark.operators.text_analysis import lang_id
+
+    d = _t(spark, sf_dir, "documents")
+    out = lang_id(d)
+    return out.join(d.select("doc_id", "lang"), "doc_id").select(
+        "doc_id", "lang", "score_en", "score_de", "score_es", "score_fr", "score_zh", "pred_lang"
+    )
+
+
+@_q(
+    "text_quality",
+    """
+    WITH t AS (
+      SELECT doc_id, text,
+             list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
+      FROM documents)
+    SELECT doc_id, len(toks) AS n_tokens,
+           round(length(text) / (1.0 * len(toks)), 6) AS mean_word_len,
+           round(len(list_distinct(toks)) / (1.0 * len(toks)), 6) AS uniq_ratio,
+           round(len(list_filter(toks, x -> list_contains(['the','a'], x))) / (1.0 * len(toks)), 6) AS stop_ratio,
+           round(least(len(toks) / 64.0, 1.0) * 0.4
+                 + (len(list_distinct(toks)) / (1.0 * len(toks))) * 0.4
+                 + least(len(list_filter(toks, x -> list_contains(['the','a'], x))) / (1.0 * len(toks)) * 5.0, 1.0) * 0.2, 6) AS quality
+    FROM t
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hiss_cube_spark.operators.text_analysis import quality_score
+
+    return quality_score(_t(spark, sf_dir, "documents"))
+
+
+@_q(
+    "text_token_count",
+    r"""
+    SELECT doc_id,
+           len(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS n_tokens,
+           len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS n_subtokens
+    FROM documents
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hiss_cube_spark.operators.text_analysis import token_counts
+
+    return token_counts(_t(spark, sf_dir, "documents"))
+
+
+@_q(
+    "text_fingerprint",
+    """
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
+      FROM documents)
+    SELECT doc_id,
+           CAST((SELECT sum((CAST(ascii(substr(toks[g.i], 1, 1)) * 131 + length(toks[g.i]) * 7
+                        + ascii(substr(toks[g.i], 2, 1)) AS BIGINT) + 1)
+                   * ((CAST(g.i AS BIGINT) * 2654435761) % 2147483648)) % 2147483648
+            FROM unnest(generate_series(1, len(toks))) g(i)) AS BIGINT) AS fingerprint
+    FROM t
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hiss_cube_spark.operators.text_analysis import doc_fingerprint
+
+    return doc_fingerprint(_t(spark, sf_dir, "documents"))
+
+
+@_q(
+    "mm_decode_stub",
+    """
+    SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(octet_length(encode(text)) % 64 + 1 AS INT) AS width,
+           CAST(octet_length(encode(text)) % 48 + 1 AS INT) AS height
+    FROM documents
+    """,
+)
+def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hiss_cube_spark.operators.multimodal import attach_binary_payload, decode_metadata
+
+    d = _t(spark, sf_dir, "documents")
+    return decode_metadata(attach_binary_payload(d)).select("doc_id", "n_bytes", "width", "height")
+
+
+@_q(
+    "mm_frame_sample",
+    """
+    WITH m AS (
+      SELECT doc_id,
+             greatest(CAST(floor(octet_length(encode(text)) / 64.0) AS BIGINT), 1) AS n_frames
+      FROM documents WHERE doc_id % 10 = 0)
+    SELECT doc_id, g.f AS frame_id, g.f * 64 AS byte_offset
+    FROM m, unnest(generate_series(0, n_frames - 1)) g(f)
+    """,
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hiss_cube_spark.operators.multimodal import attach_binary_payload, frame_sample
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 0)
+    return frame_sample(attach_binary_payload(d))
+
+
+# ==========================================================================
 # driver contract
 # ==========================================================================
 

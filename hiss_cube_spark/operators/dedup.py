@@ -1,0 +1,312 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Four families, all expressed as DataFrame pipelines (shuffle-conscious):
+
+* exact        — hash-groupBy on content digest; one shuffle.
+* n-gram Jaccard — shingle explode → gram self-join → per-pair counters.
+  Exact; the gram join is the scalable blocking (plus optional hot-gram cap).
+* MinHash+LSH  — shingle → 128 permuted min-hashes → banded bucket join →
+  exact-Jaccard verification of candidates. Sub-quadratic at 100 TB.
+* SimHash      — 64-bit fingerprints; hamming-≤k pairs found with the
+  4-chunk pigeonhole banding (exact superset), then bit_count verify.
+
+All hashes on the Spark side are xxhash64 (JVM, codegen) except the
+oracle-parity simhash which uses a cross-engine integer token code.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "exact_dedup",
+    "word_shingles",
+    "ngram_jaccard_pairs",
+    "minhash_signatures",
+    "minhash_lsh_pairs",
+    "simhash_fingerprints",
+    "simhash_pairs",
+]
+
+# Mersenne prime 2^31-1 for minhash universal hashing: keeps a*h + b within
+# int64 under ANSI overflow checking (a, h < 2^31 → product < 2^62).
+_MERSENNE = (1 << 31) - 1
+
+
+def _perm_constants(n: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for h_i(x) = (a*x + b) mod M."""
+    consts = []
+    state = seed
+    for _ in range(n):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        a = (state % (_MERSENNE - 1)) + 1
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        b = state % _MERSENNE
+        consts.append((a, b))
+    return consts
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups: digest → (canonical id, copy count).
+
+    One hash-partitioned aggregation; at 100 TB the digest (16 bytes) is the
+    shuffle payload, never the document text.
+    """
+    return df.groupBy(F.md5(F.col(text_col).cast("binary")).alias("text_hash")).agg(
+        F.min(id_col).alias("canonical_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+def word_shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, gram).
+
+    Native: split → sliding window via transform(sequence) → explode →
+    distinct within doc. No Python in the path.
+    """
+    toks = F.split(F.col(text_col), " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(F.array_distinct(grams)).alias("gram"))
+        .where(F.length("gram") > 0)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    max_gram_freq: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-duplicate pairs (doc_a < doc_b, jaccard ≥ t).
+
+    Plan: shingle sets → self equi-join on gram (the blocking key) →
+    count(*) per pair = |A∩B| → jaccard from per-doc set sizes. At scale,
+    ``max_gram_freq`` drops ultra-hot grams (stopword shingles) whose pair
+    blow-up dominates the join — standard df-cap blocking.
+    """
+    sh = word_shingles(df, text_col, id_col, n)
+    if max_gram_freq is not None:
+        hot = sh.groupBy("gram").count().where(F.col("count") > max_gram_freq).select("gram")
+        sh = sh.join(F.broadcast(hot), "gram", "left_anti")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")),
+        )
+        .where(F.col("jaccard") >= F.lit(threshold))
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    shingles: DataFrame, n_hashes: int = 128, seed: int = 42
+) -> DataFrame:
+    """(doc_id, sig array<long>) minhash signatures from a shingle table.
+
+    One aggregation: gram → xxhash64 → n permuted hashes, min per position.
+    The n per-position mins are n agg columns (single shuffle, map-side
+    partials), assembled into one array.
+    """
+    consts = _perm_constants(n_hashes, seed)
+    h = F.abs(F.xxhash64("gram")) % F.lit(_MERSENNE)
+    with_h = shingles.withColumn("_h", h)
+    aggs = [
+        F.min((F.col("_h") * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE)).alias(f"_m{i}")
+        for i, (a, b) in enumerate(consts)
+    ]
+    sigs = with_h.groupBy("doc_id").agg(*aggs)
+    return sigs.select("doc_id", F.array(*[f"_m{i}" for i in range(n_hashes)]).alias("sig"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    threshold: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    n_hashes: int = 128,
+    bands: int = 32,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-dup pairs via MinHash banding, verified with exact Jaccard.
+
+    Sub-quadratic: candidates come from equality on (band_id, band_hash)
+    buckets; each candidate pair is then verified against the true shingle
+    sets so the output is exact given LSH recall (with 128/32 bands,
+    P[miss | j≥0.9] < 1e-20). This is the 100 TB path — the exact gram join
+    is the small-scale oracle.
+    """
+    rows_per_band = n_hashes // bands
+    sh = word_shingles(df, text_col, id_col, n)
+    sigs = minhash_signatures(sh, n_hashes, seed)
+
+    band = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(F.slice("sig", b * rows_per_band + 1, rows_per_band)),
+            )
+        ).alias("band_id", "band_hash"),
+    )
+    a = band.alias("a")
+    b = band.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+    # Exact verification: per-pair intersection over the shingle table.
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "gram")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "gram")
+    inter = (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "gram"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(za, "doc_a")
+        .join(zb, "doc_b")
+        .withColumn("jaccard", F.col("n_inter") / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")))
+        .where(F.col("jaccard") >= F.lit(threshold))
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash — cross-engine deterministic variant (oracle-friendly)
+# --------------------------------------------------------------------------
+
+# 64 odd multipliers for per-bit token hashing (splitmix-derived, pinned).
+def _bit_multipliers(n: int = 64, seed: int = 7) -> list[int]:
+    out, state = [], seed
+    for _ in range(n):
+        state = (state * 2862933555777941757 + 3037000493) % (1 << 62)
+        out.append((state | 1) % (1 << 31))
+    return out
+
+
+_BIT_MULTS = _bit_multipliers()
+
+
+def token_code(tok: Column) -> Column:
+    """Cross-engine integer code of a token (plain int arithmetic).
+
+    ``ascii(first)*131 + length*7 + ascii(second)`` — collisions are fine for
+    a fingerprint; determinism across Spark/DuckDB is what matters.
+    """
+    c1 = F.ascii(F.substring(tok, 1, 1))
+    c2 = F.coalesce(F.ascii(F.substring(tok, 2, 1)), F.lit(0))
+    return (c1 * F.lit(131) + F.length(tok) * F.lit(7) + c2).cast("long")
+
+
+def simhash_fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit simhash per document: (doc_id, simhash long).
+
+    Bit b votes +count/−count per token depending on
+    ``(code * P_b) % 2^31 > 2^30``; the fingerprint sets bits with a positive
+    total. Pure integer expressions → identical in any engine.
+    """
+    tok = F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    toks = df.select(F.col(id_col).alias("doc_id"), tok).where(F.length("tok") > 0)
+    counted = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    code = token_code(F.col("tok"))
+
+    votes = [
+        F.sum(
+            F.when((code * F.lit(m)) % F.lit(1 << 31) > F.lit(1 << 30), F.col("cnt")).otherwise(
+                -F.col("cnt")
+            )
+        ).alias(f"_v{b}")
+        for b, m in enumerate(_BIT_MULTS)
+    ]
+    g = counted.groupBy("doc_id").agg(*votes)
+    fp = None
+    for b in range(64):
+        bit = F.when(F.col(f"_v{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = bit * F.lit(1 << b).cast("long") if b < 63 else bit * F.lit(-(1 << 63)).cast("long")
+        fp = term if fp is None else fp + term
+    return g.select("doc_id", fp.alias("simhash"))
+
+
+def simhash_pairs(
+    fps: DataFrame,
+    max_hamming: int = 7,
+    id_col: str = "doc_id",
+    fp_col: str = "simhash",
+    n_chunks: int | None = None,
+) -> DataFrame:
+    """Pairs with hamming(simhash) ≤ k via pigeonhole chunk banding.
+
+    With ``n_chunks > max_hamming`` chunks, any pair at hamming ≤ k shares at
+    least one identical chunk (pigeonhole) — the chunk equi-join is an
+    *exact* candidate superset; bit_count(xor) then filters exactly.
+    """
+    if n_chunks is None:
+        n_chunks = max_hamming + 1
+    assert 64 % n_chunks == 0 or n_chunks <= 64, "chunk count must fit 64 bits"
+    width = 64 // n_chunks
+    mask = (1 << width) - 1
+    chunks = F.array(
+        *[
+            F.shiftrightunsigned(F.col(fp_col), width * c).bitwiseAND(F.lit(mask))
+            for c in range(n_chunks)
+        ]
+    )
+    e = fps.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(fp_col).alias("fp"),
+        F.posexplode(chunks).alias("chunk_id", "chunk_val"),
+    )
+    a, b = e.alias("a"), e.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.fp").alias("fp_a"),
+            F.col("b.fp").alias("fp_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return cand.withColumn("hamming", ham).where(F.col("hamming") <= max_hamming).select(
+        "doc_a", "doc_b", "hamming"
+    )

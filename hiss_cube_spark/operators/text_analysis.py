@@ -1,0 +1,117 @@
+"""Text-analysis operators: language ID, quality scoring, token counting,
+document fingerprinting. All native column expressions (no Python UDFs) —
+exact integer/ratio math, reproducible in ANSI SQL for the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from hiss_cube_spark.operators.dedup import token_code
+
+__all__ = ["tokenize", "token_counts", "quality_score", "lang_id", "doc_fingerprint"]
+
+# Marker tokens per language for the n-gram/stopword heuristic. Determinism,
+# not linguistic accuracy, is the contract (the synthetic corpus shares one
+# vocabulary); swap marker sets for real corpora.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "order", "table"],
+    "de": ["customer", "hash", "join", "row"],
+    "es": ["slow", "agg", "merge", "vector"],
+    "fr": ["scan", "data", "query", "batch"],
+    "zh": ["join", "small", "row", "column"],
+}
+
+_STOPWORDS = ["the", "a"]
+
+
+def tokenize(text: Column) -> Column:
+    """Whitespace tokens (non-empty)."""
+    return F.filter(F.split(text, " "), lambda t: F.length(t) > 0)
+
+
+def token_counts(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_tokens, n_subtokens): whitespace count + a BPE-ish regex
+    count (letter runs / digit runs / single punctuation), the usual
+    pre-tokenizer proxy for LLM token budgets."""
+    toks = tokenize(F.col(text_col))
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).alias("n_tokens"),
+        F.regexp_count(F.col(text_col), F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]")).alias(
+            "n_subtokens"
+        ),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic document quality: length, mean word length, distinct-token
+    ratio, stopword ratio → one blended score in [0, ~1].
+
+    Same shape as production quality filters (e.g. C4/Gopher rules): cheap
+    column math over every document, fully pushdown-friendly.
+    """
+    toks = tokenize(F.col(text_col))
+    n = F.size(toks)
+    n_d = F.lit(1.0) * n
+    uniq = F.size(F.array_distinct(toks))
+    stop = F.size(F.filter(toks, lambda t: t.isin(_STOPWORDS)))
+    mean_wl = F.length(F.col(text_col)) / n_d  # includes separators: stable proxy
+    uniq_ratio = uniq / n_d
+    stop_ratio = stop / n_d
+    score = (
+        F.least(n_d / F.lit(64.0), F.lit(1.0)) * F.lit(0.4)
+        + uniq_ratio * F.lit(0.4)
+        + F.least(stop_ratio * F.lit(5.0), F.lit(1.0)) * F.lit(0.2)
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        n.alias("n_tokens"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        F.round(uniq_ratio, 6).alias("uniq_ratio"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(score, 6).alias("quality"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Marker-token language ID: count markers per language, argmax with a
+    fixed tie order (en, de, es, fr, zh)."""
+    toks = tokenize(F.col(text_col))
+    scores = {
+        lang: F.size(F.filter(toks, lambda t: t.isin(markers)))
+        for lang, markers in LANG_MARKERS.items()
+    }
+    order = list(LANG_MARKERS)
+    # First-match-wins argmax: lang i wins if ≥ all langs after it in the
+    # fixed tie order (en, de, es, fr, zh) — a plain CASE chain, SQL-mirrorable.
+    pred = F.lit(order[-1])
+    for i in range(len(order) - 2, -1, -1):
+        lang = order[i]
+        cond = None
+        for other in order[i + 1 :]:
+            c = scores[lang] >= scores[other]
+            cond = c if cond is None else (cond & c)
+        pred = F.when(cond, F.lit(lang)).otherwise(pred)
+    sel = [F.col(id_col).alias("doc_id")]
+    sel += [scores[lang].alias(f"score_{lang}") for lang in order]
+    sel.append(pred.alias("pred_lang"))
+    return df.select(*sel)
+
+
+def doc_fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Rolling-hash-style 31-bit document fingerprint.
+
+    ``sum_over_positions((token_code+1) * ((pos+1)*2654435761 mod 2^31)) mod 2^31``
+    — position-sensitive, pure integer math (exact in any engine)."""
+    toks = tokenize(F.col(text_col))
+    terms = F.transform(
+        toks,
+        lambda t, i: (token_code(t) + F.lit(1))
+        * F.pmod((i.cast("long") + F.lit(1)) * F.lit(2654435761), F.lit(1 << 31)),
+    )
+    fp = F.pmod(
+        F.aggregate(terms, F.lit(0).cast("long"), lambda acc, x: acc + x), F.lit(1 << 31)
+    )
+    return df.select(F.col(id_col).alias("doc_id"), fp.alias("fingerprint"))

@@ -1,0 +1,9 @@
+"""Structured Streaming surface (an extension — the reference is batch-only,
+SURVEY.md §2.9): file-source ingest into the bronze tables and event-time
+windowed aggregations. Every transformation is identical in batch and
+streaming mode (same DataFrame functions), so the batch oracle validates the
+streaming semantics."""
+
+from hiss_cube_spark.streaming.windows import tumbling_window_agg, session_window_agg
+
+__all__ = ["tumbling_window_agg", "session_window_agg"]
