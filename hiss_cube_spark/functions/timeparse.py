@@ -28,7 +28,7 @@ def parse_obs_time(date_obs: Column) -> Column:
     Mirrors the reference fallback chain (utils/io.py:426-432); returns MJD.
     """
     ts = F.coalesce(
-        F.to_timestamp(date_obs),
-        F.to_timestamp(date_obs, "dd/MM/yy"),
+        F.try_to_timestamp(date_obs),
+        F.try_to_timestamp(date_obs, F.lit("dd/MM/yy")),
     )
     return ts_to_mjd(ts)

@@ -1,0 +1,109 @@
+"""Visualization cube — per-zoom point table + exports (SURVEY.md §3.3).
+
+Reference: DatasetVisualizationProcessorStrategy
+(metadata_strategy_cube_visualization.py:41-55,323-394): for each zoom emit
+one row per spectrum sample (F17) and one row per linked-cutout pixel with
+computed per-pixel (ra, dec) (F18), record shape
+(heal_id, ra, dec, time, wl, mean, sigma, …) (:31-36).
+
+Spark: two pure select/explode pipelines union'd — embarrassingly parallel,
+the biggest-row-count query in the system (276,100 rows from 11 spectra at
+the reference's fixture scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from hiss_cube_spark.functions.wcs import pixel_to_world
+from hiss_cube_spark.operators.cutouts import dereference_cutouts
+
+__all__ = ["spectra_point_table", "cutout_point_table", "build_visualization_cube"]
+
+
+def spectra_point_table(spectra: DataFrame) -> DataFrame:
+    """Unpivot spectra: one row per (spectrum, sample) (F17).
+
+    Input: (spec_id, healpix, plug_ra, plug_dec, time, zoom, wl array,
+    flux_mean array, flux_sigma array)."""
+    z = F.arrays_zip("wl", "flux_mean", "flux_sigma")
+    return spectra.select(
+        F.col("healpix").alias("heal_id"),
+        F.col("plug_ra").cast("float").alias("ra"),
+        F.col("plug_dec").cast("float").alias("dec"),
+        F.col("time").cast("float").alias("time"),
+        "zoom",
+        F.col("spec_id"),
+        F.explode(z).alias("_s"),
+    ).select(
+        "heal_id",
+        "ra",
+        "dec",
+        "time",
+        "zoom",
+        "spec_id",
+        F.col("_s.wl").cast("float").alias("wl"),
+        F.col("_s.flux_mean").cast("float").alias("mean"),
+        F.col("_s.flux_sigma").cast("float").alias("sigma"),
+    )
+
+
+def cutout_point_table(refs: DataFrame, images: DataFrame, spectra: DataFrame) -> DataFrame:
+    """Unpivot linked cutouts: one row per cutout pixel with per-pixel
+    world coordinates (F18; ref cube_visualization.py:147-188).
+
+    Pixel (ra, dec) comes from the linear WCS forward transform — all native
+    expressions over a double posexplode (rows, then columns).
+    """
+    # one metadata row per spectrum (the input carries one row per zoom)
+    spec_meta = spectra.select(
+        "spec_id",
+        F.col("healpix").alias("heal_id"),
+        F.col("plug_ra").alias("spec_ra"),
+        F.col("plug_dec").alias("spec_dec"),
+        F.col("time").alias("spec_time"),
+    ).dropDuplicates(["spec_id"])
+    cut = dereference_cutouts(refs, images.select("image_id", "zoom", "wcs", "tai_time", "data", "errors"))
+    # Pair mean/sigma row-wise first so both posexplodes stay aligned.
+    paired = cut.withColumn(
+        "_rows",
+        F.zip_with(
+            "cutout_data", "cutout_errors", lambda d, e: F.struct(d.alias("m"), e.alias("s"))
+        ),
+    )
+    keys = ["spec_id", "image_id", "zoom", "band", "wl", "x_min", "y_min", "wcs", "tai_time"]
+    rows = (
+        paired.select(*keys, F.posexplode("_rows").alias("_iy", "_rp"))
+        .select(
+            *keys,
+            "_iy",
+            F.posexplode(F.arrays_zip(F.col("_rp.m"), F.col("_rp.s"))).alias("_ix", "_px"),
+        )
+    )
+    ra, dec = pixel_to_world(
+        F.col("wcs"),
+        (F.col("x_min") + F.col("_ix")).cast("double"),
+        (F.col("y_min") + F.col("_iy")).cast("double"),
+    )
+    return rows.join(spec_meta, "spec_id").select(
+        "heal_id",
+        ra.cast("float").alias("ra"),
+        dec.cast("float").alias("dec"),
+        F.col("tai_time").cast("float").alias("time"),
+        "zoom",
+        F.col("spec_id"),
+        F.col("wl").cast("float").alias("wl"),
+        F.col("_px.m").cast("float").alias("mean"),
+        F.col("_px.s").cast("float").alias("sigma"),
+    )
+
+
+def build_visualization_cube(
+    spectra: DataFrame, refs: DataFrame, images: DataFrame
+) -> DataFrame:
+    """Union of spectrum samples and cutout pixels per zoom (§3.3) —
+    ``unionByName`` of two explode pipelines."""
+    sp = spectra_point_table(spectra)
+    cp = cutout_point_table(refs, images, spectra)
+    return sp.unionByName(cp)

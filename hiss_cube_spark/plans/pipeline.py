@@ -1,0 +1,127 @@
+"""Build director (SURVEY.md §3.1): the reference's ordered builder list
+[metadata_cache, metadata, data, link, visualization, ml_cube]
+(director.py:17-27) becomes a driver-side orchestration of DataFrame jobs,
+each phase writing one partitioned Parquet table.
+
+The inter-phase IR is table state (bronze → silver → gold), exactly like the
+reference's HDF5-file state between builders — but immutable, columnar and
+partition-pruned:
+
+    bronze:  images/, spectra/          partitionBy(zoom), sorted by healpix
+             image_headers/, spectrum_headers/, sfr tables
+    silver:  cutout_refs/               the link join output
+    gold:    ml_cube_spectra/, ml_cube_images/, visualization_cube/
+
+Update semantics: each phase is independently re-runnable (mode=overwrite on
+its own table) — the ``update --<phase>`` CLI surface of the reference
+(hisscube.py:43-67).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hiss_cube_spark.operators.link import build_cutout_refs
+from hiss_cube_spark.operators.ml_cube import assign_targets, build_ml_cube
+from hiss_cube_spark.operators.viz_cube import build_visualization_cube
+
+__all__ = ["CubePipeline"]
+
+
+class CubePipeline:
+    """Orchestrates the phase DAG over a warehouse directory.
+
+    Each phase reads the previous phase's tables and writes its own; phases
+    are plain DataFrame jobs, so Catalyst/AQE owns the physical plan and the
+    task scheduler owns load balancing (the reference's MPI master–worker
+    queue, builders_parallel.py:35-89, has no user-visible counterpart).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        warehouse: str,
+        match_radius_deg: float = 0.133,  # 8 arcmin image radius (config.ini:79)
+        zooms: int = 5,
+        cutout_size: int = 64,
+        max_refs: int = 200,
+    ):
+        self.spark = spark
+        self.warehouse = warehouse
+        self.match_radius_deg = match_radius_deg
+        self.zooms = zooms
+        self.cutout_size = cutout_size
+        self.max_refs = max_refs
+
+    # -- table IO ----------------------------------------------------------
+
+    def path(self, table: str) -> str:
+        return os.path.join(self.warehouse, table)
+
+    def read(self, table: str) -> DataFrame:
+        return self.spark.read.parquet(self.path(table))
+
+    def write_bronze(self, df: DataFrame, table: str, partition_by: list[str] | None = None) -> None:
+        """Bronze sink (S9): partition by zoom, cluster by healpix within
+        files so spatial joins/scans prune well (the reference's sorted
+        db_index, metadata_strategy_image.py:351-355)."""
+        w = df
+        parts = partition_by if partition_by is not None else (
+            ["zoom"] if "zoom" in df.columns else []
+        )
+        if "healpix" in df.columns:
+            w = w.repartition(*[F.col(c) for c in parts] if parts else [F.lit(1)]).sortWithinPartitions(
+                "healpix"
+            )
+        writer = w.write.mode("overwrite")
+        if parts:
+            writer = writer.partitionBy(*parts)
+        writer.parquet(self.path(table))
+
+    # -- phases ------------------------------------------------------------
+
+    def phase_ingest(self, images: DataFrame, spectra: DataFrame) -> None:
+        """Bronze: persist observation tables (ingest sources produce them)."""
+        self.write_bronze(images, "images")
+        self.write_bronze(spectra, "spectra")
+
+    def phase_link(self) -> None:
+        """Silver: the J2 cross-match link table."""
+        images = self.read("images").where(F.col("zoom") == 0)
+        spectra = self.read("spectra").where(F.col("zoom") == 0)
+        refs = build_cutout_refs(
+            spectra,
+            images,
+            match_radius_deg=self.match_radius_deg,
+            zooms=self.zooms,
+            cutout_size=self.cutout_size,
+            max_refs=self.max_refs,
+        )
+        refs.write.mode("overwrite").partitionBy("zoom").parquet(self.path("cutout_refs"))
+
+    def phase_ml_cube(self) -> None:
+        """Gold: the Global DB query."""
+        spectra = assign_targets(self.read("spectra"))
+        refs = self.read("cutout_refs")
+        images = self.read("images")
+        spec_cube, img_cube = build_ml_cube(spectra, refs, images)
+        spec_cube.write.mode("overwrite").partitionBy("zoom").parquet(self.path("ml_cube_spectra"))
+        img_cube.write.mode("overwrite").partitionBy("zoom").parquet(self.path("ml_cube_images"))
+
+    def phase_visualization(self) -> None:
+        """Gold: the per-zoom point table."""
+        spectra = self.read("spectra")
+        refs = self.read("cutout_refs")
+        images = self.read("images")
+        viz = build_visualization_cube(spectra, refs, images)
+        viz.write.mode("overwrite").partitionBy("zoom").parquet(self.path("visualization_cube"))
+
+    def create(self, images: DataFrame, spectra: DataFrame) -> None:
+        """The full ``create`` pipeline (ref director.py:15-48)."""
+        self.phase_ingest(images, spectra)
+        self.phase_link()
+        self.phase_ml_cube()
+        self.phase_visualization()

@@ -1,0 +1,139 @@
+"""Export sinks (SURVEY.md S10–S12): VOTable / FITS binary table / Parquet.
+
+astropy is absent in this container, so the VOTable writer is a minimal
+standards-conformant XML serializer (VOTable 1.4 TABLEDATA) and the FITS
+binary-table writer emits a valid BINTABLE HDU with numpy — both pure
+python, both driver-side (exports are result tables, small by construction;
+the distributed sink is Parquet)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+__all__ = ["write_votable", "write_fits_table", "write_parquet"]
+
+_VOT_TYPES = {
+    "int64": "long",
+    "int32": "int",
+    "float64": "double",
+    "float32": "float",
+    "object": "char",
+    "bool": "boolean",
+}
+
+
+def write_votable(df: DataFrame, path: str, max_rows: int = 5_000_000) -> None:
+    """Serialize a result DataFrame as a VOTable 1.4 TABLEDATA document
+    (ref write_VOTable, metadata_strategy_cube_visualization.py:97-100)."""
+    pdf = df.limit(max_rows).toPandas()
+    fields = []
+    for name, dt in zip(pdf.columns, pdf.dtypes):
+        vt = _VOT_TYPES.get(str(dt), "char")
+        arr = ' arraysize="*"' if vt == "char" else ""
+        fields.append(f'      <FIELD name="{name}" datatype="{vt}"{arr}/>')
+    rows = []
+    for tup in pdf.itertuples(index=False, name=None):
+        cells = "".join(f"<TD>{'' if v is None else v}</TD>" for v in tup)
+        rows.append(f"        <TR>{cells}</TR>")
+    doc = (
+        '<?xml version="1.0" encoding="UTF-8"?>\n'
+        '<VOTABLE version="1.4" xmlns="http://www.ivoa.net/xml/VOTable/v1.3">\n'
+        "  <RESOURCE>\n    <TABLE>\n"
+        + "\n".join(fields)
+        + "\n      <DATA>\n      <TABLEDATA>\n"
+        + "\n".join(rows)
+        + "\n      </TABLEDATA>\n      </DATA>\n    </TABLE>\n  </RESOURCE>\n</VOTABLE>\n"
+    )
+    with open(path, "w") as f:
+        f.write(doc)
+
+
+_FITS_FORMS = {"int64": "K", "int32": "J", "float64": "D", "float32": "E"}
+
+
+def _fits_card(key: str, value, comment: str = "") -> bytes:
+    if isinstance(value, bool):
+        v = "T" if value else "F"
+        s = f"{key:<8}= {v:>20}"
+    elif isinstance(value, (int, float)):
+        s = f"{key:<8}= {value:>20}"
+    else:
+        s = f"{key:<8}= '{value}'"
+    if comment:
+        s += f" / {comment}"
+    return s[:80].ljust(80).encode("ascii")
+
+
+def write_fits_table(df: DataFrame, path: str, max_rows: int = 5_000_000) -> None:
+    """Serialize a result DataFrame as FITS BINTABLE (ref write_FITS,
+    metadata_strategy_cube_visualization.py:102-104)."""
+    pdf = df.limit(max_rows).toPandas()
+    cols, forms = [], []
+    for name, dt in zip(pdf.columns, pdf.dtypes):
+        key = str(dt)
+        if key in _FITS_FORMS:
+            cols.append(pdf[name].to_numpy())
+            forms.append((name, _FITS_FORMS[key]))
+        else:  # strings → fixed width
+            s = pdf[name].astype(str).tolist()
+            width = max((len(x) for x in s), default=1)
+            cols.append(
+                np.array([x.ljust(width).encode("ascii", "replace") for x in s], dtype=f"S{width}")
+            )
+            forms.append((name, f"{width}A"))
+
+    dtype = []
+    for arr, (name, form) in zip(cols, forms):
+        if form.endswith("A"):
+            dtype.append((name, f"S{form[:-1]}"))
+        else:
+            dtype.append((name, {"K": ">i8", "J": ">i4", "D": ">f8", "E": ">f4"}[form]))
+    rec = np.empty(len(pdf), dtype=dtype)
+    for arr, (name, _) in zip(cols, forms):
+        rec[name] = arr
+
+    def block(b: bytes) -> bytes:
+        pad = (-len(b)) % 2880
+        return b + b" " * pad if b.endswith(b"END".ljust(80)) or pad < 2880 else b
+
+    primary = b"".join(
+        [
+            _fits_card("SIMPLE", True),
+            _fits_card("BITPIX", 8),
+            _fits_card("NAXIS", 0),
+            _fits_card("EXTEND", True),
+            "END".ljust(80).encode(),
+        ]
+    )
+    primary += b" " * ((-len(primary)) % 2880)
+
+    cards = [
+        _fits_card("XTENSION", "BINTABLE"),
+        _fits_card("BITPIX", 8),
+        _fits_card("NAXIS", 2),
+        _fits_card("NAXIS1", rec.dtype.itemsize),
+        _fits_card("NAXIS2", len(rec)),
+        _fits_card("PCOUNT", 0),
+        _fits_card("GCOUNT", 1),
+        _fits_card("TFIELDS", len(forms)),
+    ]
+    for i, (name, form) in enumerate(forms, 1):
+        cards.append(_fits_card(f"TTYPE{i}", name))
+        cards.append(_fits_card(f"TFORM{i}", form))
+    cards.append("END".ljust(80).encode())
+    header = b"".join(cards)
+    header += b" " * ((-len(header)) % 2880)
+    data = rec.tobytes()
+    data += b"\x00" * ((-len(data)) % 2880)
+    with open(path, "wb") as f:
+        f.write(primary + header + data)
+
+
+def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    """The distributed sink (S9/S12)."""
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)

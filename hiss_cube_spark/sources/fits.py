@@ -1,0 +1,146 @@
+"""FITS source (SURVEY.md S1, S4–S6): binaryFile scan + pure-python parsing.
+
+The FITS format is simple enough to parse without astropy (which is absent
+here): headers are 2880-byte blocks of 80-char cards; image data is
+big-endian typed by BITPIX with optional BSCALE/BZERO. This mirrors the
+reference's own fast raw-byte header parser (utils/fitstools.py:23-65).
+
+Compressed (RICE/tile) HDUs are not supported — plug astropy/fitsio through
+``decode_fn`` on a cluster that has them.
+
+Scan shape: ``spark.read.format("binaryFile")`` with pathGlobFilter (P1) and
+limit (P2), then mapInPandas parses per Arrow batch — file bytes never
+become JVM rows.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+__all__ = [
+    "parse_fits_header",
+    "parse_fits_image",
+    "scan_fits_headers",
+    "read_fits_bytes_header",
+]
+
+_CARD = re.compile(rb"^([A-Z0-9_\-]{1,8}) *=? *(.*?) */?(?: /.*)?$")
+_BLOCK = 2880
+
+
+def read_fits_bytes_header(data: bytes, offset: int = 0) -> tuple[dict, int]:
+    """Parse one HDU header starting at ``offset``; returns (header dict,
+    offset of the data section)."""
+    header: dict = {}
+    pos = offset
+    done = False
+    while not done:
+        block = data[pos : pos + _BLOCK]
+        if len(block) < _BLOCK:
+            raise ValueError("truncated FITS header")
+        for i in range(0, _BLOCK, 80):
+            card = block[i : i + 80]
+            key = card[:8].strip().decode("ascii", "replace")
+            if key == "END":
+                done = True
+                break
+            if not key or key in ("COMMENT", "HISTORY"):
+                continue
+            if card[8:10] != b"= ":
+                continue
+            raw = card[10:].split(b" /")[0].strip()
+            header[key] = _parse_value(raw)
+        pos += _BLOCK
+    return header, pos
+
+
+def _parse_value(raw: bytes):
+    s = raw.decode("ascii", "replace").strip()
+    if s.startswith("'"):
+        return s.strip("'").strip()
+    if s in ("T", "F"):
+        return s == "T"
+    try:
+        if re.fullmatch(r"[+-]?\d+", s):
+            return int(s)
+        return float(s)
+    except ValueError:
+        return s
+
+
+def parse_fits_header(data: bytes) -> dict:
+    """Primary-HDU header of a FITS byte string."""
+    return read_fits_bytes_header(data, 0)[0]
+
+
+_BITPIX_DTYPE = {8: ">u1", 16: ">i2", 32: ">i4", 64: ">i8", -32: ">f4", -64: ">f8"}
+
+
+def parse_fits_image(data: bytes) -> tuple[dict, np.ndarray | None]:
+    """(primary header, 2-D data array) — BITPIX/BSCALE/BZERO honored."""
+    header, pos = read_fits_bytes_header(data, 0)
+    naxis = int(header.get("NAXIS", 0))
+    if naxis < 2:
+        return header, None
+    w, h = int(header["NAXIS1"]), int(header["NAXIS2"])
+    dt = np.dtype(_BITPIX_DTYPE[int(header["BITPIX"])])
+    n = w * h * dt.itemsize
+    arr = np.frombuffer(data[pos : pos + n], dtype=dt).reshape(h, w).astype(np.float32)
+    scale, zero = float(header.get("BSCALE", 1.0)), float(header.get("BZERO", 0.0))
+    if scale != 1.0 or zero != 0.0:
+        arr = arr * scale + zero
+    return header, arr
+
+
+_HEADER_SCHEMA = StructType(
+    [
+        StructField("path", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("header", StringType()),
+    ]
+)
+
+
+def scan_fits_headers(
+    spark: SparkSession,
+    directory: str,
+    pattern: str = "*.fits",
+    limit: int | None = None,
+) -> DataFrame:
+    """FITS header cache table (S4; ref MetadataCacheBuilder,
+    processors/metadata.py:120-130): (path, n_bytes, header JSON).
+
+    binaryFile pushes the glob to the file listing (P1); ``limit`` prunes at
+    scan (P2). Headers parse per Arrow batch in mapInPandas.
+    """
+    df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", pattern)
+        .option("recursiveFileLookup", "true")
+        .load(directory)
+    )
+    if limit is not None:
+        df = df.limit(limit)
+
+    def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"path": [], "n_bytes": [], "header": []}
+            for path, content in zip(pdf["path"], pdf["content"]):
+                out["path"].append(path)
+                out["n_bytes"].append(len(content))
+                try:
+                    hdr = parse_fits_header(bytes(content))
+                    out["header"].append(json.dumps(hdr, default=str))
+                except Exception as exc:  # corrupt file → record, don't fail scan
+                    out["header"].append(json.dumps({"_error": str(exc)}))
+            yield pd.DataFrame(out)
+
+    return df.select("path", "content").mapInPandas(_parse, schema=_HEADER_SCHEMA)

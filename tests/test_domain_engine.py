@@ -1,0 +1,271 @@
+"""End-to-end domain engine tests on FIXTURES.md-shaped synthetic data:
+link join, ML cube, visualization cube (row-count law), SFR join, pipeline
+phases, exports, FITS source self-consistency."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tests.astro_fixtures import (
+    BANDS,
+    N_SPECTRA,
+    SPEC_N,
+    ZOOMS,
+    make_images,
+    make_sfr_tables,
+    make_spectra,
+)
+
+CUTOUT = 16  # 64-px reference cutouts scaled to the 64×48 toy frames
+
+
+@pytest.fixture(scope="module")
+def images(spark):
+    df = make_images(spark).cache()
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def spectra(spark):
+    df = make_spectra(spark).cache()
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def refs(spark, images, spectra):
+    from hiss_cube_spark.operators.link import build_cutout_refs
+
+    r = build_cutout_refs(
+        spectra.where(F.col("zoom") == 0),
+        images.where(F.col("zoom") == 0),
+        match_radius_deg=0.01,
+        zooms=ZOOMS,
+        cutout_size=CUTOUT,
+        max_refs=200,
+    ).cache()
+    r.count()
+    return r
+
+
+def test_fixture_shapes(images, spectra):
+    assert images.where(F.col("zoom") == 0).count() == 185
+    assert spectra.where(F.col("zoom") == 0).count() == N_SPECTRA
+    assert images.count() == 185 * ZOOMS
+
+
+def test_link_refs(refs, spectra):
+    # every spectrum sits at a field center → matches its field's 5 bands
+    z0 = refs.where(F.col("zoom") == 0)
+    per_spec = {r["spec_id"]: r["n"] for r in z0.groupBy("spec_id").agg(F.count("*").alias("n")).collect()}
+    assert set(per_spec) == set(range(N_SPECTRA))
+    assert all(n == 5 for n in per_spec.values())
+    # bounds are within the zoom-0 frame and the right size
+    bad = z0.where(
+        (F.col("x_max") - F.col("x_min") != CUTOUT) | (F.col("y_max") - F.col("y_min") != CUTOUT)
+    ).count()
+    assert bad == 0
+
+
+def test_cutout_dereference_shape(refs, images):
+    from hiss_cube_spark.operators.cutouts import dereference_cutouts
+
+    cut = dereference_cutouts(refs.where(F.col("zoom") == 0), images.where(F.col("zoom") == 0))
+    row = cut.select("cutout_data").first()
+    arr = np.array(row[0])
+    assert arr.shape == (CUTOUT, CUTOUT)
+
+
+def test_ml_cube(spark, images, spectra, refs):
+    from hiss_cube_spark.operators.ml_cube import assign_targets, build_ml_cube
+
+    targeted = assign_targets(spectra)
+    spec_cube, img_cube = build_ml_cube(targeted, refs, images)
+    sc = spec_cube.where(F.col("zoom") == 0).collect()
+    ic = img_cube.where(F.col("zoom") == 0).collect()
+    # 9 distinct positions → 9 targets, all 5-band complete (every field has
+    # all 5 bands in the fixture)
+    assert len(sc) == 9
+    assert len(ic) == 9 * 5
+    # spectra arrays keep full resolution length
+    assert all(len(r["flux"]) == SPEC_N for r in sc)
+    # a target with two spectra must ivw-combine them: pick target of spec 0/1
+    t0 = spectra.where(F.col("spec_id") == 0).select("healpix").first()[0]
+    flux0 = np.array(
+        spectra.where((F.col("spec_id") == 0) & (F.col("zoom") == 0)).select("flux_mean").first()[0]
+    )
+    sig0 = np.array(
+        spectra.where((F.col("spec_id") == 0) & (F.col("zoom") == 0)).select("flux_sigma").first()[0]
+    )
+    flux1 = np.array(
+        spectra.where((F.col("spec_id") == 1) & (F.col("zoom") == 0)).select("flux_mean").first()[0]
+    )
+    sig1 = np.array(
+        spectra.where((F.col("spec_id") == 1) & (F.col("zoom") == 0)).select("flux_sigma").first()[0]
+    )
+    from hiss_cube_spark.operators.ivw import ivw_np
+
+    exp_mean, exp_sig = ivw_np(
+        np.stack([flux0, flux1]).astype(np.float64), np.stack([sig0, sig1]).astype(np.float64)
+    )
+    got = [r for r in sc if r["target_id"] == t0][0]
+    np.testing.assert_allclose(
+        np.array(got["flux"], dtype=np.float64),
+        exp_mean,
+        rtol=1e-5,
+        equal_nan=True,
+    )
+
+
+def test_visualization_cube_row_count_law(spark, images, spectra, refs):
+    from hiss_cube_spark.operators.viz_cube import build_visualization_cube
+
+    viz = build_visualization_cube(spectra, refs, images)
+    for z in (0, 3):
+        n_samples = (
+            spectra.where(F.col("zoom") == z)
+            .select(F.size("wl").alias("n"))
+            .agg(F.sum("n"))
+            .first()[0]
+        )
+        n_cut = refs.where(F.col("zoom") == z).count()
+        size = CUTOUT >> z
+        expected = n_samples + n_cut * size * size
+        got = viz.where(F.col("zoom") == z).count()
+        assert got == expected, (z, got, expected)
+
+
+def test_sfr_join(spark, spectra):
+    from hiss_cube_spark.operators.sfr import spectra_with_sfr
+
+    gal_info, gal_sfr = make_sfr_tables(spark)
+    meta = spectra.where(F.col("zoom") == 0).select(
+        F.col("plateid").alias("PLATEID"),
+        F.col("mjd").alias("MJD"),
+        F.col("fiberid").alias("FIBERID"),
+        "spec_id",
+    )
+    merged = spectra_with_sfr(meta, gal_info, gal_sfr)
+    assert merged.count() == N_SPECTRA
+    # 7 match, 4 unmatched → 4 null MEDIANs (ref tests/test_sfr.py:57-58)
+    assert merged.where(F.col("MEDIAN").isNull()).count() == 4
+
+
+def test_pipeline_phases(spark, images, spectra, tmp_path_factory):
+    from hiss_cube_spark.plans.pipeline import CubePipeline
+
+    wh = str(tmp_path_factory.mktemp("warehouse"))
+    pipe = CubePipeline(spark, wh, match_radius_deg=0.01, cutout_size=CUTOUT)
+    pipe.create(images, spectra)
+    for t in ("images", "spectra", "cutout_refs", "ml_cube_spectra", "ml_cube_images", "visualization_cube"):
+        assert os.path.isdir(os.path.join(wh, t)), t
+        assert spark.read.parquet(os.path.join(wh, t)).count() > 0, t
+    # zoom partition pruning materialized on disk
+    assert os.path.isdir(os.path.join(wh, "images", "zoom=0"))
+
+
+def test_exports_roundtrip(spark, tmp_path_factory):
+    from hiss_cube_spark.sources.exports import write_fits_table, write_votable
+    from hiss_cube_spark.sources.fits import parse_fits_header, read_fits_bytes_header
+
+    out = tmp_path_factory.mktemp("exports")
+    df = spark.createDataFrame(
+        [(1, 2.5, "a"), (2, 3.5, "b")], "id long, val double, name string"
+    )
+    vot = os.path.join(out, "t.vot")
+    fits = os.path.join(out, "t.fits")
+    write_votable(df, vot)
+    assert "<VOTABLE" in open(vot).read()
+    write_fits_table(df, fits)
+    blob = open(fits, "rb").read()
+    hdr, pos = read_fits_bytes_header(blob, 0)
+    assert hdr["SIMPLE"] is True
+    hdr2, _ = read_fits_bytes_header(blob, pos)
+    assert hdr2["XTENSION"] == "BINTABLE"
+    assert hdr2["NAXIS2"] == 2
+
+
+def test_fits_source_scan(spark, tmp_path_factory):
+    """Write a tiny FITS image by hand; scan_fits_headers + parse_fits_image
+    must read it back (pure-python FITS path, no astropy)."""
+    import numpy as np
+
+    from hiss_cube_spark.sources.fits import parse_fits_image, scan_fits_headers
+
+    d = tmp_path_factory.mktemp("fits")
+
+    def card(k, v):
+        if isinstance(v, bool):
+            return f"{k:<8}= {'T' if v else 'F':>20}".ljust(80).encode()
+        if isinstance(v, (int, float)):
+            return f"{k:<8}= {v:>20}".ljust(80).encode()
+        return f"{k:<8}= '{v}'".ljust(80).encode()
+
+    arr = np.arange(12, dtype=">f4").reshape(3, 4)
+    hdr = (
+        card("SIMPLE", True)
+        + card("BITPIX", -32)
+        + card("NAXIS", 2)
+        + card("NAXIS1", 4)
+        + card("NAXIS2", 3)
+        + card("RUN", 1234)
+        + card("FILTER", "r")
+        + "END".ljust(80).encode()
+    )
+    hdr += b" " * ((-len(hdr)) % 2880)
+    data = arr.tobytes()
+    data += b"\x00" * ((-len(data)) % 2880)
+    p = os.path.join(d, "frame-r-001234.fits")
+    with open(p, "wb") as f:
+        f.write(hdr + data)
+
+    got = scan_fits_headers(spark, str(d), "*.fits").collect()
+    assert len(got) == 1
+    h = json.loads(got[0]["header"])
+    assert h["RUN"] == 1234 and h["FILTER"] == "r"
+
+    h2, a2 = parse_fits_image(open(p, "rb").read())
+    np.testing.assert_array_equal(a2, arr.astype(np.float32))
+
+
+def test_ccd_config_lookup(spark, tmp_path_factory):
+    from hiss_cube_spark.sources.config_tables import load_ccd_table, lookup_ccd_value
+
+    d = tmp_path_factory.mktemp("cfg")
+    tsv = os.path.join(d, "ccd_gain.tsv")
+    with open(tsv, "w") as f:
+        f.write("camcol\trun\tu\tg\tr\ti\tz\n")
+        f.write("1\t<1100\t1.62\t3.32\t4.71\t5.165\t4.745\n")
+        f.write("1\t>1100\t1.825\t3.32\t4.71\t5.165\t4.745\n")
+        f.write("2\t>0\t1.595\t3.855\t4.6\t6.565\t5.155\n")
+    ccd = load_ccd_table(spark, tsv)
+    # invariant: exactly one row matches any (camcol, run, band)
+    probes = spark.createDataFrame(
+        [(1, 900, "u"), (1, 2000, "u"), (2, 5, "z")], "camcol int, run long, band string"
+    )
+    out = lookup_ccd_value(probes, ccd).select("run", "value").collect()
+    vals = {r["run"]: r["value"] for r in out}
+    assert len(out) == 3
+    assert vals[900] == pytest.approx(1.62)
+    assert vals[2000] == pytest.approx(1.825)
+    assert vals[5] == pytest.approx(5.155)
+
+
+def test_uncertainty_derivation():
+    # ref tests/test_cube_utils.py:23-28 shape/positivity contract
+    from hiss_cube_spark.sources.photometry_ingest import derive_image_uncertainty
+
+    rng = np.random.default_rng(42)
+    img = rng.uniform(100, 1000, (48, 64)).astype(np.float64)
+    calib = rng.uniform(0.9, 1.1, 64)
+    sky = rng.uniform(1, 5, (6, 8))
+    flux, err = derive_image_uncertainty(img, calib, sky, gain=4.7, dark_variance=1.3)
+    assert flux.shape == err.shape == (48, 64)
+    assert np.all(err > 0)
+    assert flux.dtype == np.float32 and err.dtype == np.float32

@@ -1,0 +1,160 @@
+"""Operator-level unit tests with the reference's pinned constants
+(SURVEY.md §5)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from hiss_cube_spark.functions.compress import float_compress_np
+from hiss_cube_spark.functions.pyramid import (
+    downsample_image,
+    downsample_spectrum,
+    image_zoom_shapes,
+    spectrum_zoom_lengths,
+)
+from hiss_cube_spark.functions.spatial import _ang2pix_nest_np
+from hiss_cube_spark.operators.ivw import ivw_np
+
+
+def test_spectrum_zoom_ladder_pinned():
+    # ref tests/test_cube_utils.py:14
+    assert spectrum_zoom_lengths(4620, 5) == [4620, 2310, 1155, 577, 288]
+
+
+def test_image_zoom_ladder_pinned():
+    # ref tests/test_cube_utils.py:32
+    assert image_zoom_shapes(2048, 1489, 5) == [
+        (2048, 1489),
+        (1024, 744),
+        (512, 372),
+        (256, 186),
+        (128, 93),
+    ]
+
+
+def test_downsample_spectrum_lengths_and_sigma():
+    wl = np.linspace(3839.7244, 8914.597, 4620)
+    flux = np.sin(wl / 500).astype(np.float32)
+    sig = np.full(4620, 0.2, dtype=np.float32)
+    w2, f2, s2 = downsample_spectrum(wl, flux, sig)
+    assert len(w2) == len(f2) == len(s2) == 2310
+    assert np.allclose(s2, 0.1, atol=1e-6)  # sigma/2 per level
+
+
+def test_downsample_image_shape_and_sigma():
+    d = np.ones((93, 128), dtype=np.float32)
+    e = np.full((93, 128), 0.4, dtype=np.float32)
+    d2, e2 = downsample_image(d, e)
+    assert d2.shape == (46, 64)
+    assert np.allclose(d2, 1.0)
+    assert np.allclose(e2, 0.1)  # sigma/4 per level
+
+
+def test_float_compress_pinned():
+    # ref tests/test_serial_builders.py:231-256: low 13 mantissa bits zero,
+    # relative error < 1%
+    rng = np.random.default_rng(42)
+    x = rng.uniform(-1e3, 1e3, 10_000).astype(np.float32)
+    y = float_compress_np(x)
+    bits = y.view(np.uint32)
+    assert np.all(bits & np.uint32((1 << 13) - 1) == 0)
+    nz = x != 0
+    rel = np.abs((y[nz] - x[nz]) / x[nz])
+    assert rel.max() < 0.01
+
+
+def test_ivw_reference_formula():
+    # mean = Σ(f/σ²)/Σ(1/σ²), σ_out = sqrt(1/Σ(1/σ²)); NaN skipped
+    f = np.array([[2.0, np.nan], [4.0, 6.0]])
+    s = np.array([[1.0, 1.0], [1.0, 2.0]])
+    mean, sig = ivw_np(f, s)
+    assert mean[0] == pytest.approx(3.0)
+    assert sig[0] == pytest.approx(np.sqrt(0.5))
+    assert mean[1] == pytest.approx(6.0)  # NaN row skipped
+    assert sig[1] == pytest.approx(2.0)
+
+
+def test_ivw_zero_sigma_guard():
+    mean, sig = ivw_np(np.array([[1.0], [2.0]]), np.array([[0.0], [1.0]]))
+    assert mean[0] == pytest.approx(2.0)
+
+
+def test_healpix_boundary_coords():
+    # ref tests/test_photometry_utils.py:5-14: ra∈[0,360], dec∈[-90,90]
+    ra = np.array([0.0, 359.999, 180.0, 0.0, 0.0])
+    dec = np.array([0.0, 0.0, 0.0, 89.999, -89.999])
+    for order in (0, 5, 10, 15):
+        p = _ang2pix_nest_np(ra, dec, 1 << order)
+        assert p.min() >= 0 and p.max() < 12 * (1 << order) ** 2
+
+
+def test_is_cutout_whole_truth_table(spark):
+    # ref tests/test_serial_builders.py:189-211 (4-case truth table)
+    from hiss_cube_spark.operators.cutouts import is_cutout_whole
+
+    cases = [
+        (0, 64, 0, 48, 64, 48, True),     # exactly fills
+        (-1, 63, 0, 48, 64, 48, False),   # off left edge
+        (0, 64, 10, 58, 64, 48, False),   # off bottom edge
+        (10, 26, 10, 26, 64, 48, True),   # interior
+    ]
+    df = spark.createDataFrame(
+        [c[:6] for c in cases], "x0 int, x1 int, y0 int, y1 int, n1 int, n2 int"
+    )
+    got = [
+        r[0]
+        for r in df.select(
+            is_cutout_whole(
+                F.col("x0"), F.col("x1"), F.col("y0"), F.col("y1"), F.col("n1"), F.col("n2")
+            ).alias("w")
+        ).collect()
+    ]
+    assert got == [c[6] for c in cases]
+
+
+def test_wcs_roundtrip(spark):
+    from hiss_cube_spark.functions.wcs import pixel_to_world, world_to_pixel
+
+    wcs = F.struct(
+        F.lit(32.0).alias("crpix1"),
+        F.lit(24.0).alias("crpix2"),
+        F.lit(4e-4).alias("cd1_1"),
+        F.lit(0.0).alias("cd1_2"),
+        F.lit(0.0).alias("cd2_1"),
+        F.lit(4e-4).alias("cd2_2"),
+        F.lit(30.0).alias("crval1"),
+        F.lit(10.0).alias("crval2"),
+        F.lit("RA---TAN").alias("ctype1"),
+        F.lit("DEC--TAN").alias("ctype2"),
+    )
+    df = spark.range(1).select(wcs.alias("wcs"))
+    x, y = world_to_pixel(F.col("wcs"), F.lit(30.004), F.lit(10.002))
+    ra, dec = pixel_to_world(F.col("wcs"), x, y)
+    row = df.select(x.alias("x"), y.alias("y"), ra.alias("ra"), dec.alias("dec")).first()
+    assert row.x == pytest.approx(42.0)
+    assert row.y == pytest.approx(29.0)
+    assert row.ra == pytest.approx(30.004)
+    assert row.dec == pytest.approx(10.002)
+
+
+def test_time_parse_fallback(spark):
+    from hiss_cube_spark.functions.timeparse import parse_obs_time
+
+    df = spark.createDataFrame([("2020-01-01T00:00:00",), ("01/02/03",)], "s string")
+    vals = [r[0] for r in df.select(parse_obs_time(F.col("s")).alias("m")).collect()]
+    assert vals[0] == pytest.approx(58849.0)  # MJD of 2020-01-01
+    assert vals[1] is not None  # dd/MM/yy fallback parsed
+
+
+def test_mag_flux_constants(spark):
+    from hiss_cube_spark.functions.photometry import FILTER_MIDPOINTS, mag_to_flux
+
+    assert FILTER_MIDPOINTS == {"u": 3551, "g": 4686, "r": 6166, "i": 7480, "z": 8932}
+    v = (
+        spark.range(1)
+        .select(mag_to_flux(F.lit(1.0), F.lit(3551)).alias("f"))
+        .first()[0]
+    )
+    assert v == pytest.approx(3.631e-6 * 2.99792458e-5 / 3551**2)
