@@ -25,9 +25,21 @@ HEADLINE = [
     "j2_crossmatch",
     "q1_pricing_summary",
     "a1_ivw_mean",
+    "q3_shipping_priority",
+    "q5_region_revenue",
     "j4_left_join",
     "j7_first_in_group",
+    "w_rank_topk",
+    "stream_tumbling_window",
+    "stream_session_window",
     "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_cosine_topk",
+    "ann_lsh_topk",
+    "text_langid",
+    "text_quality",
     "f17_unpivot",
 ]
 
@@ -50,11 +62,14 @@ def main() -> None:
 
     total = 0.0
     for name in names:
-        t0 = time.perf_counter()
-        qreg[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        dt = time.perf_counter() - t0
-        timings[name] = round(dt, 3)
-        total += dt
+        best = float("inf")
+        for _ in range(2):  # best-of-2: isolate plan cost from JIT/IO noise
+            t0 = time.perf_counter()
+            qreg[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+            spark.catalog.clearCache()
+        timings[name] = round(best, 3)
+        total += best
 
     print(
         json.dumps(

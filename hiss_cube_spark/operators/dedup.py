@@ -92,8 +92,12 @@ def ngram_jaccard_pairs(
     count(*) per pair = |A∩B| → jaccard from per-doc set sizes. At scale,
     ``max_gram_freq`` drops ultra-hot grams (stopword shingles) whose pair
     blow-up dominates the join — standard df-cap blocking.
+
+    The shingle table feeds three plan subtrees (sizes + both join sides) —
+    persist it instead of recomputing the split/explode per subtree (at
+    cluster scale this is a checkpointed intermediate table).
     """
-    sh = word_shingles(df, text_col, id_col, n)
+    sh = word_shingles(df, text_col, id_col, n).persist()
     if max_gram_freq is not None:
         hot = sh.groupBy("gram").count().where(F.col("count") > max_gram_freq).select("gram")
         sh = sh.join(F.broadcast(hot), "gram", "left_anti")
@@ -159,7 +163,8 @@ def minhash_lsh_pairs(
     is the small-scale oracle.
     """
     rows_per_band = n_hashes // bands
-    sh = word_shingles(df, text_col, id_col, n)
+    # shingles feed signatures + sizes + two verification join sides
+    sh = word_shingles(df, text_col, id_col, n).persist()
     sigs = minhash_signatures(sh, n_hashes, seed)
 
     band = sigs.select(
