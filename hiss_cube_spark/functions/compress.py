@@ -47,3 +47,8 @@ def float_compress_array(col: Column, drop_bits: int = _DROP_BITS) -> Column:
         )
 
     return _udf(col)
+
+
+from hiss_cube_spark._serde import register_self as _register_self  # noqa: E402
+
+_register_self(__name__)

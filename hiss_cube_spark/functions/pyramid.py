@@ -87,3 +87,8 @@ def image_zoom_shapes(w0: int, h0: int, zooms: int) -> list[tuple[int, int]]:
         w, h = out[-1]
         out.append((w // 2, h // 2))
     return out
+
+
+from hiss_cube_spark._serde import register_self as _register_self  # noqa: E402
+
+_register_self(__name__)

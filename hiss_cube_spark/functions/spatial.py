@@ -226,3 +226,8 @@ def healpix_disc_cover(ra: Column, dec: Column, radius_deg: float, order: int) -
         return pd.Series(out)
 
     return _udf(ra, dec)
+
+
+from hiss_cube_spark._serde import register_self as _register_self  # noqa: E402
+
+_register_self(__name__)

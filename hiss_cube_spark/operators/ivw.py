@@ -113,3 +113,8 @@ def ivw_aggregate_arrays(
     return df.select(*group_cols, flux_col, sigma_col).groupBy(*group_cols).applyInPandas(
         _agg, schema=out_schema
     )
+
+
+from hiss_cube_spark._serde import register_self as _register_self  # noqa: E402
+
+_register_self(__name__)

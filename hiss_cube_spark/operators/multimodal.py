@@ -144,3 +144,8 @@ def extract_features(
             yield pd.DataFrame({"doc_id": pdf[id_col].to_numpy(), "feature": feats})
 
     return df.select(id_col, payload_col).mapInPandas(_extract, schema=_FEATURE_SCHEMA)
+
+
+from hiss_cube_spark._serde import register_self as _register_self  # noqa: E402
+
+_register_self(__name__)

@@ -144,3 +144,8 @@ def scan_fits_headers(
             yield pd.DataFrame(out)
 
     return df.select("path", "content").mapInPandas(_parse, schema=_HEADER_SCHEMA)
+
+
+from hiss_cube_spark._serde import register_self as _register_self  # noqa: E402
+
+_register_self(__name__)

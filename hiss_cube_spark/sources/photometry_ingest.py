@@ -75,3 +75,8 @@ def rebin_spectrum(
     f = np.interp(grid, wl, flux, left=np.nan, right=np.nan)
     s = np.interp(grid, wl, sigma, left=np.nan, right=np.nan)
     return f.astype(np.float32), s.astype(np.float32)
+
+
+from hiss_cube_spark._serde import register_self as _register_self  # noqa: E402
+
+_register_self(__name__)
