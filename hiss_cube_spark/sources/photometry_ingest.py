@@ -80,3 +80,10 @@ def rebin_spectrum(
 from hiss_cube_spark._serde import register_self as _register_self  # noqa: E402
 
 _register_self(__name__)
+
+
+def transmission_ratio(wl: np.ndarray, curve_wl: np.ndarray, curve_ratio: np.ndarray) -> np.ndarray:
+    """Interpolate a filter transmission curve at given wavelengths
+    (SURVEY.md F8; ref _get_transmission_ratio, photometry.py:248-254 —
+    np.interp over the merged curve, zero outside coverage)."""
+    return np.interp(wl, curve_wl, curve_ratio, left=0.0, right=0.0)
