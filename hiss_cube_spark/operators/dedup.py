@@ -246,18 +246,20 @@ def simhash_fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "d
     """
     tok = F.explode(F.split(F.col(text_col), " ")).alias("tok")
     toks = df.select(F.col(id_col).alias("doc_id"), tok).where(F.length("tok") > 0)
-    counted = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("cnt"))
     code = token_code(F.col("tok"))
 
+    # Each occurrence votes ±1 — identical to ±count over distinct tokens,
+    # but needs only ONE aggregation (no pre-count shuffle); the per-bit sums
+    # combine map-side.
     votes = [
         F.sum(
-            F.when((code * F.lit(m)) % F.lit(1 << 31) > F.lit(1 << 30), F.col("cnt")).otherwise(
-                -F.col("cnt")
+            F.when((code * F.lit(m)) % F.lit(1 << 31) > F.lit(1 << 30), F.lit(1)).otherwise(
+                F.lit(-1)
             )
         ).alias(f"_v{b}")
         for b, m in enumerate(_BIT_MULTS)
     ]
-    g = counted.groupBy("doc_id").agg(*votes)
+    g = toks.groupBy("doc_id").agg(*votes)
     fp = None
     for b in range(64):
         bit = F.when(F.col(f"_v{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))

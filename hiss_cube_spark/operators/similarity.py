@@ -62,11 +62,25 @@ def cosine_topk(
     Broadcast-join the queries against the corpus (no shuffle of the corpus),
     then rank within each query. Ties broken by corpus id for determinism.
     """
-    q = queries.select(F.col(query_id).alias("query_id"), F.col(vec_col).alias("_qv"))
-    c = corpus.select(F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+    # Precompute per-vector norms before the join: one norm per vector
+    # instead of two per candidate pair (3× less dot-product work).
+    def _norm(v: Column) -> Column:
+        return F.sqrt(_dot_exact(v, v)) if exact else array_l2_norm(v)
+
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        _norm(F.col(vec_col)).alias("_qn"),
+    )
+    c = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        _norm(F.col(vec_col)).alias("_cn"),
+    )
+    dot = _dot_exact(F.col("_qv"), F.col("_cv")) if exact else array_dot(F.col("_qv"), F.col("_cv"))
     sim = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", cosine_expr(F.col("_qv"), F.col("_cv"), exact=exact))
+        .withColumn("cosine", dot / (F.col("_qn") * F.col("_cn")))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
     return (
@@ -92,7 +106,12 @@ def cosine_pairs(
     ``use_lsh_blocking`` pairs are generated only within sign-LSH buckets
     (approximate, scales to big corpora).
     """
-    c = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    def _norm(v: Column) -> Column:
+        return F.sqrt(_dot_exact(v, v)) if exact else array_l2_norm(v)
+
+    c = corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), _norm(F.col(vec_col)).alias("nrm")
+    )
     if use_lsh_blocking:
         c = c.withColumn("_bucket", _sign_bucket(F.col("v"), n_planes, seed))
         a, b = c.alias("a"), c.alias("b")
@@ -102,11 +121,14 @@ def cosine_pairs(
     else:
         a, b = c.alias("a"), c.alias("b")
         pairs = a.join(b, F.col("a.id") < F.col("b.id"))
+    dot = (
+        _dot_exact(F.col("a.v"), F.col("b.v")) if exact else array_dot(F.col("a.v"), F.col("b.v"))
+    )
     return (
         pairs.select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            cosine_expr(F.col("a.v"), F.col("b.v"), exact=exact).alias("cosine"),
+            (dot / (F.col("a.nrm") * F.col("b.nrm"))).alias("cosine"),
         )
         .where(F.col("cosine") >= F.lit(threshold))
     )
