@@ -1,0 +1,138 @@
+"""Observation ingest: FITS bytes → bronze rows (single-object API + bulk).
+
+Mirrors the reference's SingleImageBuilder / SingleSpectrumBuilder
+(builders.py:36-123): one file → metadata + uncertainties + multi-resolution
+pyramid → one bronze row per zoom. The bulk path is the same kernel inside
+``mapInPandas`` over a ``binaryFile`` scan.
+
+Header vocabulary used (FIXTURES.md §3): images
+{RUN, CAMCOL, FILTER, TAI, NAXIS1, NAXIS2, CRPIX1/2, CD1_1..CD2_2,
+CRVAL1/2, CTYPE1/2}; spectra {PLUG_RA, PLUG_DEC, TAI, MJD, PLATEID, FIBERID}.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from hiss_cube_spark.functions.pyramid import downsample_image
+from hiss_cube_spark.functions.spatial import _ang2pix_nest_np
+from hiss_cube_spark.sources.fits import parse_fits_image
+
+__all__ = ["image_rows_from_fits", "ingest_images", "IMG_SPAT_ORDER"]
+
+IMG_SPAT_ORDER = 10  # nside 2^10, ref config IMG_SPAT_INDEX_ORDER=11 → order-1
+
+_FILTER_WL = {"u": 3551, "g": 4686, "r": 6166, "i": 7480, "z": 8932}
+
+
+def image_rows_from_fits(
+    content: bytes,
+    path: str = "",
+    zooms: int = 5,
+    error_fraction: float = 0.05,
+) -> list[dict]:
+    """One FITS image → one bronze-row dict per zoom (single-object ingest).
+
+    Without a sky/calib HDU pair the uncertainty falls back to a flat
+    fractional error; pass real frames through
+    ``photometry_ingest.derive_image_uncertainty`` upstream for the full S5
+    derivation.
+    """
+    header, data = parse_fits_image(content)
+    if data is None:
+        raise ValueError(f"not a 2-D image HDU: {path}")
+    errors = np.abs(data) * np.float32(error_fraction) + np.float32(1e-6)
+    band = str(header.get("FILTER", "r")).strip() or "r"
+    ra = float(header.get("CRVAL1", 0.0))
+    dec = float(header.get("CRVAL2", 0.0))
+    healpix = int(_ang2pix_nest_np(np.array([ra]), np.array([dec]), 1 << IMG_SPAT_ORDER)[0])
+    rows = []
+    d, e = data, errors
+    for z in range(zooms):
+        h, w = d.shape
+        rows.append(
+            {
+                "path": path,
+                "run": int(header.get("RUN", 0)),
+                "camcol": int(header.get("CAMCOL", 0)),
+                "band": band,
+                "wl": _FILTER_WL.get(band, 0),
+                "tai_time": float(header.get("TAI", 0.0)),
+                "ra": ra,
+                "dec": dec,
+                "healpix": healpix,
+                "zoom": z,
+                "naxis1": w,
+                "naxis2": h,
+                "wcs": {
+                    "crpix1": float(header.get("CRPIX1", w / 2)) / (1 << z),
+                    "crpix2": float(header.get("CRPIX2", h / 2)) / (1 << z),
+                    "cd1_1": float(header.get("CD1_1", 1e-4)) * (1 << z),
+                    "cd1_2": float(header.get("CD1_2", 0.0)) * (1 << z),
+                    "cd2_1": float(header.get("CD2_1", 0.0)) * (1 << z),
+                    "cd2_2": float(header.get("CD2_2", 1e-4)) * (1 << z),
+                    "crval1": ra,
+                    "crval2": dec,
+                    "ctype1": str(header.get("CTYPE1", "RA---TAN")),
+                    "ctype2": str(header.get("CTYPE2", "DEC--TAN")),
+                },
+                "header": json.dumps(header, default=str),
+                "data": d.tolist(),
+                "errors": e.tolist(),
+            }
+        )
+        if z < zooms - 1:
+            d, e = downsample_image(d, e)
+    return rows
+
+
+_IMG_SCHEMA = (
+    "path string, run int, camcol int, band string, wl int, tai_time double, "
+    "ra double, dec double, healpix long, zoom int, naxis1 int, naxis2 int, "
+    "wcs struct<crpix1:double, crpix2:double, cd1_1:double, cd1_2:double, "
+    "cd2_1:double, cd2_2:double, crval1:double, crval2:double, "
+    "ctype1:string, ctype2:string>, header string, "
+    "data array<array<float>>, errors array<array<float>>"
+)
+
+
+def ingest_images(
+    spark: SparkSession, directory: str, pattern: str = "*.fits", zooms: int = 5
+) -> DataFrame:
+    """Bulk image ingest: binaryFile scan → per-batch pyramid build.
+
+    The image_id is assigned after the parallel parse (dense ids via
+    zipWithIndex-free hash of path — stable and shuffle-free)."""
+    from pyspark.sql import functions as F
+
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", pattern)
+        .option("recursiveFileLookup", "true")
+        .load(directory)
+        .select("path", "content")
+    )
+
+    cols = [
+        "path", "run", "camcol", "band", "wl", "tai_time", "ra", "dec",
+        "healpix", "zoom", "naxis1", "naxis2", "wcs", "header", "data", "errors",
+    ]
+
+    def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                try:
+                    out.extend(image_rows_from_fits(bytes(content), path, zooms))
+                except Exception:
+                    continue  # corrupt file: skipped here, logged by S4 scan
+            yield pd.DataFrame(out, columns=cols)
+
+    parsed = files.mapInPandas(_parse, schema=_IMG_SCHEMA)
+    # stable image id from the path digest (no global counter → no driver sync)
+    return parsed.withColumn("image_id", F.xxhash64("path"))

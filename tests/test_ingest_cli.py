@@ -1,0 +1,78 @@
+"""Single-object + bulk FITS ingest and the CLI create surface."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+
+
+def _write_fits(path: str, w: int = 64, h: int = 48, band: str = "r",
+                ra: float = 30.0, dec: float = 10.0) -> np.ndarray:
+    def card(k, v):
+        if isinstance(v, bool):
+            return f"{k:<8}= {'T' if v else 'F':>20}".ljust(80).encode()
+        if isinstance(v, (int, float)):
+            return f"{k:<8}= {v:>20}".ljust(80).encode()
+        return f"{k:<8}= '{v}'".ljust(80).encode()
+
+    rng = np.random.default_rng(abs(hash(path)) % 2**32)
+    arr = rng.uniform(0.5, 2.0, (h, w)).astype(">f4")
+    hdr = b"".join(
+        [
+            card("SIMPLE", True), card("BITPIX", -32), card("NAXIS", 2),
+            card("NAXIS1", w), card("NAXIS2", h), card("RUN", 1234),
+            card("CAMCOL", 2), card("FILTER", band), card("TAI", 55000.5),
+            card("CRPIX1", w / 2), card("CRPIX2", h / 2),
+            card("CD1_1", 4e-4), card("CD1_2", 0.0),
+            card("CD2_1", 0.0), card("CD2_2", 4e-4),
+            card("CRVAL1", ra), card("CRVAL2", dec),
+            card("CTYPE1", "RA---TAN"), card("CTYPE2", "DEC--TAN"),
+            "END".ljust(80).encode(),
+        ]
+    )
+    hdr += b" " * ((-len(hdr)) % 2880)
+    data = arr.tobytes()
+    data += b"\x00" * ((-len(data)) % 2880)
+    with open(path, "wb") as f:
+        f.write(hdr + data)
+    return arr.astype(np.float32)
+
+
+def test_single_object_ingest(tmp_path_factory):
+    from hiss_cube_spark.sources.ingest import image_rows_from_fits
+
+    d = tmp_path_factory.mktemp("one")
+    p = os.path.join(d, "frame-r-001234.fits")
+    arr = _write_fits(p)
+    rows = image_rows_from_fits(open(p, "rb").read(), p)
+    assert len(rows) == 5  # one row per zoom
+    assert [r["naxis1"] for r in rows] == [64, 32, 16, 8, 4]
+    assert rows[0]["band"] == "r" and rows[0]["wl"] == 6166
+    np.testing.assert_array_equal(np.array(rows[0]["data"], dtype=np.float32), arr)
+    # zoomed WCS follows crpix/2^z, cd*2^z
+    assert rows[2]["wcs"]["crpix1"] == pytest.approx(rows[0]["wcs"]["crpix1"] / 4)
+    assert rows[2]["wcs"]["cd1_1"] == pytest.approx(rows[0]["wcs"]["cd1_1"] * 4)
+
+
+def test_bulk_ingest_and_cli(spark, tmp_path_factory):
+    from hiss_cube_spark.sources.ingest import ingest_images
+
+    src = str(tmp_path_factory.mktemp("frames"))
+    for i, band in enumerate(["u", "g", "r"]):
+        _write_fits(os.path.join(src, f"frame-{band}-{i:06d}.fits"), band=band)
+    open(os.path.join(src, "junk.fits"), "wb").write(b"garbage")
+
+    df = ingest_images(spark, src)
+    rows = df.count()
+    assert rows == 3 * 5  # 3 good files × 5 zooms; corrupt file skipped
+    assert df.select("image_id").distinct().count() == 3
+
+    # CLI create surface
+    from hiss_cube_spark.__main__ import main
+
+    wh = str(tmp_path_factory.mktemp("wh"))
+    rc = main([src, wh, "create"])
+    assert rc == 0
+    assert os.path.isdir(os.path.join(wh, "images", "zoom=0"))
