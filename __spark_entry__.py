@@ -1078,6 +1078,74 @@ def a1_ivw_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q_scalar_subquery",
+    """
+    SELECT p.p_brand, count(*) AS n_above,
+           round(CAST(sum(CAST(p.p_retailprice AS DECIMAL(30,8))) AS DOUBLE), 6) AS sum_price
+    FROM part p
+    WHERE p.p_retailprice > (SELECT CAST(sum(CAST(p_retailprice AS DECIMAL(30,8))) AS DOUBLE)
+                                    / count(*) FROM part)
+    GROUP BY p.p_brand
+    """,
+)
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(
+        """
+        SELECT p.p_brand, count(*) AS n_above,
+               round(CAST(sum(CAST(p.p_retailprice AS DECIMAL(30,8))) AS DOUBLE), 6) AS sum_price
+        FROM part p
+        WHERE p.p_retailprice > (SELECT CAST(sum(CAST(p_retailprice AS DECIMAL(30,8))) AS DOUBLE)
+                                        / count(*) FROM part)
+        GROUP BY p.p_brand
+        """
+    )
+
+
+@_q(
+    "a_distinct_agg",
+    """
+    SELECT o_orderpriority,
+           count(DISTINCT o_custkey) AS n_customers,
+           count(*) AS n_orders,
+           count(DISTINCT o_orderstatus) AS n_statuses
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def a_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_orderstatus").alias("n_statuses"),
+    )
+
+
+@_q(
+    "w_cumulative_sum",
+    """
+    SELECT o_custkey, o_orderkey,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,8)))
+                 OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                       ROWS UNBOUNDED PRECEDING) AS DOUBLE), 6) AS running_total
+    FROM orders WHERE o_custkey % 50 = 0
+    """,
+)
+def w_cumulative_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").where(F.col("o_custkey") % 50 == 0)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        _r6(F.sum(_dec(F.col("o_totalprice"))).over(w)).alias("running_total"),
+    )
+
+
 # ==========================================================================
 # Streaming-shaped event-time windows (batch/streaming dual-mode plans)
 # ==========================================================================
