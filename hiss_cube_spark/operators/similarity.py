@@ -182,3 +182,76 @@ def lsh_bucketed_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cosine")
     )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 10,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: KMeans-coarse-quantize the
+    corpus, search only the ``n_probe`` nearest cells per query.
+
+    The scale path beyond sign-LSH: centroids come from seeded MLlib KMeans
+    (deterministic); the corpus is written/bucketed by ``cell`` so a query
+    touches n_probe/n_cells of the data. Exact rerank inside probed cells.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql.window import Window as W
+
+    cv = corpus.select(F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+    train = cv.select(array_to_vector(F.col("_cv")).alias("features"))
+    model = KMeans(k=n_cells, seed=seed, maxIter=max_iter).fit(train)
+    centers = [c.tolist() for c in model.clusterCenters()]
+
+    def _cell_scores(v: Column) -> Column:
+        # squared L2 distance to each centroid, as an array (native exprs)
+        return F.array(
+            *[
+                F.aggregate(
+                    F.zip_with(v, F.array(*[F.lit(float(x)) for x in c]),
+                               lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                for c in centers
+            ]
+        )
+
+    c_assigned = (
+        cv.withColumn("_d", _cell_scores(F.col("_cv")))
+        .withColumn("cell", F.expr("array_position(_d, array_min(_d)) - 1").cast("int"))
+        .drop("_d")
+    )
+
+    probes = F.expr(
+        "slice(transform(array_sort(transform(sequence(0, size(_d)-1), "
+        "i -> struct(_d[i] AS d, i AS idx))), s -> s.idx), 1, "
+        f"{n_probe})"
+    )
+    q = (
+        queries.select(F.col(query_id).alias("query_id"), F.col(vec_col).alias("_qv"))
+        .withColumn("_d", _cell_scores(F.col("_qv")))
+        .select("query_id", "_qv", F.explode(probes).alias("cell"))
+        .withColumn("cell", F.col("cell").cast("int"))
+    )
+
+    sim = (
+        c_assigned.join(F.broadcast(q), "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", cosine_expr(F.col("_qv"), F.col("_cv")))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )

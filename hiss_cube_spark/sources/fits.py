@@ -149,3 +149,53 @@ def scan_fits_headers(
 from hiss_cube_spark._serde import register_self as _register_self  # noqa: E402
 
 _register_self(__name__)
+
+
+# --------------------------------------------------------------------------
+# BINTABLE reader (spectrum HDUs are binary tables: loglam/flux/ivar columns)
+# --------------------------------------------------------------------------
+
+_TFORM_DTYPE = {"L": "?", "B": "u1", "I": ">i2", "J": ">i4", "K": ">i8", "E": ">f4", "D": ">f8"}
+
+
+def parse_fits_bintable(data: bytes, hdu_index: int = 1) -> dict[str, np.ndarray]:
+    """Read a BINTABLE HDU into {column name: array} (pure python/numpy).
+
+    Supports scalar columns of types L/B/I/J/K/E/D and fixed-width strings
+    (rA) — the subset SDSS spec files and our own exporter use. Walks HDUs
+    from the primary header to ``hdu_index``.
+    """
+    pos = 0
+    header: dict = {}
+    for _ in range(hdu_index + 1):
+        header, pos = read_fits_bytes_header(data, pos)
+        if header.get("XTENSION") == "BINTABLE" or "TFIELDS" not in header:
+            if header.get("NAXIS", 0) and "TFIELDS" not in header:
+                # skip a data section of a non-table HDU
+                size = abs(int(header.get("BITPIX", 8))) // 8
+                for ax in range(1, int(header["NAXIS"]) + 1):
+                    size *= int(header[f"NAXIS{ax}"])
+                pos += size + ((-size) % _BLOCK)
+        if header.get("XTENSION") == "BINTABLE":
+            break
+    if header.get("XTENSION") != "BINTABLE":
+        raise ValueError("no BINTABLE HDU found")
+
+    nfields = int(header["TFIELDS"])
+    row_bytes = int(header["NAXIS1"])
+    nrows = int(header["NAXIS2"])
+    dtype, names = [], []
+    for i in range(1, nfields + 1):
+        name = str(header.get(f"TTYPE{i}", f"col{i}")).strip()
+        form = str(header[f"TFORM{i}"]).strip()
+        if form.endswith("A"):
+            width = int(form[:-1] or 1)
+            dtype.append((name, f"S{width}"))
+        else:
+            # forms like '1E', 'E', '4620E' (repeat counts → array cells)
+            rep = int(form[:-1]) if form[:-1] else 1
+            base = _TFORM_DTYPE[form[-1]]
+            dtype.append((name, base, (rep,)) if rep > 1 else (name, base))
+        names.append(name)
+    rec = np.frombuffer(data[pos : pos + row_bytes * nrows], dtype=np.dtype(dtype))
+    return {n: np.array(rec[n]) for n in names}

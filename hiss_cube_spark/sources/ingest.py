@@ -136,3 +136,108 @@ def ingest_images(
     parsed = files.mapInPandas(_parse, schema=_IMG_SCHEMA)
     # stable image id from the path digest (no global counter → no driver sync)
     return parsed.withColumn("image_id", F.xxhash64("path"))
+
+
+# --------------------------------------------------------------------------
+# Spectrum ingest (S6): BINTABLE HDU → physical units → rebin → pyramid
+# --------------------------------------------------------------------------
+
+SPEC_SPAT_ORDER = 15  # ref config SPEC_SPAT_INDEX_ORDER-1 (config.ini:18)
+REBIN_GRID = (3839.7244, 8914.597, 4620)  # ref config.ini:76-78
+
+
+def spectrum_rows_from_fits(
+    content: bytes,
+    path: str = "",
+    zooms: int = 5,
+    rebin_samples: int | None = None,
+) -> list[dict]:
+    """One spectrum FITS (BINTABLE HDU1: loglam/flux/ivar) → one bronze row
+    per zoom: physical units (photometry.py:105-108), rebin onto the fixed
+    survey grid (photometry.py:343-350), Gaussian pyramid (σ/2 per level)."""
+    from hiss_cube_spark.functions.pyramid import downsample_spectrum
+    from hiss_cube_spark.sources.fits import parse_fits_bintable, parse_fits_header
+    from hiss_cube_spark.sources.photometry_ingest import (
+        rebin_spectrum,
+        spectrum_physical_units,
+    )
+
+    header = parse_fits_header(content)
+    cols = parse_fits_bintable(content, hdu_index=1)
+    wl, flux, sigma = spectrum_physical_units(
+        np.asarray(cols["loglam"], dtype=np.float64),
+        np.asarray(cols["flux"], dtype=np.float64),
+        np.asarray(cols["ivar"], dtype=np.float64),
+    )
+    lo, hi, n0 = REBIN_GRID
+    n0 = rebin_samples or n0
+    grid = np.linspace(lo, hi, n0)
+    f, s = rebin_spectrum(wl, flux, sigma, grid)
+    ra = float(header.get("PLUG_RA", header.get("RA", 0.0)))
+    dec = float(header.get("PLUG_DEC", header.get("DEC", 0.0)))
+    time = float(header.get("TAI", header.get("MJD", 0.0)))
+    healpix = int(_ang2pix_nest_np(np.array([ra]), np.array([dec]), 1 << SPEC_SPAT_ORDER)[0])
+    rows = []
+    w, fl, sg = grid, f, s
+    for z in range(zooms):
+        rows.append(
+            {
+                "path": path,
+                "plateid": int(header.get("PLATEID", 0)),
+                "mjd": int(header.get("MJD", 0)),
+                "fiberid": int(header.get("FIBERID", 0)),
+                "plug_ra": ra,
+                "plug_dec": dec,
+                "healpix": healpix,
+                "time": time,
+                "zoom": z,
+                "wl": np.asarray(w, dtype=np.float32).tolist(),
+                "flux_mean": np.asarray(fl, dtype=np.float32).tolist(),
+                "flux_sigma": np.asarray(sg, dtype=np.float32).tolist(),
+            }
+        )
+        if z < zooms - 1:
+            w, fl, sg = downsample_spectrum(np.asarray(w, dtype=np.float64), fl, sg)
+    return rows
+
+
+_SPEC_SCHEMA = (
+    "path string, plateid int, mjd int, fiberid int, plug_ra double, "
+    "plug_dec double, healpix long, time double, zoom int, wl array<float>, "
+    "flux_mean array<float>, flux_sigma array<float>"
+)
+
+
+def ingest_spectra(
+    spark: SparkSession, directory: str, pattern: str = "*.fits",
+    zooms: int = 5, rebin_samples: int | None = None,
+) -> DataFrame:
+    """Bulk spectrum ingest: binaryFile scan → mapInPandas kernel."""
+    from pyspark.sql import functions as F
+
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", pattern)
+        .option("recursiveFileLookup", "true")
+        .load(directory)
+        .select("path", "content")
+    )
+    cols = [
+        "path", "plateid", "mjd", "fiberid", "plug_ra", "plug_dec",
+        "healpix", "time", "zoom", "wl", "flux_mean", "flux_sigma",
+    ]
+
+    def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                try:
+                    out.extend(
+                        spectrum_rows_from_fits(bytes(content), path, zooms, rebin_samples)
+                    )
+                except Exception:
+                    continue
+            yield pd.DataFrame(out, columns=cols)
+
+    parsed = files.mapInPandas(_parse, schema=_SPEC_SCHEMA)
+    return parsed.withColumn("spec_id", F.xxhash64("path"))

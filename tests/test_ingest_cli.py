@@ -76,3 +76,59 @@ def test_bulk_ingest_and_cli(spark, tmp_path_factory):
     rc = main([src, wh, "create"])
     assert rc == 0
     assert os.path.isdir(os.path.join(wh, "images", "zoom=0"))
+
+
+def _write_spec_fits(path: str, n: int = 200, plate: int = 3000,
+                     ra: float = 30.0, dec: float = 10.0) -> None:
+    def card(k, v):
+        if isinstance(v, bool):
+            return f"{k:<8}= {'T' if v else 'F':>20}".ljust(80).encode()
+        if isinstance(v, (int, float)):
+            return f"{k:<8}= {v:>20}".ljust(80).encode()
+        return f"{k:<8}= '{v}'".ljust(80).encode()
+
+    prim = b"".join(
+        [card("SIMPLE", True), card("BITPIX", 8), card("NAXIS", 0),
+         card("EXTEND", True), card("PLUG_RA", ra), card("PLUG_DEC", dec),
+         card("TAI", 55123.5), card("MJD", 56000), card("PLATEID", plate),
+         card("FIBERID", 7), "END".ljust(80).encode()]
+    )
+    prim += b" " * ((-len(prim)) % 2880)
+    rec = np.zeros(n, dtype=[("loglam", ">f4"), ("flux", ">f4"), ("ivar", ">f4")])
+    rng = np.random.default_rng(plate)
+    rec["loglam"] = np.linspace(3.585, 3.95, n)  # 10^x spans the rebin grid
+    rec["flux"] = rng.uniform(0.5, 5.0, n)
+    rec["ivar"] = rng.uniform(1.0, 100.0, n)
+    cards = [card("XTENSION", "BINTABLE"), card("BITPIX", 8), card("NAXIS", 2),
+             card("NAXIS1", rec.dtype.itemsize), card("NAXIS2", n),
+             card("PCOUNT", 0), card("GCOUNT", 1), card("TFIELDS", 3)]
+    for i, nm in enumerate(["loglam", "flux", "ivar"], 1):
+        cards += [card(f"TTYPE{i}", nm), card(f"TFORM{i}", "E")]
+    hdr = b"".join(cards) + "END".ljust(80).encode()
+    hdr += b" " * ((-len(hdr)) % 2880)
+    data = rec.tobytes()
+    data += b"\x00" * ((-len(data)) % 2880)
+    with open(path, "wb") as f:
+        f.write(prim + hdr + data)
+
+
+def test_spectrum_ingest(spark, tmp_path_factory):
+    from hiss_cube_spark.sources.ingest import ingest_spectra, spectrum_rows_from_fits
+
+    d = tmp_path_factory.mktemp("specs")
+    for p in (3000, 3001):
+        _write_spec_fits(os.path.join(d, f"spec-{p}.fits"), plate=p)
+
+    rows = spectrum_rows_from_fits(
+        open(os.path.join(d, "spec-3000.fits"), "rb").read(), rebin_samples=128
+    )
+    assert len(rows) == 5
+    assert [len(r["wl"]) for r in rows] == [128, 64, 32, 16, 8]
+    assert rows[0]["plateid"] == 3000 and rows[0]["fiberid"] == 7
+    f0 = np.array(rows[0]["flux_mean"], dtype=np.float32)
+    assert np.isfinite(f0).any()          # grid overlaps the data
+    assert np.isnan(f0).any()             # NaN fill outside coverage
+
+    df = ingest_spectra(spark, str(d), rebin_samples=128)
+    assert df.count() == 2 * 5
+    assert df.select("spec_id").distinct().count() == 2

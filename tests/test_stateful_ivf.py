@@ -1,0 +1,66 @@
+"""applyInPandasWithState custom stateful operator + IVF ANN recall."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_stateful_running_totals_streaming(spark, tmp_path_factory):
+    from hiss_cube_spark.streaming.stateful import running_totals
+
+    src = str(tmp_path_factory.mktemp("st_src"))
+    ckpt = str(tmp_path_factory.mktemp("st_ckpt"))
+    schema = "user_id long, value double, ts_us long"
+    # two separate files → with maxFilesPerTrigger=1 the query runs two
+    # micro-batches, so the totals must FOLD ACROSS batch boundaries
+    spark.createDataFrame(
+        [(1, 10.0, 100), (1, 20.0, 200), (2, 5.0, 150)], schema
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+    spark.createDataFrame([(1, 30.0, 300)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    out = running_totals(stream)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("running_totals")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    emitted = spark.sql("SELECT * FROM running_totals").collect()
+    # update mode re-emits a key per batch; the final (max n_events) row per
+    # key carries the accumulated state
+    final = {}
+    for r in emitted:
+        if r["user_id"] not in final or r["n_events"] > final[r["user_id"]]["n_events"]:
+            final[r["user_id"]] = r
+    assert final[1]["n_events"] == 3
+    assert final[1]["sum_value"] == pytest.approx(60.0)
+    assert final[1]["last_ts_us"] == 300
+    assert final[2]["n_events"] == 1
+    # state genuinely crossed batches: user 1 was emitted more than once
+    assert sum(1 for r in emitted if r["user_id"] == 1) >= 2
+
+
+def test_ivf_topk_recall(spark, sf_dir):
+    from hiss_cube_spark.operators.similarity import cosine_topk, ivf_topk
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.where(F.col("vec_id") < 5)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(q, e, k=3).collect()
+    }
+    approx = ivf_topk(q, e, k=3, n_cells=8, n_probe=4)
+    got = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    assert len(got) == 5 * 3  # every query answered with k results
+    # recall against exact top-3 (random embeddings + 4/8 probes: expect most)
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.4, recall
