@@ -31,10 +31,14 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--cutout-size", type=int, default=64)
     args = p.parse_args(argv)
 
+    from pyspark.sql import SparkSession
+
     from hiss_cube_spark import get_spark
     from hiss_cube_spark.plans.pipeline import CubePipeline
     from hiss_cube_spark.sources.ingest import ingest_images
 
+    # getOrCreate may return a caller's session — only stop what we created
+    owns_session = SparkSession.getActiveSession() is None
     spark = get_spark("hiss-cube-cli")
     spark.sparkContext.setLogLevel("WARN")
     pipe = CubePipeline(
@@ -63,7 +67,8 @@ def main(argv: list[str] | None = None) -> int:
             pipe.phase_ml_cube()
         if args.visualization_cube:
             pipe.phase_visualization()
-    spark.stop()
+    if owns_session:
+        spark.stop()
     return 0
 
 
