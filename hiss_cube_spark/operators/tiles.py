@@ -1,0 +1,151 @@
+"""Tiled raster storage (SURVEY.md §7.4 hard part 1).
+
+A zoom-0 reference frame is 2048×1489×2 float32 ≈ 24 MB per row — workable
+but hostile to shuffles and memory. The tiled layout stores one row per
+``tile×tile`` block (row-group-friendly, ~256 KB at 256px), and cutout
+dereference becomes: compute covering tiles natively → equi-join on
+(image_id, zoom, tile_y, tile_x) → slice the intra-tile overlap → assemble
+the cutout with a small Arrow-batched kernel. Only the touched tiles are
+ever read or shuffled — the 100 TB analog of the reference's HDF5 chunked
+region reads (io_strategy.py:80-91).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from hiss_cube_spark.functions.arrays import slice_2d
+
+__all__ = ["tile_images", "dereference_cutouts_tiled"]
+
+
+def tile_images(
+    images: DataFrame,
+    tile: int = 256,
+    id_col: str = "image_id",
+    data_col: str = "data",
+    errors_col: str = "errors",
+) -> DataFrame:
+    """Explode image rows into tile rows.
+
+    Output: (image_id, zoom, tile_y, tile_x, y0, x0, data, errors) where
+    (y0, x0) is the tile origin in image coordinates. Pure native
+    expressions: a 2-level sequence explode + 2-D slices.
+    """
+    h = F.size(F.col(data_col))
+    w = F.size(F.element_at(F.col(data_col), 1))
+    nty = F.ceil(h / F.lit(tile)).cast("int")
+    ntx = F.ceil(w / F.lit(tile)).cast("int")
+    keys = [c for c in images.columns if c not in (data_col, errors_col)]
+    t = (
+        images.withColumn("_h", h)
+        .withColumn("_w", w)
+        .withColumn("tile_y", F.explode(F.sequence(F.lit(0), nty - 1)))
+        .withColumn("tile_x", F.explode(F.sequence(F.lit(0), ntx - 1)))
+    )
+    y0 = F.col("tile_y") * tile
+    x0 = F.col("tile_x") * tile
+    y1 = F.least(y0 + tile, F.col("_h"))
+    x1 = F.least(x0 + tile, F.col("_w"))
+    return t.select(
+        *keys,
+        "tile_y",
+        "tile_x",
+        y0.cast("int").alias("y0"),
+        x0.cast("int").alias("x0"),
+        slice_2d(F.col(data_col), y0, y1, x0, x1).alias(data_col),
+        slice_2d(F.col(errors_col), y0, y1, x0, x1).alias(errors_col),
+    )
+
+
+def dereference_cutouts_tiled(
+    refs: DataFrame,
+    tiles: DataFrame,
+    tile: int = 256,
+    id_col: str = "image_id",
+) -> DataFrame:
+    """Cutout dereference against the tiled layout.
+
+    ``refs`` carries (image_id[, zoom], x_min, x_max, y_min, y_max). Each ref
+    explodes into its covering tile coordinates (≤4 for cutouts smaller than
+    a tile), joins the tile table on the tile key, slices each tile's
+    overlap, and a grouped Arrow kernel pastes the pieces into the final
+    2-D ``cutout_data``/``cutout_errors`` arrays.
+    """
+    join_keys = [id_col] + (["zoom"] if "zoom" in refs.columns and "zoom" in tiles.columns else [])
+    ref_cols = refs.columns
+
+    r = (
+        refs.withColumn(
+            "tile_y",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("y_min") / tile).cast("int"),
+                    F.floor((F.col("y_max") - 1) / tile).cast("int"),
+                )
+            ),
+        )
+        .withColumn(
+            "tile_x",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("x_min") / tile).cast("int"),
+                    F.floor((F.col("x_max") - 1) / tile).cast("int"),
+                )
+            ),
+        )
+    )
+    dup = [c for c in tiles.columns if c in r.columns and c not in join_keys + ["tile_y", "tile_x"]]
+    j = r.join(tiles.drop(*dup), join_keys + ["tile_y", "tile_x"])
+
+    # intra-tile overlap rectangle (image coords → tile coords)
+    oy0 = F.greatest(F.col("y_min"), F.col("y0"))
+    oy1 = F.least(F.col("y_max"), F.col("y0") + tile)
+    ox0 = F.greatest(F.col("x_min"), F.col("x0"))
+    ox1 = F.least(F.col("x_max"), F.col("x0") + tile)
+    piece = j.select(
+        *[F.col(c) for c in ref_cols],
+        (oy0 - F.col("y_min")).cast("int").alias("py"),
+        (ox0 - F.col("x_min")).cast("int").alias("px"),
+        slice_2d(F.col("data"), oy0 - F.col("y0"), oy1 - F.col("y0"), ox0 - F.col("x0"), ox1 - F.col("x0")).alias("_pd"),
+        slice_2d(F.col("errors"), oy0 - F.col("y0"), oy1 - F.col("y0"), ox0 - F.col("x0"), ox1 - F.col("x0")).alias("_pe"),
+    )
+
+    out_schema = StructType(
+        [piece.schema[c] for c in ref_cols]
+        + [
+            StructField("cutout_data", ArrayType(ArrayType(FloatType()))),
+            StructField("cutout_errors", ArrayType(ArrayType(FloatType()))),
+        ]
+    )
+
+    def _assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+        h = int(pdf["y_max"].iloc[0] - pdf["y_min"].iloc[0])
+        w = int(pdf["x_max"].iloc[0] - pdf["x_min"].iloc[0])
+        cd = np.full((h, w), np.nan, dtype=np.float32)
+        ce = np.full((h, w), np.nan, dtype=np.float32)
+        for _, row in pdf.iterrows():
+            pd_blk = np.asarray([np.asarray(r_, dtype=np.float32) for r_ in row["_pd"]])
+            pe_blk = np.asarray([np.asarray(r_, dtype=np.float32) for r_ in row["_pe"]])
+            py, px = int(row["py"]), int(row["px"])
+            cd[py : py + pd_blk.shape[0], px : px + pd_blk.shape[1]] = pd_blk
+            ce[py : py + pe_blk.shape[0], px : px + pe_blk.shape[1]] = pe_blk
+        out = {c: [pdf[c].iloc[0]] for c in ref_cols}
+        out["cutout_data"] = [cd.tolist()]
+        out["cutout_errors"] = [ce.tolist()]
+        return pd.DataFrame(out)
+
+    return piece.groupBy(*ref_cols).applyInPandas(_assemble, schema=out_schema)

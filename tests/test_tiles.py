@@ -1,0 +1,54 @@
+"""Tiled raster layout: tiling roundtrip + tiled cutout dereference must
+equal the untiled dereference exactly."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tests.astro_fixtures import make_images
+
+
+@pytest.fixture(scope="module")
+def images_z0(spark):
+    df = make_images(spark).where(F.col("zoom") == 0).limit(12).cache()
+    df.count()
+    return df
+
+
+def test_tile_roundtrip_covers_image(spark, images_z0):
+    from hiss_cube_spark.operators.tiles import tile_images
+
+    tiles = tile_images(images_z0, tile=20)  # 64×48 → 4×3 grid with edges
+    one = tiles.where(F.col("image_id") == images_z0.select("image_id").first()[0])
+    got = one.select("tile_y", "tile_x", F.size("data").alias("h"),
+                     F.size(F.element_at("data", 1)).alias("w")).collect()
+    assert len(got) == 12  # ceil(48/20) * ceil(64/20) = 3 * 4
+    area = sum(r["h"] * r["w"] for r in got)
+    assert area == 64 * 48
+
+
+def test_tiled_deref_equals_untiled(spark, images_z0):
+    from hiss_cube_spark.operators.cutouts import dereference_cutouts
+    from hiss_cube_spark.operators.tiles import dereference_cutouts_tiled, tile_images
+
+    ids = [r[0] for r in images_z0.select("image_id").collect()]
+    # refs straddling tile boundaries on purpose (tile=20, cutout 16 at x=12)
+    refs = spark.createDataFrame(
+        [(i, 12, 28, 14, 30) for i in ids] + [(ids[0], 0, 16, 0, 16), (ids[1], 48, 64, 32, 48)],
+        "image_id long, x_min int, x_max int, y_min int, y_max int",
+    )
+    plain = {
+        (r["image_id"], r["x_min"], r["y_min"]): np.array(r["cutout_data"], dtype=np.float32)
+        for r in dereference_cutouts(refs, images_z0.drop("zoom")).collect()
+    }
+    tiles = tile_images(images_z0.drop("zoom"), tile=20)
+    tiled = dereference_cutouts_tiled(refs, tiles, tile=20)
+    rows = tiled.collect()
+    assert len(rows) == refs.count()
+    for r in rows:
+        got = np.array(r["cutout_data"], dtype=np.float32)
+        assert got.shape == (r["y_max"] - r["y_min"], r["x_max"] - r["x_min"])
+        np.testing.assert_array_equal(got, plain[(r["image_id"], r["x_min"], r["y_min"])])
+    assert not any(np.isnan(np.array(r["cutout_data"])).any() for r in rows)
