@@ -1507,6 +1507,20 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample(attach_binary_payload(d))
 
 
+@_q("a_approx_stats")
+def a_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates (rows-only: approximation has no exact oracle).
+
+    HLL distinct + t-digest percentiles — the approximate surface the engine
+    exposes beyond the reference (SURVEY §2.4 notes it lacks any)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99]).alias("price_quantiles"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 # ==========================================================================
 # driver contract
 # ==========================================================================

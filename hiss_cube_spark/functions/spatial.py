@@ -231,3 +231,22 @@ def healpix_disc_cover(ra: Column, dec: Column, radius_deg: float, order: int) -
 from hiss_cube_spark._serde import register_self as _register_self  # noqa: E402
 
 _register_self(__name__)
+
+
+def zorder_key(a: Column, b: Column, bits: int = 16) -> Column:
+    """Morton/Z-order interleave of two non-negative ints — native exprs.
+
+    The multi-dimensional clustering key for bronze layout: sorting by
+    ``zorder_key(healpix_low_bits, time_bucket)`` keeps both dimensions
+    local within parquet row groups (min/max pruning on either predicate),
+    the distributed analog of the reference's (spatial, time) index sort
+    (metadata_strategy_image.py:351-355).
+    """
+    out = F.lit(0).cast("long")
+    for i in range(bits):
+        out = (
+            out
+            + F.shiftleft(F.shiftrightunsigned(a.cast("long"), i).bitwiseAND(F.lit(1)), 2 * i)
+            + F.shiftleft(F.shiftrightunsigned(b.cast("long"), i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return out

@@ -158,3 +158,15 @@ def test_mag_flux_constants(spark):
         .first()[0]
     )
     assert v == pytest.approx(3.631e-6 * 2.99792458e-5 / 3551**2)
+
+
+def test_zorder_key_matches_numpy(spark):
+    from hiss_cube_spark.functions.spatial import _interleave_bits, zorder_key
+
+    rng = np.random.default_rng(3)
+    a = rng.integers(0, 1 << 16, 50)
+    b = rng.integers(0, 1 << 16, 50)
+    exp = _interleave_bits(a.astype(np.int64), b.astype(np.int64))
+    df = spark.createDataFrame([(int(x), int(y)) for x, y in zip(a, b)], "a long, b long")
+    got = [r[0] for r in df.select(zorder_key(F.col("a"), F.col("b")).alias("z")).collect()]
+    assert got == exp.tolist()
