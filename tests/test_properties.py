@@ -1,0 +1,106 @@
+"""Property-based tests (hypothesis) for the numeric kernels — the reference
+has no randomized testing (SURVEY.md §5); these pin algebraic invariants the
+unit suites can't cover exhaustively."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from hypothesis.extra.numpy import arrays
+
+from hiss_cube_spark.functions.compress import float_compress_np
+from hiss_cube_spark.functions.pyramid import downsample_image
+from hiss_cube_spark.functions.spatial import _ang2pix_nest_np, _interleave_bits
+from hiss_cube_spark.operators.ivw import ivw_np
+from hiss_cube_spark.sources.fits import parse_fits_header
+
+
+@given(
+    flux=arrays(np.float64, (4, 8), elements=st.floats(-1e6, 1e6)),
+    sigma=arrays(np.float64, (4, 8), elements=st.floats(0.01, 1e3)),
+)
+@settings(max_examples=100, deadline=None)
+def test_ivw_mean_bounded_by_observations(flux, sigma):
+    """The weighted mean lies within [min, max] of the valid observations and
+    the combined sigma never exceeds the smallest input sigma."""
+    mean, sig = ivw_np(flux, sigma)
+    lo, hi = flux.min(axis=0), flux.max(axis=0)
+    ok = np.isfinite(mean)
+    assert np.all(mean[ok] >= lo[ok] - 1e-6)
+    assert np.all(mean[ok] <= hi[ok] + 1e-6)
+    assert np.all(sig[ok] <= sigma.min(axis=0)[ok] + 1e-9)
+
+
+@given(
+    flux=arrays(np.float64, (3, 6), elements=st.floats(-1e3, 1e3)),
+    sigma=arrays(np.float64, (3, 6), elements=st.floats(0.01, 10)),
+)
+@settings(max_examples=50, deadline=None)
+def test_ivw_permutation_invariant(flux, sigma):
+    """Observation order must not change the result (sum reordering)."""
+    m1, s1 = ivw_np(flux, sigma)
+    perm = [2, 0, 1]
+    m2, s2 = ivw_np(flux[perm], sigma[perm])
+    # double sums reorder → agreement to rounding, not bitwise (this is WHY
+    # the oracle-parity layer uses decimal-quantized sums)
+    np.testing.assert_allclose(m1, m2, rtol=1e-9, atol=1e-12, equal_nan=True)
+    np.testing.assert_allclose(s1, s2, rtol=1e-9, atol=1e-12, equal_nan=True)
+
+
+@given(
+    ra=st.floats(0, 360, exclude_max=True),
+    dec=st.floats(-89.999, 89.999),
+    order=st.integers(0, 14),
+)
+@settings(max_examples=200, deadline=None)
+def test_healpix_hierarchy(ra, dec, order):
+    """Nested scheme: the child pixel's id >> 2 is the parent pixel's id."""
+    child = _ang2pix_nest_np(np.array([ra]), np.array([dec]), 1 << (order + 1))[0]
+    parent = _ang2pix_nest_np(np.array([ra]), np.array([dec]), 1 << order)[0]
+    assert child >> 2 == parent
+
+
+@given(x=st.floats(allow_nan=False, allow_infinity=False, width=32))
+@settings(max_examples=200, deadline=None)
+def test_float_compress_idempotent_and_bounded(x):
+    arr = np.array([x], dtype=np.float32)
+    once = float_compress_np(arr)
+    twice = float_compress_np(once)
+    np.testing.assert_array_equal(once, twice)  # idempotent
+    # the <1% relative-error contract holds for NORMAL floats only —
+    # subnormals lose mantissa wholesale (reference has the same behavior)
+    if np.isfinite(x) and abs(x) >= 1.2e-38:
+        assert abs(float(once[0]) - x) <= abs(x) * 0.01
+
+
+@given(a=st.integers(0, (1 << 31) - 1), b=st.integers(0, (1 << 31) - 1))
+@settings(max_examples=200, deadline=None)
+def test_interleave_bits_bijective(a, b):
+    """Morton interleave must be invertible (no bit collisions)."""
+    z = _interleave_bits(np.array([a], dtype=np.int64), np.array([b], dtype=np.int64))[0]
+    ra = rb = 0
+    for i in range(32):
+        ra |= ((z >> (2 * i)) & 1) << i
+        rb |= ((z >> (2 * i + 1)) & 1) << i
+    assert (ra, rb) == (a, b)
+
+
+@given(
+    keys=st.lists(
+        st.text(alphabet="ABCDEFGHIJKLMNOPQRSTUVWXYZ", min_size=1, max_size=8),
+        min_size=1, max_size=10, unique=True,
+    ),
+    vals=st.lists(st.integers(-10**8, 10**8), min_size=10, max_size=10),
+)
+@settings(max_examples=50, deadline=None)
+def test_fits_header_roundtrip(keys, vals):
+    """Any header our card writer emits, our parser reads back."""
+    cards = b""
+    for k, v in zip(keys, vals):
+        cards += f"{k:<8}= {v:>20}".ljust(80).encode()
+    cards += "END".ljust(80).encode()
+    cards += b" " * ((-len(cards)) % 2880)
+    hdr = parse_fits_header(cards)
+    for k, v in zip(keys, vals):
+        assert hdr[k] == v
