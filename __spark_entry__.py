@@ -1507,6 +1507,29 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample(attach_binary_payload(d))
 
 
+@_q(
+    "o1_zorder_clustering",
+    """
+    WITH e AS (
+      SELECT event_id, CAST(user_id % 4096 AS BIGINT) AS u,
+             CAST((epoch_us(ts) // 3600000000) % 4096 AS BIGINT) AS h
+      FROM events WHERE event_id % 20 = 0)
+    SELECT event_id, CAST((((u >> 0) & 1) << 0) + (((h >> 0) & 1) << 1) + (((u >> 1) & 1) << 2) + (((h >> 1) & 1) << 3) + (((u >> 2) & 1) << 4) + (((h >> 2) & 1) << 5) + (((u >> 3) & 1) << 6) + (((h >> 3) & 1) << 7) + (((u >> 4) & 1) << 8) + (((h >> 4) & 1) << 9) + (((u >> 5) & 1) << 10) + (((h >> 5) & 1) << 11) + (((u >> 6) & 1) << 12) + (((h >> 6) & 1) << 13) + (((u >> 7) & 1) << 14) + (((h >> 7) & 1) << 15) + (((u >> 8) & 1) << 16) + (((h >> 8) & 1) << 17) + (((u >> 9) & 1) << 18) + (((h >> 9) & 1) << 19) + (((u >> 10) & 1) << 20) + (((h >> 10) & 1) << 21) + (((u >> 11) & 1) << 22) + (((h >> 11) & 1) << 23) AS BIGINT) AS zkey
+    FROM e
+""",
+)
+def o1_zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering key over (user bucket, hour bucket) — the
+    multi-dimensional sort order the bronze layout clusters by (O1 analog,
+    metadata_strategy_image.py:351-355)."""
+    from hiss_cube_spark.functions.spatial import zorder_key
+
+    e = _events(spark, sf_dir).where(F.col("event_id") % 20 == 0)
+    u = F.pmod(F.col("user_id"), F.lit(4096)).cast("long")
+    h = F.pmod(F.expr("ts_us DIV 3600000000"), F.lit(4096)).cast("long")
+    return e.select("event_id", zorder_key(u, h, bits=12).alias("zkey"))
+
+
 @_q("a_approx_stats")
 def a_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregates (rows-only: approximation has no exact oracle).

@@ -165,16 +165,23 @@ def minhash_lsh_pairs(
     rows_per_band = n_hashes // bands
     # shingles feed signatures + sizes + two verification join sides
     sh = word_shingles(df, text_col, id_col, n).persist()
-    sigs = minhash_signatures(sh, n_hashes, seed)
+    consts = _perm_constants(n_hashes, seed)
+    h = F.abs(F.xxhash64("gram")) % F.lit(_MERSENNE)
+    with_h = sh.withColumn("_h", h)
+    aggs = [
+        F.min((F.col("_h") * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE)).alias(f"_m{i}")
+        for i, (a, b) in enumerate(consts)
+    ]
+    sigs = with_h.groupBy("doc_id").agg(*aggs)
 
+    # band hash straight over the min columns — no signature-array assembly
+    band_cols = [
+        F.xxhash64(*[F.col(f"_m{b * rows_per_band + i}") for i in range(rows_per_band)])
+        for b in range(bands)
+    ]
     band = sigs.select(
         "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(F.slice("sig", b * rows_per_band + 1, rows_per_band)),
-            )
-        ).alias("band_id", "band_hash"),
+        F.posexplode(F.array(*band_cols)).alias("band_id", "band_hash"),
     )
     a = band.alias("a")
     b = band.alias("b")
