@@ -56,3 +56,56 @@ def test_file_stream_tumbling_window(spark, tmp_path_factory):
     assert rows == b
     assert rows[("2024-01-01T00:00:00", "click")] == (2, 3.0)
     assert rows[("2024-01-01T01:00:00", "view")] == (1, 3.0)
+
+
+def test_streaming_fits_ingest(spark, tmp_path_factory):
+    """Landing-zone streaming ingest: FITS bytes staged as parquet, streamed
+    through the batch ingest kernel into a bronze table."""
+    import numpy as np
+
+    from hiss_cube_spark.streaming.ingest import stage_binary_files, stream_ingest_images
+    from tests.test_ingest_cli import _write_fits
+
+    src = str(tmp_path_factory.mktemp("fits_src"))
+    landing = str(tmp_path_factory.mktemp("landing"))
+    bronze = str(tmp_path_factory.mktemp("bronze"))
+    ckpt = str(tmp_path_factory.mktemp("ckpt2"))
+
+    for i, band in enumerate(["u", "g"]):
+        _write_fits(os.path.join(src, f"frame-{band}-{i:06d}.fits"), band=band)
+    stage_binary_files(spark, src, landing)
+
+    q = (
+        stream_ingest_images(spark, landing)
+        .writeStream.outputMode("append")
+        .partitionBy("zoom")
+        .format("parquet")
+        .option("path", bronze)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(bronze)
+    assert got.count() == 2 * 5  # 2 frames × 5 zooms
+    assert os.path.isdir(os.path.join(bronze, "zoom=0"))
+
+    # incremental: stage one more file, the stream picks up ONLY the new one
+    _write_fits(os.path.join(src, "frame-r-000099.fits"), band="r")
+    stage_binary_files(spark, src, landing)  # re-stages all 3; dedupe below proves increment
+    q2 = (
+        stream_ingest_images(spark, landing)
+        .writeStream.outputMode("append")
+        .partitionBy("zoom")
+        .format("parquet")
+        .option("path", bronze)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    got2 = spark.read.parquet(bronze)
+    # second staging adds a new landing FILE with all 3 frames; the stream
+    # processes only unseen landing files → +3 frames ×5 zooms
+    assert got2.count() == 5 * 5
+    assert got2.select("image_id").distinct().count() == 3
