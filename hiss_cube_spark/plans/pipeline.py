@@ -111,13 +111,24 @@ class CubePipeline:
         spec_cube.write.mode("overwrite").partitionBy("zoom").parquet(self.path("ml_cube_spectra"))
         img_cube.write.mode("overwrite").partitionBy("zoom").parquet(self.path("ml_cube_images"))
 
-    def phase_visualization(self) -> None:
-        """Gold: the per-zoom point table."""
+    def phase_visualization(self, export: str | None = None, export_zoom: int = 0) -> None:
+        """Gold: the per-zoom point table; optionally export one zoom as a
+        VOTable or FITS binary table (S10/S11, driver-side — result tables)."""
         spectra = self.read("spectra")
         refs = self.read("cutout_refs")
         images = self.read("images")
         viz = build_visualization_cube(spectra, refs, images)
         viz.write.mode("overwrite").partitionBy("zoom").parquet(self.path("visualization_cube"))
+        if export:
+            from pyspark.sql import functions as F
+
+            from hiss_cube_spark.sources.exports import write_fits_table, write_votable
+
+            one = self.read("visualization_cube").where(F.col("zoom") == export_zoom)
+            if export in ("votable", "both"):
+                write_votable(one, self.path(f"visualization_zoom{export_zoom}.vot"))
+            if export in ("fits", "both"):
+                write_fits_table(one, self.path(f"visualization_zoom{export_zoom}.fits"))
 
     def create(self, images: DataFrame, spectra: DataFrame) -> None:
         """The full ``create`` pipeline (ref director.py:15-48)."""

@@ -162,12 +162,23 @@ def test_pipeline_phases(spark, images, spectra, tmp_path_factory):
 
     wh = str(tmp_path_factory.mktemp("warehouse"))
     pipe = CubePipeline(spark, wh, match_radius_deg=0.01, cutout_size=CUTOUT)
-    pipe.create(images, spectra)
+    pipe.phase_ingest(images, spectra)
+    pipe.phase_link()
+    pipe.phase_ml_cube()
+    pipe.phase_visualization(export="both", export_zoom=3)
     for t in ("images", "spectra", "cutout_refs", "ml_cube_spectra", "ml_cube_images", "visualization_cube"):
         assert os.path.isdir(os.path.join(wh, t)), t
         assert spark.read.parquet(os.path.join(wh, t)).count() > 0, t
     # zoom partition pruning materialized on disk
     assert os.path.isdir(os.path.join(wh, "images", "zoom=0"))
+    # exports written and structurally valid (read back by our own parsers)
+    from hiss_cube_spark.sources.fits import read_fits_bytes_header
+
+    assert "<VOTABLE" in open(os.path.join(wh, "visualization_zoom3.vot")).read(200)
+    blob = open(os.path.join(wh, "visualization_zoom3.fits"), "rb").read()
+    hdr, pos = read_fits_bytes_header(blob, 0)
+    hdr2, _ = read_fits_bytes_header(blob, pos)
+    assert hdr2["XTENSION"] == "BINTABLE" and hdr2["NAXIS2"] > 0
 
 
 def test_exports_roundtrip(spark, tmp_path_factory):
