@@ -114,14 +114,16 @@ class CubePipeline:
     def phase_visualization(self, export: str | None = None, export_zoom: int = 0) -> None:
         """Gold: the per-zoom point table; optionally export one zoom as a
         VOTable or FITS binary table (S10/S11, driver-side — result tables)."""
+        if export is not None and export not in ("votable", "fits", "both"):
+            raise ValueError(f"export must be one of votable|fits|both, got {export!r}")
+        if export is not None and not (0 <= export_zoom < self.zooms):
+            raise ValueError(f"export_zoom {export_zoom} outside built zooms [0, {self.zooms})")
         spectra = self.read("spectra")
         refs = self.read("cutout_refs")
         images = self.read("images")
         viz = build_visualization_cube(spectra, refs, images)
         viz.write.mode("overwrite").partitionBy("zoom").parquet(self.path("visualization_cube"))
         if export:
-            from pyspark.sql import functions as F
-
             from hiss_cube_spark.sources.exports import write_fits_table, write_votable
 
             one = self.read("visualization_cube").where(F.col("zoom") == export_zoom)
@@ -130,9 +132,15 @@ class CubePipeline:
             if export in ("fits", "both"):
                 write_fits_table(one, self.path(f"visualization_zoom{export_zoom}.fits"))
 
-    def create(self, images: DataFrame, spectra: DataFrame) -> None:
+    def create(
+        self,
+        images: DataFrame,
+        spectra: DataFrame,
+        export: str | None = None,
+        export_zoom: int = 0,
+    ) -> None:
         """The full ``create`` pipeline (ref director.py:15-48)."""
         self.phase_ingest(images, spectra)
         self.phase_link()
         self.phase_ml_cube()
-        self.phase_visualization()
+        self.phase_visualization(export=export, export_zoom=export_zoom)

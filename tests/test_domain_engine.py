@@ -162,10 +162,7 @@ def test_pipeline_phases(spark, images, spectra, tmp_path_factory):
 
     wh = str(tmp_path_factory.mktemp("warehouse"))
     pipe = CubePipeline(spark, wh, match_radius_deg=0.01, cutout_size=CUTOUT)
-    pipe.phase_ingest(images, spectra)
-    pipe.phase_link()
-    pipe.phase_ml_cube()
-    pipe.phase_visualization(export="both", export_zoom=3)
+    pipe.create(images, spectra, export="both", export_zoom=3)
     for t in ("images", "spectra", "cutout_refs", "ml_cube_spectra", "ml_cube_images", "visualization_cube"):
         assert os.path.isdir(os.path.join(wh, t)), t
         assert spark.read.parquet(os.path.join(wh, t)).count() > 0, t
