@@ -17,7 +17,6 @@ Oracle-parity rules used throughout (see tests/test_oracle_parity.py):
 
 from __future__ import annotations
 
-import math
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession

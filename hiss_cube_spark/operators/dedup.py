@@ -85,6 +85,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     max_gram_freq: int | None = None,
+    persist_shingles: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-duplicate pairs (doc_a < doc_b, jaccard ≥ t).
 
@@ -97,7 +98,9 @@ def ngram_jaccard_pairs(
     persist it instead of recomputing the split/explode per subtree (at
     cluster scale this is a checkpointed intermediate table).
     """
-    sh = word_shingles(df, text_col, id_col, n).persist()
+    sh = word_shingles(df, text_col, id_col, n)
+    if persist_shingles:
+        sh = sh.persist()  # three plan subtrees; caller owns unpersist via spark.catalog
     if max_gram_freq is not None:
         hot = sh.groupBy("gram").count().where(F.col("count") > max_gram_freq).select("gram")
         sh = sh.join(F.broadcast(hot), "gram", "left_anti")
@@ -153,6 +156,7 @@ def minhash_lsh_pairs(
     n_hashes: int = 128,
     bands: int = 32,
     seed: int = 42,
+    persist_shingles: bool = True,
 ) -> DataFrame:
     """Near-dup pairs via MinHash banding, verified with exact Jaccard.
 
@@ -164,7 +168,9 @@ def minhash_lsh_pairs(
     """
     rows_per_band = n_hashes // bands
     # shingles feed signatures + sizes + two verification join sides
-    sh = word_shingles(df, text_col, id_col, n).persist()
+    sh = word_shingles(df, text_col, id_col, n)
+    if persist_shingles:
+        sh = sh.persist()  # caller owns unpersist (spark.catalog.clearCache)
     consts = _perm_constants(n_hashes, seed)
     h = F.abs(F.xxhash64("gram")) % F.lit(_MERSENNE)
     with_h = sh.withColumn("_h", h)
@@ -299,7 +305,13 @@ def simhash_pairs(
     """
     if n_chunks is None:
         n_chunks = max_hamming + 1
-    assert 64 % n_chunks == 0 or n_chunks <= 64, "chunk count must fit 64 bits"
+    if 64 % n_chunks != 0:
+        raise ValueError(f"n_chunks={n_chunks} must divide 64")
+    if not paired_banding and n_chunks <= max_hamming:
+        raise ValueError(
+            f"exact pigeonhole banding needs n_chunks > max_hamming "
+            f"(got {n_chunks} <= {max_hamming}); use paired_banding for approximate recall"
+        )
     width = 64 // n_chunks
     mask = (1 << width) - 1
     singles = [

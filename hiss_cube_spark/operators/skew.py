@@ -27,7 +27,14 @@ def salted_join(
     ``skewed`` gets a random-but-deterministic salt from its own row content
     (xxhash64 of all columns — no RNG, replayable); ``other`` is exploded
     ``salt``× so every (key, salt) bucket finds its match.
+
+    Only join types where the ``other`` side never emits unmatched rows are
+    allowed (inner/left*): in right/full joins the replicated side would
+    surface ``salt`` copies of each unmatched row.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "left_anti", "leftanti"}
+    if how not in allowed:
+        raise ValueError(f"salted_join supports {sorted(allowed)}, got {how!r}")
     s = skewed.withColumn(
         "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(salt))
     )

@@ -8,6 +8,8 @@ the distributed sink is Parquet)."""
 
 from __future__ import annotations
 
+from xml.sax.saxutils import escape
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -32,10 +34,10 @@ def write_votable(df: DataFrame, path: str, max_rows: int = 5_000_000) -> None:
     for name, dt in zip(pdf.columns, pdf.dtypes):
         vt = _VOT_TYPES.get(str(dt), "char")
         arr = ' arraysize="*"' if vt == "char" else ""
-        fields.append(f'      <FIELD name="{name}" datatype="{vt}"{arr}/>')
+        fields.append(f'      <FIELD name="{escape(str(name))}" datatype="{vt}"{arr}/>')
     rows = []
     for tup in pdf.itertuples(index=False, name=None):
-        cells = "".join(f"<TD>{'' if v is None else v}</TD>" for v in tup)
+        cells = "".join(f"<TD>{'' if v is None else escape(str(v))}</TD>" for v in tup)
         rows.append(f"        <TR>{cells}</TR>")
     doc = (
         '<?xml version="1.0" encoding="UTF-8"?>\n'
@@ -93,10 +95,6 @@ def write_fits_table(df: DataFrame, path: str, max_rows: int = 5_000_000) -> Non
     rec = np.empty(len(pdf), dtype=dtype)
     for arr, (name, _) in zip(cols, forms):
         rec[name] = arr
-
-    def block(b: bytes) -> bytes:
-        pad = (-len(b)) % 2880
-        return b + b" " * pad if b.endswith(b"END".ljust(80)) or pad < 2880 else b
 
     primary = b"".join(
         [

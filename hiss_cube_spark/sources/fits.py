@@ -32,7 +32,6 @@ __all__ = [
     "read_fits_bytes_header",
 ]
 
-_CARD = re.compile(rb"^([A-Z0-9_\-]{1,8}) *=? *(.*?) */?(?: /.*)?$")
 _BLOCK = 2880
 
 

@@ -69,9 +69,13 @@ def image_rows_from_fits(
                 "zoom": z,
                 "naxis1": w,
                 "naxis2": h,
+                # FITS CRPIX is 1-based; the engine's WCS struct is 0-based
+                # (functions/wcs.py) — convert at the boundary
                 "wcs": {
-                    "crpix1": float(header.get("CRPIX1", w / 2)) / (1 << z),
-                    "crpix2": float(header.get("CRPIX2", h / 2)) / (1 << z),
+                    "crpix1": ((float(header["CRPIX1"]) - 1.0) if "CRPIX1" in header else w / 2)
+                    / (1 << z),
+                    "crpix2": ((float(header["CRPIX2"]) - 1.0) if "CRPIX2" in header else h / 2)
+                    / (1 << z),
                     "cd1_1": float(header.get("CD1_1", 1e-4)) * (1 << z),
                     "cd1_2": float(header.get("CD1_2", 0.0)) * (1 << z),
                     "cd2_1": float(header.get("CD2_1", 0.0)) * (1 << z),
@@ -241,3 +245,8 @@ def ingest_spectra(
 
     parsed = files.mapInPandas(_parse, schema=_SPEC_SCHEMA)
     return parsed.withColumn("spec_id", F.xxhash64("path"))
+
+
+from hiss_cube_spark._serde import register_self as _register_self  # noqa: E402
+
+_register_self(__name__)

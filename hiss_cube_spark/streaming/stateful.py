@@ -23,14 +23,6 @@ from pyspark.sql.types import (
 
 __all__ = ["running_totals"]
 
-_OUT = StructType(
-    [
-        StructField("user_id", LongType()),
-        StructField("n_events", LongType()),
-        StructField("sum_value", DoubleType()),
-        StructField("last_ts_us", LongType()),
-    ]
-)
 _STATE = StructType(
     [
         StructField("n", LongType()),
@@ -50,8 +42,18 @@ def running_totals(
 
     Each micro-batch folds its rows into the key's persisted state and emits
     the updated totals — the structured-streaming analog of a keyed
-    accumulator. Use ``.writeStream.outputMode("update")``.
+    accumulator. Use ``.writeStream.outputMode("update")``. Output columns:
+    (<key_col>, n_events, sum_value, last_ts_us), the key keeping its input
+    name and type.
     """
+    out_schema = StructType(
+        [
+            events.schema[key_col],
+            StructField("n_events", LongType()),
+            StructField("sum_value", DoubleType()),
+            StructField("last_ts_us", LongType()),
+        ]
+    )
 
     def _update(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -64,7 +66,7 @@ def running_totals(
                 last = max(last, int(pdf[ts_us_col].max()))
         state.update((n, s, last))
         yield pd.DataFrame(
-            {"user_id": [key[0]], "n_events": [n], "sum_value": [s], "last_ts_us": [last]}
+            {key_col: [key[0]], "n_events": [n], "sum_value": [s], "last_ts_us": [last]}
         )
 
     return (
@@ -72,7 +74,7 @@ def running_totals(
         .groupBy(key_col)
         .applyInPandasWithState(
             _update,
-            outputStructType=_OUT,
+            outputStructType=out_schema,
             stateStructType=_STATE,
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
