@@ -1666,6 +1666,85 @@ def o1_zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select("event_id", zorder_key(u, h, bits=12).alias("zkey"))
 
 
+@_q(
+    "viz_cube_union",
+    """
+    SELECT 'spec' AS src, e.vec_id AS obj_id, g.i - 1 AS pos,
+           round(CAST(e.embedding[g.i] AS DOUBLE), 6) AS val
+    FROM embeddings e, unnest(generate_series(1, len(e.embedding))) g(i)
+    WHERE e.vec_id < 30
+    UNION ALL
+    SELECT 'cutout' AS src, d.doc_id AS obj_id, g.f AS pos,
+           CAST((d.doc_id * 31 + g.f * 7) % 97 AS DOUBLE) AS val
+    FROM (SELECT doc_id,
+                 greatest(CAST(floor(octet_length(encode(text)) / 64.0) AS BIGINT), 1) AS nf
+          FROM documents WHERE doc_id < 30) d,
+         unnest(generate_series(0, d.nf - 1)) g(f)
+    """,
+)
+def viz_cube_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The visualization-cube gold-query SHAPE (§3.3): two explode pipelines
+    (per-sample unpivot + per-pixel unpivot) unioned by name — here over the
+    synthetic tables (embeddings = spectra samples, document frames = cutout
+    pixels)."""
+    e = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 30)
+    spec = e.select(
+        F.lit("spec").alias("src"),
+        F.col("vec_id").alias("obj_id"),
+        F.posexplode("embedding").alias("pos", "_v"),
+    ).select("src", "obj_id", F.col("pos").cast("long").alias("pos"), _r6(F.col("_v")).alias("val"))
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 30)
+    nf = F.greatest(
+        F.floor(F.octet_length(F.encode(F.col("text"), "UTF-8")) / F.lit(64.0)).cast("long"),
+        F.lit(1),
+    )
+    cut = (
+        d.select("doc_id", nf.alias("nf"))
+        .select("doc_id", F.explode(F.sequence(F.lit(0), F.col("nf") - 1)).alias("pos"))
+        .select(
+            F.lit("cutout").alias("src"),
+            F.col("doc_id").alias("obj_id"),
+            F.col("pos").cast("long").alias("pos"),
+            ((F.col("doc_id") * 31 + F.col("pos") * 7) % 97).cast("double").alias("val"),
+        )
+    )
+    return spec.unionByName(cut)
+
+
+@_q(
+    "q15_top_supplier",
+    """
+    WITH rev AS (
+      SELECT l_suppkey,
+             round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,8))) AS DOUBLE), 6) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+      GROUP BY l_suppkey),
+    ranked AS (
+      SELECT l_suppkey, total_rev,
+             row_number() OVER (ORDER BY total_rev DESC, l_suppkey) AS rnk
+      FROM rev)
+    SELECT s.s_suppkey, s.s_name, r.total_rev
+    FROM ranked r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+    WHERE r.rnk <= 5
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(_r6(F.sum(_dec(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))))).alias("total_rev"))
+    )
+    w = Window.orderBy(F.col("total_rev").desc(), F.col("l_suppkey"))
+    top = rev.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= 5)
+    s = _t(spark, sf_dir, "supplier")
+    return top.join(s, top.l_suppkey == s.s_suppkey).select("s_suppkey", "s_name", "total_rev")
+
+
 @_q("a_approx_stats")
 def a_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregates (rows-only: approximation has no exact oracle).
