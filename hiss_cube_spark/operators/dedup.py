@@ -7,8 +7,9 @@ Four families, all expressed as DataFrame pipelines (shuffle-conscious):
   Exact; the gram join is the scalable blocking (plus optional hot-gram cap).
 * MinHash+LSH  — shingle → 128 permuted min-hashes → banded bucket join →
   exact-Jaccard verification of candidates. Sub-quadratic at 100 TB.
-* SimHash      — 64-bit fingerprints; hamming-≤k pairs found with the
-  4-chunk pigeonhole banding (exact superset), then bit_count verify.
+* SimHash      — 64-bit fingerprints; hamming-≤k pairs found with
+  pigeonhole chunk banding (exact superset; paired-chunk variant for large
+  corpora), then bit_count verify.
 
 All hashes on the Spark side are xxhash64 (JVM, codegen) except the
 oracle-parity simhash which uses a cross-engine integer token code.
