@@ -66,6 +66,11 @@ def grid_disc_cells(ra: Column, dec: Column, radius_deg: float, cell_deg: float)
     most a 3×3 neighborhood. Equivalent of the reference's
     ``get_overlapping_healpix_pixel_ids`` (astrometry.py:158-182) for the grid
     index family.
+
+    Pole caveat: within ``radius`` of a pole the ra bounding box understates
+    the true cover (all ra columns of the polar row would be needed) — use
+    the HEALPix family (:func:`healpix_disc_cover`) for polar workloads; the
+    equiangular grid is the equatorial/oracle-parity index.
     """
     ncols = grid_ncols(cell_deg)
     nrows = int(math.ceil(180.0 / cell_deg))
