@@ -277,3 +277,34 @@ def test_uncertainty_derivation():
     assert flux.shape == err.shape == (48, 64)
     assert np.all(err > 0)
     assert flux.dtype == np.float32 and err.dtype == np.float32
+
+
+def test_crossmatch_healpix_equals_grid(spark, images, spectra):
+    """The pluggable index families must produce identical match sets: the
+    disc covers differ (grid bbox vs healpix sampled superset) but the exact
+    distance post-filter makes both exact."""
+    from hiss_cube_spark.functions.spatial import (
+        grid_cell,
+        grid_disc_cells,
+        healpix_ang2pix_nest,
+        healpix_disc_cover,
+    )
+    from hiss_cube_spark.operators.crossmatch import crossmatch
+
+    p = spectra.where(F.col("zoom") == 0).select(
+        "spec_id", F.col("plug_ra").alias("ra"), F.col("plug_dec").alias("dec")
+    )
+    t = images.where(F.col("zoom") == 0).select("image_id", "ra", "dec")
+    radius = 0.05
+
+    grid = crossmatch(p, t, radius_deg=radius)
+    hp = crossmatch(
+        p,
+        t,
+        radius_deg=radius,
+        disc_cells_fn=lambda ra, dec: healpix_disc_cover(ra, dec, radius, order=10),
+        cell_fn=lambda ra, dec: healpix_ang2pix_nest(ra, dec, order=10),
+    )
+    g = {(r["p_spec_id"], r["t_image_id"]) for r in grid.collect()}
+    h = {(r["p_spec_id"], r["t_image_id"]) for r in hp.collect()}
+    assert g == h and len(g) > 0
