@@ -13,7 +13,7 @@ the reference's fixture scale).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from hiss_cube_spark.functions.wcs import pixel_to_world
@@ -22,12 +22,21 @@ from hiss_cube_spark.operators.cutouts import dereference_cutouts
 __all__ = ["spectra_point_table", "cutout_point_table", "build_visualization_cube"]
 
 
+def _basename32(df: DataFrame, col: str = "path") -> Column:
+    """fits_name: path basename truncated to 32 chars (the reference's S32
+    cast, cube_visualization.py:170,350-352); null when no path column."""
+    if col in df.columns:
+        return F.substring(F.element_at(F.split(F.col(col), "/"), -1), 1, 32)
+    return F.lit(None).cast("string")
+
+
 def spectra_point_table(spectra: DataFrame) -> DataFrame:
     """Unpivot spectra: one row per (spectrum, sample) (F17).
 
     Input: (spec_id, healpix, plug_ra, plug_dec, time, zoom, wl array,
     flux_mean array, flux_sigma array)."""
     z = F.arrays_zip("wl", "flux_mean", "flux_sigma")
+    spec_name = _basename32(spectra)
     return spectra.select(
         F.col("healpix").alias("heal_id"),
         F.col("plug_ra").cast("float").alias("ra"),
@@ -35,6 +44,10 @@ def spectra_point_table(spectra: DataFrame) -> DataFrame:
         F.col("time").cast("float").alias("time"),
         "zoom",
         F.col("spec_id"),
+        F.col("plug_ra").cast("float").alias("spec_ra"),
+        F.col("plug_dec").cast("float").alias("spec_dec"),
+        spec_name.alias("fits_name"),       # a spectrum sample's own file
+        spec_name.alias("spec_fits_name"),
         F.explode(z).alias("_s"),
     ).select(
         "heal_id",
@@ -46,6 +59,10 @@ def spectra_point_table(spectra: DataFrame) -> DataFrame:
         F.col("_s.wl").cast("float").alias("wl"),
         F.col("_s.flux_mean").cast("float").alias("mean"),
         F.col("_s.flux_sigma").cast("float").alias("sigma"),
+        "spec_ra",
+        "spec_dec",
+        "fits_name",
+        "spec_fits_name",
     )
 
 
@@ -60,11 +77,15 @@ def cutout_point_table(refs: DataFrame, images: DataFrame, spectra: DataFrame) -
     spec_meta = spectra.select(
         "spec_id",
         F.col("healpix").alias("heal_id"),
-        F.col("plug_ra").alias("spec_ra"),
-        F.col("plug_dec").alias("spec_dec"),
+        F.col("plug_ra").cast("float").alias("spec_ra"),
+        F.col("plug_dec").cast("float").alias("spec_dec"),
         F.col("time").alias("spec_time"),
+        _basename32(spectra).alias("spec_fits_name"),
     ).dropDuplicates(["spec_id"])
-    cut = dereference_cutouts(refs, images.select("image_id", "zoom", "wcs", "tai_time", "data", "errors"))
+    img_cols = ["image_id", "zoom", "wcs", "tai_time", "data", "errors"] + (
+        ["path"] if "path" in images.columns else []
+    )
+    cut = dereference_cutouts(refs, images.select(*img_cols))
     # Pair mean/sigma row-wise first so both posexplodes stay aligned.
     paired = cut.withColumn(
         "_rows",
@@ -72,7 +93,11 @@ def cutout_point_table(refs: DataFrame, images: DataFrame, spectra: DataFrame) -
             "cutout_data", "cutout_errors", lambda d, e: F.struct(d.alias("m"), e.alias("s"))
         ),
     )
-    keys = ["spec_id", "image_id", "zoom", "band", "wl", "x_min", "y_min", "wcs", "tai_time"]
+    paired = paired.withColumn("fits_name", _basename32(paired))
+    keys = [
+        "spec_id", "image_id", "zoom", "band", "wl", "x_min", "y_min", "wcs",
+        "tai_time", "fits_name",
+    ]
     rows = (
         paired.select(*keys, F.posexplode("_rows").alias("_iy", "_rp"))
         .select(
@@ -96,6 +121,10 @@ def cutout_point_table(refs: DataFrame, images: DataFrame, spectra: DataFrame) -
         F.col("wl").cast("float").alias("wl"),
         F.col("_px.m").cast("float").alias("mean"),
         F.col("_px.s").cast("float").alias("sigma"),
+        "spec_ra",
+        "spec_dec",
+        "fits_name",
+        "spec_fits_name",
     )
 
 
