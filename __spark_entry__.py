@@ -17,6 +17,15 @@ Oracle-parity rules used throughout (see tests/test_oracle_parity.py):
 
 from __future__ import annotations
 
+import os
+import sys
+
+# Self-bootstrap: harnesses may load this module by file path without putting
+# the repo root on sys.path; the package imports below need it there.
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession

@@ -60,14 +60,18 @@ def downsample_spectrum(
 
 
 def downsample_image(data: np.ndarray, errors: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """One pyramid step: 2×2 area-average to (h//2, w//2), σ/4."""
+    """One pyramid step: 2×2 area-average to (h//2, w//2), σ/4.
+
+    NaN-aware only when NaNs are present — np.nanmean is ~10× slower than
+    mean and full frames are usually finite."""
     h, w = data.shape
     h2, w2 = h // 2, w // 2
     d = data[: 2 * h2, : 2 * w2].reshape(h2, 2, w2, 2)
     e = errors[: 2 * h2, : 2 * w2].reshape(h2, 2, w2, 2)
+    mean = np.nanmean if (np.isnan(data).any() or np.isnan(errors).any()) else np.mean
     with np.errstate(invalid="ignore"):
-        dd = np.nanmean(np.nanmean(d, axis=3), axis=1)
-        ee = np.nanmean(np.nanmean(e, axis=3), axis=1) / 4.0
+        dd = mean(mean(d, axis=3), axis=1)
+        ee = mean(mean(e, axis=3), axis=1) / 4.0
     return dd.astype(np.float32), ee.astype(np.float32)
 
 
