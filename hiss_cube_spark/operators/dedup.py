@@ -37,6 +37,25 @@ __all__ = [
 _MERSENNE = (1 << 31) - 1
 
 
+def _spread_docs(df: DataFrame, id_col: str, partitions: int | None) -> DataFrame:
+    """Hash-repartition documents by id before the shingle/token explode.
+
+    Two effects: (1) the CPU-heavy per-document expression work (split /
+    n-gram window / explode) spreads over every core even when the input is
+    a handful of parquet files; (2) Generate/Project preserve hash
+    partitioning, so every downstream ``groupBy(id)`` (signatures, set
+    sizes, per-bit votes) is satisfied without another exchange — the text
+    is shuffled once, the derived tables never are.
+
+    ``partitions=None`` → defaultParallelism; ``partitions <= 0`` → leave
+    the caller's partitioning untouched (e.g. already bucketed by id).
+    """
+    if partitions is not None and partitions <= 0:
+        return df
+    n = partitions or df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, F.col(id_col))
+
+
 def _perm_constants(n: int, seed: int = 42) -> list[tuple[int, int]]:
     """Deterministic (a, b) pairs for h_i(x) = (a*x + b) mod M."""
     consts = []
@@ -87,6 +106,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     max_gram_freq: int | None = None,
     persist_shingles: bool = True,
+    doc_partitions: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-duplicate pairs (doc_a < doc_b, jaccard ≥ t).
 
@@ -99,7 +119,7 @@ def ngram_jaccard_pairs(
     persist it instead of recomputing the split/explode per subtree (at
     cluster scale this is a checkpointed intermediate table).
     """
-    sh = word_shingles(df, text_col, id_col, n)
+    sh = word_shingles(_spread_docs(df, id_col, doc_partitions), text_col, id_col, n)
     if persist_shingles:
         sh = sh.persist()  # three plan subtrees; caller owns unpersist via spark.catalog
     if max_gram_freq is not None:
@@ -158,6 +178,8 @@ def minhash_lsh_pairs(
     bands: int = 32,
     seed: int = 42,
     persist_shingles: bool = True,
+    doc_partitions: int | None = None,
+    broadcast_candidates: bool = True,
 ) -> DataFrame:
     """Near-dup pairs via MinHash banding, verified with exact Jaccard.
 
@@ -169,7 +191,7 @@ def minhash_lsh_pairs(
     """
     rows_per_band = n_hashes // bands
     # shingles feed signatures + sizes + two verification join sides
-    sh = word_shingles(df, text_col, id_col, n)
+    sh = word_shingles(_spread_docs(df, id_col, doc_partitions), text_col, id_col, n)
     if persist_shingles:
         sh = sh.persist()  # caller owns unpersist (spark.catalog.clearCache)
     consts = _perm_constants(n_hashes, seed)
@@ -202,6 +224,13 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
+    if broadcast_candidates:
+        # LSH's whole point is |candidates| << |docs|² — the pair list is
+        # tiny next to the shingle table, so broadcasting it turns the first
+        # verification join into a map-side hash probe instead of shuffling
+        # the shingle table by pair key. Opt out if banding parameters are
+        # loose enough that candidates could exceed executor memory.
+        cand = F.broadcast(cand)
 
     # Exact verification: per-pair intersection over the shingle table.
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
@@ -251,7 +280,12 @@ def token_code(tok: Column) -> Column:
     return (c1 * F.lit(131) + F.length(tok) * F.lit(7) + c2).cast("long")
 
 
-def simhash_fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def simhash_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    doc_partitions: int | None = None,
+) -> DataFrame:
     """64-bit simhash per document: (doc_id, simhash long).
 
     Bit b votes +count/−count per token depending on
@@ -259,7 +293,9 @@ def simhash_fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "d
     total. Pure integer expressions → identical in any engine.
     """
     tok = F.explode(F.split(F.col(text_col), " ")).alias("tok")
-    toks = df.select(F.col(id_col).alias("doc_id"), tok).where(F.length("tok") > 0)
+    toks = _spread_docs(df, id_col, doc_partitions).select(
+        F.col(id_col).alias("doc_id"), tok
+    ).where(F.length("tok") > 0)
     code = token_code(F.col("tok"))
 
     # Each occurrence votes ±1 — identical to ±count over distinct tokens,
