@@ -58,6 +58,81 @@ def test_file_stream_tumbling_window(spark, tmp_path_factory):
     assert rows[("2024-01-01T01:00:00", "view")] == (1, 3.0)
 
 
+def test_watermark_drops_late_data(spark, tmp_path_factory):
+    """Watermark semantics across checkpointed runs: append mode emits a
+    window only once its end passes the watermark, and events older than the
+    watermark are dropped instead of reopening closed windows.
+
+    A row is late only when its WINDOW END is below the watermark (a row
+    merely older than the watermark still merges into its open window).
+    Three availableNow runs over one checkpoint (each run includes a flush
+    micro-batch, so a window closed by that run's watermark emits in-run):
+      run 1: events 00:05, 00:25, 02:05 → watermark 01:35 → [00:00,01:00)
+             finalizes with n=2.
+      run 2: late 00:40 (window end 01:00 < wm 01:35 → DROPPED — its state
+             was already evicted; acceptance would resurrect and re-emit
+             the window) + on-time 03:05 → no newly closed windows.
+      run 3: 04:30 → watermark 04:00 → [02:00) and [03:00) finalize.
+    """
+    import glob as _glob
+
+    from hiss_cube_spark.streaming import tumbling_window_agg
+    from hiss_cube_spark.streaming.windows import stream_from_directory
+
+    src = str(tmp_path_factory.mktemp("wm_src"))
+    out = str(tmp_path_factory.mktemp("wm_out"))
+    ckpt = str(tmp_path_factory.mktemp("wm_ckpt"))
+
+    schema = "event_id long, ts timestamp, event_type string, value double"
+
+    def _stage(rows, part):
+        spark.createDataFrame(
+            [(i, t, e, v) for i, t, e, v in rows],
+            "event_id long, ts_s string, event_type string, value double",
+        ).withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def _run():
+        stream = stream_from_directory(spark, src, spark.read.parquet(src).schema)
+        agg = tumbling_window_agg(
+            stream, ts_col="ts", window="1 hour", group_cols=None, watermark="30 minutes"
+        )
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        if not _glob.glob(os.path.join(out, "*.parquet")):
+            return {}
+        return {
+            r["window_start"].isoformat(): r["n_events"]
+            for r in spark.read.parquet(out).collect()
+        }
+
+    _stage([(1, "2024-01-01 00:05:00", "click", 1.0),
+            (2, "2024-01-01 00:25:00", "click", 2.0),
+            (3, "2024-01-01 02:05:00", "view", 3.0)], 1)
+    assert _run() == {"2024-01-01T00:00:00": 2}  # closed by wm 01:35
+
+    _stage([(4, "2024-01-01 00:40:00", "late", 9.0),   # window end 01:00 < wm → dropped
+            (5, "2024-01-01 03:05:00", "click", 5.0)], 2)
+    emitted = _run()
+    assert emitted == {"2024-01-01T00:00:00": 2}  # unchanged: late row dropped
+
+    _stage([(6, "2024-01-01 04:30:00", "view", 6.0)], 3)
+    emitted = _run()
+    assert emitted == {
+        "2024-01-01T00:00:00": 2,
+        "2024-01-01T02:00:00": 1,
+        "2024-01-01T03:00:00": 1,
+    }
+
+
 def test_streaming_fits_ingest(spark, tmp_path_factory):
     """Landing-zone streaming ingest: FITS bytes staged as parquet, streamed
     through the batch ingest kernel into a bronze table."""
