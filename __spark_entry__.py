@@ -1442,11 +1442,14 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(fps, max_hamming=7, n_chunks=8)
 
 
+# Order-independent dot products: per-element double products floored onto a
+# 1e-12 grid and summed as BIGINT (exact in any order; floor truncates
+# identically in both engines, unlike double→long CAST).
 _SQL_EMB_NORMS = """
     norms AS (
       SELECT vec_id,
-             CAST(sum(CAST(CAST(embedding[g.i] AS DOUBLE) * CAST(embedding[g.i] AS DOUBLE)
-                  AS DECIMAL(38,20))) AS DOUBLE) AS nrm
+             CAST(sum(CAST(floor(CAST(embedding[g.i] AS DOUBLE) * CAST(embedding[g.i] AS DOUBLE)
+                  * 1e12) AS BIGINT)) AS BIGINT) / 1e12 AS nrm
       FROM embeddings, unnest(generate_series(1, len(embedding))) g(i)
       GROUP BY vec_id)
 """
@@ -1460,8 +1463,8 @@ _SQL_EMB_NORMS = """
     {_SQL_EMB_NORMS},
     dots AS (
       SELECT q.query_id, c.neighbor_id,
-             CAST(sum(CAST(CAST(q.qv[g.i] AS DOUBLE) * CAST(c.cv[g.i] AS DOUBLE)
-                  AS DECIMAL(38,20))) AS DOUBLE) AS dot
+             CAST(sum(CAST(floor(CAST(q.qv[g.i] AS DOUBLE) * CAST(c.cv[g.i] AS DOUBLE)
+                  * 1e12) AS BIGINT)) AS BIGINT) / 1e12 AS dot
       FROM q, c, unnest(generate_series(1, len(q.qv))) g(i)
       WHERE q.query_id != c.neighbor_id
       GROUP BY q.query_id, c.neighbor_id),
@@ -1506,8 +1509,8 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH {_SQL_EMB_NORMS},
     dots AS (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-             CAST(sum(CAST(CAST(a.embedding[g.i] AS DOUBLE) * CAST(b.embedding[g.i] AS DOUBLE)
-                  AS DECIMAL(38,20))) AS DOUBLE) AS dot
+             CAST(sum(CAST(floor(CAST(a.embedding[g.i] AS DOUBLE) * CAST(b.embedding[g.i] AS DOUBLE)
+                  * 1e12) AS BIGINT)) AS BIGINT) / 1e12 AS dot
       FROM embeddings a, embeddings b, unnest(generate_series(1, len(a.embedding))) g(i)
       WHERE a.vec_id < b.vec_id
       GROUP BY a.vec_id, b.vec_id)
