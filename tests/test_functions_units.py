@@ -170,3 +170,40 @@ def test_zorder_key_matches_numpy(spark):
     df = spark.createDataFrame([(int(x), int(y)) for x, y in zip(a, b)], "a long, b long")
     got = [r[0] for r in df.select(zorder_key(F.col("a"), F.col("b")).alias("z")).collect()]
     assert got == exp.tolist()
+
+
+def test_rebin_spectrum_grid_contract():
+    """F9: rebin lands on the fixed 4620-sample survey grid with NaN fill
+    outside coverage and exact values at matching grid points
+    (ref photometry.py:343-350; grid config.ini:76-78)."""
+    from hiss_cube_spark.sources.ingest import REBIN_GRID
+    from hiss_cube_spark.sources.photometry_ingest import rebin_spectrum
+
+    lo, hi, n = REBIN_GRID
+    assert n == 4620
+    grid = np.linspace(lo, hi, n)
+    # source spectrum covering only the middle half of the grid
+    wl = np.linspace(lo + (hi - lo) * 0.25, hi - (hi - lo) * 0.25, 1000)
+    flux = np.full(1000, 2.5)
+    sigma = np.full(1000, 0.5)
+    f, s = rebin_spectrum(wl, flux, sigma, grid)
+    assert f.shape == (4620,) and s.shape == (4620,)
+    assert f.dtype == np.float32 and s.dtype == np.float32
+    inside = (grid >= wl[0]) & (grid <= wl[-1])
+    assert np.all(np.isnan(f[~inside])) and np.all(np.isnan(s[~inside]))
+    assert np.allclose(f[inside], 2.5) and np.allclose(s[inside], 0.5)
+    # exact passthrough where the source samples coincide with the grid
+    f2, _ = rebin_spectrum(grid, np.arange(n, dtype=float), sigma=np.ones(n), grid=grid)
+    assert np.array_equal(f2, np.arange(n, dtype=np.float32))
+
+
+def test_transmission_ratio_interpolation():
+    """F8: linear interpolation on the merged curve, zero outside coverage
+    (ref _get_transmission_ratio, photometry.py:248-254)."""
+    from hiss_cube_spark.sources.photometry_ingest import transmission_ratio
+
+    curve_wl = np.array([4000.0, 5000.0, 6000.0])
+    curve_ratio = np.array([0.2, 0.8, 0.4])
+    got = transmission_ratio(np.array([3500.0, 4000.0, 4500.0, 5500.0, 6000.0, 6500.0]),
+                             curve_wl, curve_ratio)
+    assert got.tolist() == [0.0, 0.2, pytest.approx(0.5), pytest.approx(0.6), 0.4, 0.0]
