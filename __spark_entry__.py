@@ -1986,8 +1986,10 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H q11 shape: group-agg filtered by an uncorrelated scalar subquery
     over the same aggregate (fraction-of-total threshold).
 
-    Spark plan: the 1-row total is a broadcast-nested-loop (cross) join —
-    the aggregate is computed once and reused, no per-row subquery.
+    Spark plan: the 1-row total joins via broadcast-nested-loop (cross);
+    note the total's subtree RE-computes the group-agg (Catalyst does not
+    share subplans across the join). Cheap here; at 100 TB persist `vals`
+    first (one extra small materialization beats a second fact-table pass).
     """
     li = _t(spark, sf_dir, "lineitem")
     vals = li.groupBy("l_partkey").agg(
