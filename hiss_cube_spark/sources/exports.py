@@ -3,8 +3,8 @@
 astropy is absent in this container, so the VOTable writer is a minimal
 standards-conformant XML serializer (VOTable 1.4 TABLEDATA) and the FITS
 binary-table writer emits a valid BINTABLE HDU with numpy — both pure
-python, both driver-side (exports are result tables, small by construction;
-the distributed sink is Parquet)."""
+python. Result-table exports are driver-side by design; the scale paths are
+Parquet and the per-partition VOTable writer (write_votable_distributed)."""
 
 from __future__ import annotations
 
@@ -14,7 +14,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
-__all__ = ["write_votable", "write_fits_table", "write_parquet"]
+__all__ = ["write_votable", "write_votable_distributed", "write_fits_table", "write_parquet"]
 
 _VOT_TYPES = {
     "int64": "long",
@@ -26,20 +26,29 @@ _VOT_TYPES = {
 }
 
 
-def write_votable(df: DataFrame, path: str, max_rows: int = 5_000_000) -> None:
-    """Serialize a result DataFrame as a VOTable 1.4 TABLEDATA document
-    (ref write_VOTable, metadata_strategy_cube_visualization.py:97-100)."""
-    pdf = df.limit(max_rows).toPandas()
+# Spark simpleString type names → VOTable datatypes (distributed path).
+_SPARK_VOT_TYPES = {
+    "bigint": "long",
+    "int": "int",
+    "smallint": "short",
+    "double": "double",
+    "float": "float",
+    "string": "char",
+    "boolean": "boolean",
+}
+
+
+def _votable_doc(colnames, vot_types, row_tuples) -> str:
+    """Render one standalone VOTable 1.4 TABLEDATA document."""
     fields = []
-    for name, dt in zip(pdf.columns, pdf.dtypes):
-        vt = _VOT_TYPES.get(str(dt), "char")
+    for name, vt in zip(colnames, vot_types):
         arr = ' arraysize="*"' if vt == "char" else ""
         fields.append(f'      <FIELD name="{escape(str(name))}" datatype="{vt}"{arr}/>')
     rows = []
-    for tup in pdf.itertuples(index=False, name=None):
+    for tup in row_tuples:
         cells = "".join(f"<TD>{'' if v is None else escape(str(v))}</TD>" for v in tup)
         rows.append(f"        <TR>{cells}</TR>")
-    doc = (
+    return (
         '<?xml version="1.0" encoding="UTF-8"?>\n'
         '<VOTABLE version="1.4" xmlns="http://www.ivoa.net/xml/VOTable/v1.3">\n'
         "  <RESOURCE>\n    <TABLE>\n"
@@ -48,8 +57,53 @@ def write_votable(df: DataFrame, path: str, max_rows: int = 5_000_000) -> None:
         + "\n".join(rows)
         + "\n      </TABLEDATA>\n      </DATA>\n    </TABLE>\n  </RESOURCE>\n</VOTABLE>\n"
     )
+
+
+def write_votable(df: DataFrame, path: str, max_rows: int = 5_000_000) -> None:
+    """Serialize a result DataFrame as a VOTable 1.4 TABLEDATA document
+    (ref write_VOTable, metadata_strategy_cube_visualization.py:97-100).
+
+    Driver-side: the right tool for result tables. For exports too large to
+    collect, use :func:`write_votable_distributed`."""
+    pdf = df.limit(max_rows).toPandas()
+    vts = [_VOT_TYPES.get(str(dt), "char") for dt in pdf.dtypes]
+    doc = _votable_doc(list(pdf.columns), vts, pdf.itertuples(index=False, name=None))
     with open(path, "w") as f:
         f.write(doc)
+
+
+def write_votable_distributed(df: DataFrame, dir_path: str, partitions: int | None = None) -> None:
+    """Scale-path VOTable export: each partition writes ONE standalone
+    VOTable document ``part-NNNNN.vot`` under ``dir_path`` — the multi-file
+    convention large catalog releases use. No driver collect; rows never
+    leave their executors.
+
+    ``dir_path`` must be reachable from every executor (shared FS / mounted
+    object store) — the same contract as any Spark file sink. Empty
+    partitions write nothing. ``partitions`` caps/repartitions output file
+    count (round-robin, preserves nothing; omit to keep current layout).
+    """
+    import os as _os
+
+    names = list(df.columns)
+    vts = [_SPARK_VOT_TYPES.get(f.dataType.simpleString(), "char") for f in df.schema.fields]
+    if partitions is not None:
+        df = df.repartition(partitions)
+    _os.makedirs(dir_path, exist_ok=True)
+
+    def _write_part(rows_iter):
+        from pyspark import TaskContext
+
+        rows = [tuple(r) for r in rows_iter]
+        if not rows:
+            return
+        pid = TaskContext.get().partitionId()
+        tmp = _os.path.join(dir_path, f".part-{pid:05d}.vot.tmp")
+        with open(tmp, "w") as f:
+            f.write(_votable_doc(names, vts, rows))
+        _os.replace(tmp, _os.path.join(dir_path, f"part-{pid:05d}.vot"))
+
+    df.foreachPartition(_write_part)
 
 
 _FITS_FORMS = {"int64": "K", "int32": "J", "float64": "D", "float32": "E"}
@@ -135,3 +189,8 @@ def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = Non
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)
+
+
+from hiss_cube_spark._serde import register_self as _register_self  # noqa: E402
+
+_register_self(__name__)

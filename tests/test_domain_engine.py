@@ -308,3 +308,36 @@ def test_crossmatch_healpix_equals_grid(spark, images, spectra):
     g = {(r["p_spec_id"], r["t_image_id"]) for r in grid.collect()}
     h = {(r["p_spec_id"], r["t_image_id"]) for r in hp.collect()}
     assert g == h and len(g) > 0
+
+
+def test_votable_distributed_roundtrip(spark, tmp_path_factory):
+    """S10 scale path: per-partition standalone VOTable docs, union of parsed
+    rows equals the input; each doc is well-formed XML with the full schema."""
+    import glob
+    import xml.etree.ElementTree as ET
+
+    from hiss_cube_spark.sources.exports import write_votable_distributed
+
+    out = str(tmp_path_factory.mktemp("vot_dist"))
+    df = spark.range(100).select(
+        F.col("id"),
+        (F.col("id") * 1.5).alias("val"),
+        F.concat(F.lit("row_"), F.col("id")).alias("name"),
+    )
+    write_votable_distributed(df, out, partitions=4)
+    files = sorted(glob.glob(os.path.join(out, "part-*.vot")))
+    assert 1 <= len(files) <= 4 and not glob.glob(os.path.join(out, ".part-*"))
+
+    ns = {"v": "http://www.ivoa.net/xml/VOTable/v1.3"}
+    got = []
+    for path in files:
+        root = ET.parse(path).getroot()
+        fields = [f.get("name") for f in root.findall(".//v:FIELD", ns)]
+        assert fields == ["id", "val", "name"]
+        types = [f.get("datatype") for f in root.findall(".//v:FIELD", ns)]
+        assert types == ["long", "double", "char"]
+        for tr in root.findall(".//v:TR", ns):
+            tds = [td.text for td in tr.findall("v:TD", ns)]
+            got.append((int(tds[0]), float(tds[1]), tds[2]))
+    exp = [(i, i * 1.5, f"row_{i}") for i in range(100)]
+    assert sorted(got) == exp
