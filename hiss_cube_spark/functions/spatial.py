@@ -177,6 +177,69 @@ def _interleave_bits(ix: np.ndarray, iy: np.ndarray) -> np.ndarray:
     return out
 
 
+def _deinterleave_bits(p: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Inverse of :func:`_interleave_bits`."""
+    ix = np.zeros_like(p)
+    iy = np.zeros_like(p)
+    for b in range(32):
+        ix |= ((p >> (2 * b)) & 1) << b
+        iy |= ((p >> (2 * b + 1)) & 1) << b
+    return ix, iy
+
+
+# Face rows / longitude offsets of the 12 base pixels (Górski et al. 2005).
+_JRLL = np.array([2, 2, 2, 2, 3, 3, 3, 3, 4, 4, 4, 4], dtype=np.int64)
+_JPLL = np.array([1, 3, 5, 7, 0, 2, 4, 6, 1, 3, 5, 7], dtype=np.int64)
+
+
+def _pix2ang_nest_np(pix: np.ndarray, nside: int) -> tuple[np.ndarray, np.ndarray]:
+    """Pixel-center (ra_deg, dec_deg) of nested ids — inverse of
+    :func:`_ang2pix_nest_np` (mirrors healpy.pix2ang(..., nest=True,
+    lonlat=True) semantics)."""
+    p = np.asarray(pix, dtype=np.int64)
+    npface = nside * nside
+    face = p // npface
+    ix, iy = _deinterleave_bits(p % npface)
+
+    jr = _JRLL[face] * nside - ix - iy - 1  # ring index, 1 .. 4*nside-1
+    north = jr < nside
+    south = jr > 3 * nside
+    eq = ~(north | south)
+
+    nr = np.full(p.shape, nside, dtype=np.int64)
+    z = np.empty(p.shape, dtype=np.float64)
+    kshift = np.zeros(p.shape, dtype=np.int64)
+
+    nr[north] = jr[north]
+    z[north] = 1.0 - (nr[north] * nr[north]) / (3.0 * npface)
+    nr[south] = 4 * nside - jr[south]
+    z[south] = (nr[south] * nr[south]) / (3.0 * npface) - 1.0
+    z[eq] = (2 * nside - jr[eq]) * 2.0 / (3.0 * nside)
+    kshift[eq] = (jr[eq] - nside) & 1
+
+    jp = (_JPLL[face] * nr + ix - iy + 1 + kshift) // 2
+    jp = np.where(jp > 4 * nside, jp - 4 * nside, jp)
+    jp = np.where(jp < 1, jp + 4 * nside, jp)
+    phi = (jp - (kshift + 1) * 0.5) * (np.pi / 2.0) / nr
+
+    ra = np.mod(np.degrees(phi), 360.0)
+    dec = np.degrees(np.arcsin(np.clip(z, -1.0, 1.0)))
+    return ra, dec
+
+
+def healpix_pix2ang_nest(pix: Column, order: int) -> Column:
+    """Pixel-center (ra, dec) struct for nested ids at ``order`` — the
+    healpy.pix2ang(nest=True, lonlat=True) analog (pandas UDF)."""
+    nside = 1 << order
+
+    @F.pandas_udf("ra double, dec double")
+    def _udf(p_s: pd.Series) -> pd.DataFrame:
+        ra, dec = _pix2ang_nest_np(p_s.to_numpy(), nside)
+        return pd.DataFrame({"ra": ra, "dec": dec})
+
+    return _udf(pix)
+
+
 def healpix_ang2pix_nest(ra: Column, dec: Column, order: int) -> Column:
     """Nested HEALPix pixel id at ``order`` (nside = 2**order), pandas UDF.
 
@@ -223,11 +286,22 @@ def healpix_disc_cover(ra: Column, dec: Column, radius_deg: float, order: int) -
             if rr >= pad:
                 break
         offs_np = np.array(offs)
+        # Any pixel intersecting the disc has its center within
+        # radius + max_pixrad; 1.3×pix_deg safely bounds max_pixrad at every
+        # nside, so the center-distance trim keeps the superset guarantee
+        # while dropping the sampling overshoot ring.
+        keep_r = math.radians(radius_deg + 1.3 * pix_deg)
         for r0, d0 in zip(ra0, dec0):
             cosd = max(math.cos(math.radians(d0)), 1e-9)
             ras = r0 + offs_np[:, 0] / cosd
             decs = np.clip(d0 + offs_np[:, 1], -90.0 + 1e-9, 90.0 - 1e-9)
-            out.append(np.unique(_ang2pix_nest_np(ras, decs, nside)).tolist())
+            ids = np.unique(_ang2pix_nest_np(ras, decs, nside))
+            cra, cdec = _pix2ang_nest_np(ids, nside)
+            sd = np.sin(np.radians((cdec - d0) / 2.0))
+            sr = np.sin(np.radians((cra - r0) / 2.0))
+            h = sd * sd + math.cos(math.radians(d0)) * np.cos(np.radians(cdec)) * sr * sr
+            dist = 2.0 * np.arcsin(np.sqrt(np.clip(h, 0.0, 1.0)))
+            out.append(ids[dist <= keep_r].tolist())
         return pd.Series(out)
 
     return _udf(ra, dec)

@@ -104,3 +104,23 @@ def test_fits_header_roundtrip(keys, vals):
     hdr = parse_fits_header(cards)
     for k, v in zip(keys, vals):
         assert hdr[k] == v
+
+
+@given(
+    order=st.integers(min_value=0, max_value=13),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=30, deadline=None)
+def test_healpix_pix2ang_roundtrip(order, seed):
+    """pix2ang is a true inverse: every pixel center maps back to its own
+    pixel (checked for random sky points at every order 0-13)."""
+    from hiss_cube_spark.functions.spatial import _ang2pix_nest_np, _pix2ang_nest_np
+
+    nside = 1 << order
+    rng = np.random.default_rng(seed)
+    ra = rng.uniform(0, 360, 200)
+    dec = np.degrees(np.arcsin(rng.uniform(-1, 1, 200)))
+    p = _ang2pix_nest_np(ra, dec, nside)
+    rc, dc = _pix2ang_nest_np(p, nside)
+    assert np.array_equal(_ang2pix_nest_np(rc, dc, nside), p)
+    assert np.all((rc >= 0) & (rc < 360)) and np.all((dc >= -90) & (dc <= 90))
