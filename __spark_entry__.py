@@ -1771,6 +1771,37 @@ def a_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "stream_sliding_window",
+    """
+    SELECT window_start_s, event_type, count(*) AS n_events,
+           round(CAST(sum(CAST(value AS DECIMAL(30,8))) AS DOUBLE), 6) AS sum_value
+    FROM (
+      SELECT ((CAST(floor(epoch(ts)) AS BIGINT) // 900) - g.k) * 900 AS window_start_s,
+             event_type, value
+      FROM events, unnest(generate_series(0, 3)) g(k)
+    ) hopped
+    GROUP BY 1, 2
+    """,
+)
+def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding/hopping windows (1h window, 15m slide): every event lands in
+    exactly window/slide = 4 windows. The oracle materializes the same 4
+    epoch-aligned starts per event with generate_series."""
+    from hiss_cube_spark.streaming import sliding_window_agg
+
+    e = _events(spark, sf_dir)
+    out = sliding_window_agg(
+        e, ts_col="ts", window="1 hour", slide="15 minutes", group_cols=["event_type"]
+    )
+    return out.select(
+        F.col("window_start").cast("long").alias("window_start_s"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
 # --------------------------------------------------------------------------
 # TPC-H breadth: the remaining canonical query shapes, adapted to the
 # columns this star schema carries (no partsupp/shipmode/commitdate).

@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["tumbling_window_agg", "session_window_agg", "stream_from_directory"]
+__all__ = ["tumbling_window_agg", "sliding_window_agg", "session_window_agg", "stream_from_directory"]
 
 
 def tumbling_window_agg(
@@ -24,6 +24,33 @@ def tumbling_window_agg(
     if watermark:
         df = df.withWatermark(ts_col, watermark)
     keys = [F.window(F.col(ts_col), window).alias("win")] + [F.col(c) for c in (group_cols or [])]
+    out = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(30,8)")).alias("_sv"),
+    )
+    return out.select(
+        F.col("win.start").alias("window_start"),
+        *[c for c in (group_cols or [])],
+        "n_events",
+        F.round(F.col("_sv").cast("double"), 6).alias("sum_value"),
+    )
+
+
+def sliding_window_agg(
+    df: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    group_cols: list[str] | None = None,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Sliding (hopping) event-time windows: each event lands in
+    window/slide overlapping windows (epoch-aligned starts)."""
+    if watermark:
+        df = df.withWatermark(ts_col, watermark)
+    keys = [F.window(F.col(ts_col), window, slide).alias("win")] + [
+        F.col(c) for c in (group_cols or [])
+    ]
     out = df.groupBy(*keys).agg(
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.col("value").cast("decimal(30,8)")).alias("_sv"),
