@@ -1772,6 +1772,28 @@ def a_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "a_median_quartiles",
+    """
+    SELECT l_returnflag,
+           round(CAST(quantile_cont(l_quantity, 0.25) AS DOUBLE), 6) AS q1_qty,
+           round(CAST(quantile_cont(l_quantity, 0.50) AS DOUBLE), 6) AS med_qty,
+           round(CAST(quantile_cont(l_quantity, 0.75) AS DOUBLE), 6) AS q3_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def a_median_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous percentiles (type-7 linear interpolation — the same
+    definition in Spark's percentile and DuckDB's quantile_cont; exact
+    cross-engine because quantities are integral doubles)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        _r6(F.percentile("l_quantity", F.lit(0.25))).alias("q1_qty"),
+        _r6(F.percentile("l_quantity", F.lit(0.50))).alias("med_qty"),
+        _r6(F.percentile("l_quantity", F.lit(0.75))).alias("q3_qty"),
+    )
+
+
+@_q(
     "stream_sliding_window",
     """
     SELECT window_start_s, event_type, count(*) AS n_events,

@@ -41,6 +41,11 @@ HEADLINE = [
     "text_langid",
     "text_quality",
     "f17_unpivot",
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "q21_lone_returned_supplier",
+    "stream_sliding_window",
+    "a_median_quartiles",
 ]
 
 
