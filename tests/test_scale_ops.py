@@ -79,3 +79,19 @@ def test_sql_surface(spark, sf_dir):
     assert "lineitem" in names
     df = sql(spark, "SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY 1")
     assert df.count() > 0
+
+
+def test_prefix_filter_jaccard_is_exact(spark, sf_dir):
+    """AllPairs prefix blocking must return EXACTLY the plain join's pairs —
+    the pruning theorem (smallest common gram lies in both prefixes) is
+    lossless, unlike LSH/df-cap blocking."""
+    from hiss_cube_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plain = sorted(tuple(r) for r in ngram_jaccard_pairs(d, threshold=0.8).collect())
+    spark.catalog.clearCache()
+    pref = sorted(
+        tuple(r) for r in ngram_jaccard_pairs(d, threshold=0.8, prefix_filter=True).collect()
+    )
+    spark.catalog.clearCache()
+    assert plain == pref and len(plain) > 0
