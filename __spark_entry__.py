@@ -1772,6 +1772,35 @@ def a_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "j_asof_join",
+    """
+    WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+         r AS (SELECT user_id, ts, max(value) AS view_value
+               FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+    SELECT l.event_id, l.user_id,
+           CAST(epoch_us(l.ts) AS BIGINT) AS ts_us,
+           round(r.view_value, 6) AS view_value
+    FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def j_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (backward, inclusive): each click gets the latest prior
+    view's value per user — DuckDB's native ASOF LEFT JOIN is the oracle
+    for our union+window implementation."""
+    from hiss_cube_spark.operators.asof import asof_join
+
+    e = _events(spark, sf_dir)
+    clicks = e.where(F.col("event_type") == "click").select("event_id", "user_id", "ts_us")
+    views = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id", "ts_us")
+        .agg(F.max("value").alias("view_value"))
+    )
+    out = asof_join(clicks, views, on="ts_us", by=("user_id",), direction="backward")
+    return out.select("event_id", "user_id", "ts_us", _r6(F.col("view_value")).alias("view_value"))
+
+
+@_q(
     "a_median_quartiles",
     """
     SELECT l_returnflag,

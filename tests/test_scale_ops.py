@@ -95,3 +95,28 @@ def test_prefix_filter_jaccard_is_exact(spark, sf_dir):
     )
     spark.catalog.clearCache()
     assert plain == pref and len(plain) > 0
+
+
+def test_asof_join_directions(spark):
+    """Backward and forward as-of joins on a hand-pinned case, including
+    inclusive-tie and no-match rows."""
+    from hiss_cube_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (2, 15, "c"), (3, 7, "d")],
+        "k int, ts int, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, 5, 1.0), (1, 18, 2.0), (1, 20, 3.0), (2, 20, 4.0)],
+        "k int, ts int, v double",
+    )
+    back = {
+        (r.k, r.ts): r.v
+        for r in asof_join(left, right, on="ts", by=("k",), direction="backward").collect()
+    }
+    assert back == {(1, 10): 1.0, (1, 20): 3.0, (2, 15): None, (3, 7): None}
+    fwd = {
+        (r.k, r.ts): r.v
+        for r in asof_join(left, right, on="ts", by=("k",), direction="forward").collect()
+    }
+    assert fwd == {(1, 10): 2.0, (1, 20): 3.0, (2, 15): 4.0, (3, 7): None}
