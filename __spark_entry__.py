@@ -1801,6 +1801,43 @@ def j_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "j_range_join",
+    """
+    WITH iv AS (SELECT l_suppkey, CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS yr,
+                       min(CAST(floor(epoch(l_shipdate) / 86400) AS BIGINT)) AS lo,
+                       max(CAST(floor(epoch(l_shipdate) / 86400) AS BIGINT)) AS hi
+                FROM lineitem GROUP BY 1, 2),
+         pt AS (SELECT CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) AS d FROM orders)
+    SELECT iv.l_suppkey, iv.yr, CAST(count(*) AS BIGINT) AS n_orders
+    FROM pt JOIN iv ON pt.d >= iv.lo AND pt.d <= iv.hi
+    GROUP BY 1, 2
+    """,
+)
+def j_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: count orders whose date falls inside each supplier's
+    per-year shipping interval. Bucket-blocked (7-day buckets) vs the
+    oracle's plain inequality join."""
+    from hiss_cube_spark.operators.range_join import range_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+
+    def day(c):
+        return F.floor(F.unix_timestamp(c) / F.lit(86400)).cast("long")
+
+    iv = (
+        li.select(
+            "l_suppkey", F.year("l_shipdate").alias("yr"), day(F.col("l_shipdate")).alias("_d")
+        )
+        .groupBy("l_suppkey", "yr")
+        .agg(F.min("_d").alias("lo"), F.max("_d").alias("hi"))
+    )
+    pt = o.select(day(F.col("o_orderdate")).alias("d"))
+    out = range_join(pt, iv, point_col="d", lo_col="lo", hi_col="hi", bucket_width=7)
+    return out.groupBy("l_suppkey", "yr").agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+@_q(
     "a_median_quartiles",
     """
     SELECT l_returnflag,

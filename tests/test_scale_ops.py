@@ -120,3 +120,26 @@ def test_asof_join_directions(spark):
         for r in asof_join(left, right, on="ts", by=("k",), direction="forward").collect()
     }
     assert fwd == {(1, 10): 2.0, (1, 20): 3.0, (2, 15): 4.0, (3, 7): None}
+
+
+def test_range_join_bucket_blocking(spark):
+    """Bucket blocking must (a) produce exactly the naive inequality join's
+    matches, (b) execute as an equi hash/merge join — NOT the
+    BroadcastNestedLoopJoin the naive plan degenerates to."""
+    from hiss_cube_spark.operators.range_join import range_join
+
+    pts = spark.range(0, 500).select((F.col("id") * 3 % 211).alias("x"))
+    iv = spark.range(0, 60).select(
+        F.col("id").alias("iv_id"),
+        (F.col("id") * 7 % 150).alias("lo"),
+        (F.col("id") * 7 % 150 + F.col("id") % 25).alias("hi"),
+    )
+    blocked = range_join(pts, iv, point_col="x", lo_col="lo", hi_col="hi", bucket_width=8)
+    naive = pts.join(iv, (F.col("x") >= F.col("lo")) & (F.col("x") <= F.col("hi")))
+    assert sorted((r.x, r.iv_id) for r in blocked.collect()) == sorted(
+        (r.x, r.iv_id) for r in naive.collect()
+    )
+    plan = blocked._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    naive_plan = naive._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in naive_plan  # what we are avoiding
