@@ -1838,6 +1838,32 @@ def j_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "emb_centroids",
+    """
+    SELECT label, g.i - 1 AS pos,
+           round(CAST(sum(CAST(floor(CAST(embedding[g.i] AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT)
+                 / 1e12 / count(*), 6) AS centroid_val
+    FROM embeddings, unnest(generate_series(1, len(embedding))) g(i)
+    GROUP BY 1, 2
+    """,
+)
+def emb_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector aggregation: element-wise mean embedding (centroid) per label,
+    emitted as (label, pos, value) rows. posexplode → one shuffle keyed by
+    (label, pos) with map-side partials — the scalable mean-pool shape; the
+    1e-12 quantized-long sum keeps it reduction-order exact cross-engine."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = F.floor(F.col("v").cast("double") * F.lit(1e12)).cast("long")
+    return (
+        e.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(
+            _r6(F.sum(q).cast("double") / F.lit(1e12) / F.count(F.lit(1))).alias("centroid_val")
+        )
+    )
+
+
+@_q(
     "a_median_quartiles",
     """
     SELECT l_returnflag,
