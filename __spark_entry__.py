@@ -1377,7 +1377,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hiss_cube_spark.operators.dedup import ngram_jaccard_pairs
 
     d = _t(spark, sf_dir, "documents").where(F.size(F.split("text", " ")) >= 3)
-    out = ngram_jaccard_pairs(d, threshold=0.8, n=3)
+    # prefix_filter is the 100 TB default — provably identical output
+    # (AllPairs prefix theorem + full-shingle verification), so running it
+    # here keeps the scale path under the correctness gate.
+    out = ngram_jaccard_pairs(d, threshold=0.8, n=3, prefix_filter=True)
     return out.select("doc_a", "doc_b", _r6(F.col("jaccard")).alias("jaccard"))
 
 
