@@ -19,9 +19,10 @@ its own table) — the ``update --<phase>`` CLI surface of the reference
 
 from __future__ import annotations
 
+import json
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from hiss_cube_spark.operators.link import build_cutout_refs
@@ -55,6 +56,10 @@ class CubePipeline:
         self.zooms = zooms
         self.cutout_size = cutout_size
         self.max_refs = max_refs
+        #: per-table row counts, filled as phases run (the reference's
+        #: image_count/spectrum_count file attrs, utils/io.py:183-199 —
+        #: observed on the write pass itself, no extra count() job).
+        self.stats: dict[str, int] = {}
 
     # -- table IO ----------------------------------------------------------
 
@@ -63,6 +68,18 @@ class CubePipeline:
 
     def read(self, table: str) -> DataFrame:
         return self.spark.read.parquet(self.path(table))
+
+    def _write_observed(
+        self, df: DataFrame, table: str, parts: list[str]
+    ) -> None:
+        """Write + record the row count observed on the same pass (A3/A7)."""
+        obs = Observation(table)
+        w = df.observe(obs, F.count(F.lit(1)).alias("rows"))
+        writer = w.write.mode("overwrite")
+        if parts:
+            writer = writer.partitionBy(*parts)
+        writer.parquet(self.path(table))
+        self.stats[table] = int(obs.get["rows"])
 
     def write_bronze(self, df: DataFrame, table: str, partition_by: list[str] | None = None) -> None:
         """Bronze sink (S9): partition by zoom, cluster by healpix within
@@ -76,10 +93,7 @@ class CubePipeline:
             w = w.repartition(*[F.col(c) for c in parts] if parts else [F.lit(1)]).sortWithinPartitions(
                 "healpix"
             )
-        writer = w.write.mode("overwrite")
-        if parts:
-            writer = writer.partitionBy(*parts)
-        writer.parquet(self.path(table))
+        self._write_observed(w, table, parts)
 
     # -- phases ------------------------------------------------------------
 
@@ -100,7 +114,7 @@ class CubePipeline:
             cutout_size=self.cutout_size,
             max_refs=self.max_refs,
         )
-        refs.write.mode("overwrite").partitionBy("zoom").parquet(self.path("cutout_refs"))
+        self._write_observed(refs, "cutout_refs", ["zoom"])
 
     def phase_ml_cube(self) -> None:
         """Gold: the Global DB query."""
@@ -108,8 +122,8 @@ class CubePipeline:
         refs = self.read("cutout_refs")
         images = self.read("images")
         spec_cube, img_cube = build_ml_cube(spectra, refs, images)
-        spec_cube.write.mode("overwrite").partitionBy("zoom").parquet(self.path("ml_cube_spectra"))
-        img_cube.write.mode("overwrite").partitionBy("zoom").parquet(self.path("ml_cube_images"))
+        self._write_observed(spec_cube, "ml_cube_spectra", ["zoom"])
+        self._write_observed(img_cube, "ml_cube_images", ["zoom"])
 
     def phase_visualization(self, export: str | None = None, export_zoom: int = 0) -> None:
         """Gold: the per-zoom point table; optionally export one zoom as a
@@ -122,7 +136,7 @@ class CubePipeline:
         refs = self.read("cutout_refs")
         images = self.read("images")
         viz = build_visualization_cube(spectra, refs, images)
-        viz.write.mode("overwrite").partitionBy("zoom").parquet(self.path("visualization_cube"))
+        self._write_observed(viz, "visualization_cube", ["zoom"])
         if export:
             from hiss_cube_spark.sources.exports import write_fits_table, write_votable
 
@@ -144,3 +158,5 @@ class CubePipeline:
         self.phase_link()
         self.phase_ml_cube()
         self.phase_visualization(export=export, export_zoom=export_zoom)
+        with open(self.path("_stats.json"), "w") as f:
+            json.dump(self.stats, f, indent=2, sort_keys=True)

@@ -165,7 +165,13 @@ def test_pipeline_phases(spark, images, spectra, tmp_path_factory):
     pipe.create(images, spectra, export="both", export_zoom=3)
     for t in ("images", "spectra", "cutout_refs", "ml_cube_spectra", "ml_cube_images", "visualization_cube"):
         assert os.path.isdir(os.path.join(wh, t)), t
-        assert spark.read.parquet(os.path.join(wh, t)).count() > 0, t
+        n = spark.read.parquet(os.path.join(wh, t)).count()
+        assert n > 0, t
+        # A3/A7: counts observed on the write pass equal the table counts
+        assert pipe.stats[t] == n, t
+    import json as _json
+
+    assert _json.load(open(os.path.join(wh, "_stats.json"))) == pipe.stats
     # zoom partition pruning materialized on disk
     assert os.path.isdir(os.path.join(wh, "images", "zoom=0"))
     # exports written and structurally valid (read back by our own parsers)
