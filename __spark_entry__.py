@@ -1841,6 +1841,32 @@ def j_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "cone_search",
+    f"""
+    WITH s AS ({_SQL_SPEC})
+    SELECT spec_id, ra, dec,
+           round(sqrt(least(abs(ra - 100.0), 360.0 - abs(ra - 100.0))
+                      * least(abs(ra - 100.0), 360.0 - abs(ra - 100.0))
+                      + (dec - 15.0) * (dec - 15.0)), 6) AS dist_deg
+    FROM s
+    WHERE sqrt(least(abs(ra - 100.0), 360.0 - abs(ra - 100.0))
+               * least(abs(ra - 100.0), 360.0 - abs(ra - 100.0))
+               + (dec - 15.0) * (dec - 15.0)) <= 20.0
+    """,
+)
+def cone_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-object cone search: literal disc cells constant-fold into an
+    IN-list prefilter (row-group prunable on a spatially-sorted layout),
+    exact planar separation as the post-filter — the reference's spatial
+    tree-walk lookup as one pruned scan."""
+    from hiss_cube_spark.operators.crossmatch import cone_search as _cone
+
+    s = _spectra(spark, sf_dir)
+    out = _cone(s, ra0=100.0, dec0=15.0, radius_deg=20.0)
+    return out.select("spec_id", "ra", "dec", _r6(F.col("dist_deg")).alias("dist_deg"))
+
+
+@_q(
     "emb_centroids",
     """
     SELECT label, g.i - 1 AS pos,

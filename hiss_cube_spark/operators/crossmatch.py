@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 
 from hiss_cube_spark.functions.spatial import grid_cell, grid_disc_cells, sphere_dist_deg
 
-__all__ = ["crossmatch", "cap_matches_per_probe"]
+__all__ = ["crossmatch", "cap_matches_per_probe", "cone_search"]
 
 
 def crossmatch(
@@ -105,4 +105,39 @@ def cap_matches_per_probe(
         matches.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") <= max_refs)
         .drop("_rn")
+    )
+
+
+def cone_search(
+    df,
+    ra0: float,
+    dec0: float,
+    radius_deg: float,
+    ra_col: str = "ra",
+    dec_col: str = "dec",
+    cell_deg: float | None = None,
+):
+    """Cone search: rows within ``radius_deg`` of a fixed (ra0, dec0), with
+    the exact separation attached as ``dist_deg``.
+
+    The disc's cell cover is built from LITERALS, so Catalyst constant-folds
+    it to a literal array and the prefilter is a plain IN-list on the row's
+    cell id — with the bronze layout sorted by the spatial key this prunes
+    parquet row groups via min/max stats before the exact distance test runs.
+    The standard single-object lookup the reference serves via its spatial
+    tree walk (astrometry.py:140-155).
+    """
+    if cell_deg is None:
+        cell_deg = max(float(radius_deg), 0.1)
+    cells = grid_disc_cells(
+        F.lit(float(ra0)), F.lit(float(dec0)), float(radius_deg), float(cell_deg)
+    )
+    pre = F.array_contains(cells, grid_cell(F.col(ra_col), F.col(dec_col), float(cell_deg)))
+    dist = sphere_dist_deg(
+        F.col(ra_col), F.col(dec_col), F.lit(float(ra0)), F.lit(float(dec0))
+    )
+    return (
+        df.where(pre)
+        .withColumn("dist_deg", dist)
+        .where(F.col("dist_deg") <= F.lit(float(radius_deg)))
     )
