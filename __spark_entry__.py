@@ -1441,7 +1441,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hiss_cube_spark.operators.dedup import simhash_fingerprints, simhash_pairs
 
     d = _t(spark, sf_dir, "documents")
-    fps = simhash_fingerprints(d)
+    # The fingerprint projection is row-local but expensive (64-bit vote
+    # fold); the chunk-banding self-join reads it from both sides and the 8
+    # chunk expressions would each inline it via projection collapse —
+    # persist the 16 B/doc table so the fold runs exactly once per document.
+    fps = simhash_fingerprints(d).persist()
     return simhash_pairs(fps, max_hamming=7, n_chunks=8)
 
 
