@@ -1629,6 +1629,82 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "cur_hash_split",
+    """
+    WITH s AS (
+      SELECT CASE WHEN (doc_id * 2654435761) % 1000 < 800 THEN 'train'
+                  WHEN (doc_id * 2654435761) % 1000 < 900 THEN 'val'
+                  ELSE 'test' END AS split,
+             len(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS n
+      FROM documents)
+    SELECT split, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS n_tokens
+    FROM s GROUP BY split
+    """,
+)
+def cur_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split by hashed key (pure function of
+    doc_id — stable under re-runs and repartitioning, unlike randomSplit),
+    summarized per split."""
+    from hiss_cube_spark.operators.curation import hash_split
+    from hiss_cube_spark.operators.text_analysis import tokenize
+
+    d = hash_split(_t(spark, sf_dir, "documents"))
+    return d.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tokenize(F.col("text"))).cast("long")).alias("n_tokens"),
+    )
+
+
+@_q(
+    "cur_pack_sequences",
+    """
+    WITH n AS (
+      SELECT doc_id, source,
+             CAST(len(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS BIGINT) AS n_tokens
+      FROM documents),
+    c AS (
+      SELECT doc_id, source, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS cum
+      FROM n)
+    SELECT doc_id, source, n_tokens,
+           CAST(floor(cum / 512) AS BIGINT) AS bin_id,
+           CAST(cum % 512 AS BIGINT) AS chunk_offset
+    FROM c
+    """,
+)
+def cur_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing into 512-token context windows,
+    one independent stream per source shard (parallel per-shard windows —
+    the multi-worker loader layout)."""
+    from hiss_cube_spark.operators.curation import pack_sequences
+
+    return pack_sequences(
+        _t(spark, sf_dir, "documents"), capacity=512, shard_col="source"
+    ).select("doc_id", "source", "n_tokens", "bin_id", "chunk_offset")
+
+
+@_q(
+    "cur_balanced_sample",
+    """
+    SELECT lang, doc_id, rnk FROM (
+      SELECT lang, doc_id,
+             CAST(row_number() OVER (
+               PARTITION BY lang
+               ORDER BY (doc_id * 2654435761) % 2147483648, doc_id) AS BIGINT) AS rnk
+      FROM documents)
+    WHERE rnk <= 20
+    """,
+)
+def cur_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic class-balanced sample: 20 docs per language chosen by
+    hashed-key order (uniform within label, reproducible across engines)."""
+    from hiss_cube_spark.operators.curation import balanced_sample
+
+    return balanced_sample(_t(spark, sf_dir, "documents"), k=20, label_col="lang")
+
+
+@_q(
     "mm_decode_stub",
     """
     SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -1,0 +1,126 @@
+"""Dataset-curation operators for LLM training-data pipelines: deterministic
+train/val/test splitting, sequence packing into fixed context windows, and
+class-balanced sampling.
+
+All pure integer/column math (no Python UDFs, no RNG state): assignments are
+a function of the row's key alone, so they are reproducible across engines
+(ANSI-SQL oracle), across runs, and across repartitionings — the property
+that actually matters for data splits (a re-run must never move a document
+between train and test).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from hiss_cube_spark.operators.text_analysis import tokenize
+
+__all__ = ["hash_split", "pack_sequences", "balanced_sample"]
+
+# Knuth multiplicative constant — scrambles sequential ids so range-correlated
+# inputs (monotone keys, per-source blocks) spread uniformly over buckets.
+_MIX = 2654435761
+
+_DEFAULT_WEIGHTS: dict[str, float] = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def split_bucket(id_col: Column, n_buckets: int = 1000) -> Column:
+    """Deterministic bucket in [0, n_buckets) from an integer key."""
+    return F.pmod(id_col.cast("long") * F.lit(_MIX), F.lit(n_buckets))
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    weights: dict[str, float] | None = None,
+) -> DataFrame:
+    """Assign every row a deterministic split label by hashed key.
+
+    ``weights`` is an ordered {name: fraction} mapping (fractions sum to ≤1;
+    any remainder falls into the last split). Because the assignment is a
+    pure function of the key, adding or removing OTHER rows never reassigns
+    a document — unlike ``randomSplit``, whose sampling depends on partition
+    layout. At 100 TB this is a free narrow projection: no shuffle, no
+    state, pushdown-friendly.
+    """
+    weights = weights or _DEFAULT_WEIGHTS
+    bucket = split_bucket(F.col(id_col))
+    names = list(weights)
+    bounds: list[int] = []
+    acc = 0.0
+    for name in names:
+        acc += weights[name]
+        bounds.append(int(round(acc * 1000)))
+    # CASE chain evaluated in weight order: bucket < bound_i → split i
+    chain = F.lit(names[-1])
+    for name, hi in zip(reversed(names), reversed(bounds)):
+        chain = F.when(bucket < F.lit(hi), F.lit(name)).otherwise(chain)
+    return df.withColumn("split", chain)
+
+
+def pack_sequences(
+    df: DataFrame,
+    capacity: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shard_col: str | None = None,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: place documents head-to-tail in
+    ``id_col`` order and chunk the token stream into ``capacity``-token
+    context windows (the GPT-style pretraining packer — documents may
+    straddle a window boundary).
+
+    Output per document: ``bin_id`` (window index where the document's first
+    token lands), ``chunk_offset`` (position inside that window) and
+    ``n_tokens``. One running-sum window over the ordered stream computes
+    everything.
+
+    ``shard_col`` packs each shard as an independent stream — the scale
+    form: a global ORDER BY window serializes onto one task, while per-shard
+    packing shuffles once by shard and packs all shards in parallel (this is
+    also what multi-worker training loaders expect: one packed stream per
+    shard/worker).
+    """
+    n = F.size(tokenize(F.col(text_col)))
+    if shard_col is None:
+        w = Window.orderBy(id_col)
+        keys = [F.col(id_col).alias("doc_id")]
+    else:
+        w = Window.partitionBy(shard_col).orderBy(id_col)
+        keys = [F.col(id_col).alias("doc_id"), F.col(shard_col)]
+    before = (F.sum(n).over(w) - n).cast("long")
+    return df.select(
+        *keys,
+        n.cast("long").alias("n_tokens"),
+        F.floor(before / F.lit(capacity)).alias("bin_id"),
+        F.pmod(before, F.lit(capacity)).alias("chunk_offset"),
+    )
+
+
+def balanced_sample(
+    df: DataFrame,
+    k: int,
+    label_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic class-balanced sample: ``k`` rows per label, chosen by
+    hashed-key order (uniform within the label, stable across runs and
+    engines). The usual rebalancing step before fine-tuning on skewed
+    label distributions.
+
+    One hash-partitioned window per label; at scale this shuffles each
+    label's rows once and keeps only rank ≤ k per partition — no driver
+    collect, no sampling state.
+    """
+    rnk = F.row_number().over(
+        Window.partitionBy(label_col).orderBy(
+            split_bucket(F.col(id_col), 1 << 31), F.col(id_col)
+        )
+    )
+    return (
+        df.withColumn("rnk", rnk.cast("long"))
+        .where(F.col("rnk") <= k)
+        .select(F.col(label_col), F.col(id_col).alias("doc_id"), F.col("rnk"))
+    )
