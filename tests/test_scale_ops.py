@@ -143,3 +143,16 @@ def test_range_join_bucket_blocking(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     naive_plan = naive._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in naive_plan  # what we are avoiding
+
+
+def test_cosine_pairs_blocked_matches_expr(spark, sf_dir):
+    """The numpy block kernel must reproduce the Catalyst quantized-dot
+    expression bit-for-bit (same IEEE ops), across several block counts —
+    including n_blocks > n_vectors (empty block-pairs)."""
+    from hiss_cube_spark.operators.similarity import cosine_pairs, cosine_pairs_blocked
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    expected = sorted(tuple(r) for r in cosine_pairs(e, threshold=0.4, exact=True).collect())
+    for n_blocks in (1, 4, 8):
+        got = sorted(tuple(r) for r in cosine_pairs_blocked(e, threshold=0.4, n_blocks=n_blocks).collect())
+        assert got == expected, f"n_blocks={n_blocks}"
