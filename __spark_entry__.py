@@ -1926,10 +1926,51 @@ def j_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "j_interval_overlap",
+    """
+    WITH iv AS (SELECT l_suppkey, CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS yr,
+                       min(CAST(floor(epoch(l_shipdate) / 86400) AS BIGINT)) AS lo,
+                       min(CAST(floor(epoch(l_shipdate) / 86400) AS BIGINT)) + 6 AS hi
+                FROM lineitem GROUP BY 1, 2)
+    SELECT a.yr, CAST(count(*) AS BIGINT) AS n_overlapping_pairs
+    FROM iv a JOIN iv b
+      ON a.yr = b.yr AND a.l_suppkey < b.l_suppkey
+     AND a.lo <= b.hi AND b.lo <= a.hi
+    GROUP BY a.yr
+    """,
+)
+def j_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join: pairs of suppliers whose first shipping weeks
+    overlap, per year. Bucket-blocked with start-bucket dedup-free matching
+    vs the oracle's plain inequality self-join."""
+    from hiss_cube_spark.operators.range_join import interval_overlap_join
+
+    li = _t(spark, sf_dir, "lineitem")
+
+    def day(c):
+        return F.floor(F.unix_timestamp(c) / F.lit(86400)).cast("long")
+
+    iv = (
+        li.select(
+            "l_suppkey", F.year("l_shipdate").alias("yr"), day(F.col("l_shipdate")).alias("_d")
+        )
+        .groupBy("l_suppkey", "yr")
+        .agg(F.min("_d").alias("lo"), (F.min("_d") + F.lit(6)).alias("hi"))
+    )
+    a = iv.select(F.col("l_suppkey").alias("supp_a"), "yr", F.col("lo").alias("lo_a"), F.col("hi").alias("hi_a"))
+    b = iv.select(F.col("l_suppkey").alias("supp_b"), "yr", F.col("lo").alias("lo_b"), F.col("hi").alias("hi_b"))
+    out = interval_overlap_join(
+        a, b, lo_left="lo_a", hi_left="hi_a", lo_right="lo_b", hi_right="hi_b",
+        by=("yr",), bucket_width=7,
+    ).where(F.col("supp_a") < F.col("supp_b"))
+    return out.groupBy("yr").agg(F.count(F.lit(1)).alias("n_overlapping_pairs"))
+
+
+@_q(
     "cone_search",
     f"""
     WITH s AS ({_SQL_SPEC})
-    SELECT spec_id, ra, dec,
+    SELECT spec_id, CAST(ra AS DOUBLE) AS ra, CAST(dec AS DOUBLE) AS dec,
            round(sqrt(least(abs(ra - 100.0), 360.0 - abs(ra - 100.0))
                       * least(abs(ra - 100.0), 360.0 - abs(ra - 100.0))
                       + (dec - 15.0) * (dec - 15.0)), 6) AS dist_deg

@@ -7,7 +7,8 @@ streaming semantics."""
 from hiss_cube_spark.streaming.windows import (
     session_window_agg,
     sliding_window_agg,
+    stream_dedup,
     tumbling_window_agg,
 )
 
-__all__ = ["tumbling_window_agg", "sliding_window_agg", "session_window_agg"]
+__all__ = ["tumbling_window_agg", "sliding_window_agg", "session_window_agg", "stream_dedup"]

@@ -156,3 +156,23 @@ def test_cosine_pairs_blocked_matches_expr(spark, sf_dir):
     for n_blocks in (1, 4, 8):
         got = sorted(tuple(r) for r in cosine_pairs_blocked(e, threshold=0.4, n_blocks=n_blocks).collect())
         assert got == expected, f"n_blocks={n_blocks}"
+
+
+def test_interval_overlap_join_no_duplicates(spark):
+    """Pairs sharing many buckets must still emerge exactly once (the
+    start-bucket rule), including containment and touching-endpoint cases."""
+    from hiss_cube_spark.operators.range_join import interval_overlap_join
+
+    a = spark.createDataFrame(
+        [(1, 0, 100), (2, 10, 20), (3, 200, 210)], "id_a long, lo_a long, hi_a long"
+    )
+    b = spark.createDataFrame(
+        [(10, 5, 95), (11, 100, 150), (12, 210, 300), (13, 400, 500)],
+        "id_b long, lo_b long, hi_b long",
+    )
+    # bucket_width=1 → interval 1 shares ~90 buckets with interval 10
+    out = interval_overlap_join(
+        a, b, lo_left="lo_a", hi_left="hi_a", lo_right="lo_b", hi_right="hi_b", bucket_width=1
+    ).select("id_a", "id_b").collect()
+    got = sorted((r["id_a"], r["id_b"]) for r in out)
+    assert got == [(1, 10), (1, 11), (2, 10), (3, 12)]

@@ -184,3 +184,63 @@ def test_streaming_fits_ingest(spark, tmp_path_factory):
     # processes only unseen landing files → +3 frames ×5 zooms
     assert got2.count() == 5 * 5
     assert got2.select("image_id").distinct().count() == 3
+
+
+def test_stream_dedup_across_microbatches(spark, tmp_path_factory):
+    """Streaming exact dedup: first arrival of each key emits, duplicates
+    are suppressed ACROSS micro-batch runs (checkpointed state), and keys
+    older than the watermark horizon are evicted — a re-arrival after
+    eviction emits again (the documented state bound, not a bug)."""
+    import glob as _glob
+
+    from hiss_cube_spark.streaming import stream_dedup
+    from hiss_cube_spark.streaming.windows import stream_from_directory
+
+    src = str(tmp_path_factory.mktemp("dd_src"))
+    out = str(tmp_path_factory.mktemp("dd_out"))
+    ckpt = str(tmp_path_factory.mktemp("dd_ckpt"))
+
+    def _stage(rows):
+        spark.createDataFrame(
+            rows, "event_id long, ts_s string, doc_key string"
+        ).withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+    def _run():
+        stream = stream_from_directory(spark, src, spark.read.parquet(src).schema)
+        dd = stream_dedup(stream, ["doc_key"], ts_col="ts", watermark="30 minutes")
+        q = (
+            dd.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        if not _glob.glob(os.path.join(out, "*.parquet")):
+            return []
+        return sorted(r["event_id"] for r in spark.read.parquet(out).collect())
+
+    _stage([(1, "2024-01-01 00:05:00", "A"),
+            (2, "2024-01-01 00:06:00", "B"),
+            (3, "2024-01-01 00:10:00", "A")])   # in-batch dup of A
+    assert _run() == [1, 2]
+
+    # run 2: dup of B inside the horizon → suppressed by checkpointed state;
+    # C is new → emits
+    _stage([(4, "2024-01-01 00:20:00", "B"),
+            (5, "2024-01-01 00:21:00", "C")])
+    assert _run() == [1, 2, 5]
+
+    # run 3: advance event time far past the horizon (eviction applies the
+    # PREVIOUS batch's watermark, so the advance and the re-arrival must be
+    # separate runs)
+    _stage([(6, "2024-01-01 06:00:00", "D")])
+    assert _run() == [1, 2, 5, 6]
+
+    # run 4: A's state was evicted at the 05:30 watermark → re-arrival emits
+    # again (the documented state bound of within-watermark dedup)
+    _stage([(7, "2024-01-01 06:01:00", "A")])
+    assert _run() == [1, 2, 5, 6, 7]
