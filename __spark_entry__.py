@@ -1708,6 +1708,71 @@ def cur_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "dedup_clusters",
+    f"""
+    WITH RECURSIVE pairs AS ({_SQL_SHINGLE_JACCARD}),
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+              UNION SELECT doc_b AS a, doc_a AS b FROM pairs),
+    reach(node, label) AS (
+      SELECT DISTINCT a, a FROM edges
+      UNION
+      SELECT e.b, r.label FROM reach r JOIN edges e ON e.a = r.node
+    )
+    SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY node
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster resolution: exact-Jaccard pairs (j >= 0.8) grouped
+    into transitive clusters by distributed min-label propagation, each
+    cluster labelled with its minimum doc_id — the step that turns pair
+    lists into per-document keep/drop decisions. Oracle: recursive-CTE
+    transitive closure over the same pair set."""
+    from hiss_cube_spark.operators.clusters import connected_components
+    from hiss_cube_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents").where(F.size(F.split("text", " ")) >= 3)
+    pairs = ngram_jaccard_pairs(d, threshold=0.8, n=3, prefix_filter=True)
+    return connected_components(pairs).select(
+        F.col("node").alias("doc_id"), "cluster_id"
+    )
+
+
+@_q(
+    "cur_decontaminate",
+    """
+    WITH tr AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents
+                WHERE doc_id % 10 != 0 AND len(string_split(text, ' ')) >= 5),
+    te AS (SELECT string_split(text, ' ') AS w FROM documents
+           WHERE doc_id % 10 = 0 AND len(string_split(text, ' ')) >= 5),
+    trg AS (SELECT DISTINCT doc_id,
+                   w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] AS gram
+            FROM tr, unnest(generate_series(1, len(w) - 4)) t(i)),
+    teg AS (SELECT DISTINCT
+                   w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] AS gram
+            FROM te, unnest(generate_series(1, len(w) - 4)) t(i)),
+    bad AS (SELECT DISTINCT doc_id FROM trg WHERE gram IN (SELECT gram FROM teg))
+    SELECT lang, count(*) AS n_surviving
+    FROM tr WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+    GROUP BY lang
+    """,
+)
+def cur_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: docs with doc_id % 10 == 0 play the held-out
+    benchmark; training docs sharing any word 5-gram with it are dropped
+    (anti-join on the broadcast test gram set), surviving counts per lang.
+    5-grams (not 3) because the synthetic corpus shares template trigrams
+    corpus-wide — at n=5 exactly the truly-leaked near-dups are removed."""
+    from hiss_cube_spark.operators.curation import decontaminate
+
+    d = _t(spark, sf_dir, "documents").where(F.size(F.split("text", " ")) >= 5)
+    train = d.where(F.col("doc_id") % 10 != 0)
+    test = d.where(F.col("doc_id") % 10 == 0)
+    return decontaminate(train, test, n=5).groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_surviving")
+    )
+
+
+@_q(
     "mm_decode_stub",
     """
     SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

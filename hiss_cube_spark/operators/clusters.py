@@ -1,0 +1,99 @@
+"""Near-duplicate cluster resolution: pairs → connected components → one
+canonical document per cluster.
+
+Every fuzzy-dedup path in this engine (`ngram_jaccard_pairs`,
+`minhash_lsh_pairs`, `simhash_pairs`, `cosine_pairs`) emits *pairs* above a
+similarity threshold. Deduplicating a corpus needs one more step: group the
+pairs into transitive clusters and keep exactly one member of each — the
+reference's analog is the target self-grouping that collapses co-located
+spectra into one object (metadata_strategy_cube_ml.py:598-602), applied to
+the similarity graph instead of the sky.
+
+Distributed algorithm: iterative min-label propagation. Each node starts
+labelled with its own id; every iteration each node takes the min of its
+label and its neighbors' labels; at fixpoint every node in a component
+carries the component's min id. Per iteration this is one shuffle join
+(edges ⋈ labels on the neighbor key) plus one map-side-combining groupBy —
+no driver-side graph state, so it scales to edge lists that don't fit on
+one machine. Iteration count is the graph diameter; near-dup graphs are
+overwhelmingly tiny cliques and short chains (diameter ≤ 3), so 2-4 rounds
+converge. Lineage is cut with an eager localCheckpoint every round —
+without it the plan doubles per iteration and py4j plan-build time blows up
+long before the data does.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["connected_components", "resolve_duplicates"]
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, cluster_id) for every node appearing in ``pairs``; cluster_id
+    is the minimum node id of the connected component.
+
+    Converges in diameter-many rounds and stops early as soon as a round
+    changes nothing. Raises if ``max_iter`` rounds don't reach the fixpoint
+    (a diameter that large means the input is not a near-dup pair list).
+    """
+    edges = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    # Undirected: propagate along both directions of every edge.
+    edges = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    edges = edges.localCheckpoint(eager=True)
+
+    labels = (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges["b"] == labels["node"])
+            .select(edges["a"].alias("node"), F.col("label"))
+        )
+        new_labels = (
+            labels.union(neighbor_min)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels.select("node", F.col("label").alias("cluster_id"))
+    raise RuntimeError(f"connected_components did not converge in {max_iter} iterations")
+
+
+def resolve_duplicates(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "doc_a",
+    dst: str = "doc_b",
+) -> DataFrame:
+    """Drop every near-duplicate except one canonical representative.
+
+    Keeps: all rows of ``df`` that appear in no pair, plus the minimum-id
+    member of each duplicate cluster. One anti-join against the (small)
+    non-representative node set — ``df`` itself is never shuffled.
+    """
+    cc = connected_components(pairs, src=src, dst=dst)
+    losers = cc.where(F.col("node") != F.col("cluster_id")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")

@@ -17,7 +17,7 @@ from pyspark.sql.window import Window
 
 from hiss_cube_spark.operators.text_analysis import tokenize
 
-__all__ = ["hash_split", "pack_sequences", "balanced_sample"]
+__all__ = ["hash_split", "pack_sequences", "balanced_sample", "decontaminate"]
 
 # Knuth multiplicative constant — scrambles sequential ids so range-correlated
 # inputs (monotone keys, per-source blocks) spread uniformly over buckets.
@@ -124,3 +124,41 @@ def balanced_sample(
         .where(F.col("rnk") <= k)
         .select(F.col(label_col), F.col(id_col).alias("doc_id"), F.col("rnk"))
     )
+
+
+def decontaminate(
+    train: DataFrame,
+    test: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination: drop every training document that shares
+    at least one word ``n``-gram with any test/benchmark document.
+
+    The standard pre-training hygiene step (remove eval-set leakage), as a
+    pure relational plan: explode both corpora to distinct (doc, gram) rows
+    (row-local shingling, `dedup.shingle_array`), left-semi join train grams
+    against the test gram set to find contaminated ids, then one anti-join
+    back onto ``train`` — the full text column is never shuffled. The test
+    side is a benchmark (tiny vs the 100 TB train side), so its distinct
+    gram set broadcasts and the contamination probe is a map-side join.
+
+    Documents shorter than ``n`` tokens emit one short gram (their whole
+    token list); a short doc is only dropped if an identical short doc —
+    not a longer superset — appears in the test set.
+    """
+    from hiss_cube_spark.operators.dedup import word_shingles
+
+    train_grams = word_shingles(train, text_col=text_col, id_col=id_col, n=n)
+    test_grams = (
+        word_shingles(test, text_col=text_col, id_col=id_col, n=n)
+        .select("gram")
+        .distinct()
+    )
+    contaminated = (
+        train_grams.join(F.broadcast(test_grams), "gram", "left_semi")
+        .select(F.col("doc_id").alias(id_col))
+        .distinct()
+    )
+    return train.join(contaminated, id_col, "left_anti")

@@ -57,3 +57,49 @@ def test_balanced_sample_k_per_label(docs):
     a = sorted(tuple(r) for r in out.collect())
     b = sorted(tuple(r) for r in balanced_sample(docs, k=k, label_col="lang").collect())
     assert a == b
+
+
+def test_connected_components_chain_and_clique(spark):
+    from hiss_cube_spark.operators.clusters import connected_components
+
+    pairs = spark.createDataFrame(
+        # chain 1-2-3-4 (diameter 3, needs >1 propagation round) + triangle
+        # 10-11-12 + isolated pair (20, 21)
+        [(2, 1), (2, 3), (4, 3), (10, 11), (11, 12), (10, 12), (21, 20)],
+        "doc_a long, doc_b long",
+    )
+    got = {r["node"]: r["cluster_id"] for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_resolve_duplicates_keeps_canonical_and_untouched(spark):
+    from hiss_cube_spark.operators.clusters import resolve_duplicates
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in (1, 2, 3, 7, 8)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "doc_a long, doc_b long")
+    kept = sorted(r["doc_id"] for r in resolve_duplicates(docs, pairs).collect())
+    # cluster {1,2,3} -> keep 1; 7 and 8 appear in no pair -> untouched
+    assert kept == [1, 7, 8]
+
+
+def test_decontaminate_drops_ngram_overlap(spark):
+    from hiss_cube_spark.operators.curation import decontaminate
+
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely unrelated content about spark engines"),
+            (3, "short doc"),
+        ],
+        "doc_id long, text string",
+    )
+    test = spark.createDataFrame(
+        [(100, "we saw the quick brown fox jumps far away")],
+        "doc_id long, text string",
+    )
+    kept = sorted(r["doc_id"] for r in decontaminate(train, test, n=3).collect())
+    # doc 1 shares the 3-gram "quick brown fox"; docs 2 and 3 survive
+    # (3 is shorter than n -> its whole-text gram matches nothing)
+    assert kept == [2, 3]
