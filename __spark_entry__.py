@@ -2021,6 +2021,9 @@ def j_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("l_suppkey", "yr")
         .agg(F.min("_d").alias("lo"), (F.min("_d") + F.lit(6)).alias("hi"))
+        # materialize the (small) interval table once — both self-join sides
+        # replan the lineitem scan+aggregation otherwise (no exchange reuse)
+        .localCheckpoint(eager=True)
     )
     a = iv.select(F.col("l_suppkey").alias("supp_a"), "yr", F.col("lo").alias("lo_a"), F.col("hi").alias("hi_a"))
     b = iv.select(F.col("l_suppkey").alias("supp_b"), "yr", F.col("lo").alias("lo_b"), F.col("hi").alias("hi_b"))

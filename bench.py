@@ -46,6 +46,9 @@ HEADLINE = [
     "q21_lone_returned_supplier",
     "stream_sliding_window",
     "a_median_quartiles",
+    "j_interval_overlap",
+    "dedup_clusters",
+    "cur_decontaminate",
 ]
 
 
