@@ -1632,6 +1632,34 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "text_repetition",
+    """
+    WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS w
+               FROM documents),
+    base AS (SELECT doc_id, len(w) AS n_tok, len(list_distinct(w)) AS n_distinct, w FROM t),
+    grams AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS g
+              FROM base, unnest(generate_series(1, len(w) - 1)) s(i)
+              WHERE len(w) >= 2),
+    gc AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY 1, 2),
+    gm AS (SELECT doc_id, max(c) AS top_c, sum(c) AS tot FROM gc GROUP BY 1)
+    SELECT b.doc_id, CAST(b.n_tok AS BIGINT) AS n_tokens,
+           round(CASE WHEN b.n_tok > 0 THEN 1 - b.n_distinct * 1.0 / b.n_tok ELSE 0.0 END, 6)
+             AS dup_token_frac,
+           round(coalesce(gm.top_c * 1.0 / gm.tot, 0.0), 6) AS top_gram_frac
+    FROM base b LEFT JOIN gm ON b.doc_id = gm.doc_id
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-document repetition: duplicate-token fraction and
+    most-frequent-bigram fraction. Row-local sorted-array run-scan (mode
+    count = max equal-adjacent run of the sorted grams) — map-only, vs the
+    oracle's exploded two-level (doc, gram) aggregation."""
+    from hiss_cube_spark.operators.text_analysis import repetition_score
+
+    return repetition_score(_t(spark, sf_dir, "documents"))
+
+
+@_q(
     "cur_hash_split",
     """
     WITH s AS (

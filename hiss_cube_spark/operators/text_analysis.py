@@ -10,7 +10,14 @@ from pyspark.sql import functions as F
 
 from hiss_cube_spark.operators.dedup import token_code
 
-__all__ = ["tokenize", "token_counts", "quality_score", "lang_id", "doc_fingerprint"]
+__all__ = [
+    "tokenize",
+    "token_counts",
+    "quality_score",
+    "lang_id",
+    "doc_fingerprint",
+    "repetition_score",
+]
 
 # Marker tokens per language for the n-gram/stopword heuristic. Determinism,
 # not linguistic accuracy, is the contract (the synthetic corpus shares one
@@ -115,3 +122,56 @@ def doc_fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
         F.aggregate(terms, F.lit(0).cast("long"), lambda acc, x: acc + x), F.lit(1 << 31)
     )
     return df.select(F.col(id_col).alias("doc_id"), fp.alias("fingerprint"))
+
+
+def repetition_score(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 2
+) -> DataFrame:
+    """Within-document repetition signals (Gopher-style rep filters):
+    duplicate-token fraction (1 - distinct/total) and the fraction of all
+    word ``n``-grams taken by the single most frequent one.
+
+    Entirely row-local — no explode, no shuffle: the top-gram count is a
+    single scan over the *sorted* gram array (the max equal-adjacent run
+    length of a sorted multiset IS the mode's count), so at 100 TB this is
+    a map-only pass like the other quality scores, not a two-level
+    (doc, gram) aggregation.
+    """
+    toks = tokenize(F.col(text_col))
+    n_tok = F.size(toks)
+    grams_all = F.when(
+        n_tok >= n,
+        F.transform(
+            F.sequence(F.lit(0), n_tok - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sorted_grams = F.array_sort(grams_all)
+    zero = F.lit(0).cast("long")
+    top_run = F.aggregate(
+        sorted_grams,
+        F.struct(
+            F.lit("").alias("prev"), zero.alias("run"), zero.alias("best")
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long")).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long")),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    n_grams = F.size(grams_all)
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        n_tok.cast("long").alias("n_tokens"),
+        F.round(
+            F.when(n_tok > 0, F.lit(1.0) - F.size(F.array_distinct(toks)) / (F.lit(1.0) * n_tok)).otherwise(F.lit(0.0)),
+            6,
+        ).alias("dup_token_frac"),
+        F.round(
+            F.when(n_grams > 0, top_run / (F.lit(1.0) * n_grams)).otherwise(F.lit(0.0)), 6
+        ).alias("top_gram_frac"),
+    )

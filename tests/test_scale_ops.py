@@ -176,3 +176,23 @@ def test_interval_overlap_join_no_duplicates(spark):
     ).select("id_a", "id_b").collect()
     got = sorted((r["id_a"], r["id_b"]) for r in out)
     assert got == [(1, 10), (1, 11), (2, 10), (3, 12)]
+
+
+def test_repetition_score_pinned(spark):
+    """Hand-computed repetition fractions, incl. the short-doc guards."""
+    from hiss_cube_spark.operators.text_analysis import repetition_score
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a b"),        # dup: 1-2/4=0.5; bigrams [a a, a a, a b] -> 2/3
+            (2, "x y z"),          # dup: 0; bigrams [x y, y z] -> 1/2
+            (3, "w"),              # 1 token: no bigrams -> 0.0
+            (4, "r r r r"),        # dup: 0.75; bigrams [r r]x3 -> 1.0
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in repetition_score(docs).collect()}
+    assert got[1]["dup_token_frac"] == 0.5 and got[1]["top_gram_frac"] == round(2 / 3, 6)
+    assert got[2]["dup_token_frac"] == 0.0 and got[2]["top_gram_frac"] == 0.5
+    assert got[3]["n_tokens"] == 1 and got[3]["top_gram_frac"] == 0.0
+    assert got[4]["dup_token_frac"] == 0.75 and got[4]["top_gram_frac"] == 1.0
