@@ -2137,6 +2137,61 @@ def a_median_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "o_global_topk",
+    """
+    SELECT o_orderkey, o_custkey,
+           round(CAST(o_totalprice AS DOUBLE), 6) AS total_price
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 15
+    """,
+)
+def o_global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: orderBy + limit compiles to TakeOrderedAndProject —
+    per-partition heaps + one k-row merge on the driver, never a full sort
+    (the 100 TB-safe top-k). Deterministic via the orderkey tiebreak."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(15)
+        .select("o_orderkey", "o_custkey", _r6(F.col("o_totalprice").cast("double")).alias("total_price"))
+    )
+
+
+@_q(
+    "a_pivot_flags",
+    """
+    SELECT CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS yr,
+           round(CAST(sum(CASE WHEN l_returnflag = 'A'
+                 THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,8)) END) AS DOUBLE), 6) AS rev_A,
+           round(CAST(sum(CASE WHEN l_returnflag = 'N'
+                 THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,8)) END) AS DOUBLE), 6) AS rev_N,
+           round(CAST(sum(CASE WHEN l_returnflag = 'R'
+                 THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,8)) END) AS DOUBLE), 6) AS rev_R
+    FROM lineitem GROUP BY 1
+    """,
+)
+def a_pivot_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long → wide): revenue per ship-year pivoted over the three
+    return flags. Explicit pivot values keep it one pass (no extra
+    distinct-values job) and the plan a plain conditional aggregation."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = _dec(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+    out = (
+        li.select(F.year("l_shipdate").alias("yr"), "l_returnflag", rev.alias("_rev"))
+        .groupBy("yr")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.sum("_rev"))
+    )
+    return out.select(
+        "yr",
+        _r6(F.col("A").cast("double")).alias("rev_A"),
+        _r6(F.col("N").cast("double")).alias("rev_N"),
+        _r6(F.col("R").cast("double")).alias("rev_R"),
+    )
+
+
+@_q(
     "stream_sliding_window",
     """
     SELECT window_start_s, event_type, count(*) AS n_events,
