@@ -4,6 +4,7 @@ windowed aggregations. Every transformation is identical in batch and
 streaming mode (same DataFrame functions), so the batch oracle validates the
 streaming semantics."""
 
+from hiss_cube_spark.streaming.link import stream_crossmatch
 from hiss_cube_spark.streaming.windows import (
     session_window_agg,
     sliding_window_agg,
@@ -11,4 +12,10 @@ from hiss_cube_spark.streaming.windows import (
     tumbling_window_agg,
 )
 
-__all__ = ["tumbling_window_agg", "sliding_window_agg", "session_window_agg", "stream_dedup"]
+__all__ = [
+    "tumbling_window_agg",
+    "sliding_window_agg",
+    "session_window_agg",
+    "stream_dedup",
+    "stream_crossmatch",
+]

@@ -244,3 +244,73 @@ def test_stream_dedup_across_microbatches(spark, tmp_path_factory):
     # again (the documented state bound of within-watermark dedup)
     _stage([(7, "2024-01-01 06:01:00", "A")])
     assert _run() == [1, 2, 5, 6, 7]
+
+
+def test_stream_crossmatch_matches_batch(spark, tmp_path_factory):
+    """Stream-static link join: newly-landed probes cross-match against the
+    static target catalog with EXACTLY the batch operator's semantics, and a
+    second run processes only unseen probe files (checkpointed file log)."""
+    import glob as _glob
+
+    from hiss_cube_spark.operators.crossmatch import crossmatch
+    from hiss_cube_spark.streaming.link import stream_crossmatch
+
+    src = str(tmp_path_factory.mktemp("probe_landing"))
+    out = str(tmp_path_factory.mktemp("link_out"))
+    ckpt = str(tmp_path_factory.mktemp("link_ckpt"))
+
+    targets = spark.createDataFrame(
+        [(100, 10.0, 10.0), (101, 10.5, 10.0), (102, 50.0, -30.0)],
+        "img_id long, ra double, dec double",
+    )
+
+    def _stage(rows):
+        spark.createDataFrame(rows, "spec_id long, ra double, dec double").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+    def _run():
+        matched = stream_crossmatch(
+            spark,
+            src,
+            spark.read.parquet(src).schema,
+            targets,
+            radius_deg=1.0,
+            broadcast_targets=True,
+        )
+        q = (
+            matched.select("p_spec_id", "t_img_id", "match_dist")
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        if not _glob.glob(os.path.join(out, "*.parquet")):
+            return []
+        return sorted(
+            (r["p_spec_id"], r["t_img_id"])
+            for r in spark.read.parquet(out).collect()
+        )
+
+    # batch 1: one probe near targets 100/101, one probe matching nothing
+    _stage([(1, 10.1, 10.05), (2, 120.0, 60.0)])
+    got1 = _run()
+    assert got1 == [(1, 100), (1, 101)]
+
+    # batch 2: probe near 102 only; prior matches are NOT re-emitted
+    _stage([(3, 50.2, -30.1)])
+    got2 = _run()
+    assert got2 == [(1, 100), (1, 101), (3, 102)]
+
+    # parity: the accumulated streaming output equals one batch crossmatch
+    batch = crossmatch(
+        spark.read.parquet(src), targets, radius_deg=1.0, broadcast_targets=True
+    )
+    expected = sorted(
+        (r["p_spec_id"], r["t_img_id"])
+        for r in batch.select("p_spec_id", "t_img_id").collect()
+    )
+    assert got2 == expected
