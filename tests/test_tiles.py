@@ -52,3 +52,43 @@ def test_tiled_deref_equals_untiled(spark, images_z0):
         assert got.shape == (r["y_max"] - r["y_min"], r["x_max"] - r["x_min"])
         np.testing.assert_array_equal(got, plain[(r["image_id"], r["x_min"], r["y_min"])])
     assert not any(np.isnan(np.array(r["cutout_data"])).any() for r in rows)
+
+
+def test_compact_table_preserves_rows_and_restores_clustering(spark, tmp_path_factory):
+    """Many unordered appends -> one compaction pass: row parity, file-count
+    target, and within-file key ordering (the pruning property) restored."""
+    from pyspark.sql import functions as F
+
+    from hiss_cube_spark.plans.maintenance import compact_table, parquet_file_count
+
+    path = str(tmp_path_factory.mktemp("compact") / "tbl")
+    # 20 tiny appends with interleaved keys (the streaming-ingest aftermath)
+    for i in range(20):
+        spark.range(i, 2000, 20).select(
+            F.col("id").alias("healpix"), (F.col("id") * 2).alias("v")
+        ).coalesce(1).write.mode("append").parquet(path)
+    assert parquet_file_count(path) >= 20
+    before = spark.read.parquet(path)
+    n = before.count()
+    checksum = before.agg(F.sum("v")).collect()[0][0]
+
+    n_files = compact_table(spark, path, target_rows_per_file=500, sort_cols=["healpix"])
+    assert n_files == 4  # 2000 rows / 500
+    after = spark.read.parquet(path)
+    assert after.count() == n
+    assert after.agg(F.sum("v")).collect()[0][0] == checksum
+    # per-file ordering: within every file, healpix must be non-decreasing
+    withfile = after.select("healpix", F.col("_metadata.file_path").alias("f"))
+    disorder = (
+        withfile.withColumn(
+            "prev",
+            F.lag("healpix").over(
+                __import__("pyspark.sql.window", fromlist=["Window"]).Window.partitionBy(
+                    "f"
+                ).orderBy(F.monotonically_increasing_id())
+            ),
+        )
+        .where(F.col("prev") > F.col("healpix"))
+        .count()
+    )
+    assert disorder == 0
