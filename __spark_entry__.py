@@ -722,6 +722,32 @@ def w_rank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "w_distribution_ranks",
+    """
+    SELECT c_mktsegment, c_custkey,
+           CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def w_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution ranking functions (ntile/percent_rank/cume_dist) in one
+    window pass — one shuffle + one sort per partition key, all three
+    functions share the frame. Deterministic via the custkey tiebreak."""
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_mktsegment",
+        "c_custkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@_q(
     "w_moving_sum",
     """
     SELECT event_id, user_id,
