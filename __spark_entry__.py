@@ -1762,6 +1762,30 @@ def cur_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "cur_corpus_report",
+    """
+    WITH t AS (SELECT source, doc_id, lang, text,
+                      CAST(len(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS BIGINT) AS nt
+               FROM documents)
+    SELECT source, count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           round((count(*) - count(DISTINCT text)) * 1.0 / count(*), 6) AS dup_rate,
+           round(CAST(quantile_cont(nt, 0.5) AS DOUBLE), 6) AS p50_tokens,
+           round(CAST(quantile_cont(nt, 0.9) AS DOUBLE), 6) AS p90_tokens
+    FROM t GROUP BY source
+    """,
+)
+def cur_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dataset card (docs, tokens, language mix, duplicate rate,
+    token-length quantiles) in one map-side-combining groupBy — the summary
+    published with every corpus snapshot. Text never shuffles: the dup rate
+    counts distinct xxhash64 digests."""
+    from hiss_cube_spark.operators.curation import corpus_report
+
+    return corpus_report(_t(spark, sf_dir, "documents"))
+
+
+@_q(
     "dedup_clusters",
     f"""
     WITH RECURSIVE pairs AS ({_SQL_SHINGLE_JACCARD}),

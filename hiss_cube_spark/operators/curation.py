@@ -17,7 +17,7 @@ from pyspark.sql.window import Window
 
 from hiss_cube_spark.operators.text_analysis import tokenize
 
-__all__ = ["hash_split", "pack_sequences", "balanced_sample", "decontaminate"]
+__all__ = ["hash_split", "pack_sequences", "balanced_sample", "decontaminate", "corpus_report"]
 
 # Knuth multiplicative constant — scrambles sequential ids so range-correlated
 # inputs (monotone keys, per-source blocks) spread uniformly over buckets.
@@ -162,3 +162,41 @@ def decontaminate(
         .distinct()
     )
     return train.join(contaminated, id_col, "left_anti")
+
+
+def corpus_report(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-group dataset card: document count, token totals, language mix,
+    duplicate-text rate, and token-length quartiles — the summary table a
+    training-data pipeline publishes alongside every corpus snapshot.
+
+    One pass: all metrics are aggregates over row-local column math (token
+    counts via `tokenize`, dup rate via distinct text hashes), so the plan
+    is a single map-side-combining groupBy — no self-joins, no windows.
+    """
+    toks = tokenize(F.col(text_col))
+    n_tok = F.size(toks).cast("long")
+    return (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.col(id_col),
+            n_tok.alias("_nt"),
+            F.xxhash64(F.col(text_col)).alias("_th"),
+            F.col("lang").alias("_lang") if "lang" in df.columns else F.lit("?").alias("_lang"),
+        )
+        .groupBy(F.col("grp").alias(group_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_nt").alias("n_tokens"),
+            F.countDistinct("_lang").alias("n_langs"),
+            F.round(
+                (F.count(F.lit(1)) - F.countDistinct("_th")) / (F.lit(1.0) * F.count(F.lit(1))), 6
+            ).alias("dup_rate"),
+            F.round(F.percentile("_nt", F.lit(0.5)), 6).alias("p50_tokens"),
+            F.round(F.percentile("_nt", F.lit(0.9)), 6).alias("p90_tokens"),
+        )
+    )

@@ -196,3 +196,19 @@ def test_repetition_score_pinned(spark):
     assert got[2]["dup_token_frac"] == 0.0 and got[2]["top_gram_frac"] == 0.5
     assert got[3]["n_tokens"] == 1 and got[3]["top_gram_frac"] == 0.0
     assert got[4]["dup_token_frac"] == 0.75 and got[4]["top_gram_frac"] == 1.0
+
+
+def test_interval_overlap_join_negative_bounds(spark):
+    """floor-division bucketing must stay correct for negative coordinates
+    (floor, not truncation, so -3/2 -> bucket -2)."""
+    from hiss_cube_spark.operators.range_join import interval_overlap_join
+
+    a = spark.createDataFrame([(1, -10, -1), (2, -100, -50)], "id_a long, lo_a long, hi_a long")
+    b = spark.createDataFrame(
+        [(10, -5, 5), (11, -60, -55), (12, 0, 3)], "id_b long, lo_b long, hi_b long"
+    )
+    out = interval_overlap_join(
+        a, b, lo_left="lo_a", hi_left="hi_a", lo_right="lo_b", hi_right="hi_b", bucket_width=7
+    ).select("id_a", "id_b").collect()
+    got = sorted((r["id_a"], r["id_b"]) for r in out)
+    assert got == [(1, 10), (2, 11)]
