@@ -212,3 +212,68 @@ def test_interval_overlap_join_negative_bounds(spark):
     ).select("id_a", "id_b").collect()
     got = sorted((r["id_a"], r["id_b"]) for r in out)
     assert got == [(1, 10), (2, 11)]
+
+
+def test_connected_components_random_vs_union_find(spark):
+    """Random graphs: distributed min-label propagation must equal a
+    driver-side union-find's min-id-per-component labelling."""
+    import random
+
+    from hiss_cube_spark.operators.clusters import connected_components
+
+    for seed in (7, 42, 1234):
+        rng = random.Random(seed)
+        edges = [(rng.randrange(60), rng.randrange(60)) for _ in range(80)]
+        edges = [(a, b) for a, b in edges if a != b]
+
+        parent = list(range(60))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+        comp = {}
+        for a, b in edges:
+            for x in (a, b):
+                r = find(x)
+                comp[x] = min(comp.get(x, x), *(y for y in range(60) if find(y) == r))
+        pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        got = {r["node"]: r["cluster_id"] for r in connected_components(pairs).collect()}
+        assert got == comp, f"seed={seed}"
+
+
+def test_interval_overlap_random_vs_bruteforce(spark):
+    """Random interval sets at several bucket widths must equal the O(n^2)
+    overlap scan — no dropped pairs, no duplicated pairs."""
+    import random
+
+    from hiss_cube_spark.operators.range_join import interval_overlap_join
+
+    rng = random.Random(99)
+    A = [(i, rng.randrange(-50, 50)) for i in range(40)]
+    A = [(i, lo, lo + rng.randrange(0, 20)) for i, lo in A]
+    B = [(i, rng.randrange(-50, 50)) for i in range(40)]
+    B = [(i, lo, lo + rng.randrange(0, 20)) for i, lo in B]
+    expected = sorted(
+        (ia, ib)
+        for ia, la, ha in A
+        for ib, lb, hb in B
+        if la <= hb and lb <= ha
+    )
+    a = spark.createDataFrame(A, "id_a long, lo_a long, hi_a long")
+    b = spark.createDataFrame(B, "id_b long, lo_b long, hi_b long")
+    for w in (1, 5, 13):
+        got = sorted(
+            (r["id_a"], r["id_b"])
+            for r in interval_overlap_join(
+                a, b, lo_left="lo_a", hi_left="hi_a", lo_right="lo_b", hi_right="hi_b",
+                bucket_width=w,
+            ).select("id_a", "id_b").collect()
+        )
+        assert got == expected, f"bucket_width={w}"
