@@ -103,3 +103,29 @@ def test_decontaminate_drops_ngram_overlap(spark):
     # doc 1 shares the 3-gram "quick brown fox"; docs 2 and 3 survive
     # (3 is shorter than n -> its whole-text gram matches nothing)
     assert kept == [2, 3]
+
+
+def test_train_pipeline_example_composes(spark, sf_dir):
+    """The end-to-end curation example: every stage feeds the next, counts
+    shrink monotonically through the filters, and the packed train shard
+    stays consistent with its split."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "examples"))
+    from train_pipeline import curate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    benchmark = docs.where(F.col("doc_id") % 10 == 0)
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    outs = curate(spark, corpus, benchmark)
+
+    n_raw = corpus.count()
+    n_cur = outs["curated"].count()
+    assert 0 < n_cur <= n_raw
+    assert outs["split"].count() == n_cur
+    train_ids = {r["doc_id"] for r in outs["split"].where(F.col("split") == "train").collect()}
+    packed_ids = {r["doc_id"] for r in outs["packed_train"].collect()}
+    assert packed_ids == train_ids  # every train doc packed exactly once
+    rep = outs["report"]
+    assert rep.agg(F.sum("n_docs")).collect()[0][0] == n_cur
