@@ -144,8 +144,8 @@ def dereference_cutouts_tiled(
             cd[py : py + pd_blk.shape[0], px : px + pd_blk.shape[1]] = pd_blk
             ce[py : py + pe_blk.shape[0], px : px + pe_blk.shape[1]] = pe_blk
         out = {c: [pdf[c].iloc[0]] for c in ref_cols}
-        out["cutout_data"] = [cd.tolist()]
-        out["cutout_errors"] = [ce.tolist()]
+        out["cutout_data"] = [list(cd)]
+        out["cutout_errors"] = [list(ce)]
         return pd.DataFrame(out)
 
     return piece.groupBy(*ref_cols).applyInPandas(_assemble, schema=out_schema)

@@ -86,8 +86,11 @@ def image_rows_from_fits(
                     "ctype2": str(header.get("CTYPE2", "DEC--TAN")),
                 },
                 "header": json.dumps(header, default=str),
-                "data": d.tolist(),
-                "errors": e.tolist(),
+                # list of 1-D float32 row arrays: Arrow converts numpy rows
+                # ~30x faster than nested python lists (3M boxed floats per
+                # full-size frame dominated ingest before)
+                "data": list(np.ascontiguousarray(d)),
+                "errors": list(np.ascontiguousarray(e)),
             }
         )
         if z < zooms - 1:
@@ -195,9 +198,9 @@ def spectrum_rows_from_fits(
                 "healpix": healpix,
                 "time": time,
                 "zoom": z,
-                "wl": np.asarray(w, dtype=np.float32).tolist(),
-                "flux_mean": np.asarray(fl, dtype=np.float32).tolist(),
-                "flux_sigma": np.asarray(sg, dtype=np.float32).tolist(),
+                "wl": np.asarray(w, dtype=np.float32),
+                "flux_mean": np.asarray(fl, dtype=np.float32),
+                "flux_sigma": np.asarray(sg, dtype=np.float32),
             }
         )
         if z < zooms - 1:
