@@ -11,8 +11,12 @@ between train and test).
 
 from __future__ import annotations
 
+# module-top import: pandas_udf type hints resolve at decoration time under
+# `from __future__ import annotations`, so `pd` must exist in the namespace
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 from pyspark.sql.window import Window
 
 from hiss_cube_spark.operators.text_analysis import tokenize
@@ -136,32 +140,48 @@ def decontaminate(
     """Benchmark decontamination: drop every training document that shares
     at least one word ``n``-gram with any test/benchmark document.
 
-    The standard pre-training hygiene step (remove eval-set leakage), as a
-    pure relational plan: explode both corpora to distinct (doc, gram) rows
-    (row-local shingling, `dedup.shingle_array`), left-semi join train grams
-    against the test gram set to find contaminated ids, then one anti-join
-    back onto ``train`` — the full text column is never shuffled. The test
-    side is a benchmark (tiny vs the 100 TB train side), so its distinct
-    gram set broadcasts and the contamination probe is a map-side join.
+    The standard pre-training hygiene step (remove eval-set leakage). The
+    test side is a benchmark — tiny by definition vs the 100 TB train side —
+    so its distinct gram set fits in a broadcast variable, and membership of
+    "any train gram ∈ test grams" is decidable row-locally. The plan is one
+    narrow filter over ``train``: an Arrow-batched pandas UDF shingles each
+    document in place and probes the broadcast hash set. Nothing on the
+    train side is exploded, shuffled, or scanned twice (the previous
+    relational form exploded train to (doc, gram) rows, distinct-shuffled
+    them, then anti-joined back — ~5× slower at sf0.1 and a gram-table
+    shuffle of ~n_tokens× the corpus size at 100 TB).
 
-    Documents shorter than ``n`` tokens emit one short gram (their whole
-    token list); a short doc is only dropped if an identical short doc —
-    not a longer superset — appears in the test set.
+    Shingling matches `dedup.shingle_array` exactly: tokens split on single
+    space, grams joined by single space, empty grams dropped. Documents
+    shorter than ``n`` tokens emit one short gram (their whole token list);
+    a short doc is only dropped if an identical short doc — not a longer
+    superset — appears in the test set.
     """
-    from hiss_cube_spark.operators.dedup import word_shingles
+    from hiss_cube_spark.operators.dedup import shingle_array
 
-    train_grams = word_shingles(train, text_col=text_col, id_col=id_col, n=n)
-    test_grams = (
-        word_shingles(test, text_col=text_col, id_col=id_col, n=n)
-        .select("gram")
-        .distinct()
+    spark = train.sparkSession
+    test_grams = test.select(
+        F.explode(shingle_array(F.col(text_col), n)).alias("gram")
+    ).distinct()
+    bad = spark.sparkContext.broadcast(
+        frozenset(r[0] for r in test_grams.collect())
     )
-    contaminated = (
-        train_grams.join(F.broadcast(test_grams), "gram", "left_semi")
-        .select(F.col("doc_id").alias(id_col))
-        .distinct()
-    )
-    return train.join(contaminated, id_col, "left_anti")
+
+    @pandas_udf("boolean")
+    def _is_clean(texts: pd.Series) -> pd.Series:
+        grams = bad.value
+
+        def clean(t: str) -> bool:
+            toks = t.split(" ")
+            for i in range(max(len(toks) - n, 0) + 1):
+                g = " ".join(toks[i : i + n])
+                if g and g in grams:
+                    return False
+            return True
+
+        return texts.map(clean)
+
+    return train.filter(_is_clean(F.col(text_col)))
 
 
 def corpus_report(
@@ -200,3 +220,7 @@ def corpus_report(
             F.round(F.percentile("_nt", F.lit(0.9)), 6).alias("p90_tokens"),
         )
     )
+
+from hiss_cube_spark._serde import register_self as _register_self  # noqa: E402
+
+_register_self(__name__)
