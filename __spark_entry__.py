@@ -1786,6 +1786,83 @@ def cur_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "text_heavy_hitters",
+    """
+    SELECT t.tok AS token, count(*) AS n
+    FROM documents, unnest(string_split(text, ' ')) t(tok)
+    WHERE len(t.tok) > 0
+    GROUP BY 1 ORDER BY n DESC, token LIMIT 20
+    """,
+)
+def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary heavy hitters: top-20 tokens by frequency. Map-side
+    partial aggregation absorbs the Zipf skew (hot tokens combine per
+    partition before the shuffle); the top-k is TakeOrderedAndProject, not
+    a full sort."""
+    from hiss_cube_spark.operators.text_analysis import token_frequencies
+
+    return token_frequencies(_t(spark, sf_dir, "documents"), k=20)
+
+
+@_q(
+    "text_tfidf_topk",
+    """
+    WITH toks AS (
+      SELECT doc_id, t.tok AS token
+      FROM documents, unnest(string_split(text, ' ')) t(tok)
+      WHERE len(t.tok) > 0 AND doc_id % 20 = 0),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+    dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+    nd AS (SELECT count(*) AS nd FROM documents WHERE doc_id % 20 = 0),
+    s AS (
+      SELECT tf.doc_id, tf.token,
+             CAST(floor(tf.tf * ln((nd.nd + 1.0) / (dfreq.df + 1.0)) * 1e6) AS BIGINT) AS score_q
+      FROM tf JOIN dfreq USING (token), nd),
+    rk AS (
+      SELECT doc_id, token, score_q,
+             row_number() OVER (PARTITION BY doc_id ORDER BY score_q DESC, token) AS rnk
+      FROM s)
+    SELECT doc_id, token, CAST(rnk AS BIGINT) AS rnk,
+           round(score_q / 1e6, 6) AS score
+    FROM rk WHERE rnk <= 3
+    """,
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF keywords per document (1-in-20 doc sample). The rank key
+    is the score quantized to a long so ordering and the emitted score are
+    engine-exact; document frequency re-groups the tf table instead of a
+    second distinct pass."""
+    from hiss_cube_spark.operators.text_analysis import tfidf_top_terms
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 20 == 0)
+    return tfidf_top_terms(d, k=3)
+
+
+@_q(
+    "cur_temperature_sample",
+    """
+    WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+    t AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n, sum(pow(cnt, 0.5)) AS z FROM c),
+    r AS (SELECT lang,
+                 CAST(floor(least(1.0, 0.5 * t.n * pow(c.cnt, 0.5) / t.z / c.cnt) * 1e6) AS BIGINT) AS rate_ppm
+          FROM c, t)
+    SELECT d.doc_id, d.lang, round(r.rate_ppm / 1e6, 6) AS rate
+    FROM documents d JOIN r USING (lang)
+    WHERE (d.doc_id * 2654435761) % 1000000 < r.rate_ppm
+    """,
+)
+def cur_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based language rebalancing (α=0.5, half-corpus budget):
+    per-lang rates ∝ cnt^α / cnt, membership by Knuth-hashed key bucket vs
+    the ppm-quantized rate — deterministic across engines and runs."""
+    from hiss_cube_spark.operators.curation import temperature_sample
+
+    return temperature_sample(
+        _t(spark, sf_dir, "documents"), alpha=0.5, budget_frac=0.5
+    )
+
+
+@_q(
     "dedup_clusters",
     f"""
     WITH RECURSIVE pairs AS ({_SQL_SHINGLE_JACCARD}),
@@ -2272,6 +2349,41 @@ def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "stream_interval_join",
+    """
+    WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS tu FROM events)
+    SELECT v.event_id AS view_id, p.event_id AS purchase_id,
+           v.user_id AS user_id, p.tu - v.tu AS delta_us
+    FROM e v JOIN e p ON v.user_id = p.user_id
+      AND v.event_type = 'view' AND p.event_type = 'purchase'
+      AND p.tu >= v.tu AND p.tu <= v.tu + 1800000000
+    """,
+)
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream event-time interval join (batch dual-mode plan):
+    purchases attribute to views of the same user within [0, 30 min].
+    In streaming mode the same `interval_event_join` runs with watermarks
+    on both sides and bounded state (cross-micro-batch buffering pinned in
+    `test_interval_event_join_stream_stream`)."""
+    from hiss_cube_spark.streaming.joins import interval_event_join
+
+    e = _events(spark, sf_dir).select("event_id", "user_id", "event_type", "ts")
+    out = interval_event_join(
+        e.where(F.col("event_type") == "view"),
+        e.where(F.col("event_type") == "purchase"),
+        on=["user_id"],
+        lower="0 seconds",
+        upper="30 minutes",
+    )
+    return out.select(
+        F.col("l_event_id").alias("view_id"),
+        F.col("r_event_id").alias("purchase_id"),
+        F.col("l_user_id").alias("user_id"),
+        (F.unix_micros("r_ts") - F.unix_micros("l_ts")).alias("delta_us"),
+    )
+
+
 # --------------------------------------------------------------------------
 # TPC-H breadth: the remaining canonical query shapes, adapted to the
 # columns this star schema carries (no partsupp/shipmode/commitdate).
@@ -2480,12 +2592,17 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT l_partkey, round(CAST(val AS DOUBLE), 6) AS part_value
     FROM vals
-    WHERE CAST(val AS DOUBLE) > 0.0005 * (SELECT CAST(sum(val) AS DOUBLE) FROM vals)
+    WHERE CAST(val AS DOUBLE) >
+          1.5 * (SELECT CAST(sum(val) AS DOUBLE) / count(*) FROM vals)
     """,
 )
 def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H q11 shape: group-agg filtered by an uncorrelated scalar subquery
-    over the same aggregate (fraction-of-total threshold).
+    over the same aggregate (share-of-total threshold). The threshold is
+    relative to the MEAN per-part value (1.5x average), so the predicate is
+    scale-free: TPC-H's fixed `0.0001/SF` fraction returns 0 rows once the
+    part count grows 10x (as at bench sf0.1). Both engines compute the
+    threshold as double(exact decimal total) / count — identical division.
 
     Spark plan: the 1-row total joins via broadcast-nested-loop (cross);
     note the total's subtree RE-computes the group-agg (Catalyst does not
@@ -2496,10 +2613,12 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     vals = li.groupBy("l_partkey").agg(
         F.sum(_dec(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))).alias("val")
     )
-    total = vals.agg(F.sum("val").cast("double").alias("total"))
+    thresh = vals.agg(
+        (F.sum("val").cast("double") / F.count(F.lit(1))).alias("avg_val")
+    )
     return (
-        vals.crossJoin(F.broadcast(total))
-        .where(F.col("val").cast("double") > F.lit(0.0005) * F.col("total"))
+        vals.crossJoin(F.broadcast(thresh))
+        .where(F.col("val").cast("double") > F.lit(1.5) * F.col("avg_val"))
         .select("l_partkey", _r6(F.col("val")).alias("part_value"))
     )
 

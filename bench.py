@@ -49,6 +49,10 @@ HEADLINE = [
     "j_interval_overlap",
     "dedup_clusters",
     "cur_decontaminate",
+    "stream_interval_join",
+    "text_heavy_hitters",
+    "text_tfidf_topk",
+    "cur_temperature_sample",
 ]
 
 

@@ -21,7 +21,14 @@ from pyspark.sql.window import Window
 
 from hiss_cube_spark.operators.text_analysis import tokenize
 
-__all__ = ["hash_split", "pack_sequences", "balanced_sample", "decontaminate", "corpus_report"]
+__all__ = [
+    "hash_split",
+    "pack_sequences",
+    "balanced_sample",
+    "decontaminate",
+    "corpus_report",
+    "temperature_sample",
+]
 
 # Knuth multiplicative constant — scrambles sequential ids so range-correlated
 # inputs (monotone keys, per-source blocks) spread uniformly over buckets.
@@ -182,6 +189,59 @@ def decontaminate(
         return texts.map(clean)
 
     return train.filter(_is_clean(F.col(text_col)))
+
+
+def temperature_sample(
+    df: DataFrame,
+    label_col: str = "lang",
+    id_col: str = "doc_id",
+    alpha: float = 0.5,
+    budget_frac: float = 0.5,
+) -> DataFrame:
+    """Temperature-based source/language rebalancing: sample each label at a
+    rate ∝ count^``alpha`` / count, normalized so the expected total is
+    ``budget_frac`` of the corpus (rates clip at 1.0). α < 1 upsamples the
+    tail relative to its natural share — the standard multilingual /
+    multi-source mixing step (e.g. the mC4 α=0.3 recipe) ahead of
+    pretraining.
+
+    Membership is a pure function of the row key: the per-label rate is
+    quantized to parts-per-million and compared against the row's
+    Knuth-hashed bucket, so the sample is reproducible across runs, engines
+    (ANSI oracle), and repartitionings, and composes with `hash_split`
+    (independent hash streams: different multiplier moduli). The label-rate
+    table is a handful of rows — a broadcast join onto a narrow projection;
+    the 100 TB side is one scan, no shuffle.
+    """
+    counts = df.groupBy(label_col).agg(F.count(F.lit(1)).alias("cnt"))
+    tot = counts.agg(
+        F.sum("cnt").cast("double").alias("n"),
+        F.sum(F.pow("cnt", F.lit(alpha))).alias("z"),
+    )
+    rates = (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            label_col,
+            F.least(
+                F.lit(1.0),
+                F.lit(budget_frac)
+                * F.col("n")
+                * F.pow("cnt", F.lit(alpha))
+                / F.col("z")
+                / F.col("cnt"),
+            ).alias("rate"),
+        )
+        .withColumn("rate_ppm", F.floor(F.col("rate") * F.lit(1e6)).cast("long"))
+    )
+    return (
+        df.join(F.broadcast(rates), label_col)
+        .where(split_bucket(F.col(id_col), 1_000_000) < F.col("rate_ppm"))
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.col(label_col),
+            F.round(F.col("rate_ppm") / F.lit(1e6), 6).alias("rate"),
+        )
+    )
 
 
 def corpus_report(

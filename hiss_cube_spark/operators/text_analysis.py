@@ -18,6 +18,8 @@ __all__ = [
     "lang_id",
     "doc_fingerprint",
     "repetition_score",
+    "token_frequencies",
+    "tfidf_top_terms",
 ]
 
 # Marker tokens per language for the n-gram/stopword heuristic. Determinism,
@@ -172,6 +174,85 @@ def repetition_score(
             ).otherwise(F.lit(0.0)),
             6,
         ).alias("top_gram_frac"),
+    )
+
+
+def token_frequencies(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 1,
+    k: int | None = None,
+) -> DataFrame:
+    """Corpus-wide token frequency table — the vocabulary-building scan.
+
+    The canonical wordcount-at-scale plan: the explode happens map-side
+    inside the same stage as the scan, and the groupBy's partial (map-side)
+    aggregation pre-combines each partition's counts BEFORE the shuffle —
+    so Zipf-skewed hot tokens ("the" on 100 TB) cross the wire once per
+    partition, not once per occurrence. The optional top-k runs as
+    TakeOrderedAndProject (per-partition heap + driver merge of k rows),
+    never a full sort.
+    """
+    toks = df.select(F.explode(tokenize(F.col(text_col))).alias("token"))
+    out = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    if min_count > 1:
+        out = out.where(F.col("n") >= min_count)
+    if k is not None:
+        out = out.orderBy(F.desc("n"), F.asc("token")).limit(k)
+    return out
+
+
+def tfidf_top_terms(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document (keyword extraction).
+
+    tf = term count in the doc; idf = ln((N+1)/(df+1)) with N = corpus doc
+    count, df = docs containing the term. The rank key is the score
+    quantized to a long (floor(tf·idf·1e6)) so ordering — and the emitted
+    score, derived from the same long — is bit-identical across engines;
+    ties break on the token string.
+
+    Plan shape: one exploded (doc, token) pass feeds BOTH aggregates — df
+    comes from re-grouping the tf table (already distinct per doc) rather
+    than a second countDistinct pass over raw tokens. The idf side is a
+    token-keyed dimension that broadcast-joins back onto tf; the only big
+    shuffle is the tf groupBy itself.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokenize(F.col(text_col))).alias("token"),
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(F.count(F.lit(1)).alias("nd"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "token",
+            F.floor(
+                F.col("tf")
+                * F.log((F.col("nd") + F.lit(1.0)) / (F.col("df") + F.lit(1.0)))
+                * F.lit(1e6)
+            )
+            .cast("long")
+            .alias("score_q"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score_q"), F.asc("token"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= k)
+        .select(
+            "doc_id",
+            "token",
+            "rnk",
+            F.round(F.col("score_q") / F.lit(1e6), 6).alias("score"),
+        )
     )
 
 

@@ -4,6 +4,7 @@ windowed aggregations. Every transformation is identical in batch and
 streaming mode (same DataFrame functions), so the batch oracle validates the
 streaming semantics."""
 
+from hiss_cube_spark.streaming.joins import interval_event_join
 from hiss_cube_spark.streaming.link import stream_crossmatch
 from hiss_cube_spark.streaming.windows import (
     session_window_agg,
@@ -18,4 +19,5 @@ __all__ = [
     "session_window_agg",
     "stream_dedup",
     "stream_crossmatch",
+    "interval_event_join",
 ]

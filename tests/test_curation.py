@@ -129,3 +129,34 @@ def test_train_pipeline_example_composes(spark, sf_dir):
     assert packed_ids == train_ids  # every train doc packed exactly once
     rep = outs["report"]
     assert rep.agg(F.sum("n_docs")).collect()[0][0] == n_cur
+
+
+def test_temperature_sample_flattens_distribution(spark):
+    from hiss_cube_spark.operators.curation import temperature_sample
+
+    # 400 'big' docs vs 20 'small' docs: α=0.5 should upsample the tail's
+    # SHARE (small keeps a higher per-doc rate than big).
+    rows = [(i, "big") for i in range(400)] + [(i, "small") for i in range(400, 420)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = temperature_sample(df, alpha=0.5, budget_frac=0.5)
+    rates = {r["lang"]: r["rate"] for r in out.select("lang", "rate").distinct().collect()}
+    assert rates["small"] > rates["big"]
+    # rates clip at 1.0 and stay positive
+    assert 0.0 < rates["big"] <= 1.0 and rates["small"] <= 1.0
+    # deterministic: repartitioned input selects the SAME doc ids
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(
+        r["doc_id"] for r in temperature_sample(df.repartition(13), alpha=0.5, budget_frac=0.5).collect()
+    )
+    assert a == b
+
+
+def test_temperature_sample_tiny_label_clips_to_keep_all(spark):
+    from hiss_cube_spark.operators.curation import temperature_sample
+
+    rows = [(i, "big") for i in range(1000)] + [(1000, "rare")]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = temperature_sample(df, alpha=0.3, budget_frac=0.5)
+    rare = [r for r in out.collect() if r["lang"] == "rare"]
+    # the single rare doc's rate clips at 1.0 → always kept
+    assert len(rare) == 1 and rare[0]["rate"] == 1.0

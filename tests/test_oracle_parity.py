@@ -36,3 +36,33 @@ def test_query_matches_oracle(spark, sf_dir, duck, name):
         assert df.count() >= 0
         return
     compare(df, duck, _ORACLE[name], name)
+
+
+def test_token_frequencies_pinned(spark):
+    from hiss_cube_spark.operators.text_analysis import token_frequencies
+
+    df = spark.createDataFrame(
+        [(1, "a b a"), (2, "b  c"), (3, "a")], "doc_id long, text string"
+    )
+    got = {r["token"]: r["n"] for r in token_frequencies(df).collect()}
+    assert got == {"a": 3, "b": 2, "c": 1}
+    top = token_frequencies(df, k=2).collect()
+    assert [(r["token"], r["n"]) for r in top] == [("a", 3), ("b", 2)]
+
+
+def test_tfidf_top_terms_pinned(spark):
+    import math
+
+    from hiss_cube_spark.operators.text_analysis import tfidf_top_terms
+
+    # 'rare' appears only in doc 1 (idf=ln(4/2)); 'common' in all 3 (idf=ln(1)=0)
+    df = spark.createDataFrame(
+        [(1, "rare common rare"), (2, "common x"), (3, "common y")],
+        "doc_id long, text string",
+    )
+    out = {(r["doc_id"], r["rnk"]): (r["token"], r["score"]) for r in tfidf_top_terms(df, k=1).collect()}
+    tok, score = out[(1, 1)]
+    assert tok == "rare"
+    assert score == round(math.floor(2 * math.log(4 / 2) * 1e6) / 1e6, 6)
+    # docs 2/3: every term scores 0 or ln(4/2); x and y are unique → win
+    assert out[(2, 1)][0] == "x" and out[(3, 1)][0] == "y"

@@ -314,3 +314,80 @@ def test_stream_crossmatch_matches_batch(spark, tmp_path_factory):
         for r in batch.select("p_spec_id", "t_img_id").collect()
     )
     assert got2 == expected
+
+
+def test_interval_event_join_stream_stream(spark, tmp_path_factory):
+    """Stream-stream interval join: purchases attribute to views of the same
+    user within [0, 30 min] event time, across micro-batch boundaries, with
+    batch parity. Both sides stream from the same landing dir (filtered two
+    ways), so a view landing in run 1 joins a purchase landing in run 2 —
+    the buffered-state case a batch join never exercises."""
+    import glob as _glob
+
+    from hiss_cube_spark.streaming.joins import interval_event_join
+
+    src = str(tmp_path_factory.mktemp("events_landing"))
+    out = str(tmp_path_factory.mktemp("ij_out"))
+    ckpt = str(tmp_path_factory.mktemp("ij_ckpt"))
+
+    def _stage(rows):
+        spark.createDataFrame(
+            rows, "event_id long, user_id long, event_type string, ts timestamp"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    def _run():
+        stream = spark.readStream.schema(
+            spark.read.parquet(src).schema
+        ).parquet(src)
+        views = stream.where("event_type = 'view'")
+        buys = stream.where("event_type = 'purchase'")
+        joined = interval_event_join(
+            views, buys, on=["user_id"], lower="0 seconds",
+            upper="30 minutes", watermark="2 hours",
+        )
+        q = (
+            joined.select("l_event_id", "r_event_id")
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        if not _glob.glob(os.path.join(out, "*.parquet")):
+            return []
+        return sorted(
+            (r["l_event_id"], r["r_event_id"])
+            for r in spark.read.parquet(out).collect()
+        )
+
+    from datetime import datetime
+
+    t = lambda m: datetime(2026, 1, 1, 12, m)  # noqa: E731
+    # run 1: u1 view@12:00 + purchase@12:10 (joins); u2 view@12:00 alone
+    _stage([
+        (1, 1, "view", t(0)), (2, 1, "purchase", t(10)), (3, 2, "view", t(0)),
+    ])
+    got1 = _run()
+    assert got1 == [(1, 2)]
+
+    # run 2: u2's purchase arrives a micro-batch later but within the
+    # interval — joins against the STATE-BUFFERED view from run 1. A
+    # too-late purchase (> 30 min after u1's view) does not join.
+    _stage([(4, 2, "purchase", t(20)), (5, 1, "purchase", t(45))])
+    got2 = _run()
+    assert got2 == [(1, 2), (3, 4)]
+
+    # parity: accumulated streaming output == one batch run of the same plan
+    allev = spark.read.parquet(src)
+    batch = interval_event_join(
+        allev.where("event_type = 'view'"),
+        allev.where("event_type = 'purchase'"),
+        on=["user_id"], lower="0 seconds", upper="30 minutes",
+    )
+    expected = sorted(
+        (r["l_event_id"], r["r_event_id"])
+        for r in batch.select("l_event_id", "r_event_id").collect()
+    )
+    assert got2 == expected
