@@ -255,54 +255,188 @@ def healpix_ang2pix_nest(ra: Column, dec: Column, order: int) -> Column:
     return _udf(ra, dec)
 
 
+def _isqrt_np(x: np.ndarray) -> np.ndarray:
+    """Exact floor-sqrt of non-negative int64 (float sqrt + ±1 fixup)."""
+    r = np.floor(np.sqrt(x.astype(np.float64))).astype(np.int64)
+    r = np.where((r + 1) * (r + 1) <= x, r + 1, r)
+    return np.where(r * r > x, r - 1, r)
+
+
+def _ring2nest_np(pix: np.ndarray, nside: int) -> np.ndarray:
+    """RING-scheme → NESTED-scheme pixel id conversion (Górski et al. 2005).
+
+    Inverse bookkeeping of :func:`_pix2ang_nest_np`: recover (ring-from-
+    north jr, 1-based in-ring index iphi, phase kshift, cap radius nr,
+    face), then ix = (ipt−irt)/2, iy = −(ipt+irt)/2 with
+    irt = jr − jrll·nside + 1 and ipt = 2·iphi − jpll·nr − kshift − 1.
+    """
+    p = np.asarray(pix, dtype=np.int64)
+    npface = np.int64(nside) * nside
+    npix = 12 * npface
+    ncap = 2 * nside * (nside - 1)
+
+    jr = np.empty(p.shape, dtype=np.int64)  # ring index from north
+    iphi = np.empty(p.shape, dtype=np.int64)  # 1-based index in ring
+    kshift = np.zeros(p.shape, dtype=np.int64)
+    nr = np.empty(p.shape, dtype=np.int64)
+    face = np.empty(p.shape, dtype=np.int64)
+
+    no = p < ncap
+    if np.any(no):
+        ir = (1 + _isqrt_np(1 + 2 * p[no])) >> 1
+        jr[no] = ir
+        iphi[no] = p[no] + 1 - 2 * ir * (ir - 1)
+        nr[no] = ir
+        face[no] = (iphi[no] - 1) // ir
+
+    eq = (p >= ncap) & (p < npix - ncap)
+    if np.any(eq):
+        ip = p[eq] - ncap
+        tmp = ip // (4 * nside)
+        ir = tmp + nside
+        jr[eq] = ir
+        iphi[eq] = ip - tmp * 4 * nside + 1
+        kshift[eq] = (ir + nside) & 1
+        nr[eq] = nside
+        ire = ir - nside + 1
+        irm = 2 * nside + 2 - ire
+        ifm = (iphi[eq] - ire // 2 + nside - 1) // nside
+        ifp = (iphi[eq] - irm // 2 + nside - 1) // nside
+        face[eq] = np.where(ifp == ifm, ifp | 4, np.where(ifp < ifm, ifp, ifm + 8))
+
+    so = p >= npix - ncap
+    if np.any(so):
+        ip = npix - p[so]
+        ir = (1 + _isqrt_np(2 * ip - 1)) >> 1
+        iphi[so] = 4 * ir + 1 - (ip - 2 * ir * (ir - 1))
+        nr[so] = ir
+        face[so] = 8 + (iphi[so] - 1) // ir
+        jr[so] = 4 * nside - ir
+
+    irt = jr - _JRLL[face] * nside + 1
+    ipt = 2 * iphi - _JPLL[face] * nr - kshift - 1
+    ipt = np.where(ipt >= 2 * nside, ipt - 8 * nside, ipt)
+    ix = (ipt - irt) >> 1
+    iy = -(ipt + irt) >> 1
+    return face * npface + _interleave_bits(ix, iy)
+
+
+def _query_disc_ring_np(
+    ra0_deg: float, dec0_deg: float, radius_rad: float, nside: int
+) -> np.ndarray:
+    """RING ids of all pixels whose CENTER lies within ``radius_rad`` of the
+    probe — the HEALPix query_disc ring walk (Górski et al. 2005 §4;
+    reference usage astrometry.py:158-182): clip the disc's z-range to a
+    ring interval in closed form, then per ring solve the spherical
+    triangle for the φ half-width and enumerate the in-ring index range.
+    Cost is O(rings + output), no point sampling.
+    """
+    theta0 = math.radians(90.0 - dec0_deg)  # colatitude
+    phi0 = math.radians(ra0_deg % 360.0)
+    z0 = math.cos(theta0)
+    sth0 = math.sin(theta0)
+    r = min(radius_rad, math.pi)
+    zmax = math.cos(theta0 - r) if theta0 - r > 0 else 1.0
+    zmin = math.cos(theta0 + r) if theta0 + r < math.pi else -1.0
+
+    def ring_coord(z: float) -> float:
+        # continuous ring number (grows north → south)
+        if z > 2.0 / 3.0:
+            return nside * math.sqrt(3.0 * (1.0 - z))
+        if z >= -2.0 / 3.0:
+            return nside * (2.0 - 1.5 * z)
+        return 4 * nside - nside * math.sqrt(3.0 * (1.0 + z))
+
+    i1 = max(1, int(math.floor(ring_coord(zmax))))
+    i2 = min(4 * nside - 1, int(math.ceil(ring_coord(zmin))))
+    if i1 > i2:
+        return np.empty(0, dtype=np.int64)
+    rings = np.arange(i1, i2 + 1, dtype=np.int64)
+
+    north = rings < nside
+    south = rings > 3 * nside
+    eq = ~(north | south)
+    z = np.empty(rings.shape, dtype=np.float64)
+    z[north] = 1.0 - (rings[north] ** 2) / (3.0 * nside * nside)
+    z[eq] = (2 * nside - rings[eq]) * 2.0 / (3.0 * nside)
+    z[south] = ((4 * nside - rings[south]) ** 2) / (3.0 * nside * nside) - 1.0
+
+    # per-ring pixel count, first RING id, and phase offset f (phi of the
+    # 0-based j-th center is (j + f) * 2π/npr)
+    nr = np.where(north, rings, np.where(south, 4 * nside - rings, nside))
+    npr = np.where(eq, 4 * nside, 4 * nr)
+    kshift = np.where(eq, (rings - nside) & 1, 0)
+    f = (1.0 - kshift) * 0.5
+    npix = 12 * nside * nside
+    ncap = 2 * nside * (nside - 1)
+    start = np.where(
+        north,
+        2 * nr * (nr - 1),
+        np.where(
+            south,
+            npix - 2 * nr * (nr + 1),
+            ncap + (rings - nside) * 4 * nside,
+        ),
+    )
+
+    # spherical triangle: cos(dφ) = (cos r − z·z0) / (sinθ·sinθ0)
+    sth = np.sqrt(np.maximum(0.0, 1.0 - z * z))
+    num = math.cos(r) - z * z0
+    den = sth * sth0
+    with np.errstate(divide="ignore", invalid="ignore"):
+        cosdphi = np.where(den > 0, num / den, np.where(num <= 0, -1.0, 1.0))
+    dphi = np.arccos(np.clip(cosdphi, -1.0, 1.0))
+
+    out = []
+    two_pi = 2.0 * math.pi
+    for k in range(rings.shape[0]):
+        if cosdphi[k] > 1.0 - 1e-15 and den[k] == 0.0:
+            continue  # ring outside the φ cone (pole-adjacent degenerate)
+        delta = two_pi / npr[k]
+        j_lo = int(math.ceil((phi0 - dphi[k]) / delta - f[k]))
+        j_hi = int(math.floor((phi0 + dphi[k]) / delta - f[k]))
+        if j_hi < j_lo:
+            continue
+        if j_hi - j_lo + 1 >= npr[k]:
+            out.append(start[k] + np.arange(npr[k], dtype=np.int64))
+        else:
+            out.append(start[k] + np.mod(np.arange(j_lo, j_hi + 1, dtype=np.int64), npr[k]))
+    if not out:
+        return np.empty(0, dtype=np.int64)
+    return np.concatenate(out)
+
+
+def query_disc_nest_np(
+    ra0_deg: float, dec0_deg: float, radius_deg: float, nside: int, inclusive: bool = True
+) -> np.ndarray:
+    """Nested-scheme disc cover for one probe. ``inclusive`` pads the radius
+    by a per-nside bound on the pixel circumradius, so every pixel that
+    *intersects* the disc has its center inside the padded disc — the
+    superset contract the cross-match post-filter assumes (reference
+    query_disc(inclusive=True), astrometry.py:165)."""
+    pad = math.radians(1.3 * 58.6323 / nside) if inclusive else 0.0
+    ring_ids = _query_disc_ring_np(ra0_deg, dec0_deg, math.radians(radius_deg) + pad, nside)
+    return np.sort(_ring2nest_np(ring_ids, nside))
+
+
 def healpix_disc_cover(ra: Column, dec: Column, radius_deg: float, order: int) -> Column:
     """Superset disc cover in nested HEALPix ids, pandas UDF → array<long>.
 
-    Samples the disc (center + boundary rings at step < pixel size / 2) and
-    collects distinct pixel ids — a guaranteed superset once the cross-match
-    post-filter is applied, mirroring query_disc(inclusive=True) usage at
-    reference astrometry.py:158-182.
+    Ring-arithmetic query_disc (no point sampling): walk the rings
+    intersecting the disc's z-range and solve each ring's φ interval in
+    closed form, then convert RING→NESTED. Exact center-in-padded-disc
+    cover, O(rings + output) per probe — mirrors
+    query_disc(inclusive=True) at reference astrometry.py:158-182.
     """
     nside = 1 << order
-    # HEALPix pixel angular size ≈ 58.6°/nside; sample at a third of it.
-    pix_deg = 58.6323 / nside
-    step = max(min(pix_deg / 3.0, radius_deg / 2.0), 1e-6)
-    n_ring = max(int(math.ceil(radius_deg / step)), 1)
-    pad = radius_deg + pix_deg  # inclusive: pad by one pixel size
 
     @F.pandas_udf(ArrayType(LongType()))
     def _udf(ra_s: pd.Series, dec_s: pd.Series) -> pd.Series:
         ra0 = ra_s.to_numpy(dtype=np.float64)
         dec0 = dec_s.to_numpy(dtype=np.float64)
-        out = []
-        # Offsets: concentric rings out to radius+pad.
-        offs = [(0.0, 0.0)]
-        for i in range(1, n_ring + 2):
-            rr = min(i * step, pad)
-            n_pts = max(8, int(2 * math.pi * rr / step))
-            for k in range(n_pts):
-                a = 2 * math.pi * k / n_pts
-                offs.append((rr * math.cos(a), rr * math.sin(a)))
-            if rr >= pad:
-                break
-        offs_np = np.array(offs)
-        # Any pixel intersecting the disc has its center within
-        # radius + max_pixrad; 1.3×pix_deg safely bounds max_pixrad at every
-        # nside, so the center-distance trim keeps the superset guarantee
-        # while dropping the sampling overshoot ring.
-        keep_r = math.radians(radius_deg + 1.3 * pix_deg)
-        for r0, d0 in zip(ra0, dec0):
-            cosd = max(math.cos(math.radians(d0)), 1e-9)
-            ras = r0 + offs_np[:, 0] / cosd
-            decs = np.clip(d0 + offs_np[:, 1], -90.0 + 1e-9, 90.0 - 1e-9)
-            ids = np.unique(_ang2pix_nest_np(ras, decs, nside))
-            cra, cdec = _pix2ang_nest_np(ids, nside)
-            sd = np.sin(np.radians((cdec - d0) / 2.0))
-            sr = np.sin(np.radians((cra - r0) / 2.0))
-            h = sd * sd + math.cos(math.radians(d0)) * np.cos(np.radians(cdec)) * sr * sr
-            dist = 2.0 * np.arcsin(np.sqrt(np.clip(h, 0.0, 1.0)))
-            out.append(ids[dist <= keep_r].tolist())
-        return pd.Series(out)
+        return pd.Series(
+            [query_disc_nest_np(r0, d0, radius_deg, nside) for r0, d0 in zip(ra0, dec0)]
+        )
 
     return _udf(ra, dec)
 

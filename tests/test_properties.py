@@ -124,3 +124,56 @@ def test_healpix_pix2ang_roundtrip(order, seed):
     rc, dc = _pix2ang_nest_np(p, nside)
     assert np.array_equal(_ang2pix_nest_np(rc, dc, nside), p)
     assert np.all((rc >= 0) & (rc < 360)) and np.all((dc >= -90) & (dc <= 90))
+
+
+@given(
+    order=st.integers(min_value=2, max_value=6),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=25, deadline=None)
+def test_ring2nest_matches_pixel_centers(order, seed):
+    """RING→NESTED relabeling preserves pixel identity: the converted id's
+    center (via nested pix2ang) maps back to itself under nested ang2pix,
+    and unique ring ids stay unique."""
+    from hiss_cube_spark.functions.spatial import _pix2ang_nest_np, _ring2nest_np
+
+    nside = 1 << order
+    npix = 12 * nside * nside
+    rng = np.random.default_rng(seed)
+    ring = np.unique(rng.integers(0, npix, size=min(npix, 500)))
+    nest = _ring2nest_np(ring, nside)
+    assert len(np.unique(nest)) == len(ring)
+    assert nest.min() >= 0 and nest.max() < npix
+    cra, cdec = _pix2ang_nest_np(nest, nside)
+    assert np.array_equal(_ang2pix_nest_np(cra, cdec, nside), nest)
+
+
+@given(
+    order=st.integers(min_value=2, max_value=6),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=25, deadline=None)
+def test_query_disc_equals_bruteforce_center_cover(order, seed):
+    """The ring-walk query_disc returns EXACTLY the pixels whose centers lie
+    in the padded disc — same set a brute-force scan over all npix centers
+    produces (superset contract of the cross-match prefilter, SURVEY.md J2)."""
+    import math
+
+    from hiss_cube_spark.functions.spatial import _pix2ang_nest_np, query_disc_nest_np
+
+    nside = 1 << order
+    rng = np.random.default_rng(seed)
+    ra0 = float(rng.uniform(0, 360))
+    dec0 = float(np.degrees(np.arcsin(rng.uniform(-1, 1))))
+    radius = float(rng.uniform(0.05, 30.0))
+    got = query_disc_nest_np(ra0, dec0, radius, nside, inclusive=True)
+
+    ids = np.arange(12 * nside * nside, dtype=np.int64)
+    cra, cdec = _pix2ang_nest_np(ids, nside)
+    sd = np.sin(np.radians((cdec - dec0) / 2))
+    sr = np.sin(np.radians((cra - ra0) / 2))
+    h = sd * sd + math.cos(math.radians(dec0)) * np.cos(np.radians(cdec)) * sr * sr
+    dist = 2 * np.arcsin(np.sqrt(np.clip(h, 0, 1)))
+    pad = math.radians(1.3 * 58.6323 / nside)
+    want = ids[dist <= math.radians(radius) + pad]
+    assert np.array_equal(got, want)
