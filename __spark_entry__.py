@@ -2810,6 +2810,280 @@ def q22_no_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q2_min_cost_supplier",
+    """
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity) AS unit_cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ), cand AS (
+      SELECT p.p_partkey, p.p_type, s.s_name, s.s_acctbal, n.n_name, ps.unit_cost
+      FROM ps
+        JOIN part p ON p.p_partkey = ps.l_partkey
+        JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE p.p_size = 15 AND r.r_name = 'EUROPE'
+    )
+    SELECT p_partkey, p_type, s_name, s_acctbal, n_name,
+           round(unit_cost, 6) AS unit_cost
+    FROM cand
+    WHERE unit_cost = (SELECT min(c2.unit_cost) FROM cand c2
+                       WHERE c2.p_partkey = cand.p_partkey)
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q2 shape: correlated per-part MIN threshold over a derived
+    supplier↔part relation (the schema has no partsupp; `min unit price a
+    supplier ever charged for a part` stands in for ps_supplycost).
+
+    Spark expresses the correlated scalar-min as a window over the
+    candidate set — exactly the join Catalyst rewrites the subquery into,
+    minus the second scan of `cand`. min() over identical IEEE doubles is
+    order-independent, so the float equality is cross-engine safe (ties on
+    the exact minimum survive in both engines).
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    p = _t(spark, sf_dir, "part").where(F.col("p_size") == 15)
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    dim = s.join(n, s.s_nationkey == n.n_nationkey).join(r, n.n_regionkey == r.r_regionkey)
+    cand = ps.join(F.broadcast(p), ps.l_partkey == p.p_partkey).join(
+        F.broadcast(dim), ps.l_suppkey == dim.s_suppkey
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        cand.withColumn("min_cost", F.min("unit_cost").over(w))
+        .where(F.col("unit_cost") == F.col("min_cost"))
+        .select(
+            "p_partkey",
+            "p_type",
+            "s_name",
+            "s_acctbal",
+            "n_name",
+            _r6(F.col("unit_cost")).alias("unit_cost"),
+        )
+    )
+
+
+@_q(
+    "q16_supplier_cnt",
+    """
+    SELECT p_brand, p_type, p_size,
+           CAST(count(DISTINCT ps.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+      JOIN part p ON p.p_partkey = ps.l_partkey
+    WHERE p.p_brand <> 'Brand#1' AND p.p_type NOT LIKE 'PROMO%'
+      AND p.p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+      AND ps.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q16 shape: distinct-pair derived relation, NOT-IN anti-join
+    against a filtered dimension (negative account balance stands in for
+    'Customer Complaints' comments), count-distinct per part attribute.
+
+    Spark plan: the distinct pair-set is one shuffle; the NOT IN becomes a
+    broadcast left-anti join (the excluded supplier list is tiny); part is
+    broadcast. At 100 TB only the DISTINCT pair extraction touches the
+    fact table.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    bad = (
+        _t(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") < 0.0)
+        .select("s_suppkey")
+    )
+    p = _t(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#1")
+        & ~F.col("p_type").like("PROMO%")
+        & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35)
+    )
+    return (
+        ps.join(F.broadcast(bad), ps.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), ps.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@_q(
+    "q20_excess_suppliers",
+    """
+    WITH shipped AS (
+      SELECT l_suppkey, sum(l_quantity) AS total_qty,
+             sum(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01'
+                       AND l_shipdate < TIMESTAMP '1997-01-01'
+                      THEN l_quantity ELSE 0 END) AS qty_1996
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_name LIKE 'small%'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_name, n.n_name, round(sh.qty_1996, 6) AS qty_1996,
+           round(sh.total_qty, 6) AS total_qty
+    FROM supplier s
+      JOIN shipped sh ON sh.l_suppkey = s.s_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE sh.qty_1996 > 0.2 * sh.total_qty
+    """,
+)
+def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q20 shape: suppliers passing a correlated aggregate threshold
+    over the fact table ('shipped >20% of their all-time small-part volume
+    in 1996' stands in for 'availqty > half a year's shipments' — the
+    schema has no partsupp.availqty).
+
+    l_quantity is integral, so the sums and the 0.2× threshold compare
+    are exact in both engines. Spark plan: part broadcast into the fact
+    scan, one groupBy(suppkey), supplier/nation broadcast onto the
+    aggregate — the fact table is scanned once.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(F.col("p_name").like("small%"))
+    in_1996 = (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp")) & (
+        F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp")
+    )
+    shipped = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum("l_quantity").alias("total_qty"),
+            F.sum(F.when(in_1996, F.col("l_quantity")).otherwise(0.0)).alias("qty_1996"),
+        )
+        .where(F.col("qty_1996") > F.lit(0.2) * F.col("total_qty"))
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        shipped.join(F.broadcast(s), shipped.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(
+            "s_name",
+            "n_name",
+            _r6(F.col("qty_1996")).alias("qty_1996"),
+            _r6(F.col("total_qty")).alias("total_qty"),
+        )
+    )
+
+
+@_q(
+    "cur_redact_pii",
+    """
+    WITH injected AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                  || CASE doc_id % 3
+                       WHEN 0 THEN ' call ' || CAST(doc_id % 900 + 100 AS VARCHAR)
+                                || '-555-' || CAST(doc_id % 9000 + 1000 AS VARCHAR)
+                       WHEN 1 THEN ' id ' || CAST(doc_id % 900 + 100 AS VARCHAR)
+                                || '-' || CAST(doc_id % 90 + 10 AS VARCHAR)
+                                || '-' || CAST(doc_id % 9000 + 1000 AS VARCHAR)
+                       ELSE ' host 10.' || CAST(doc_id % 256 AS VARCHAR)
+                                || '.0.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+                     END AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT) AS n_email,
+           CAST(len(regexp_extract_all(text, '\\b\\d{3}-\\d{2}-\\d{4}\\b')) AS INT) AS n_ssn,
+           CAST(len(regexp_extract_all(text, '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b')) AS INT) AS n_phone,
+           CAST(len(regexp_extract_all(text, '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b')) AS INT) AS n_ipv4,
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\\b\\d{3}-\\d{2}-\\d{4}\\b', '<SSN>', 'g'),
+               '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b', '<PHONE>', 'g'),
+               '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '<IPV4>', 'g') AS redacted
+    FROM injected
+    """,
+)
+def cur_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (operators/privacy.py): regexp scrub + per-type counts,
+    all native codegen expressions — the demo deterministically injects an
+    email plus one of phone/SSN/IPv4 per document (the synthetic corpus
+    carries none), then redacts. Patterns live in the Java∩RE2 regex
+    subset so Spark and the DuckDB oracle match span-for-span.
+    """
+    from hiss_cube_spark.operators.privacy import redact_pii
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    injected = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            s(did),
+            F.lit("@example.com"),
+            F.when(
+                did % 3 == 0,
+                F.concat(F.lit(" call "), s(did % 900 + 100), F.lit("-555-"), s(did % 9000 + 1000)),
+            )
+            .when(
+                did % 3 == 1,
+                F.concat(
+                    F.lit(" id "),
+                    s(did % 900 + 100),
+                    F.lit("-"),
+                    s(did % 90 + 10),
+                    F.lit("-"),
+                    s(did % 9000 + 1000),
+                ),
+            )
+            .otherwise(
+                F.concat(F.lit(" host 10."), s(did % 256), F.lit(".0."), s((did * 7) % 256))
+            ),
+        ).alias("text"),
+    )
+    return redact_pii(injected).select(
+        "doc_id", "n_email", "n_ssn", "n_phone", "n_ipv4", "redacted"
+    )
+
+
+@_q(
+    "dedup_paragraphs",
+    """
+    WITH paras AS (
+      SELECT doc_id, unnest(l) AS para, unnest(range(1, len(l) + 1)) AS pos
+      FROM (SELECT doc_id, string_split(text, ' table ') AS l FROM documents)
+    ), normed AS (
+      SELECT doc_id, pos, para FROM paras WHERE trim(para) <> ''
+    ), ranked AS (
+      SELECT doc_id, pos, para,
+             row_number() OVER (PARTITION BY trim(para) ORDER BY doc_id, pos) = 1 AS keep
+      FROM normed
+    ), per_doc AS (
+      SELECT doc_id,
+             coalesce(string_agg(para, ' table ' ORDER BY pos) FILTER (WHERE keep), '') AS text,
+             CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS n_kept,
+             CAST(count(*) FILTER (WHERE NOT keep) AS BIGINT) AS n_dropped
+      FROM ranked GROUP BY doc_id
+    )
+    SELECT d.doc_id, coalesce(p.text, '') AS text,
+           coalesce(p.n_kept, 0) AS n_kept, coalesce(p.n_dropped, 0) AS n_dropped
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    """,
+)
+def dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level exact dedup (operators/dedup.py:paragraph_dedup):
+    keep the globally-first occurrence of every normalized paragraph,
+    reassemble documents in order. The demo treats the word 'table' as the
+    paragraph separator (the synthetic corpus has no newlines); the oracle
+    partitions by the paragraph string where Spark windows over its
+    xxhash64 — identical grouping below hash-collision scale.
+    """
+    from hiss_cube_spark.operators.dedup import paragraph_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    return paragraph_dedup(d, sep=" table ")
+
+
 # ==========================================================================
 # driver contract
 # ==========================================================================

@@ -23,9 +23,11 @@ import math
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 __all__ = [
     "exact_dedup",
+    "paragraph_dedup",
     "shingle_array",
     "document_grams",
     "word_shingles",
@@ -555,4 +557,76 @@ def simhash_pairs(
     ham = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
     return cand.withColumn("hamming", ham).where(F.col("hamming") <= max_hamming).select(
         "doc_a", "doc_b", "hamming"
+    )
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n\n",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Sub-document (paragraph-level) exact deduplication.
+
+    Splits every document on ``sep``, keeps only the GLOBALLY FIRST
+    occurrence of each normalized (trimmed) paragraph — first by
+    ``(id, position)`` order — and reassembles each document from its
+    surviving paragraphs in original order. Documents whose every
+    paragraph was seen earlier come back with empty text (kept, not
+    dropped: the caller decides the row's fate).
+
+    This is the boilerplate-removal pass of web-corpus curation (headers,
+    footers, license blocks repeated across millions of pages) — document-
+    level dedup (exact/minhash) never catches them because the surrounding
+    text differs.
+
+    Shuffle shape at 100 TB: one explode (narrow), one shuffle to group by
+    paragraph (the winner window), one shuffle back to reassemble by doc.
+    The paragraph-key shuffle carries (norm_hash, id, pos, text) only;
+    reassembly partitions by id, so both exchanges are on compact keys.
+    A 64-bit xxhash of the normalized paragraph stands in for the full
+    string as the window key — collisions at 64 bits are negligible below
+    ~4e9 distinct paragraphs per corpus; pass the string itself as the key
+    if byte-exactness at that scale matters.
+
+    Output: ``(id_col, out text, n_kept int, n_dropped int)``.
+    """
+    paras = (
+        _spread_docs(df.select(id_col, text_col), id_col, partitions)
+        .select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), F.lit(sep))).alias("pos", "para"),
+        )
+        .withColumn("norm", F.trim(F.col("para")))
+        .where(F.col("norm") != "")
+    )
+    w = Window.partitionBy(F.xxhash64("norm")).orderBy(id_col, "pos")
+    kept = paras.withColumn("rn", F.row_number().over(w)).withColumn(
+        "keep", F.col("rn") == 1
+    )
+    per_doc = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("keep"), F.struct(F.col("pos"), F.col("para")))
+                    )
+                ),
+                lambda x: x.getField("para"),
+            ),
+            sep,
+        ).alias(text_col),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("long").alias("n_kept"),
+        F.sum(F.when(F.col("keep"), 0).otherwise(1)).cast("long").alias("n_dropped"),
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col(text_col), F.lit("")).alias(text_col),
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce(F.col("n_dropped"), F.lit(0)).cast("long").alias("n_dropped"),
+        )
     )

@@ -160,3 +160,51 @@ def test_temperature_sample_tiny_label_clips_to_keep_all(spark):
     rare = [r for r in out.collect() if r["lang"] == "rare"]
     # the single rare doc's rate clips at 1.0 → always kept
     assert len(rare) == 1 and rare[0]["rate"] == 1.0
+
+
+def test_redact_pii_scrubs_and_counts(spark):
+    from hiss_cube_spark.operators.privacy import redact_pii
+
+    rows = [
+        (1, "mail me at alice.smith+x@corp.example.org today"),
+        (2, "call 303-555-0142 or 303.555.0143, ssn 123-45-6789"),
+        (3, "server at 192.168.0.1 and 10.0.255.254"),
+        (4, "nothing sensitive here"),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in redact_pii(
+            spark.createDataFrame(rows, ["doc_id", "text"])
+        ).collect()
+    }
+    assert out[1]["n_email"] == 1 and "<EMAIL>" in out[1]["redacted"]
+    assert "alice" not in out[1]["redacted"]
+    assert out[2]["n_phone"] == 2 and out[2]["n_ssn"] == 1
+    assert out[2]["redacted"].count("<PHONE>") == 2
+    assert "<SSN>" in out[2]["redacted"]
+    assert out[3]["n_ipv4"] == 2 and out[3]["redacted"].count("<IPV4>") == 2
+    assert out[4]["redacted"] == "nothing sensitive here"
+    assert out[4]["n_email"] == out[4]["n_phone"] == out[4]["n_ssn"] == out[4]["n_ipv4"] == 0
+
+
+def test_paragraph_dedup_keeps_first_occurrence(spark):
+    from hiss_cube_spark.operators.dedup import paragraph_dedup
+
+    rows = [
+        (1, "alpha\n\nshared boilerplate\n\nbeta"),
+        (2, "shared boilerplate\n\ngamma"),
+        (3, "  shared boilerplate \n\ndelta"),  # whitespace-normalized dup
+        (4, "shared boilerplate"),  # whole doc is a dup -> empty text
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in paragraph_dedup(spark.createDataFrame(rows, ["doc_id", "text"])).collect()
+    }
+    assert out[1]["text"] == "alpha\n\nshared boilerplate\n\nbeta"
+    assert out[1]["n_kept"] == 3 and out[1]["n_dropped"] == 0
+    assert out[2]["text"] == "gamma" and out[2]["n_dropped"] == 1
+    assert out[3]["text"] == "delta" and out[3]["n_dropped"] == 1
+    assert out[4]["text"] == "" and out[4]["n_kept"] == 0 and out[4]["n_dropped"] == 1
+    # every normalized paragraph survives exactly once across the corpus
+    total_kept = sum(r["n_kept"] for r in out.values())
+    assert total_kept == 5  # alpha, shared boilerplate, beta, gamma, delta
