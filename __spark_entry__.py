@@ -3084,6 +3084,135 @@ def dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return paragraph_dedup(d, sep=" table ")
 
 
+@_q(
+    "w_funnel_stages",
+    """
+    WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tu FROM events),
+    v AS (SELECT user_id, min(tu) AS u1 FROM e WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, v.u1, min(e.tu) AS u2 FROM e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND e.tu > v.u1
+            AND e.tu <= v.u1 + 604800000000 GROUP BY e.user_id, v.u1),
+    p AS (SELECT e.user_id, min(e.tu) AS u3 FROM e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND e.tu > c.u2
+            AND e.tu <= c.u1 + 604800000000 GROUP BY e.user_id)
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_viewed,
+           (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_clicked,
+           (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_purchased
+    """,
+)
+def w_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel analysis (view → click → purchase within 7 days of
+    the first view, each stage strictly after the previous): the event-
+    sequence shape behind product analytics, absent from TPC-H.
+
+    Each stage is a per-user MIN aggregate joined forward — integer-µs
+    comparisons only, so parity is exact. At 100 TB the stage tables are
+    one-row-per-user (tiny vs the event log); Catalyst broadcasts them
+    back onto the fact scan, so the log is read once per stage with the
+    event-type filter pushed down.
+    """
+    e = _events(spark, sf_dir).select("user_id", "event_type", "ts_us")
+    week = 604_800_000_000
+    v = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("u1"))
+    )
+    c = (
+        e.where(F.col("event_type") == "click")
+        .join(F.broadcast(v), "user_id")
+        .where((F.col("ts_us") > F.col("u1")) & (F.col("ts_us") <= F.col("u1") + week))
+        .groupBy("user_id", "u1")
+        .agg(F.min("ts_us").alias("u2"))
+    )
+    p = (
+        e.where(F.col("event_type") == "purchase")
+        .join(F.broadcast(c), "user_id")
+        .where((F.col("ts_us") > F.col("u2")) & (F.col("ts_us") <= F.col("u1") + week))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("u3"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_viewed"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_clicked")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchased")))
+    )
+
+
+@_q(
+    "w_cohort_retention",
+    """
+    WITH d AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+    c AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY user_id)
+    SELECT CAST(c.cohort_day // 7 AS BIGINT) AS cohort_week,
+           CAST((d.day - c.cohort_day) // 7 AS BIGINT) AS week_offset,
+           CAST(count(DISTINCT d.user_id) AS BIGINT) AS n_users
+    FROM d JOIN c ON d.user_id = c.user_id
+    GROUP BY 1, 2
+    """,
+)
+def w_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort-retention matrix: users bucketed by first-activity week,
+    counted per week-offset of later activity — the second canonical
+    event-log shape. All math is integer floor-division on epoch-µs
+    (no calendar/timezone functions), so both engines bucket identically.
+
+    Plan: two aggregations over the event scan; the per-user cohort table
+    broadcasts back. countDistinct carries only (user_id) through the
+    final shuffle.
+    """
+    e = _events(spark, sf_dir).select(
+        "user_id", F.expr("ts_us DIV 86400000000").alias("day")
+    )
+    c = e.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        e.join(F.broadcast(c), "user_id")
+        .groupBy(
+            F.expr("cohort_day DIV 7").cast("long").alias("cohort_week"),
+            F.expr("(day - cohort_day) DIV 7").cast("long").alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+@_q(
+    "cur_quality_filter",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
+      FROM documents),
+    m AS (
+      SELECT doc_id, len(toks) AS n_tokens,
+             len(list_distinct(toks)) / (1.0 * len(toks)) AS uniq_r,
+             len(list_filter(toks, x -> list_contains(['the','a'], x)))
+               / (1.0 * len(toks)) AS stop_r
+      FROM t),
+    r AS (
+      SELECT doc_id, n_tokens, uniq_r, stop_r,
+             CASE WHEN n_tokens < 25 THEN 'too_short'
+                  WHEN uniq_r < 0.4 THEN 'low_diversity'
+                  WHEN stop_r > 0.12 THEN 'stopword_heavy'
+                  ELSE 'pass' END AS reason
+      FROM m)
+    SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+           round(uniq_r, 6) AS uniq_ratio, round(stop_r, 6) AS stop_ratio,
+           reason, reason = 'pass' AS keep
+    FROM r
+    """,
+)
+def cur_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based curation gate (text_analysis.quality_filter): first
+    failing rule becomes the drop reason, so removed volume is
+    attributable per rule. Thresholds compare UNROUNDED ratios (identical
+    integer divisions in both engines) — rounding only the displayed
+    columns sidesteps the HALF_UP/HALF_EVEN cross-engine trap.
+    """
+    from hiss_cube_spark.operators.text_analysis import quality_filter
+
+    return quality_filter(_t(spark, sf_dir, "documents"))
+
+
 # ==========================================================================
 # driver contract
 # ==========================================================================

@@ -53,6 +53,10 @@ HEADLINE = [
     "text_heavy_hitters",
     "text_tfidf_topk",
     "cur_temperature_sample",
+    "dedup_paragraphs",
+    "cur_redact_pii",
+    "w_funnel_stages",
+    "w_cohort_retention",
 ]
 
 

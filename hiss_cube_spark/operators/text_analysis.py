@@ -15,6 +15,7 @@ __all__ = [
     "tokenize",
     "token_counts",
     "quality_score",
+    "quality_filter",
     "lang_id",
     "doc_fingerprint",
     "repetition_score",
@@ -259,3 +260,43 @@ def tfidf_top_terms(
 from hiss_cube_spark._serde import register_self as _register_self  # noqa: E402
 
 _register_self(__name__)
+
+
+def quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 25,
+    min_uniq_ratio: float = 0.4,
+    max_stop_ratio: float = 0.12,
+) -> DataFrame:
+    """Rule-based keep/drop gate composing the quality signals — the
+    decision layer of a C4/Gopher-style curation pipeline.
+
+    Emits ``keep`` plus ``reason`` (the FIRST failing rule, in severity
+    order: too_short → low_diversity → stopword_heavy → pass) so dropped
+    volume is attributable per rule in the corpus report. All comparisons
+    run on UNROUNDED doubles (exact integer divisions in both engines);
+    only display columns round. Pure codegen column math: at 100 TB this
+    is a free map over the scan, and a downstream `WHERE keep` prunes
+    before any shuffle.
+    """
+    toks = tokenize(F.col(text_col))
+    n = F.size(toks)
+    n_d = F.lit(1.0) * n
+    uniq_ratio = F.size(F.array_distinct(toks)) / n_d
+    stop_ratio = F.size(F.filter(toks, lambda t: t.isin(_STOPWORDS))) / n_d
+    reason = (
+        F.when(n < min_tokens, "too_short")
+        .when(uniq_ratio < min_uniq_ratio, "low_diversity")
+        .when(stop_ratio > max_stop_ratio, "stopword_heavy")
+        .otherwise("pass")
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        n.alias("n_tokens"),
+        F.round(uniq_ratio, 6).alias("uniq_ratio"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        reason.alias("reason"),
+        (reason == "pass").alias("keep"),
+    )
