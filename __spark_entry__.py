@@ -35,6 +35,7 @@ from pyspark.sql.window import Window
 from hiss_cube_spark.functions.spatial import grid_cell, grid_disc_cells
 from hiss_cube_spark.functions.timeparse import ts_to_mjd
 from hiss_cube_spark.operators.crossmatch import crossmatch
+from hiss_cube_spark.operators.timeseries import resample_locf
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 _ORACLE: dict[str, str] = {}
@@ -55,21 +56,31 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events with nanosecond timestamps normalized to DuckDB parity.
+    """events with timestamps normalized to DuckDB parity.
 
-    The parquet stores TIMESTAMP(NANOS); Spark reads it as a long (legacy
-    conf), DuckDB truncates to microseconds on scan — so we truncate
-    identically and expose both `ts` (timestamp, µs) and `ts_us` (bigint).
+    Handles both generations of the test data: TIMESTAMP(NANOS) (Spark reads
+    it as a long under the legacy conf; DuckDB truncates to microseconds on
+    scan — so we truncate identically) and plain TIMESTAMP micros. Exposes
+    both `ts` (timestamp, µs) and `ts_us` (bigint) either way.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ts_type = dict(e.dtypes)["ts"]
+    if ts_type == "bigint":  # TIMESTAMP(NANOS) under the legacy conf
+        ts_us = F.expr("ts DIV 1000")
+    elif ts_type == "timestamp_ntz":  # tz-free diff: no session-tz shift
+        ts_us = F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        )
+    else:
+        ts_us = F.unix_micros(F.col("ts"))
     return e.select(
         "event_id",
         "user_id",
         "event_type",
         "value",
         "props",
-        F.expr("ts DIV 1000").alias("ts_us"),
+        ts_us.alias("ts_us"),
     ).withColumn("ts", F.timestamp_micros(F.col("ts_us")))
 
 
@@ -793,6 +804,41 @@ def w_lag_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.groupBy("user_id").agg(
         F.sum("new_s").alias("n_sessions"), F.count(F.lit(1)).alias("n_events")
     )
+
+
+@_q(
+    "ts_resample_locf",
+    """
+    WITH e AS (
+      SELECT user_id AS key, epoch_us(ts) // 3600000000 AS bucket, value AS v,
+             epoch_us(ts) AS tu, event_id AS oid
+      FROM events WHERE user_id % 10 = 0),
+    last_e AS (
+      SELECT key, bucket, v FROM (
+        SELECT key, bucket, v,
+               row_number() OVER (PARTITION BY key, bucket
+                                  ORDER BY tu DESC, oid DESC) AS rn
+        FROM e) WHERE rn = 1),
+    span AS (SELECT key, min(bucket) AS b0, max(bucket) AS b1
+             FROM last_e GROUP BY key),
+    grid AS (SELECT key, unnest(generate_series(b0, b1)) AS bucket FROM span)
+    SELECT g.key AS user_id, g.bucket AS bucket,
+           last_value(s.v IGNORE NULLS)
+             OVER (PARTITION BY g.key ORDER BY g.bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+           CASE WHEN s.v IS NULL THEN 1 ELSE 0 END AS is_gap
+    FROM grid g LEFT JOIN last_e s ON g.key = s.key AND g.bucket = s.bucket
+    """,
+)
+def ts_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample per-user events onto a dense hourly grid with LOCF gap fill.
+
+    Relational analog of the reference's fixed-grid spectrum rebin
+    (hisscube/utils/photometry.py:343-350). Values pass through unchanged
+    (no float arithmetic), so parity is exact.
+    """
+    e = _events(spark, sf_dir).where(F.col("user_id") % 10 == 0)
+    return resample_locf(e)
 
 
 # ==========================================================================
