@@ -1732,6 +1732,96 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "cur_incremental_dedup",
+    """
+    WITH idx AS (SELECT DISTINCT md5(text) AS fp FROM documents
+                 WHERE doc_id % 3 = 0),
+    batch AS (SELECT doc_id, source, md5(text) AS fp FROM documents
+              WHERE doc_id % 3 <> 0),
+    firsts AS (
+      SELECT doc_id, source, fp FROM (
+        SELECT doc_id, source, fp,
+               row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM batch) WHERE rn = 1)
+    SELECT f.doc_id, f.source, f.fp FROM firsts f
+    WHERE NOT EXISTS (SELECT 1 FROM idx i WHERE i.fp = f.fp)
+    """,
+)
+def cur_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup an incoming batch against a persisted corpus fingerprint index
+    (docs with doc_id % 3 = 0 play the existing corpus; the rest arrive as
+    the new batch). Within-batch first-occurrence + anti-join on md5 —
+    the steady-state dedup shape at 100 TB (corpus never re-scanned)."""
+    from hiss_cube_spark.operators.curation import build_dedup_index, incremental_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    index = build_dedup_index(d.where(F.col("doc_id") % 3 == 0))
+    batch = d.where(F.col("doc_id") % 3 != 0).select("doc_id", "source", "text")
+    return incremental_dedup(batch, index).select("doc_id", "source", "fp")
+
+
+@_q(
+    "cur_chunk_documents",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    s AS (SELECT doc_id, toks,
+                 unnest(generate_series(0, greatest(len(toks) - 1, 0), 24)) AS start
+          FROM t)
+    SELECT doc_id, start // 24 AS chunk_idx,
+           array_to_string(toks[start + 1 : start + 32], ' ') AS chunk_text,
+           len(toks[start + 1 : start + 32]) AS n_tokens
+    FROM s
+    """,
+)
+def cur_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size token chunks with overlap (size 32, stride 24) — the
+    pre-embedding / context-window preprocessing step. Row-local plan:
+    split → sequence → explode → slice, no shuffle anywhere."""
+    from hiss_cube_spark.operators.curation import chunk_documents
+
+    return chunk_documents(
+        _t(spark, sf_dir, "documents"), size=32, overlap=8
+    )
+
+
+@_q(
+    "cur_domain_cap",
+    """
+    WITH u AS (
+      SELECT doc_id,
+             'https://' || source || '.example.com/docs/' || CAST(doc_id AS VARCHAR)
+               AS url
+      FROM documents),
+    d AS (SELECT doc_id,
+                 regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS domain FROM u),
+    r AS (SELECT doc_id, domain,
+                 row_number() OVER (PARTITION BY domain ORDER BY doc_id)
+                   AS domain_rank
+          FROM d)
+    SELECT doc_id, domain, domain_rank FROM r WHERE domain_rank <= 10
+    """,
+)
+def cur_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap (Common-Crawl anti-spam curation): extract
+    the host from a synthesized URL, keep the first 10 docs per domain in
+    deterministic doc_id order."""
+    from hiss_cube_spark.operators.curation import domain_cap
+
+    u = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"),
+            F.col("source"),
+            F.lit(".example.com/docs/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    return domain_cap(u, max_per_domain=10).select(
+        "doc_id", "domain", "domain_rank"
+    )
+
+
+@_q(
     "cur_hash_split",
     """
     WITH s AS (

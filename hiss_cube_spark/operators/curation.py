@@ -28,6 +28,10 @@ __all__ = [
     "decontaminate",
     "corpus_report",
     "temperature_sample",
+    "build_dedup_index",
+    "incremental_dedup",
+    "chunk_documents",
+    "domain_cap",
 ]
 
 # Knuth multiplicative constant — scrambles sequential ids so range-correlated
@@ -280,6 +284,116 @@ def corpus_report(
             F.round(F.percentile("_nt", F.lit(0.9)), 6).alias("p90_tokens"),
         )
     )
+
+def build_dedup_index(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Distinct content fingerprints of a corpus — the persistent side of
+    incremental dedup. Write this once per corpus snapshot (bucketed by
+    ``fp`` so later anti-joins co-locate without a shuffle on the index
+    side); it is hash-only, ~32 bytes/doc regardless of document size.
+    """
+    return df.select(F.md5(F.col(text_col)).alias("fp")).distinct()
+
+
+def incremental_dedup(
+    new_df: DataFrame,
+    index_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fp_col: str = "fp",
+) -> DataFrame:
+    """Exact dedup of an incoming batch against an existing corpus index.
+
+    The steady-state shape of dedup at 100 TB: the corpus is never
+    re-scanned — only its fingerprint index (`build_dedup_index`) is kept —
+    and each new batch is (a) reduced to one row per fingerprint
+    (first-occurrence by ``id_col``, one window shuffle over the *batch*,
+    which is small relative to the corpus) and (b) anti-joined against the
+    index on the 128-bit hash. With the index bucketed by ``fp`` the
+    anti-join shuffles only the batch side. Returns the surviving rows with
+    their fingerprint attached (callers append these to the corpus AND
+    union their fingerprints into the index).
+
+    Analog of the reference's duplicate-insert rejection at ingest
+    (hisscube/processors/metadata_strategy_dataset.py checks existing
+    dataset paths before writing), expressed as a set-membership join.
+    """
+    batch = new_df.withColumn("fp", F.md5(F.col(text_col)))
+    w = Window.partitionBy("fp").orderBy(id_col)
+    firsts = (
+        batch.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    idx = index_df.select(F.col(fp_col).alias("fp")).distinct()
+    return firsts.join(idx, "fp", "left_anti")
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    size: int = 32,
+    overlap: int = 8,
+) -> DataFrame:
+    """Split each document's token stream into fixed-size chunks with
+    overlap (stride = size − overlap) — the standard pre-embedding /
+    context-window preprocessing step.
+
+    Entirely row-local (split → sequence → explode → slice): no shuffle at
+    all, output cardinality ≈ n_tokens / stride per document, and the plan
+    is a narrow projection that scales embarrassingly. The last chunk may be
+    short; a document shorter than ``size`` yields exactly one chunk.
+    """
+    if overlap >= size:
+        raise ValueError("overlap must be smaller than size")
+    step = size - overlap
+    toks = df.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("toks")
+    )
+    starts = toks.select(
+        id_col,
+        "toks",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(F.size("toks") - F.lit(1), F.lit(0)),
+                F.lit(step),
+            )
+        ).alias("start"),
+    )
+    chunk = F.slice(F.col("toks"), F.col("start") + F.lit(1), size)
+    return starts.select(
+        id_col,
+        F.expr(f"CAST(start AS BIGINT) DIV {step}").alias("chunk_idx"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+        F.size(chunk).cast("long").alias("n_tokens"),
+    )
+
+
+def domain_cap(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    max_per_domain: int = 100,
+) -> DataFrame:
+    """Cap documents per web domain: extract the host from ``url_col`` and
+    keep the first ``max_per_domain`` rows per domain in deterministic
+    ``id_col`` order (re-runs keep the same rows).
+
+    The Common-Crawl-style anti-spam step — a handful of template-heavy
+    domains otherwise dominate the corpus. The exact semantics is one
+    window per domain; for web-scale skew (a single domain with 10⁹ pages)
+    pre-filter with a per-domain hash-sample at ~2× the cap before ranking
+    so no partition ever sorts more than O(cap) rows per domain.
+    """
+    domain = F.regexp_extract(F.col(url_col), "^[a-z]+://([^/]+)", 1)
+    w = Window.partitionBy("domain").orderBy(id_col)
+    return (
+        df.withColumn("domain", domain)
+        .withColumn("domain_rank", F.row_number().over(w))
+        .where(F.col("domain_rank") <= max_per_domain)
+    )
+
 
 from hiss_cube_spark._serde import register_self as _register_self  # noqa: E402
 

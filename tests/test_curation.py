@@ -208,3 +208,71 @@ def test_paragraph_dedup_keeps_first_occurrence(spark):
     # every normalized paragraph survives exactly once across the corpus
     total_kept = sum(r["n_kept"] for r in out.values())
     assert total_kept == 5  # alpha, shared boilerplate, beta, gamma, delta
+
+
+def test_chunk_documents_covers_stream_with_overlap(spark):
+    from hiss_cube_spark.operators.curation import chunk_documents
+
+    toks = [f"t{i}" for i in range(50)]
+    df = spark.createDataFrame(
+        [(1, " ".join(toks)), (2, "a b c"), (3, "solo")], ["doc_id", "text"]
+    )
+    out = {
+        (r["doc_id"], r["chunk_idx"]): r
+        for r in chunk_documents(df, size=16, overlap=4).collect()
+    }
+    # doc 1: 50 tokens, stride 12 -> starts 0,12,24,36,48 -> 5 chunks
+    assert {k for k in out if k[0] == 1} == {(1, i) for i in range(5)}
+    # chunk i starts at token 12*i and holds up to 16 tokens
+    for i in range(5):
+        r = out[(1, i)]
+        expect = toks[12 * i : 12 * i + 16]
+        assert r["chunk_text"].split(" ") == expect
+        assert r["n_tokens"] == len(expect)
+    # consecutive chunks overlap by exactly 4 tokens
+    assert out[(1, 0)]["chunk_text"].split(" ")[-4:] == out[(1, 1)][
+        "chunk_text"
+    ].split(" ")[:4]
+    # short docs: exactly one (possibly short) chunk
+    assert out[(2, 0)]["chunk_text"] == "a b c" and out[(2, 0)]["n_tokens"] == 3
+    assert out[(3, 0)]["n_tokens"] == 1
+    with pytest.raises(ValueError):
+        chunk_documents(df, size=8, overlap=8)
+
+
+def test_incremental_dedup_batch_and_index_semantics(spark):
+    from hiss_cube_spark.operators.curation import build_dedup_index, incremental_dedup
+
+    corpus = spark.createDataFrame(
+        [(1, "known text"), (2, "other known")], ["doc_id", "text"]
+    )
+    index = build_dedup_index(corpus)
+    batch = spark.createDataFrame(
+        [
+            (10, "known text"),   # already in corpus -> dropped
+            (11, "fresh text"),   # new -> kept
+            (12, "fresh text"),   # within-batch dup, higher id -> dropped
+            (13, "also fresh"),   # new -> kept
+        ],
+        ["doc_id", "text"],
+    )
+    kept = incremental_dedup(batch, index)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [11, 13]
+    # appending survivors' fingerprints makes a re-run of the same batch empty
+    index2 = index.unionByName(kept.select("fp")).distinct()
+    assert incremental_dedup(batch, index2).count() == 0
+
+
+def test_domain_cap_deterministic_and_bounded(spark):
+    from hiss_cube_spark.operators.curation import domain_cap
+
+    rows = [(i, f"https://big.example.com/p/{i}") for i in range(20)]
+    rows += [(100 + i, f"https://small.example.org/p/{i}") for i in range(3)]
+    df = spark.createDataFrame(rows, ["doc_id", "url"])
+    out = domain_cap(df, max_per_domain=5).collect()
+    by_dom: dict[str, list] = {}
+    for r in out:
+        by_dom.setdefault(r["domain"], []).append(r["doc_id"])
+    # cap binds on the big domain, keeps the lowest ids; small domain intact
+    assert sorted(by_dom["big.example.com"]) == [0, 1, 2, 3, 4]
+    assert sorted(by_dom["small.example.org"]) == [100, 101, 102]
