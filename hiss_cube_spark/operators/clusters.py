@@ -48,32 +48,36 @@ def connected_components(
     edges = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
     edges = edges.localCheckpoint(eager=True)
 
+    # Initial labels = min(self, direct neighbors): identical to one
+    # propagation round from identity labels, but a single map-side-combining
+    # groupBy with no join (every node appears as `a` after the union above).
     labels = (
-        edges.select(F.col("a").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
+        edges.groupBy("a")
+        .agg(F.min("b").alias("_nb"))
+        .select(F.col("a").alias("node"), F.least("a", "_nb").alias("label"))
         .localCheckpoint(eager=True)
     )
+    label_type = labels.schema["label"].dataType
 
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges["b"] == labels["node"])
             .select(edges["a"].alias("node"), F.col("label"))
+            .withColumn("_prev", F.lit(None).cast(label_type))
         )
+        # Carry each node's previous label through the same aggregation
+        # (only the node's own row has _prev set, and every node has one),
+        # so convergence detection below is a narrow scan of the
+        # checkpointed result — no second join, no second shuffle.
         new_labels = (
-            labels.union(neighbor_min)
+            labels.withColumn("_prev", F.col("label"))
+            .unionByName(neighbor_min)
             .groupBy("node")
-            .agg(F.min("label").alias("label"))
+            .agg(F.min("label").alias("label"), F.max("_prev").alias("_prev"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.where(F.col("label") < F.col("_prev")).limit(1).count()
+        labels = new_labels.select("node", "label")
         if changed == 0:
             return labels.select("node", F.col("label").alias("cluster_id"))
     raise RuntimeError(f"connected_components did not converge in {max_iter} iterations")
