@@ -1732,6 +1732,36 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "text_lm_score",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    s AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i
+          FROM toks WHERE len(w) >= 2),
+    b AS (SELECT doc_id, w[i] AS w1, w[i + 1] AS w2 FROM s),
+    c2 AS (SELECT w1, w2, count(*) AS n2 FROM b GROUP BY w1, w2),
+    c1 AS (SELECT w1, count(*) AS n1 FROM b GROUP BY w1),
+    v AS (SELECT count(DISTINCT w2) AS vsz FROM b),
+    p AS (SELECT b.doc_id,
+                 (c2.n2 + 0.5) / (c1.n1 + 0.5 * v.vsz) AS p
+          FROM b JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v)
+    SELECT doc_id,
+           round(CAST(sum(CAST(p AS DECIMAL(30,8))) AS DOUBLE) / count(*), 6)
+             AS lm_score,
+           count(*) AS n_bigrams
+    FROM p GROUP BY doc_id
+    """,
+)
+def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained add-k bigram LM likelihood per document (the
+    KenLM-style quality-filter shape): low average conditional probability
+    flags garbled / out-of-distribution text. Rational arithmetic only, so
+    the oracle matches bit-for-bit."""
+    from hiss_cube_spark.operators.text_analysis import bigram_lm_score
+
+    return bigram_lm_score(_t(spark, sf_dir, "documents"))
+
+
+@_q(
     "cur_incremental_dedup",
     """
     WITH idx AS (SELECT DISTINCT md5(text) AS fp FROM documents

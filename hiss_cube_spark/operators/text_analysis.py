@@ -21,6 +21,7 @@ __all__ = [
     "repetition_score",
     "token_frequencies",
     "tfidf_top_terms",
+    "bigram_lm_score",
 ]
 
 # Marker tokens per language for the n-gram/stopword heuristic. Determinism,
@@ -299,4 +300,61 @@ def quality_filter(
         F.round(stop_ratio, 6).alias("stop_ratio"),
         reason.alias("reason"),
         (reason == "pass").alias("keep"),
+    )
+
+
+def bigram_lm_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: float = 0.5,
+) -> DataFrame:
+    """Language-model quality score: train add-k-smoothed bigram statistics
+    on the corpus itself, then score every document by the average
+    conditional probability of its bigrams, P(w2|w1) = (c(w1,w2)+k) /
+    (c(w1)+k·V). Low scores flag machine-garbled / out-of-distribution text
+    — the KenLM-perplexity-filter shape from production data pipelines.
+
+    Plan: one explode of the corpus into bigrams feeds two map-side-combining
+    groupBys (the "training" pass) and a lookup join back onto itself; the
+    per-document aggregate is decimal-quantized so the score is independent
+    of reduction order. Production notes for 100 TB: train the counts on a
+    fixed sample, keep only top-M bigrams with a backoff constant, and
+    broadcast that table — the shape below stays identical, only the
+    LM-side input shrinks. Average probability (not log-prob) keeps every
+    operation rational, hence bit-deterministic across engines; a log-prob
+    variant is a drop-in `F.ln` on the same column.
+    """
+    toks = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("w"))
+    n = F.size("w")
+    b = (
+        toks.where(n >= 2)
+        .select(
+            id_col,
+            F.explode(
+                F.arrays_zip(
+                    F.slice("w", 1, n - 1).alias("w1"),
+                    F.slice("w", 2, n - 1).alias("w2"),
+                )
+            ).alias("bg"),
+        )
+        .select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    )
+    c2 = b.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2"))
+    c1 = b.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
+    vocab = b.agg(F.countDistinct("w2").alias("vsz"))
+    p = (
+        b.join(c2, ["w1", "w2"]).join(c1, ["w1"]).crossJoin(vocab)
+        .withColumn(
+            "p",
+            (F.col("n2") + F.lit(k)) / (F.col("n1") + F.lit(k) * F.col("vsz")),
+        )
+    )
+    return p.groupBy(id_col).agg(
+        F.round(
+            F.sum(F.col("p").cast("decimal(30,8)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("lm_score"),
+        F.count(F.lit(1)).alias("n_bigrams"),
     )

@@ -66,3 +66,20 @@ def test_tfidf_top_terms_pinned(spark):
     assert score == round(math.floor(2 * math.log(4 / 2) * 1e6) / 1e6, 6)
     # docs 2/3: every term scores 0 or ln(4/2); x and y are unique → win
     assert out[(2, 1)][0] == "x" and out[(3, 1)][0] == "y"
+
+
+def test_bigram_lm_score_pinned(spark):
+    from hiss_cube_spark.operators.text_analysis import bigram_lm_score
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a c"), (3, "solo")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in bigram_lm_score(df).collect()}
+    # corpus bigrams: d1 (a,b)(b,a)(a,b), d2 (a,c); c(a)=3, c(b)=1; V=3
+    p_b_a = (2 + 0.5) / (3 + 0.5 * 3)   # P(b|a)
+    p_a_b = (1 + 0.5) / (1 + 0.5 * 3)   # P(a|b)
+    p_c_a = (1 + 0.5) / (3 + 0.5 * 3)   # P(c|a)
+    assert got[1]["n_bigrams"] == 3
+    assert got[1]["lm_score"] == round((2 * p_b_a + p_a_b) / 3, 6)
+    assert got[2]["lm_score"] == round(p_c_a, 6)
+    assert 3 not in got  # single-token docs have no bigrams
