@@ -1745,6 +1745,47 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "cdc_apply_changelog",
+    """
+    WITH snap AS (SELECT c_custkey AS key, c_acctbal AS bal FROM customer),
+    ch AS (SELECT o_orderkey AS seq, o_custkey AS key,
+                  CASE o_orderkey % 10 WHEN 0 THEN 'D'
+                       WHEN 1 THEN 'I' ELSE 'U' END AS op,
+                  o_totalprice AS bal
+           FROM orders),
+    latest AS (SELECT key, op, bal FROM (
+        SELECT key, op, bal,
+               row_number() OVER (PARTITION BY key ORDER BY seq DESC) AS rn
+        FROM ch) WHERE rn = 1)
+    SELECT COALESCE(s.key, c.key) AS key,
+           CASE WHEN c.key IS NOT NULL THEN c.bal ELSE s.bal END AS bal
+    FROM snap s FULL OUTER JOIN latest c ON s.key = c.key
+    WHERE c.op IS NULL OR c.op <> 'D'
+    """,
+)
+def cdc_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE/upsert: apply an insert/update/delete changelog (synthesized
+    from orders — latest event per customer wins by o_orderkey) to the
+    customer-balance snapshot. One window over the delta + one full-outer
+    join; with a key-bucketed snapshot only the delta shuffles."""
+    from hiss_cube_spark.operators.cdc import apply_changelog
+
+    snap = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("key"), F.col("c_acctbal").alias("bal")
+    )
+    ch = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("seq"),
+        F.col("o_custkey").alias("key"),
+        F.when(F.col("o_orderkey") % 10 == 0, "D")
+        .when(F.col("o_orderkey") % 10 == 1, "I")
+        .otherwise("U")
+        .alias("op"),
+        F.col("o_totalprice").alias("bal"),
+    )
+    return apply_changelog(snap, ch)
+
+
+@_q(
     "text_lm_score",
     """
     WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -1,0 +1,63 @@
+"""Change-data-capture application: apply an insert/update/delete changelog
+to a table snapshot — the MERGE shape every incremental pipeline needs once
+data stops being append-only.
+
+The reference's nearest analog is its duplicate-insert rejection and
+update-phase semantics (hisscube/builders.py update subcommands recreate
+phases over an existing file); here the same idea is a declarative
+snapshot ⊕ changelog = next-snapshot operator.
+
+Scale shape: the changelog first collapses to its latest change per key
+(one window over the — by definition small — delta side), then ONE
+full-outer join against the snapshot on the key. With the snapshot stored
+bucketed by the key, that join co-locates and only the delta shuffles;
+nothing else in the plan touches the 100 TB side twice.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+__all__ = ["apply_changelog"]
+
+
+def apply_changelog(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    key_col: str = "key",
+    seq_col: str = "seq",
+    op_col: str = "op",
+) -> DataFrame:
+    """Next snapshot after applying ``changes`` to ``snapshot``.
+
+    ``changes`` carries (seq, op, key, <value columns matching snapshot>)
+    with op ∈ {'I','U','D'}; the latest change per key (highest ``seq``,
+    assumed unique per key) wins. Deletes drop the key, inserts/updates
+    upsert their values (keys absent from the snapshot appear); untouched
+    snapshot rows pass through. Output schema == snapshot schema.
+    """
+    vals = [c for c in snapshot.columns if c != key_col]
+    w = Window.partitionBy(key_col).orderBy(F.desc(seq_col))
+    latest = (
+        changes.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(key_col, op_col, *vals)
+    )
+    s, c = snapshot.alias("s"), latest.alias("c")
+    joined = s.join(
+        c, F.col(f"s.{key_col}") == F.col(f"c.{key_col}"), "full_outer"
+    )
+    has_change = F.col(f"c.{key_col}").isNotNull()
+    return joined.where(
+        F.col(f"c.{op_col}").isNull() | (F.col(f"c.{op_col}") != "D")
+    ).select(
+        F.coalesce(F.col(f"s.{key_col}"), F.col(f"c.{key_col}")).alias(key_col),
+        *[
+            F.when(has_change, F.col(f"c.{v}"))
+            .otherwise(F.col(f"s.{v}"))
+            .alias(v)
+            for v in vals
+        ],
+    )
