@@ -1786,6 +1786,53 @@ def cdc_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "cdc_table_diff",
+    """
+    WITH old AS (SELECT c_custkey AS key, c_acctbal AS bal FROM customer),
+    new AS (
+      SELECT c_custkey AS key,
+             CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 10.0
+                  ELSE c_acctbal END AS bal
+      FROM customer WHERE c_custkey % 7 <> 0
+      UNION ALL
+      SELECT s_suppkey + 1000000 AS key, s_acctbal AS bal FROM supplier)
+    SELECT CASE WHEN o.key IS NULL THEN 'I'
+                WHEN n.key IS NULL THEN 'D'
+                ELSE 'U' END AS op,
+           COALESCE(n.key, o.key) AS key, n.bal AS bal
+    FROM old o FULL OUTER JOIN new n ON o.key = n.key
+    WHERE o.key IS NULL OR n.key IS NULL
+       OR o.bal IS DISTINCT FROM n.bal
+    """,
+)
+def cdc_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff → changelog (inverse of cdc_apply_changelog; their
+    roundtrip is property-tested): customer balances vs a perturbed next
+    snapshot (every 7th key deleted, every 5th balance bumped, suppliers
+    inserted under offset keys)."""
+    from hiss_cube_spark.operators.cdc import table_diff
+
+    c = _t(spark, sf_dir, "customer")
+    old = c.select(F.col("c_custkey").alias("key"), F.col("c_acctbal").alias("bal"))
+    new = (
+        c.where(F.col("c_custkey") % 7 != 0)
+        .select(
+            F.col("c_custkey").alias("key"),
+            F.when(F.col("c_custkey") % 5 == 0, F.col("c_acctbal") + 10.0)
+            .otherwise(F.col("c_acctbal"))
+            .alias("bal"),
+        )
+        .unionByName(
+            _t(spark, sf_dir, "supplier").select(
+                (F.col("s_suppkey") + 1000000).alias("key"),
+                F.col("s_acctbal").alias("bal"),
+            )
+        )
+    )
+    return table_diff(old, new)
+
+
+@_q(
     "text_lm_score",
     """
     WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -27,3 +27,37 @@ def test_apply_changelog_insert_update_delete_and_idempotent_reapply(spark):
         spark.createDataFrame(list(out.items()), "key long, bal double"), empty
     ).collect()}
     assert again == out
+
+
+def test_table_diff_roundtrip_property(spark):
+    """apply_changelog(old, table_diff(old, new)) == new, on randomized
+    snapshot pairs (brute-force oracle style)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from hiss_cube_spark.operators.cdc import apply_changelog, table_diff
+
+    rng = random.Random(7)
+    for trial in range(3):
+        old_rows = [(k, float(rng.randint(0, 5))) for k in rng.sample(range(20), 12)]
+        new_rows = [(k, float(rng.randint(0, 5))) for k in rng.sample(range(20), 12)]
+        old = spark.createDataFrame(old_rows, "key long, bal double")
+        new = spark.createDataFrame(new_rows, "key long, bal double")
+        diff = table_diff(old, new).withColumn(
+            "seq", F.monotonically_increasing_id()
+        )
+        got = {(r["key"], r["bal"]) for r in apply_changelog(old, diff).collect()}
+        assert got == set(new_rows), f"trial {trial}"
+        # ops partition correctly
+        ops = {r["key"]: r["op"] for r in diff.collect()}
+        ok, nk = dict(old_rows), dict(new_rows)
+        for k in set(ok) | set(nk):
+            if k not in ok:
+                assert ops[k] == "I"
+            elif k not in nk:
+                assert ops[k] == "D"
+            elif ok[k] != nk[k]:
+                assert ops[k] == "U"
+            else:
+                assert k not in ops
