@@ -1833,6 +1833,43 @@ def cdc_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "cdc_scd2_history",
+    """
+    WITH ch AS (SELECT o_orderkey AS seq, o_custkey AS key,
+                       CASE o_orderkey % 10 WHEN 0 THEN 'D'
+                            WHEN 1 THEN 'I' ELSE 'U' END AS op,
+                       o_totalprice AS bal
+                FROM orders WHERE o_custkey % 50 = 0),
+    h AS (SELECT key, bal, op, seq AS valid_from,
+                 lead(seq) OVER (PARTITION BY key ORDER BY seq) AS valid_to
+          FROM ch)
+    SELECT key, bal, valid_from, valid_to, valid_to IS NULL AS is_current
+    FROM h WHERE op <> 'D'
+    """,
+)
+def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 dimension history from the orders-synthesized changelog:
+    per-key version rows with [valid_from, valid_to) sequence intervals and
+    an is_current flag — one lead window, no joins."""
+    from hiss_cube_spark.operators.cdc import scd2_history
+
+    ch = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_custkey") % 50 == 0)
+        .select(
+            F.col("o_orderkey").alias("seq"),
+            F.col("o_custkey").alias("key"),
+            F.when(F.col("o_orderkey") % 10 == 0, "D")
+            .when(F.col("o_orderkey") % 10 == 1, "I")
+            .otherwise("U")
+            .alias("op"),
+            F.col("o_totalprice").alias("bal"),
+        )
+    )
+    return scd2_history(ch)
+
+
+@_q(
     "text_lm_score",
     """
     WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

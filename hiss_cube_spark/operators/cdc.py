@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["apply_changelog", "table_diff"]
+__all__ = ["apply_changelog", "table_diff", "scd2_history"]
 
 
 def apply_changelog(
@@ -97,4 +97,31 @@ def table_diff(
         op.alias("op"),
         F.coalesce(F.col(f"n.{key_col}"), F.col(f"o.{key_col}")).alias(key_col),
         *[F.col(f"n.{v}").alias(v) for v in vals],
+    )
+
+
+def scd2_history(
+    changes: DataFrame,
+    key_col: str = "key",
+    seq_col: str = "seq",
+    op_col: str = "op",
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 history from a changelog: one row
+    per (key, version) with ``valid_from``/``valid_to`` sequence bounds and
+    an ``is_current`` flag. A delete closes the prior version's interval
+    but emits no row of its own.
+
+    One ``lead`` window per key over the changelog — no joins; the
+    dimension history materializes in a single pass however large the
+    change stream is.
+    """
+    vals = [c for c in changes.columns if c not in (key_col, seq_col, op_col)]
+    w = Window.partitionBy(key_col).orderBy(seq_col)
+    h = changes.withColumn("valid_to", F.lead(seq_col).over(w))
+    return h.where(F.col(op_col) != "D").select(
+        key_col,
+        *vals,
+        F.col(seq_col).alias("valid_from"),
+        "valid_to",
+        F.col("valid_to").isNull().alias("is_current"),
     )

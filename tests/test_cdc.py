@@ -61,3 +61,25 @@ def test_table_diff_roundtrip_property(spark):
                 assert ops[k] == "U"
             else:
                 assert k not in ops
+
+
+def test_scd2_history_intervals(spark):
+    from hiss_cube_spark.operators.cdc import scd2_history
+
+    ch = spark.createDataFrame(
+        [
+            (1, 7, "I", 10.0),
+            (2, 7, "U", 11.0),
+            (3, 7, "D", None),
+            (4, 7, "I", 12.0),   # key re-inserted after delete
+            (1, 8, "I", 50.0),   # still-current single version
+        ],
+        "seq long, key long, op string, bal double",
+    )
+    rows = {(r["key"], r["valid_from"]): r for r in scd2_history(ch).collect()}
+    assert set(rows) == {(7, 1), (7, 2), (7, 4), (8, 1)}
+    assert rows[(7, 1)]["valid_to"] == 2 and not rows[(7, 1)]["is_current"]
+    # the delete at seq 3 closes version 2 without emitting a row
+    assert rows[(7, 2)]["valid_to"] == 3 and not rows[(7, 2)]["is_current"]
+    assert rows[(7, 4)]["valid_to"] is None and rows[(7, 4)]["is_current"]
+    assert rows[(8, 1)]["is_current"] and rows[(8, 1)]["bal"] == 50.0
