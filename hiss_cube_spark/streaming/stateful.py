@@ -15,13 +15,15 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
+    IntegerType,
     LongType,
     StructField,
     StructType,
 )
 
-__all__ = ["running_totals"]
+__all__ = ["running_totals", "streaming_topk"]
 
 _STATE = StructType(
     [
@@ -80,3 +82,76 @@ def running_totals(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def streaming_topk(
+    events: DataFrame,
+    key_col: str = "user_id",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    k: int = 3,
+) -> DataFrame:
+    """Streaming per-key top-``k`` rows by ``value_col``, exact across the
+    whole stream: every micro-batch folds its rows into the key's persisted
+    buffer (never more than ``k`` entries per key) and re-emits the key's
+    current top-k. State is O(k) per key forever — the streaming analog of
+    the batch `w_rank_topk` window. Output: (key, rank, oid, v).
+
+    Implemented on ``applyInPandasWithState`` with the buffer flattened
+    into two array columns (this container lacks the protobuf runtime the
+    ``transformWithStateInPandas`` state server requires; that API's
+    ListState is the drop-in upgrade — same fold, buffer rows stored
+    unflattened).
+    """
+    state_schema = StructType(
+        [
+            StructField("oids", ArrayType(LongType())),
+            StructField("vs", ArrayType(DoubleType())),
+        ]
+    )
+    out_schema = StructType(
+        [
+            StructField("key", LongType()),
+            StructField("rank", IntegerType()),
+            StructField("oid", LongType()),
+            StructField("v", DoubleType()),
+        ]
+    )
+
+    def _fold(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        oids, vs = state.get if state.exists else ([], [])
+        items = list(zip(oids, vs))
+        for pdf in pdfs:
+            items.extend(
+                zip(pdf[id_col].astype("int64"), pdf[value_col].astype("float64"))
+            )
+        # deterministic: value desc, id asc tiebreak
+        items = sorted(items, key=lambda t: (-t[1], t[0]))[:k]
+        state.update(([int(t[0]) for t in items], [float(t[1]) for t in items]))
+        yield pd.DataFrame(
+            {
+                "key": [int(key[0])] * len(items),
+                "rank": list(range(1, len(items) + 1)),
+                "oid": [t[0] for t in items],
+                "v": [t[1] for t in items],
+            }
+        )
+
+    return (
+        events.select(key_col, id_col, value_col)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            _fold,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+from hiss_cube_spark._serde import register_self as _register_self  # noqa: E402
+
+_register_self(__name__)

@@ -91,3 +91,42 @@ def test_pq_topk_recall_and_compression_shape(spark, sf_dir):
     for ranked in by_q.values():
         ranked.sort()
         assert all(a[1] >= b[1] for a, b in zip(ranked, ranked[1:]))
+
+
+def test_streaming_topk_folds_across_microbatches(spark, tmp_path_factory):
+    from hiss_cube_spark.streaming.stateful import streaming_topk
+
+    src = str(tmp_path_factory.mktemp("tk_src"))
+    ckpt = str(tmp_path_factory.mktemp("tk_ckpt"))
+    schema = "user_id long, event_id long, value double"
+    # batch 1: user 1 has scores 50, 10, 30
+    spark.createDataFrame(
+        [(1, 100, 50.0), (1, 101, 10.0), (1, 102, 30.0), (2, 200, 1.0)], schema
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+    # batch 2: a 40 displaces the 10; a 5 changes nothing
+    spark.createDataFrame([(1, 103, 40.0), (1, 104, 5.0)], schema).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    out = streaming_topk(stream, k=2)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("stream_topk")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    emitted = spark.sql("SELECT * FROM stream_topk").collect()
+    # the LAST emission for user 1 must be the cross-batch top-2: 50, 40
+    per_user1 = [
+        (r["rank"], r["oid"], r["v"]) for r in emitted if r["key"] == 1
+    ]
+    assert (1, 100, 50.0) in per_user1 and (2, 103, 40.0) in per_user1
+    # batch-1 state (50, 30) was emitted too — proves two emissions folded
+    assert (2, 102, 30.0) in per_user1
+    assert [(r["rank"], r["oid"]) for r in emitted if r["key"] == 2] == [(1, 200)]
