@@ -781,6 +781,35 @@ def w_moving_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "w_range_frame_sum",
+    """
+    WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tu, value
+               FROM events WHERE user_id % 20 = 0)
+    SELECT event_id, user_id,
+           round(CAST(sum(CAST(value AS DECIMAL(30,8)))
+                 OVER (PARTITION BY user_id ORDER BY tu
+                       RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+                 AS DOUBLE), 6) AS hr_sum
+    FROM e
+    """,
+)
+def w_range_frame_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-based (RANGE) window frame: per event, the sum of the same
+    user's values in the trailing hour of event time. Unlike ROWS frames,
+    the frame is determined by the ordering VALUE, so timestamp ties need
+    no tiebreaker — all peers join the frame."""
+    e = _events(spark, sf_dir).where(F.col("user_id") % 20 == 0)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-3600000000, Window.currentRow)
+    )
+    return e.select(
+        "event_id", "user_id", _r6(F.sum(_dec(F.col("value"))).over(w)).alias("hr_sum")
+    )
+
+
+@_q(
     "w_lag_sessionize",
     """
     WITH e AS (SELECT user_id, epoch_us(ts) AS tu FROM events),
