@@ -276,3 +276,36 @@ def test_domain_cap_deterministic_and_bounded(spark):
     # cap binds on the big domain, keeps the lowest ids; small domain intact
     assert sorted(by_dom["big.example.com"]) == [0, 1, 2, 3, 4]
     assert sorted(by_dom["small.example.org"]) == [100, 101, 102]
+
+
+def test_incremental_update_example_composes(spark, sf_dir):
+    import sys as _sys
+
+    _sys.path.insert(0, "examples")
+    from incremental_update import ingest_batch, maintain_snapshot
+
+    from hiss_cube_spark.operators.curation import build_dedup_index
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    batch = docs.where(F.col("doc_id") % 2 == 1).select("doc_id", "text", "source")
+    index = build_dedup_index(corpus)
+
+    arts = ingest_batch(spark, batch, index)
+    n_batch = batch.count()
+    n_acc = arts["accepted"].count()
+    assert 0 < n_acc <= n_batch
+    # chunks only come from accepted docs
+    acc_ids = {r["doc_id"] for r in arts["accepted"].select("doc_id").collect()}
+    chunk_ids = {r["doc_id"] for r in arts["chunks"].select("doc_id").distinct().collect()}
+    assert chunk_ids == acc_ids
+    # the grown index rejects a replay of the same batch entirely
+    replay = ingest_batch(spark, batch, arts["index"])
+    assert replay["accepted"].count() == 0
+
+    snap = corpus.select("doc_id", "text")
+    nxt = snap.unionByName(arts["accepted"].select("doc_id", "text"))
+    m = maintain_snapshot(snap, nxt)
+    assert m["changelog"].where(F.col("op") != "I").count() == 0
+    assert m["applied"].count() == nxt.count()
+    assert m["history"].where(~F.col("is_current")).count() == 0
