@@ -488,6 +488,36 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "a_unpivot_melt",
+    """
+    SELECT c_custkey, metric, round(CAST(val AS DOUBLE), 6) AS val
+    FROM (SELECT c_custkey, c_acctbal, CAST(c_nationkey AS DOUBLE) AS nation_key
+          FROM customer WHERE c_custkey % 10 = 0)
+    UNPIVOT (val FOR metric IN (c_acctbal, nation_key))
+    """,
+)
+def a_unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational UNPIVOT (wide → long melt) via the native DataFrame
+    `unpivot` operator — the column-to-row dual of `a_pivot_flags`, distinct
+    from the array-explode unpivot of F17."""
+    c = (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") % 10 == 0)
+        .select(
+            "c_custkey",
+            "c_acctbal",
+            F.col("c_nationkey").cast("double").alias("nation_key"),
+        )
+    )
+    return c.unpivot(
+        ids=["c_custkey"],
+        values=["c_acctbal", "nation_key"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    ).select("c_custkey", "metric", _r6(F.col("val")).alias("val"))
+
+
 # ==========================================================================
 # F17: unpivot arrays → per-sample rows (visualization-cube table shape,
 # cube_visualization.py:110-145)
