@@ -277,3 +277,78 @@ def test_interval_overlap_random_vs_bruteforce(spark):
             ).select("id_a", "id_b").collect()
         )
         assert got == expected, f"bucket_width={w}"
+
+
+def test_resample_locf_matches_bruteforce(spark):
+    """Random event streams: the operator's dense grid must equal a plain
+    Python LOCF simulation (grid span, survivor choice, fill, gap flags)."""
+    import random
+
+    from hiss_cube_spark.operators.timeseries import resample_locf
+
+    rng = random.Random(11)
+    bucket_us = 100
+    rows = []
+    eid = 0
+    for key in range(6):
+        for _ in range(rng.randint(1, 25)):
+            rows.append((eid, key, rng.randint(0, 2000), float(rng.randint(0, 50))))
+            eid += 1
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts_us long, value double")
+    got = {
+        (r["user_id"], r["bucket"]): (r["value"], r["is_gap"])
+        for r in resample_locf(df, bucket_us=bucket_us).collect()
+    }
+
+    # brute force
+    per_key: dict = {}
+    for eid_, key, ts, v in rows:
+        per_key.setdefault(key, []).append((ts, eid_, v))
+    expect = {}
+    for key, evs in per_key.items():
+        by_bucket: dict = {}
+        for ts, eid_, v in evs:
+            b = ts // bucket_us
+            cur = by_bucket.get(b)
+            if cur is None or (ts, eid_) > (cur[0], cur[1]):
+                by_bucket[b] = (ts, eid_, v)
+        b0, b1 = min(by_bucket), max(by_bucket)
+        last = None
+        for b in range(b0, b1 + 1):
+            if b in by_bucket:
+                last = by_bucket[b][2]
+                expect[(key, b)] = (last, 0)
+            else:
+                expect[(key, b)] = (last, 1)
+    assert got == expect
+
+
+def test_chunk_documents_reconstruction_property(spark):
+    """Concatenating each chunk's stride-prefix (full last chunk) rebuilds
+    the original token stream exactly, for random doc lengths."""
+    import random
+
+    from hiss_cube_spark.operators.curation import chunk_documents
+
+    rng = random.Random(13)
+    docs = []
+    for doc_id in range(20):
+        n = rng.randint(1, 90)
+        docs.append((doc_id, " ".join(f"w{doc_id}_{i}" for i in range(n))))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    size, overlap = 16, 5
+    stride = size - overlap
+    chunks: dict = {}
+    for r in chunk_documents(df, size=size, overlap=overlap).collect():
+        chunks.setdefault(r["doc_id"], {})[r["chunk_idx"]] = r["chunk_text"].split(" ")
+    for doc_id, text in docs:
+        toks = text.split(" ")
+        cs = [chunks[doc_id][i] for i in range(len(chunks[doc_id]))]
+        rebuilt = []
+        for c in cs[:-1]:
+            # a non-final chunk carries at least a full stride (the next
+            # start exists), though its overlap tail may be clipped by EOD
+            assert len(c) >= stride
+            rebuilt.extend(c[:stride])
+        rebuilt.extend(cs[-1])
+        assert rebuilt == toks, doc_id
