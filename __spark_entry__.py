@@ -385,6 +385,64 @@ def j6_target_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "a1_light_curve",
+    f"""
+    WITH obs AS (
+      SELECT CAST(floor(((((c_custkey * 5.113) % 170.0) - 85.0) + 90.0) / 5.0) * 72
+                  + floor(((c_custkey * 11.317) % 360.0) / 5.0) AS BIGINT) AS cell,
+             CAST(strftime(o_orderdate, '%Y') AS BIGINT) * 12
+               + CAST(strftime(o_orderdate, '%m') AS BIGINT) - 1 AS epoch,
+             o_totalprice AS flux,
+             0.5 + (o_orderkey % 10) * 0.25 AS sigma
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ),
+    g AS (
+      SELECT cell, epoch, count(*) AS n_obs,
+             {{ivw}}
+      FROM obs GROUP BY cell, epoch
+    )
+    SELECT cell, epoch, n_obs,
+           round(CAST(_sfw AS DOUBLE) / CAST(_sw AS DOUBLE), 6) AS ivw_mean,
+           round(sqrt(1.0 / CAST(_sw AS DOUBLE)), 6) AS ivw_sigma
+    FROM g
+    """.format(ivw=_SQL_IVW_SUMS.format(flux="flux", sigma="sigma")),
+)
+def a1_light_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-domain photometry (light curves): ivw-mean flux per (sky cell,
+    monthly epoch). The reference's ML cube collapses the time axis
+    (cube_ml.py:102-111 stacks ALL observations of a target); this is the
+    same aggregate with epoch kept as a grouping key — the query a
+    variability survey runs. Orders play repeat observations of each
+    customer-object (epoch from o_orderdate)."""
+    objects = _spectra(spark, sf_dir).select(
+        "spec_id", grid_cell(F.col("ra"), F.col("dec"), 5.0).alias("cell")
+    )
+    obs = (
+        _t(spark, sf_dir, "orders")
+        .join(objects, F.col("o_custkey") == F.col("spec_id"))
+        .select(
+            "cell",
+            (
+                F.year("o_orderdate").cast("long") * 12
+                + F.month("o_orderdate").cast("long")
+                - 1
+            ).alias("epoch"),
+            F.col("o_totalprice").alias("flux"),
+            (F.lit(0.5) + F.pmod(F.col("o_orderkey"), F.lit(10)) * F.lit(0.25)).alias("sigma"),
+        )
+    )
+    sfw, sw = _ivw_sums(F.col("flux"), F.col("sigma"))
+    g = obs.groupBy("cell", "epoch").agg(F.count(F.lit(1)).alias("n_obs"), sfw, sw)
+    return g.select(
+        "cell",
+        "epoch",
+        "n_obs",
+        _r6(F.col("_sfw").cast("double") / F.col("_sw").cast("double")).alias("ivw_mean"),
+        _r6(F.sqrt(F.lit(1.0) / F.col("_sw").cast("double"))).alias("ivw_sigma"),
+    )
+
+
 # ==========================================================================
 # J7: first-observation-per-group (row_number window, cube_ml.py:652-655)
 # ==========================================================================
