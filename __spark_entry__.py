@@ -103,12 +103,12 @@ def _r6(c):
 _RADIUS_DEG = 5.0
 
 _SQL_IMG = (
-    "SELECT p_partkey AS img_id, (p_partkey * 7.919) % 360.0 AS ra, "
-    "((p_partkey * 3.571) % 170.0) - 85.0 AS dec FROM part"
+    "SELECT p_partkey AS img_id, (p_partkey * CAST(7.919 AS DOUBLE)) % 360.0 AS ra, "
+    "((p_partkey * CAST(3.571 AS DOUBLE)) % 170.0) - 85.0 AS dec FROM part"
 )
 _SQL_SPEC = (
-    "SELECT c_custkey AS spec_id, (c_custkey * 11.317) % 360.0 AS ra, "
-    "((c_custkey * 5.113) % 170.0) - 85.0 AS dec, "
+    "SELECT c_custkey AS spec_id, (c_custkey * CAST(11.317 AS DOUBLE)) % 360.0 AS ra, "
+    "((c_custkey * CAST(5.113 AS DOUBLE)) % 170.0) - 85.0 AS dec, "
     "c_acctbal AS flux, 0.5 + (c_custkey % 10) * 0.25 AS sigma FROM customer"
 )
 _SQL_DIST = (
@@ -367,8 +367,8 @@ def j4_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH spec AS (
       SELECT c_custkey,
-             CAST(floor(((((c_custkey * 5.113) % 170.0) - 85.0) + 90.0) / 5.0) * 72
-                  + floor(((c_custkey * 11.317) % 360.0) / 5.0) AS BIGINT) AS cell
+             CAST(floor(((((c_custkey * CAST(5.113 AS DOUBLE)) % 170.0) - 85.0) + 90.0) / 5.0) * 72
+                  + floor(((c_custkey * CAST(11.317 AS DOUBLE)) % 360.0) / 5.0) AS BIGINT) AS cell
       FROM customer
     )
     SELECT count(DISTINCT cell) AS n_targets, count(*) AS n_spectra,
@@ -389,8 +389,8 @@ def j6_target_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a1_light_curve",
     f"""
     WITH obs AS (
-      SELECT CAST(floor(((((c_custkey * 5.113) % 170.0) - 85.0) + 90.0) / 5.0) * 72
-                  + floor(((c_custkey * 11.317) % 360.0) / 5.0) AS BIGINT) AS cell,
+      SELECT CAST(floor(((((c_custkey * CAST(5.113 AS DOUBLE)) % 170.0) - 85.0) + 90.0) / 5.0) * 72
+                  + floor(((c_custkey * CAST(11.317 AS DOUBLE)) % 360.0) / 5.0) AS BIGINT) AS cell,
              CAST(strftime(o_orderdate, '%Y') AS BIGINT) * 12
                + CAST(strftime(o_orderdate, '%m') AS BIGINT) - 1 AS epoch,
              o_totalprice AS flux,
