@@ -29,7 +29,11 @@ from pyspark.sql.types import (
     StructType,
 )
 
-__all__ = ["attach_binary_payload", "decode_metadata", "frame_sample", "extract_features"]
+__all__ = [
+    "attach_binary_payload", "decode_metadata", "frame_sample", "extract_features",
+    "encode_ppm_np", "decode_ppm_np", "bilinear_resize_np",
+    "decode_images", "resize_images", "image_features",
+]
 
 
 def attach_binary_payload(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -144,6 +148,150 @@ def extract_features(
             yield pd.DataFrame({"doc_id": pdf[id_col].to_numpy(), "feature": feats})
 
     return df.select(id_col, payload_col).mapInPandas(_extract, schema=_FEATURE_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Real codec path: PPM (P6) needs no image library — pure numpy. The stubbed
+# decode above stays the template for library-backed formats; this one is a
+# genuinely working end-to-end image pipeline (decode → resize → features).
+# --------------------------------------------------------------------------
+
+
+def encode_ppm_np(img: np.ndarray) -> bytes:
+    """uint8 (h, w, 3) array → binary PPM (P6) bytes."""
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    h, w, c = img.shape
+    if c != 3:
+        raise ValueError("PPM P6 is RGB: expected 3 channels")
+    return b"P6\n%d %d\n255\n" % (w, h) + img.tobytes()
+
+
+def decode_ppm_np(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6) bytes → uint8 (h, w, 3) array. Handles comments and
+    arbitrary header whitespace per the spec."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a binary PPM (P6) payload")
+    fields, pos = [], 2
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment to end of line
+            pos = payload.index(b"\n", pos) + 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval > 255:
+        raise ValueError("16-bit PPM not supported")
+    return np.frombuffer(payload, dtype=np.uint8, count=h * w * 3, offset=pos).reshape(h, w, 3)
+
+
+def bilinear_resize_np(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Pure-numpy bilinear resample, pixel-center aligned."""
+    h, w = img.shape[:2]
+    y = (np.arange(out_h) + 0.5) * h / out_h - 0.5
+    x = (np.arange(out_w) + 0.5) * w / out_w - 0.5
+    y0 = np.clip(np.floor(y).astype(np.int64), 0, h - 1)
+    x0 = np.clip(np.floor(x).astype(np.int64), 0, w - 1)
+    y1 = np.clip(y0 + 1, 0, h - 1)
+    x1 = np.clip(x0 + 1, 0, w - 1)
+    wy = np.clip(y - y0, 0.0, 1.0)[:, None, None]
+    wx = np.clip(x - x0, 0.0, 1.0)[None, :, None]
+    f = img.astype(np.float64)
+    out = (
+        f[y0][:, x0] * (1 - wy) * (1 - wx)
+        + f[y0][:, x1] * (1 - wy) * wx
+        + f[y1][:, x0] * wy * (1 - wx)
+        + f[y1][:, x1] * wy * wx
+    )
+    return out
+
+
+_IMAGE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("height", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("pixels", ArrayType(FloatType())),
+    ]
+)
+
+
+def decode_images(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """PPM payloads → flattened float pixel rows (row-major, [0, 1]) with a
+    shape triple — the tiled-raster storage shape the astronomy tables use
+    (flat array + shape columns, SURVEY §7.4)."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, p in zip(pdf[id_col], pdf[payload_col]):
+                img = decode_ppm_np(bytes(p))
+                rows.append(
+                    (
+                        int(doc_id),
+                        img.shape[0],
+                        img.shape[1],
+                        img.shape[2],
+                        (img.reshape(-1).astype(np.float32) / np.float32(255.0)).tolist(),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "height", "width", "channels", "pixels"])
+
+    return df.select(id_col, payload_col).mapInPandas(_decode, schema=_IMAGE_SCHEMA)
+
+
+def resize_images(df: DataFrame, out_h: int, out_w: int) -> DataFrame:
+    """Bilinear-resize decoded images to (out_h, out_w); same schema out.
+
+    Arrow-batched numpy kernel — the per-row work is O(out pixels), and
+    nothing but the (already columnar) pixel arrays moves."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                img = np.asarray(r.pixels, dtype=np.float64).reshape(
+                    r.height, r.width, r.channels
+                )
+                out = bilinear_resize_np(img, out_h, out_w)
+                rows.append(
+                    (int(r.doc_id), out_h, out_w, int(r.channels),
+                     out.reshape(-1).astype(np.float32).tolist())
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "height", "width", "channels", "pixels"])
+
+    return df.mapInPandas(_resize, schema=_IMAGE_SCHEMA)
+
+
+def image_features(df: DataFrame, n_bins: int = 8) -> DataFrame:
+    """Per-image features from decoded pixels: per-channel mean/std plus an
+    ``n_bins`` luma histogram (L1-normalized) — a real embedding for the
+    similarity operators, replacing the byte-histogram fake."""
+
+    def _feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, feats = [], []
+            for r in pdf.itertuples(index=False):
+                img = np.asarray(r.pixels, dtype=np.float64).reshape(
+                    r.height, r.width, r.channels
+                )
+                mean = img.mean(axis=(0, 1))
+                std = img.std(axis=(0, 1))
+                luma = img @ np.array([0.2126, 0.7152, 0.0722])
+                hist = np.histogram(luma, bins=n_bins, range=(0.0, 1.0))[0].astype(np.float64)
+                hist /= max(hist.sum(), 1.0)
+                ids.append(int(r.doc_id))
+                feats.append(np.concatenate([mean, std, hist]).astype(np.float32).tolist())
+            yield pd.DataFrame({"doc_id": ids, "feature": feats})
+
+    return df.mapInPandas(_feat, schema=_FEATURE_SCHEMA)
 
 
 from hiss_cube_spark._serde import register_self as _register_self  # noqa: E402
