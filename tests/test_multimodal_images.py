@@ -71,3 +71,22 @@ def test_distributed_decode_resize_features(spark):
         assert len(f) == 3 + 3 + 8
         assert np.allclose(f[:3], (img / 255.0).mean((0, 1)), atol=1e-6)
         assert abs(f[6:].sum() - 1.0) < 1e-6  # histogram L1-normalized
+
+
+def test_image_features_feed_similarity_search(spark):
+    """Interop: image features are a first-class embedding for the ANN
+    operators — near-identical images must be each other's top neighbor."""
+    from hiss_cube_spark.operators.similarity import cosine_topk
+
+    rng = np.random.default_rng(6)
+    base = rng.integers(0, 256, (6, 6, 3), dtype=np.uint8)
+    twin = base.copy()
+    twin[0, 0] = (int(base[0, 0, 0]) + 1) % 256  # one-pixel difference
+    other = rng.integers(0, 256, (6, 6, 3), dtype=np.uint8)
+    feats = image_features(decode_images(_payload_df(spark, [base, twin, other])))
+    e = feats.select(F.col("doc_id").alias("vec_id"), F.col("feature").alias("embedding"))
+    top = {
+        r["query_id"]: r["neighbor_id"]
+        for r in cosine_topk(e.where(F.col("vec_id") < 2), e, k=1).collect()
+    }
+    assert top == {0: 1, 1: 0}
