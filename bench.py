@@ -57,6 +57,11 @@ HEADLINE = [
     "cur_redact_pii",
     "w_funnel_stages",
     "w_cohort_retention",
+    "ts_resample_locf",
+    "cur_chunk_documents",
+    "cur_incremental_dedup",
+    "cdc_apply_changelog",
+    "a1_light_curve",
 ]
 
 
