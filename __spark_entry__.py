@@ -1862,6 +1862,40 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "q_recursive_cte",
+    """
+    WITH RECURSIVE chain(seed, node, depth) AS (
+      SELECT c_custkey AS seed, c_custkey AS node, 0 AS depth
+      FROM customer WHERE c_custkey % 100 = 7
+      UNION ALL
+      SELECT seed, node // 10 AS node, depth + 1 AS depth
+      FROM chain WHERE node > 0
+    )
+    SELECT seed, node, depth FROM chain
+    """,
+)
+def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 WITH RECURSIVE) walking a synthetic referral
+    hierarchy: each seed customer's ancestor chain node -> node DIV 10 down
+    to the root, with depths. Runs through spark.sql — the iterative-
+    traversal SQL surface the label-propagation operator covers on the
+    DataFrame side."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        WITH RECURSIVE chain(seed, node, depth) AS (
+          SELECT c_custkey AS seed, c_custkey AS node, 0 AS depth
+          FROM customer WHERE c_custkey % 100 = 7
+          UNION ALL
+          SELECT seed, node DIV 10 AS node, depth + 1 AS depth
+          FROM chain WHERE node > 0
+        )
+        SELECT seed, node, depth FROM chain
+        """
+    )
+
+
+@_q(
     "cdc_apply_changelog",
     """
     WITH snap AS (SELECT c_custkey AS key, c_acctbal AS bal FROM customer),
