@@ -1862,6 +1862,33 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "p_variant_props",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+           CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_max
+    FROM events GROUP BY event_type
+    """,
+)
+def p_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props through the Spark 4 VARIANT type: parse_json
+    into a variant column, typed extraction via variant_get, then plain
+    aggregation — the modern (binary-encoded, schema-on-read) alternative
+    to the get_json_object string path of p6_json_projection."""
+    e = _events(spark, sf_dir)
+    v = e.select(
+        "event_type",
+        F.variant_get(F.parse_json(F.col("props")), "$.k", "bigint").alias("k"),
+    )
+    return v.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").alias("k_sum"),
+        F.max("k").alias("k_max"),
+    )
+
+
+@_q(
     "q_recursive_cte",
     """
     WITH RECURSIVE chain(seed, node, depth) AS (
