@@ -1,0 +1,79 @@
+"""Streaming CDC materialization: a changelog stream keeps a Parquet
+snapshot current — the `foreachBatch` pattern that turns the batch
+`apply_changelog` MERGE into a continuously-maintained materialized view.
+
+Each micro-batch folds its I/U/D rows into the persisted snapshot with the
+batch operator (exactly the same semantics the oracle pins), stages the
+next snapshot into a sibling directory, and swaps via rename — readers see
+the old state or the new state, never a mix (same discipline as
+plans/maintenance.compact_table; on object stores the swap becomes a
+manifest/table-format commit, the staging pattern is identical).
+
+Exactly-once: `foreachBatch` replays a batch after failure with the same
+batch_id; the epoch marker written beside the snapshot makes the fold
+idempotent — a replayed batch_id is skipped instead of double-applied.
+
+Scale shape per batch: one window over the delta (small by definition) and
+one full-outer join against the snapshot — identical to the batch MERGE;
+nothing re-reads history.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame
+
+from hiss_cube_spark.operators.cdc import apply_changelog
+
+__all__ = ["stream_apply_changelog"]
+
+_EPOCH_MARKER = "_last_applied_batch"
+
+
+def _last_applied(snapshot_dir: str) -> int:
+    try:
+        with open(os.path.join(snapshot_dir, _EPOCH_MARKER)) as fh:
+            return int(fh.read().strip())
+    except (FileNotFoundError, ValueError):
+        return -1
+
+
+def stream_apply_changelog(
+    changes: DataFrame,
+    snapshot_dir: str,
+    checkpoint_dir: str,
+    key_col: str = "key",
+    seq_col: str = "seq",
+    op_col: str = "op",
+):
+    """Start a streaming query that maintains ``snapshot_dir`` from the
+    changelog stream ``changes`` (columns: seq, op, key, values...).
+
+    The snapshot directory must exist with an initial state (possibly an
+    empty DataFrame written with the target schema). Returns the started
+    ``StreamingQuery``; callers own awaitTermination/stop.
+    """
+    spark = changes.sparkSession
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= _last_applied(snapshot_dir):
+            return  # replayed epoch after recovery: already folded in
+        snap = spark.read.parquet(snapshot_dir)
+        nxt = apply_changelog(snap, batch_df, key_col, seq_col, op_col)
+        staging = snapshot_dir.rstrip("/") + f"._stage_{batch_id}"
+        nxt.write.mode("overwrite").parquet(staging)
+        with open(os.path.join(staging, _EPOCH_MARKER), "w") as fh:
+            fh.write(str(batch_id))
+        backup = snapshot_dir.rstrip("/") + "._old"
+        os.rename(snapshot_dir, backup)
+        os.rename(staging, snapshot_dir)
+        shutil.rmtree(backup)
+
+    return (
+        changes.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -83,3 +83,48 @@ def test_scd2_history_intervals(spark):
     assert rows[(7, 2)]["valid_to"] == 3 and not rows[(7, 2)]["is_current"]
     assert rows[(7, 4)]["valid_to"] is None and rows[(7, 4)]["is_current"]
     assert rows[(8, 1)]["is_current"] and rows[(8, 1)]["bal"] == 50.0
+
+
+def test_stream_apply_changelog_materializes_snapshot(spark, tmp_path_factory):
+    """A changelog stream maintains the parquet snapshot across micro-batches
+    and a restarted query does not double-apply folded epochs."""
+    from pyspark.sql import functions as F
+
+    from hiss_cube_spark.streaming.cdc import stream_apply_changelog
+
+    snap_dir = str(tmp_path_factory.mktemp("cdc_snap") / "snapshot")
+    src = str(tmp_path_factory.mktemp("cdc_src"))
+    ckpt = str(tmp_path_factory.mktemp("cdc_ckpt"))
+    schema = "seq long, key long, op string, bal double"
+
+    spark.createDataFrame([(1, 10.0), (2, 20.0)], "key long, bal double").write.parquet(snap_dir)
+
+    # two files -> two micro-batches under maxFilesPerTrigger=1
+    spark.createDataFrame(
+        [(1, 2, "U", 21.0), (2, 3, "I", 30.0)], schema
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+    spark.createDataFrame(
+        [(3, 1, "D", None), (4, 3, "U", 31.0)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    q = stream_apply_changelog(stream, snap_dir, ckpt)
+    q.awaitTermination(120)
+
+    got = {r["key"]: r["bal"] for r in spark.read.parquet(snap_dir).collect()}
+    assert got == {2: 21.0, 3: 31.0}
+
+    # restart over the same checkpoint: no new files -> snapshot unchanged
+    stream2 = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    q2 = stream_apply_changelog(stream2, snap_dir, ckpt)
+    q2.awaitTermination(120)
+    got2 = {r["key"]: r["bal"] for r in spark.read.parquet(snap_dir).collect()}
+    assert got2 == got
+
+    # a third batch arrives: only it is applied
+    spark.createDataFrame([(5, 2, "U", 22.0)], schema).coalesce(1).write.mode("append").parquet(src)
+    stream3 = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    q3 = stream_apply_changelog(stream3, snap_dir, ckpt)
+    q3.awaitTermination(120)
+    got3 = {r["key"]: r["bal"] for r in spark.read.parquet(snap_dir).collect()}
+    assert got3 == {2: 22.0, 3: 31.0}
