@@ -1862,6 +1862,50 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "dq_constraint_report",
+    """
+    SELECT 'orders_custkey_fk' AS check_name, count(*) AS n_violations
+    FROM orders o WHERE o.o_custkey IS NOT NULL
+      AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'orders_pk_unique', count(*) FROM orders
+    WHERE o_orderkey IN (SELECT o_orderkey FROM orders
+                         GROUP BY o_orderkey HAVING count(*) > 1)
+    UNION ALL
+    SELECT 'customer_name_notnull', count(*) FROM customer WHERE c_name IS NULL
+    UNION ALL
+    SELECT 'lineitem_discount_range', count(*) FROM lineitem
+    WHERE l_discount < 0.0 OR l_discount > 0.05
+    """,
+)
+def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectation suite as one plan: referential integrity,
+    primary-key uniqueness, not-null, and range checks over the star schema,
+    reported as (check_name, n_violations). The discount-range check is
+    deliberately tight so the report exercises a nonzero count."""
+    from hiss_cube_spark.operators.quality_checks import (
+        check_foreign_key,
+        check_not_null,
+        check_range,
+        check_unique,
+        constraint_report,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    return constraint_report(
+        spark,
+        [
+            check_foreign_key("orders_custkey_fk", orders, "o_custkey", customer, "c_custkey"),
+            check_unique("orders_pk_unique", orders, ["o_orderkey"]),
+            check_not_null("customer_name_notnull", customer, "c_name"),
+            check_range("lineitem_discount_range", lineitem, "l_discount", 0.0, 0.05),
+        ],
+    )
+
+
+@_q(
     "p_variant_props",
     """
     SELECT event_type,

@@ -1,0 +1,83 @@
+"""Data-quality constraint checks: declarative expectations evaluated as
+DataFrame plans, returning a violations report — the dbt-test / Deequ shape
+a production warehouse runs after every load.
+
+Each check is a pure DataFrame→count expression; `constraint_report` unions
+them into one (check_name, n_violations) table so a whole suite is a single
+Spark job. Scale shape: uniqueness and FK checks are one map-side-combining
+groupBy / one left-anti join each; nothing materializes the violating rows
+unless you ask for them (each checker also returns a `violations(df)`
+DataFrame for debugging).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = [
+    "Check",
+    "check_not_null",
+    "check_unique",
+    "check_foreign_key",
+    "check_range",
+    "constraint_report",
+]
+
+
+@dataclass
+class Check:
+    name: str
+    violations: Callable[[], DataFrame]
+
+
+def check_not_null(name: str, df: DataFrame, col: str) -> Check:
+    """Rows where ``col`` is NULL."""
+    return Check(name, lambda: df.where(F.col(col).isNull()))
+
+
+def check_unique(name: str, df: DataFrame, cols: list[str]) -> Check:
+    """Rows whose key appears more than once (all copies count)."""
+
+    def _v() -> DataFrame:
+        dupes = df.groupBy(*cols).agg(F.count(F.lit(1)).alias("_n")).where(F.col("_n") > 1)
+        return df.join(dupes.select(*cols), cols, "left_semi")
+
+    return Check(name, _v)
+
+
+def check_foreign_key(
+    name: str, child: DataFrame, col: str, parent: DataFrame, parent_col: str
+) -> Check:
+    """Child rows whose non-null key has no match in the parent."""
+
+    def _v() -> DataFrame:
+        p = parent.select(F.col(parent_col).alias(col)).distinct()
+        return child.where(F.col(col).isNotNull()).join(p, col, "left_anti")
+
+    return Check(name, _v)
+
+
+def check_range(name: str, df: DataFrame, col: str, lo: float, hi: float) -> Check:
+    """Rows where ``col`` falls outside [lo, hi] (NULLs don't violate)."""
+    return Check(
+        name, lambda: df.where((F.col(col) < lo) | (F.col(col) > hi))
+    )
+
+
+def constraint_report(spark: SparkSession, checks: list[Check]) -> DataFrame:
+    """One (check_name, n_violations) row per check, as a single plan."""
+    parts = [
+        c.violations().agg(
+            F.lit(c.name).alias("check_name"),
+            F.count(F.lit(1)).alias("n_violations"),
+        )
+        for c in checks
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

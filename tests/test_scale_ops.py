@@ -352,3 +352,29 @@ def test_chunk_documents_reconstruction_property(spark):
             rebuilt.extend(c[:stride])
         rebuilt.extend(cs[-1])
         assert rebuilt == toks, doc_id
+
+
+def test_quality_checks_find_planted_violations(spark):
+    from hiss_cube_spark.operators.quality_checks import (
+        check_foreign_key,
+        check_not_null,
+        check_range,
+        check_unique,
+        constraint_report,
+    )
+
+    child = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 99), (4, None), (4, 20)],
+        "id long, ref long",
+    )
+    parent = spark.createDataFrame([(10,), (20,)], "pk long")
+    checks = [
+        check_foreign_key("fk", child, "ref", parent, "pk"),       # id 3 (99)
+        check_unique("uniq", child, ["id"]),                       # both id-4 rows
+        check_not_null("nn", child, "ref"),                        # one null
+        check_range("rng", child, "ref", 0, 50),                   # 99 out of range
+    ]
+    got = {r["check_name"]: r["n_violations"] for r in constraint_report(spark, checks).collect()}
+    assert got == {"fk": 1, "uniq": 2, "nn": 1, "rng": 1}
+    # violating rows are retrievable per check
+    assert [r["id"] for r in checks[0].violations().collect()] == [3]
