@@ -1862,6 +1862,34 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "f_udtf_tokens",
+    """
+    SELECT d.doc_id, g.i - 1 AS pos, toks[g.i] AS token
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+          WHERE doc_id % 50 = 0) d,
+         unnest(generate_series(1, len(d.toks))) AS g(i)
+    """,
+)
+def f_udtf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4 `udtf` API) used LATERALly from SQL: one row
+    per whitespace token with its position. Semantics pinned equal to the
+    native posexplode path (F17) by the oracle — the UDTF is the escape
+    hatch for row expansion that genuinely needs per-row Python."""
+    from hiss_cube_spark.functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    _t(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 50 == 0
+    ).createOrReplaceTempView("docs_for_udtf")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.pos, s.token
+        FROM docs_for_udtf d, LATERAL split_tokens(d.text) s
+        """
+    )
+
+
+@_q(
     "dq_constraint_report",
     """
     SELECT 'orders_custkey_fk' AS check_name, count(*) AS n_violations
