@@ -1890,6 +1890,40 @@ def f_udtf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "j_fuzzy_match",
+    """
+    WITH pairs AS (
+      SELECT n.n_name, r.r_name, levenshtein(n.n_name, r.r_name) AS dist
+      FROM nation n CROSS JOIN region r
+    ),
+    ranked AS (
+      SELECT n_name, r_name, dist,
+             row_number() OVER (PARTITION BY n_name
+                                ORDER BY dist, r_name) AS rn
+      FROM pairs
+    )
+    SELECT n_name, r_name AS best_match, dist FROM ranked WHERE rn = 1
+    """,
+)
+def j_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string matching (entity resolution): nearest region name per
+    nation by Levenshtein edit distance — the blocking-free small-dimension
+    case; at scale the same shape runs behind an n-gram or length-band
+    blocker exactly like the document dedup family."""
+    n = _t(spark, sf_dir, "nation").select("n_name")
+    r = _t(spark, sf_dir, "region").select("r_name")
+    pairs = n.crossJoin(F.broadcast(r)).withColumn(
+        "dist", F.levenshtein(F.col("n_name"), F.col("r_name"))
+    )
+    w = Window.partitionBy("n_name").orderBy("dist", "r_name")
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("n_name", F.col("r_name").alias("best_match"), "dist")
+    )
+
+
+@_q(
     "dq_constraint_report",
     """
     SELECT 'orders_custkey_fk' AS check_name, count(*) AS n_violations
