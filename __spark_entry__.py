@@ -1968,6 +1968,46 @@ def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "dq_profile_table",
+    """
+    SELECT 'l_quantity' AS column, count(*) AS n,
+           count(*) FILTER (l_quantity IS NULL) AS n_null,
+           count(DISTINCT l_quantity) AS n_distinct,
+           CAST(min(l_quantity) AS DOUBLE) AS min_v,
+           CAST(max(l_quantity) AS DOUBLE) AS max_v,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE)
+                 / (count(*) - count(*) FILTER (l_quantity IS NULL)), 6) AS mean_v
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_discount', count(*),
+           count(*) FILTER (l_discount IS NULL),
+           count(DISTINCT l_discount),
+           CAST(min(l_discount) AS DOUBLE), CAST(max(l_discount) AS DOUBLE),
+           round(CAST(sum(CAST(l_discount AS DECIMAL(30,8))) AS DOUBLE)
+                 / (count(*) - count(*) FILTER (l_discount IS NULL)), 6)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_tax', count(*),
+           count(*) FILTER (l_tax IS NULL),
+           count(DISTINCT l_tax),
+           CAST(min(l_tax) AS DOUBLE), CAST(max(l_tax) AS DOUBLE),
+           round(CAST(sum(CAST(l_tax AS DECIMAL(30,8))) AS DOUBLE)
+                 / (count(*) - count(*) FILTER (l_tax IS NULL)), 6)
+    FROM lineitem
+    """,
+)
+def dq_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass numeric column profiling (count/null/distinct/min/max/mean
+    per column): all aggregates ride a single scan of lineitem and unpivot
+    via stack — N profiled columns never cost N passes."""
+    from hiss_cube_spark.operators.quality_checks import profile_table
+
+    return profile_table(
+        _t(spark, sf_dir, "lineitem"), ["l_quantity", "l_discount", "l_tax"]
+    )
+
+
+@_q(
     "p_variant_props",
     """
     SELECT event_type,

@@ -25,6 +25,7 @@ __all__ = [
     "check_foreign_key",
     "check_range",
     "constraint_report",
+    "profile_table",
 ]
 
 
@@ -81,3 +82,35 @@ def constraint_report(spark: SparkSession, checks: list[Check]) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def profile_table(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Numeric-column profile: (column, n, n_null, n_distinct, min_v, max_v,
+    mean_v) — the warehouse data-profiling report, computed in ONE scan.
+
+    All per-column aggregates evaluate inside a single aggregation row
+    (map-side combined), then unpivot to one row per column — profiling N
+    columns costs one pass regardless of N, not N scans. Mean is
+    decimal-quantized for reduction-order independence.
+    """
+    aggs = []
+    for c in cols:
+        col = F.col(c)
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            F.count(F.when(col.isNull(), 1)).alias(f"{c}__null"),
+            F.countDistinct(col).alias(f"{c}__dist"),
+            F.min(col).cast("double").alias(f"{c}__min"),
+            F.max(col).cast("double").alias(f"{c}__max"),
+            F.sum(col.cast("decimal(30,8)")).alias(f"{c}__sum"),
+        ]
+    wide = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__n, {c}__null, {c}__dist, {c}__min, {c}__max, "
+        f"round(CAST({c}__sum AS DOUBLE) / ({c}__n - {c}__null), 6)"
+        for c in cols
+    )
+    return wide.selectExpr(
+        f"stack({len(cols)}, {stack_args}) AS "
+        "(column, n, n_null, n_distinct, min_v, max_v, mean_v)"
+    )
