@@ -378,3 +378,28 @@ def test_quality_checks_find_planted_violations(spark):
     assert got == {"fk": 1, "uniq": 2, "nn": 1, "rng": 1}
     # violating rows are retrievable per check
     assert [r["id"] for r in checks[0].violations().collect()] == [3]
+
+
+def test_plan_shapes_hold(spark, sf_dir):
+    """Physical-plan regression guard: the properties the 100 TB story
+    depends on must survive refactors (see PLANS.md for the full audits)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location("_entry", "__spark_entry__.py")
+    entry = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(entry)
+    qs = entry.queries()
+
+    def plan(name):
+        return qs[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+
+    # chunking is a pure map: no exchange anywhere
+    assert "Exchange" not in plan("cur_chunk_documents")
+    # the flagship cross-match broadcasts the image side (no shuffle join)
+    p = plan("flagship_ml_cube")
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
+    # capped/deduping windows truncate on the map side before shuffling
+    assert "WindowGroupLimit" in plan("cur_domain_cap")
+    assert "WindowGroupLimit" in plan("cur_incremental_dedup")
+    # profiling is one scan: exactly one FileScan in the plan
+    assert plan("dq_profile_table").count("FileScan parquet") == 1
