@@ -1638,6 +1638,43 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(fps, max_hamming=7, n_chunks=8)
 
 
+@_q(
+    "dedup_eval_metrics",
+    f"""
+    WITH truth AS ({_SQL_SHINGLE_JACCARD}),
+    pred AS ({_SQL_SIMHASH}),
+    tp AS (SELECT count(*) AS n FROM truth JOIN pred USING (doc_a, doc_b)),
+    np AS (SELECT count(*) AS n FROM pred),
+    nt AS (SELECT count(*) AS n FROM truth)
+    SELECT tp.n AS tp, np.n - tp.n AS fp, nt.n - tp.n AS fn,
+           round(tp.n * 1.0 / np.n, 6) AS precision,
+           round(tp.n * 1.0 / nt.n, 6) AS recall
+    FROM tp, np, nt
+    """,
+)
+def dedup_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-method evaluation: precision/recall of the SimHash hamming≤7
+    candidate set against the exact Jaccard≥0.8 truth set — the measurement
+    that gates swapping an approximate blocker into the production dedup
+    path. Both pair sets are themselves oracle-pinned queries."""
+    from hiss_cube_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        pair_set_metrics,
+        simhash_fingerprints,
+        simhash_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    truth = ngram_jaccard_pairs(
+        d.where(F.size(F.split("text", " ")) >= 3),
+        threshold=0.8,
+        n=3,
+        prefix_filter=True,
+    )
+    pred = simhash_pairs(simhash_fingerprints(d).persist(), max_hamming=7, n_chunks=8)
+    return pair_set_metrics(truth, pred)
+
+
 # Order-independent dot products: per-element double products floored onto a
 # 1e-12 grid and summed as BIGINT (exact in any order; floor truncates
 # identically in both engines, unlike double→long CAST).

@@ -36,6 +36,7 @@ __all__ = [
     "minhash_lsh_pairs",
     "simhash_fingerprints",
     "simhash_pairs",
+    "pair_set_metrics",
 ]
 
 # Mersenne prime 2^31-1 for minhash universal hashing: keeps a*h + b within
@@ -628,5 +629,37 @@ def paragraph_dedup(
             F.coalesce(F.col(text_col), F.lit("")).alias(text_col),
             F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
             F.coalesce(F.col("n_dropped"), F.lit(0)).cast("long").alias("n_dropped"),
+        )
+    )
+
+
+def pair_set_metrics(
+    truth: DataFrame,
+    pred: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+) -> DataFrame:
+    """Precision/recall of a candidate pair set against a ground-truth pair
+    set — the evaluation every approximate dedup (LSH, SimHash, embedding
+    blocking) needs before it replaces the exact join in production.
+
+    One row out: (tp, fp, fn, precision, recall). Three count aggregates —
+    the intersection join shuffles only pair keys, never documents; at
+    100 TB both inputs are pair lists, already tiny relative to the corpus.
+    """
+    t = truth.select(a_col, b_col)
+    p = pred.select(a_col, b_col)
+    tp = t.join(p, [a_col, b_col]).agg(F.count(F.lit(1)).alias("tp"))
+    np_ = p.agg(F.count(F.lit(1)).alias("np"))
+    nt = t.agg(F.count(F.lit(1)).alias("nt"))
+    return (
+        tp.crossJoin(np_)
+        .crossJoin(nt)
+        .select(
+            "tp",
+            (F.col("np") - F.col("tp")).alias("fp"),
+            (F.col("nt") - F.col("tp")).alias("fn"),
+            F.round(F.col("tp") * 1.0 / F.col("np"), 6).alias("precision"),
+            F.round(F.col("tp") * 1.0 / F.col("nt"), 6).alias("recall"),
         )
     )
