@@ -869,6 +869,38 @@ def w_moving_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "ts_phase_fold",
+    """
+    WITH e AS (SELECT user_id, epoch_us(ts) AS tu, value
+               FROM events WHERE user_id % 25 = 0)
+    SELECT user_id,
+           (tu % 86400000000) * 8 // 86400000000 AS phase_bin,
+           count(*) AS n_obs,
+           round(CAST(sum(CAST(value AS DECIMAL(30,8))) AS DOUBLE)
+                 / count(*), 6) AS mean_value
+    FROM e GROUP BY user_id, phase_bin
+    """,
+)
+def ts_phase_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period folding (variable-star phase curves): map every observation to
+    its phase within a fixed period (1 day), bin the phase axis (8 bins),
+    and average per (object, bin) — the time-domain astronomy primitive for
+    periodic signals, all integer bucket math + one map-side-combining
+    groupBy."""
+    e = _events(spark, sf_dir).where(F.col("user_id") % 25 == 0)
+    period = 86_400_000_000
+    bin_expr = F.expr(f"(ts_us % {period}) * 8 DIV {period}").alias("phase_bin")
+    return (
+        e.select("user_id", bin_expr, "value")
+        .groupBy("user_id", "phase_bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            _r6(F.sum(_dec(F.col("value"))) / F.count(F.lit(1))).alias("mean_value"),
+        )
+    )
+
+
+@_q(
     "w_range_frame_sum",
     """
     WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tu, value
