@@ -930,6 +930,38 @@ def w_range_frame_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "w_first_last_nth",
+    """
+    WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tu, value
+               FROM events WHERE user_id % 20 = 0)
+    SELECT DISTINCT user_id,
+           first_value(value) OVER w AS first_v,
+           last_value(value) OVER w AS last_v,
+           nth_value(value, 2) OVER w AS second_v
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY tu, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def w_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional window values (first/last/nth) over the full partition
+    frame with a unique tiebreak — one row per user after DISTINCT since
+    the frame is partition-constant."""
+    e = _events(spark, sf_dir).where(F.col("user_id") % 20 == 0)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return e.select(
+        "user_id",
+        F.first("value").over(w).alias("first_v"),
+        F.last("value").over(w).alias("last_v"),
+        F.nth_value("value", 2).over(w).alias("second_v"),
+    ).distinct()
+
+
+@_q(
     "w_lag_sessionize",
     """
     WITH e AS (SELECT user_id, epoch_us(ts) AS tu FROM events),
