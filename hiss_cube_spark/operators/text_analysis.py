@@ -308,6 +308,8 @@ def bigram_lm_score(
     text_col: str = "text",
     id_col: str = "doc_id",
     k: float = 0.5,
+    train_df: DataFrame | None = None,
+    max_train_docs: int | None = 100_000,
 ) -> DataFrame:
     """Language-model quality score: train add-k-smoothed bigram statistics
     on the corpus itself, then score every document by the average
@@ -315,39 +317,56 @@ def bigram_lm_score(
     (c(w1)+k·V). Low scores flag machine-garbled / out-of-distribution text
     — the KenLM-perplexity-filter shape from production data pipelines.
 
-    Plan: one explode of the corpus into bigrams feeds two map-side-combining
-    groupBys (the "training" pass) and a lookup join back onto itself; the
-    per-document aggregate is decimal-quantized so the score is independent
-    of reduction order. Production notes for 100 TB: train the counts on a
-    fixed sample, keep only top-M bigrams with a backoff constant, and
-    broadcast that table — the shape below stays identical, only the
-    LM-side input shrinks. Average probability (not log-prob) keeps every
-    operation rational, hence bit-deterministic across engines; a log-prob
-    variant is a drop-in `F.ln` on the same column.
+    Plan: one explode of the training corpus into bigrams feeds two
+    map-side-combining groupBys (the "training" pass) and a lookup join onto
+    the scored bigrams; the per-document aggregate is decimal-quantized so
+    the score is independent of reduction order. Average probability (not
+    log-prob) keeps every operation rational, hence bit-deterministic across
+    engines; a log-prob variant is a drop-in `F.ln` on the same column.
+
+    Training is BOUNDED by default: counts come from a deterministic sample
+    of at most ``max_train_docs`` documents (lowest xxhash64 of the id — a
+    per-partition top-K, no full sort), so at 100 TB the LM tables stay
+    small enough to broadcast while the scoring pass stays a linear scan.
+    Below the cap the sample is the whole corpus, so small-scale results
+    are identical to exact corpus training. Pass ``max_train_docs=None``
+    for exact corpus training at any scale (the oracle-pinned variant), or
+    ``train_df`` to train on a held-out corpus. Bigrams unseen in training
+    back off to zero counts: P = k / (k·V) = 1/V.
     """
-    toks = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("w"))
-    n = F.size("w")
-    b = (
-        toks.where(n >= 2)
-        .select(
-            id_col,
-            F.explode(
-                F.arrays_zip(
-                    F.slice("w", 1, n - 1).alias("w1"),
-                    F.slice("w", 2, n - 1).alias("w2"),
-                )
-            ).alias("bg"),
+    def bigrams(src: DataFrame, with_id: bool) -> DataFrame:
+        toks = src.select(F.col(id_col), F.split(F.col(text_col), " ").alias("w"))
+        n = F.size("w")
+        cols = [id_col] if with_id else []
+        return (
+            toks.where(n >= 2)
+            .select(
+                *cols,
+                F.explode(
+                    F.arrays_zip(
+                        F.slice("w", 1, n - 1).alias("w1"),
+                        F.slice("w", 2, n - 1).alias("w2"),
+                    )
+                ).alias("bg"),
+            )
+            .select(*cols, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
         )
-        .select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
-    )
-    c2 = b.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2"))
-    c1 = b.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
-    vocab = b.agg(F.countDistinct("w2").alias("vsz"))
+
+    train_src = train_df if train_df is not None else df
+    if max_train_docs is not None:
+        train_src = train_src.orderBy(F.xxhash64(F.col(id_col))).limit(max_train_docs)
+
+    b = bigrams(df, with_id=True)
+    tb = bigrams(train_src, with_id=False)
+    c2 = tb.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2"))
+    c1 = tb.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
+    vocab = tb.agg(F.countDistinct("w2").alias("vsz"))
     p = (
-        b.join(c2, ["w1", "w2"]).join(c1, ["w1"]).crossJoin(vocab)
+        b.join(c2, ["w1", "w2"], "left").join(c1, ["w1"], "left").crossJoin(vocab)
         .withColumn(
             "p",
-            (F.col("n2") + F.lit(k)) / (F.col("n1") + F.lit(k) * F.col("vsz")),
+            (F.coalesce(F.col("n2"), F.lit(0)) + F.lit(k))
+            / (F.coalesce(F.col("n1"), F.lit(0)) + F.lit(k) * F.col("vsz")),
         )
     )
     return p.groupBy(id_col).agg(

@@ -20,6 +20,7 @@ nothing re-reads history.
 
 from __future__ import annotations
 
+import glob
 import os
 import shutil
 
@@ -40,6 +41,45 @@ def _last_applied(snapshot_dir: str) -> int:
         return -1
 
 
+def _stage_id(path: str) -> int:
+    try:
+        return int(path.rsplit("._stage_", 1)[1])
+    except (IndexError, ValueError):
+        return -1
+
+
+def _recover(snapshot_dir: str) -> None:
+    """Repair a crash between the two swap renames.
+
+    The swap is rename(snapshot→backup); rename(staging→snapshot);
+    rmtree(backup) — a crash in the middle can leave ``snapshot_dir``
+    missing. A staging dir whose epoch marker was written is complete
+    (marker is the last file staged), so finishing the swap with the newest
+    complete stage is safe; otherwise the backup restores the pre-batch
+    state and the checkpoint replays the batch onto it.
+    """
+    base = snapshot_dir.rstrip("/")
+    backup = base + "._old"
+    if not os.path.exists(snapshot_dir):
+        stages = sorted(
+            (s for s in glob.glob(base + "._stage_*")
+             if os.path.exists(os.path.join(s, _EPOCH_MARKER))),
+            key=_stage_id,
+        )
+        if stages:
+            os.rename(stages[-1], snapshot_dir)
+        elif os.path.exists(backup):
+            os.rename(backup, snapshot_dir)
+        else:
+            raise FileNotFoundError(
+                f"snapshot {snapshot_dir} missing and no backup/staging to recover"
+            )
+    if os.path.exists(backup):
+        shutil.rmtree(backup)
+    for s in glob.glob(base + "._stage_*"):
+        shutil.rmtree(s, ignore_errors=True)
+
+
 def stream_apply_changelog(
     changes: DataFrame,
     snapshot_dir: str,
@@ -52,9 +92,17 @@ def stream_apply_changelog(
     changelog stream ``changes`` (columns: seq, op, key, values...).
 
     The snapshot directory must exist with an initial state (possibly an
-    empty DataFrame written with the target schema). Returns the started
+    empty DataFrame written with the target schema) and must be a LOCAL
+    filesystem path — the swap uses os.rename, which is atomic only on a
+    local posix fs. On object stores the same staging discipline belongs in
+    a table-format commit (Iceberg/Delta), not renames. Returns the started
     ``StreamingQuery``; callers own awaitTermination/stop.
     """
+    if "://" in snapshot_dir and not snapshot_dir.startswith("file://"):
+        raise ValueError(
+            f"stream_apply_changelog requires a local snapshot path, got {snapshot_dir!r}"
+        )
+    _recover(snapshot_dir)
     spark = changes.sparkSession
 
     def _fold(batch_df: DataFrame, batch_id: int) -> None:

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 
 def test_apply_changelog_insert_update_delete_and_idempotent_reapply(spark):
     from hiss_cube_spark.operators.cdc import apply_changelog
@@ -128,3 +130,68 @@ def test_stream_apply_changelog_materializes_snapshot(spark, tmp_path_factory):
     q3.awaitTermination(120)
     got3 = {r["key"]: r["bal"] for r in spark.read.parquet(snap_dir).collect()}
     assert got3 == {2: 22.0, 3: 31.0}
+
+
+def test_stream_changelog_recovers_mid_swap_crash(spark, tmp_path_factory):
+    """Chaos probe for the snapshot swap: a crash BETWEEN the two renames
+    leaves snapshot_dir missing. On restart the query must repair the state
+    (finish the swap if a complete staging exists; restore the backup
+    otherwise) and end at exactly-once semantics either way."""
+    import os
+    import shutil
+
+    from hiss_cube_spark.streaming.cdc import stream_apply_changelog
+
+    schema = "seq long, key long, op string, bal double"
+
+    def run_once(snap_dir, src, ckpt):
+        stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+        q = stream_apply_changelog(stream, snap_dir, ckpt)
+        q.awaitTermination(120)
+
+    # --- crash state A: complete staging exists, snapshot renamed away ---
+    base = tmp_path_factory.mktemp("cdc_chaos_a")
+    snap_dir, src, ckpt = str(base / "snapshot"), str(base / "src"), str(base / "ckpt")
+    spark.createDataFrame([(1, 10.0)], "key long, bal double").write.parquet(snap_dir)
+    spark.createDataFrame([(1, 1, "U", 11.0)], schema).coalesce(1).write.parquet(src)
+    run_once(snap_dir, src, ckpt)
+    assert {r["key"]: r["bal"] for r in spark.read.parquet(snap_dir).collect()} == {1: 11.0}
+
+    # batch 1 arrives; emulate the crash: stage it by hand as batch_id 1,
+    # rename snapshot to backup, "die" before the second rename
+    spark.createDataFrame([(2, 2, "I", 20.0)], schema).coalesce(1).write.mode("append").parquet(src)
+    staging = snap_dir + "._stage_1"
+    folded = spark.createDataFrame([(1, 11.0), (2, 20.0)], "key long, bal double")
+    folded.write.parquet(staging)
+    with open(os.path.join(staging, "_last_applied_batch"), "w") as fh:
+        fh.write("1")
+    os.rename(snap_dir, snap_dir + "._old")
+
+    run_once(snap_dir, src, ckpt)  # restart: recovery + replay of batch 1
+    got = {r["key"]: r["bal"] for r in spark.read.parquet(snap_dir).collect()}
+    assert got == {1: 11.0, 2: 20.0}  # applied exactly once, not twice
+    assert not os.path.exists(snap_dir + "._old")
+    assert not os.path.exists(staging)
+
+    # --- crash state B: staging incomplete (no marker), only backup left ---
+    base = tmp_path_factory.mktemp("cdc_chaos_b")
+    snap_dir, src, ckpt = str(base / "snapshot"), str(base / "src"), str(base / "ckpt")
+    spark.createDataFrame([(7, 70.0)], "key long, bal double").write.parquet(snap_dir)
+    spark.createDataFrame([(1, 7, "U", 71.0)], schema).coalesce(1).write.parquet(src)
+    # incomplete stage: parquet written but marker missing
+    spark.createDataFrame([(7, 71.0)], "key long, bal double").write.parquet(snap_dir + "._stage_0")
+    os.rename(snap_dir, snap_dir + "._old")
+
+    run_once(snap_dir, src, ckpt)  # restores backup, folds batch 0 normally
+    got = {r["key"]: r["bal"] for r in spark.read.parquet(snap_dir).collect()}
+    assert got == {7: 71.0}
+    assert not os.path.exists(snap_dir + "._old")
+
+
+def test_stream_changelog_rejects_remote_path(spark):
+    from hiss_cube_spark.streaming.cdc import stream_apply_changelog
+
+    with pytest.raises(ValueError, match="local snapshot path"):
+        stream_apply_changelog(
+            spark.readStream.format("rate").load(), "s3://bucket/snap", "/tmp/ckpt"
+        )

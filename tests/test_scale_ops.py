@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import pytest
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def test_salted_join_matches_plain_join(spark):
@@ -403,3 +404,64 @@ def test_plan_shapes_hold(spark, sf_dir):
     assert "WindowGroupLimit" in plan("cur_incremental_dedup")
     # profiling is one scan: exactly one FileScan in the plan
     assert plan("dq_profile_table").count("FileScan parquet") == 1
+
+
+def test_best_fuzzy_match_equals_bruteforce_no_cartesian(spark):
+    """The escalating length-band blocker must return exactly the naive
+    all-pairs nearest match (including the dist/candidate tie order) while
+    planning as an equi hash join — no cartesian / nested-loop join. The
+    candidate set deliberately includes far-length strings so at least one
+    probe escalates past the initial band."""
+    from hiss_cube_spark.operators.fuzzy import best_fuzzy_match
+
+    probes = spark.createDataFrame(
+        [("alpha",), ("gamma",), ("x",), ("a-very-long-probe-string",)],
+        "n string",
+    )
+    cands = spark.createDataFrame(
+        [("alpah",), ("gamut",), ("omega",), ("yz",),
+         ("an-extremely-long-candidate-name-here",)],
+        "c string",
+    )
+    naive = (
+        probes.crossJoin(cands)
+        .withColumn("dist", F.levenshtein("n", "c"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("n").orderBy("dist", "c")
+            ),
+        )
+        .where("rn = 1")
+        .select("n", F.col("c").alias("best_match"), "dist")
+    )
+    got = sorted(tuple(r) for r in best_fuzzy_match(probes, cands, "n", "c", initial_band=2).collect())
+    assert got == sorted(tuple(r) for r in naive.collect())
+    plan = (
+        best_fuzzy_match(probes, cands, "n", "c", initial_band=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_bigram_lm_score_sampled_training_backoff(spark):
+    """With a bounded training sample, scoring must still cover every
+    document: bigrams unseen in training back off to P = k/(k·V) = 1/V,
+    and capping above the corpus size reproduces exact corpus training."""
+    from hiss_cube_spark.operators.text_analysis import bigram_lm_score
+
+    df = spark.createDataFrame(
+        [(i, "a b c") for i in range(10)] + [(99, "q r s")],
+        "doc_id long, text string",
+    )
+    exact = {r.doc_id: r.lm_score for r in bigram_lm_score(df, max_train_docs=None).collect()}
+    capped = {r.doc_id: r.lm_score for r in bigram_lm_score(df, max_train_docs=100).collect()}
+    assert capped == exact  # cap above corpus size → identical
+
+    # train only on the repeated docs: doc 99's bigrams are unseen → 1/V each
+    train = df.where("doc_id < 90")
+    held = bigram_lm_score(df, train_df=train, max_train_docs=None)
+    got = {r.doc_id: r.lm_score for r in held.collect()}
+    assert got[99] == round(1 / 2, 6)  # V = |{b, c}| = 2
+    # fully-seen doc: P(b|a) = P(c|b) = (10+0.5)/(10+0.5·2)
+    assert got[0] == round(10.5 / 11, 6)
