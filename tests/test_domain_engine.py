@@ -158,17 +158,56 @@ def test_sfr_join(spark, spectra):
 
 
 def test_pipeline_phases(spark, images, spectra, tmp_path_factory):
+    """End-to-end cardinality laws through the full ingest→link→gold chain,
+    the fixture-scale analog of the reference's pinned galaxy_small counts
+    (visualization cube 276,100 rows @ zoom 0 / 9,867 @ zoom 3, ML cube
+    zoom-2 shapes (2,5,16,16)/(2,1155) — /root/reference/hisscube/tests/
+    test_export.py:63,92,98-99). Every expected count is DERIVED from the
+    fixture constants, so any regression in the chain's row accounting
+    (dropped refs, duplicated pixels, zoom ladder off-by-one) fails here."""
     from hiss_cube_spark.plans.pipeline import CubePipeline
 
     wh = str(tmp_path_factory.mktemp("warehouse"))
     pipe = CubePipeline(spark, wh, match_radius_deg=0.01, cutout_size=CUTOUT)
     pipe.create(images, spectra, export="both", export_zoom=3)
-    for t in ("images", "spectra", "cutout_refs", "ml_cube_spectra", "ml_cube_images", "visualization_cube"):
+
+    n_fields = 37
+    n_bands = len(BANDS)
+    # spectra 0/1 and 2/3 share a position → 9 distinct targets
+    n_targets = N_SPECTRA - 2
+    spec_samples = sum(SPEC_N >> z for z in range(ZOOMS))          # 248
+    cutout_pixels = sum((CUTOUT >> z) ** 2 for z in range(ZOOMS))  # 341
+    expected = {
+        "images": n_fields * n_bands * ZOOMS,                      # 925
+        "spectra": N_SPECTRA * ZOOMS,                              # 55
+        # r=0.01° only matches a spectrum's own field (fields 0.08° apart)
+        "cutout_refs": N_SPECTRA * n_bands * ZOOMS,                # 275
+        "ml_cube_spectra": n_targets * ZOOMS,                      # 45
+        "ml_cube_images": n_targets * ZOOMS * n_bands,             # 225
+        "visualization_cube": N_SPECTRA * spec_samples
+        + N_SPECTRA * n_bands * cutout_pixels,                     # 21,483
+    }
+    for t, want in expected.items():
         assert os.path.isdir(os.path.join(wh, t)), t
         n = spark.read.parquet(os.path.join(wh, t)).count()
-        assert n > 0, t
+        assert n == want, f"{t}: {n} != {want}"
         # A3/A7: counts observed on the write pass equal the table counts
         assert pipe.stats[t] == n, t
+
+    viz = spark.read.parquet(os.path.join(wh, "visualization_cube"))
+    per_zoom = {r["zoom"]: r["n"] for r in viz.groupBy("zoom").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for z in range(ZOOMS):
+        want_z = N_SPECTRA * (SPEC_N >> z) + N_SPECTRA * n_bands * (CUTOUT >> z) ** 2
+        assert per_zoom[z] == want_z, f"zoom {z}: {per_zoom[z]} != {want_z}"
+
+    # ML-cube zoom-2 shape analog: flux arrays carry the zoom-2 ladder sizes
+    ml_s = spark.read.parquet(os.path.join(wh, "ml_cube_spectra")).where(F.col("zoom") == 2)
+    assert ml_s.count() == n_targets
+    assert ml_s.select(F.size("flux").alias("s")).distinct().collect()[0]["s"] == SPEC_N >> 2
+    ml_i = spark.read.parquet(os.path.join(wh, "ml_cube_images")).where(F.col("zoom") == 2)
+    assert ml_i.count() == n_targets * n_bands
+    assert ml_i.select(F.size("cutout_flux").alias("s")).distinct().collect()[0]["s"] == (CUTOUT >> 2) ** 2
+
     import json as _json
 
     assert _json.load(open(os.path.join(wh, "_stats.json"))) == pipe.stats

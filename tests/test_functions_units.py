@@ -207,3 +207,103 @@ def test_transmission_ratio_interpolation():
     got = transmission_ratio(np.array([3500.0, 4000.0, 4500.0, 5500.0, 6000.0, 6500.0]),
                              curve_wl, curve_ratio)
     assert got.tolist() == [0.0, 0.2, pytest.approx(0.5), pytest.approx(0.6), 0.4, 0.0]
+
+
+def _ang2pix_ring_np_oracle(ra_deg, dec_deg, nside):
+    """Independent RING-scheme ang2pix, transcribed directly from the
+    published HEALPix formulas (Górski et al. 2005 §4 / the reference
+    C ang2pix_ring) — deliberately NOT sharing any code with the package's
+    nested implementation. healpy is absent from this container, so the
+    cross-scheme agreement below is the healpy-parity check: the package's
+    nest path (face/Morton arithmetic) and this ring path (ring/in-ring
+    arithmetic) are disjoint derivations that can only agree everywhere if
+    both implement the published pixelization."""
+    import numpy as np
+
+    ra = np.mod(np.asarray(ra_deg, dtype=np.float64), 360.0)
+    dec = np.asarray(dec_deg, dtype=np.float64)
+    z = np.sin(np.deg2rad(dec))
+    za = np.abs(z)
+    tt = np.mod(ra / 90.0, 4.0)
+    pix = np.empty(ra.shape, dtype=np.int64)
+    ncap = 2 * nside * (nside - 1)
+    npix = 12 * nside * nside
+
+    eq = za <= 2.0 / 3.0
+    if np.any(eq):
+        temp1 = nside * (0.5 + tt[eq])
+        temp2 = nside * z[eq] * 0.75
+        jp = (temp1 - temp2).astype(np.int64)  # ascending edge line
+        jm = (temp1 + temp2).astype(np.int64)  # descending edge line
+        ir = nside + 1 + jp - jm               # ring counter (1 at z=2/3)
+        kshift = 1 - (ir & 1)
+        ip = (jp + jm - nside + kshift + 1) >> 1
+        ip = np.mod(ip, 4 * nside)
+        pix[eq] = ncap + (ir - 1) * 4 * nside + ip
+    po = ~eq
+    if np.any(po):
+        tp = tt[po] - np.floor(tt[po])
+        tmp = nside * np.sqrt(3.0 * (1.0 - za[po]))
+        jp = (tp * tmp).astype(np.int64)
+        jm = ((1.0 - tp) * tmp).astype(np.int64)
+        ir = jp + jm + 1                        # polar ring counter
+        ip = (tt[po] * ir).astype(np.int64)
+        ip = np.mod(ip, 4 * ir)
+        north_pix = 2 * ir * (ir - 1) + ip
+        south_pix = npix - 2 * ir * (ir + 1) + ip
+        pix[po] = np.where(z[po] > 0, north_pix, south_pix)
+    return pix
+
+
+def test_healpix_nest_agrees_with_independent_ring_scheme():
+    """ring2nest(ang2pix_ring(p)) == ang2pix_nest(p) across random points
+    and every seam (face edges, polar/equatorial boundary z=±2/3, poles,
+    ra wrap) at nsides from 1 to 2^15 (the orders the reference uses for
+    images and spectra, config.ini:17-18)."""
+    import numpy as np
+
+    from hiss_cube_spark.functions.spatial import _ang2pix_nest_np, _ring2nest_np
+
+    rng = np.random.default_rng(1234)
+    ra = rng.uniform(0.0, 360.0, 4000)
+    dec = np.degrees(np.arcsin(rng.uniform(-1.0, 1.0, 4000)))
+    # seams: face boundaries, the z = ±2/3 regime switch, poles, ra wrap
+    seam_ra = np.array([0.0, 45.0, 90.0, 135.0, 180.0, 270.0, 359.999999, 1e-9])
+    seam_dec = np.array(
+        [0.0, 41.8103148957786, -41.8103148957786, 89.999999, -89.999999, 66.0, -66.0, 19.47]
+    )
+    g_ra, g_dec = np.meshgrid(seam_ra, seam_dec)
+    ra = np.concatenate([ra, g_ra.ravel()])
+    dec = np.concatenate([dec, g_dec.ravel()])
+
+    for order in (0, 1, 4, 10, 15):
+        nside = 1 << order
+        ring = _ang2pix_ring_np_oracle(ra, dec, nside)
+        assert ring.min() >= 0 and ring.max() < 12 * nside * nside
+        got = _ang2pix_nest_np(ra, dec, nside)
+        want = _ring2nest_np(ring, nside)
+        bad = np.nonzero(got != want)[0]
+        assert bad.size == 0, (
+            f"nside={nside}: {bad.size} disagreements, first at "
+            f"ra={ra[bad[0]]} dec={dec[bad[0]]}: nest={got[bad[0]]} ring2nest={want[bad[0]]}"
+        )
+
+
+def test_healpix_nside1_base_pixel_geometry():
+    """At nside=1 the 12 pixels ARE the base diamonds; their centers are
+    analytically pinned by the published geometry (faces 0-3 at z=2/3,
+    phi=45/135/225/315; faces 4-7 at z=0, phi=0/90/180/270; faces 8-11 at
+    z=-2/3) — an absolute anchor independent of both code paths."""
+    import numpy as np
+
+    from hiss_cube_spark.functions.spatial import _ang2pix_nest_np
+
+    z23 = np.degrees(np.arcsin(2.0 / 3.0))
+    centers = (
+        [(45.0 + 90.0 * k, z23) for k in range(4)]        # faces 0..3
+        + [(0.0 + 90.0 * k, 0.0) for k in range(4)]        # faces 4..7
+        + [(45.0 + 90.0 * k, -z23) for k in range(4)]      # faces 8..11
+    )
+    ra = np.array([c[0] for c in centers])
+    dec = np.array([c[1] for c in centers])
+    assert _ang2pix_nest_np(ra, dec, 1).tolist() == list(range(12))
