@@ -4020,6 +4020,128 @@ def cur_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # driver contract
 # ==========================================================================
 
+# ==========================================================================
+# Round-2 additions: substring-span dedup, mixture reweighting, lexical
+# diversity, streaming first-arrival dedup (batch shape)
+# ==========================================================================
+
+@_q(
+    "dedup_substring_spans",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    d AS (SELECT doc_id, len(w) AS n_tokens, w FROM t),
+    g AS (SELECT doc_id, n_tokens, s.i - 1 AS pos,
+                 array_to_string(w[s.i : s.i + 4], ' ') AS gram
+          FROM d, unnest(generate_series(1, len(w) - 4)) s(i)
+          WHERE n_tokens >= 5),
+    dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+    st AS (SELECT g.doc_id, g.n_tokens, g.pos FROM g JOIN dup USING (gram)),
+    cov AS (SELECT doc_id, n_tokens, pos,
+                   CASE WHEN lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                        THEN 5
+                        ELSE least(5, lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) - pos)
+                   END AS c
+            FROM st),
+    pd AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS dup_tokens FROM cov GROUP BY doc_id)
+    SELECT d.doc_id, CAST(d.n_tokens AS BIGINT) AS n_tokens,
+           COALESCE(pd.dup_tokens, 0) AS dup_tokens,
+           round(CAST(COALESCE(pd.dup_tokens, 0) AS DOUBLE) / d.n_tokens, 6) AS dup_fraction
+    FROM d LEFT JOIN pd ON d.doc_id = pd.doc_id
+    """,
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-span duplication per doc (the Lee et al. 2022
+    suffix-array dedup signal, distributed): fraction of tokens covered by
+    a 5-gram occurring ≥2 times in the corpus. Runs the production
+    hash-keyed path (`hash_grams=True`, 8-byte shuffle keys); the oracle
+    groups by the gram strings — identical answers barring a 64-bit
+    collision (odds ~n_grams²/2⁶⁴)."""
+    from hiss_cube_spark.operators.dedup import duplicated_span_fraction
+
+    d = _t(spark, sf_dir, "documents")
+    out = duplicated_span_fraction(d, n=5, min_count=2, hash_grams=True)
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "dup_tokens",
+        "dup_fraction",
+    )
+
+
+@_q(
+    "text_simpson_diversity",
+    """
+    WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+    c AS (SELECT doc_id, tok, count(*) AS c FROM t GROUP BY doc_id, tok)
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           round(CAST(sum(c * c) AS DOUBLE) / CAST(sum(c) * sum(c) AS DOUBLE), 6) AS simpson,
+           round(CAST(sum(c) * sum(c) AS DOUBLE) / CAST(sum(c * c) AS DOUBLE), 6) AS inv_simpson
+    FROM c GROUP BY doc_id
+    """,
+)
+def text_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical diversity via the Simpson collision probability — the
+    rational-arithmetic alternative to Shannon entropy (no log(), so the
+    score is bit-identical across engines)."""
+    from hiss_cube_spark.operators.text_analysis import simpson_diversity
+
+    return simpson_diversity(_t(spark, sf_dir, "documents"))
+
+
+@_q(
+    "cur_mix_weights",
+    """
+    WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+    tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS N FROM c),
+    t(lang, target_share) AS (VALUES
+      ('en', CAST(0.4 AS DOUBLE)), ('de', CAST(0.2 AS DOUBLE)),
+      ('es', CAST(0.2 AS DOUBLE)), ('fr', CAST(0.2 AS DOUBLE)))
+    SELECT c.lang, CAST(c.n_docs AS BIGINT) AS n_docs,
+           round(CAST(c.n_docs AS DOUBLE) / tot.N, 6) AS actual_share,
+           COALESCE(t.target_share, CAST(0.0 AS DOUBLE)) AS target_share,
+           round(COALESCE(t.target_share, CAST(0.0 AS DOUBLE)) * tot.N / c.n_docs, 6) AS weight,
+           round(COALESCE(t.target_share, CAST(0.0 AS DOUBLE)) * tot.N, 6) AS expected_docs
+    FROM c CROSS JOIN tot LEFT JOIN t USING (lang)
+    """,
+)
+def cur_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture reweighting: per-language sampling weights that
+    reshape the corpus to a 40/20/20/20 en/de/es/fr target (zh absent from
+    the target → weight 0, the intentional-drop path)."""
+    from hiss_cube_spark.operators.curation import mixture_weights
+
+    d = _t(spark, sf_dir, "documents")
+    return mixture_weights(
+        d, {"en": 0.4, "de": 0.2, "es": 0.2, "fr": 0.2}, source_col="lang"
+    )
+
+
+@_q(
+    "stream_dedup_first",
+    """
+    SELECT user_id, event_type, ts_us, event_id, value FROM (
+      SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id, value,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY epoch_us(ts), event_id) AS rn
+      FROM events) WHERE rn = 1
+    """,
+)
+def stream_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First arrival per (user, event_type) — the deterministic batch shape
+    of `streaming.stream_dedup` (dropDuplicatesWithinWatermark), which the
+    streaming tests drive across micro-batches. Values pass through
+    unchanged, so parity is exact."""
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts_us", "event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_type", "ts_us", "event_id", "value")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return flagship_ml_cube(spark, "/root/testdata/sf0.001")
@@ -4066,6 +4188,8 @@ _CHECK_PRIORITY = [
     # data quality                                   (slot 50 ends here)
     "dq_constraint_report", "dq_profile_table",
     # --- beyond slot 50: remaining never-checked, for the next rotation ---
+    "dedup_substring_spans", "text_simpson_diversity", "cur_mix_weights",
+    "stream_dedup_first",
     "p_variant_props", "q_recursive_cte", "viz_cube_union",
     "o1_zorder_clustering", "w_funnel_stages", "w_cohort_retention",
     "a_median_quartiles", "o_global_topk", "a_pivot_flags",

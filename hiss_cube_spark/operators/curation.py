@@ -395,6 +395,54 @@ def domain_cap(
     )
 
 
+def mixture_weights(
+    df: DataFrame,
+    targets: dict[str, float],
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source sampling weights to reshape the corpus toward a target
+    domain mixture — the knob every training-data pipeline turns after
+    curation (e.g. "30% web, 40% code, 30% books" over whatever the crawl
+    actually contains).
+
+    For source s with n_s of N documents and target share t_s, the sampling
+    weight is t_s / (n_s / N): sample (or repeat) each document of s with
+    that relative weight and the expected post-sampling mixture is exactly
+    the target. Output: (source, n_docs, actual_share, target_share,
+    weight, expected_docs). Sources absent from ``targets`` get weight 0
+    (dropped); target shares should sum to 1 (not enforced — partial
+    mixtures are valid when the remainder is intentionally dropped).
+
+    One count groupBy + a broadcast of the (tiny) target map; the weight
+    table is itself broadcastable to wherever the sampling join runs.
+    """
+    spark = df.sparkSession
+    tgt = spark.createDataFrame(
+        [(s, float(t)) for s, t in targets.items()], f"{source_col} string, target_share double"
+    )
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    total = counts.agg(F.sum("n_docs").alias("_N"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .join(F.broadcast(tgt), source_col, "left")
+        .select(
+            source_col,
+            "n_docs",
+            F.round(F.col("n_docs").cast("double") / F.col("_N"), 6).alias("actual_share"),
+            F.coalesce("target_share", F.lit(0.0)).alias("target_share"),
+            F.round(
+                F.coalesce("target_share", F.lit(0.0))
+                * F.col("_N").cast("double")
+                / F.col("n_docs"),
+                6,
+            ).alias("weight"),
+            F.round(
+                F.coalesce("target_share", F.lit(0.0)) * F.col("_N").cast("double"), 6
+            ).alias("expected_docs"),
+        )
+    )
+
+
 from hiss_cube_spark._serde import register_self as _register_self  # noqa: E402
 
 _register_self(__name__)

@@ -663,3 +663,74 @@ def pair_set_metrics(
             F.round(F.col("tp") * 1.0 / F.col("nt"), 6).alias("recall"),
         )
     )
+
+
+def duplicated_span_fraction(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    min_count: int = 2,
+    hash_grams: bool = True,
+) -> DataFrame:
+    """Exact substring (n-gram span) duplication per document — the
+    distributed analog of suffix-array substring dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): a token
+    position counts as duplicated when some n-gram window covering it
+    occurs ≥ ``min_count`` times in the corpus (including twice within one
+    document). Returns (doc_id, n_tokens, dup_tokens, dup_fraction);
+    filter on dup_fraction to drop boilerplate-heavy documents, or use the
+    spans to cut them out.
+
+    Plan shape, linear at 100 TB: one explode to (doc, pos, gram-key)
+    rows, one count groupBy to find duplicated keys (map-side combined),
+    one shuffle join back, then a per-doc lead() window that merges
+    overlapping fixed-length windows in closed form — coverage of sorted
+    starts s_k is Σ min(n, s_{k+1} − s_k) + n, no interval list ever
+    materializes. With ``hash_grams`` the shuffle carries 8-byte xxhash64
+    keys instead of gram strings (collision odds ~n_grams²/2⁶⁴ —
+    negligible); the string-keyed variant is the bit-exact oracle path.
+    """
+    toks = F.split(F.col(text_col), " ")
+    d = df.select(F.col(id_col).alias("doc_id"), toks.alias("w")).withColumn(
+        "n_tokens", F.size("w")
+    )
+    grams = d.where(F.col("n_tokens") >= n).select(
+        "doc_id",
+        "n_tokens",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, size(w) - {n}), i -> array_join(slice(w, i + 1, {n}), ' '))"
+            )
+        ).alias("pos", "gram"),
+    )
+    grams = grams.withColumn(
+        "k", F.xxhash64("gram") if hash_grams else F.col("gram")
+    ).drop("gram")
+    dup = (
+        grams.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= min_count)
+        .select("k")
+    )
+    starts = grams.join(dup, "k").select("doc_id", "n_tokens", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    nxt = F.lead("pos").over(w)
+    cover = F.when(nxt.isNull(), F.lit(n)).otherwise(F.least(F.lit(n), nxt - F.col("pos")))
+    per_doc = (
+        starts.withColumn("_c", cover)
+        .groupBy("doc_id")
+        .agg(F.sum("_c").alias("dup_tokens"))
+    )
+    return (
+        d.select("doc_id", "n_tokens")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+            F.round(
+                F.coalesce("dup_tokens", F.lit(0)).cast("double") / F.col("n_tokens"), 6
+            ).alias("dup_fraction"),
+        )
+    )

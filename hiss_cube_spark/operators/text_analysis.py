@@ -390,3 +390,38 @@ def bigram_lm_score(
         ).alias("lm_score"),
         F.count(F.lit(1)).alias("n_bigrams"),
     )
+
+
+def simpson_diversity(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document lexical diversity via the Simpson index — the
+    collision probability Σ (c_t / n)² over token counts c_t, and its
+    inverse (the "effective vocabulary size"). High collision probability
+    flags repetitive, template, or keyword-stuffed text; unlike Shannon
+    entropy this is RATIONAL arithmetic (one integer sum of c², one
+    division), so the score is bit-identical across engines — entropy's
+    log() would differ in the last ulp between libm implementations.
+
+    Plan: explode to (doc, token), count per (doc, token) with map-side
+    combine, then one per-doc aggregate — the same two-shuffle shape as
+    TF-IDF's term counting, linear in corpus size.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    )
+    counts = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    return counts.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.countDistinct("tok").cast("long").alias("n_distinct"),
+        F.round(
+            (F.sum(F.col("c") * F.col("c")).cast("double"))
+            / (F.sum("c") * F.sum("c")).cast("double"),
+            6,
+        ).alias("simpson"),
+        F.round(
+            (F.sum("c") * F.sum("c")).cast("double")
+            / F.sum(F.col("c") * F.col("c")).cast("double"),
+            6,
+        ).alias("inv_simpson"),
+    )

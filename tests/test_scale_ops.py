@@ -465,3 +465,57 @@ def test_bigram_lm_score_sampled_training_backoff(spark):
     assert got[99] == round(1 / 2, 6)  # V = |{b, c}| = 2
     # fully-seen doc: P(b|a) = P(c|b) = (10+0.5)/(10+0.5·2)
     assert got[0] == round(10.5 / 11, 6)
+
+
+def test_duplicated_span_fraction_pinned(spark):
+    """Hand-derived coverage: cross-doc shared 5-gram covers 5 of 6 tokens
+    in each doc; a within-doc repeated gram merges its overlapping windows
+    to full coverage; short docs score 0. Hash and string key paths agree."""
+    from hiss_cube_spark.operators.dedup import duplicated_span_fraction
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),       # shares 'a b c d e' with doc 2
+            (2, "x a b c d e"),
+            (3, "q r s"),             # under the gram width
+            (4, "p p p p p p p p p p"),  # all 6 grams identical -> full cover
+        ],
+        "doc_id long, text string",
+    )
+    for hashed in (True, False):
+        got = {
+            r.doc_id: (r.n_tokens, r.dup_tokens, r.dup_fraction)
+            for r in duplicated_span_fraction(df, n=5, hash_grams=hashed).collect()
+        }
+        assert got[1] == (6, 5, round(5 / 6, 6))
+        assert got[2] == (6, 5, round(5 / 6, 6))
+        assert got[3] == (3, 0, 0.0)
+        assert got[4] == (10, 10, 1.0)
+
+
+def test_simpson_diversity_pinned(spark):
+    from hiss_cube_spark.operators.text_analysis import simpson_diversity
+
+    df = spark.createDataFrame([(1, "a a b"), (2, "x y z w")], "doc_id long, text string")
+    got = {r.doc_id: r for r in simpson_diversity(df).collect()}
+    assert (got[1].n_tokens, got[1].n_distinct) == (3, 2)
+    assert got[1].simpson == round(5 / 9, 6) and got[1].inv_simpson == 1.8
+    assert got[2].simpson == 0.25 and got[2].inv_simpson == 4.0
+
+
+def test_mixture_weights_pinned(spark):
+    """60/40 corpus reshaped to a 50/25 target: weights t_s·N/n_s, with an
+    untargeted source dropped (weight 0) and a targeted-but-absent source
+    simply missing from the output (nothing to weight)."""
+    from hiss_cube_spark.operators.curation import mixture_weights
+
+    df = spark.createDataFrame(
+        [(i, "web") for i in range(6)] + [(i, "code") for i in range(6, 10)],
+        "doc_id long, source string",
+    )
+    got = {r.source: r for r in mixture_weights(df, {"web": 0.5, "code": 0.25, "books": 0.25}).collect()}
+    assert set(got) == {"web", "code"}
+    assert got["web"].n_docs == 6 and got["web"].actual_share == 0.6
+    assert got["web"].weight == round(0.5 * 10 / 6, 6)
+    assert got["code"].weight == round(0.25 * 10 / 4, 6)
+    assert got["web"].expected_docs == 5.0 and got["code"].expected_docs == 2.5
