@@ -1845,6 +1845,20 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(q, e, k=5, m=16, n_centroids=64)
 
 
+@_q("ann_ivf_pq_topk")
+def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ combined ANN (rows-only: approximate by design; recall vs
+    the exact baseline pinned in tests/test_stateful_ivf.py). The full
+    FAISS-style scale architecture: coarse cells bound which rows a query
+    scans, residual PQ codes bound what each row costs, per-cell bias +
+    shared query tables keep the scoring a native JVM aggregate."""
+    from hiss_cube_spark.operators.similarity import ivf_pq_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 10)
+    return ivf_pq_topk(q, e, k=5, n_cells=8, n_probe=3, m=16, n_centroids=32)
+
+
 @_q(
     "emb_cosine_pairs",
     f"""
@@ -2757,6 +2771,41 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 0)
     return frame_sample(attach_binary_payload(d))
+
+
+@_q("mm_phash_neardup")
+def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup detection, rows-only (pixel domain has no SQL
+    oracle): synthesize a PPM per document from its text bytes (near-dup
+    texts → near-identical rasters), dHash the decoded pixels, find pairs
+    at hamming ≤ 7 with the SAME pigeonhole banding join text SimHash uses
+    — the one-fingerprint-family-two-modalities path. Kernel correctness
+    is pinned in tests/test_multimodal_images.py."""
+    import numpy as _np
+    import pandas as _pd
+    from collections.abc import Iterator as _Iter
+
+    from hiss_cube_spark.operators.multimodal import (
+        decode_images,
+        encode_ppm_np,
+        image_phash,
+        phash_neardup_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 2 == 0).select("doc_id", "text")
+
+    def _to_ppm(batches: _Iter[_pd.DataFrame]) -> _Iter[_pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                b = _np.frombuffer(text.encode("utf-8"), dtype=_np.uint8)
+                px = _np.resize(b, 12 * 16 * 3).reshape(12, 16, 3)
+                rows.append((int(doc_id), bytearray(encode_ppm_np(px))))
+            yield _pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    payloads = d.mapInPandas(_to_ppm, schema="doc_id long, payload binary")
+    fps = image_phash(decode_images(payloads), hash_size=8, kind="dhash")
+    return phash_neardup_pairs(fps, max_hamming=7, n_chunks=8)
 
 
 @_q(
@@ -4189,7 +4238,7 @@ _CHECK_PRIORITY = [
     "dq_constraint_report", "dq_profile_table",
     # --- beyond slot 50: remaining never-checked, for the next rotation ---
     "dedup_substring_spans", "text_simpson_diversity", "cur_mix_weights",
-    "stream_dedup_first",
+    "stream_dedup_first", "mm_phash_neardup", "ann_ivf_pq_topk",
     "p_variant_props", "q_recursive_cte", "viz_cube_union",
     "o1_zorder_clustering", "w_funnel_stages", "w_cohort_retention",
     "a_median_quartiles", "o_global_topk", "a_pivot_flags",

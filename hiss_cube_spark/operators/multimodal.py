@@ -33,6 +33,7 @@ __all__ = [
     "attach_binary_payload", "decode_metadata", "frame_sample", "extract_features",
     "encode_ppm_np", "decode_ppm_np", "bilinear_resize_np",
     "decode_images", "resize_images", "image_features",
+    "image_phash", "phash_neardup_pairs",
 ]
 
 
@@ -292,6 +293,65 @@ def image_features(df: DataFrame, n_bins: int = 8) -> DataFrame:
             yield pd.DataFrame({"doc_id": ids, "feature": feats})
 
     return df.mapInPandas(_feat, schema=_FEATURE_SCHEMA)
+
+
+_PHASH_SCHEMA = StructType(
+    [StructField("doc_id", LongType()), StructField("phash", LongType())]
+)
+
+
+def image_phash(df: DataFrame, hash_size: int = 8, kind: str = "dhash") -> DataFrame:
+    """64-bit perceptual hash over decoded pixel rows (input schema =
+    ``decode_images`` output): luma → bilinear downsample → bit per cell.
+
+    * ``dhash``: resize to (hash_size, hash_size+1), bit = luma[y, x] <
+      luma[y, x+1] (horizontal gradient sign) — robust to global
+      brightness/contrast shifts.
+    * ``ahash``: resize to (hash_size, hash_size), bit = luma ≥ mean.
+
+    Near-duplicate images differ in few bits, so the SAME pigeonhole
+    chunk-banding join that serves text SimHash
+    (``operators.dedup.simhash_pairs``) finds image near-dups — one
+    fingerprint family, two modalities. Arrow-batched numpy; only 8-byte
+    hashes ever shuffle.
+    """
+    if kind not in ("dhash", "ahash"):
+        raise ValueError(f"kind must be dhash|ahash, got {kind!r}")
+    _LUMA = np.array([0.2126, 0.7152, 0.0722])
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for r in pdf.itertuples(index=False):
+                img = np.asarray(r.pixels, dtype=np.float64).reshape(
+                    r.height, r.width, r.channels
+                )
+                luma = img @ _LUMA
+                if kind == "dhash":
+                    small = bilinear_resize_np(luma[..., None], hash_size, hash_size + 1)[..., 0]
+                    bits = (small[:, :-1] < small[:, 1:]).reshape(-1)
+                else:
+                    small = bilinear_resize_np(luma[..., None], hash_size, hash_size)[..., 0]
+                    bits = (small >= small.mean()).reshape(-1)
+                acc = np.uint64(0)
+                for b in bits:
+                    acc = (acc << np.uint64(1)) | np.uint64(bool(b))
+                ids.append(int(r.doc_id))
+                hashes.append(int(acc.astype(np.int64)))
+            yield pd.DataFrame({"doc_id": ids, "phash": hashes})
+
+    return df.mapInPandas(_hash, schema=_PHASH_SCHEMA)
+
+
+def phash_neardup_pairs(
+    fps: DataFrame, max_hamming: int = 7, n_chunks: int = 8
+) -> DataFrame:
+    """Image near-dup pairs from perceptual hashes — delegates to the text
+    SimHash pigeonhole banding (exact candidate superset + bit_count(xor)
+    verify), keyed on the ``phash`` column."""
+    from hiss_cube_spark.operators.dedup import simhash_pairs
+
+    return simhash_pairs(fps, max_hamming=max_hamming, fp_col="phash", n_chunks=n_chunks)
 
 
 from hiss_cube_spark._serde import register_self as _register_self  # noqa: E402

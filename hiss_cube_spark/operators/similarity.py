@@ -29,7 +29,10 @@ from pyspark.sql.window import Window
 
 from hiss_cube_spark.functions.arrays import array_dot, array_l2_norm
 
-__all__ = ["cosine_topk", "cosine_pairs", "cosine_pairs_blocked", "lsh_bucketed_topk", "cosine_expr", "pq_topk"]
+__all__ = [
+    "cosine_topk", "cosine_pairs", "cosine_pairs_blocked", "lsh_bucketed_topk",
+    "cosine_expr", "pq_topk", "ivf_topk", "ivf_pq_topk",
+]
 
 
 _DOT_SCALE = 1e12  # quantization grid for order-independent dot products
@@ -475,6 +478,142 @@ def pq_topk(
         .withColumn(
             "approx",
             F.expr(
+                f"aggregate(sequence(0, {m - 1}), CAST(0.0 AS DOUBLE), "
+                "(acc, j) -> acc + tbl[j][codes[j]])"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("approx").desc(), F.col("neighbor_id").asc())
+    cands = (
+        approx.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") <= k * rerank_factor)
+        .select("query_id", "neighbor_id")
+    )
+
+    cv = corpus.select(F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+    qv = queries.select(F.col(query_id).alias("query_id"), F.col(vec_col).alias("_qv"))
+    rer = (
+        cands.join(cv, "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .withColumn("cosine", cosine_expr(F.col("_qv"), F.col("_cv")))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        rer.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
+def ivf_pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    m: int = 8,
+    n_centroids: int = 16,
+    rerank_factor: int = 4,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    train_sample: int = 2048,
+    max_iter: int = 10,
+) -> DataFrame:
+    """IVF-PQ combined index (the FAISS IVFPQ architecture): coarse KMeans
+    cells bound WHICH rows a query scans (n_probe/n_cells of the corpus),
+    and product-quantized RESIDUALS (v − cell centroid) bound what each
+    scanned row costs (m byte codes + table lookups). The two prunings
+    compose: at 100 TB the encoded table is written bucketed by ``cell``,
+    a query reads n_probe buckets of ~dim·4/m-compressed rows, and the
+    per-row score is a native JVM ``aggregate`` over broadcast tables.
+
+    For inner product on L2-normalized vectors the score decomposes as
+    q·v = q·c_cell + q·r, so each probed (query, cell) pair carries one
+    scalar bias and the SAME per-query subspace tables serve every cell
+    (shared residual codebooks). Candidates get an exact-cosine rerank of
+    the top k·rerank_factor — the standard recall repair.
+
+    Training (coarse + residual codebooks) runs on a bounded id-ordered
+    sample, like ``pq_topk`` — the sample cap, not the corpus, bounds
+    driver memory.
+    """
+    dim = corpus.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
+    if dim % m != 0:
+        raise ValueError(f"embedding dim {dim} not divisible by m={m}")
+    d_sub = dim // m
+
+    sample = (
+        corpus.select(F.col(corpus_id).alias("i"), F.col(vec_col).alias("v"))
+        .orderBy("i")
+        .limit(train_sample)
+        .collect()
+    )
+    X = np.array([r["v"] for r in sample], dtype=np.float64)
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-300)
+    coarse = _kmeans_np(X, n_cells, max_iter)  # (n_cells, dim)
+    assign = ((X[:, None, :] - coarse[None, :, :]) ** 2).sum(-1).argmin(1)
+    R = X - coarse[assign]
+    codebooks = np.stack(
+        [_kmeans_np(R[:, j * d_sub : (j + 1) * d_sub], n_centroids, max_iter) for j in range(m)]
+    )  # (m, n_centroids, d_sub)
+    bc = corpus.sparkSession.sparkContext.broadcast((coarse, codebooks))
+
+    @pandas_udf("cell int, codes array<int>")
+    def _encode(vs: pd.Series) -> pd.DataFrame:
+        Cc, Cp = bc.value
+        V = np.stack(vs.to_numpy()).astype(np.float64)
+        V /= np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
+        cell = ((V[:, None, :] - Cc[None, :, :]) ** 2).sum(-1).argmin(1)
+        Rv = V - Cc[cell]
+        codes = np.empty((len(V), Cp.shape[0]), dtype=np.int32)
+        for j in range(Cp.shape[0]):
+            sub = Rv[:, j * d_sub : (j + 1) * d_sub]
+            codes[:, j] = ((sub[:, None, :] - Cp[j][None, :, :]) ** 2).sum(-1).argmin(1)
+        return pd.DataFrame({"cell": cell.astype(np.int32), "codes": list(codes)})
+
+    @pandas_udf("cells array<int>, biases array<double>, tbl array<array<double>>")
+    def _qprep(vs: pd.Series) -> pd.DataFrame:
+        Cc, Cp = bc.value
+        cells_out, biases_out, tbl_out = [], [], []
+        for v in vs.to_numpy():
+            q = np.asarray(v, dtype=np.float64)
+            q = q / max(np.linalg.norm(q), 1e-300)
+            d2 = ((q[None, :] - Cc) ** 2).sum(-1)
+            probes = np.argsort(d2, kind="stable")[:n_probe]
+            cells_out.append([int(c) for c in probes])
+            biases_out.append([float(Cc[c] @ q) for c in probes])
+            tbl_out.append(
+                [list(Cp[j] @ q[j * d_sub : (j + 1) * d_sub]) for j in range(Cp.shape[0])]
+            )
+        return pd.DataFrame({"cells": cells_out, "biases": biases_out, "tbl": tbl_out})
+
+    enc = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"), _encode(F.col(vec_col)).alias("_e")
+    ).select("neighbor_id", F.col("_e.cell").alias("cell"), F.col("_e.codes").alias("codes"))
+
+    q = (
+        queries.select(F.col(query_id).alias("query_id"), _qprep(F.col(vec_col)).alias("_p"))
+        .select(
+            "query_id",
+            F.col("_p.tbl").alias("tbl"),
+            F.explode(F.arrays_zip(F.col("_p.cells"), F.col("_p.biases"))).alias("_cb"),
+        )
+        .select(
+            "query_id",
+            "tbl",
+            F.col("_cb.cells").alias("cell"),
+            F.col("_cb.biases").alias("bias"),
+        )
+    )
+
+    approx = (
+        enc.join(F.broadcast(q), "cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "approx",
+            F.col("bias")
+            + F.expr(
                 f"aggregate(sequence(0, {m - 1}), CAST(0.0 AS DOUBLE), "
                 "(acc, j) -> acc + tbl[j][codes[j]])"
             ),

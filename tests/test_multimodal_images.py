@@ -90,3 +90,60 @@ def test_image_features_feed_similarity_search(spark):
         for r in cosine_topk(e.where(F.col("vec_id") < 2), e, k=1).collect()
     }
     assert top == {0: 1, 1: 0}
+
+
+def test_image_phash_pinned_and_invariances(spark):
+    """dHash bit semantics pinned analytically: a left-to-right luma ramp
+    has every horizontal gradient positive -> all 64 bits set -> int64 -1;
+    its mirror image -> 0. aHash of a half-dark/half-light split sets
+    exactly the bright half. Global brightness shift leaves dHash
+    unchanged; small noise stays within a few bits; a different image is
+    far away."""
+    import numpy as np
+
+    from hiss_cube_spark.operators.multimodal import (
+        decode_images,
+        encode_ppm_np,
+        image_phash,
+        phash_neardup_pairs,
+    )
+
+    ramp = np.tile(np.linspace(0, 255, 32, dtype=np.uint8)[None, :, None], (16, 1, 3))
+    mirror = ramp[:, ::-1, :]
+    bright = np.clip(ramp.astype(np.int64) + 40, 0, 255).astype(np.uint8)
+    rng = np.random.default_rng(5)
+    noisy = np.clip(ramp.astype(np.int64) + rng.integers(-6, 7, ramp.shape), 0, 255).astype(np.uint8)
+    other = rng.integers(0, 256, ramp.shape).astype(np.uint8)
+    half = np.zeros((16, 32, 3), np.uint8)
+    half[:, 16:, :] = 255
+
+    df = spark.createDataFrame(
+        [(i, bytearray(encode_ppm_np(img)))
+         for i, img in enumerate([ramp, mirror, bright, noisy, other, half])],
+        "doc_id long, payload binary",
+    )
+    dec = decode_images(df)
+    d = {r.doc_id: r.phash for r in image_phash(dec, kind="dhash").collect()}
+    assert d[0] == -1          # all gradients positive -> 64 ones -> int64 -1
+    assert d[1] == 0           # mirrored ramp: all negative
+    assert d[2] == d[0]        # brightness shift invariant
+    assert bin((d[0] ^ d[3]) & (2**64 - 1)).count("1") <= 6   # noise: few bits
+    assert bin((d[0] ^ d[4]) & (2**64 - 1)).count("1") >= 16  # unrelated: far
+
+    a = {r.doc_id: r.phash for r in image_phash(dec, kind="ahash").collect()}
+    # half image: bright right half -> bits 1 on right 4 cols of each row
+    row = int("00001111", 2)
+    want = 0
+    for _ in range(8):
+        want = (want << 8) | row
+    assert a[5] == np.int64(np.uint64(want))
+
+    pairs = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in phash_neardup_pairs(
+            image_phash(dec, kind="dhash"), max_hamming=7
+        ).collect()
+    }
+    assert (0, 2) in pairs and pairs[(0, 2)] == 0   # identical hashes pair up
+    assert (0, 3) in pairs                           # noisy ramp found
+    assert (0, 4) not in pairs and (0, 1) not in pairs

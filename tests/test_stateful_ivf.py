@@ -130,3 +130,26 @@ def test_streaming_topk_folds_across_microbatches(spark, tmp_path_factory):
     # batch-1 state (50, 30) was emitted too — proves two emissions folded
     assert (2, 102, 30.0) in per_user1
     assert [(r["rank"], r["oid"]) for r in emitted if r["key"] == 2] == [(1, 200)]
+
+
+def test_ivf_pq_topk_recall_and_cell_pruning(spark, sf_dir):
+    """The combined IVF-PQ index: every query answered with k exact-cosine
+    reranked rows; recall vs the exact top-k stays useful at 4/8 probes
+    (both prunings stacked); probing ALL cells with a generous rerank
+    recovers near-full recall (the pruning, not the math, costs recall)."""
+    from hiss_cube_spark.operators.similarity import cosine_topk, ivf_pq_topk
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.where(F.col("vec_id") < 5)
+    exact = {(r["query_id"], r["neighbor_id"]) for r in cosine_topk(q, e, k=3).collect()}
+
+    approx = ivf_pq_topk(q, e, k=3, n_cells=8, n_probe=4, m=16, n_centroids=32)
+    got = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    assert len(got) == 5 * 3
+    assert len(got & exact) / len(exact) >= 0.4
+
+    full = ivf_pq_topk(
+        q, e, k=3, n_cells=4, n_probe=4, m=16, n_centroids=64, rerank_factor=16
+    )
+    got_full = {(r["query_id"], r["neighbor_id"]) for r in full.collect()}
+    assert len(got_full & exact) / len(exact) >= 0.8
