@@ -4191,6 +4191,217 @@ def stream_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "ts_ewma",
+    """
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+             CAST(round(value * 100) AS DECIMAL(12,0)) AS xq,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY epoch_us(ts), event_id) AS rn
+      FROM events),
+    h AS (SELECT * FROM e WHERE rn <= 60),
+    c AS (SELECT *, CAST(xq * CAST(power(2, rn - 1) AS DECIMAL(26,0))
+                         AS DECIMAL(38,0)) AS c FROM h)
+    SELECT user_id, ts_us, event_id, rn,
+           CAST(xq AS DOUBLE) / 100 AS value,
+           CAST(first_value(xq) OVER w + sum(c) OVER w AS DOUBLE)
+             / power(2, rn) / 100 AS ewma
+    FROM c
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA (α = 1/2) of event values — exact across engines via
+    the integer closed form (cents × 2^(j-1) cumulative DECIMAL sums; see
+    `operators/timeseries.ewma`). The time-decay feature every
+    feature-engineering pipeline wants next to LOCF resampling."""
+    from hiss_cube_spark.operators.timeseries import ewma
+
+    return ewma(_events(spark, sf_dir), horizon=60)
+
+
+@_q(
+    "graph_pagerank",
+    """
+    WITH edges AS (
+      SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      WHERE c.c_nationkey <> s.s_nationkey),
+    nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS N FROM nodes),
+    outdeg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+    r0 AS (SELECT node, round(CAST(1.0 AS DOUBLE) / N, 9) AS rank
+           FROM nodes CROSS JOIN nn),
+    m1 AS (SELECT e.dst AS node,
+                  sum(CAST(round(r.rank / d.outdeg, 9) AS DECIMAL(30,9))) AS mass
+           FROM edges e JOIN r0 r ON e.src = r.node
+           JOIN outdeg d ON e.src = d.src GROUP BY e.dst),
+    r1 AS (SELECT nodes.node,
+                  round((CAST(1.0 AS DOUBLE) - 0.85) / nn.N
+                        + 0.85 * COALESCE(CAST(mass AS DOUBLE), 0.0), 9) AS rank
+           FROM nodes CROSS JOIN nn LEFT JOIN m1 ON nodes.node = m1.node),
+    m2 AS (SELECT e.dst AS node,
+                  sum(CAST(round(r.rank / d.outdeg, 9) AS DECIMAL(30,9))) AS mass
+           FROM edges e JOIN r1 r ON e.src = r.node
+           JOIN outdeg d ON e.src = d.src GROUP BY e.dst),
+    r2 AS (SELECT nodes.node,
+                  round((CAST(1.0 AS DOUBLE) - 0.85) / nn.N
+                        + 0.85 * COALESCE(CAST(mass AS DOUBLE), 0.0), 9) AS rank
+           FROM nodes CROSS JOIN nn LEFT JOIN m2 ON nodes.node = m2.node),
+    m3 AS (SELECT e.dst AS node,
+                  sum(CAST(round(r.rank / d.outdeg, 9) AS DECIMAL(30,9))) AS mass
+           FROM edges e JOIN r2 r ON e.src = r.node
+           JOIN outdeg d ON e.src = d.src GROUP BY e.dst)
+    SELECT nodes.node,
+           round((CAST(1.0 AS DOUBLE) - 0.85) / nn.N
+                 + 0.85 * COALESCE(CAST(mass AS DOUBLE), 0.0), 9) AS rank
+    FROM nodes CROSS JOIN nn LEFT JOIN m3 ON nodes.node = m3.node
+    """,
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-iteration PageRank over the nation→nation trade graph (customer
+    nation buys from supplier nation, self-loops excluded) — the iterative
+    driver-loop workload next to `dedup_clusters`' label propagation. The
+    oracle unrolls the same three iterations as CTEs; per-iteration
+    contributions are decimal-quantized so the ranks agree bit-for-bit
+    (`operators/graph.pagerank`)."""
+    from hiss_cube_spark.operators.graph import pagerank
+
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    edges = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .where(F.col("c_nationkey") != F.col("s_nationkey"))
+        .select(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+    )
+    return pagerank(edges, iterations=3, damping=0.85)
+
+
+@_q(
+    "j_bloom_prune",
+    """
+    SELECT s.s_nationkey, CAST(count(*) AS BIGINT) AS n_items,
+           round(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                               AS DECIMAL(30,8))) AS DOUBLE), 6) AS revenue
+    FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    WHERE s.s_acctbal > 8000
+    GROUP BY s.s_nationkey
+    """,
+)
+def j_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pruned fact↔dim join: the selective supplier dim (acctbal >
+    8000, ~19% of suppliers) is aggregated into a bloom bit-set literal and
+    non-matching lineitem rows are dropped *before* the join exchange
+    (`operators/bloom.bloom_prune_join`). The oracle is the plain join —
+    the bloom admits no false negatives and the join removes its false
+    positives, so results are identical by construction."""
+    from hiss_cube_spark.operators.bloom import bloom_prune_join
+
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") > 8000)
+        .select("s_suppkey", "s_nationkey")
+    )
+    joined = bloom_prune_join(l, s, "l_suppkey", "s_suppkey")
+    return joined.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        _r6(
+            F.sum(
+                _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).cast("double")
+        ).alias("revenue"),
+    )
+
+
+@_q(
+    "cur_model_quality",
+    """
+    WITH w(tok, w) AS (VALUES
+      ('fast', CAST(0.8 AS DECIMAL(12,6))), ('slow', CAST(-0.6 AS DECIMAL(12,6))),
+      ('spark', CAST(0.5 AS DECIMAL(12,6))), ('query', CAST(0.3 AS DECIMAL(12,6))),
+      ('big', CAST(0.2 AS DECIMAL(12,6))), ('small', CAST(-0.1 AS DECIMAL(12,6))),
+      ('the', CAST(-0.4 AS DECIMAL(12,6))), ('a', CAST(-0.3 AS DECIMAL(12,6)))),
+    t AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+                 unnest(string_split(text, ' ')) AS tok
+          FROM documents),
+    j AS (SELECT t.doc_id, t.n_tokens,
+                 COALESCE(w.w, CAST(0 AS DECIMAL(12,6))) AS w,
+                 CASE WHEN w.w IS NULL THEN 0 ELSE 1 END AS hit
+          FROM t LEFT JOIN w USING (tok))
+    SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+           CAST(sum(hit) AS BIGINT) AS n_in_vocab,
+           round(CAST(-0.05 AS DOUBLE) + CAST(sum(w) AS DOUBLE) / n_tokens, 6) AS logit,
+           round(CAST(-0.05 AS DOUBLE) + CAST(sum(w) AS DOUBLE) / n_tokens, 6)
+             > CAST(0.0 AS DOUBLE) AS keep
+    FROM j GROUP BY doc_id, n_tokens
+    """,
+)
+def cur_model_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering (the DCLM/FineWeb classifier stage):
+    a fastText-style linear bag-of-words model — broadcast vocabulary
+    weights, mean-pooled per document, keep = logit > 0
+    (`text_analysis.linear_model_score`). Weight sums run in DECIMAL so the
+    logits are exact across engines."""
+    from hiss_cube_spark.operators.text_analysis import linear_model_score
+
+    weights = {
+        "fast": 0.8, "slow": -0.6, "spark": 0.5, "query": 0.3,
+        "big": 0.2, "small": -0.1, "the": -0.4, "a": -0.3,
+    }
+    out = linear_model_score(
+        _t(spark, sf_dir, "documents"), weights, bias=-0.05, threshold=0.0
+    )
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        "n_in_vocab",
+        "logit",
+        "keep",
+    )
+
+
+@_q(
+    "dq_histogram",
+    """
+    SELECT bucket,
+           round(0.0 + bucket * 5500.0, 6) AS bucket_lo,
+           round(0.0 + (bucket + 1) * 5500.0, 6) AS bucket_hi,
+           CAST(count(*) AS BIGINT) AS n,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(30,8))) AS DOUBLE), 6) AS sum_x
+    FROM (
+      SELECT l_extendedprice,
+             greatest(0, least(19,
+               CAST(floor((l_extendedprice - 0.0) / 5500.0) AS INT))) AS bucket
+      FROM lineitem)
+    GROUP BY bucket
+    """,
+)
+def dq_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width 20-bucket histogram of lineitem prices over [0, 110000) —
+    the data-profiling primitive next to `dq_profile_table`. Map-side
+    combine collapses each partition to ≤20 partials before the shuffle
+    (`quality_checks.numeric_histogram`)."""
+    from hiss_cube_spark.operators.quality_checks import numeric_histogram
+
+    return numeric_histogram(
+        _t(spark, sf_dir, "lineitem"), "l_extendedprice", 0.0, 110000.0, 20
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return flagship_ml_cube(spark, "/root/testdata/sf0.001")
@@ -4211,6 +4422,9 @@ _CHECK_PRIORITY = [
     "o3_cap_refs", "w_lag_sessionize", "a_approx_stats",
     # sentinels (green in round 1; canaries against harness drift)
     "flagship_ml_cube", "q1_pricing_summary",
+    # new this round — never driver-checked
+    "ts_ewma", "graph_pagerank", "j_bloom_prune", "cur_model_quality",
+    "dq_histogram",
     # structured streaming
     "stream_tumbling_window", "stream_session_window",
     "stream_sliding_window", "stream_interval_join",

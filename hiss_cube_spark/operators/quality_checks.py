@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 __all__ = [
+    "numeric_histogram",
     "Check",
     "check_not_null",
     "check_unique",
@@ -113,4 +114,47 @@ def profile_table(df: DataFrame, cols: list[str]) -> DataFrame:
     return wide.selectExpr(
         f"stack({len(cols)}, {stack_args}) AS "
         "(column, n, n_null, n_distinct, min_v, max_v, mean_v)"
+    )
+
+
+def numeric_histogram(
+    df: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    n_buckets: int = 20,
+) -> DataFrame:
+    """Equi-width histogram of ``col`` over [lo, hi): per-bucket count, sum
+    and bounds. Values below ``lo`` clamp into bucket 0, values ≥ ``hi``
+    into the last bucket (so every row lands exactly once — the profiling
+    contract).
+
+    One scan + one map-side-combining aggregation on a small integer key;
+    at 100 TB the combine reduces each partition to ≤ ``n_buckets`` partial
+    rows before the (tiny) shuffle. The bucket index uses the same
+    floor((x-lo)/w) arithmetic an ANSI oracle can express — no
+    ``width_bucket`` dependency.
+    """
+    w = (float(hi) - float(lo)) / int(n_buckets)
+    b = F.greatest(
+        F.lit(0),
+        F.least(
+            F.lit(int(n_buckets) - 1),
+            F.floor((F.col(col) - F.lit(float(lo))) / F.lit(w)).cast("int"),
+        ),
+    )
+    return (
+        df.select(b.alias("bucket"), F.col(col).alias("x"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("x").cast("decimal(30,8)")).cast("double"), 6).alias("sum_x"),
+        )
+        .select(
+            "bucket",
+            F.round(F.lit(float(lo)) + F.col("bucket") * F.lit(w), 6).alias("bucket_lo"),
+            F.round(F.lit(float(lo)) + (F.col("bucket") + 1) * F.lit(w), 6).alias("bucket_hi"),
+            "n",
+            "sum_x",
+        )
     )

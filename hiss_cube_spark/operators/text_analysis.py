@@ -22,6 +22,7 @@ __all__ = [
     "token_frequencies",
     "tfidf_top_terms",
     "bigram_lm_score",
+    "linear_model_score",
 ]
 
 # Marker tokens per language for the n-gram/stopword heuristic. Determinism,
@@ -424,4 +425,57 @@ def simpson_diversity(
             / F.sum(F.col("c") * F.col("c")).cast("double"),
             6,
         ).alias("inv_simpson"),
+    )
+
+
+def linear_model_score(
+    df: DataFrame,
+    weights: dict[str, float],
+    bias: float = 0.0,
+    threshold: float = 0.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Model-based quality scoring: a linear bag-of-words classifier
+    (fastText-style mean pooling) applied corpus-wide — the shape of the
+    model-filtering stage in DCLM/FineWeb-class pipelines, with the learned
+    vocabulary weights supplied as a plain dict.
+
+    ``logit(doc) = bias + Σ_tok w(tok) / n_tokens`` with OOV weight 0;
+    ``keep = logit > threshold``. Weights are quantized to DECIMAL(12,6) so
+    the per-doc sum is exact and order-independent (cross-engine
+    reproducible); only the final mean/round produce doubles.
+
+    Scale shape: the vocabulary is model-sized (≤ a few 100k rows), so the
+    token→weight lookup is a broadcast hash join; the only shuffle is the
+    per-doc aggregation, keyed by ``id_col``, with map-side partial sums.
+    The raw text never shuffles — tokens explode after the doc length is
+    captured row-local.
+    """
+    spark = df.sparkSession
+    w_df = spark.createDataFrame(
+        [(t, float(w)) for t, w in sorted(weights.items())], "tok string, w double"
+    ).select("tok", F.col("w").cast("decimal(12,6)").alias("w"))
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(tokenize(F.col(text_col))).alias("n_tokens"),
+        F.explode(tokenize(F.col(text_col))).alias("tok"),
+    )
+    agg = (
+        toks.join(F.broadcast(w_df), "tok", "left")
+        .groupBy("doc_id", "n_tokens")
+        .agg(
+            F.sum(F.coalesce(F.col("w"), F.lit(0).cast("decimal(12,6)"))).alias("wsum"),
+            F.count(F.when(F.col("w").isNotNull(), 1)).alias("n_in_vocab"),
+        )
+    )
+    logit = F.round(
+        F.lit(float(bias)) + F.col("wsum").cast("double") / F.col("n_tokens"), 6
+    )
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        "n_in_vocab",
+        logit.alias("logit"),
+        (logit > F.lit(float(threshold))).alias("keep"),
     )

@@ -1,0 +1,177 @@
+"""Round-2 additions: fixed-iteration PageRank, bloom-filter join pruning,
+exact EWMA, linear-model quality scoring, equi-width histogram."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _py_pagerank(edges, iterations=3, damping=0.85, scale=9):
+    """Driver-side reference implementing the identical quantized update."""
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    n = len(nodes)
+    outdeg = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    rank = {v: round(1.0 / n, scale) for v in nodes}
+    for _ in range(iterations):
+        mass = {v: 0.0 for v in nodes}
+        for s, d in edges:
+            mass[d] += round(rank[s] / outdeg[s], scale)
+        rank = {
+            v: round((1.0 - damping) / n + damping * mass[v], scale)
+            for v in nodes
+        }
+    return rank
+
+
+def test_pagerank_matches_reference_loop(spark):
+    from hiss_cube_spark.operators.graph import pagerank
+
+    # star + chain + a sink-only node: exercises dangling mass loss,
+    # zero-in-degree base term, and multi-in-degree accumulation.
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (3, 4), (4, 1), (5, 1)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["rank"] for r in pagerank(e, iterations=3).collect()}
+    want = _py_pagerank(edges, iterations=3)
+    assert got.keys() == want.keys()
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=2e-9), v
+
+
+def test_pagerank_uniform_on_cycle(spark):
+    from hiss_cube_spark.operators.graph import pagerank
+
+    e = spark.createDataFrame([(1, 2), (2, 3), (3, 1)], "src long, dst long")
+    ranks = [r["rank"] for r in pagerank(e, iterations=5).collect()]
+    # a pure cycle preserves the uniform distribution exactly
+    assert all(r == pytest.approx(1 / 3, abs=1e-9) for r in ranks)
+
+
+def test_bloom_no_false_negatives_and_prunes(spark):
+    from hiss_cube_spark.operators.bloom import (
+        build_bloom_words,
+        might_contain,
+    )
+
+    dim = spark.range(0, 500).select((F.col("id") * 7).alias("k"))
+    words = build_bloom_words(dim, "k", num_bits=1 << 14)
+    probe = spark.range(0, 20_000).select(F.col("id").alias("k"))
+    kept = probe.where(might_contain(F.col("k"), words))
+    kept_set = {r["k"] for r in kept.collect()}
+    true_set = {r["k"] for r in dim.collect()} & set(range(20_000))
+    # bloom property 1: every true key survives
+    assert true_set <= kept_set
+    # bloom property 2: the filter actually prunes (fp rate far below 50%)
+    assert len(kept_set) < 2_000
+
+
+def test_bloom_prune_join_equals_plain_join(spark):
+    from hiss_cube_spark.operators.bloom import bloom_prune_join
+
+    fact = spark.range(0, 5_000).select(
+        (F.col("id") % 100).alias("fk"), F.col("id").alias("v")
+    )
+    dim = spark.range(0, 30).select(
+        (F.col("id") * 3).alias("dk"), (F.col("id") + 1000).alias("w")
+    )
+    got = (
+        bloom_prune_join(fact, dim, "fk", "dk")
+        .groupBy()
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv"), F.sum("w").alias("sw"))
+        .first()
+    )
+    want = (
+        fact.join(dim, fact.fk == dim.dk)
+        .groupBy()
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv"), F.sum("w").alias("sw"))
+        .first()
+    )
+    assert got == want
+
+
+def test_ewma_recursion_law(spark):
+    """Operator output must satisfy y_i = (x_i + y_{i-1}) / 2 exactly."""
+    from hiss_cube_spark.operators.timeseries import ewma
+
+    import random
+
+    rng = random.Random(42)
+    rows = [
+        (u, i * 1000 + u, i, round(rng.uniform(0, 500), 2))
+        for u in (1, 2, 3)
+        for i in range(1, 41)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts_us long, event_id long, value double"
+    )
+    out = ewma(df).orderBy("user_id", "rn").collect()
+    prev = {}
+    for r in out:
+        x = r["value"]
+        if r["rn"] == 1:
+            assert r["ewma"] == pytest.approx(x, abs=1e-12)
+        else:
+            assert r["ewma"] == pytest.approx(
+                (x + prev[r["user_id"]]) / 2, abs=1e-9
+            ), (r["user_id"], r["rn"])
+        prev[r["user_id"]] = r["ewma"]
+
+
+def test_ewma_horizon_caps_series(spark):
+    from hiss_cube_spark.operators.timeseries import ewma
+
+    rows = [(1, i, i, 1.0) for i in range(1, 100)]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts_us long, event_id long, value double"
+    )
+    out = ewma(df, horizon=10)
+    assert out.count() == 10
+    assert out.agg(F.max("rn")).first()[0] == 10
+    with pytest.raises(ValueError):
+        ewma(df, horizon=101)
+
+
+def test_linear_model_score_pinned(spark):
+    from hiss_cube_spark.operators.text_analysis import linear_model_score
+
+    docs = spark.createDataFrame(
+        [(1, "fast fast slow"), (2, "the a the a")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in linear_model_score(
+            docs, {"fast": 0.8, "slow": -0.6, "the": -0.4}, bias=-0.05
+        ).collect()
+    }
+    # doc 1: (-0.05 + (0.8+0.8-0.6)/3) = 0.283333 → keep
+    assert out[1]["logit"] == pytest.approx(0.283333, abs=1e-6)
+    assert out[1]["keep"] is True
+    assert out[1]["n_in_vocab"] == 3
+    # doc 2: (-0.05 + (-0.8)/4) = -0.25 → drop; 'a' is OOV
+    assert out[2]["logit"] == pytest.approx(-0.25, abs=1e-6)
+    assert out[2]["keep"] is False
+    assert out[2]["n_in_vocab"] == 2
+
+
+def test_numeric_histogram_pinned_and_clamped(spark):
+    from hiss_cube_spark.operators.quality_checks import numeric_histogram
+
+    df = spark.createDataFrame(
+        [(x,) for x in [-5.0, 0.0, 9.9, 10.0, 55.0, 99.9, 100.0, 250.0]],
+        "x double",
+    )
+    out = {
+        r["bucket"]: r
+        for r in numeric_histogram(df, "x", 0.0, 100.0, 10).collect()
+    }
+    # -5 clamps into bucket 0; 100 and 250 clamp into bucket 9
+    assert out[0]["n"] == 3 and out[0]["sum_x"] == pytest.approx(4.9)
+    assert out[1]["n"] == 1  # 10.0 sits on the boundary → bucket 1
+    assert out[5]["n"] == 1
+    assert out[9]["n"] == 3 and out[9]["sum_x"] == pytest.approx(449.9)
+    assert out[9]["bucket_lo"] == pytest.approx(90.0)
+    assert out[9]["bucket_hi"] == pytest.approx(100.0)
+    assert sum(r["n"] for r in out.values()) == 8
