@@ -4201,13 +4201,20 @@ def stream_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 ORDER BY epoch_us(ts), event_id) AS rn
       FROM events),
     h AS (SELECT * FROM e WHERE rn <= 60),
-    c AS (SELECT *, CAST(xq * CAST(power(2, rn - 1) AS DECIMAL(26,0))
-                         AS DECIMAL(38,0)) AS c FROM h)
+    c AS (SELECT *, CAST(CAST(xq * CAST((CAST(1 AS BIGINT) << (rn - 1))
+                                        AS DECIMAL(26,0))
+                              AS DECIMAL(38,0)) AS HUGEINT) AS c FROM h),
+    sp AS (SELECT user_id, ts_us, event_id, rn, xq,
+                  CAST(c // 1073741824 AS BIGINT) AS hi,
+                  CAST(c % 1073741824 AS BIGINT) AS lo
+           FROM c)
     SELECT user_id, ts_us, event_id, rn,
            CAST(xq AS DOUBLE) / 100 AS value,
-           CAST(first_value(xq) OVER w + sum(c) OVER w AS DOUBLE)
+           (CAST(sum(hi) OVER w AS DOUBLE) * 1073741824.0
+            + CAST(first_value(CAST(xq AS BIGINT)) OVER w + sum(lo) OVER w
+                   AS DOUBLE))
              / power(2, rn) / 100 AS ewma
-    FROM c
+    FROM sp
     WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     """,
@@ -4344,7 +4351,8 @@ def j_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM t LEFT JOIN w USING (tok))
     SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
            CAST(sum(hit) AS BIGINT) AS n_in_vocab,
-           round(CAST(-0.05 AS DOUBLE) + CAST(sum(w) AS DOUBLE) / n_tokens, 6) AS logit,
+           round(CAST(-0.05 AS DOUBLE) + CAST(sum(w) AS DOUBLE) / n_tokens, 6)
+             + 0.0 AS logit,
            round(CAST(-0.05 AS DOUBLE) + CAST(sum(w) AS DOUBLE) / n_tokens, 6)
              > CAST(0.0 AS DOUBLE) AS keep
     FROM j GROUP BY doc_id, n_tokens

@@ -469,9 +469,11 @@ def linear_model_score(
             F.count(F.when(F.col("w").isNotNull(), 1)).alias("n_in_vocab"),
         )
     )
+    # + 0.0 collapses IEEE -0.0 to +0.0: round() can produce a signed zero
+    # from a tiny negative, and engines disagree on which zero they emit.
     logit = F.round(
         F.lit(float(bias)) + F.col("wsum").cast("double") / F.col("n_tokens"), 6
-    )
+    ) + F.lit(0.0)
     return agg.select(
         "doc_id",
         "n_tokens",

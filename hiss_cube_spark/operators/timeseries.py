@@ -111,8 +111,8 @@ def ewma(
     partitioning (rank + cumulative sum — Spark reuses the sort), no joins,
     no data-dependent driver work. Keys spread independently at 100 TB.
     """
-    if horizon > 100:
-        raise ValueError("horizon > 100 overflows DECIMAL(38) numerators")
+    if horizon > 62:
+        raise ValueError("horizon > 62 overflows the BIGINT 2^(j-1) factors")
     w_ord = Window.partitionBy("key").orderBy("ts_us", "oid")
     w_cum = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     e = df.select(
@@ -124,29 +124,54 @@ def ewma(
     ranked = e.withColumn("rn", F.row_number().over(w_ord)).where(
         F.col("rn") <= horizon
     )
-    # c_j = xq_j * 2^(j-1): power(2, rn-1) is an exact double for rn ≤ 100,
-    # and the DECIMAL cast preserves it exactly.
+    # c_j = xq_j * 2^(j-1). The factor must be built as an INTEGER shift:
+    # CAST(power(2, j) AS DECIMAL) silently drops low digits beyond 2^56 —
+    # Spark's double→decimal cast goes through the shortest string repr
+    # (2^58 → "2.8823037615171174E17", off by 4).
     c = ranked.withColumn(
         "c",
         (
             F.col("xq")
-            * F.expr("CAST(power(2, rn - 1) AS DECIMAL(26,0))")
+            * F.expr("CAST(shiftleft(CAST(1 AS BIGINT), rn - 1) AS DECIMAL(26,0))")
         ).cast("decimal(38,0)"),
     )
-    return c.select(
+    # The numerator N = xq_1 + Σ c_j reaches ~2e24 ≫ 2^53, and a direct
+    # DECIMAL→double cast is not identically rounded across engines (DuckDB
+    # converts int128 limb-wise — two roundings). Split every term before
+    # summing: hi_j = c_j div 2^30 and lo_j = c_j mod 2^30 both sum to
+    # < 2^53 (60 terms ≤ 3.2e13 and ≤ 2^30), so the two window sums are
+    # exact BIGINTs whose double conversions are exact; hi·2^30 is an exact
+    # exponent shift, and the remaining add / /2^rn / /100 are single
+    # IEEE-nearest steps every engine performs identically — bit-identical
+    # ewma, with no round() (whose half-way ties engines also break
+    # differently).
+    two30 = 1 << 30
+    split = c.select(
         F.col("key").alias(key_col),
         "ts_us",
         F.col("oid").alias(id_col),
         "rn",
         (F.col("xq").cast("double") / 100).alias(value_col),
-        # NOT rounded: the numerator is exact, /2^rn only shifts the
-        # exponent, and /100 is one IEEE-nearest step — so the double is
-        # bit-identical across engines. round(6) would *break* parity: the
-        # exact value N/(2^rn·100) can tie at the 7th decimal, and Spark
-        # (BigDecimal HALF_UP) and DuckDB (scaled-multiply) break such ties
-        # against different intermediate representations.
+        F.expr(f"c DIV {two30}").alias("hi"),
+        F.expr(f"CAST(c % {two30} AS BIGINT)").alias("lo"),
+        F.col("xq").cast("long").alias("xql"),
+    )
+    w_cum2 = Window.partitionBy(key_col).orderBy("ts_us", id_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return split.select(
+        key_col,
+        "ts_us",
+        id_col,
+        "rn",
+        value_col,
         (
-            (F.first("xq").over(w_cum) + F.sum("c").over(w_cum)).cast("double")
+            (
+                F.sum("hi").over(w_cum2).cast("double") * float(two30)
+                + (F.first("xql").over(w_cum2) + F.sum("lo").over(w_cum2)).cast(
+                    "double"
+                )
+            )
             / F.expr("power(2, rn)")
             / 100
         ).alias("ewma"),

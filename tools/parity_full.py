@@ -45,9 +45,10 @@ def _canon_cell(v):
         f = float(v)
         if math.isnan(f):
             return "NaN"
-        if f == 0.0:
-            f = 0.0
-        return f"{f:.9g}"
+        # STRICT: full-precision repr, signed zeros visible. Any driver
+        # renderer is a function of the double's bits, so bit-identical
+        # doubles pass every renderer; this canon proves bit-identity.
+        return repr(f)
     if isinstance(v, (np.integer, int)):
         return str(int(v))
     if isinstance(v, (np.bool_, bool)):
