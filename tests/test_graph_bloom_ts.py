@@ -175,3 +175,20 @@ def test_numeric_histogram_pinned_and_clamped(spark):
     assert out[9]["bucket_lo"] == pytest.approx(90.0)
     assert out[9]["bucket_hi"] == pytest.approx(100.0)
     assert sum(r["n"] for r in out.values()) == 8
+
+
+def test_linear_model_map_and_join_strategies_agree(spark):
+    from hiss_cube_spark.operators.text_analysis import linear_model_score
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["fast", "slow", "x", "the"][: 1 + i % 4])) for i in range(40)],
+        "doc_id long, text string",
+    )
+    w = {"fast": 0.8, "slow": -0.6, "the": -0.4}
+    a = sorted(
+        map(tuple, linear_model_score(docs, w, bias=-0.05, strategy="map").collect())
+    )
+    b = sorted(
+        map(tuple, linear_model_score(docs, w, bias=-0.05, strategy="join").collect())
+    )
+    assert a == b
