@@ -2253,6 +2253,106 @@ def cdc_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "cdc_time_travel",
+    """
+    WITH snap AS (SELECT c_custkey AS key, c_acctbal AS bal FROM customer),
+    ch AS (SELECT o_orderkey AS seq, o_custkey AS key,
+                  CASE o_orderkey % 10 WHEN 0 THEN 'D'
+                       WHEN 1 THEN 'I' ELSE 'U' END AS op,
+                  o_totalprice AS bal
+           FROM orders),
+    cuts(as_of) AS (VALUES (CAST(15000 AS BIGINT)), (CAST(30000 AS BIGINT)),
+                           (CAST(60000 AS BIGINT))),
+    latest AS (SELECT as_of, key, op, bal FROM (
+        SELECT c.as_of, ch.key, ch.op, ch.bal,
+               row_number() OVER (PARTITION BY c.as_of, ch.key
+                                  ORDER BY ch.seq DESC) AS rn
+        FROM ch JOIN cuts c ON ch.seq <= c.as_of) WHERE rn = 1),
+    snapx AS (SELECT c.as_of, s.key, s.bal FROM cuts c CROSS JOIN snap s),
+    st AS (SELECT COALESCE(s.as_of, l.as_of) AS as_of,
+                  COALESCE(s.key, l.key) AS key,
+                  CASE WHEN l.key IS NOT NULL THEN l.bal ELSE s.bal END AS bal,
+                  l.op
+           FROM snapx s
+           FULL OUTER JOIN latest l ON s.as_of = l.as_of AND s.key = l.key)
+    SELECT as_of, CAST(count(*) AS BIGINT) AS n_keys,
+           round(CAST(sum(CAST(bal AS DECIMAL(30,8))) AS DOUBLE), 6) AS total_bal
+    FROM st WHERE op IS NULL OR op <> 'D'
+    GROUP BY as_of
+    """,
+)
+def cdc_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel from (snapshot, changelog): reconstruct the customer-
+    balance table as of three sequence points and summarize each version —
+    the lakehouse versioned-read, served from one base snapshot plus the
+    log (`operators/cdc.time_travel`). Each reconstruction filters the log
+    (predicate pushes into a seq-partitioned scan), applies latest-per-key,
+    and joins the snapshot once."""
+    from hiss_cube_spark.operators.cdc import time_travel
+
+    snap = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("key"), F.col("c_acctbal").alias("bal")
+    )
+    ch = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("seq"),
+        F.col("o_custkey").alias("key"),
+        F.when(F.col("o_orderkey") % 10 == 0, "D")
+        .when(F.col("o_orderkey") % 10 == 1, "I")
+        .otherwise("U")
+        .alias("op"),
+        F.col("o_totalprice").alias("bal"),
+    )
+    parts = [
+        time_travel(snap, ch, t)
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            _r6(F.sum(_dec(F.col("bal"))).cast("double")).alias("total_bal"),
+        )
+        .select(F.lit(t).cast("long").alias("as_of"), "n_keys", "total_bal")
+        for t in (15000, 30000, 60000)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@_q(
+    "dq_equidepth",
+    """
+    WITH b AS (SELECT l_extendedprice AS x,
+                      ntile(10) OVER (ORDER BY l_extendedprice, l_orderkey,
+                                      l_linenumber) AS decile
+               FROM lineitem)
+    SELECT decile, CAST(count(*) AS BIGINT) AS n,
+           round(min(x), 6) AS lo, round(max(x), 6) AS hi,
+           round(CAST(sum(CAST(x AS DECIMAL(30,8))) AS DOUBLE), 6) AS sum_x
+    FROM b GROUP BY decile
+    """,
+)
+def dq_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (decile) profile of lineitem prices — the quantile dual
+    of `dq_histogram`'s equi-width buckets. ntile over a deterministic
+    total order (value, orderkey, linenumber): Spark executes the global
+    sort distributedly via range partitioning — which IS the scale path —
+    and the per-decile aggregation map-side-combines to ≤10 partials per
+    task."""
+    l = _t(spark, sf_dir, "lineitem")
+    w = Window.orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+    return (
+        l.select(F.col("l_extendedprice").alias("x"),
+                 F.ntile(10).over(w).alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("x"), 6).alias("lo"),
+            F.round(F.max("x"), 6).alias("hi"),
+            _r6(F.sum(_dec(F.col("x"))).cast("double")).alias("sum_x"),
+        )
+    )
+
+
+@_q(
     "cdc_table_diff",
     """
     WITH old AS (SELECT c_custkey AS key, c_acctbal AS bal FROM customer),
@@ -2663,6 +2763,51 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = ngram_jaccard_pairs(d, threshold=0.8, n=3, prefix_filter=True)
     return connected_components(pairs).select(
         F.col("node").alias("doc_id"), "cluster_id"
+    )
+
+
+@_q(
+    "cur_neardup_corpus",
+    f"""
+    WITH RECURSIVE pairs AS ({_SQL_SHINGLE_JACCARD}),
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+              UNION SELECT doc_b AS a, doc_a AS b FROM pairs),
+    reach(node, label) AS (
+      SELECT DISTINCT a, a FROM edges
+      UNION
+      SELECT e.b, r.label FROM reach r JOIN edges e ON e.a = r.node
+    ),
+    losers AS (
+      SELECT node FROM (SELECT node, min(label) AS cluster_id FROM reach
+                        GROUP BY node)
+      WHERE node <> cluster_id)
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    WHERE len(string_split(text, ' ')) >= 3
+      AND doc_id NOT IN (SELECT node FROM losers)
+    GROUP BY lang
+    """,
+)
+def cur_neardup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END near-dedup: the full production chain in one plan —
+    exact-Jaccard candidate pairs (AllPairs prefix + verify), connected-
+    components cluster resolution, keep the minimum-id representative per
+    cluster, anti-join the losers, report the surviving corpus per lang.
+    Composes `ngram_jaccard_pairs` → `resolve_duplicates`; the corpus
+    itself never shuffles (only the small loser set moves)."""
+    from hiss_cube_spark.operators.clusters import resolve_duplicates
+    from hiss_cube_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents").where(F.size(F.split("text", " ")) >= 3)
+    pairs = ngram_jaccard_pairs(d, threshold=0.8, n=3, prefix_filter=True)
+    return (
+        resolve_duplicates(d, pairs)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
     )
 
 
@@ -4432,7 +4577,7 @@ _CHECK_PRIORITY = [
     "flagship_ml_cube", "q1_pricing_summary",
     # new this round — never driver-checked
     "ts_ewma", "graph_pagerank", "j_bloom_prune", "cur_model_quality",
-    "dq_histogram",
+    "dq_histogram", "cur_neardup_corpus", "cdc_time_travel", "dq_equidepth",
     # structured streaming
     "stream_tumbling_window", "stream_session_window",
     "stream_sliding_window", "stream_interval_join",

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["apply_changelog", "table_diff", "scd2_history"]
+__all__ = ["apply_changelog", "table_diff", "scd2_history", "time_travel"]
 
 
 def apply_changelog(
@@ -124,4 +124,31 @@ def scd2_history(
         F.col(seq_col).alias("valid_from"),
         "valid_to",
         F.col("valid_to").isNull().alias("is_current"),
+    )
+
+
+def time_travel(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    as_of,
+    key_col: str = "key",
+    seq_col: str = "seq",
+    op_col: str = "op",
+) -> DataFrame:
+    """State of the table as of sequence point ``as_of``: the snapshot with
+    every change whose ``seq_col`` ≤ ``as_of`` applied (latest-per-key
+    wins, deletes drop). The changelog dual of a lakehouse time-travel
+    read — reconstructs any historical version from (snapshot, log)
+    without storing per-version files.
+
+    Scale shape: the ``seq ≤ as_of`` predicate pushes into the changelog
+    scan (partition-prunes a seq-partitioned log), then the cost is one
+    window over the filtered delta + one join, exactly `apply_changelog`.
+    """
+    return apply_changelog(
+        snapshot,
+        changes.where(F.col(seq_col) <= F.lit(as_of)),
+        key_col=key_col,
+        seq_col=seq_col,
+        op_col=op_col,
     )

@@ -195,3 +195,30 @@ def test_stream_changelog_rejects_remote_path(spark):
         stream_apply_changelog(
             spark.readStream.format("rate").load(), "s3://bucket/snap", "/tmp/ckpt"
         )
+
+
+def test_time_travel_reconstructs_each_version(spark):
+    from hiss_cube_spark.operators.cdc import time_travel
+
+    snap = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "key long, bal double"
+    )
+    ch = spark.createDataFrame(
+        [
+            (100, 2, "U", 25.0),
+            (200, 3, "D", 0.0),
+            (300, 4, "I", 40.0),
+            (400, 2, "U", 27.0),
+        ],
+        "seq long, key long, op string, bal double",
+    )
+
+    def state(as_of):
+        return {
+            r["key"]: r["bal"] for r in time_travel(snap, ch, as_of).collect()
+        }
+
+    assert state(50) == {1: 10.0, 2: 20.0, 3: 30.0}  # before any change
+    assert state(100) == {1: 10.0, 2: 25.0, 3: 30.0}
+    assert state(250) == {1: 10.0, 2: 25.0}  # 3 deleted
+    assert state(999) == {1: 10.0, 2: 27.0, 4: 40.0}  # full log applied
