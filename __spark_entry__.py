@@ -2767,6 +2767,28 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "cur_reservoir_sample",
+    """
+    SELECT doc_id, lang, n_chars FROM (
+      SELECT doc_id, lang, n_chars,
+             (doc_id * 2654435761 + 1) % 2147483648 AS rk
+      FROM documents)
+    ORDER BY rk, doc_id LIMIT 100
+    """,
+)
+def cur_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-100 uniform corpus sample, deterministic across engines and
+    repartitionings (Knuth-hash rank + TakeOrderedAndProject — per-partition
+    k-heaps, no full sort; `curation.reservoir_sample`)."""
+    from hiss_cube_spark.operators.curation import reservoir_sample
+
+    return reservoir_sample(
+        _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars"),
+        k=100,
+    )
+
+
+@_q(
     "cur_neardup_corpus",
     f"""
     WITH RECURSIVE pairs AS ({_SQL_SHINGLE_JACCARD}),
@@ -4578,6 +4600,7 @@ _CHECK_PRIORITY = [
     # new this round — never driver-checked
     "ts_ewma", "graph_pagerank", "j_bloom_prune", "cur_model_quality",
     "dq_histogram", "cur_neardup_corpus", "cdc_time_travel", "dq_equidepth",
+    "cur_reservoir_sample",
     # structured streaming
     "stream_tumbling_window", "stream_session_window",
     "stream_sliding_window", "stream_interval_join",

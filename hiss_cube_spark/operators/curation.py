@@ -32,6 +32,7 @@ __all__ = [
     "incremental_dedup",
     "chunk_documents",
     "domain_cap",
+    "reservoir_sample",
 ]
 
 # Knuth multiplicative constant — scrambles sequential ids so range-correlated
@@ -446,3 +447,30 @@ def mixture_weights(
 from hiss_cube_spark._serde import register_self as _register_self  # noqa: E402
 
 _register_self(__name__)
+
+
+def reservoir_sample(
+    df: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    salt: int = 1,
+) -> DataFrame:
+    """Exact-``k`` uniform sample without replacement, deterministic: the
+    ``k`` rows whose Knuth-hashed key ranks lowest (id tiebreak). Same
+    guarantees as reservoir sampling — every row equally likely under the
+    hash — but reproducible across runs, engines, and repartitionings, and
+    embarrassingly parallel: Spark executes ORDER BY+LIMIT as
+    TakeOrderedAndProject (a per-partition k-heap + driver merge of
+    ≤ k·partitions candidates), never a full sort. Different ``salt``
+    values draw independent samples (the multiplier stream shifts).
+    """
+    key = F.pmod(
+        F.col(id_col).cast("long") * F.lit(_MIX) + F.lit(int(salt)),
+        F.lit(1 << 31),
+    )
+    return (
+        df.withColumn("_rk", key)
+        .orderBy("_rk", id_col)
+        .limit(int(k))
+        .drop("_rk")
+    )

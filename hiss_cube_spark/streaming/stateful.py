@@ -23,7 +23,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-__all__ = ["running_totals", "streaming_topk"]
+__all__ = ["running_totals", "streaming_topk", "streaming_ewma"]
 
 _STATE = StructType(
     [
@@ -155,3 +155,86 @@ def streaming_topk(
 from hiss_cube_spark._serde import register_self as _register_self  # noqa: E402
 
 _register_self(__name__)
+
+
+def streaming_ewma(
+    events: DataFrame,
+    key_col: str = "user_id",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    ts_us_col: str = "ts_us",
+) -> DataFrame:
+    """Streaming per-key EWMA (α = 1/2), exact across micro-batches: the
+    persisted state is just (current ewma, last ts, n seen) — O(1) per key
+    forever — and each batch folds its rows in (ts, id) order through
+    ``y = (x + y_prev) / 2``, the same recursion the batch `ts_ewma` query
+    evaluates in closed form. Emits the key's updated (ewma, n_seen,
+    last_ts_us) every micro-batch (``update`` output mode).
+
+    Late rows older than the state's last timestamp violate the fold order;
+    they are counted in ``n_late`` instead of folded — pair with an
+    upstream ``withWatermark`` to bound them.
+    """
+    state_schema = StructType(
+        [
+            StructField("ewma", DoubleType()),
+            StructField("last", LongType()),
+            StructField("n", LongType()),
+            StructField("late", LongType()),
+        ]
+    )
+    out_schema = StructType(
+        [
+            StructField("key", LongType()),
+            StructField("ewma", DoubleType()),
+            StructField("n_seen", LongType()),
+            StructField("n_late", LongType()),
+            StructField("last_ts_us", LongType()),
+        ]
+    )
+
+    def _fold(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        ewma, last, n, late = (
+            state.get if state.exists else (None, -(1 << 62), 0, 0)
+        )
+        rows = []
+        for pdf in pdfs:
+            rows.extend(
+                zip(
+                    pdf[ts_us_col].astype("int64"),
+                    pdf[id_col].astype("int64"),
+                    pdf[value_col].astype("float64"),
+                )
+            )
+        rows.sort()
+        for ts, _, x in rows:
+            if ts < last:
+                late += 1
+                continue
+            ewma = x if ewma is None else (x + ewma) / 2
+            last = int(ts)
+            n += 1
+        state.update((ewma, last, n, late))
+        yield pd.DataFrame(
+            {
+                "key": [int(key[0])],
+                "ewma": [ewma],
+                "n_seen": [n],
+                "n_late": [late],
+                "last_ts_us": [last],
+            }
+        )
+
+    return (
+        events.select(key_col, id_col, value_col, ts_us_col)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            _fold,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

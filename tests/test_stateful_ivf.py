@@ -153,3 +153,37 @@ def test_ivf_pq_topk_recall_and_cell_pruning(spark, sf_dir):
     )
     got_full = {(r["query_id"], r["neighbor_id"]) for r in full.collect()}
     assert len(got_full & exact) / len(exact) >= 0.8
+
+
+def test_streaming_ewma_folds_across_microbatches(spark, tmp_path_factory):
+    from hiss_cube_spark.streaming.stateful import streaming_ewma
+
+    src = str(tmp_path_factory.mktemp("ew_src"))
+    ckpt = str(tmp_path_factory.mktemp("ew_ckpt"))
+    schema = "user_id long, event_id long, value double, ts_us long"
+    # batch 1: 4 → 8 gives ewma 6; batch 2: 2 → (2+6)/2 = 4, then a LATE
+    # row (ts 150 < last 300) that must be counted, not folded
+    spark.createDataFrame(
+        [(1, 1, 4.0, 100), (1, 2, 8.0, 200)], schema
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+    spark.createDataFrame(
+        [(1, 3, 2.0, 300), (1, 4, 99.0, 150)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        streaming_ewma(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("stream_ewma")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    emitted = spark.sql("SELECT * FROM stream_ewma ORDER BY n_seen").collect()
+    assert [r["ewma"] for r in emitted] == [6.0, 4.0]  # folded across batches
+    assert emitted[-1]["n_late"] == 1
+    assert emitted[-1]["last_ts_us"] == 300
