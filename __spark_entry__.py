@@ -2332,11 +2332,11 @@ def cdc_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dq_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-depth (decile) profile of lineitem prices — the quantile dual
-    of `dq_histogram`'s equi-width buckets. ntile over a deterministic
-    total order (value, orderkey, linenumber): Spark executes the global
-    sort distributedly via range partitioning — which IS the scale path —
-    and the per-decile aggregation map-side-combines to ≤10 partials per
-    task."""
+    of `dq_histogram`'s equi-width buckets, with exact SQL-standard ntile
+    semantics over a deterministic total order. NOTE: a global ntile is a
+    single-partition window in Spark — correct, oracle-exact, and NOT the
+    scale path; at 100 TB use `quality_checks.equidepth_profile`
+    (approx_percentile sketch boundaries, fully distributed)."""
     l = _t(spark, sf_dir, "lineitem")
     w = Window.orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
     return (

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "numeric_histogram",
+    "equidepth_profile",
     "Check",
     "check_not_null",
     "check_unique",
@@ -156,5 +157,47 @@ def numeric_histogram(
             F.round(F.lit(float(lo)) + (F.col("bucket") + 1) * F.lit(w), 6).alias("bucket_hi"),
             "n",
             "sum_x",
+        )
+    )
+
+
+def equidepth_profile(
+    df: DataFrame,
+    col: str,
+    n_buckets: int = 10,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Distributed equi-depth profile: bucket boundaries from
+    ``approx_percentile`` (a mergeable sketch — one map-side-combining
+    aggregation, no global sort), then a second single pass assigns each
+    row its bucket and aggregates count/min/max/sum.
+
+    This is the 100 TB path for what `dq_equidepth` pins with exact
+    ``ntile`` semantics: a global ntile needs a total order, which Spark
+    executes as a SINGLE-partition window — fine for an oracle gate,
+    unusable at scale. Here depths are approximate (sketch error ≤
+    1/``accuracy`` in rank), boundaries are exact data values, and both
+    passes parallelize. The boundary array is collected to the driver —
+    bounded by ``n_buckets``, not by data.
+    """
+    fracs = [i / n_buckets for i in range(1, n_buckets)]
+    row = df.agg(
+        F.percentile_approx(
+            F.col(col), F.array(*[F.lit(f) for f in fracs]), F.lit(accuracy)
+        ).alias("b")
+    ).head()
+    bounds = list(row["b"])  # bounded: n_buckets-1 scalars
+    # build low-to-high so the HIGHEST threshold ends up outermost: the
+    # first matching `when` wins, and it must be the tightest bound
+    b = F.lit(1)
+    for i in range(1, len(bounds) + 1):
+        b = F.when(F.col(col) > F.lit(float(bounds[i - 1])), F.lit(i + 1)).otherwise(b)
+    return (
+        df.select(b.alias("bucket"), F.col(col).alias("x"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("x"), 6).alias("lo"),
+            F.round(F.max("x"), 6).alias("hi"),
         )
     )

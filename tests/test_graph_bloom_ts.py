@@ -192,3 +192,19 @@ def test_linear_model_map_and_join_strategies_agree(spark):
         map(tuple, linear_model_score(docs, w, bias=-0.05, strategy="join").collect())
     )
     assert a == b
+
+
+def test_equidepth_profile_distributed_depths(spark):
+    from hiss_cube_spark.operators.quality_checks import equidepth_profile
+
+    df = spark.range(1, 10_001).select((F.col("id") * 1.0).alias("x"))
+    out = equidepth_profile(df, "x", n_buckets=10).collect()
+    assert len(out) == 10
+    assert sum(r["n"] for r in out) == 10_000
+    # near-equal depths (sketch accuracy 1e-4 on 1e4 rows → essentially exact)
+    for r in out:
+        assert 900 <= r["n"] <= 1100, (r["bucket"], r["n"])
+    # buckets tile the domain in order
+    rows = sorted(out, key=lambda r: r["bucket"])
+    for a, b in zip(rows, rows[1:]):
+        assert a["hi"] <= b["lo"]
