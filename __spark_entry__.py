@@ -2767,6 +2767,67 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "q_lateral_topk",
+    """
+    SELECT n.n_nationkey, s.c_custkey, s.c_acctbal
+    FROM nation n, LATERAL (
+      SELECT c_custkey, c_acctbal FROM customer c
+      WHERE c.c_nationkey = n.n_nationkey
+      ORDER BY c_acctbal DESC, c_custkey LIMIT 2) s
+    """,
+)
+def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (Spark 4 SQL surface): top-2 customers
+    by balance per nation, expressed as a lateral per-row subquery instead
+    of a rank window. Catalyst decorrelates it into the same
+    window/aggregate plan — the point is surface parity with engines whose
+    users write LATERAL."""
+    for t in ("nation", "customer"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(f"lat_{t}")
+    return spark.sql(
+        """
+        SELECT n.n_nationkey, s.c_custkey, s.c_acctbal
+        FROM lat_nation n, LATERAL (
+          SELECT c_custkey, c_acctbal FROM lat_customer c
+          WHERE c.c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_custkey LIMIT 2) s
+        """
+    )
+
+
+@_q("a_hll_sketch")
+def a_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL distinct-count sketches (Apache DataSketches, Spark 4
+    `hll_sketch_agg`): per-nation sketch of distinct ordering customers,
+    plus the UNION of all sketches re-estimated — the 100 TB path for
+    COUNT(DISTINCT) (one pass, mergeable partials, no distinct shuffle).
+    Rows-only check (estimates are sketch-deterministic but not
+    SQL-reproducible in the oracle engine); the unit test pins estimate
+    accuracy vs exact and merge-invariance under repartitioning."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = _t(spark, sf_dir, "orders").select("o_custkey")
+    ordering = o.join(c, o.o_custkey == c.c_custkey).select(
+        "c_nationkey", "c_custkey"
+    )
+    per_nation = ordering.groupBy("c_nationkey").agg(
+        F.hll_sketch_agg("c_custkey").alias("sk"),
+        F.countDistinct("c_custkey").alias("exact"),
+    )
+    union_est = per_nation.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"),
+        F.sum("exact").alias("exact"),
+    ).select(F.lit(-1).cast("int").alias("c_nationkey"), "est", "exact")
+    return (
+        per_nation.select(
+            F.col("c_nationkey").cast("int").alias("c_nationkey"),
+            F.hll_sketch_estimate("sk").alias("est"),
+            "exact",
+        )
+        .unionByName(union_est)
+    )
+
+
+@_q(
     "cur_reservoir_sample",
     """
     SELECT doc_id, lang, n_chars FROM (
@@ -4600,7 +4661,7 @@ _CHECK_PRIORITY = [
     # new this round — never driver-checked
     "ts_ewma", "graph_pagerank", "j_bloom_prune", "cur_model_quality",
     "dq_histogram", "cur_neardup_corpus", "cdc_time_travel", "dq_equidepth",
-    "cur_reservoir_sample",
+    "cur_reservoir_sample", "q_lateral_topk", "a_hll_sketch",
     # structured streaming
     "stream_tumbling_window", "stream_session_window",
     "stream_sliding_window", "stream_interval_join",

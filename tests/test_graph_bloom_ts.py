@@ -208,3 +208,24 @@ def test_equidepth_profile_distributed_depths(spark):
     rows = sorted(out, key=lambda r: r["bucket"])
     for a, b in zip(rows, rows[1:]):
         assert a["hi"] <= b["lo"]
+
+
+def test_hll_sketch_accuracy_and_merge_invariance(spark):
+    from pyspark.sql import functions as FF
+
+    df = spark.range(100_000).select((FF.col("id") % 9173).alias("k"))
+    est1 = df.agg(
+        FF.hll_sketch_estimate(FF.hll_sketch_agg("k")).alias("e")
+    ).head()["e"]
+    assert abs(est1 - 9173) / 9173 < 0.05
+    # mergeability: partial sketches per shard, unioned, give the SAME
+    # estimate as the single-pass sketch (repartitioning must not matter)
+    est2 = (
+        df.repartition(13)
+        .withColumn("shard", FF.spark_partition_id())
+        .groupBy("shard")
+        .agg(FF.hll_sketch_agg("k").alias("sk"))
+        .agg(FF.hll_sketch_estimate(FF.hll_union_agg("sk")).alias("e"))
+        .head()["e"]
+    )
+    assert est1 == est2
