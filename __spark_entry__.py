@@ -2767,6 +2767,42 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "w_gaps_islands",
+    """
+    WITH b AS (SELECT DISTINCT user_id, epoch_us(ts) // 3600000000 AS bucket
+               FROM events),
+    g AS (SELECT user_id, bucket,
+                 bucket - row_number() OVER (PARTITION BY user_id
+                                             ORDER BY bucket) AS grp
+          FROM b)
+    SELECT user_id, min(bucket) AS start_bucket, max(bucket) AS end_bucket,
+           CAST(count(*) AS BIGINT) AS n_buckets
+    FROM g GROUP BY user_id, grp
+    """,
+)
+def w_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: maximal runs of CONSECUTIVE active hours per user
+    (the bucket − row_number constant-group trick) — the calendar-dual of
+    gap-threshold sessionization (`w_lag_sessionize`). One window + one
+    aggregation, both partitioned by user."""
+    e = _events(spark, sf_dir)
+    b = e.select(
+        "user_id", F.expr("ts_us DIV 3600000000").alias("bucket")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("bucket")
+    return (
+        b.withColumn("grp", F.col("bucket") - F.row_number().over(w))
+        .groupBy("user_id", "grp")
+        .agg(
+            F.min("bucket").alias("start_bucket"),
+            F.max("bucket").alias("end_bucket"),
+            F.count(F.lit(1)).alias("n_buckets"),
+        )
+        .drop("grp")
+    )
+
+
+@_q(
     "q_lateral_topk",
     """
     SELECT n.n_nationkey, s.c_custkey, s.c_acctbal
@@ -4662,6 +4698,7 @@ _CHECK_PRIORITY = [
     "ts_ewma", "graph_pagerank", "j_bloom_prune", "cur_model_quality",
     "dq_histogram", "cur_neardup_corpus", "cdc_time_travel", "dq_equidepth",
     "cur_reservoir_sample", "q_lateral_topk", "a_hll_sketch",
+    "w_gaps_islands",
     # structured streaming
     "stream_tumbling_window", "stream_session_window",
     "stream_sliding_window", "stream_interval_join",

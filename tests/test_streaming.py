@@ -391,3 +391,39 @@ def test_interval_event_join_stream_stream(spark, tmp_path_factory):
         for r in batch.select("l_event_id", "r_event_id").collect()
     )
     assert got2 == expected
+
+
+def test_stream_incremental_dedup_lands_unique_corpus(spark, tmp_path_factory):
+    """Cross-batch dedup against the persisted index: batch 2's duplicate of
+    a batch-1 document must not land; within-batch dupes keep the first."""
+    import os
+
+    from hiss_cube_spark.streaming.dedup_index import stream_incremental_dedup
+
+    src = str(tmp_path_factory.mktemp("di_src"))
+    corpus = str(tmp_path_factory.mktemp("di_corpus"))
+    index = str(tmp_path_factory.mktemp("di_index")) + "/idx"
+    ckpt = str(tmp_path_factory.mktemp("di_ckpt"))
+    schema = "doc_id long, text string"
+    spark.createDataFrame([], "fp string").write.parquet(index)
+
+    spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "alpha")], schema  # 3 dups 1 in-batch
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+    spark.createDataFrame(
+        [(4, "alpha"), (5, "gamma")], schema  # 4 dups batch-1's alpha
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = stream_incremental_dedup(stream, corpus, index, ckpt)
+    q.awaitTermination(120)
+
+    landed = {
+        (r["doc_id"], r["text"])
+        for r in spark.read.parquet(os.path.join(corpus, "batch=*")).collect()
+    }
+    assert landed == {(1, "alpha"), (2, "beta"), (5, "gamma")}
+    fps = spark.read.parquet(index).count()
+    assert fps == 3  # alpha, beta, gamma
