@@ -2766,6 +2766,64 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("mm_audio_pipeline")
+def mm_audio_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real (dependency-free) audio pipeline, rows-only: synthesize a PCM
+    WAV per document (sine at a doc-derived frequency + text-length
+    envelope), hand-rolled RIFF decode to float samples, numpy signal
+    features (RMS / zero-crossings / FFT spectral centroid / band
+    energies). Audio twin of `mm_image_pipeline`; compressed codecs stay
+    behind the honest `require_real_codec` stub."""
+    import numpy as _np
+    import pandas as _pd
+    from collections.abc import Iterator as _Iter
+
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from hiss_cube_spark.operators.multimodal import (
+        audio_features,
+        decode_audio,
+        encode_wav_np,
+    )
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", F.length("text").alias("n"))
+        .limit(100)
+    )
+
+    def _synth(batches: _Iter[_pd.DataFrame]) -> _Iter[_pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, n in zip(pdf["doc_id"], pdf["n"]):
+                rate = 8000
+                freq = 200 + (int(doc_id) % 17) * 100
+                t = _np.arange(min(int(n) * 8, 4000)) / rate
+                x = _np.sin(2 * _np.pi * freq * t) * 0.8
+                rows.append((int(doc_id), encode_wav_np(x, rate)))
+            yield _pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    wav = d.mapInPandas(
+        _synth,
+        schema=StructType(
+            [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+        ),
+    )
+    feats = audio_features(decode_audio(wav))
+    return feats.select(
+        "doc_id",
+        F.round("duration_s", 4).alias("duration_s"),
+        F.round("rms", 4).alias("rms"),
+        F.round("zero_cross_rate", 4).alias("zero_cross_rate"),
+        F.round("spectral_centroid_hz", 1).alias("spectral_centroid_hz"),
+    )
+
+
 @_q(
     "w_gaps_islands",
     """
@@ -4698,7 +4756,7 @@ _CHECK_PRIORITY = [
     "ts_ewma", "graph_pagerank", "j_bloom_prune", "cur_model_quality",
     "dq_histogram", "cur_neardup_corpus", "cdc_time_travel", "dq_equidepth",
     "cur_reservoir_sample", "q_lateral_topk", "a_hll_sketch",
-    "w_gaps_islands",
+    "w_gaps_islands", "mm_audio_pipeline",
     # structured streaming
     "stream_tumbling_window", "stream_session_window",
     "stream_sliding_window", "stream_interval_join",

@@ -34,6 +34,7 @@ __all__ = [
     "encode_ppm_np", "decode_ppm_np", "bilinear_resize_np",
     "decode_images", "resize_images", "image_features",
     "image_phash", "phash_neardup_pairs",
+    "encode_wav_np", "decode_wav_np", "decode_audio", "audio_features",
 ]
 
 
@@ -355,5 +356,157 @@ def phash_neardup_pairs(
 
 
 from hiss_cube_spark._serde import register_self as _register_self  # noqa: E402
+
+
+# --------------------------------------------------------------------------
+# REAL audio pipeline: hand-rolled PCM-WAV (RIFF) encode/decode + numpy
+# features. Like the PPM image path, WAV PCM needs no codec library — the
+# container is a fixed 44-byte header over raw little-endian samples — so
+# every stage below computes true signal math in this dependency-free
+# container. Compressed codecs (mp3/aac/opus) remain behind the honest
+# `decode_metadata(require_real_codec=True)` stub.
+
+
+def encode_wav_np(samples: np.ndarray, rate: int = 16_000) -> bytes:
+    """Mono float [-1, 1] samples → 16-bit PCM WAV bytes (RIFF header)."""
+    import struct
+
+    pcm = np.clip(samples, -1.0, 1.0)
+    data = (pcm * 32767.0).astype("<i2").tobytes()
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(data), b"WAVE", b"fmt ", 16,
+        1, 1, rate, rate * 2, 2, 16, b"data", len(data),
+    )
+    return hdr + data
+
+
+def decode_wav_np(payload: bytes) -> tuple[np.ndarray, int]:
+    """PCM WAV bytes → (mono float32 samples in [-1, 1], sample rate).
+
+    Walks RIFF chunks (not a fixed offset) so padded/extra chunks parse;
+    only uncompressed 16-bit mono PCM is accepted — anything else raises,
+    keeping the honest-stub contract for real codecs.
+    """
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, sz = struct.unpack("<4sI", payload[pos : pos + 8])
+        body = payload[pos + 8 : pos + 8 + sz]
+        if cid == b"fmt ":
+            fmt, ch, rate, _, _, bits = struct.unpack("<HHIIHH", body[:16])
+            if (fmt, ch, bits) != (1, 1, 16):
+                raise NotImplementedError(
+                    "only 16-bit mono PCM decodes in-container"
+                )
+        elif cid == b"data":
+            data = body
+        pos += 8 + sz + (sz & 1)  # RIFF chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    samples = np.frombuffer(data, dtype="<i2").astype(np.float32) / 32767.0
+    return samples, int(rate)
+
+
+_AUDIO_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("rate", IntegerType()),
+        StructField("n_samples", LongType()),
+        StructField("samples", ArrayType(FloatType())),
+    ]
+)
+
+
+def decode_audio(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """WAV payloads → flat float sample arrays + rate (the audio analog of
+    `decode_images`' flat-pixels shape). Arrow-batched; bytes never leave
+    the Python worker as JVM rows."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, p in zip(pdf[id_col], pdf[payload_col]):
+                samples, rate = decode_wav_np(bytes(p))
+                rows.append((int(doc_id), rate, len(samples), samples.tolist()))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "rate", "n_samples", "samples"]
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(_decode, schema=_AUDIO_SCHEMA)
+
+
+_AUDIO_FEAT_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("duration_s", FloatType()),
+        StructField("rms", FloatType()),
+        StructField("peak", FloatType()),
+        StructField("zero_cross_rate", FloatType()),
+        StructField("spectral_centroid_hz", FloatType()),
+        StructField("band_energy", ArrayType(FloatType())),
+    ]
+)
+
+
+def audio_features(df: DataFrame, n_bands: int = 8) -> DataFrame:
+    """Per-clip signal features over decoded samples: RMS, peak,
+    zero-crossing rate, FFT spectral centroid, and ``n_bands`` octave-ish
+    band energies (normalized to sum 1) — the dedup/quality feature vector
+    for audio corpora, feeding the same similarity operators the image
+    features do. Pure-numpy kernel per Arrow batch.
+    """
+
+    def _feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                x = np.asarray(r.samples, dtype=np.float64)
+                n, rate = len(x), int(r.rate)
+                rms = float(np.sqrt(np.mean(x * x))) if n else 0.0
+                peak = float(np.max(np.abs(x))) if n else 0.0
+                zcr = (
+                    float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1])))
+                    if n > 1
+                    else 0.0
+                )
+                spec = np.abs(np.fft.rfft(x)) if n else np.zeros(1)
+                freqs = np.fft.rfftfreq(max(n, 1), d=1.0 / rate)
+                power = spec * spec
+                tot = float(power.sum())
+                centroid = float((freqs * power).sum() / tot) if tot > 0 else 0.0
+                edges = np.linspace(0, len(power), n_bands + 1).astype(int)
+                bands = np.array(
+                    [float(power[a:b].sum()) for a, b in zip(edges, edges[1:])]
+                )
+                bands = bands / tot if tot > 0 else bands
+                rows.append(
+                    (
+                        int(r.doc_id),
+                        float(n / rate) if rate else 0.0,
+                        rms,
+                        peak,
+                        zcr,
+                        centroid,
+                        [float(v) for v in bands],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "duration_s", "rms", "peak",
+                    "zero_cross_rate", "spectral_centroid_hz", "band_energy",
+                ],
+            )
+
+    return df.select("doc_id", "rate", "samples").mapInPandas(
+        _feat, schema=_AUDIO_FEAT_SCHEMA
+    )
+
 
 _register_self(__name__)

@@ -147,3 +147,57 @@ def test_image_phash_pinned_and_invariances(spark):
     assert (0, 2) in pairs and pairs[(0, 2)] == 0   # identical hashes pair up
     assert (0, 3) in pairs                           # noisy ramp found
     assert (0, 4) not in pairs and (0, 1) not in pairs
+
+
+def test_wav_roundtrip_exact():
+    import numpy as np
+
+    from hiss_cube_spark.operators.multimodal import decode_wav_np, encode_wav_np
+
+    x = np.linspace(-1, 1, 1000)
+    payload = encode_wav_np(x, rate=8000)
+    back, rate = decode_wav_np(payload)
+    assert rate == 8000 and len(back) == 1000
+    # 16-bit quantization: within 1/32767 of the original
+    assert np.max(np.abs(back - x)) < 1.1 / 32767
+
+
+def test_wav_decode_rejects_non_pcm():
+    import numpy as np
+    import pytest as pt
+
+    from hiss_cube_spark.operators.multimodal import decode_wav_np, encode_wav_np
+
+    payload = bytearray(encode_wav_np(np.zeros(10), rate=8000))
+    payload[20] = 85  # fmt tag 1 (PCM) -> 85 (mu-law-ish)
+    with pt.raises(NotImplementedError):
+        decode_wav_np(bytes(payload))
+    with pt.raises(ValueError):
+        decode_wav_np(b"nope" + bytes(payload[4:]))
+
+
+def test_audio_features_pinned_sine(spark):
+    import numpy as np
+
+    from hiss_cube_spark.operators.multimodal import (
+        audio_features,
+        decode_audio,
+        encode_wav_np,
+    )
+
+    rate, freq = 8000, 1000
+    t = np.arange(8000) / rate  # exactly 1 s
+    x = 0.5 * np.sin(2 * np.pi * freq * t)
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_wav_np(x, rate)))], "doc_id long, payload binary"
+    )
+    r = audio_features(decode_audio(df)).collect()[0]
+    assert r["duration_s"] == 1.0
+    assert abs(r["rms"] - 0.5 / np.sqrt(2)) < 1e-3  # sine RMS = A/√2
+    # a 1 kHz sine crosses zero 2f times per second
+    assert abs(r["zero_cross_rate"] - 2 * freq / rate) < 1e-3
+    assert abs(r["spectral_centroid_hz"] - freq) < 5.0
+    bands = r["band_energy"]
+    assert abs(sum(bands) - 1.0) < 1e-6
+    # 1 kHz in a 0-4 kHz range, 8 bands of 500 Hz → band index 2
+    assert bands[2] > 0.95
