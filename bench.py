@@ -62,6 +62,11 @@ HEADLINE = [
     "cur_incremental_dedup",
     "cdc_apply_changelog",
     "a1_light_curve",
+    "ts_ewma",
+    "cur_model_quality",
+    "dq_histogram",
+    "cdc_time_travel",
+    "j_bloom_prune",
 ]
 
 
