@@ -132,3 +132,43 @@ def test_spectrum_ingest(spark, tmp_path_factory):
     df = ingest_spectra(spark, str(d), rebin_samples=128)
     assert df.count() == 2 * 5
     assert df.select("spec_id").distinct().count() == 2
+
+
+def test_fits_python_datasource_matches_scan(spark, tmp_path_factory):
+    """spark.read.format('fits'): file-per-partition Python data source
+    agrees with the binaryFile scan path (same parser) and tolerates a
+    corrupt file via the _error header contract."""
+    import json
+
+    from hiss_cube_spark.sources.fits import scan_fits_headers
+    from hiss_cube_spark.sources.fits_datasource import register_fits_source
+
+    src = str(tmp_path_factory.mktemp("ds_src"))
+    for band, i in (("r", 1), ("g", 2), ("i", 3)):
+        _write_fits(os.path.join(src, f"frame-{band}-{i:06d}.fits"), band=band)
+    open(os.path.join(src, "junk.fits"), "wb").write(b"garbage")
+
+    register_fits_source(spark)
+    ds = spark.read.format("fits").load(src).collect()
+    assert len(ds) == 4
+    via_scan = {
+        os.path.basename(r["path"]): (r["n_bytes"], r["header"])
+        for r in scan_fits_headers(spark, src).collect()
+    }
+    via_ds = {
+        os.path.basename(r["path"]): (r["n_bytes"], r["header"])
+        for r in ds
+    }
+    assert via_ds == via_scan
+    assert "_error" in json.loads(via_ds["junk.fits"][1])
+
+    # image mode adds parsed pixel payloads
+    img = (
+        spark.read.format("fits")
+        .option("mode", "image")
+        .load(src)
+        .where("naxis1 IS NOT NULL")
+        .collect()
+    )
+    assert len(img) == 3
+    assert all(r["naxis1"] == 64 and len(r["data"]) == 64 * 48 for r in img)
