@@ -2766,6 +2766,24 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("cur_semantic_dedup")
+def cur_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embeddings table, rows-only (KMeans cells are not
+    SQL-expressible): cluster-then-compare semantic near-dup removal
+    keeping the min-id representative (`similarity.semantic_dedup`).
+    Returns the surviving rows' ids + label counts per cell of the survivor
+    set — deterministic under the seeded KMeans."""
+    from hiss_cube_spark.operators.similarity import semantic_dedup
+
+    e = _t(spark, sf_dir, "embeddings")
+    kept = semantic_dedup(e, threshold=0.95, n_cells=8)
+    return kept.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.min("vec_id").alias("min_vec_id"),
+        F.max("vec_id").alias("max_vec_id"),
+    )
+
+
 @_q("mm_audio_pipeline")
 def mm_audio_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real (dependency-free) audio pipeline, rows-only: synthesize a PCM
@@ -4756,7 +4774,7 @@ _CHECK_PRIORITY = [
     "ts_ewma", "graph_pagerank", "j_bloom_prune", "cur_model_quality",
     "dq_histogram", "cur_neardup_corpus", "cdc_time_travel", "dq_equidepth",
     "cur_reservoir_sample", "q_lateral_topk", "a_hll_sketch",
-    "w_gaps_islands", "mm_audio_pipeline",
+    "w_gaps_islands", "mm_audio_pipeline", "cur_semantic_dedup",
     # structured streaming
     "stream_tumbling_window", "stream_session_window",
     "stream_sliding_window", "stream_interval_join",

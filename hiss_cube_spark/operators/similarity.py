@@ -32,6 +32,7 @@ from hiss_cube_spark.functions.arrays import array_dot, array_l2_norm
 __all__ = [
     "cosine_topk", "cosine_pairs", "cosine_pairs_blocked", "lsh_bucketed_topk",
     "cosine_expr", "pq_topk", "ivf_topk", "ivf_pq_topk",
+    "semantic_dedup",
 ]
 
 
@@ -646,3 +647,76 @@ def ivf_pq_topk(
 from hiss_cube_spark._serde import register_self as _register_self  # noqa: E402
 
 _register_self(__name__)
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float = 0.9,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 10,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic near-duplicate removal via
+    cluster-then-compare. KMeans partitions the embedding space into
+    ``n_cells``; cosine pairs are generated ONLY within a cell; each
+    near-dup component keeps its minimum id. Pairs straddling a cell
+    boundary are missed — the published algorithm's accepted trade for
+    turning an O(n²) comparison into Σ O(|cell|²).
+
+    Scale shape: the cell assignment is one native-expression map (centroid
+    literals, no join); the within-cell self-join shuffles each cell to one
+    place — cells are corpus/n_cells on average, and n_cells grows with the
+    corpus (FAISS-style √n rule) to bound |cell|². Cluster resolution and
+    the final anti-join reuse the exact-dedup machinery.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    from hiss_cube_spark.operators.clusters import resolve_duplicates
+
+    cv = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    model = KMeans(k=n_cells, seed=seed, maxIter=max_iter).fit(
+        cv.select(array_to_vector(F.col("v")).alias("features"))
+    )
+    centers = [c.tolist() for c in model.clusterCenters()]
+    dists = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    F.col("v"),
+                    F.expr("array(" + ",".join(f"{x!r}D" for x in c) + ")"),
+                    lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            for c in centers
+        ]
+    )
+    assigned = (
+        cv.withColumn("_d", dists)
+        .withColumn("cell", F.expr("array_position(_d, array_min(_d)) - 1").cast("int"))
+        .withColumn("nrm", array_l2_norm(F.col("v")))
+        .drop("_d")
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            (
+                array_dot(F.col("a.v"), F.col("b.v"))
+                / (F.col("a.nrm") * F.col("b.nrm"))
+            ).alias("cosine"),
+        )
+        .where(F.col("cosine") >= F.lit(threshold))
+    )
+    return resolve_duplicates(
+        corpus, pairs, id_col=id_col, src="id_a", dst="id_b"
+    )

@@ -187,3 +187,26 @@ def test_streaming_ewma_folds_across_microbatches(spark, tmp_path_factory):
     assert [r["ewma"] for r in emitted] == [6.0, 4.0]  # folded across batches
     assert emitted[-1]["n_late"] == 1
     assert emitted[-1]["last_ts_us"] == 300
+
+
+def test_semantic_dedup_drops_planted_neardups(spark):
+    import numpy as np
+
+    from hiss_cube_spark.operators.similarity import semantic_dedup
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((20, 16)).astype("float32")
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+        # a planted near-dup of every even vector: tiny perturbation
+        if i % 2 == 0:
+            w = v + rng.standard_normal(16).astype("float32") * 0.01
+            rows.append((100 + i, [float(x) for x in w]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    kept = {r["vec_id"] for r in semantic_dedup(df, threshold=0.95, n_cells=4).collect()}
+    # every planted dup loses to its (smaller-id) original; some may survive
+    # only if the kmeans boundary split the pair — allow at most 2 strays
+    survivors = [i for i in kept if i >= 100]
+    assert len(survivors) <= 2, survivors
+    assert set(range(20)) <= kept  # originals all keep (min id per cluster)
