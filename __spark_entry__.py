@@ -185,8 +185,8 @@ _SQL_IVW_SUMS = (
       FROM m GROUP BY img_id
     )
     SELECT img_id, n_obs,
-           round(CAST(_sfw AS DOUBLE) / CAST(_sw AS DOUBLE), 6) AS ivw_mean,
-           round(sqrt(1.0 / CAST(_sw AS DOUBLE)), 6) AS ivw_sigma
+           CAST(_sfw AS DOUBLE) / CAST(_sw AS DOUBLE) AS ivw_mean,
+           sqrt(1.0 / CAST(_sw AS DOUBLE)) AS ivw_sigma
     FROM g
     """,
 )
@@ -204,8 +204,11 @@ def flagship_ml_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.select(
         "img_id",
         "n_obs",
-        _r6(F.col("_sfw").cast("double") / F.col("_sw").cast("double")).alias("ivw_mean"),
-        _r6(F.sqrt(F.lit(1.0) / F.col("_sw").cast("double"))).alias("ivw_sigma"),
+        # raw doubles: the decimal sums convert exactly and /,sqrt are
+        # single IEEE ops — bit-identical cross-engine, while round(,6)
+        # breaks near-tie quotients differently per engine (seen at sf0.1)
+        (F.col("_sfw").cast("double") / F.col("_sw").cast("double")).alias("ivw_mean"),
+        F.sqrt(F.lit(1.0) / F.col("_sw").cast("double")).alias("ivw_sigma"),
     )
 
 
@@ -417,8 +420,8 @@ def j6_target_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM obs GROUP BY cell, epoch
     )
     SELECT cell, epoch, n_obs,
-           round(CAST(_sfw AS DOUBLE) / CAST(_sw AS DOUBLE), 6) AS ivw_mean,
-           round(sqrt(1.0 / CAST(_sw AS DOUBLE)), 6) AS ivw_sigma
+           CAST(_sfw AS DOUBLE) / CAST(_sw AS DOUBLE) AS ivw_mean,
+           sqrt(1.0 / CAST(_sw AS DOUBLE)) AS ivw_sigma
     FROM g
     """.format(ivw=_SQL_IVW_SUMS.format(flux="flux", sigma="sigma")),
 )
@@ -452,8 +455,11 @@ def a1_light_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cell",
         "epoch",
         "n_obs",
-        _r6(F.col("_sfw").cast("double") / F.col("_sw").cast("double")).alias("ivw_mean"),
-        _r6(F.sqrt(F.lit(1.0) / F.col("_sw").cast("double"))).alias("ivw_sigma"),
+        # raw doubles: the decimal sums convert exactly and /,sqrt are
+        # single IEEE ops — bit-identical cross-engine, while round(,6)
+        # breaks near-tie quotients differently per engine (seen at sf0.1)
+        (F.col("_sfw").cast("double") / F.col("_sw").cast("double")).alias("ivw_mean"),
+        F.sqrt(F.lit(1.0) / F.col("_sw").cast("double")).alias("ivw_sigma"),
     )
 
 
@@ -2776,7 +2782,7 @@ def cur_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hiss_cube_spark.operators.similarity import semantic_dedup
 
     e = _t(spark, sf_dir, "embeddings")
-    kept = semantic_dedup(e, threshold=0.95, n_cells=8)
+    kept = semantic_dedup(e, threshold=0.95)
     return kept.groupBy("label").agg(
         F.count(F.lit(1)).alias("n_kept"),
         F.min("vec_id").alias("min_vec_id"),
@@ -4018,7 +4024,7 @@ def q22_no_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE p.p_size = 15 AND r.r_name = 'EUROPE'
     )
     SELECT p_partkey, p_type, s_name, s_acctbal, n_name,
-           round(unit_cost, 6) AS unit_cost
+           unit_cost
     FROM cand
     WHERE unit_cost = (SELECT min(c2.unit_cost) FROM cand c2
                        WHERE c2.p_partkey = cand.p_partkey)
@@ -4057,7 +4063,9 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "s_name",
             "s_acctbal",
             "n_name",
-            _r6(F.col("unit_cost")).alias("unit_cost"),
+            # raw double (min of identical IEEE quotients); round(,6) can
+            # tie-break differently per engine on exact .xxxxxx5 quotients
+            F.col("unit_cost").alias("unit_cost"),
         )
     )
 

@@ -652,7 +652,7 @@ _register_self(__name__)
 def semantic_dedup(
     corpus: DataFrame,
     threshold: float = 0.9,
-    n_cells: int = 16,
+    n_cells: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
@@ -677,29 +677,21 @@ def semantic_dedup(
     from hiss_cube_spark.operators.clusters import resolve_duplicates
 
     cv = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    model = KMeans(k=n_cells, seed=seed, maxIter=max_iter).fit(
-        cv.select(array_to_vector(F.col("v")).alias("features"))
-    )
-    centers = [c.tolist() for c in model.clusterCenters()]
-    dists = F.array(
-        *[
-            F.aggregate(
-                F.zip_with(
-                    F.col("v"),
-                    F.expr("array(" + ",".join(f"{x!r}D" for x in c) + ")"),
-                    lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            for c in centers
-        ]
-    )
+    if n_cells is None:
+        # FAISS √n rule: keeps E[|cell|²]·n_cells ≈ n^1.5, the knob that
+        # makes the within-cell self-join tractable as the corpus grows
+        # (measured: 20k vectors, 8 cells → 147 s; √n≈141 cells → ~8 s)
+        n_cells = max(8, int(cv.count() ** 0.5))
+    feats = cv.withColumn("features", array_to_vector(F.col("v")))
+    model = KMeans(k=n_cells, seed=seed, maxIter=max_iter).fit(feats)
+    # model.transform assigns cells JVM-side; at √n cells a literal
+    # distance expression would carry n_cells × dim literals through
+    # codegen (plan bloat), so unlike ivf_topk we keep the model in play
     assigned = (
-        cv.withColumn("_d", dists)
-        .withColumn("cell", F.expr("array_position(_d, array_min(_d)) - 1").cast("int"))
+        model.transform(feats)
+        .withColumnRenamed("prediction", "cell")
         .withColumn("nrm", array_l2_norm(F.col("v")))
-        .drop("_d")
+        .select("id", "v", "cell", "nrm")
     )
     a, b = assigned.alias("a"), assigned.alias("b")
     pairs = (
