@@ -681,9 +681,13 @@ def semantic_dedup(
         # FAISS √n rule: keeps E[|cell|²]·n_cells ≈ n^1.5, the knob that
         # makes the within-cell self-join tractable as the corpus grows
         # (measured: 20k vectors, 8 cells → 147 s; √n≈141 cells → ~8 s)
-        n_cells = max(8, int(cv.count() ** 0.5))
+        n_cells = max(8, min(4096, int(cv.count() ** 0.5)))
     feats = cv.withColumn("features", array_to_vector(F.col("v")))
-    model = KMeans(k=n_cells, seed=seed, maxIter=max_iter).fit(feats)
+    # train on a bounded deterministic sample (the PQ-codebook precedent):
+    # KMeans cost is O(n·k·d·iters) and k grows as √n — unsampled training
+    # becomes the bottleneck long before the within-cell joins do
+    train = feats.orderBy("id").limit(32_768)
+    model = KMeans(k=n_cells, seed=seed, maxIter=max_iter).fit(train)
     # model.transform assigns cells JVM-side; at √n cells a literal
     # distance expression would carry n_cells × dim literals through
     # codegen (plan bloat), so unlike ivf_topk we keep the model in play
