@@ -4540,6 +4540,101 @@ def stream_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "stream_neardup_minhash",
+    """
+    WITH RECURSIVE d AS (SELECT doc_id, lang, string_split(text, ' ') AS w
+                         FROM documents
+                         WHERE len(string_split(text, ' ')) >= 3),
+    sh AS (
+      SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram
+      FROM d, unnest(generate_series(1, len(w) - 2)) t(i)),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    pairs AS (
+      SELECT doc_a, doc_b
+      FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+                 JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE n_inter * 1.0 / (sa.sz + sb.sz - n_inter) >= 0.5),
+    e0 AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+           WHERE doc_a % 2 = 0 AND doc_b % 2 = 0
+           UNION
+           SELECT doc_b, doc_a FROM pairs
+           WHERE doc_a % 2 = 0 AND doc_b % 2 = 0),
+    reach0(node, label) AS (
+      SELECT DISTINCT a, a FROM e0
+      UNION
+      SELECT e.b, r.label FROM reach0 r JOIN e0 e ON e.a = r.node),
+    losers0 AS (SELECT node FROM (SELECT node, min(label) AS cid FROM reach0
+                                  GROUP BY node) WHERE node <> cid),
+    surv0 AS (SELECT doc_id FROM d WHERE doc_id % 2 = 0
+              AND doc_id NOT IN (SELECT node FROM losers0)),
+    dropped1 AS (
+      SELECT DISTINCT CASE WHEN doc_a % 2 = 1 THEN doc_a ELSE doc_b END AS doc_id
+      FROM pairs
+      WHERE doc_a % 2 <> doc_b % 2
+        AND (CASE WHEN doc_a % 2 = 0 THEN doc_a ELSE doc_b END)
+              IN (SELECT doc_id FROM surv0)),
+    b1b AS (SELECT doc_id FROM d WHERE doc_id % 2 = 1
+            AND doc_id NOT IN (SELECT doc_id FROM dropped1)),
+    e1 AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+           WHERE doc_a IN (SELECT doc_id FROM b1b)
+             AND doc_b IN (SELECT doc_id FROM b1b)
+           UNION
+           SELECT doc_b, doc_a FROM pairs
+           WHERE doc_a IN (SELECT doc_id FROM b1b)
+             AND doc_b IN (SELECT doc_id FROM b1b)),
+    reach1(node, label) AS (
+      SELECT DISTINCT a, a FROM e1
+      UNION
+      SELECT e.b, r.label FROM reach1 r JOIN e1 e ON e.a = r.node),
+    losers1 AS (SELECT node FROM (SELECT node, min(label) AS cid FROM reach1
+                                  GROUP BY node) WHERE node <> cid),
+    surv1 AS (SELECT doc_id FROM b1b
+              WHERE doc_id NOT IN (SELECT node FROM losers1))
+    SELECT d.doc_id, d.lang, CAST(d.doc_id % 2 AS INT) AS batch
+    FROM d
+    WHERE d.doc_id IN (SELECT doc_id FROM surv0)
+       OR d.doc_id IN (SELECT doc_id FROM surv1)
+    """,
+)
+def stream_neardup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-deterministic shape of `streaming.stream_neardup_minhash`: the
+    corpus arrives as two micro-batches (even doc_ids, then odd), each
+    near-deduped against the signature index the earlier batch folded in
+    (`curation.incremental_neardup` — band-bucket candidates, signature-
+    estimated Jaccard at tau=0.5, min-id components within the batch). The
+    oracle replays the same arrival order with EXACT shingle Jaccard; the
+    decisions agree because tau sits mid-gap in the corpus's similarity
+    modes (>= 0.8 near-dups vs <= 0.14 background) and a 128-hash estimate
+    never deviates 0.3 from truth (P < 1e-13). The streaming tests drive
+    the same operator through checkpointed micro-batches with replay."""
+    from hiss_cube_spark.operators.curation import incremental_neardup
+
+    d = _t(spark, sf_dir, "documents").where(F.size(F.split("text", " ")) >= 3)
+    b0 = d.where(F.col("doc_id") % 2 == 0)
+    b1 = d.where(F.col("doc_id") % 2 == 1)
+    sig0 = spark.createDataFrame([], "doc_id long, sig array<bigint>")
+    band0 = spark.createDataFrame([], "band_id int, band_hash bigint, doc_id long")
+    s0 = _swap_persist(
+        "neardup_b0", incremental_neardup(b0, sig0, band0, threshold=0.5)
+    )
+    sig1 = s0.select("doc_id", "sig")
+    band1 = s0.select(
+        "doc_id", F.posexplode("bands").alias("band_id", "band_hash")
+    ).select("band_id", "band_hash", "doc_id")
+    s1 = incremental_neardup(b1, sig1, band1, threshold=0.5)
+    out_cols = [
+        F.col("doc_id"),
+        F.col("lang"),
+        (F.col("doc_id") % 2).cast("int").alias("batch"),
+    ]
+    return s0.select(*out_cols).unionByName(s1.select(*out_cols))
+
+
+@_q(
     "ts_ewma",
     """
     WITH e AS (
@@ -4810,7 +4905,8 @@ _CHECK_PRIORITY = [
     "dq_constraint_report", "dq_profile_table",
     # --- beyond slot 50: remaining never-checked, for the next rotation ---
     "dedup_substring_spans", "text_simpson_diversity", "cur_mix_weights",
-    "stream_dedup_first", "mm_phash_neardup", "ann_ivf_pq_topk",
+    "stream_dedup_first", "stream_neardup_minhash", "mm_phash_neardup",
+    "ann_ivf_pq_topk",
     "p_variant_props", "q_recursive_cte", "viz_cube_union",
     "o1_zorder_clustering", "w_funnel_stages", "w_cohort_retention",
     "a_median_quartiles", "o_global_topk", "a_pivot_flags",

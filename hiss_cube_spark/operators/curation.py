@@ -30,6 +30,7 @@ __all__ = [
     "temperature_sample",
     "build_dedup_index",
     "incremental_dedup",
+    "incremental_neardup",
     "chunk_documents",
     "domain_cap",
     "reservoir_sample",
@@ -40,6 +41,9 @@ __all__ = [
 _MIX = 2654435761
 
 _DEFAULT_WEIGHTS: dict[str, float] = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+# single-slot cache for incremental_neardup's feature table (see below)
+_NEARDUP_FEATS: list[DataFrame] = []
 
 
 def split_bucket(id_col: Column, n_buckets: int = 1000) -> Column:
@@ -327,6 +331,124 @@ def incremental_dedup(
     )
     idx = index_df.select(F.col(fp_col).alias("fp")).distinct()
     return firsts.join(idx, "fp", "left_anti")
+
+
+def incremental_neardup(
+    new_df: DataFrame,
+    index_sigs: DataFrame,
+    index_bands: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    n_hashes: int = 128,
+    bands: int = 32,
+    seed: int = 42,
+) -> DataFrame:
+    """NEAR-dup dedup of an incoming batch against a persistent minhash
+    signature index — the fuzzy analog of `incremental_dedup`, and the
+    batch semantics of `streaming.stream_neardup_minhash`.
+
+    The index is two tables (written once per accepted batch, never
+    re-derived from text):
+
+    * ``index_sigs``  — (doc_id, sig array<long>): 128 permuted mins,
+      ~1 KB/doc regardless of document size.
+    * ``index_bands`` — (band_id, band_hash, doc_id): 32 rows/doc, the LSH
+      bucket keys. Bucketed by band_hash, the candidate join co-locates on
+      the index side and shuffles only the (small) batch.
+
+    Per batch: (a) band-bucket equality join against ``index_bands``
+    proposes cross-batch candidates — sub-quadratic by LSH construction;
+    (b) candidates are verified by SIGNATURE-estimated Jaccard
+    (`sig_agreement`; sigma = sqrt(j(1-j)/128) <= 0.05), the standard
+    streaming trade: exact verification would require keeping every
+    document's gram set, an index as large as the corpus itself; (c) batch
+    docs matching no indexed doc are near-deduped within the batch (banded
+    self-join + estimate + min-id connected components via
+    `resolve_duplicates`). Pick ``threshold`` away from the corpus's
+    similarity modes: at 128 hashes the estimate deviates >0.35 from the
+    true Jaccard with probability < 1e-13 (Hoeffding), so a mid-gap
+    threshold makes estimate and exact decisions identical.
+
+    Returns surviving batch rows with ``sig`` and ``bands`` attached —
+    callers land the rows and fold (doc_id, sig) / exploded band rows into
+    the index.
+    """
+    from hiss_cube_spark.operators.clusters import resolve_duplicates
+    from hiss_cube_spark.operators.dedup import minhash_features, sig_agreement
+
+    feats = minhash_features(
+        new_df.select(F.col(id_col), F.col(text_col)),
+        text_col=text_col,
+        id_col=id_col,
+        n=n,
+        n_hashes=n_hashes,
+        bands=bands,
+        seed=seed,
+    )
+    # batch-sized, referenced by 4 plan branches; one live cached copy max
+    # (repeated calls — bench loops, micro-batches — release the previous)
+    if _NEARDUP_FEATS:
+        _NEARDUP_FEATS.pop().unpersist(False)
+    feats = feats.persist()
+    _NEARDUP_FEATS.append(feats)
+
+    bb = feats.select(
+        "doc_id", F.posexplode("bands").alias("band_id", "band_hash")
+    )
+    idx_bands = index_bands.select(
+        "band_id", "band_hash", F.col("doc_id").alias("_old_id")
+    )
+    # LSH's contract: |candidates| << |batch| x |corpus| — broadcast them so
+    # the signature fetches are map-side probes, not shuffles of the index.
+    cand = F.broadcast(
+        bb.join(idx_bands, ["band_id", "band_hash"])
+        .select("doc_id", "_old_id")
+        .distinct()
+    )
+    est = sig_agreement(F.col("sig"), F.col("_old_sig"))
+    dropped = (
+        cand.join(feats.select("doc_id", "sig"), "doc_id")
+        .join(
+            index_sigs.select(
+                F.col("doc_id").alias("_old_id"), F.col("sig").alias("_old_sig")
+            ),
+            "_old_id",
+        )
+        .where(est >= F.lit(threshold))
+        .select("doc_id")
+        .distinct()
+    )
+    keep0 = feats.join(F.broadcast(dropped), "doc_id", "left_anti")
+
+    bb0 = keep0.select(
+        "doc_id", F.posexplode("bands").alias("band_id", "band_hash")
+    )
+    a, b = bb0.alias("a"), bb0.alias("b")
+    pair_cand = F.broadcast(
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = keep0.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("_sa"))
+    sb = keep0.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("_sb"))
+    pairs = (
+        pair_cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .where(sig_agreement(F.col("_sa"), F.col("_sb")) >= F.lit(threshold))
+        .select("doc_a", "doc_b")
+    )
+    kept = resolve_duplicates(keep0, pairs)
+    out = new_df.join(
+        kept.select(F.col("doc_id").alias(id_col), "sig", "bands"), id_col
+    )
+    return out
 
 
 def chunk_documents(

@@ -33,6 +33,8 @@ __all__ = [
     "word_shingles",
     "ngram_jaccard_pairs",
     "minhash_signatures",
+    "minhash_features",
+    "sig_agreement",
     "minhash_lsh_pairs",
     "simhash_fingerprints",
     "simhash_pairs",
@@ -334,6 +336,66 @@ def minhash_signatures(
     if with_size:
         cols.append(F.size("_hs").alias("sz"))
     return hs.select(*cols)
+
+
+def minhash_features(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    n_hashes: int = 128,
+    bands: int = 32,
+    seed: int = 42,
+    doc_partitions: int | None = None,
+) -> DataFrame:
+    """(doc_id, sig array<long>, bands array<long>) — row-local minhash
+    signature plus per-band slice hashes in ONE let-bound expression.
+
+    This is the feature extractor shared by the *incremental* dedup paths
+    (streaming near-dup, persistent signature indexes): unlike
+    ``minhash_lsh_pairs`` it carries the signature forward so later batches
+    can estimate Jaccard against indexed documents without re-reading their
+    text or gram sets. The whole computation is one projection over the
+    gram arrays — no shuffle, no persist needed (each doc is touched once).
+
+    The ``transform(array(...), s -> named_struct(...))[0]`` wrapper is the
+    same let-binding trick as ``minhash_lsh_pairs``: the 128-min signature
+    is evaluated once per row and both outputs (the signature itself and the
+    band slice hashes) read the bound array, instead of projection collapse
+    inlining the signature into every consumer.
+    """
+    rows_per_band = n_hashes // bands
+    consts = _perm_constants(n_hashes, seed)
+    ga = document_grams(df, text_col, id_col, n, doc_partitions).withColumn(
+        "_hs", F.expr(f"transform(grams, g -> abs(xxhash64(g)) % {_MERSENNE}L)")
+    )
+    consts_sql = "array(" + ",".join(f"array({a}L,{b}L)" for a, b in consts) + ")"
+    sig_sql = (
+        f"transform({consts_sql}, c -> "
+        f"array_min(transform(_hs, h -> (h * c[0] + c[1]) % {_MERSENNE}L)))"
+    )
+    both_sql = (
+        f"transform(array({sig_sql}), s -> named_struct("
+        f"'sig', s, "
+        f"'bands', transform(sequence(0, {bands - 1}), "
+        f"b -> xxhash64(slice(s, b * {rows_per_band} + 1, {rows_per_band})))))[0]"
+    )
+    return ga.select("doc_id", F.expr(both_sql).alias("_mh")).select(
+        "doc_id", F.col("_mh.sig").alias("sig"), F.col("_mh.bands").alias("bands")
+    )
+
+
+def sig_agreement(a: Column, b: Column) -> Column:
+    """Estimated Jaccard from two equal-length minhash signatures: the
+    fraction of positions where the permuted mins agree (the textbook
+    unbiased estimator, sigma = sqrt(j(1-j)/n_hashes)). Native zip_with +
+    aggregate — stays in codegen, no UDF."""
+    matches = F.aggregate(
+        F.zip_with(a, b, lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return matches.cast("double") / F.size(a)
 
 
 def minhash_lsh_pairs(

@@ -6,6 +6,10 @@ streaming semantics."""
 
 from hiss_cube_spark.streaming.joins import interval_event_join
 from hiss_cube_spark.streaming.link import stream_crossmatch
+from hiss_cube_spark.streaming.neardup import (
+    init_neardup_index,
+    stream_neardup_minhash,
+)
 from hiss_cube_spark.streaming.windows import (
     session_window_agg,
     sliding_window_agg,
@@ -20,4 +24,6 @@ __all__ = [
     "stream_dedup",
     "stream_crossmatch",
     "interval_event_join",
+    "init_neardup_index",
+    "stream_neardup_minhash",
 ]

@@ -427,3 +427,54 @@ def test_stream_incremental_dedup_lands_unique_corpus(spark, tmp_path_factory):
     assert landed == {(1, "alpha"), (2, "beta"), (5, "gamma")}
     fps = spark.read.parquet(index).count()
     assert fps == 3  # alpha, beta, gamma
+
+
+def test_stream_neardup_minhash_lands_neardeduped_corpus(spark, tmp_path_factory):
+    """Fuzzy cross-batch dedup against the persisted signature index: batch
+    2's near-duplicate (and exact duplicate) of batch-1 survivors must not
+    land; within-batch near-dups keep the min doc_id."""
+    import os
+
+    from hiss_cube_spark.streaming.neardup import (
+        init_neardup_index,
+        stream_neardup_minhash,
+    )
+
+    src = str(tmp_path_factory.mktemp("nd_src"))
+    corpus = str(tmp_path_factory.mktemp("nd_corpus"))
+    index = str(tmp_path_factory.mktemp("nd_index")) + "/idx"
+    ckpt = str(tmp_path_factory.mktemp("nd_ckpt"))
+    schema = "doc_id long, text string"
+    init_neardup_index(spark, index)
+
+    spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),
+            (2, "p q r s t u"),
+            (3, "a b c d e f g x"),  # jaccard 5/7 vs doc 1 -> in-batch dup
+        ],
+        schema,
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+    spark.createDataFrame(
+        [
+            (4, "a b c d e f g h"),  # exact dup of indexed doc 1
+            (5, "x y z w v q"),
+            (6, "a b c d e f g q"),  # jaccard 5/7 vs indexed doc 1 -> dup
+        ],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = stream_neardup_minhash(stream, corpus, index, ckpt, threshold=0.45)
+    q.awaitTermination(120)
+
+    landed = {
+        r["doc_id"]
+        for r in spark.read.parquet(os.path.join(corpus, "batch=*")).collect()
+    }
+    assert landed == {1, 2, 5}
+    idx = spark.read.parquet(index)
+    assert idx.where(F.col("kind") == "sig").count() == 3
+    assert idx.where(F.col("kind") == "band").count() == 3 * 32
