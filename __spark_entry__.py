@@ -4413,6 +4413,141 @@ def cur_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_filter(_t(spark, sf_dir, "documents"))
 
 
+@_q(
+    "cur_full_pipeline",
+    """
+    WITH RECURSIVE raw AS (SELECT doc_id, text, lang, source, n_chars
+                           FROM documents),
+    tq AS (SELECT doc_id,
+                  list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
+           FROM raw),
+    q AS (SELECT doc_id FROM tq
+          WHERE len(toks) >= 25
+            AND len(list_distinct(toks)) / (1.0 * len(toks)) >= 0.4
+            AND len(list_filter(toks, x -> list_contains(['the','a'], x)))
+                  / (1.0 * len(toks)) <= 0.12),
+    ex AS (SELECT min(r.doc_id) AS doc_id
+           FROM raw r JOIN q USING (doc_id) GROUP BY r.text),
+    w3 AS (SELECT r.doc_id, string_split(r.text, ' ') AS w
+           FROM raw r JOIN ex USING (doc_id)),
+    sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram
+           FROM w3, unnest(generate_series(1, len(w) - 2)) t(i)),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+              FROM sh a JOIN sh b ON a.gram = b.gram AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    pairs AS (SELECT doc_a, doc_b
+              FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+                         JOIN sizes sb ON sb.doc_id = doc_b
+              WHERE n_inter * 1.0 / (sa.sz + sb.sz - n_inter) >= 0.8),
+    e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+    reach(node, label) AS (
+      SELECT DISTINCT a, a FROM e
+      UNION
+      SELECT e.b, r.label FROM reach r JOIN e ON e.a = r.node),
+    losers AS (SELECT node FROM (SELECT node, min(label) AS cid FROM reach
+                                 GROUP BY node) WHERE node <> cid),
+    nd AS (SELECT doc_id FROM ex
+           WHERE doc_id NOT IN (SELECT node FROM losers)),
+    te AS (SELECT string_split(text, ' ') AS w FROM raw WHERE doc_id % 10 = 0),
+    teg AS (SELECT DISTINCT
+                   w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+                        || ' ' || w[i+4] AS gram
+            FROM te, unnest(generate_series(1, len(w) - 4)) t(i)),
+    trw AS (SELECT r.doc_id, string_split(r.text, ' ') AS w
+            FROM raw r JOIN nd USING (doc_id) WHERE r.doc_id % 10 <> 0),
+    trg AS (SELECT DISTINCT doc_id,
+                   w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+                        || ' ' || w[i+4] AS gram
+            FROM trw, unnest(generate_series(1, len(w) - 4)) t(i)),
+    bad AS (SELECT DISTINCT doc_id FROM trg
+            WHERE gram IN (SELECT gram FROM teg)),
+    dc AS (SELECT doc_id FROM trw
+           WHERE doc_id NOT IN (SELECT doc_id FROM bad)),
+    capd AS (SELECT doc_id FROM (
+               SELECT r.doc_id,
+                      row_number() OVER (PARTITION BY r.source
+                                         ORDER BY r.doc_id) AS rn
+               FROM raw r JOIN dc USING (doc_id)) WHERE rn <= 50)
+    SELECT 0 AS stage_id, 'raw' AS stage, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars FROM raw
+    UNION ALL
+    SELECT 1, 'quality', CAST(count(*) AS BIGINT), CAST(sum(n_chars) AS BIGINT)
+    FROM raw JOIN q USING (doc_id)
+    UNION ALL
+    SELECT 2, 'exact_dedup', CAST(count(*) AS BIGINT),
+           CAST(sum(n_chars) AS BIGINT)
+    FROM raw JOIN ex USING (doc_id)
+    UNION ALL
+    SELECT 3, 'neardup', CAST(count(*) AS BIGINT), CAST(sum(n_chars) AS BIGINT)
+    FROM raw JOIN nd USING (doc_id)
+    UNION ALL
+    SELECT 4, 'decontaminated', CAST(count(*) AS BIGINT),
+           CAST(sum(n_chars) AS BIGINT)
+    FROM raw JOIN dc USING (doc_id)
+    UNION ALL
+    SELECT 5, 'domain_capped', CAST(count(*) AS BIGINT),
+           CAST(sum(n_chars) AS BIGINT)
+    FROM raw JOIN capd USING (doc_id)
+    """,
+)
+def cur_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END curation funnel as ONE composed plan — the chain a
+    production training-data pipeline runs nightly: rule-based quality gate
+    (`quality_filter`) → exact dedup (first doc per content digest,
+    `exact_dedup`) → near-dedup (AllPairs-prefix Jaccard pairs + min-id
+    connected components, `ngram_jaccard_pairs` + `resolve_duplicates`) →
+    benchmark decontamination against the held-out doc_id%10==0 split
+    (`decontaminate`, broadcast 5-gram set) → per-domain cap
+    (`domain_cap`, 50 docs/source). Output is the attrition funnel —
+    (stage, n_docs, total_chars) per stage — so removed volume is
+    attributable to each gate. Intermediate survivor sets are persisted
+    (each feeds both its funnel row and the next stage); only doc_id sets
+    and the small pair/gram artifacts ever shuffle, the corpus text is
+    scanned once per stage and never re-shuffled."""
+    from hiss_cube_spark.operators.clusters import resolve_duplicates
+    from hiss_cube_spark.operators.curation import decontaminate, domain_cap
+    from hiss_cube_spark.operators.dedup import exact_dedup, ngram_jaccard_pairs
+    from hiss_cube_spark.operators.text_analysis import quality_filter
+
+    raw = _t(spark, sf_dir, "documents")
+    q = quality_filter(raw).where("keep").select("doc_id")
+    s1 = _swap_persist("pipe_s1", raw.join(q, "doc_id"))
+    ex = exact_dedup(s1).select(F.col("canonical_id").alias("doc_id"))
+    s2 = _swap_persist("pipe_s2", raw.join(ex, "doc_id"))
+    pairs = ngram_jaccard_pairs(s2, threshold=0.8, n=3, prefix_filter=True)
+    s3 = _swap_persist("pipe_s3", resolve_duplicates(s2, pairs))
+    test = raw.where(F.col("doc_id") % 10 == 0)
+    train = s3.where(F.col("doc_id") % 10 != 0)
+    s4 = _swap_persist("pipe_s4", decontaminate(train, test, n=5))
+    s5 = domain_cap(
+        s4.withColumn("url", F.concat(F.lit("http://"), F.col("source"))),
+        "url",
+        max_per_domain=50,
+    )
+
+    def _stage(i: int, name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        ).select(
+            F.lit(i).alias("stage_id"),
+            F.lit(name).alias("stage"),
+            "n_docs",
+            "total_chars",
+        )
+
+    return (
+        _stage(0, "raw", raw)
+        .unionByName(_stage(1, "quality", s1))
+        .unionByName(_stage(2, "exact_dedup", s2))
+        .unionByName(_stage(3, "neardup", s3))
+        .unionByName(_stage(4, "decontaminated", s4))
+        .unionByName(_stage(5, "domain_capped", s5))
+    )
+
+
 # ==========================================================================
 # driver contract
 # ==========================================================================
@@ -4610,28 +4745,93 @@ def stream_neardup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     decisions agree because tau sits mid-gap in the corpus's similarity
     modes (>= 0.8 near-dups vs <= 0.14 background) and a 128-hash estimate
     never deviates 0.3 from truth (P < 1e-13). The streaming tests drive
-    the same operator through checkpointed micro-batches with replay."""
-    from hiss_cube_spark.operators.curation import incremental_neardup
+    the same operator through checkpointed micro-batches with replay.
+
+    Plan shape: ONE feature pass + ONE banded self-join over the whole
+    corpus (batch-restricted afterwards), instead of invoking
+    `incremental_neardup` per batch — identical decisions (the operator's
+    per-batch candidates are exactly the corpus pair set restricted to the
+    batch/index sides; tests/test_curation.py pins the equivalence), at
+    half the eager-action count. The per-batch operator remains the
+    steady-state ingestion path — here the whole corpus is already on hand,
+    so recomputing shared signatures per batch would be pure overhead."""
+    from hiss_cube_spark.operators.clusters import connected_components
+    from hiss_cube_spark.operators.dedup import minhash_features, sig_agreement
 
     d = _t(spark, sf_dir, "documents").where(F.size(F.split("text", " ")) >= 3)
-    b0 = d.where(F.col("doc_id") % 2 == 0)
-    b1 = d.where(F.col("doc_id") % 2 == 1)
-    sig0 = spark.createDataFrame([], "doc_id long, sig array<bigint>")
-    band0 = spark.createDataFrame([], "band_id int, band_hash bigint, doc_id long")
-    s0 = _swap_persist(
-        "neardup_b0", incremental_neardup(b0, sig0, band0, threshold=0.5)
+    feats = minhash_features(d.select("doc_id", "text")).localCheckpoint(
+        eager=True
     )
-    sig1 = s0.select("doc_id", "sig")
-    band1 = s0.select(
-        "doc_id", F.posexplode("bands").alias("band_id", "band_hash")
-    ).select("band_id", "band_hash", "doc_id")
-    s1 = incremental_neardup(b1, sig1, band1, threshold=0.5)
+    bb = feats.select("doc_id", F.posexplode("bands").alias("band_id", "band_hash"))
+    a, b = bb.alias("a"), bb.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = feats.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("_sa"))
+    sb = feats.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("_sb"))
+    pairs = (
+        F.broadcast(cand)
+        .join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .where(sig_agreement(F.col("_sa"), F.col("_sb")) >= F.lit(0.5))
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    even = (F.col("doc_a") % 2 == 0) & (F.col("doc_b") % 2 == 0)
+    cc0 = connected_components(pairs.where(even))
+    losers0 = cc0.where(F.col("node") != F.col("cluster_id")).select(
+        F.col("node").alias("doc_id")
+    )
+    surv0 = (
+        d.where(F.col("doc_id") % 2 == 0)
+        .join(losers0, "doc_id", "left_anti")
+        .select("doc_id", "lang")
+    )
+    # batch 2: drop odd docs near-dup of an indexed (surviving even) doc
+    cross = pairs.where(F.col("doc_a") % 2 != F.col("doc_b") % 2).select(
+        F.when(F.col("doc_a") % 2 == 1, F.col("doc_a"))
+        .otherwise(F.col("doc_b"))
+        .alias("doc_id"),
+        F.when(F.col("doc_a") % 2 == 0, F.col("doc_a"))
+        .otherwise(F.col("doc_b"))
+        .alias("_idx_id"),
+    )
+    dropped1 = (
+        cross.join(
+            surv0.select(F.col("doc_id").alias("_idx_id")), "_idx_id"
+        )
+        .select("doc_id")
+        .distinct()
+    )
+    b1b = (
+        d.where(F.col("doc_id") % 2 == 1)
+        .join(F.broadcast(dropped1), "doc_id", "left_anti")
+        .select("doc_id", "lang")
+    )
+    in_b1b = F.broadcast(b1b.select("doc_id"))
+    pairs1 = (
+        pairs.join(in_b1b.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .join(in_b1b.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+        .select("doc_a", "doc_b")
+    )
+    cc1 = connected_components(pairs1)
+    losers1 = cc1.where(F.col("node") != F.col("cluster_id")).select(
+        F.col("node").alias("doc_id")
+    )
+    surv1 = b1b.join(losers1, "doc_id", "left_anti")
     out_cols = [
         F.col("doc_id"),
         F.col("lang"),
         (F.col("doc_id") % 2).cast("int").alias("batch"),
     ]
-    return s0.select(*out_cols).unionByName(s1.select(*out_cols))
+    return surv0.select(*out_cols).unionByName(surv1.select(*out_cols))
 
 
 @_q(
@@ -4900,10 +5100,12 @@ _CHECK_PRIORITY = [
     "cur_incremental_dedup", "cur_chunk_documents", "cur_domain_cap",
     "cur_hash_split", "cur_pack_sequences", "cur_balanced_sample",
     "cur_temperature_sample", "cur_decontaminate", "cur_corpus_report",
-    "cur_redact_pii", "cur_quality_filter",
-    # data quality                                   (slot 50 ends here)
+    "cur_redact_pii", "cur_quality_filter", "cur_full_pipeline",
+    # data quality
     "dq_constraint_report", "dq_profile_table",
-    # --- beyond slot 50: remaining never-checked, for the next rotation ---
+    # NOTE: the driver's 50-query window ends at text_tfidf_topk (slot 50);
+    # everything below rotates into the window in later rounds.
+    # --- remaining never-checked, for the next rotation ---
     "dedup_substring_spans", "text_simpson_diversity", "cur_mix_weights",
     "stream_dedup_first", "stream_neardup_minhash", "mm_phash_neardup",
     "ann_ivf_pq_topk",

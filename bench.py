@@ -67,6 +67,8 @@ HEADLINE = [
     "dq_histogram",
     "cdc_time_travel",
     "j_bloom_prune",
+    "cur_full_pipeline",
+    "stream_neardup_minhash",
 ]
 
 

@@ -42,9 +42,6 @@ _MIX = 2654435761
 
 _DEFAULT_WEIGHTS: dict[str, float] = {"train": 0.8, "val": 0.1, "test": 0.1}
 
-# single-slot cache for incremental_neardup's feature table (see below)
-_NEARDUP_FEATS: list[DataFrame] = []
-
 
 def split_bucket(id_col: Column, n_buckets: int = 1000) -> Column:
     """Deterministic bucket in [0, n_buckets) from an integer key."""
@@ -387,12 +384,12 @@ def incremental_neardup(
         bands=bands,
         seed=seed,
     )
-    # batch-sized, referenced by 4 plan branches; one live cached copy max
-    # (repeated calls — bench loops, micro-batches — release the previous)
-    if _NEARDUP_FEATS:
-        _NEARDUP_FEATS.pop().unpersist(False)
-    feats = feats.persist()
-    _NEARDUP_FEATS.append(feats)
+    # Eager lineage cut, not a persist: the 128-constant signature
+    # expression would otherwise sit in EVERY downstream plan (4 branches x
+    # the CC rounds' checkpoints x broadcast collects), and re-analyzing it
+    # per action costs seconds of driver time — measured 18 s -> ~3 s for
+    # one batch at sf0.1. Same discipline as connected_components.
+    feats = feats.localCheckpoint(eager=True)
 
     bb = feats.select(
         "doc_id", F.posexplode("bands").alias("band_id", "band_hash")

@@ -358,27 +358,30 @@ def minhash_features(
     text or gram sets. The whole computation is one projection over the
     gram arrays — no shuffle, no persist needed (each doc is touched once).
 
-    The ``transform(array(...), s -> named_struct(...))[0]`` wrapper is the
-    same let-binding trick as ``minhash_lsh_pairs``: the 128-min signature
-    is evaluated once per row and both outputs (the signature itself and the
-    band slice hashes) read the bound array, instead of projection collapse
-    inlining the signature into every consumer.
+    TWO nested ``transform(array(x), v -> ...)[0]`` let-bindings, not one:
+    the gram-hash array is bound first, then the 128-min signature over it.
+    A ``withColumn("_hs", ...)`` binding is NOT enough here — projection
+    collapse inlines the column into all 128 permutation branches, so the
+    whole split/shingle/hash pipeline re-runs per constant (measured 12 s
+    for 2.5k docs at sf0.1 vs ~1 s let-bound; `minhash_lsh_pairs` dodges
+    the same collapse with its load-bearing persist).
     """
     rows_per_band = n_hashes // bands
     consts = _perm_constants(n_hashes, seed)
-    ga = document_grams(df, text_col, id_col, n, doc_partitions).withColumn(
-        "_hs", F.expr(f"transform(grams, g -> abs(xxhash64(g)) % {_MERSENNE}L)")
-    )
+    ga = document_grams(df, text_col, id_col, n, doc_partitions)
     consts_sql = "array(" + ",".join(f"array({a}L,{b}L)" for a, b in consts) + ")"
+    hs_sql = f"transform(grams, g -> abs(xxhash64(g)) % {_MERSENNE}L)"
     sig_sql = (
         f"transform({consts_sql}, c -> "
-        f"array_min(transform(_hs, h -> (h * c[0] + c[1]) % {_MERSENNE}L)))"
+        f"array_min(transform(hs0, h -> (h * c[0] + c[1]) % {_MERSENNE}L)))"
     )
     both_sql = (
+        f"transform(array({hs_sql}), hs0 -> "
         f"transform(array({sig_sql}), s -> named_struct("
         f"'sig', s, "
         f"'bands', transform(sequence(0, {bands - 1}), "
         f"b -> xxhash64(slice(s, b * {rows_per_band} + 1, {rows_per_band})))))[0]"
+        f")[0]"
     )
     return ga.select("doc_id", F.expr(both_sql).alias("_mh")).select(
         "doc_id", F.col("_mh.sig").alias("sig"), F.col("_mh.bands").alias("bands")

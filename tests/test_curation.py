@@ -309,3 +309,42 @@ def test_incremental_update_example_composes(spark, sf_dir):
     assert m["changelog"].where(F.col("op") != "I").count() == 0
     assert m["applied"].count() == nxt.count()
     assert m["history"].where(~F.col("is_current")).count() == 0
+
+
+def test_incremental_neardup_matches_single_pass_query(spark, sf_dir):
+    """The per-batch operator (`incremental_neardup` fed batch 0's folded
+    index) and the registered query's single-pass shape (one corpus-wide
+    feature/pair computation, batch-restricted) must make identical
+    keep/drop decisions — the equivalence stream_neardup_minhash's
+    docstring asserts."""
+    import importlib.util
+
+    from hiss_cube_spark.operators.curation import incremental_neardup
+
+    spec = importlib.util.spec_from_file_location(
+        "entry_eq", "/root/repo/__spark_entry__.py"
+    )
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+        F.size(F.split("text", " ")) >= 3
+    )
+    b0 = d.where(F.col("doc_id") % 2 == 0)
+    b1 = d.where(F.col("doc_id") % 2 == 1)
+    sig0 = spark.createDataFrame([], "doc_id long, sig array<bigint>")
+    band0 = spark.createDataFrame([], "band_id int, band_hash bigint, doc_id long")
+    s0 = incremental_neardup(b0, sig0, band0, threshold=0.5)
+    s0 = s0.localCheckpoint(eager=True)
+    sig1 = s0.select("doc_id", "sig")
+    band1 = s0.select(
+        "doc_id", F.posexplode("bands").alias("band_id", "band_hash")
+    ).select("band_id", "band_hash", "doc_id")
+    s1 = incremental_neardup(b1, sig1, band1, threshold=0.5)
+    op_ids = {r["doc_id"] for r in s0.select("doc_id").collect()} | {
+        r["doc_id"] for r in s1.select("doc_id").collect()
+    }
+
+    q = m.queries()["stream_neardup_minhash"](spark, sf_dir)
+    q_ids = {r["doc_id"] for r in q.collect()}
+    assert op_ids == q_ids
