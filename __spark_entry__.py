@@ -4413,6 +4413,39 @@ def cur_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_filter(_t(spark, sf_dir, "documents"))
 
 
+@_q("text_bpe_tokens")
+def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-trained BPE tokenization, rows-only: learn 100 merges from a
+    bounded hash-ordered document sample (driver-side, the PQ-codebook
+    precedent — BPE training is inherently sequential), broadcast the
+    merge-rank table, count true BPE tokens per document with the
+    Arrow-batched cached encoder, and report per-lang token fertility.
+    Training+apply are fully deterministic (lexicographic merge
+    tie-breaks); the algorithm itself is not SQL-expressible, so the
+    pinned unit tests (tests/test_curation.py) carry the semantics:
+    hand-computed merges on a toy corpus, the zero-merge token law
+    (chars+words), monotone shrink with merge count, and segmentation
+    roundtrip."""
+    from hiss_cube_spark.operators.tokenizer import bpe_token_counts, train_bpe
+
+    d = _t(spark, sf_dir, "documents")
+    merges = train_bpe(d, n_merges=100, sample_docs=2000)
+    counts = bpe_token_counts(d, merges)
+    return (
+        counts.join(d.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("total_words"),
+            F.sum("n_bpe_tokens").alias("total_bpe_tokens"),
+        )
+        .withColumn(
+            "fertility",
+            F.round(F.col("total_bpe_tokens") / F.col("total_words"), 6),
+        )
+    )
+
+
 @_q(
     "cur_full_pipeline",
     """
@@ -5108,7 +5141,7 @@ _CHECK_PRIORITY = [
     # --- remaining never-checked, for the next rotation ---
     "dedup_substring_spans", "text_simpson_diversity", "cur_mix_weights",
     "stream_dedup_first", "stream_neardup_minhash", "mm_phash_neardup",
-    "ann_ivf_pq_topk",
+    "ann_ivf_pq_topk", "text_bpe_tokens",
     "p_variant_props", "q_recursive_cte", "viz_cube_union",
     "o1_zorder_clustering", "w_funnel_stages", "w_cohort_retention",
     "a_median_quartiles", "o_global_topk", "a_pivot_flags",

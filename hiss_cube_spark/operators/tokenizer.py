@@ -1,0 +1,215 @@
+"""Byte-pair-encoding tokenizer: sample-trained merge table, distributed
+apply — the canonical LLM-pipeline tokenization step (Sennrich et al. 2016),
+in the shape a 100 TB corpus needs.
+
+Training is inherently sequential (each merge depends on the pair counts
+after the previous one), so it runs driver-side on a BOUNDED deterministic
+sample — the same discipline as the PQ codebooks (`similarity.pq_topk`) and
+the sampled bigram LM: the merge table is a model, not a per-row result,
+and a few thousand documents pin it. Application is the distributed side:
+the merge-rank table broadcasts (a merge table is ~vocab-size entries, KBs)
+and an Arrow-batched pandas UDF encodes each partition with a per-batch
+word cache — natural-language word frequency is Zipfian, so the cache hits
+>90% and the per-row cost is a dict lookup, not a merge loop.
+
+Everything is deterministic: the sample is hash-ordered, merge ties break
+by (count desc, pair lexicographic), and the apply is a pure function of
+(text, merges) — re-runs and repartitionings produce identical token
+counts, the property data splits and dedup fingerprints rely on.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+__all__ = ["train_bpe", "bpe_token_counts", "bpe_encode_words"]
+
+_END = "</w>"  # end-of-word marker, standard BPE word boundary symbol
+
+
+def _word_freqs(
+    df: DataFrame, text_col: str, sample_docs: int, id_col: str
+) -> list[tuple[str, int]]:
+    """Word frequencies of a deterministic bounded sample, driver-side.
+
+    The collect is capped by construction (``sample_docs`` documents,
+    distinct words only) — the same bounded-model exception as the PQ
+    codebook sample.
+    """
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: F.length(t) > 0)
+    rows = (
+        df.select(F.col(id_col).alias("_i"), toks.alias("_t"))
+        .orderBy("_i")
+        .limit(sample_docs)
+        .select(F.explode("_t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    return [(r["w"], int(r["c"])) for r in rows]
+
+
+def train_bpe(
+    df: DataFrame,
+    n_merges: int = 200,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sample_docs: int = 10_000,
+) -> list[tuple[str, str]]:
+    """Learn ``n_merges`` BPE merges from a bounded corpus sample.
+
+    Classic greedy training over the word-frequency table: every word is a
+    symbol sequence (characters + ``</w>``); each round merges the most
+    frequent adjacent symbol pair (ties: lexicographically smallest pair —
+    deterministic across runs and platforms). Returns the ordered merge
+    list; feed it to `bpe_token_counts` / `bpe_encode_words`.
+    """
+    freqs = _word_freqs(df, text_col, sample_docs, id_col)
+    words: dict[tuple[str, ...], int] = {}
+    for w, c in freqs:
+        sym = tuple(w) + (_END,)
+        words[sym] = words.get(sym, 0) + c
+
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pair_counts: Counter = Counter()
+        for sym, c in words.items():
+            for i in range(len(sym) - 1):
+                pair_counts[(sym[i], sym[i + 1])] += c
+        if not pair_counts:
+            break
+        # deterministic tie-break: highest count, then lexicographically
+        # smallest pair
+        top = max(pair_counts.values())
+        a, b = min(p for p, c in pair_counts.items() if c == top)
+        if top < 2:
+            break  # nothing repeats; further merges are noise
+        merges.append((a, b))
+        ab = a + b
+        nxt: dict[tuple[str, ...], int] = {}
+        for sym, c in words.items():
+            out = []
+            i = 0
+            while i < len(sym):
+                if i < len(sym) - 1 and sym[i] == a and sym[i + 1] == b:
+                    out.append(ab)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            t = tuple(out)
+            nxt[t] = nxt.get(t, 0) + c
+        words = nxt
+    return merges
+
+
+def _encode_word(word: str, ranks: dict[tuple[str, str], int]) -> int:
+    """Number of BPE symbols for one word under the merge-rank table."""
+    sym = list(word) + [_END]
+    while len(sym) > 1:
+        best_rank = None
+        best_i = -1
+        for i in range(len(sym) - 1):
+            r = ranks.get((sym[i], sym[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_rank is None:
+            break
+        sym[best_i : best_i + 2] = [sym[best_i] + sym[best_i + 1]]
+    return len(sym)
+
+
+def bpe_token_counts(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, n_words, n_bpe_tokens) under a trained merge table.
+
+    The merge ranks broadcast; each Arrow batch keeps a word→length cache
+    (Zipfian repetition makes this the dominant path), so the per-row cost
+    is one dict probe per word. This is the token-budget pass every
+    curation/packing stage needs; at 100 TB it is a linear map over the
+    scan with no shuffle.
+    """
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(
+        {pair: i for i, pair in enumerate(merges)}
+    )
+
+    @pandas_udf("long")
+    def _n_bpe(texts: pd.Series) -> pd.Series:
+        ranks = bc.value
+        cache: dict[str, int] = {}
+        out = []
+        for t in texts:
+            total = 0
+            for w in (t or "").split(" "):
+                if not w:
+                    continue
+                n = cache.get(w)
+                if n is None:
+                    n = _encode_word(w, ranks)
+                    cache[w] = n
+                total += n
+            out.append(total)
+        return pd.Series(out, dtype="int64")
+
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: F.length(t) > 0)
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).cast("long").alias("n_words"),
+        _n_bpe(F.col(text_col)).alias("n_bpe_tokens"),
+    )
+
+
+def bpe_encode_words(
+    words: DataFrame,
+    merges: list[tuple[str, str]],
+    word_col: str = "w",
+) -> DataFrame:
+    """(w, pieces array<string>) — full BPE segmentation per distinct word.
+
+    The vocabulary-analysis companion to `bpe_token_counts` (which only
+    needs lengths): run it on the DISTINCT word table, never the corpus —
+    segmentations per occurrence would shuffle text-sized data for a
+    Zipf-redundant answer.
+    """
+    spark = words.sparkSession
+    bc = spark.sparkContext.broadcast(
+        {pair: i for i, pair in enumerate(merges)}
+    )
+
+    @pandas_udf("array<string>")
+    def _pieces(ws: pd.Series) -> pd.Series:
+        ranks = bc.value
+        out = []
+        for w in ws:
+            sym = list(w or "") + [_END]
+            while len(sym) > 1:
+                best_rank = None
+                best_i = -1
+                for i in range(len(sym) - 1):
+                    r = ranks.get((sym[i], sym[i + 1]))
+                    if r is not None and (best_rank is None or r < best_rank):
+                        best_rank, best_i = r, i
+                if best_rank is None:
+                    break
+                sym[best_i : best_i + 2] = [sym[best_i] + sym[best_i + 1]]
+            out.append(sym)
+        return pd.Series(out)
+
+    return words.select(
+        F.col(word_col).alias("w"), _pieces(F.col(word_col)).alias("pieces")
+    )
+
+
+from hiss_cube_spark._serde import register_self as _register_self  # noqa: E402
+
+_register_self(__name__)

@@ -348,3 +348,66 @@ def test_incremental_neardup_matches_single_pass_query(spark, sf_dir):
     q = m.queries()["stream_neardup_minhash"](spark, sf_dir)
     q_ids = {r["doc_id"] for r in q.collect()}
     assert op_ids == q_ids
+
+
+def test_bpe_train_hand_checked_merges_and_counts(spark):
+    """Toy corpus with hand-derivable merge order and token counts."""
+    from hiss_cube_spark.operators.tokenizer import (
+        bpe_encode_words,
+        bpe_token_counts,
+        train_bpe,
+    )
+
+    # words: "aa" x3, "aab" x1  (one doc per row)
+    docs = spark.createDataFrame(
+        [(0, "aa aa"), (1, "aa aab")], "doc_id long, text string"
+    )
+    # pair counts round 1: (a,a)=4, (a,</w>)=3, (a,b)=1, (b,</w>)=1 -> merge (a,a)
+    # round 2: symbols "aa </w>" x3, "aa b </w>": (aa,</w>)=3, (aa,b)=1,
+    #          (b,</w>)=1 -> merge (aa,</w>)
+    merges = train_bpe(docs, n_merges=2, sample_docs=10)
+    assert merges == [("a", "a"), ("aa", "</w>")]
+
+    # "aa" -> ["aa</w>"] = 1 token; "aab" -> ["aa","b","</w>"] = 3 tokens
+    out = {r["doc_id"]: r for r in bpe_token_counts(docs, merges).collect()}
+    assert (out[0]["n_words"], out[0]["n_bpe_tokens"]) == (2, 2)
+    assert (out[1]["n_words"], out[1]["n_bpe_tokens"]) == (2, 4)
+
+    words = spark.createDataFrame([("aa",), ("aab",), ("ba",)], "w string")
+    pieces = {r["w"]: r["pieces"] for r in bpe_encode_words(words, merges).collect()}
+    assert pieces["aa"] == ["aa</w>"]
+    assert pieces["aab"] == ["aa", "b", "</w>"]
+    assert pieces["ba"] == ["b", "a", "</w>"]  # no applicable merge
+    # segmentation roundtrip: concatenated pieces spell word + </w>
+    for w, ps in pieces.items():
+        assert "".join(ps) == w + "</w>"
+
+
+def test_bpe_token_law_and_monotonicity(spark, sf_dir):
+    """Zero merges => n_bpe_tokens == chars-in-words + n_words (each word is
+    its characters plus the </w> marker); more merges never increase the
+    token count."""
+    from hiss_cube_spark.operators.tokenizer import bpe_token_counts, train_bpe
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    base = bpe_token_counts(docs, [])
+    chars = docs.select(
+        F.col("doc_id"),
+        F.aggregate(
+            F.filter(F.split("text", " "), lambda t: F.length(t) > 0),
+            F.lit(0),
+            lambda acc, w: acc + F.length(w) + 1,
+        ).alias("expect"),
+    )
+    bad = base.join(chars, "doc_id").where(F.col("n_bpe_tokens") != F.col("expect"))
+    assert bad.count() == 0
+
+    m50 = train_bpe(docs, n_merges=50, sample_docs=50)
+    m100 = train_bpe(docs, n_merges=100, sample_docs=50)
+    assert m100[:50] == m50  # greedy training is prefix-stable
+    t50 = bpe_token_counts(docs, m50).withColumnRenamed("n_bpe_tokens", "t50")
+    t100 = bpe_token_counts(docs, m100).withColumnRenamed("n_bpe_tokens", "t100")
+    grew = t50.join(t100.select("doc_id", "t100"), "doc_id").where(
+        F.col("t100") > F.col("t50")
+    )
+    assert grew.count() == 0
