@@ -4972,6 +4972,112 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "graph_triangles",
+    """
+    WITH e0 AS MATERIALIZED (
+      SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      WHERE c.c_nationkey <> s.s_nationkey),
+    und AS (SELECT src AS a, dst AS b FROM e0
+            UNION SELECT dst, src FROM e0),
+    r AS MATERIALIZED (SELECT a, b FROM und WHERE a < b),
+    tri AS (
+      SELECT w1.a AS x, w1.b AS y, w2.b AS z
+      FROM r w1 JOIN r w2 ON w1.b = w2.a
+                JOIN r w3 ON w3.a = w1.a AND w3.b = w2.b),
+    corners AS (SELECT x AS node FROM tri
+                UNION ALL SELECT y FROM tri
+                UNION ALL SELECT z FROM tri)
+    SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+    FROM corners GROUP BY node
+    """,
+)
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the nation trade graph — the clustering
+    workload next to PageRank (`graph.triangle_count`, compact-forward: one
+    orientation pass + two self-equi-joins; `orient="degree"` is the
+    power-law skew armor, the oracle pins the deterministic id
+    orientation)."""
+    from hiss_cube_spark.operators.graph import triangle_count
+
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    edges = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .where(F.col("c_nationkey") != F.col("s_nationkey"))
+        .select(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .distinct()
+    )
+    return triangle_count(edges, orient="id")
+
+
+@_q(
+    "dq_outliers",
+    """
+    WITH e AS (
+      SELECT user_id,
+             CAST(round(value * 100) AS DECIMAL(18,0)) AS xq
+      FROM events),
+    st AS (
+      SELECT user_id,
+             CAST(count(*) AS DECIMAL(18,0)) AS n,
+             CAST(sum(xq) AS DECIMAL(38,0)) AS s1,
+             CAST(sum(xq * xq) AS DECIMAL(38,0)) AS s2
+      FROM e GROUP BY user_id),
+    flags AS (
+      SELECT e.user_id,
+             CASE WHEN (st.n * e.xq - st.s1) * (st.n * e.xq - st.s1)
+                       > 4 * (st.n * st.s2 - st.s1 * st.s1)
+                  THEN 1 ELSE 0 END AS is_out
+      FROM e JOIN st ON e.user_id = st.user_id)
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(is_out) AS BIGINT) AS n_outliers
+    FROM flags GROUP BY user_id
+    """,
+)
+def dq_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user 2-sigma outlier counts over event values — the anomaly gate
+    of the data-quality family, in EXACT integer arithmetic: values
+    quantize to cents and the z-test rearranges to
+    (n*x - s1)^2 > k^2 * (n*s2 - s1^2), all DECIMAL — no float mean, no
+    sqrt, no cross-engine rounding surface at all (the same
+    integer-closed-form discipline as `ts_ewma`). Scale shape: one
+    grouped aggregation + one broadcast-back join; both sides shuffle by
+    user_id once."""
+    e = _events(spark, sf_dir).select(
+        "user_id", F.round(F.col("value") * 100).cast("decimal(18,0)").alias("xq")
+    )
+    st = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("decimal(18,0)").alias("n"),
+        F.sum("xq").cast("decimal(38,0)").alias("s1"),
+        F.sum(F.col("xq") * F.col("xq")).cast("decimal(38,0)").alias("s2"),
+    )
+    j = e.join(st, "user_id")
+    dev = F.col("n") * F.col("xq") - F.col("s1")
+    is_out = F.when(
+        dev * dev > F.lit(4) * (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")),
+        1,
+    ).otherwise(0)
+    return (
+        j.withColumn("is_out", is_out)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("is_out").alias("n_outliers"),
+        )
+    )
+
+
+@_q(
     "j_bloom_prune",
     """
     SELECT s.s_nationkey, CAST(count(*) AS BIGINT) AS n_items,
@@ -5141,7 +5247,7 @@ _CHECK_PRIORITY = [
     # --- remaining never-checked, for the next rotation ---
     "dedup_substring_spans", "text_simpson_diversity", "cur_mix_weights",
     "stream_dedup_first", "stream_neardup_minhash", "mm_phash_neardup",
-    "ann_ivf_pq_topk", "text_bpe_tokens",
+    "ann_ivf_pq_topk", "text_bpe_tokens", "graph_triangles", "dq_outliers",
     "p_variant_props", "q_recursive_cte", "viz_cube_union",
     "o1_zorder_clustering", "w_funnel_stages", "w_cohort_retention",
     "a_median_quartiles", "o_global_topk", "a_pivot_flags",

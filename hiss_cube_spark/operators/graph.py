@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank"]
+__all__ = ["pagerank", "triangle_count"]
 
 
 def pagerank(
@@ -87,3 +87,57 @@ def pagerank(
             ).alias("rank"),
         )
     return ranks
+
+
+def triangle_count(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    orient: str = "id",
+) -> DataFrame:
+    """(node, n_triangles) for an undirected graph given as an edge list.
+
+    Compact-forward algorithm: undirect + dedupe the input, orient every
+    edge from the "smaller" endpoint to the larger so each triangle
+    {a,b,c} exists exactly once as the wedge a->b, b->c closed by a->c,
+    then count closed wedges with two self-equi-joins and credit each of
+    the three corners.
+
+    ``orient="id"`` orders endpoints by node id — deterministic and
+    oracle-reproducible in plain SQL. ``orient="degree"`` orders by
+    (degree, id): the classic skew armor — a hub of degree d generates
+    O(d^2) wedges under id ordering but only wedges among its
+    higher-degree neighbors under degree ordering, which bounds the join
+    fan-out by the graph's arboricity; same output, one extra degree
+    aggregation + join. Use it when the graph has power-law hubs (web
+    domains, citation graphs); the oracle pins the id variant.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).where(
+        F.col(src) != F.col(dst)
+    )
+    und = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    if orient == "degree":
+        deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("_d"))
+        ranked = (
+            und.join(deg.select("a", F.col("_d").alias("_da")), "a")
+            .join(
+                deg.select(F.col("a").alias("b"), F.col("_d").alias("_db")), "b"
+            )
+            .where(
+                (F.col("_da") < F.col("_db"))
+                | ((F.col("_da") == F.col("_db")) & (F.col("a") < F.col("b")))
+            )
+            .select("a", "b")
+        )
+    else:
+        ranked = und.where(F.col("a") < F.col("b"))
+    w1 = ranked.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    w2 = ranked.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    w3 = ranked.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = w1.join(w2, "y").join(w3, ["x", "z"]).select("x", "y", "z")
+    per_node = (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return per_node

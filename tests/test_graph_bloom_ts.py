@@ -229,3 +229,22 @@ def test_hll_sketch_accuracy_and_merge_invariance(spark):
         .head()["e"]
     )
     assert est1 == est2
+
+
+def test_triangle_count_hand_graph_and_degree_orientation(spark):
+    """K4 minus one edge: nodes 1-2-3-4 with edges forming two triangles
+    (1,2,3) and (1,3,4); per-node counts 1:2, 2:1, 3:2, 4:1. The degree
+    orientation must agree with the id orientation on every node."""
+    from hiss_cube_spark.operators.graph import triangle_count
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (1, 4), (2, 1)],  # dup direction too
+        "src long, dst long",
+    )
+    by_id = {r["node"]: r["n_triangles"] for r in triangle_count(edges).collect()}
+    assert by_id == {1: 2, 2: 1, 3: 2, 4: 1}
+    by_deg = {
+        r["node"]: r["n_triangles"]
+        for r in triangle_count(edges, orient="degree").collect()
+    }
+    assert by_deg == by_id
