@@ -4413,6 +4413,44 @@ def cur_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_filter(_t(spark, sf_dir, "documents"))
 
 
+@_q("stream_ann_refresh")
+def stream_ann_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed ANN refresh, rows-only: IVF centroids trained ONCE on the
+    initial corpus (even vec_ids, bounded sample), the second embedding
+    wave assigned to the FROZEN cells — the `streaming.stream_ivf_refresh`
+    batch shape, where refresh means append-with-assignment, never
+    retrain. Output: per-cell occupancy of both waves plus the drift
+    signal (share of wave-2 mass per cell) that tells an operator when a
+    rebuild is due. The streaming tests drive the same assignment through
+    checkpointed micro-batches into the partition-pruned on-disk index."""
+    from hiss_cube_spark.streaming.ann_index import assign_cells, train_ivf_centroids
+
+    vecs = _t(spark, sf_dir, "embeddings")
+    wave0 = vecs.where(F.col("vec_id") % 2 == 0)
+    wave1 = vecs.where(F.col("vec_id") % 2 == 1)
+    cents = train_ivf_centroids(wave0, n_cells=8, sample_rows=1024)
+    a0 = assign_cells(wave0, cents).groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_wave0")
+    )
+    a1 = assign_cells(wave1, cents).groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_wave1")
+    )
+    return (
+        a0.join(a1, "cell", "full_outer")
+        .select(
+            "cell",
+            F.coalesce("n_wave0", F.lit(0)).alias("n_wave0"),
+            F.coalesce("n_wave1", F.lit(0)).alias("n_wave1"),
+        )
+        .withColumn(
+            "wave1_share",
+            F.round(
+                F.col("n_wave1") / (F.col("n_wave0") + F.col("n_wave1")), 6
+            ),
+        )
+    )
+
+
 @_q("text_bpe_tokens")
 def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sample-trained BPE tokenization, rows-only: learn 100 merges from a
@@ -5248,6 +5286,7 @@ _CHECK_PRIORITY = [
     "dedup_substring_spans", "text_simpson_diversity", "cur_mix_weights",
     "stream_dedup_first", "stream_neardup_minhash", "mm_phash_neardup",
     "ann_ivf_pq_topk", "text_bpe_tokens", "graph_triangles", "dq_outliers",
+    "stream_ann_refresh",
     "p_variant_props", "q_recursive_cte", "viz_cube_union",
     "o1_zorder_clustering", "w_funnel_stages", "w_cohort_retention",
     "a_median_quartiles", "o_global_topk", "a_pivot_flags",

@@ -6,6 +6,11 @@ streaming semantics."""
 
 from hiss_cube_spark.streaming.joins import interval_event_join
 from hiss_cube_spark.streaming.link import stream_crossmatch
+from hiss_cube_spark.streaming.ann_index import (
+    query_ivf_index,
+    stream_ivf_refresh,
+    train_ivf_centroids,
+)
 from hiss_cube_spark.streaming.neardup import (
     init_neardup_index,
     stream_neardup_minhash,
@@ -26,4 +31,7 @@ __all__ = [
     "interval_event_join",
     "init_neardup_index",
     "stream_neardup_minhash",
+    "train_ivf_centroids",
+    "stream_ivf_refresh",
+    "query_ivf_index",
 ]

@@ -478,3 +478,57 @@ def test_stream_neardup_minhash_lands_neardeduped_corpus(spark, tmp_path_factory
     idx = spark.read.parquet(index)
     assert idx.where(F.col("kind") == "sig").count() == 3
     assert idx.where(F.col("kind") == "band").count() == 3 * 32
+
+
+def test_stream_ivf_refresh_builds_prunable_index(spark, tmp_path_factory, sf_dir):
+    """Two embedding micro-batches land into the partitioned IVF index;
+    assignments match the batch operator, a known vector finds itself at
+    rank 1, and the probed-cell filter reaches the scan as a partition
+    filter."""
+    import os
+
+    from hiss_cube_spark.streaming.ann_index import (
+        assign_cells,
+        query_ivf_index,
+        stream_ivf_refresh,
+        train_ivf_centroids,
+    )
+
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = train_ivf_centroids(vecs, n_cells=8, sample_rows=256)
+
+    src = str(tmp_path_factory.mktemp("ivf_src"))
+    index = str(tmp_path_factory.mktemp("ivf_index")) + "/idx"
+    ckpt = str(tmp_path_factory.mktemp("ivf_ckpt"))
+    vecs.where(F.col("vec_id") % 2 == 0).coalesce(1).write.mode("overwrite").parquet(src)
+    vecs.where(F.col("vec_id") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(vecs.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = stream_ivf_refresh(stream, index, cents, ckpt)
+    q.awaitTermination(120)
+
+    landed = spark.read.parquet(index)
+    assert landed.count() == vecs.count()
+    # streamed assignments == batch operator assignments
+    want = {
+        (r["vec_id"], r["cell"])
+        for r in assign_cells(vecs, cents).select("vec_id", "cell").collect()
+    }
+    got = {(r["vec_id"], r["cell"]) for r in landed.select("vec_id", "cell").collect()}
+    assert got == want
+
+    queries = vecs.where(F.col("vec_id") % 97 == 0).limit(5)
+    topk = query_ivf_index(spark, index, queries, k=3, centroids=cents, n_probe=2)
+    plan = topk._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters", 1)[1][:200]
+    rows = topk.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    # every probed query returns k neighbors with descending cosine
+    for qid, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == [1, 2, 3]
+        assert rs[0]["cosine"] >= rs[1]["cosine"] >= rs[2]["cosine"]
