@@ -1826,6 +1826,52 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "rank", "neighbor_id", _r6(F.col("cosine")).alias("cosine"))
 
 
+@_q(
+    "emb_hard_negatives",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, label AS ql, embedding AS qv
+               FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id AS neighbor_id, label AS neg_label, embedding AS cv
+          FROM embeddings),
+    {_SQL_EMB_NORMS},
+    dots AS (
+      SELECT q.query_id, c.neighbor_id, c.neg_label,
+             CAST(sum(CAST(floor(CAST(q.qv[g.i] AS DOUBLE) * CAST(c.cv[g.i] AS DOUBLE)
+                  * 1e12) AS BIGINT)) AS BIGINT) / 1e12 AS dot
+      FROM q, c, unnest(generate_series(1, len(q.qv))) g(i)
+      WHERE q.query_id != c.neighbor_id AND q.ql != c.neg_label
+      GROUP BY q.query_id, c.neighbor_id, c.neg_label),
+    sims AS (
+      SELECT query_id, neighbor_id, neg_label,
+             dot / (sqrt(nq.nrm) * sqrt(nc.nrm)) AS cosine
+      FROM dots JOIN norms nq ON nq.vec_id = query_id
+                JOIN norms nc ON nc.vec_id = neighbor_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, neg_label, cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM sims)
+    SELECT query_id, rank, neighbor_id, neg_label, round(cosine, 6) AS cosine
+    FROM ranked WHERE rank <= 3
+    """,
+)
+def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining: per anchor, the 3 most-similar
+    vectors carrying a DIFFERENT label (`similarity.hard_negatives` —
+    cosine_topk's data flow with the label-mismatch predicate pushed into
+    the broadcast join). Exact quantized dot products, same cross-engine
+    discipline as ann_cosine_topk."""
+    from hiss_cube_spark.operators.similarity import hard_negatives
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 10)
+    out = hard_negatives(q, e, k=3, exact=True)
+    return out.select(
+        "query_id", "rank", "neighbor_id", "neg_label",
+        _r6(F.col("cosine")).alias("cosine"),
+    )
+
+
 @_q("ann_lsh_topk")
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate LSH-bucketed top-k (rows-only check: recall is
@@ -5286,7 +5332,7 @@ _CHECK_PRIORITY = [
     "dedup_substring_spans", "text_simpson_diversity", "cur_mix_weights",
     "stream_dedup_first", "stream_neardup_minhash", "mm_phash_neardup",
     "ann_ivf_pq_topk", "text_bpe_tokens", "graph_triangles", "dq_outliers",
-    "stream_ann_refresh",
+    "stream_ann_refresh", "emb_hard_negatives",
     "p_variant_props", "q_recursive_cte", "viz_cube_union",
     "o1_zorder_clustering", "w_funnel_stages", "w_cohort_retention",
     "a_median_quartiles", "o_global_topk", "a_pivot_flags",

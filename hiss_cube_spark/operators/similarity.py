@@ -30,6 +30,7 @@ from pyspark.sql.window import Window
 from hiss_cube_spark.functions.arrays import array_dot, array_l2_norm
 
 __all__ = [
+    "hard_negatives",
     "cosine_topk", "cosine_pairs", "cosine_pairs_blocked", "lsh_bucketed_topk",
     "cosine_expr", "pq_topk", "ivf_topk", "ivf_pq_topk",
     "semantic_dedup",
@@ -105,6 +106,57 @@ def cosine_topk(
         sim.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
+def hard_negatives(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    label_col: str = "label",
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    exact: bool = False,
+) -> DataFrame:
+    """Top-k most-similar corpus vectors with a DIFFERENT label per query —
+    contrastive-training hard-negative mining (the pairs that teach an
+    embedding model the most, Robinson et al. 2021).
+
+    Same data flow as `cosine_topk` (broadcast queries, rank within query,
+    deterministic id tie-break) with the label-mismatch predicate pushed
+    into the join, so same-label candidates never reach the ranking window.
+    At scale, swap the brute-force join for the IVF/LSH candidate stage and
+    keep this label predicate on the probe join — the mining semantics
+    stay identical.
+    """
+
+    def _norm(v: Column) -> Column:
+        return F.sqrt(_dot_exact(v, v)) if exact else array_l2_norm(v)
+
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(label_col).alias("_ql"),
+        F.col(vec_col).alias("_qv"),
+        _norm(F.col(vec_col)).alias("_qn"),
+    )
+    c = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"),
+        F.col(label_col).alias("neg_label"),
+        F.col(vec_col).alias("_cv"),
+        _norm(F.col(vec_col)).alias("_cn"),
+    )
+    dot = _dot_exact(F.col("_qv"), F.col("_cv")) if exact else array_dot(F.col("_qv"), F.col("_cv"))
+    sim = c.join(
+        F.broadcast(q),
+        (F.col("query_id") != F.col("neighbor_id"))
+        & (F.col("_ql") != F.col("neg_label")),
+    ).withColumn("cosine", dot / (F.col("_qn") * F.col("_cn")))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "neg_label", "cosine")
     )
 
 

@@ -210,3 +210,25 @@ def test_semantic_dedup_drops_planted_neardups(spark):
     survivors = [i for i in kept if i >= 100]
     assert len(survivors) <= 2, survivors
     assert set(range(20)) <= kept  # originals all keep (min id per cluster)
+
+
+def test_hard_negatives_excludes_same_label(spark):
+    from hiss_cube_spark.operators.similarity import cosine_topk, hard_negatives
+
+    # two tight clusters per label: nearest overall neighbor shares the
+    # label, so hard_negatives must skip it and surface the cross-label one
+    rows = [
+        (0, "a", [1.0, 0.0, 0.0]),
+        (1, "a", [0.99, 0.01, 0.0]),   # same-label near-dup of 0
+        (2, "b", [0.9, 0.1, 0.0]),     # closest cross-label vector to 0
+        (3, "b", [0.0, 1.0, 0.0]),
+        (4, "c", [0.0, 0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, label string, embedding array<float>")
+    q = df.where(F.col("vec_id") == 0)
+    out = hard_negatives(q, df, k=2).collect()
+    assert [r["neighbor_id"] for r in out] == [2, 3]
+    assert all(r["neg_label"] != "a" for r in out)
+    # sanity: plain cosine_topk would have ranked the same-label vec 1 first
+    plain = cosine_topk(q, df.where(F.col("vec_id") != 0), k=1).collect()
+    assert plain[0]["neighbor_id"] == 1
