@@ -2765,6 +2765,63 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "text_bm25_topk",
+    """
+    WITH toks AS (
+      SELECT doc_id, t.tok AS token
+      FROM documents, unnest(string_split(text, ' ')) t(tok)
+      WHERE len(t.tok) > 0),
+    per_doc AS (
+      SELECT doc_id, count(*) AS dl,
+             sum(CASE WHEN token = 'vector' THEN 1 ELSE 0 END) AS tf0,
+             sum(CASE WHEN token = 'stream' THEN 1 ELSE 0 END) AS tf1,
+             sum(CASE WHEN token = 'join'   THEN 1 ELSE 0 END) AS tf2
+      FROM toks GROUP BY 1),
+    stats AS (
+      SELECT count(*) AS nd, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+             sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+             sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+             sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+      FROM per_doc),
+    s AS (
+      SELECT doc_id,
+          CAST(floor(ln(1.0 + (nd - df0 + 0.5)/(df0 + 0.5))
+               * CAST(tf0 AS DOUBLE) * (1.2 + 1.0)
+               / (CAST(tf0 AS DOUBLE) + (1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)))
+               * 1e6) AS BIGINT)
+        + CAST(floor(ln(1.0 + (nd - df1 + 0.5)/(df1 + 0.5))
+               * CAST(tf1 AS DOUBLE) * (1.2 + 1.0)
+               / (CAST(tf1 AS DOUBLE) + (1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)))
+               * 1e6) AS BIGINT)
+        + CAST(floor(ln(1.0 + (nd - df2 + 0.5)/(df2 + 0.5))
+               * CAST(tf2 AS DOUBLE) * (1.2 + 1.0)
+               / (CAST(tf2 AS DOUBLE) + (1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)))
+               * 1e6) AS BIGINT) AS score_q
+      FROM per_doc, stats),
+    rk AS (
+      SELECT doc_id, score_q,
+             row_number() OVER (ORDER BY score_q DESC, doc_id) AS rank
+      FROM s WHERE score_q > 0)
+    SELECT doc_id, CAST(rank AS BIGINT) AS rank,
+           round(score_q / 1e6, 6) AS score
+    FROM rk WHERE rank <= 10
+    """,
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 for the query {vector, stream, join} (k1=1.2,
+    b=0.75) — lexical ranked retrieval over the corpus. Per-term
+    contributions are floor-quantized to longs before summation so the
+    rank key is an order-independent integer; one doc-keyed groupBy with
+    conditional tf aggregates is the only big shuffle (no postings join),
+    and the top-k is a heap, not a sort."""
+    from hiss_cube_spark.operators.text_analysis import bm25_topk
+
+    return bm25_topk(
+        _t(spark, sf_dir, "documents"), terms=["vector", "stream", "join"], k=10
+    )
+
+
+@_q(
     "cur_temperature_sample",
     """
     WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
@@ -5332,7 +5389,7 @@ _CHECK_PRIORITY = [
     "dedup_substring_spans", "text_simpson_diversity", "cur_mix_weights",
     "stream_dedup_first", "stream_neardup_minhash", "mm_phash_neardup",
     "ann_ivf_pq_topk", "text_bpe_tokens", "graph_triangles", "dq_outliers",
-    "stream_ann_refresh", "emb_hard_negatives",
+    "stream_ann_refresh", "emb_hard_negatives", "text_bm25_topk",
     "p_variant_props", "q_recursive_cte", "viz_cube_union",
     "o1_zorder_clustering", "w_funnel_stages", "w_cohort_retention",
     "a_median_quartiles", "o_global_topk", "a_pivot_flags",

@@ -21,6 +21,7 @@ __all__ = [
     "repetition_score",
     "token_frequencies",
     "tfidf_top_terms",
+    "bm25_topk",
     "bigram_lm_score",
     "linear_model_score",
 ]
@@ -269,6 +270,81 @@ def tfidf_top_terms(
             "rnk",
             F.round(F.col("score_q") / F.lit(1e6), 6).alias("score"),
         )
+    )
+
+
+def bm25_topk(
+    df: DataFrame,
+    terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Okapi BM25 ranked retrieval: top-``k`` documents for a bag-of-terms
+    query (Robertson & Spärck Jones; the lexical-search baseline every
+    RAG / corpus-search stack needs next to the ANN path).
+
+    idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5)); per-term contribution
+    tf·(k1+1)/(tf + k1·(1 − b + b·dl/avgdl)) — with tf = 0 the numerator
+    zeroes the term, so no conditional is needed. Each term's contribution
+    is floor-quantized to a long BEFORE the sum, so the total is an
+    order-independent integer and ranking is bit-identical across engines.
+
+    Plan shape (100 TB-safe): ONE exploded pass feeds a single doc-keyed
+    groupBy computing dl and every per-term tf as conditional aggregates —
+    no (doc, term) shuffle, no joins against a postings table. Corpus
+    stats (N, avgdl, per-term df) reduce that table to one broadcast row.
+    The top-k is orderBy+limit (per-partition heap, driver merge of k),
+    and the rank window runs over only the k survivors.
+    """
+    from functools import reduce
+    from operator import add
+
+    from pyspark.sql.window import Window
+
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokenize(F.col(text_col))).alias("token"),
+    )
+    aggs = [F.count(F.lit(1)).alias("dl")]
+    for i, t in enumerate(terms):
+        aggs.append(F.sum((F.col("token") == t).cast("long")).alias(f"tf{i}"))
+    per_doc = toks.groupBy("doc_id").agg(*aggs)
+
+    stat_aggs = [
+        F.count(F.lit(1)).alias("nd"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    ]
+    for i in range(len(terms)):
+        stat_aggs.append(F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}"))
+    stats = per_doc.agg(*stat_aggs)
+
+    j = per_doc.crossJoin(F.broadcast(stats))
+    contribs = []
+    for i in range(len(terms)):
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("nd") - F.col(f"df{i}") + F.lit(0.5)) / (F.col(f"df{i}") + F.lit(0.5))
+        )
+        tf = F.col(f"tf{i}").cast("double")
+        denom = tf + (F.lit(k1) * (F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.col("avgdl")))
+        contribs.append(
+            F.floor(idf * tf * (F.lit(k1) + F.lit(1.0)) / denom * F.lit(1e6)).cast("long")
+        )
+    score_q = reduce(add, contribs)
+
+    top = (
+        j.select("doc_id", score_q.alias("score_q"))
+        .where(F.col("score_q") > 0)
+        .orderBy(F.desc("score_q"), F.asc("doc_id"))
+        .limit(k)
+    )
+    w = Window.orderBy(F.desc("score_q"), F.asc("doc_id"))
+    return (
+        top.withColumn("rank", F.row_number().over(w).cast("long"))
+        .select("doc_id", "rank", F.round(F.col("score_q") / F.lit(1e6), 6).alias("score"))
     )
 
 
