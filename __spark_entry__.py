@@ -1872,6 +1872,53 @@ def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "ann_sq_topk",
+    """
+    WITH dims AS (
+      SELECT g.i AS d,
+             min(CAST(embedding[g.i] AS DOUBLE)) AS mn,
+             max(CAST(embedding[g.i] AS DOUBLE)) AS mx
+      FROM embeddings, unnest(generate_series(1, len(embedding))) g(i)
+      GROUP BY 1),
+    codes AS (
+      SELECT vec_id, g.i AS d,
+             CASE WHEN dims.mx > dims.mn
+                  THEN least(255, CAST(floor((CAST(embedding[g.i] AS DOUBLE) - dims.mn)
+                                             / (dims.mx - dims.mn) * 256.0) AS BIGINT))
+                  ELSE 0 END AS c
+      FROM embeddings, unnest(generate_series(1, len(embedding))) g(i)
+      JOIN dims ON dims.d = g.i),
+    q AS (SELECT vec_id AS query_id, d, c FROM codes WHERE vec_id < 10),
+    dots AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             CAST(sum(q.c * c.c) AS BIGINT) AS dot_q
+      FROM q JOIN codes c USING (d)
+      WHERE c.vec_id != q.query_id
+      GROUP BY 1, 2),
+    rk AS (
+      SELECT query_id, neighbor_id, dot_q,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY dot_q DESC, neighbor_id) AS rank
+      FROM dots)
+    SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, dot_q
+    FROM rk WHERE rank <= 5
+    """,
+)
+def ann_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar-quantized ANN (`similarity.sq_topk`): corpus-trained
+    per-dim min/max grid, codes scored by INTEGER dot product — the one ANN
+    variant whose scores are exact to the bit in any engine, hence a full
+    value oracle (the float variants are rows-only by nature). 4× memory/IO
+    compression is the scale story; quantization is IEEE-exact sub/div/mul/
+    floor only."""
+    from hiss_cube_spark.operators.similarity import sq_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 10)
+    return sq_topk(q, e, k=5, dim=64)
+
+
 @_q("ann_lsh_topk")
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate LSH-bucketed top-k (rows-only check: recall is
@@ -5390,6 +5437,7 @@ _CHECK_PRIORITY = [
     "stream_dedup_first", "stream_neardup_minhash", "mm_phash_neardup",
     "ann_ivf_pq_topk", "text_bpe_tokens", "graph_triangles", "dq_outliers",
     "stream_ann_refresh", "emb_hard_negatives", "text_bm25_topk",
+    "ann_sq_topk",
     "p_variant_props", "q_recursive_cte", "viz_cube_union",
     "o1_zorder_clustering", "w_funnel_stages", "w_cohort_retention",
     "a_median_quartiles", "o_global_topk", "a_pivot_flags",

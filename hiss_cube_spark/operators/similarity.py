@@ -33,7 +33,7 @@ __all__ = [
     "hard_negatives",
     "cosine_topk", "cosine_pairs", "cosine_pairs_blocked", "lsh_bucketed_topk",
     "cosine_expr", "pq_topk", "ivf_topk", "ivf_pq_topk",
-    "semantic_dedup",
+    "semantic_dedup", "sq_quantize", "sq_topk",
 ]
 
 
@@ -157,6 +157,95 @@ def hard_negatives(
         sim.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "neg_label", "cosine")
+    )
+
+
+def sq_quantize(
+    df: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+    out_col: str = "code",
+) -> DataFrame:
+    """Int8 scalar quantization: per-dimension min/max over the corpus, each
+    component mapped to ``least(255, floor((v-mn)/(mx-mn)*256))`` — the
+    standard SQ8 compression vector stores use for a 4× memory/IO cut.
+
+    Every arithmetic op here (sub/div/mul/floor) is correctly-rounded IEEE,
+    so the codes are bit-identical across engines — unlike ln/pow-based
+    scores. The min/max pass is ONE scalar aggregate (2·dim partial-agg
+    columns, no explode, no shuffle of vectors) whose single row broadcasts
+    back onto the scan; quantization itself is a free map.
+    """
+    v = F.col(vec_col)
+    stats = df.agg(
+        F.array(*[F.min(v[i].cast("double")) for i in range(dim)]).alias("_mns"),
+        F.array(*[F.max(v[i].cast("double")) for i in range(dim)]).alias("_mxs"),
+    )
+
+    def _code(x: Column, i: Column) -> Column:
+        mn = F.element_at(F.col("_mns"), i + F.lit(1))
+        mx = F.element_at(F.col("_mxs"), i + F.lit(1))
+        return (
+            F.when(
+                mx > mn,
+                F.least(
+                    F.lit(255).cast("long"),
+                    F.floor((x.cast("double") - mn) / (mx - mn) * F.lit(256.0)),
+                ),
+            )
+            .otherwise(F.lit(0).cast("long"))
+            .cast("int")
+        )
+
+    return (
+        df.crossJoin(F.broadcast(stats))
+        .withColumn(out_col, F.transform(v, _code))
+        .drop("_mns", "_mxs")
+    )
+
+
+def sq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    dim: int,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k neighbors scored on int8 scalar-quantized codes (SQ8 ANN).
+
+    The rank key is the INTEGER dot product of the codes (≤ 255²·dim per
+    pair — exact in int64), so scoring, ranking, and the emitted ``dot_q``
+    are deterministic to the bit in any engine and any reduction order —
+    the one ANN variant with a value-exact oracle. Codes come from
+    `sq_quantize` (corpus-trained grid applied to queries and corpus
+    alike); the join broadcasts the quantized queries, the corpus streams
+    through at 1/4 the float32 footprint, and ranking is the usual
+    per-query window with id tie-break.
+    """
+    coded = sq_quantize(corpus, dim, vec_col=vec_col, out_col="_code")
+    q = (
+        coded.join(
+            queries.select(F.col(query_id).alias("query_id")),
+            on=coded[corpus_id] == F.col("query_id"),
+        )
+        .select("query_id", F.col("_code").alias("_qc"))
+    )
+    c = coded.select(F.col(corpus_id).alias("neighbor_id"), F.col("_code").alias("_cc"))
+    dot = F.aggregate(
+        F.zip_with(F.col("_qc"), F.col("_cc"), lambda a, b: (a * b).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    sim = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id")).withColumn(
+        "dot_q", dot
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("dot_q").desc(), F.col("neighbor_id").asc())
+    return (
+        sim.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "dot_q")
     )
 
 

@@ -232,3 +232,30 @@ def test_hard_negatives_excludes_same_label(spark):
     # sanity: plain cosine_topk would have ranked the same-label vec 1 first
     plain = cosine_topk(q, df.where(F.col("vec_id") != 0), k=1).collect()
     assert plain[0]["neighbor_id"] == 1
+
+
+def test_sq_quantize_bounds_and_topk_finds_planted_neighbor(spark):
+    import numpy as np
+
+    from hiss_cube_spark.operators.similarity import sq_quantize, sq_topk
+
+    rng = np.random.default_rng(11)
+    dim = 16
+    base = rng.standard_normal((30, dim)).astype("float32")
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(base)]
+    # planted near-copy of vector 0 → its quantized dot with 0 should win
+    rows.append((99, [float(x * 0.999) for x in base[0]]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    coded = sq_quantize(df, dim).collect()
+    for r in coded:
+        assert len(r["code"]) == dim
+        assert all(0 <= c <= 255 for c in r["code"])
+    # grid endpoints are hit: some dim attains 0 and some attains 255
+    flat = [c for r in coded for c in r["code"]]
+    assert min(flat) == 0 and max(flat) == 255
+
+    out = sq_topk(df.where(F.col("vec_id") == 0), df, k=3, dim=dim).collect()
+    assert out[0]["neighbor_id"] == 99
+    assert out[0]["rank"] == 1
+    assert out[0]["dot_q"] > 0
