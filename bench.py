@@ -69,6 +69,8 @@ HEADLINE = [
     "j_bloom_prune",
     "cur_full_pipeline",
     "stream_neardup_minhash",
+    "text_bm25_topk",
+    "ann_sq_topk",
 ]
 
 
