@@ -1671,6 +1671,39 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_a", "doc_b", _r6(F.col("jaccard")).alias("jaccard"))
 
 
+@_q(
+    "dedup_containment",
+    """
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+               WHERE len(string_split(text, ' ')) >= 3),
+    sh AS (
+      SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram
+      FROM d, unnest(generate_series(1, len(w) - 2)) t(i)),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_contained, b.doc_id AS doc_host, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.gram = b.gram AND a.doc_id != b.doc_id
+      GROUP BY 1, 2)
+    SELECT doc_contained, doc_host,
+           round(n_inter * 1.0 / sa.sz, 6) AS containment
+    FROM inter JOIN sizes sa ON sa.doc_id = doc_contained
+    WHERE n_inter * 1.0 / sa.sz >= 0.9
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric doc-in-doc containment (|A∩B|/|A| ≥ 0.9) — the
+    quote/boilerplate-subset signal Jaccard misses. Runs the prefix-blocked
+    scale path (`dedup.containment_pairs`: contained-side prefix is sound,
+    host side posts all grams) under the exact oracle."""
+    from hiss_cube_spark.operators.dedup import containment_pairs
+
+    d = _t(spark, sf_dir, "documents").where(F.size(F.split("text", " ")) >= 3)
+    out = containment_pairs(d, threshold=0.9, n=3)
+    return out.select(
+        "doc_contained", "doc_host", _r6(F.col("containment")).alias("containment")
+    )
+
+
 @_q("dedup_minhash_lsh", _SQL_SHINGLE_JACCARD)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash banding + exact verification; the oracle is the exact-Jaccard
@@ -5437,7 +5470,7 @@ _CHECK_PRIORITY = [
     "stream_dedup_first", "stream_neardup_minhash", "mm_phash_neardup",
     "ann_ivf_pq_topk", "text_bpe_tokens", "graph_triangles", "dq_outliers",
     "stream_ann_refresh", "emb_hard_negatives", "text_bm25_topk",
-    "ann_sq_topk",
+    "ann_sq_topk", "dedup_containment",
     "p_variant_props", "q_recursive_cte", "viz_cube_union",
     "o1_zorder_clustering", "w_funnel_stages", "w_cohort_retention",
     "a_median_quartiles", "o_global_topk", "a_pivot_flags",

@@ -32,6 +32,7 @@ __all__ = [
     "document_grams",
     "word_shingles",
     "ngram_jaccard_pairs",
+    "containment_pairs",
     "minhash_signatures",
     "minhash_features",
     "sig_agreement",
@@ -269,6 +270,77 @@ def ngram_jaccard_pairs(
         )
         .where(F.col("jaccard") >= F.lit(threshold))
         .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def containment_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    persist_shingles: bool = True,
+    doc_partitions: int | None = None,
+    broadcast_candidates: bool = True,
+) -> DataFrame:
+    """Asymmetric n-gram containment pairs: C(A→B) = |A∩B| / |A| ≥ t,
+    emitted as (doc_contained, doc_host, containment), both directions.
+
+    Containment is the doc-in-doc duplication signal Jaccard misses: a
+    short document quoted wholesale inside a long one scores near-zero
+    Jaccard but containment 1.0 — the quote/boilerplate/snapshot-subset
+    case in web-corpus curation (CCNet/RefinedWeb drop the contained doc).
+
+    Exact with prefix blocking on the CONTAINED side only: |A∩B| ≥ t·|A|
+    forces the order-smallest common gram into A's
+    (|A| − ceil(t·|A|) + 1)-prefix under any global gram order (hash order
+    here, so the prefix is a row-local array_sort+slice). The host side
+    posts ALL its grams — B can cover A anywhere, so no host prefix is
+    sound. A size residual (|B| ≥ ceil(t·|A|)) prunes at the join, and
+    full gram-array verification (`array_intersect`) restores exact
+    counts. At scale flip ``broadcast_candidates`` off and let the verify
+    joins shuffle by doc id.
+    """
+    ga = document_grams(df, text_col, id_col, n, doc_partitions)
+    if persist_shingles:
+        ga = ga.persist()
+
+    sz = F.size("grams")
+    plen = (sz - F.ceil(F.lit(threshold) * sz) + 1).cast("int")
+    hsorted = F.array_sort(F.transform("grams", lambda g: F.xxhash64(g)))
+    prefix = ga.select(
+        F.col("doc_id").alias("doc_contained"),
+        sz.alias("_sza"),
+        F.explode(F.slice(hsorted, 1, plen)).alias("_ha"),
+    )
+    postings = ga.select(
+        F.col("doc_id").alias("doc_host"),
+        sz.alias("_szb"),
+        F.explode(F.transform("grams", lambda g: F.xxhash64(g))).alias("_hb"),
+    )
+    cand = (
+        prefix.join(
+            postings,
+            (F.col("_ha") == F.col("_hb"))
+            & (F.col("doc_contained") != F.col("doc_host"))
+            & (F.col("_szb") >= F.ceil(F.lit(threshold) * F.col("_sza"))),
+        )
+        .select("doc_contained", "doc_host")
+        .distinct()
+    )
+    if broadcast_candidates:
+        cand = F.broadcast(cand)
+    va = ga.select(F.col("doc_id").alias("doc_contained"), F.col("grams").alias("_g_a"))
+    vb = ga.select(F.col("doc_id").alias("doc_host"), F.col("grams").alias("_g_b"))
+    return (
+        cand.join(va, "doc_contained")
+        .join(vb, "doc_host")
+        .withColumn(
+            "containment",
+            F.size(F.array_intersect("_g_a", "_g_b")) / F.size("_g_a"),
+        )
+        .where(F.col("containment") >= F.lit(threshold))
+        .select("doc_contained", "doc_host", "containment")
     )
 
 

@@ -519,3 +519,23 @@ def test_mixture_weights_pinned(spark):
     assert got["web"].weight == round(0.5 * 10 / 6, 6)
     assert got["code"].weight == round(0.25 * 10 / 4, 6)
     assert got["web"].expected_docs == 5.0 and got["code"].expected_docs == 2.5
+
+
+def test_containment_catches_doc_in_doc_that_jaccard_misses(spark):
+    from hiss_cube_spark.operators.dedup import containment_pairs, ngram_jaccard_pairs
+
+    quote = "alpha beta gamma delta epsilon zeta"
+    host = quote + " " + " ".join(f"w{i} x{i} y{i}" for i in range(30))
+    rows = [(1, quote), (2, host), (3, "totally different words here entirely now")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    pairs = containment_pairs(df, threshold=0.9, n=3).collect()
+    got = {(r["doc_contained"], r["doc_host"]): r["containment"] for r in pairs}
+    assert (1, 2) in got and got[(1, 2)] == 1.0  # quote fully inside host
+    assert (2, 1) not in got                      # asymmetric: host not in quote
+    assert all(a != 3 and b != 3 for a, b in got)
+
+    # the same pair scores far below any usable Jaccard threshold
+    jac = ngram_jaccard_pairs(df, threshold=0.01, n=3).collect()
+    j12 = [r["jaccard"] for r in jac if {r["doc_a"], r["doc_b"]} == {1, 2}]
+    assert j12 and j12[0] < 0.1
