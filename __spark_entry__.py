@@ -2243,6 +2243,46 @@ def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "dq_ks_drift",
+    """
+    WITH s AS (
+      SELECT CASE WHEN source = 'src0' THEN 0 ELSE 1 END AS grp,
+             len(string_split(text, ' ')) AS v
+      FROM documents WHERE source IN ('src0', 'src1')),
+    per_v AS (
+      SELECT v, sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS c_a,
+             sum(grp) AS c_b
+      FROM s GROUP BY v),
+    cum AS (
+      SELECT v, sum(c_a) OVER (ORDER BY v) AS ca,
+             sum(c_b) OVER (ORDER BY v) AS cb
+      FROM per_v),
+    n AS (SELECT sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS n_a,
+                 sum(grp) AS n_b FROM s),
+    d AS (
+      SELECT v, CAST(n.n_a AS BIGINT) AS n_a, CAST(n.n_b AS BIGINT) AS n_b,
+             abs(ca * n.n_b - cb * n.n_a) AS diff
+      FROM cum, n)
+    SELECT round(CAST(diff AS DOUBLE) / (n_a * n_b), 6) AS ks_stat,
+           v AS at_value, n_a, n_b
+    FROM d ORDER BY diff DESC, v LIMIT 1
+    """,
+)
+def dq_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample KS statistic between src0 and src1 token-length
+    distributions (`quality_checks.ks_drift`) — the snapshot-drift gate.
+    Integer CDF cross-products (|c_a·n_b − c_b·n_a|) make the statistic and
+    its argmax bit-exact; the cumulative window runs over the distinct-value
+    table, not raw rows."""
+    from hiss_cube_spark.operators.quality_checks import ks_drift
+
+    d = _t(spark, sf_dir, "documents").select(
+        "source", F.size(F.split("text", " ")).alias("n_tok")
+    )
+    return ks_drift(d, "n_tok", "source", "src0", "src1")
+
+
+@_q(
     "dq_profile_table",
     """
     SELECT 'l_quantity' AS column, count(*) AS n,
@@ -2715,6 +2755,34 @@ def cur_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.groupBy("split").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size(tokenize(F.col("text"))).cast("long")).alias("n_tokens"),
+    )
+
+
+@_q(
+    "cur_stratified_kfold",
+    """
+    WITH f AS (
+      SELECT doc_id, lang,
+             CAST((row_number() OVER (
+                 PARTITION BY lang
+                 ORDER BY (doc_id * 2654435761) % 1000000007, doc_id) - 1) % 5
+               AS INTEGER) AS fold
+      FROM documents)
+    SELECT lang, fold, count(*) AS n_docs, min(doc_id) AS first_doc
+    FROM f GROUP BY lang, fold
+    """,
+)
+def cur_stratified_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-fold stratified-by-language CV assignment
+    (`curation.stratified_kfold`): within every language the folds are
+    exactly balanced (sizes differ ≤1), rows ordered by the Knuth-mixed key
+    so assignment is deterministic but uncorrelated with id order.
+    Summarized per (lang, fold) with a pinned witness doc."""
+    from hiss_cube_spark.operators.curation import stratified_kfold
+
+    d = stratified_kfold(_t(spark, sf_dir, "documents"), "lang", k=5)
+    return d.groupBy("lang", "fold").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("first_doc")
     )
 
 
@@ -5470,7 +5538,8 @@ _CHECK_PRIORITY = [
     "stream_dedup_first", "stream_neardup_minhash", "mm_phash_neardup",
     "ann_ivf_pq_topk", "text_bpe_tokens", "graph_triangles", "dq_outliers",
     "stream_ann_refresh", "emb_hard_negatives", "text_bm25_topk",
-    "ann_sq_topk", "dedup_containment",
+    "ann_sq_topk", "dedup_containment", "dq_ks_drift",
+    "cur_stratified_kfold",
     "p_variant_props", "q_recursive_cte", "viz_cube_union",
     "o1_zorder_clustering", "w_funnel_stages", "w_cohort_retention",
     "a_median_quartiles", "o_global_topk", "a_pivot_flags",

@@ -23,6 +23,7 @@ from hiss_cube_spark.operators.text_analysis import tokenize
 
 __all__ = [
     "hash_split",
+    "stratified_kfold",
     "pack_sequences",
     "balanced_sample",
     "decontaminate",
@@ -75,6 +76,32 @@ def hash_split(
     for name, hi in zip(reversed(names), reversed(bounds)):
         chain = F.when(bucket < F.lit(hi), F.lit(name)).otherwise(chain)
     return df.withColumn("split", chain)
+
+
+def stratified_kfold(
+    df: DataFrame,
+    strata_col: str,
+    k: int = 5,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Assign every row a fold in [0, k) with EXACT per-stratum balance —
+    within each stratum the fold sizes differ by at most one, so every
+    cross-validation fold sees the same language/domain mix as the corpus.
+
+    `hash_split` trades exactness for key-stability; this is the inverse
+    trade: fold = (row_number within stratum − 1) mod k, rows ordered by
+    the Knuth-mixed key so the assignment is deterministic and uncorrelated
+    with key order, but adding rows CAN shift assignments (re-stratify per
+    snapshot). One shuffle, partitioned by stratum; a hot stratum serializes
+    its window partition, so at extreme scale split hot strata first
+    (e.g. sub-stratify 'en' by source) — the fold math composes.
+    """
+    w = Window.partitionBy(strata_col).orderBy(
+        ((F.col(id_col) * _MIX) % F.lit(1_000_000_007)).asc(), F.col(id_col).asc()
+    )
+    return df.withColumn(
+        "fold", ((F.row_number().over(w) - F.lit(1)) % F.lit(k)).cast("int")
+    )
 
 
 def pack_sequences(

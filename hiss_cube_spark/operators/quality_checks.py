@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "numeric_histogram",
     "equidepth_profile",
+    "ks_drift",
     "Check",
     "check_not_null",
     "check_unique",
@@ -199,5 +200,69 @@ def equidepth_profile(
             F.count(F.lit(1)).alias("n"),
             F.round(F.min("x"), 6).alias("lo"),
             F.round(F.max("x"), 6).alias("hi"),
+        )
+    )
+
+
+def ks_drift(
+    df: "DataFrame",
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+) -> "DataFrame":
+    """Exact two-sample Kolmogorov–Smirnov statistic between the
+    ``value_col`` distributions of two groups — the distribution-drift gate
+    run between corpus snapshots (did today's crawl shift the length /
+    quality / score distribution?).
+
+    D = max_x |F_a(x) − F_b(x)| computed entirely in integers:
+    ``|c_a(x)·n_b − c_b(x)·n_a|`` maximized over distinct values, divided
+    once at the end — bit-exact in any engine, no float CDFs. Emits one row
+    (ks_stat, at_value = smallest argmax, n_a, n_b).
+
+    Scale shape: the raw rows collapse to per-distinct-value counts in ONE
+    map-side-combining groupBy; the cumulative window then runs over the
+    DISTINCT-VALUE table (bounded by the value domain, not the row count),
+    so the single-partition window is over thousands of rows at most. The
+    final max is a one-row aggregate.
+    """
+    from pyspark.sql.window import Window
+
+    g = F.col(group_col)
+    s = df.where(g.isin([group_a, group_b])).select(
+        F.when(g == F.lit(group_a), F.lit(0)).otherwise(F.lit(1)).alias("grp"),
+        F.col(value_col).alias("v"),
+    )
+    per_v = s.groupBy("v").agg(
+        F.sum(F.when(F.col("grp") == 0, F.lit(1)).otherwise(F.lit(0))).alias("c_a"),
+        F.sum("grp").alias("c_b"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = per_v.select(
+        "v",
+        F.sum("c_a").over(w).alias("ca"),
+        F.sum("c_b").over(w).alias("cb"),
+    )
+    n = s.agg(
+        F.sum(F.when(F.col("grp") == 0, F.lit(1)).otherwise(F.lit(0))).alias("n_a"),
+        F.sum("grp").alias("n_b"),
+    )
+    d = cum.crossJoin(F.broadcast(n)).select(
+        "v",
+        "n_a",
+        "n_b",
+        F.abs(F.col("ca") * F.col("n_b") - F.col("cb") * F.col("n_a")).alias("diff"),
+    )
+    return (
+        d.orderBy(F.desc("diff"), F.asc("v"))
+        .limit(1)
+        .select(
+            F.round(F.col("diff").cast("double") / (F.col("n_a") * F.col("n_b")), 6).alias(
+                "ks_stat"
+            ),
+            F.col("v").alias("at_value"),
+            "n_a",
+            "n_b",
         )
     )

@@ -411,3 +411,24 @@ def test_bpe_token_law_and_monotonicity(spark, sf_dir):
         F.col("t100") > F.col("t50")
     )
     assert grew.count() == 0
+
+
+def test_stratified_kfold_exact_balance(spark):
+    from hiss_cube_spark.operators.curation import stratified_kfold
+
+    rows = [(i, "en" if i % 3 else "de") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = stratified_kfold(df, "lang", k=4).collect()
+    assert all(0 <= r["fold"] < 4 for r in out)
+    from collections import Counter
+
+    per = Counter((r["lang"], r["fold"]) for r in out)
+    for lang, total in [("en", 66), ("de", 34)]:
+        sizes = [per[(lang, f)] for f in range(4)]
+        assert sum(sizes) == total
+        assert max(sizes) - min(sizes) <= 1, (lang, sizes)
+    # deterministic under re-run
+    again = stratified_kfold(df, "lang", k=4).collect()
+    assert sorted((r["doc_id"], r["fold"]) for r in out) == sorted(
+        (r["doc_id"], r["fold"]) for r in again
+    )

@@ -539,3 +539,21 @@ def test_containment_catches_doc_in_doc_that_jaccard_misses(spark):
     jac = ngram_jaccard_pairs(df, threshold=0.01, n=3).collect()
     j12 = [r["jaccard"] for r in jac if {r["doc_a"], r["doc_b"]} == {1, 2}]
     assert j12 and j12[0] < 0.1
+
+
+def test_ks_drift_known_shift(spark):
+    from hiss_cube_spark.operators.quality_checks import ks_drift
+
+    rows = [("a", v) for v in range(1, 11)] + [("b", v) for v in range(6, 16)]
+    df = spark.createDataFrame(rows, "grp string, v long")
+    out = ks_drift(df, "v", "grp", "a", "b").collect()
+    assert len(out) == 1
+    r = out[0]
+    # F_a(5)=0.5, F_b(5)=0 -> D=0.5, first attained at v=5
+    assert r["ks_stat"] == 0.5
+    assert r["at_value"] == 5
+    assert r["n_a"] == 10 and r["n_b"] == 10
+
+    same = ks_drift(df.where("grp='a'").unionByName(
+        df.where("grp='a'").selectExpr("'b' AS grp", "v")), "v", "grp", "a", "b").collect()
+    assert same[0]["ks_stat"] == 0.0  # identical distributions -> D=0
