@@ -2970,6 +2970,71 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "text_entropy",
+    """
+    WITH toks AS (
+      SELECT doc_id, t.tok AS token
+      FROM documents, unnest(string_split(text, ' ')) t(tok)
+      WHERE len(t.tok) > 0 AND doc_id % 20 = 0),
+    tf AS (SELECT doc_id, token, count(*) AS c FROM toks GROUP BY 1, 2),
+    pd AS (
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+             CAST(sum(CAST(floor(c * ln(c) * 1e6) AS BIGINT)) AS BIGINT) AS s_q,
+             count(*) AS n_distinct
+      FROM tf GROUP BY 1)
+    SELECT doc_id, n, n_distinct,
+           round(ln(n) - (s_q / 1e6) / n, 6) AS entropy
+    FROM pd
+    """,
+)
+def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon entropy of the token distribution (1-in-20 doc
+    sample) — information-density quality signal. Each c·ln(c) term is
+    floor-quantized to a long before the per-doc sum, so the reduction is
+    order-independent and engine-exact."""
+    from hiss_cube_spark.operators.text_analysis import token_entropy
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 20 == 0)
+    return token_entropy(d)
+
+
+@_q(
+    "text_pmi_bigrams",
+    """
+    WITH d AS (SELECT list_filter(string_split(text, ' '), t -> len(t) > 0) AS w
+               FROM documents),
+    bg AS (
+      SELECT w[i] AS tok_a, w[i+1] AS tok_b
+      FROM d, unnest(generate_series(1, len(w) - 1)) g(i)),
+    bic AS (SELECT tok_a, tok_b, count(*) AS c_ab FROM bg
+            GROUP BY 1, 2 HAVING count(*) >= 5),
+    uni AS (
+      SELECT t.tok AS token, count(*) AS c
+      FROM d, unnest(w) t(tok) GROUP BY 1),
+    tot AS (SELECT CAST(sum(len(w)) AS BIGINT) AS n_tok,
+                   CAST(sum(greatest(len(w) - 1, 0)) AS BIGINT) AS n_bi FROM d),
+    s AS (
+      SELECT tok_a, tok_b, c_ab,
+             CAST(floor(ln((c_ab * 1.0 / n_bi)
+                           / ((ua.c * 1.0 / n_tok) * (ub.c * 1.0 / n_tok)))
+                        * 1e6) AS BIGINT) AS pmi_q
+      FROM bic JOIN uni ua ON ua.token = tok_a
+               JOIN uni ub ON ub.token = tok_b, tot)
+    SELECT tok_a, tok_b, c_ab, round(pmi_q / 1e6, 6) AS pmi
+    FROM s ORDER BY pmi_q DESC, tok_a, tok_b LIMIT 15
+    """,
+)
+def text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-15 adjacent-token collocations by PMI (min count 5) — phrase
+    mining. Bigrams build row-locally (zip_with over the token array and
+    its tail, no self-join); unigram counts broadcast back; rank key is the
+    floor-quantized PMI with pair tie-break."""
+    from hiss_cube_spark.operators.text_analysis import pmi_bigrams
+
+    return pmi_bigrams(_t(spark, sf_dir, "documents"), k=15, min_count=5)
+
+
+@_q(
     "cur_temperature_sample",
     """
     WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
@@ -5539,7 +5604,7 @@ _CHECK_PRIORITY = [
     "ann_ivf_pq_topk", "text_bpe_tokens", "graph_triangles", "dq_outliers",
     "stream_ann_refresh", "emb_hard_negatives", "text_bm25_topk",
     "ann_sq_topk", "dedup_containment", "dq_ks_drift",
-    "cur_stratified_kfold",
+    "cur_stratified_kfold", "text_entropy", "text_pmi_bigrams",
     "p_variant_props", "q_recursive_cte", "viz_cube_union",
     "o1_zorder_clustering", "w_funnel_stages", "w_cohort_retention",
     "a_median_quartiles", "o_global_topk", "a_pivot_flags",

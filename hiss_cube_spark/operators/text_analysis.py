@@ -22,6 +22,8 @@ __all__ = [
     "token_frequencies",
     "tfidf_top_terms",
     "bm25_topk",
+    "token_entropy",
+    "pmi_bigrams",
     "bigram_lm_score",
     "linear_model_score",
 ]
@@ -345,6 +347,119 @@ def bm25_topk(
     return (
         top.withColumn("rank", F.row_number().over(w).cast("long"))
         .select("doc_id", "rank", F.round(F.col("score_q") / F.lit(1e6), 6).alias("score"))
+    )
+
+
+def token_entropy(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Shannon entropy of each document's token distribution (nats) — the
+    information-density quality signal: near-zero for degenerate repeated
+    text, ln(n_tokens) for all-distinct text.
+
+    H = ln(n) − (Σ c·ln c)/n over per-token counts c. Each c·ln(c) term is
+    floor-quantized to a long BEFORE the per-doc sum, so the reduction is
+    order-independent and the emitted value engine-exact. One exploded
+    groupBy (doc, token) then a per-doc re-group — both map-side combined;
+    text itself never shuffles twice.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokenize(F.col(text_col))).alias("token"),
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = tf.groupBy("doc_id").agg(
+        F.sum("c").alias("n"),
+        F.sum(
+            F.floor(F.col("c").cast("double") * F.log(F.col("c").cast("double")) * F.lit(1e6))
+            .cast("long")
+        ).alias("s_q"),
+        F.count(F.lit(1)).alias("n_distinct"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n",
+        "n_distinct",
+        F.round(
+            F.log(F.col("n").cast("double"))
+            - (F.col("s_q") / F.lit(1e6)) / F.col("n").cast("double"),
+            6,
+        ).alias("entropy"),
+    )
+
+
+def pmi_bigrams(
+    df: DataFrame,
+    k: int = 15,
+    min_count: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` adjacent-token collocations by pointwise mutual information
+    — PMI(a,b) = ln((c_ab/N_bi) / ((c_a/N_tok)·(c_b/N_tok))), the classic
+    phrase-mining signal (Church & Hanks 1990), with a ``min_count`` floor
+    so rare coincidences don't dominate.
+
+    Bigrams are built ROW-LOCALLY (zip_with over the token array and its
+    tail — no self-join, no window over the corpus); unigram and bigram
+    counts are two map-side-combining groupBys over exploded tokens, and
+    the unigram table joins back broadcast (vocabulary-sized). The rank key
+    is the PMI floor-quantized to a long; ties break on the token pair.
+    """
+    toks = tokenize(F.col(text_col))
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    bi = (
+        df.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .where(F.col("c_ab") >= min_count)
+    )
+    uni = (
+        df.select(F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    totals = df.select(
+        F.sum(F.size(toks).cast("long")).alias("n_tok"),
+        F.sum(F.greatest(F.size(toks) - 1, F.lit(0)).cast("long")).alias("n_bi"),
+    )
+    parts = F.split("bigram", " ")
+    scored = (
+        bi.withColumn("tok_a", parts[0])
+        .withColumn("tok_b", parts[1])
+        .join(F.broadcast(uni.select(F.col("token").alias("tok_a"), F.col("c").alias("c_a"))), "tok_a")
+        .join(F.broadcast(uni.select(F.col("token").alias("tok_b"), F.col("c").alias("c_b"))), "tok_b")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "tok_a",
+            "tok_b",
+            "c_ab",
+            F.floor(
+                F.log(
+                    (F.col("c_ab").cast("double") / F.col("n_bi"))
+                    / (
+                        (F.col("c_a").cast("double") / F.col("n_tok"))
+                        * (F.col("c_b").cast("double") / F.col("n_tok"))
+                    )
+                )
+                * F.lit(1e6)
+            )
+            .cast("long")
+            .alias("pmi_q"),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("pmi_q"), F.asc("tok_a"), F.asc("tok_b"))
+        .limit(k)
+        .select(
+            "tok_a",
+            "tok_b",
+            "c_ab",
+            F.round(F.col("pmi_q") / F.lit(1e6), 6).alias("pmi"),
+        )
     )
 
 

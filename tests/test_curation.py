@@ -432,3 +432,31 @@ def test_stratified_kfold_exact_balance(spark):
     assert sorted((r["doc_id"], r["fold"]) for r in out) == sorted(
         (r["doc_id"], r["fold"]) for r in again
     )
+
+
+def test_token_entropy_degenerate_and_uniform(spark):
+    import math
+
+    from hiss_cube_spark.operators.text_analysis import token_entropy
+
+    df = spark.createDataFrame(
+        [(1, "a a a a"), (2, "a b c d"), (3, "a a b b")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in token_entropy(df).collect()}
+    assert got[1]["entropy"] == 0.0                      # all-same tokens
+    assert abs(got[2]["entropy"] - math.log(4)) < 1e-5   # all-distinct
+    assert abs(got[3]["entropy"] - math.log(2)) < 1e-5   # two even classes
+    assert got[2]["n_distinct"] == 4 and got[2]["n"] == 4
+
+
+def test_pmi_bigrams_prefers_exclusive_pair(spark):
+    from hiss_cube_spark.operators.text_analysis import pmi_bigrams
+
+    # "x y" always co-occur exclusively; "a b" occur often but independently
+    docs = [(i, "x y " + "a b a c b d " * 3) for i in range(6)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = pmi_bigrams(df, k=5, min_count=3).collect()
+    assert (out[0]["tok_a"], out[0]["tok_b"]) == ("x", "y")
+    assert out[0]["c_ab"] == 6
+    assert out[0]["pmi"] > 0
