@@ -224,7 +224,11 @@ def sq_topk(
     through at 1/4 the float32 footprint, and ranking is the usual
     per-query window with id tie-break.
     """
-    coded = sq_quantize(corpus, dim, vec_col=vec_col, out_col="_code")
+    # the code table feeds both the probe fetch and the candidate scan —
+    # persist so quantization (and its min/max pass) runs once; in
+    # production the codes are a materialized index, written once per
+    # corpus snapshot and reused across queries
+    coded = sq_quantize(corpus, dim, vec_col=vec_col, out_col="_code").persist()
     q = (
         coded.join(
             queries.select(F.col(query_id).alias("query_id")),

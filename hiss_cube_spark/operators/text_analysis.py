@@ -313,7 +313,10 @@ def bm25_topk(
     aggs = [F.count(F.lit(1)).alias("dl")]
     for i, t in enumerate(terms):
         aggs.append(F.sum((F.col("token") == t).cast("long")).alias(f"tf{i}"))
-    per_doc = toks.groupBy("doc_id").agg(*aggs)
+    # feeds BOTH the stats reduction and the scoring pass — persist so the
+    # explode+groupBy runs once, not once per subtree (at cluster scale
+    # this is the materialized doc-stats index a search system keeps warm)
+    per_doc = toks.groupBy("doc_id").agg(*aggs).persist()
 
     stat_aggs = [
         F.count(F.lit(1)).alias("nd"),
