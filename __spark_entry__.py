@@ -930,6 +930,50 @@ def ts_phase_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "ts_autocorr",
+    """
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS tu, event_id,
+             CAST(round(value * 100) AS DECIMAL(18,0)) AS x
+      FROM events WHERE user_id % 25 = 0),
+    p AS (
+      SELECT user_id, x,
+             lead(x) OVER (PARTITION BY user_id ORDER BY tu, event_id) AS y
+      FROM e),
+    st AS (
+      SELECT user_id,
+             CAST(count(*) AS DECIMAL(18,0)) AS n,
+             CAST(sum(x) AS DECIMAL(38,0)) AS sx,
+             CAST(sum(y) AS DECIMAL(38,0)) AS sy,
+             CAST(sum(x * y) AS DECIMAL(38,0)) AS sxy,
+             CAST(sum(x * x) AS DECIMAL(38,0)) AS sxx,
+             CAST(sum(y * y) AS DECIMAL(38,0)) AS syy
+      FROM p WHERE y IS NOT NULL GROUP BY user_id)
+    SELECT user_id, CAST(n AS BIGINT) AS n_pairs,
+           round(CASE WHEN CAST(n*sxx - sx*sx AS DOUBLE) > 0
+                       AND CAST(n*syy - sy*sy AS DOUBLE) > 0
+                      THEN CAST(n*sxy - sx*sy AS DOUBLE)
+                           / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
+                              * sqrt(CAST(n*syy - sy*sy AS DOUBLE)))
+                 END, 6) AS acf
+    FROM st
+    """,
+)
+def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user lag-1 autocorrelation of event values
+    (`timeseries.autocorrelation`) — persistence/seasonality detection.
+    Cent-quantized values, DECIMAL moment sums (order-independent), and a
+    closed form using only correctly-rounded IEEE ops (no ln/pow), so the
+    statistic is engine-exact."""
+    from hiss_cube_spark.operators.timeseries import autocorrelation
+
+    e = _events(spark, sf_dir).where(F.col("user_id") % 25 == 0)
+    return autocorrelation(
+        e, "value", order_cols=["ts_us", "event_id"], key_col="user_id", lag=1
+    )
+
+
+@_q(
     "w_range_frame_sum",
     """
     WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tu, value
@@ -5605,6 +5649,7 @@ _CHECK_PRIORITY = [
     "stream_ann_refresh", "emb_hard_negatives", "text_bm25_topk",
     "ann_sq_topk", "dedup_containment", "dq_ks_drift",
     "cur_stratified_kfold", "text_entropy", "text_pmi_bigrams",
+    "ts_autocorr",
     "p_variant_props", "q_recursive_cte", "viz_cube_union",
     "o1_zorder_clustering", "w_funnel_stages", "w_cohort_retention",
     "a_median_quartiles", "o_global_topk", "a_pivot_flags",

@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["resample_locf", "ewma"]
+__all__ = ["resample_locf", "ewma", "autocorrelation"]
 
 
 def resample_locf(
@@ -175,4 +175,59 @@ def ewma(
             / F.expr("power(2, rn)")
             / 100
         ).alias("ewma"),
+    )
+
+
+def autocorrelation(
+    df: "DataFrame",
+    value_col: str,
+    order_cols: list[str],
+    key_col: str = "user_id",
+    lag: int = 1,
+    quant: int = 100,
+) -> "DataFrame":
+    """Per-key lag-``lag`` autocorrelation of a time series — the Pearson
+    correlation between each value and the value ``lag`` steps later
+    (seasonality / persistence detection on light curves and event streams).
+
+    Engine-exact: values quantize to an integer grid (``round(v·quant)``),
+    the lagged pairs come from one ``lead`` window, and all six moment sums
+    (n, Σx, Σy, Σxy, Σx², Σy²) accumulate as DECIMALs — exact in any
+    reduction order. The closed form
+    (nΣxy − ΣxΣy) / (√(nΣx²−(Σx)²)·√(nΣy²−(Σy)²)) then runs in doubles,
+    where every op (cast, mul, sub, div, sqrt) is correctly rounded IEEE —
+    no ln/pow, so no cross-engine ulp surface at all.
+
+    Scale shape: one window shuffle keyed by ``key_col`` (the lead), one
+    map-side-combining groupBy on the same key — AQE coalesces them onto
+    one exchange. Constant memory per key.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    xq = F.round(F.col(value_col) * quant).cast("decimal(18,0)")
+    w = Window.partitionBy(key_col).orderBy(*order_cols)
+    pairs = (
+        df.select(F.col(key_col), xq.alias("_x"), *[F.col(c) for c in order_cols])
+        .withColumn("_y", F.lead("_x", lag).over(w))
+        .where(F.col("_y").isNotNull())
+    )
+    st = pairs.groupBy(key_col).agg(
+        F.count(F.lit(1)).cast("decimal(18,0)").alias("n"),
+        F.sum("_x").cast("decimal(38,0)").alias("sx"),
+        F.sum("_y").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("_x") * F.col("_y")).cast("decimal(38,0)").alias("sxy"),
+        F.sum(F.col("_x") * F.col("_x")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(F.col("_y") * F.col("_y")).cast("decimal(38,0)").alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    d1 = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    d2 = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    corr = F.when(
+        (d1 > 0) & (d2 > 0), num / (F.sqrt(d1) * F.sqrt(d2))
+    )
+    return st.select(
+        F.col(key_col),
+        F.col("n").cast("long").alias("n_pairs"),
+        F.round(corr, 6).alias("acf"),
     )

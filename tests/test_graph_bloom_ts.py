@@ -248,3 +248,25 @@ def test_triangle_count_hand_graph_and_degree_orientation(spark):
         for r in triangle_count(edges, orient="degree").collect()
     }
     assert by_deg == by_id
+
+
+def test_autocorrelation_known_series(spark):
+    from hiss_cube_spark.operators.timeseries import autocorrelation
+
+    rows = []
+    # user 1: alternating +1/-1 -> lag-1 ACF = -1
+    for t in range(20):
+        rows.append((1, t, 1.0 if t % 2 == 0 else -1.0))
+    # user 2: linear ramp -> lag-1 ACF = 1
+    for t in range(20):
+        rows.append((2, t, float(t)))
+    # user 3: constant -> zero variance -> NULL
+    for t in range(10):
+        rows.append((3, t, 5.0))
+    df = spark.createDataFrame(rows, "user_id long, ts_us long, value double")
+    got = {r["user_id"]: r for r in autocorrelation(
+        df, "value", order_cols=["ts_us"], key_col="user_id", lag=1).collect()}
+    assert got[1]["acf"] == -1.0
+    assert got[2]["acf"] == 1.0
+    assert got[3]["acf"] is None
+    assert got[1]["n_pairs"] == 19
