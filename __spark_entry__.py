@@ -2831,6 +2831,42 @@ def cur_stratified_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "cur_weighted_sample",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             len(list_filter(string_split(text, ' '), s -> len(s) > 0)) AS w
+      FROM documents),
+    s AS (
+      SELECT doc_id, CAST(w AS BIGINT) AS weight,
+             CAST(floor(ln((((doc_id * 2654435761) % 1000000007) + 0.5)
+                           / 1000000007.0)
+                        / w * 1e9) AS BIGINT) AS key_q
+      FROM t WHERE w > 0),
+    rk AS (
+      SELECT doc_id, weight, key_q,
+             row_number() OVER (ORDER BY key_q DESC, doc_id) AS rank
+      FROM s)
+    SELECT doc_id, weight, CAST(rank AS BIGINT) AS rank
+    FROM rk WHERE rank <= 100
+    """,
+)
+def cur_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sample without replacement
+    (`curation.weighted_sample`, Efraimidis–Spirakis with hash-derived
+    uniforms): 100 docs drawn ∝ token count, reproducible across runs and
+    engines. The selection is a global top-k over a quantized key — a heap,
+    not a sort."""
+    from hiss_cube_spark.operators.curation import weighted_sample
+    from hiss_cube_spark.operators.text_analysis import tokenize
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(tokenize(F.col("text"))).alias("w")
+    )
+    return weighted_sample(d, "w", k=100)
+
+
+@_q(
     "cur_pack_sequences",
     """
     WITH n AS (
@@ -5649,7 +5685,7 @@ _CHECK_PRIORITY = [
     "stream_ann_refresh", "emb_hard_negatives", "text_bm25_topk",
     "ann_sq_topk", "dedup_containment", "dq_ks_drift",
     "cur_stratified_kfold", "text_entropy", "text_pmi_bigrams",
-    "ts_autocorr",
+    "ts_autocorr", "cur_weighted_sample",
     "p_variant_props", "q_recursive_cte", "viz_cube_union",
     "o1_zorder_clustering", "w_funnel_stages", "w_cohort_retention",
     "a_median_quartiles", "o_global_topk", "a_pivot_flags",

@@ -24,6 +24,7 @@ from hiss_cube_spark.operators.text_analysis import tokenize
 __all__ = [
     "hash_split",
     "stratified_kfold",
+    "weighted_sample",
     "pack_sequences",
     "balanced_sample",
     "decontaminate",
@@ -101,6 +102,43 @@ def stratified_kfold(
     )
     return df.withColumn(
         "fold", ((F.row_number().over(w) - F.lit(1)) % F.lit(k)).cast("int")
+    )
+
+
+_ES_MOD = 1_000_000_007
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int = 100,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, deterministic: the
+    Efraimidis–Spirakis A-ES scheme with the uniform drawn from the hashed
+    key instead of a RNG. Each row gets key = ln(u)/w with
+    u = ((id·Knuth) mod p + 0.5)/p ∈ (0,1); the k largest keys are the
+    sample — inclusion probability ∝ weight, no replacement, and the same
+    corpus always yields the same sample (reproducible data mixes).
+
+    The rank key is floor-quantized to a long with an id tie-break, so the
+    selection is engine-exact. One narrow projection + a global top-k
+    (per-partition heaps, TakeOrderedAndProject) — no shuffle of the
+    corpus, no RNG state, restart-safe by construction.
+    """
+    h = (F.col(id_col) * F.lit(_MIX)) % F.lit(_ES_MOD)
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(float(_ES_MOD))
+    key_q = F.floor(F.log(u) / F.col(weight_col).cast("double") * F.lit(1e9)).cast("long")
+    scored = df.where(F.col(weight_col) > 0).select(
+        F.col(id_col),
+        F.col(weight_col).cast("long").alias("weight"),
+        key_q.alias("_key_q"),
+    )
+    top = scored.orderBy(F.desc("_key_q"), F.asc(id_col)).limit(k)
+    w = Window.orderBy(F.desc("_key_q"), F.asc(id_col))
+    return (
+        top.withColumn("rank", F.row_number().over(w).cast("long"))
+        .select(id_col, "weight", "rank")
     )
 
 

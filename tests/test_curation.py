@@ -460,3 +460,29 @@ def test_pmi_bigrams_prefers_exclusive_pair(spark):
     assert (out[0]["tok_a"], out[0]["tok_b"]) == ("x", "y")
     assert out[0]["c_ab"] == 6
     assert out[0]["pmi"] > 0
+
+
+def test_weighted_sample_prefers_heavy_rows_and_is_deterministic(spark):
+    from pyspark.sql import functions as F
+
+    from hiss_cube_spark.operators.curation import weighted_sample
+
+    # 500 light rows (w=1) + 100 heavy rows (w=50): heavy rows are ~50x
+    # likelier per row, so they should dominate a k=100 sample
+    df = spark.range(600).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") >= 500, F.lit(50)).otherwise(F.lit(1)).alias("w"),
+    )
+    out = weighted_sample(df, "w", k=100).collect()
+    assert len(out) == 100
+    assert [r["rank"] for r in out[:3]] == [1, 2, 3]
+    heavy = sum(1 for r in out if r["weight"] == 50)
+    assert heavy >= 60, heavy  # expectation ~85; far above uniform's ~17
+    again = weighted_sample(df, "w", k=100).collect()
+    assert sorted(r["doc_id"] for r in out) == sorted(r["doc_id"] for r in again)
+    # zero/negative weights never selected
+    z = weighted_sample(
+        df.withColumn("w", F.when(F.col("doc_id") < 590, 0).otherwise(F.col("w"))),
+        "w", k=100,
+    ).collect()
+    assert all(r["weight"] > 0 for r in z) and len(z) == 10
