@@ -2327,6 +2327,41 @@ def dq_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "dq_mad_outliers",
+    """
+    WITH e AS (
+      SELECT user_id, round(value * 100) AS xq
+      FROM events WHERE user_id % 25 = 0),
+    med AS (
+      SELECT user_id, quantile_cont(xq, 0.5) AS med FROM e GROUP BY user_id),
+    dev AS (
+      SELECT e.user_id, e.xq, med.med, abs(e.xq - med.med) AS adev
+      FROM e JOIN med USING (user_id)),
+    mad AS (
+      SELECT user_id, quantile_cont(adev, 0.5) AS mad FROM dev GROUP BY user_id),
+    fl AS (
+      SELECT dev.user_id, dev.med, mad.mad,
+             CASE WHEN dev.adev > 3.0 * (1.4826 * mad.mad) THEN 1 ELSE 0 END AS is_out
+      FROM dev JOIN mad USING (user_id))
+    SELECT user_id, count(*) AS n_events,
+           round(max(med) / 100, 6) AS median_v,
+           round(max(mad) / 100, 6) AS mad_v,
+           CAST(sum(is_out) AS BIGINT) AS n_outliers
+    FROM fl GROUP BY user_id
+    """,
+)
+def dq_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust MAD-based outlier counts per user
+    (`quality_checks.mad_outliers`) — the heavy-tail-safe sibling of
+    `dq_outliers`. Cent-quantized values make both type-7 medians exact
+    integer interpolations, so the whole statistic is engine-exact."""
+    from hiss_cube_spark.operators.quality_checks import mad_outliers
+
+    e = _events(spark, sf_dir).where(F.col("user_id") % 25 == 0)
+    return mad_outliers(e, "value", "user_id")
+
+
+@_q(
     "dq_profile_table",
     """
     SELECT 'l_quantity' AS column, count(*) AS n,
@@ -5685,7 +5720,7 @@ _CHECK_PRIORITY = [
     "stream_ann_refresh", "emb_hard_negatives", "text_bm25_topk",
     "ann_sq_topk", "dedup_containment", "dq_ks_drift",
     "cur_stratified_kfold", "text_entropy", "text_pmi_bigrams",
-    "ts_autocorr", "cur_weighted_sample",
+    "ts_autocorr", "cur_weighted_sample", "dq_mad_outliers",
     "p_variant_props", "q_recursive_cte", "viz_cube_union",
     "o1_zorder_clustering", "w_funnel_stages", "w_cohort_retention",
     "a_median_quartiles", "o_global_topk", "a_pivot_flags",

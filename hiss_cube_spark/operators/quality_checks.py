@@ -22,6 +22,7 @@ __all__ = [
     "numeric_histogram",
     "equidepth_profile",
     "ks_drift",
+    "mad_outliers",
     "Check",
     "check_not_null",
     "check_unique",
@@ -265,4 +266,51 @@ def ks_drift(
             "n_a",
             "n_b",
         )
+    )
+
+
+def mad_outliers(
+    df: "DataFrame",
+    value_col: str,
+    key_col: str,
+    n_sigmas: float = 3.0,
+    quant: int = 100,
+) -> "DataFrame":
+    """Robust per-key outlier counts via median absolute deviation — the
+    heavy-tail-safe sibling of the z-score gate (`dq_outliers`): a single
+    wild value inflates mean AND std enough to hide itself, but moves the
+    median and MAD almost not at all.
+
+    Flag |x − median| > n_sigmas · 1.4826 · MAD (1.4826 ≈ 1/Φ⁻¹(3/4) makes
+    MAD a consistent σ estimate under normality). Engine-exact: values
+    quantize to an integral grid first, so both medians are type-7
+    interpolations of integers — exact doubles, no ulp surface; the
+    threshold compare is two correctly-rounded multiplies.
+
+    Scale shape: two key-grouped exact percentiles + one broadcast-back
+    join, everything shuffled by ``key_col`` once each. Exact percentile
+    is a sort-based aggregate per key — fine while single keys fit an
+    executor; for heavier keys swap stage one for approx_percentile
+    (sketch) with the same downstream flagging.
+    """
+    xq = F.round(F.col(value_col) * quant).alias("xq")
+    e = df.select(F.col(key_col), xq)
+    med = e.groupBy(key_col).agg(F.percentile("xq", F.lit(0.5)).alias("med"))
+    dev = e.join(med, key_col).select(
+        key_col, "xq", "med", F.abs(F.col("xq") - F.col("med")).alias("adev")
+    )
+    mad = dev.groupBy(key_col).agg(F.percentile("adev", F.lit(0.5)).alias("mad"))
+    flagged = dev.join(mad, key_col).select(
+        key_col,
+        "med",
+        "mad",
+        F.when(
+            F.col("adev") > F.lit(n_sigmas) * (F.lit(1.4826) * F.col("mad")), 1
+        ).otherwise(0).alias("is_out"),
+    )
+    return flagged.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.max("med") / quant, 6).alias("median_v"),
+        F.round(F.max("mad") / quant, 6).alias("mad_v"),
+        F.sum("is_out").cast("long").alias("n_outliers"),
     )

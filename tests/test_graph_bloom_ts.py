@@ -270,3 +270,17 @@ def test_autocorrelation_known_series(spark):
     assert got[2]["acf"] == 1.0
     assert got[3]["acf"] is None
     assert got[1]["n_pairs"] == 19
+
+
+def test_mad_outliers_robust_to_single_spike(spark):
+    from hiss_cube_spark.operators.quality_checks import mad_outliers
+
+    # tight cluster at ~10 with one wild spike: MAD flags exactly the spike
+    rows = [(1, 10.0 + (i % 5) * 0.01) for i in range(50)] + [(1, 1000.0)]
+    # user 2: uniform spread, no outliers
+    rows += [(2, float(v)) for v in range(20)]
+    df = spark.createDataFrame(rows, "user_id long, value double")
+    got = {r["user_id"]: r for r in mad_outliers(df, "value", "user_id").collect()}
+    assert got[1]["n_outliers"] == 1
+    assert abs(got[1]["median_v"] - 10.02) < 0.02
+    assert got[2]["n_outliers"] == 0
