@@ -2362,6 +2362,54 @@ def dq_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "dq_segment_drift",
+    """
+    WITH e AS (SELECT event_type, round(value * 100) AS v FROM events),
+    refd AS (SELECT v, count(*) AS c_r FROM e GROUP BY v),
+    nref AS (SELECT count(*) AS n_ref FROM e),
+    grps AS (SELECT DISTINCT event_type AS g FROM e),
+    curd AS (SELECT event_type AS g, v, count(*) AS c_g FROM e GROUP BY 1, 2),
+    merged AS (
+      SELECT g, v, sum(c_g) AS c_g, sum(c_r) AS c_r FROM (
+        SELECT grps.g, refd.v, 0 AS c_g, refd.c_r FROM grps, refd
+        UNION ALL
+        SELECT g, v, c_g, 0 AS c_r FROM curd
+      ) GROUP BY g, v),
+    cum AS (
+      SELECT g, v,
+             sum(c_g) OVER (PARTITION BY g ORDER BY v) AS cg,
+             sum(c_r) OVER (PARTITION BY g ORDER BY v) AS cr,
+             sum(c_g) OVER (PARTITION BY g) AS n_g
+      FROM merged),
+    d AS (
+      SELECT g, v, n_g, nref.n_ref,
+             abs(cg * nref.n_ref - cr * n_g) AS diff
+      FROM cum, nref),
+    rk AS (
+      SELECT g, v, n_g, n_ref, diff,
+             row_number() OVER (PARTITION BY g ORDER BY diff DESC, v) AS rn
+      FROM d)
+    SELECT g AS event_type,
+           round(CAST(diff AS DOUBLE) / (n_g * n_ref), 6) AS ks_stat,
+           v AS at_value,
+           CAST(n_g AS BIGINT) AS n_group, CAST(n_ref AS BIGINT) AS n_ref
+    FROM rk WHERE rn = 1
+    """,
+)
+def dq_segment_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment drift: exact KS of each event_type's value distribution
+    against the whole-corpus reference (`quality_checks.ks_drift_grouped`)
+    — "which slice moved?". Integer CDF cross-products over the union of
+    group and reference points; one row per segment."""
+    from hiss_cube_spark.operators.quality_checks import ks_drift_grouped
+
+    e = _events(spark, sf_dir).select(
+        "event_type", F.round(F.col("value") * 100).alias("v")
+    )
+    return ks_drift_grouped(e, e, "v", "event_type")
+
+
+@_q(
     "dq_profile_table",
     """
     SELECT 'l_quantity' AS column, count(*) AS n,
@@ -5721,6 +5769,7 @@ _CHECK_PRIORITY = [
     "ann_sq_topk", "dedup_containment", "dq_ks_drift",
     "cur_stratified_kfold", "text_entropy", "text_pmi_bigrams",
     "ts_autocorr", "cur_weighted_sample", "dq_mad_outliers",
+    "dq_segment_drift",
     "p_variant_props", "q_recursive_cte", "viz_cube_union",
     "o1_zorder_clustering", "w_funnel_stages", "w_cohort_retention",
     "a_median_quartiles", "o_global_topk", "a_pivot_flags",

@@ -23,6 +23,7 @@ __all__ = [
     "equidepth_profile",
     "ks_drift",
     "mad_outliers",
+    "ks_drift_grouped",
     "Check",
     "check_not_null",
     "check_unique",
@@ -313,4 +314,74 @@ def mad_outliers(
         F.round(F.max("med") / quant, 6).alias("median_v"),
         F.round(F.max("mad") / quant, 6).alias("mad_v"),
         F.sum("is_out").cast("long").alias("n_outliers"),
+    )
+
+
+def ks_drift_grouped(
+    df: "DataFrame",
+    reference: "DataFrame",
+    value_col: str,
+    group_col: str,
+) -> "DataFrame":
+    """Exact KS statistic of EVERY group against one reference distribution
+    — the segment/window drift monitor (per event-type, per day, per
+    source: "which slice moved?"), one row per group.
+
+    Same integer CDF cross-product core as `ks_drift`, evaluated over the
+    union of each group's points and the reference's points (the sup can
+    peak at a reference step between two group values, so group points
+    alone are not sound). The reference collapses to distinct-value counts
+    once and is replicated per group via a crossJoin with the (small)
+    group list; cumulative windows run per group over value-domain-bounded
+    merged point sets. Raw rows never shuffle more than once.
+    """
+    from pyspark.sql.window import Window
+
+    refd = reference.groupBy(F.col(value_col).alias("v")).agg(
+        F.count(F.lit(1)).alias("c_r")
+    )
+    n_ref = reference.agg(F.count(F.lit(1)).alias("n_ref"))
+    groups = df.select(F.col(group_col).alias("g")).distinct()
+    curd = df.groupBy(
+        F.col(group_col).alias("g"), F.col(value_col).alias("v")
+    ).agg(F.count(F.lit(1)).alias("c_g"))
+
+    ref_rep = groups.crossJoin(refd).select("g", "v", F.lit(0).alias("c_g"), "c_r")
+    cur_rep = curd.select("g", "v", "c_g", F.lit(0).alias("c_r"))
+    merged = (
+        ref_rep.unionByName(cur_rep)
+        .groupBy("g", "v")
+        .agg(F.sum("c_g").alias("c_g"), F.sum("c_r").alias("c_r"))
+    )
+    w = Window.partitionBy("g").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wg = Window.partitionBy("g")
+    cum = merged.select(
+        "g",
+        "v",
+        F.sum("c_g").over(w).alias("cg"),
+        F.sum("c_r").over(w).alias("cr"),
+        F.sum("c_g").over(wg).alias("n_g"),
+    ).crossJoin(F.broadcast(n_ref))
+    d = cum.select(
+        "g",
+        "v",
+        "n_g",
+        "n_ref",
+        F.abs(F.col("cg") * F.col("n_ref") - F.col("cr") * F.col("n_g")).alias("diff"),
+    )
+    rk = Window.partitionBy("g").orderBy(F.desc("diff"), F.asc("v"))
+    return (
+        d.withColumn("_rn", F.row_number().over(rk))
+        .where(F.col("_rn") == 1)
+        .select(
+            F.col("g").alias(group_col),
+            F.round(
+                F.col("diff").cast("double") / (F.col("n_g") * F.col("n_ref")), 6
+            ).alias("ks_stat"),
+            F.col("v").alias("at_value"),
+            F.col("n_g").cast("long").alias("n_group"),
+            F.col("n_ref").cast("long").alias("n_ref"),
+        )
     )

@@ -284,3 +284,19 @@ def test_mad_outliers_robust_to_single_spike(spark):
     assert got[1]["n_outliers"] == 1
     assert abs(got[1]["median_v"] - 10.02) < 0.02
     assert got[2]["n_outliers"] == 0
+
+
+def test_ks_drift_grouped_flags_shifted_segment(spark):
+    from hiss_cube_spark.operators.quality_checks import ks_drift_grouped
+
+    ref = spark.createDataFrame([(float(v),) for v in range(1, 101)], "v double")
+    cur = spark.createDataFrame(
+        [("stable", float(v)) for v in range(1, 101)]
+        + [("shifted", float(v) + 200) for v in range(1, 101)],
+        "g string, v double",
+    )
+    got = {r["g"]: r for r in ks_drift_grouped(cur, ref, "v", "g").collect()}
+    assert got["stable"]["ks_stat"] == 0.0
+    assert got["shifted"]["ks_stat"] == 1.0  # fully disjoint support
+    assert got["shifted"]["at_value"] == 100.0  # sup attained at ref max
+    assert got["stable"]["n_group"] == 100 and got["stable"]["n_ref"] == 100
