@@ -1599,6 +1599,93 @@ def a_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "a_trimmed_mean",
+    """
+    WITH r AS (
+      SELECT l_returnflag, l_extendedprice,
+             row_number() OVER (PARTITION BY l_returnflag
+                                ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
+             count(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM lineitem)
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(30,8))) AS DOUBLE)
+                 / count(*), 6) AS trimmed_mean
+    FROM r
+    WHERE rn > ceil(0.05 * n) AND rn <= n - ceil(0.05 * n)
+    GROUP BY l_returnflag
+    """,
+)
+def a_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5% two-sided trimmed mean of extended price per return flag — the
+    robust aggregate that survives fat tails. The trim set is deterministic
+    (rank ordered by value with the line's unique key as tie-break); the
+    kept rows' mean is decimal-quantized. One window + one groupBy, both
+    keyed by the same column.
+
+    Scale note: exact rank-trim totals-orders each group (3 fat window
+    partitions here) — the oracle-exact gate, same stance as
+    `dq_equidepth`. The 100 TB path computes the two 5% thresholds with
+    `approx_percentile` (mergeable sketch) and trims by value compare, a
+    fully parallel filter + map-side-combined mean."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    wn = Window.partitionBy("l_returnflag")
+    r = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    kept = r.where(
+        (F.col("rn") > F.ceil(F.lit(0.05) * F.col("n")))
+        & (F.col("rn") <= F.col("n") - F.ceil(F.lit(0.05) * F.col("n")))
+    )
+    return kept.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        _r6(
+            F.sum(_dec(F.col("l_extendedprice"))).cast("double") / F.count(F.lit(1))
+        ).alias("trimmed_mean"),
+    )
+
+
+@_q(
+    "a_mode",
+    """
+    WITH c AS (
+      SELECT l_returnflag, l_quantity, count(*) AS cnt
+      FROM lineitem GROUP BY 1, 2),
+    rk AS (
+      SELECT l_returnflag, l_quantity, cnt,
+             row_number() OVER (PARTITION BY l_returnflag
+                                ORDER BY cnt DESC, l_quantity) AS rn
+      FROM c)
+    SELECT l_returnflag, round(CAST(l_quantity AS DOUBLE), 6) AS mode_qty,
+           CAST(cnt AS BIGINT) AS n_occurrences
+    FROM rk WHERE rn = 1
+    """,
+)
+def a_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group mode (most frequent quantity per return flag,
+    smallest value on ties): value-count groupBy collapses map-side, then a
+    tiny per-group rank picks the winner — no full sort, deterministic."""
+    li = _t(spark, sf_dir, "lineitem")
+    c = li.groupBy("l_returnflag", "l_quantity").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("l_returnflag").orderBy(F.desc("cnt"), F.asc("l_quantity"))
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "l_returnflag",
+            _r6(F.col("l_quantity").cast("double")).alias("mode_qty"),
+            F.col("cnt").alias("n_occurrences"),
+        )
+    )
+
+
+@_q(
     "w_cumulative_sum",
     """
     SELECT o_custkey, o_orderkey,
@@ -5769,7 +5856,7 @@ _CHECK_PRIORITY = [
     "ann_sq_topk", "dedup_containment", "dq_ks_drift",
     "cur_stratified_kfold", "text_entropy", "text_pmi_bigrams",
     "ts_autocorr", "cur_weighted_sample", "dq_mad_outliers",
-    "dq_segment_drift",
+    "dq_segment_drift", "a_trimmed_mean", "a_mode",
     "p_variant_props", "q_recursive_cte", "viz_cube_union",
     "o1_zorder_clustering", "w_funnel_stages", "w_cohort_retention",
     "a_median_quartiles", "o_global_topk", "a_pivot_flags",
