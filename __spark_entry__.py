@@ -2639,6 +2639,73 @@ def cdc_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "cdc_incremental_agg",
+    """
+    WITH snap AS (SELECT c_custkey AS key, c_nationkey AS grp, c_acctbal AS bal
+                  FROM customer),
+    ch AS (SELECT o_orderkey AS seq, o_custkey AS key,
+                  CASE o_orderkey % 10 WHEN 0 THEN 'D'
+                       WHEN 1 THEN 'I' ELSE 'U' END AS op,
+                  o_totalprice AS bal
+           FROM orders),
+    latest AS (SELECT key, op, bal FROM (
+        SELECT key, op, bal,
+               row_number() OVER (PARTITION BY key ORDER BY seq DESC) AS rn
+        FROM ch) WHERE rn = 1),
+    applied AS (
+      SELECT COALESCE(s.key, c.key) AS key,
+             s.grp AS grp,
+             CASE WHEN c.key IS NOT NULL THEN c.bal ELSE s.bal END AS bal
+      FROM snap s FULL OUTER JOIN latest c ON s.key = c.key
+      WHERE c.op IS NULL OR c.op <> 'D')
+    SELECT grp AS nation_key, count(*) AS n_customers,
+           round(CAST(sum(CAST(bal AS DECIMAL(30,8))) AS DOUBLE), 6) AS sum_bal
+    FROM applied GROUP BY grp
+    """,
+)
+def cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance (`cdc.incremental_agg`): the per-nation
+    (count, balance-sum) view updated from the changelog DELTA only —
+    new_view = old_view ⊕ (−before + after) — while the ORACLE recomputes
+    the view from the fully-applied table. Hash-matching here proves
+    incremental ≡ recompute, the IVM contract; at scale the base table is
+    never rescanned."""
+    from hiss_cube_spark.operators.cdc import incremental_agg
+
+    cust = _t(spark, sf_dir, "customer")
+    base = cust.select(
+        F.col("c_custkey").alias("key"),
+        F.col("c_nationkey").alias("grp"),
+        F.col("c_acctbal").alias("val"),
+    )
+    old_view = base.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("val").cast("decimal(30,8)")).alias("s"),
+    )
+    ch = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("seq"),
+        F.col("o_custkey").alias("key"),
+        F.when(F.col("o_orderkey") % 10 == 0, "D")
+        .when(F.col("o_orderkey") % 10 == 1, "I")
+        .otherwise("U")
+        .alias("op"),
+        F.col("o_totalprice").alias("val"),
+    )
+    w = Window.partitionBy("key").orderBy(F.desc("seq"))
+    latest = (
+        ch.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("key", "op", "val")
+    )
+    out = incremental_agg(old_view, latest, base)
+    return out.select(
+        F.col("grp").alias("nation_key"),
+        F.col("n").alias("n_customers"),
+        _r6(F.col("s").cast("double")).alias("sum_bal"),
+    )
+
+
+@_q(
     "cdc_time_travel",
     """
     WITH snap AS (SELECT c_custkey AS key, c_acctbal AS bal FROM customer),
@@ -5856,7 +5923,7 @@ _CHECK_PRIORITY = [
     "ann_sq_topk", "dedup_containment", "dq_ks_drift",
     "cur_stratified_kfold", "text_entropy", "text_pmi_bigrams",
     "ts_autocorr", "cur_weighted_sample", "dq_mad_outliers",
-    "dq_segment_drift", "a_trimmed_mean", "a_mode",
+    "dq_segment_drift", "a_trimmed_mean", "a_mode", "cdc_incremental_agg",
     "p_variant_props", "q_recursive_cte", "viz_cube_union",
     "o1_zorder_clustering", "w_funnel_stages", "w_cohort_retention",
     "a_median_quartiles", "o_global_topk", "a_pivot_flags",

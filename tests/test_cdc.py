@@ -222,3 +222,64 @@ def test_time_travel_reconstructs_each_version(spark):
     assert state(100) == {1: 10.0, 2: 25.0, 3: 30.0}
     assert state(250) == {1: 10.0, 2: 25.0}  # 3 deleted
     assert state(999) == {1: 10.0, 2: 27.0, 4: 40.0}  # full log applied
+
+
+def test_incremental_agg_equals_recompute_randomized(spark):
+    """IVM contract: view ⊕ delta == recompute over the applied table, on a
+    randomized base + changelog including deletes-to-zero groups and
+    inserts of brand-new keys."""
+    import random
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from hiss_cube_spark.operators.cdc import apply_changelog, incremental_agg
+
+    rng = random.Random(13)
+    base_rows = [(k, rng.randrange(5), float(rng.randrange(-500, 500))) for k in range(60)]
+    # group 7 := keys 57-59 only, so deleting them empties the group
+    base_rows += [(57, 7, 10.0), (58, 7, 20.0), (59, 7, 30.0)]
+    base = spark.createDataFrame(base_rows, "key long, grp int, val double").dropDuplicates(["key"])
+
+    ch_rows = []
+    for seq in range(80):
+        k = rng.randrange(75)  # keys 60-74 are fresh inserts
+        op = rng.choice(["I", "U", "D"])
+        ch_rows.append((seq, k, op, float(rng.randrange(-500, 500))))
+    ch_rows += [(1000, 57, "D", 0.0), (1001, 58, "D", 0.0), (1002, 59, "D", 0.0)]
+    ch = spark.createDataFrame(ch_rows, "seq long, key long, op string, val double")
+
+    w = Window.partitionBy("key").orderBy(F.desc("seq"))
+    latest = (
+        ch.withColumn("_rn", F.row_number().over(w)).where("_rn = 1")
+        .select("key", "op", "val")
+    )
+    old_view = base.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("val").cast("decimal(30,8)")).alias("s"),
+    )
+    inc = incremental_agg(
+        old_view, latest, base, new_group_col=(F.col("key") % 5).cast("int")
+    )
+
+    applied = apply_changelog(
+        base.select("key", "grp", "val"),
+        ch.select("seq", "key", "op", (F.col("key") % 5).cast("int").alias("grp"), "val"),
+    )
+    # apply_changelog upserts the changelog's grp for I/U rows of EXISTING
+    # keys too; the agg view keeps the base grp for existing keys, so align
+    # the recompute's grouping to the base-first rule before comparing
+    base_grp = base.select("key", F.col("grp").alias("_bg"))
+    recomputed = (
+        applied.join(base_grp, "key", "left")
+        .select("key", F.coalesce("_bg", "grp").alias("grp"), "val")
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("val").cast("decimal(30,8)")).alias("s"),
+        )
+    )
+    a = sorted((r["grp"], r["n"], float(r["s"])) for r in inc.collect())
+    b = sorted((r["grp"], r["n"], float(r["s"])) for r in recomputed.collect())
+    assert a == b
+    assert all(r["n"] > 0 for r in inc.collect())  # emptied groups leave
