@@ -930,6 +930,63 @@ def ts_phase_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "j_asof_interp",
+    """
+    WITH e AS (SELECT user_id, epoch_us(ts) AS tu, event_id, event_type, value
+               FROM events WHERE user_id % 50 = 0),
+    l AS (SELECT user_id, tu, event_id, 1 AS is_left,
+                 CAST(NULL AS BIGINT) AS rt, CAST(NULL AS DOUBLE) AS rv
+          FROM e WHERE event_type = 'view'),
+    q AS (SELECT user_id, tu, max(value) AS value FROM e
+          WHERE event_type = 'purchase' GROUP BY 1, 2),
+    r AS (SELECT user_id, tu, CAST(NULL AS BIGINT) AS event_id, 0 AS is_left,
+                 tu AS rt, value AS rv FROM q),
+    u AS (SELECT * FROM l UNION ALL SELECT * FROM r),
+    c AS (
+      SELECT user_id, tu, event_id, is_left,
+             last_value(rt IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY tu, is_left
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+             last_value(rv IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY tu, is_left
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             first_value(rt IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY tu, is_left DESC
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt,
+             first_value(rv IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY tu, is_left DESC
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv
+      FROM u)
+    SELECT user_id, event_id, tu AS ts_us, pt AS prev_ts, nt AS next_ts,
+           round(CASE WHEN pt IS NOT NULL AND nt IS NOT NULL THEN
+                        CASE WHEN nt = pt THEN pv
+                             ELSE pv + (nv - pv)
+                                  * (CAST(tu AS DOUBLE) - CAST(pt AS DOUBLE))
+                                  / (CAST(nt AS DOUBLE) - CAST(pt AS DOUBLE)) END
+                      WHEN pt IS NOT NULL THEN pv
+                      WHEN nt IS NOT NULL THEN nv END, 6) AS v_interp
+    FROM c WHERE is_left = 1
+    """,
+)
+def j_asof_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with linear interpolation (`asof.asof_interpolate`): each
+    view event gets the purchase-value series evaluated AT its timestamp —
+    bracketing points from one union + two running windows, endpoint clamp
+    outside the series. Purchases pre-aggregate per (user, µs) so bracketing
+    is deterministic; interpolation is correctly-rounded IEEE throughout."""
+    from hiss_cube_spark.operators.asof import asof_interpolate
+
+    e = _events(spark, sf_dir).where(F.col("user_id") % 50 == 0)
+    probes = e.where(F.col("event_type") == "view").select("user_id", "ts_us", "event_id")
+    quotes = (
+        e.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts_us")
+        .agg(F.max("value").alias("value"))
+    )
+    out = asof_interpolate(probes, quotes, on="ts_us", by=("user_id",), value_col="value")
+    return out.select(
+        "user_id", "event_id", "ts_us", "prev_ts", "next_ts",
+        _r6(F.col("v_interp")).alias("v_interp"),
+    )
+
+
+@_q(
     "ts_autocorr",
     """
     WITH e AS (
@@ -5924,6 +5981,7 @@ _CHECK_PRIORITY = [
     "cur_stratified_kfold", "text_entropy", "text_pmi_bigrams",
     "ts_autocorr", "cur_weighted_sample", "dq_mad_outliers",
     "dq_segment_drift", "a_trimmed_mean", "a_mode", "cdc_incremental_agg",
+    "j_asof_interp",
     "p_variant_props", "q_recursive_cte", "viz_cube_union",
     "o1_zorder_clustering", "w_funnel_stages", "w_cohort_retention",
     "a_median_quartiles", "o_global_topk", "a_pivot_flags",

@@ -557,3 +557,24 @@ def test_ks_drift_known_shift(spark):
     same = ks_drift(df.where("grp='a'").unionByName(
         df.where("grp='a'").selectExpr("'b' AS grp", "v")), "v", "grp", "a", "b").collect()
     assert same[0]["ks_stat"] == 0.0  # identical distributions -> D=0
+
+
+def test_asof_interpolate_pinned_cases(spark):
+    from hiss_cube_spark.operators.asof import asof_interpolate
+
+    probes = spark.createDataFrame(
+        [(1, 5), (1, 10), (1, 15), (1, 0), (1, 30), (2, 7)],
+        "k long, ts long",
+    )
+    quotes = spark.createDataFrame(
+        [(1, 10, 100.0), (1, 20, 200.0)], "k long, ts long, v double"
+    )
+    got = {(r["k"], r["ts"]): r for r in asof_interpolate(
+        probes, quotes, on="ts", by=("k",), value_col="v").collect()}
+    assert got[(1, 5)]["v_interp"] == 100.0    # before series -> clamp to first
+    assert got[(1, 10)]["v_interp"] == 100.0   # exact hit
+    assert got[(1, 15)]["v_interp"] == 150.0   # midpoint
+    assert got[(1, 0)]["v_interp"] == 100.0    # clamp
+    assert got[(1, 30)]["v_interp"] == 200.0   # after series -> clamp to last
+    assert got[(2, 7)]["v_interp"] is None     # key with no quotes
+    assert got[(1, 15)]["prev_ts"] == 10 and got[(1, 15)]["next_ts"] == 20
