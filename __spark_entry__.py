@@ -3462,6 +3462,69 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "cur_best_of_cluster",
+    f"""
+    WITH RECURSIVE pairs AS ({_SQL_SHINGLE_JACCARD}),
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+              UNION SELECT doc_b AS a, doc_a AS b FROM pairs),
+    reach(node, label) AS (
+      SELECT DISTINCT a, a FROM edges
+      UNION
+      SELECT e.b, r.label FROM reach r JOIN edges e ON e.a = r.node
+    ),
+    cc AS (SELECT node, min(label) AS cluster_id FROM reach GROUP BY node),
+    scored AS (
+      SELECT cc.node, cc.cluster_id,
+             len(list_filter(string_split(d.text, ' '), t -> len(t) > 0)) AS n_tok
+      FROM cc JOIN documents d ON d.doc_id = cc.node),
+    rk AS (
+      SELECT node, cluster_id, n_tok,
+             row_number() OVER (PARTITION BY cluster_id
+                                ORDER BY n_tok DESC, node) AS rn,
+             count(*) OVER (PARTITION BY cluster_id) AS n_members
+      FROM scored)
+    SELECT cluster_id, node AS kept_doc, CAST(n_tok AS BIGINT) AS kept_tokens,
+           CAST(n_members AS BIGINT) AS n_members
+    FROM rk WHERE rn = 1
+    """,
+)
+def cur_best_of_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-of-cluster duplicate resolution
+    (`clusters.resolve_duplicates_best`): within each near-dup cluster keep
+    the LONGEST document (ties → smallest id) — the curation-grade policy
+    instead of min-id. Emits each cluster's winner and size; the kept
+    corpus is `df` anti-joined against everything else (exercised in the
+    unit test)."""
+    from hiss_cube_spark.operators.clusters import connected_components
+    from hiss_cube_spark.operators.dedup import ngram_jaccard_pairs
+    from hiss_cube_spark.operators.text_analysis import tokenize
+
+    d = _t(spark, sf_dir, "documents").where(F.size(F.split("text", " ")) >= 3)
+    pairs = ngram_jaccard_pairs(d, threshold=0.8, n=3, prefix_filter=True)
+    cc = connected_components(pairs)
+    scored = cc.join(
+        d.select(
+            F.col("doc_id").alias("node"),
+            F.size(tokenize(F.col("text"))).alias("n_tok"),
+        ),
+        "node",
+    )
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("n_tok"), F.asc("node"))
+    wc = Window.partitionBy("cluster_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_members", F.count(F.lit(1)).over(wc))
+        .where(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("node").alias("kept_doc"),
+            F.col("n_tok").cast("long").alias("kept_tokens"),
+            F.col("n_members").cast("long").alias("n_members"),
+        )
+    )
+
+
 @_q("cur_semantic_dedup")
 def cur_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup over the embeddings table, rows-only (KMeans cells are not
@@ -5981,7 +6044,7 @@ _CHECK_PRIORITY = [
     "cur_stratified_kfold", "text_entropy", "text_pmi_bigrams",
     "ts_autocorr", "cur_weighted_sample", "dq_mad_outliers",
     "dq_segment_drift", "a_trimmed_mean", "a_mode", "cdc_incremental_agg",
-    "j_asof_interp",
+    "j_asof_interp", "cur_best_of_cluster",
     "p_variant_props", "q_recursive_cte", "viz_cube_union",
     "o1_zorder_clustering", "w_funnel_stages", "w_cohort_retention",
     "a_median_quartiles", "o_global_topk", "a_pivot_flags",

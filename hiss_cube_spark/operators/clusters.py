@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["connected_components", "resolve_duplicates"]
+__all__ = ["connected_components", "resolve_duplicates", "resolve_duplicates_best"]
 
 
 def connected_components(
@@ -99,5 +99,42 @@ def resolve_duplicates(
     cc = connected_components(pairs, src=src, dst=dst)
     losers = cc.where(F.col("node") != F.col("cluster_id")).select(
         F.col("node").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")
+
+
+def resolve_duplicates_best(
+    df: DataFrame,
+    pairs: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    src: str = "doc_a",
+    dst: str = "doc_b",
+) -> DataFrame:
+    """Keep the HIGHEST-``score_col`` member of each near-duplicate cluster
+    (ties → smallest id) instead of `resolve_duplicates`' min-id rule —
+    the curation-grade policy: when several near-copies exist, retain the
+    best one (longest, highest quality score, newest), not the
+    accidentally-lowest-keyed one.
+
+    The cluster map comes from the same min-label propagation; the winner
+    per cluster is one rank window over the (cluster-sized, tiny) member
+    set joined with scores; everything else anti-joins away. ``df`` itself
+    is never shuffled — only the member/loser sets move.
+    """
+    from pyspark.sql.window import Window
+
+    cc = connected_components(pairs, src=src, dst=dst)
+    members = cc.join(
+        df.select(F.col(id_col).alias("node"), F.col(score_col).alias("_score")),
+        "node",
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("_score"), F.asc("node")
+    )
+    losers = (
+        members.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") > 1)
+        .select(F.col("node").alias(id_col))
     )
     return df.join(losers, id_col, "left_anti")

@@ -486,3 +486,29 @@ def test_weighted_sample_prefers_heavy_rows_and_is_deterministic(spark):
         "w", k=100,
     ).collect()
     assert all(r["weight"] > 0 for r in z) and len(z) == 10
+
+
+def test_resolve_duplicates_best_keeps_highest_score(spark):
+    from pyspark.sql import functions as F
+
+    from hiss_cube_spark.operators.clusters import (
+        resolve_duplicates,
+        resolve_duplicates_best,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, 9.0), (3, 7.0), (10, 1.0), (99, 4.0)],
+        "doc_id long, quality double",
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "doc_a long, doc_b long")
+    best = {r["doc_id"] for r in resolve_duplicates_best(df, pairs, "quality").collect()}
+    # cluster {1,2,3}: keep 2 (quality 9); untouched docs 10, 99 survive
+    assert best == {2, 10, 99}
+    minid = {r["doc_id"] for r in resolve_duplicates(df, pairs).collect()}
+    assert minid == {1, 10, 99}  # the policy difference, pinned
+    # tie on score -> smallest id wins
+    tied = spark.createDataFrame(
+        [(7, 3.0), (8, 3.0)], "doc_id long, quality double"
+    )
+    tp = spark.createDataFrame([(7, 8)], "doc_a long, doc_b long")
+    assert {r["doc_id"] for r in resolve_duplicates_best(tied, tp, "quality").collect()} == {7}
