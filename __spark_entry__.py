@@ -2140,6 +2140,38 @@ def ann_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sq_topk(q, e, k=5, dim=64)
 
 
+@_q(
+    "emb_random_projection",
+    """
+    WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20),
+    cells AS (
+      SELECT vec_id, j.j AS j, d.d AS d,
+             (CASE WHEN ((d.d * 2654435761 + j.j * 40503) // 8) % 2 = 0
+                   THEN 1 ELSE -1 END)
+             * CAST(floor(CAST(embedding[d.d + 1] AS DOUBLE) * 1e6) AS BIGINT) AS c
+      FROM e,
+           unnest(generate_series(0, 15)) j(j),
+           unnest(generate_series(0, 63)) d(d))
+    SELECT vec_id, CAST(j AS BIGINT) AS j, CAST(sum(c) AS BIGINT) AS proj_q
+    FROM cells GROUP BY 1, 2
+    """,
+)
+def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss sign projection 64→16
+    (`similarity.random_projection`): the ±1 matrix is a pure integer-hash
+    function — regenerated bit-identically anywhere, never stored or
+    shipped — and components quantize to longs first, so every projection
+    is an exact integer sum. Zero shuffle (row-local nested transform);
+    emitted long-form for the canonicalizer."""
+    from hiss_cube_spark.operators.similarity import random_projection
+
+    e = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 20)
+    out = random_projection(e, out_dim=16, in_dim=64)
+    return out.select(
+        "vec_id", F.posexplode("proj_q").alias("j", "proj_q")
+    ).select("vec_id", F.col("j").cast("long").alias("j"), "proj_q")
+
+
 @_q("ann_lsh_topk")
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate LSH-bucketed top-k (rows-only check: recall is
@@ -3406,6 +3438,44 @@ def text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hiss_cube_spark.operators.text_analysis import pmi_bigrams
 
     return pmi_bigrams(_t(spark, sf_dir, "documents"), k=15, min_count=5)
+
+
+@_q(
+    "cur_score_calibrate",
+    """
+    WITH s AS (
+      SELECT doc_id, lang,
+             len(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS raw
+      FROM documents WHERE doc_id % 10 = 0),
+    r AS (
+      SELECT doc_id, lang, raw,
+             percent_rank() OVER (PARTITION BY lang ORDER BY raw, doc_id) AS pr
+      FROM s)
+    SELECT doc_id, lang, CAST(raw AS BIGINT) AS raw_score,
+           round(pr, 6) AS calibrated
+    FROM r
+    """,
+)
+def cur_score_calibrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language percent-rank calibration of a raw quality score (token
+    count here): maps every score onto [0,1] within its language so one
+    global keep-threshold treats languages fairly — quantile normalization,
+    the standard fix for cross-lingual quality-score bias. percent_rank is
+    the exact rational (rank−1)/(n−1) with a doc_id tie-break, so it is
+    engine-exact. One window per language partition; the 100 TB note from
+    `a_trimmed_mean` applies (swap to approx quantile bins for fat
+    partitions)."""
+    from hiss_cube_spark.operators.text_analysis import tokenize
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 0)
+    s = d.select("doc_id", "lang", F.size(tokenize(F.col("text"))).alias("raw"))
+    w = Window.partitionBy("lang").orderBy("raw", "doc_id")
+    return s.select(
+        "doc_id",
+        "lang",
+        F.col("raw").cast("long").alias("raw_score"),
+        _r6(F.percent_rank().over(w)).alias("calibrated"),
+    )
 
 
 @_q(
@@ -6044,7 +6114,8 @@ _CHECK_PRIORITY = [
     "cur_stratified_kfold", "text_entropy", "text_pmi_bigrams",
     "ts_autocorr", "cur_weighted_sample", "dq_mad_outliers",
     "dq_segment_drift", "a_trimmed_mean", "a_mode", "cdc_incremental_agg",
-    "j_asof_interp", "cur_best_of_cluster",
+    "j_asof_interp", "cur_best_of_cluster", "cur_score_calibrate",
+    "emb_random_projection",
     "p_variant_props", "q_recursive_cte", "viz_cube_union",
     "o1_zorder_clustering", "w_funnel_stages", "w_cohort_retention",
     "a_median_quartiles", "o_global_topk", "a_pivot_flags",

@@ -33,7 +33,7 @@ __all__ = [
     "hard_negatives",
     "cosine_topk", "cosine_pairs", "cosine_pairs_blocked", "lsh_bucketed_topk",
     "cosine_expr", "pq_topk", "ivf_topk", "ivf_pq_topk",
-    "semantic_dedup", "sq_quantize", "sq_topk",
+    "semantic_dedup", "sq_quantize", "sq_topk", "random_projection",
 ]
 
 
@@ -861,3 +861,45 @@ def semantic_dedup(
     return resolve_duplicates(
         corpus, pairs, id_col=id_col, src="id_a", dst="id_b"
     )
+
+
+def random_projection(
+    df: DataFrame,
+    out_dim: int,
+    in_dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    quant: float = 1e6,
+) -> DataFrame:
+    """Johnson–Lindenstrauss sign projection: reduce ``in_dim`` → ``out_dim``
+    with a ±1 matrix derived from an integer hash of (input-dim, output-dim)
+    — the Achlioptas-style sparse/sign JL transform, with the matrix a pure
+    FUNCTION instead of a stored array, so nothing ships to executors and
+    any engine regenerates it bit-identically.
+
+    Components quantize to a 1e-6 grid first, so each projection is an
+    exact integer sum (`proj_q`; divide by ``quant`` for the value) —
+    order-independent and engine-exact. Zero shuffle: one row-local nested
+    `transform`/`aggregate` expression per vector; at 100 TB this is a free
+    map that feeds LSH/clustering at out_dim/in_dim of the width.
+
+    Production variant: seeded Gaussian planes give slightly better
+    distance preservation; sign-JL keeps the ±1 guarantee (Achlioptas
+    2003) and stays integer-exact, which is why it is the default here.
+    """
+    vq = lambda d: F.floor(  # noqa: E731
+        F.element_at(F.col(vec_col), d + F.lit(1)).cast("double") * F.lit(quant)
+    ).cast("long")
+    sign = lambda d, j: F.when(  # noqa: E731
+        ((d * F.lit(2654435761) + j * F.lit(40503)) / F.lit(8)).cast("long") % 2 == 0,
+        F.lit(1).cast("long"),
+    ).otherwise(F.lit(-1).cast("long"))
+    proj = F.transform(
+        F.sequence(F.lit(0), F.lit(out_dim - 1)),
+        lambda j: F.aggregate(
+            F.sequence(F.lit(0), F.lit(in_dim - 1)),
+            F.lit(0).cast("long"),
+            lambda acc, d: acc + sign(d, j) * vq(d),
+        ),
+    )
+    return df.select(F.col(id_col), proj.alias("proj_q"))

@@ -259,3 +259,28 @@ def test_sq_quantize_bounds_and_topk_finds_planted_neighbor(spark):
     assert out[0]["neighbor_id"] == 99
     assert out[0]["rank"] == 1
     assert out[0]["dot_q"] > 0
+
+
+def test_random_projection_preserves_relative_distance(spark):
+    import numpy as np
+
+    from hiss_cube_spark.operators.similarity import random_projection
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((40, 64)).astype("float32")
+    base[1] = base[0] + rng.standard_normal(64).astype("float32") * 0.01  # near-dup pair
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(base)],
+        "vec_id long, embedding array<float>",
+    )
+    rows = random_projection(df, out_dim=16, in_dim=64).collect()
+    proj = {r["vec_id"]: np.array(r["proj_q"], dtype=np.float64) / 1e6 for r in rows}
+    assert all(len(v) == 16 for v in proj.values())
+    # JL contract (loose): the planted near-dup stays each other's nearest
+    d01 = np.linalg.norm(proj[0] - proj[1])
+    others = [np.linalg.norm(proj[0] - proj[k]) for k in proj if k not in (0, 1)]
+    assert d01 < min(others), (d01, min(others))
+    # deterministic: same input -> identical integer projections
+    again = {r["vec_id"]: list(r["proj_q"]) for r in random_projection(df, 16, 64).collect()}
+    r2 = {r["vec_id"]: list(r["proj_q"]) for r in random_projection(df, 16, 64).collect()}
+    assert again == r2
