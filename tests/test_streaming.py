@@ -532,3 +532,43 @@ def test_stream_ivf_refresh_builds_prunable_index(spark, tmp_path_factory, sf_di
         rs.sort(key=lambda r: r["rank"])
         assert [r["rank"] for r in rs] == [1, 2, 3]
         assert rs[0]["cosine"] >= rs[1]["cosine"] >= rs[2]["cosine"]
+
+
+def test_stream_drift_monitor_flags_shifted_batch(spark, tmp_path_factory):
+    """Two micro-batches against a frozen reference: the same-distribution
+    batch scores KS 0, the shifted batch scores 1; checkpoint replay does
+    not duplicate monitor rows."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hiss_cube_spark.streaming.drift import stream_drift_monitor
+
+    src = str(tmp_path_factory.mktemp("drift_src"))
+    mon = str(tmp_path_factory.mktemp("drift_mon"))
+    ckpt = str(tmp_path_factory.mktemp("drift_ckpt"))
+
+    ref = spark.createDataFrame([(float(v),) for v in range(1, 101)], "v double")
+    # batch files land in order: identical distribution, then fully shifted
+    spark.createDataFrame([(float(v),) for v in range(1, 101)], "v double") \
+        .coalesce(1).write.mode("overwrite").parquet(src)
+    spark.createDataFrame([(float(v) + 500, ) for v in range(1, 101)], "v double") \
+        .coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema("v double").option("maxFilesPerTrigger", 1).parquet(src)
+    q = stream_drift_monitor(stream, ref, mon, ckpt)
+    q.awaitTermination(120)
+
+    rows = {r["batch_id"]: r for r in spark.read.parquet(mon).collect()}
+    stats = sorted(r["ks_stat"] for r in rows.values())
+    assert stats == [0.0, 1.0], stats
+    assert all(r["n_batch"] == 100 and r["n_ref"] == 100 for r in rows.values())
+
+    # restart over the same checkpoint: no new batches -> monitor unchanged
+    n_before = spark.read.parquet(mon).count()
+    q2 = stream_drift_monitor(
+        spark.readStream.schema("v double").option("maxFilesPerTrigger", 1).parquet(src),
+        ref, mon, ckpt,
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(mon).count() == n_before
