@@ -5767,6 +5767,51 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "graph_bfs_hops",
+    """
+    WITH RECURSIVE edges AS (
+      SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      WHERE c.c_nationkey <> s.s_nationkey),
+    walk(node, hop) AS (
+      SELECT CAST(0 AS BIGINT) AS node, 0 AS hop
+      UNION ALL
+      SELECT CAST(e.dst AS BIGINT), w.hop + 1
+      FROM walk w JOIN edges e ON e.src = w.node
+      WHERE w.hop < 3)
+    SELECT node, CAST(min(hop) AS INTEGER) AS hops
+    FROM walk GROUP BY node
+    """,
+)
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source BFS (≤3 hops) over the customer-nation → supplier-nation
+    trade graph (`graph.bfs_hops`). The operator runs true frontier BFS
+    (each node settled once); the oracle's recursive walk enumerates paths
+    and takes min hop — identical answers, deliberately different
+    formulations."""
+    from hiss_cube_spark.operators.graph import bfs_hops
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    edges = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .where(F.col("c_nationkey") != F.col("s_nationkey"))
+        .select(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .distinct()
+    )
+    return bfs_hops(edges, source=0, max_hops=3)
+
+
+@_q(
     "graph_pagerank",
     """
     WITH edges AS (
@@ -6115,7 +6160,7 @@ _CHECK_PRIORITY = [
     "ts_autocorr", "cur_weighted_sample", "dq_mad_outliers",
     "dq_segment_drift", "a_trimmed_mean", "a_mode", "cdc_incremental_agg",
     "j_asof_interp", "cur_best_of_cluster", "cur_score_calibrate",
-    "emb_random_projection",
+    "emb_random_projection", "graph_bfs_hops",
     "p_variant_props", "q_recursive_cte", "viz_cube_union",
     "o1_zorder_clustering", "w_funnel_stages", "w_cohort_retention",
     "a_median_quartiles", "o_global_topk", "a_pivot_flags",

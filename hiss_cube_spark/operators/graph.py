@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank", "triangle_count"]
+__all__ = ["pagerank", "triangle_count", "bfs_hops"]
 
 
 def pagerank(
@@ -141,3 +141,44 @@ def triangle_count(
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
     return per_node
+
+
+def bfs_hops(
+    edges: DataFrame,
+    source: int,
+    max_hops: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Single-source shortest hop counts by frontier-expansion BFS — the
+    bounded-depth reachability primitive (lineage walks, referral depth,
+    network radius checks).
+
+    Proper distributed BFS: each round joins only the NEW frontier against
+    the edge table and anti-joins out already-settled nodes, so a node is
+    visited once no matter how many paths reach it (no path explosion —
+    the walk-then-min formulation the recursive-CTE oracle uses would
+    enumerate paths). Rounds are a driver loop bounded by ``max_hops``
+    with an early exit when the frontier empties; per-round cost is one
+    equi-join + one anti-join, the same shape as `connected_components`.
+    """
+    spark = edges.sparkSession
+    dist = spark.range(1).select(
+        F.lit(source).cast("long").alias("node"), F.lit(0).cast("int").alias("hops")
+    )
+    frontier = dist.select("node")
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(edges, frontier["node"] == edges[src])
+            .select(F.col(dst).cast("long").alias("node"))
+            .distinct()
+        )
+        new = nxt.join(dist.select("node"), "node", "left_anti").select(
+            "node", F.lit(h).cast("int").alias("hops")
+        )
+        new = new.persist()
+        if new.isEmpty():
+            break
+        dist = dist.unionByName(new)
+        frontier = new.select("node")
+    return dist

@@ -300,3 +300,21 @@ def test_ks_drift_grouped_flags_shifted_segment(spark):
     assert got["shifted"]["ks_stat"] == 1.0  # fully disjoint support
     assert got["shifted"]["at_value"] == 100.0  # sup attained at ref max
     assert got["stable"]["n_group"] == 100 and got["stable"]["n_ref"] == 100
+
+
+def test_bfs_hops_pinned_chain_and_unreachable(spark):
+    from hiss_cube_spark.operators.graph import bfs_hops
+
+    # chain 0->1->2->3, shortcut 0->2, island 9->10
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (0, 2), (9, 10)], "src long, dst long"
+    )
+    got = {r["node"]: r["hops"] for r in bfs_hops(edges, source=0, max_hops=5).collect()}
+    assert got == {0: 0, 1: 1, 2: 1, 3: 2}  # shortcut wins; island absent
+    # hop bound respected
+    short = {r["node"]: r["hops"] for r in bfs_hops(edges, source=0, max_hops=1).collect()}
+    assert short == {0: 0, 1: 1, 2: 1}
+    # cycle terminates
+    cyc = spark.createDataFrame([(0, 1), (1, 0)], "src long, dst long")
+    got_c = {r["node"]: r["hops"] for r in bfs_hops(cyc, source=0, max_hops=10).collect()}
+    assert got_c == {0: 0, 1: 1}
