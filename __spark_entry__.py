@@ -2586,6 +2586,51 @@ def dq_segment_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "dq_benford",
+    """
+    WITH v AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders
+      WHERE o_totalprice > 0),
+    d AS (
+      SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INTEGER) AS digit
+      FROM v),
+    c AS (SELECT digit, count(*) AS n_obs FROM d GROUP BY digit),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d)
+    SELECT digit, n_obs,
+           round(n.n * (ln(1.0 + 1.0 / digit) / ln(10.0)), 6) AS expected,
+           round(CAST(n_obs - n.n * (ln(1.0 + 1.0 / digit) / ln(10.0)) AS DOUBLE)
+                 * (n_obs - n.n * (ln(1.0 + 1.0 / digit) / ln(10.0)))
+                 / (n.n * (ln(1.0 + 1.0 / digit) / ln(10.0))), 6) AS chi2_term
+    FROM c, n
+    """,
+)
+def dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of order totals: per-digit observed count,
+    Benford expectation n·log10(1+1/d), and the chi-square contribution —
+    the fabricated-data / unit-mixup smell test. First digits come from the
+    INTEGER cents' decimal string (identical across engines — no float
+    log10 boundary risk); synthetic uniform prices will fail Benford
+    loudly, which is exactly what the audit should report."""
+    v = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 0).select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    d = v.select(
+        F.substring(F.col("cents").cast("string"), 1, 1).cast("int").alias("digit")
+    )
+    c = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n_obs"))
+    n = d.agg(F.count(F.lit(1)).alias("n"))
+    exp = F.col("n") * (F.log(F.lit(1.0) + F.lit(1.0) / F.col("digit")) / F.log(F.lit(10.0)))
+    return c.crossJoin(F.broadcast(n)).select(
+        "digit",
+        "n_obs",
+        _r6(exp).alias("expected"),
+        _r6(
+            (F.col("n_obs") - exp).cast("double") * (F.col("n_obs") - exp) / exp
+        ).alias("chi2_term"),
+    )
+
+
+@_q(
     "dq_profile_table",
     """
     SELECT 'l_quantity' AS column, count(*) AS n,
@@ -6160,7 +6205,7 @@ _CHECK_PRIORITY = [
     "ts_autocorr", "cur_weighted_sample", "dq_mad_outliers",
     "dq_segment_drift", "a_trimmed_mean", "a_mode", "cdc_incremental_agg",
     "j_asof_interp", "cur_best_of_cluster", "cur_score_calibrate",
-    "emb_random_projection", "graph_bfs_hops",
+    "emb_random_projection", "graph_bfs_hops", "dq_benford",
     "p_variant_props", "q_recursive_cte", "viz_cube_union",
     "o1_zorder_clustering", "w_funnel_stages", "w_cohort_retention",
     "a_median_quartiles", "o_global_topk", "a_pivot_flags",
