@@ -404,6 +404,15 @@ def test_plan_shapes_hold(spark, sf_dir):
     assert "WindowGroupLimit" in plan("cur_incremental_dedup")
     # profiling is one scan: exactly one FileScan in the plan
     assert plan("dq_profile_table").count("FileScan parquet") == 1
+    # BM25: global top-k is a heap (never a sort) and there is no join
+    # bigger than the 1-row stats broadcast
+    p = plan("text_bm25_topk")
+    assert "TakeOrderedAndProject" in p and "SortMergeJoin" not in p
+    # weighted sampling: top-k heap, no shuffle of the corpus
+    assert "TakeOrderedAndProject" in plan("cur_weighted_sample")
+    # candidate-generating joins never degenerate to a cartesian product
+    assert "CartesianProduct" not in plan("dedup_containment")
+    assert "CartesianProduct" not in plan("ann_sq_topk")
 
 
 def test_best_fuzzy_match_equals_bruteforce_no_cartesian(spark):
