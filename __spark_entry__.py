@@ -987,6 +987,46 @@ def j_asof_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "ts_transition_matrix",
+    """
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS tu, event_id, event_type
+      FROM events),
+    p AS (
+      SELECT event_type AS cur,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY tu, event_id) AS nxt
+      FROM e),
+    c AS (SELECT cur, nxt, count(*) AS n FROM p WHERE nxt IS NOT NULL
+          GROUP BY 1, 2),
+    t AS (SELECT cur, CAST(sum(n) AS BIGINT) AS total FROM c GROUP BY cur)
+    SELECT c.cur, c.nxt, CAST(c.n AS BIGINT) AS n,
+           round(CAST(c.n AS DOUBLE) / t.total, 6) AS p
+    FROM c JOIN t ON c.cur = t.cur
+    """,
+)
+def ts_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences:
+    P(next=Y | current=X) from one lead window + two map-side-combining
+    groupBys — the behavioral-model fit (and the anomaly baseline: flag
+    sessions whose transitions are improbable). Probabilities are exact
+    integer ratios; the matrix is |types|², a broadcast-sized result from
+    any volume of events."""
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    p = e.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).where(F.col("nxt").isNotNull())
+    c = p.groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("n"))
+    t = c.groupBy("cur").agg(F.sum("n").alias("total"))
+    return c.join(t, "cur").select(
+        "cur", "nxt", "n",
+        _r6(F.col("n").cast("double") / F.col("total")).alias("p"),
+    )
+
+
+@_q(
     "ts_autocorr",
     """
     WITH e AS (
@@ -6206,6 +6246,7 @@ _CHECK_PRIORITY = [
     "dq_segment_drift", "a_trimmed_mean", "a_mode", "cdc_incremental_agg",
     "j_asof_interp", "cur_best_of_cluster", "cur_score_calibrate",
     "emb_random_projection", "graph_bfs_hops", "dq_benford",
+    "ts_transition_matrix",
     "p_variant_props", "q_recursive_cte", "viz_cube_union",
     "o1_zorder_clustering", "w_funnel_stages", "w_cohort_retention",
     "a_median_quartiles", "o_global_topk", "a_pivot_flags",
