@@ -1696,6 +1696,85 @@ def a_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "a_corr_matrix",
+    """
+    WITH v AS (
+      SELECT CAST(round(l_quantity * 100) AS DECIMAL(18,0)) AS q,
+             CAST(round(l_extendedprice * 100) AS DECIMAL(18,0)) AS p,
+             CAST(round(l_discount * 10000) AS DECIMAL(18,0)) AS d
+      FROM lineitem),
+    m AS (
+      SELECT CAST(count(*) AS DECIMAL(18,0)) AS n,
+             CAST(sum(q) AS DECIMAL(38,0)) AS sq, CAST(sum(p) AS DECIMAL(38,0)) AS sp,
+             CAST(sum(d) AS DECIMAL(38,0)) AS sd,
+             CAST(sum(q*q) AS DECIMAL(38,0)) AS sqq, CAST(sum(p*p) AS DECIMAL(38,0)) AS spp,
+             CAST(sum(d*d) AS DECIMAL(38,0)) AS sdd,
+             CAST(sum(q*p) AS DECIMAL(38,0)) AS sqp, CAST(sum(q*d) AS DECIMAL(38,0)) AS sqd,
+             CAST(sum(p*d) AS DECIMAL(38,0)) AS spd
+      FROM v)
+    SELECT * FROM (
+      SELECT 'quantity' AS var_a, 'price' AS var_b,
+             round(CAST(n*sqp - sq*sp AS DOUBLE)
+                   / (sqrt(CAST(n*sqq - sq*sq AS DOUBLE)) * sqrt(CAST(n*spp - sp*sp AS DOUBLE))), 6) AS corr
+      FROM m
+      UNION ALL
+      SELECT 'quantity', 'discount',
+             round(CAST(n*sqd - sq*sd AS DOUBLE)
+                   / (sqrt(CAST(n*sqq - sq*sq AS DOUBLE)) * sqrt(CAST(n*sdd - sd*sd AS DOUBLE))), 6)
+      FROM m
+      UNION ALL
+      SELECT 'price', 'discount',
+             round(CAST(n*spd - sp*sd AS DOUBLE)
+                   / (sqrt(CAST(n*spp - sp*sp AS DOUBLE)) * sqrt(CAST(n*sdd - sd*sd AS DOUBLE))), 6)
+      FROM m)
+    """,
+)
+def a_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix over three lineitem measures in
+    ONE scan: all ten moment sums accumulate as DECIMALs in a single
+    aggregation row, then each pair's closed form runs in doubles with only
+    correctly-rounded ops (no ln/pow) — engine-exact, like `ts_autocorr`.
+    Profiling N columns costs one pass, not C(N,2) scans."""
+    li = _t(spark, sf_dir, "lineitem")
+    v = li.select(
+        F.round(F.col("l_quantity") * 100).cast("decimal(18,0)").alias("q"),
+        F.round(F.col("l_extendedprice") * 100).cast("decimal(18,0)").alias("p"),
+        F.round(F.col("l_discount") * 10000).cast("decimal(18,0)").alias("d"),
+    )
+    m = v.agg(
+        F.count(F.lit(1)).cast("decimal(18,0)").alias("n"),
+        *[
+            F.sum(expr).cast("decimal(38,0)").alias(name)
+            for name, expr in [
+                ("sq", F.col("q")), ("sp", F.col("p")), ("sd", F.col("d")),
+                ("sqq", F.col("q") * F.col("q")), ("spp", F.col("p") * F.col("p")),
+                ("sdd", F.col("d") * F.col("d")), ("sqp", F.col("q") * F.col("p")),
+                ("sqd", F.col("q") * F.col("d")), ("spd", F.col("p") * F.col("d")),
+            ]
+        ],
+    )
+
+    def corr(sxy, sx, sy, sxx, syy):
+        num = (F.col("n") * F.col(sxy) - F.col(sx) * F.col(sy)).cast("double")
+        d1 = (F.col("n") * F.col(sxx) - F.col(sx) * F.col(sx)).cast("double")
+        d2 = (F.col("n") * F.col(syy) - F.col(sy) * F.col(sy)).cast("double")
+        return _r6(num / (F.sqrt(d1) * F.sqrt(d2)))
+
+    rows = [
+        m.select(F.lit("quantity").alias("var_a"), F.lit("price").alias("var_b"),
+                 corr("sqp", "sq", "sp", "sqq", "spp").alias("corr")),
+        m.select(F.lit("quantity").alias("var_a"), F.lit("discount").alias("var_b"),
+                 corr("sqd", "sq", "sd", "sqq", "sdd").alias("corr")),
+        m.select(F.lit("price").alias("var_a"), F.lit("discount").alias("var_b"),
+                 corr("spd", "sp", "sd", "spp", "sdd").alias("corr")),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+@_q(
     "a_trimmed_mean",
     """
     WITH r AS (
@@ -3457,6 +3536,52 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return bm25_topk(
         _t(spark, sf_dir, "documents"), terms=["vector", "stream", "join"], k=10
+    )
+
+
+@_q(
+    "text_ngram_novelty",
+    """
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+               WHERE len(string_split(text, ' ')) >= 3),
+    sh AS (
+      SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram
+      FROM d, unnest(generate_series(1, len(w) - 2)) t(i)),
+    firsts AS (SELECT gram, min(doc_id) AS first_doc FROM sh GROUP BY gram),
+    j AS (SELECT sh.doc_id, CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END AS novel
+          FROM sh JOIN firsts f ON f.gram = sh.gram)
+    SELECT doc_id, count(*) AS n_grams,
+           CAST(sum(novel) AS BIGINT) AS n_novel,
+           round(CAST(sum(novel) AS DOUBLE) / count(*), 6) AS novel_frac
+    FROM j WHERE doc_id % 20 = 0 GROUP BY doc_id
+    """,
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 3-gram novelty: the fraction of a document's shingles
+    whose FIRST corpus occurrence (min doc_id) is the document itself — low
+    novelty flags near-copies and boilerplate even when no single pair
+    crosses a dedup threshold (the memorization-risk scan). First-occurrence
+    is one gram-keyed min aggregation; the join back is gram-keyed
+    (vocabulary-sized); the output filter samples 1-in-20 AFTER novelty is
+    computed against the whole corpus."""
+    from hiss_cube_spark.operators.dedup import document_grams
+
+    d = _t(spark, sf_dir, "documents").where(F.size(F.split("text", " ")) >= 3)
+    sh = document_grams(d, "text", "doc_id", 3, None).select(
+        "doc_id", F.explode("grams").alias("gram")
+    )
+    firsts = sh.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    j = sh.join(firsts, "gram").select(
+        "doc_id", (F.col("first_doc") == F.col("doc_id")).cast("int").alias("novel")
+    )
+    return (
+        j.where(F.col("doc_id") % 20 == 0)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum("novel").cast("long").alias("n_novel"),
+            _r6(F.sum("novel").cast("double") / F.count(F.lit(1))).alias("novel_frac"),
+        )
     )
 
 
@@ -6246,7 +6371,7 @@ _CHECK_PRIORITY = [
     "dq_segment_drift", "a_trimmed_mean", "a_mode", "cdc_incremental_agg",
     "j_asof_interp", "cur_best_of_cluster", "cur_score_calibrate",
     "emb_random_projection", "graph_bfs_hops", "dq_benford",
-    "ts_transition_matrix",
+    "ts_transition_matrix", "text_ngram_novelty", "a_corr_matrix",
     "p_variant_props", "q_recursive_cte", "viz_cube_union",
     "o1_zorder_clustering", "w_funnel_stages", "w_cohort_retention",
     "a_median_quartiles", "o_global_topk", "a_pivot_flags",
