@@ -3561,26 +3561,29 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     whose FIRST corpus occurrence (min doc_id) is the document itself — low
     novelty flags near-copies and boilerplate even when no single pair
     crosses a dedup threshold (the memorization-risk scan). First-occurrence
-    is one gram-keyed min aggregation; the join back is gram-keyed
-    (vocabulary-sized); the output filter samples 1-in-20 AFTER novelty is
-    computed against the whole corpus."""
+    is one gram-keyed min aggregation; novel counts come from RE-GROUPING
+    that result by its winning doc — no join back onto the posting table at
+    all (a doc's novel count = #grams it won). Per-doc totals are row-local
+    (size of the distinct-gram array). The output filter samples 1-in-20
+    AFTER novelty is computed against the whole corpus."""
     from hiss_cube_spark.operators.dedup import document_grams
 
     d = _t(spark, sf_dir, "documents").where(F.size(F.split("text", " ")) >= 3)
-    sh = document_grams(d, "text", "doc_id", 3, None).select(
-        "doc_id", F.explode("grams").alias("gram")
-    )
+    ga = document_grams(d, "text", "doc_id", 3, None)
+    sh = ga.select("doc_id", F.explode("grams").alias("gram"))
     firsts = sh.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
-    j = sh.join(firsts, "gram").select(
-        "doc_id", (F.col("first_doc") == F.col("doc_id")).cast("int").alias("novel")
-    )
+    novel = firsts.groupBy("first_doc").agg(F.count(F.lit(1)).alias("n_novel"))
+    totals = ga.select("doc_id", F.size("grams").cast("long").alias("n_grams"))
     return (
-        j.where(F.col("doc_id") % 20 == 0)
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.sum("novel").cast("long").alias("n_novel"),
-            _r6(F.sum("novel").cast("double") / F.count(F.lit(1))).alias("novel_frac"),
+        totals.where(F.col("doc_id") % 20 == 0)
+        .join(novel, totals["doc_id"] == novel["first_doc"], "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce(F.col("n_novel"), F.lit(0)).cast("long").alias("n_novel"),
+            _r6(
+                F.coalesce(F.col("n_novel"), F.lit(0)).cast("double") / F.col("n_grams")
+            ).alias("novel_frac"),
         )
     )
 
