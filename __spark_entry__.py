@@ -2291,6 +2291,28 @@ def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", F.col("j").cast("long").alias("j"), "proj_q")
 
 
+@_q("emb_whiten")
+def emb_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZCA whitening of the embedding corpus (`similarity.whiten`):
+    covariance from one mapInPandas partial pass (driver work bounded by
+    dim², not rows), dim×dim eigendecomposition driver-side, broadcast
+    matmul apply. Rows-only check (eigendecomposition is not bit-portable
+    across engines); the identity-covariance contract is unit-tested.
+    Emits per-vector whitened norms."""
+    from hiss_cube_spark.operators.similarity import whiten
+
+    e = _t(spark, sf_dir, "embeddings")
+    out = whiten(e, dim=64)
+    norm = F.sqrt(
+        F.aggregate(
+            F.col("whitened"),
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    return out.select("vec_id", F.round(norm, 2).alias("whitened_norm"))
+
+
 @_q("ann_lsh_topk")
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate LSH-bucketed top-k (rows-only check: recall is
@@ -6375,6 +6397,7 @@ _CHECK_PRIORITY = [
     "j_asof_interp", "cur_best_of_cluster", "cur_score_calibrate",
     "emb_random_projection", "graph_bfs_hops", "dq_benford",
     "ts_transition_matrix", "text_ngram_novelty", "a_corr_matrix",
+    "emb_whiten",
     "p_variant_props", "q_recursive_cte", "viz_cube_union",
     "o1_zorder_clustering", "w_funnel_stages", "w_cohort_retention",
     "a_median_quartiles", "o_global_topk", "a_pivot_flags",

@@ -33,7 +33,7 @@ __all__ = [
     "hard_negatives",
     "cosine_topk", "cosine_pairs", "cosine_pairs_blocked", "lsh_bucketed_topk",
     "cosine_expr", "pq_topk", "ivf_topk", "ivf_pq_topk",
-    "semantic_dedup", "sq_quantize", "sq_topk", "random_projection",
+    "semantic_dedup", "sq_quantize", "sq_topk", "random_projection", "whiten",
 ]
 
 
@@ -903,3 +903,68 @@ def random_projection(
         ),
     )
     return df.select(F.col(id_col), proj.alias("proj_q"))
+
+
+def whiten(
+    df: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    eps: float = 1e-5,
+) -> DataFrame:
+    """ZCA whitening of an embedding column: x ↦ W·(x − μ) with
+    W = (Σ + εI)^(−1/2) — decorrelates dimensions and equalizes variance,
+    the standard retrieval-quality fix for anisotropic embedding spaces
+    (whitening-BERT shape).
+
+    Scale shape: Σ and μ come from ONE distributed pass — each partition
+    emits a single (n, Σx, Σxxᵀ) row via `mapInPandas` (numpy einsum), so
+    the driver collects O(partitions · dim²) floats, NOT data. The dim×dim
+    eigendecomposition runs driver-side (bounded by dim, not rows) and the
+    resulting W broadcasts back into an Arrow-batched matmul — a linear
+    map over the corpus, no shuffle.
+
+    Float parity note: eigendecomposition is deterministic per
+    machine/BLAS but not bit-portable across engines — this operator is
+    validated by its mathematical contract (whitened sample covariance ≈ I,
+    see the unit test), not a SQL oracle.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def _partial(batches):
+        n = 0
+        s = np.zeros(dim, dtype=np.float64)
+        ss = np.zeros((dim, dim), dtype=np.float64)
+        for pdf in batches:
+            m = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            if len(m):
+                n += m.shape[0]
+                s += m.sum(axis=0)
+                ss += m.T @ m
+        yield pd.DataFrame(
+            {"n": [n], "s": [s.tolist()], "ss": [ss.reshape(-1).tolist()]}
+        )
+
+    parts = df.select(vec_col).mapInPandas(
+        _partial, schema="n long, s array<double>, ss array<double>"
+    ).collect()  # bounded: one row per partition of O(dim^2) floats
+    n = sum(p["n"] for p in parts)
+    s = np.sum([np.asarray(p["s"]) for p in parts], axis=0)
+    ss = np.sum([np.asarray(p["ss"]).reshape(dim, dim) for p in parts], axis=0)
+    mu = s / n
+    cov = ss / n - np.outer(mu, mu)
+    evals, evecs = np.linalg.eigh(cov)
+    w = (evecs * (1.0 / np.sqrt(evals + eps))) @ evecs.T  # ZCA: U Λ^-1/2 Uᵀ
+
+    spark = df.sparkSession
+    bw = spark.sparkContext.broadcast((w, mu))
+
+    @pandas_udf("array<float>")
+    def _apply(col: pd.Series) -> pd.Series:
+        wm, mm = bw.value
+        m = np.asarray([np.asarray(v, dtype=np.float64) for v in col])
+        out = (m - mm) @ wm.T
+        return pd.Series([row.astype(np.float32).tolist() for row in out])
+
+    return df.select(F.col(id_col), _apply(F.col(vec_col)).alias("whitened"))

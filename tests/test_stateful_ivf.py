@@ -284,3 +284,24 @@ def test_random_projection_preserves_relative_distance(spark):
     again = {r["vec_id"]: list(r["proj_q"]) for r in random_projection(df, 16, 64).collect()}
     r2 = {r["vec_id"]: list(r["proj_q"]) for r in random_projection(df, 16, 64).collect()}
     assert again == r2
+
+
+def test_whiten_produces_identity_covariance(spark):
+    import numpy as np
+
+    from hiss_cube_spark.operators.similarity import whiten
+
+    rng = np.random.default_rng(5)
+    dim = 8
+    # strongly anisotropic: correlated dims with very different variances
+    a = rng.standard_normal((400, dim)) * np.array([10, 5, 2, 1, 1, 0.5, 0.2, 0.1])
+    a[:, 1] += 0.8 * a[:, 0]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(a)],
+        "vec_id long, embedding array<float>",
+    ).repartition(4)
+    out = whiten(df, dim=dim).collect()
+    m = np.asarray([r["whitened"] for r in sorted(out, key=lambda r: r["vec_id"])])
+    cov = np.cov(m, rowvar=False, bias=True)
+    assert np.allclose(cov, np.eye(dim), atol=0.05), np.abs(cov - np.eye(dim)).max()
+    assert np.allclose(m.mean(axis=0), 0, atol=0.01)
