@@ -587,3 +587,33 @@ def test_asof_interpolate_pinned_cases(spark):
     assert got[(1, 30)]["v_interp"] == 200.0   # after series -> clamp to last
     assert got[(2, 7)]["v_interp"] is None     # key with no quotes
     assert got[(1, 15)]["prev_ts"] == 10 and got[(1, 15)]["next_ts"] == 20
+
+
+def test_sql_functions_match_dataframe_api(spark):
+    from hiss_cube_spark.functions.photometry import mag_to_flux
+    from hiss_cube_spark.functions.timeparse import mjd_to_ts, ts_to_mjd
+    from hiss_cube_spark.sql import register_functions
+
+    names = register_functions(spark)
+    assert {"mag_to_flux", "ts_to_mjd", "mjd_to_ts"} <= set(names)
+
+    df = spark.createDataFrame(
+        [(1.5, 4686.0, "2020-05-17 12:00:00")], "r double, wl double, t string"
+    ).withColumn("ts", F.col("t").cast("timestamp"))
+    df.createOrReplaceTempView("_fx")
+
+    api = df.select(
+        mag_to_flux(F.col("r"), F.col("wl")).alias("f"),
+        ts_to_mjd(F.col("ts")).alias("mjd"),
+    ).first()
+    via_sql = spark.sql(
+        "SELECT mag_to_flux(r, wl) AS f, ts_to_mjd(ts) AS mjd FROM _fx"
+    ).first()
+    assert via_sql["f"] == api["f"]
+    assert via_sql["mjd"] == api["mjd"]
+    # roundtrip through the SQL mjd_to_ts equals the API timestamp
+    rt = spark.sql("SELECT mjd_to_ts(ts_to_mjd(ts)) AS ts2, ts FROM _fx").first()
+    assert rt["ts2"] == rt["ts"]
+    # bodies inline: the plan is pure project over the scan, no Python eval
+    plan = spark.sql("SELECT mag_to_flux(r, wl) FROM _fx")._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
