@@ -1775,6 +1775,118 @@ def a_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "a_weighted_median",
+    """
+    WITH v AS (
+      SELECT l_returnflag,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS x,
+             CAST(l_quantity AS BIGINT) AS w
+      FROM lineitem),
+    r AS (
+      SELECT l_returnflag, x, w,
+             sum(w) OVER (PARTITION BY l_returnflag ORDER BY x, w
+                          ROWS UNBOUNDED PRECEDING) AS cw,
+             sum(w) OVER (PARTITION BY l_returnflag) AS tw
+      FROM v),
+    m AS (
+      SELECT l_returnflag, x, cw, tw,
+             row_number() OVER (PARTITION BY l_returnflag ORDER BY x, w) AS rn
+      FROM r WHERE 2 * cw >= tw)
+    SELECT l_returnflag, round(x / 100.0, 6) AS weighted_median,
+           CAST(tw AS BIGINT) AS total_weight
+    FROM m WHERE rn = 1
+    """,
+)
+def a_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median of extended price per return flag (weight =
+    quantity): the first value whose running weight reaches half the total
+    — all integer arithmetic (cents × integral quantities), so the answer
+    is engine-exact with no interpolation convention to align. One sort
+    window per group; same oracle-gate stance as `a_trimmed_mean` (approx
+    path: weighted quantile sketch)."""
+    li = _t(spark, sf_dir, "lineitem")
+    v = li.select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("x"),
+        F.col("l_quantity").cast("long").alias("w"),
+    )
+    wc = Window.partitionBy("l_returnflag").orderBy("x", "w").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wt = Window.partitionBy("l_returnflag")
+    wr = Window.partitionBy("l_returnflag").orderBy("x", "w")
+    r = v.select(
+        "l_returnflag",
+        "x",
+        "w",
+        F.sum("w").over(wc).alias("cw"),
+        F.sum("w").over(wt).alias("tw"),
+    )
+    m = (
+        r.where(2 * F.col("cw") >= F.col("tw"))
+        .withColumn("rn", F.row_number().over(Window.partitionBy("l_returnflag").orderBy("x", "w")))
+        .where(F.col("rn") == 1)
+    )
+    return m.select(
+        "l_returnflag",
+        _r6(F.col("x") / F.lit(100.0)).alias("weighted_median"),
+        F.col("tw").alias("total_weight"),
+    )
+
+
+@_q(
+    "f_target_encode",
+    """
+    WITH o AS (
+      SELECT o_orderkey, o_custkey, o_totalprice,
+             c.c_nationkey AS nation
+      FROM orders JOIN customer c ON c.c_custkey = o_custkey
+      WHERE o_orderkey % 40 = 0),
+    st AS (
+      SELECT nation, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(round(o_totalprice * 100) AS DECIMAL(18,0)))
+                  AS DECIMAL(38,0)) AS s
+      FROM o GROUP BY nation)
+    SELECT o.o_orderkey, o.nation,
+           round(CASE WHEN st.n > 1
+                      THEN CAST(st.s - CAST(round(o.o_totalprice * 100) AS DECIMAL(18,0))
+                           AS DOUBLE) / (st.n - 1) / 100.0
+                 END, 6) AS loo_mean_price
+    FROM o JOIN st USING (nation)
+    """,
+)
+def f_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding (the leakage-free categorical feature):
+    each order's nation is encoded as the mean order value of OTHER orders
+    in that nation — (Σ − x)/(n − 1) from one group aggregation broadcast
+    back, cent-quantized DECIMAL sums so the subtraction is exact. n=1
+    groups yield NULL (no information without leakage)."""
+    o = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 40 == 0)
+        .join(
+            _t(spark, sf_dir, "customer").select(
+                F.col("c_custkey").alias("o_custkey"),
+                F.col("c_nationkey").alias("nation"),
+            ),
+            "o_custkey",
+        )
+        .select("o_orderkey", "nation", "o_totalprice")
+    )
+    xq = F.round(F.col("o_totalprice") * 100).cast("decimal(18,0)")
+    st = o.groupBy("nation").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xq).cast("decimal(38,0)").alias("s"),
+    )
+    j = o.join(F.broadcast(st), "nation")
+    loo = F.when(
+        F.col("n") > 1,
+        (F.col("s") - xq).cast("double") / (F.col("n") - 1) / F.lit(100.0),
+    )
+    return j.select("o_orderkey", "nation", _r6(loo).alias("loo_mean_price"))
+
+
+@_q(
     "a_trimmed_mean",
     """
     WITH r AS (
@@ -6397,7 +6509,7 @@ _CHECK_PRIORITY = [
     "j_asof_interp", "cur_best_of_cluster", "cur_score_calibrate",
     "emb_random_projection", "graph_bfs_hops", "dq_benford",
     "ts_transition_matrix", "text_ngram_novelty", "a_corr_matrix",
-    "emb_whiten",
+    "emb_whiten", "a_weighted_median", "f_target_encode",
     "p_variant_props", "q_recursive_cte", "viz_cube_union",
     "o1_zorder_clustering", "w_funnel_stages", "w_cohort_retention",
     "a_median_quartiles", "o_global_topk", "a_pivot_flags",
