@@ -3826,6 +3826,43 @@ def cur_score_calibrate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "cur_contamination_score",
+    """
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+               WHERE len(string_split(text, ' ')) >= 3),
+    te AS (
+      SELECT DISTINCT w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram
+      FROM d, unnest(generate_series(1, len(w) - 2)) t(i)
+      WHERE doc_id % 97 = 0),
+    tr AS (SELECT doc_id, w FROM d WHERE doc_id % 20 = 1 AND doc_id % 97 <> 0),
+    sh AS (
+      SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram
+      FROM tr, unnest(generate_series(1, len(w) - 2)) t(i)),
+    agg AS (
+      SELECT sh.doc_id, count(*) AS n_grams,
+             CAST(sum(CASE WHEN te.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+      FROM sh LEFT JOIN te ON te.gram = sh.gram
+      GROUP BY sh.doc_id)
+    SELECT doc_id, n_grams, n_hit,
+           round(CAST(n_hit AS DOUBLE) / n_grams, 6) AS contamination
+    FROM agg
+    """,
+)
+def cur_contamination_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scored decontamination audit (`curation.contamination_score`):
+    per-train-doc fraction of distinct 3-grams present in the synthetic
+    benchmark slice (doc_id % 97 = 0) — the report behind the drop
+    threshold. Engine side is the broadcast-set Arrow UDF (no explode, no
+    shuffle); the oracle is the relational join form."""
+    from hiss_cube_spark.operators.curation import contamination_score
+
+    d = _t(spark, sf_dir, "documents").where(F.size(F.split("text", " ")) >= 3)
+    test = d.where(F.col("doc_id") % 97 == 0)
+    train = d.where((F.col("doc_id") % 20 == 1) & (F.col("doc_id") % 97 != 0))
+    return contamination_score(train, test)
+
+
+@_q(
     "cur_temperature_sample",
     """
     WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
@@ -6510,6 +6547,7 @@ _CHECK_PRIORITY = [
     "emb_random_projection", "graph_bfs_hops", "dq_benford",
     "ts_transition_matrix", "text_ngram_novelty", "a_corr_matrix",
     "emb_whiten", "a_weighted_median", "f_target_encode",
+    "cur_contamination_score",
     "p_variant_props", "q_recursive_cte", "viz_cube_union",
     "o1_zorder_clustering", "w_funnel_stages", "w_cohort_retention",
     "a_median_quartiles", "o_global_topk", "a_pivot_flags",

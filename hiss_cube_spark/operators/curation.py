@@ -28,6 +28,7 @@ __all__ = [
     "pack_sequences",
     "balanced_sample",
     "decontaminate",
+    "contamination_score",
     "corpus_report",
     "temperature_sample",
     "build_dedup_index",
@@ -657,4 +658,58 @@ def reservoir_sample(
         .orderBy("_rk", id_col)
         .limit(int(k))
         .drop("_rk")
+    )
+
+
+def contamination_score(
+    train: DataFrame,
+    test: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Scored decontamination audit: for every training document, the
+    FRACTION of its distinct word n-grams that appear anywhere in the
+    test/benchmark set — the report you read before deciding a drop
+    threshold (`decontaminate` is the boolean ≥1-gram version).
+
+    Same scale shape as `decontaminate`: the benchmark's distinct gram set
+    broadcasts (tiny by definition), and one Arrow-batched UDF shingles
+    each train doc in place and counts hits row-locally — no explode, no
+    shuffle, nothing scanned twice. Counts are integers, so the emitted
+    fraction is engine-exact.
+    """
+    from hiss_cube_spark.operators.dedup import shingle_array
+
+    spark = train.sparkSession
+    test_grams = test.select(
+        F.explode(shingle_array(F.col(text_col), n)).alias("gram")
+    ).distinct()
+    bad = spark.sparkContext.broadcast(
+        frozenset(r[0] for r in test_grams.collect())
+    )
+
+    @pandas_udf("array<long>")
+    def _counts(texts: pd.Series) -> pd.Series:
+        grams = bad.value
+
+        def score(t: str):
+            toks = t.split(" ")
+            seen = set()
+            for i in range(max(len(toks) - n, 0) + 1):
+                g = " ".join(toks[i : i + n])
+                if g:
+                    seen.add(g)
+            return [len(seen), sum(1 for g in seen if g in grams)]
+
+        return texts.map(score)
+
+    c = train.select(F.col(id_col), _counts(F.col(text_col)).alias("_c"))
+    return c.select(
+        id_col,
+        F.col("_c")[0].alias("n_grams"),
+        F.col("_c")[1].alias("n_hit"),
+        F.round(F.col("_c")[1].cast("double") / F.col("_c")[0], 6).alias(
+            "contamination"
+        ),
     )
