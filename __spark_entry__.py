@@ -3722,6 +3722,18 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("text_compression_ratio")
+def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document zlib compressibility (1-in-20 sample) — the classic
+    repetition/noise band filter (`text_analysis.compression_ratio`).
+    Rows-only check (DEFLATE is not SQL-expressible); the
+    repetitive < prose < random banding contract is unit-tested."""
+    from hiss_cube_spark.operators.text_analysis import compression_ratio
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 20 == 0)
+    return compression_ratio(d)
+
+
 @_q(
     "text_entropy",
     """
@@ -6547,7 +6559,7 @@ _CHECK_PRIORITY = [
     "emb_random_projection", "graph_bfs_hops", "dq_benford",
     "ts_transition_matrix", "text_ngram_novelty", "a_corr_matrix",
     "emb_whiten", "a_weighted_median", "f_target_encode",
-    "cur_contamination_score",
+    "cur_contamination_score", "text_compression_ratio",
     "p_variant_props", "q_recursive_cte", "viz_cube_union",
     "o1_zorder_clustering", "w_funnel_stages", "w_cohort_retention",
     "a_median_quartiles", "o_global_topk", "a_pivot_flags",

@@ -23,6 +23,7 @@ __all__ = [
     "tfidf_top_terms",
     "bm25_topk",
     "token_entropy",
+    "compression_ratio",
     "pmi_bigrams",
     "bigram_lm_score",
     "linear_model_score",
@@ -709,4 +710,39 @@ def linear_model_score(
         "n_in_vocab",
         logit.alias("logit"),
         (logit > F.lit(float(threshold))).alias("keep"),
+    )
+
+
+def compression_ratio(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", level: int = 6
+) -> DataFrame:
+    """Per-document zlib compression ratio (compressed/raw bytes) — the
+    classic cheap quality signal: highly compressible text is repetitive
+    boilerplate/spam; incompressible text is noise or binary junk; natural
+    prose sits in a recognizable band (used as a C4/RefinedWeb-era filter).
+
+    Arrow-batched pandas UDF (zlib is not expressible in Catalyst); the
+    DEFLATE output for a given (input, level) is deterministic for a given
+    zlib build, so results are stable per environment — validated by its
+    banded contract (repetitive < prose < random), not a SQL oracle. At
+    100 TB this is a linear map over the scan, no shuffle.
+    """
+    import zlib
+
+    @F.pandas_udf("array<long>")
+    def _sizes(texts: pd.Series) -> pd.Series:
+        def sz(t: str):
+            raw = t.encode("utf-8")
+            return [len(raw), len(zlib.compress(raw, level))]
+
+        return texts.map(sz)
+
+    c = df.select(F.col(id_col), _sizes(F.col(text_col)).alias("_s"))
+    return c.select(
+        id_col,
+        F.col("_s")[0].alias("raw_bytes"),
+        F.col("_s")[1].alias("compressed_bytes"),
+        F.round(
+            F.col("_s")[1].cast("double") / F.greatest(F.col("_s")[0], F.lit(1)), 6
+        ).alias("compression_ratio"),
     )

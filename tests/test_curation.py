@@ -512,3 +512,22 @@ def test_resolve_duplicates_best_keeps_highest_score(spark):
     )
     tp = spark.createDataFrame([(7, 8)], "doc_a long, doc_b long")
     assert {r["doc_id"] for r in resolve_duplicates_best(tied, tp, "quality").collect()} == {7}
+
+
+def test_compression_ratio_bands(spark):
+    from hiss_cube_spark.operators.text_analysis import compression_ratio
+
+    import random
+
+    rng = random.Random(3)
+    prose = " ".join(rng.choice("the quick brown fox jumps lazy dog table data".split())
+                     for _ in range(200))
+    noise = "".join(chr(rng.randrange(0x21, 0x7F)) for _ in range(1000))
+    df = spark.createDataFrame(
+        [(1, "spam " * 300), (2, prose), (3, noise)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in compression_ratio(df).collect()}
+    assert got[1]["compression_ratio"] < got[2]["compression_ratio"] < got[3]["compression_ratio"]
+    assert got[1]["compression_ratio"] < 0.05   # pure repetition collapses
+    assert got[3]["compression_ratio"] > 0.7    # random text barely compresses
+    assert got[2]["raw_bytes"] > got[2]["compressed_bytes"] > 0
