@@ -1775,6 +1775,61 @@ def a_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "a_gini",
+    """
+    WITH v AS (
+      SELECT c_nationkey AS nation,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS x
+      FROM customer WHERE c_acctbal > 0),
+    r AS (
+      SELECT nation, x,
+             row_number() OVER (PARTITION BY nation ORDER BY x, x) AS i,
+             count(*) OVER (PARTITION BY nation) AS n
+      FROM v),
+    s AS (
+      SELECT nation, CAST(max(n) AS BIGINT) AS n,
+             CAST(sum((2 * i - n - 1) * x) AS BIGINT) AS num,
+             CAST(sum(x) AS BIGINT) AS sx
+      FROM r GROUP BY nation)
+    SELECT nation, n,
+           round(CAST(num AS DOUBLE) / (CAST(n AS DOUBLE) * sx), 6) AS gini
+    FROM s WHERE sx > 0
+    """,
+)
+def a_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of positive account balances per nation — the
+    inequality/concentration diagnostic (is one domain hogging the corpus?
+    one customer the revenue?). Exact integer arithmetic throughout: cents
+    × the rank identity Σ(2i−n−1)x_i, one sort window per nation + one
+    groupBy; the only double op is the final division."""
+    c = _t(spark, sf_dir, "customer").where(F.col("c_acctbal") > 0)
+    v = c.select(
+        F.col("c_nationkey").alias("nation"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("x"),
+    )
+    wi = Window.partitionBy("nation").orderBy("x", "x")
+    wn = Window.partitionBy("nation")
+    r = v.select(
+        "nation",
+        "x",
+        F.row_number().over(wi).alias("i"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    s = r.groupBy("nation").agg(
+        F.max("n").cast("long").alias("n"),
+        F.sum((2 * F.col("i") - F.col("n") - 1) * F.col("x")).cast("long").alias("num"),
+        F.sum("x").cast("long").alias("sx"),
+    )
+    return s.where(F.col("sx") > 0).select(
+        "nation",
+        "n",
+        _r6(F.col("num").cast("double") / (F.col("n").cast("double") * F.col("sx"))).alias(
+            "gini"
+        ),
+    )
+
+
+@_q(
     "a_weighted_median",
     """
     WITH v AS (
@@ -6559,7 +6614,7 @@ _CHECK_PRIORITY = [
     "emb_random_projection", "graph_bfs_hops", "dq_benford",
     "ts_transition_matrix", "text_ngram_novelty", "a_corr_matrix",
     "emb_whiten", "a_weighted_median", "f_target_encode",
-    "cur_contamination_score", "text_compression_ratio",
+    "cur_contamination_score", "text_compression_ratio", "a_gini",
     "p_variant_props", "q_recursive_cte", "viz_cube_union",
     "o1_zorder_clustering", "w_funnel_stages", "w_cohort_retention",
     "a_median_quartiles", "o_global_topk", "a_pivot_flags",
