@@ -23,7 +23,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-__all__ = ["running_totals", "streaming_topk", "streaming_ewma"]
+__all__ = ["running_totals", "streaming_topk", "streaming_ewma", "streaming_sessionizer"]
 
 _STATE = StructType(
     [
@@ -236,5 +236,92 @@ def streaming_ewma(
             stateStructType=state_schema,
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def streaming_sessionizer(
+    events: DataFrame,
+    gap_us: int = 1_800_000_000,
+    key_col: str = "user_id",
+    ts_us_col: str = "ts_us",
+    value_col: str = "value",
+) -> DataFrame:
+    """Custom stateful sessionizer with EXPLICIT state timeout: events fold
+    into the key's open session while gaps stay under ``gap_us``; a larger
+    gap (or a processing-time timeout firing with no new data) CLOSES the
+    session and emits its summary — unlike the built-in
+    ``session_window``, the closed-session row carries custom state
+    (event count, decimal-safe value sum, first/last ts) and the timeout
+    path emits sessions for keys that simply went quiet, which a
+    window-aggregation can only do via watermark advance.
+
+    State per key is O(1): (session_start, last_ts, n, sum). Output rows
+    are CLOSED sessions only (use outputMode("append")). The timeout is
+    ``GroupStateTimeout.ProcessingTimeTimeout`` with a 1s horizon so
+    availableNow batch tests flush trailing sessions on the final empty
+    trigger.
+    """
+    out_schema = StructType(
+        [
+            events.schema[key_col],
+            StructField("session_start", LongType()),
+            StructField("session_end", LongType()),
+            StructField("n_events", LongType()),
+            StructField("sum_value", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("start", LongType()),
+            StructField("last", LongType()),
+            StructField("n", LongType()),
+            StructField("s", DoubleType()),
+        ]
+    )
+
+    def _update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        closed: list[tuple] = []
+        if state.hasTimedOut:
+            if state.exists:
+                start, last, n, s = state.get
+                closed.append((key[0], start, last, n, s))
+                state.remove()
+        else:
+            rows = []
+            for pdf in pdfs:
+                rows.extend(
+                    (int(t), float(v))
+                    for t, v in zip(pdf[ts_us_col], pdf[value_col])
+                )
+            rows.sort()
+            start, last, n, s = state.get if state.exists else (None, None, 0, 0.0)
+            for t, v in rows:
+                if start is None:
+                    start, last, n, s = t, t, 1, v
+                elif t - last > gap_us:
+                    closed.append((key[0], start, last, n, s))
+                    start, last, n, s = t, t, 1, v
+                else:
+                    last, n, s = max(last, t), n + 1, s + v
+            if start is not None:
+                state.update((start, last, n, s))
+                state.setTimeoutDuration(1000)
+        yield pd.DataFrame(
+            closed,
+            columns=[key_col, "session_start", "session_end", "n_events", "sum_value"],
+        )
+
+    return (
+        events.select(key_col, ts_us_col, value_col)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            _update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
     )

@@ -572,3 +572,53 @@ def test_stream_drift_monitor_flags_shifted_batch(spark, tmp_path_factory):
     )
     q2.awaitTermination(120)
     assert spark.read.parquet(mon).count() == n_before
+
+
+def test_streaming_sessionizer_closes_on_gap_and_timeout(spark, tmp_path_factory):
+    """Sessions close on an in-stream gap (batch 2 opens a new session for
+    user 1) and trailing open sessions flush via the processing-time
+    timeout on the final trigger."""
+    import time
+
+    from hiss_cube_spark.streaming.stateful import streaming_sessionizer
+
+    src = str(tmp_path_factory.mktemp("sess_src"))
+    ckpt = str(tmp_path_factory.mktemp("sess_ckpt"))
+    schema = "user_id long, ts_us long, value double"
+    gap = 1_000_000  # 1s session gap
+    # batch 1: user 1 session A (two events 0.1s apart)
+    spark.createDataFrame(
+        [(1, 100_000, 1.0), (1, 200_000, 2.0)], schema
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+    # batch 2: user 1 jumps 10s -> closes session A, opens B; user 2 starts
+    spark.createDataFrame(
+        [(1, 10_200_000, 4.0), (2, 50_000, 9.0)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    out = streaming_sessionizer(stream, gap_us=gap)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sessions")
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="2 seconds")
+        .start()
+    )
+    # processingTime trigger keeps running empty batches, which is what
+    # lets the ProcessingTimeTimeout fire for the trailing open sessions
+    deadline = time.time() + 90
+    want = 3  # session A + trailing B + user 2's trailing session
+    while time.time() < deadline:
+        if spark.sql("SELECT count(*) FROM sessions").first()[0] >= want:
+            break
+        time.sleep(2)
+    q.stop()
+    rows = spark.sql("SELECT * FROM sessions").collect()
+    got = {(r["user_id"], r["session_start"]): r for r in rows}
+    a = got[(1, 100_000)]
+    assert a["session_end"] == 200_000 and a["n_events"] == 2 and a["sum_value"] == 3.0
+    assert (1, 10_200_000) in got           # trailing session flushed by timeout
+    assert got[(2, 50_000)]["sum_value"] == 9.0
