@@ -1027,6 +1027,74 @@ def ts_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "ts_cusum_changepoint",
+    """
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS tu, event_id,
+             CAST(round(value * 100) AS BIGINT) AS x
+      FROM events WHERE user_id % 25 = 0),
+    st AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(x) AS BIGINT) AS sx
+           FROM e GROUP BY user_id),
+    c AS (
+      SELECT e.user_id, e.tu, e.event_id, st.n, st.sx,
+             sum(e.x) OVER (PARTITION BY e.user_id ORDER BY e.tu, e.event_id
+                            ROWS UNBOUNDED PRECEDING) AS cx,
+             row_number() OVER (PARTITION BY e.user_id ORDER BY e.tu, e.event_id) AS i
+      FROM e JOIN st ON st.user_id = e.user_id),
+    d AS (
+      SELECT user_id, tu, event_id, n,
+             abs(cx * n - i * sx) AS dev
+      FROM c),
+    rk AS (
+      SELECT user_id, tu, event_id, dev, n,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY dev DESC, tu, event_id) AS rn
+      FROM d)
+    SELECT user_id, tu AS change_ts_us, CAST(n AS BIGINT) AS n_events,
+           round(CAST(dev AS DOUBLE) / (CAST(n AS DOUBLE) * 100.0), 6) AS max_cusum
+    FROM rk WHERE rn = 1
+    """,
+)
+def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection per user: the timestamp where the
+    cumulative deviation from the series mean peaks — the classic
+    level-shift locator. Entirely integer arithmetic via the cross-product
+    identity |Σ₁..ᵢx·n − i·Σx| (avoids a float running mean), one ordered
+    window + a per-user argmax; engine-exact."""
+    e = _events(spark, sf_dir).where(F.col("user_id") % 25 == 0).select(
+        "user_id", "ts_us", "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("x"),
+    )
+    st = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("x").alias("sx")
+    )
+    wc = Window.partitionBy("user_id").orderBy("ts_us", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wi = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    c = e.join(st, "user_id").select(
+        "user_id", "ts_us", "event_id", "n",
+        F.abs(
+            F.sum("x").over(wc) * F.col("n") - F.row_number().over(wi) * F.col("sx")
+        ).alias("dev"),
+    )
+    rk = Window.partitionBy("user_id").orderBy(F.desc("dev"), "ts_us", "event_id")
+    return (
+        c.withColumn("rn", F.row_number().over(rk))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("ts_us").alias("change_ts_us"),
+            F.col("n").cast("long").alias("n_events"),
+            _r6(
+                F.col("dev").cast("double") / (F.col("n").cast("double") * F.lit(100.0))
+            ).alias("max_cusum"),
+        )
+    )
+
+
+@_q(
     "ts_autocorr",
     """
     WITH e AS (
@@ -6615,6 +6683,7 @@ _CHECK_PRIORITY = [
     "ts_transition_matrix", "text_ngram_novelty", "a_corr_matrix",
     "emb_whiten", "a_weighted_median", "f_target_encode",
     "cur_contamination_score", "text_compression_ratio", "a_gini",
+    "ts_cusum_changepoint",
     "p_variant_props", "q_recursive_cte", "viz_cube_union",
     "o1_zorder_clustering", "w_funnel_stages", "w_cohort_retention",
     "a_median_quartiles", "o_global_topk", "a_pivot_flags",
