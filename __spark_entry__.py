@@ -3998,6 +3998,33 @@ def cur_contamination_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "cur_oversample_minority",
+    """
+    WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+    x AS (
+      SELECT d.doc_id, d.lang, c.n, g.copy
+      FROM documents d JOIN c USING (lang),
+      unnest(generate_series(1, greatest(CAST(ceil(120.0 / c.n) AS BIGINT), 1))) g(copy)),
+    r AS (
+      SELECT doc_id, lang, copy, n,
+             row_number() OVER (PARTITION BY lang
+                 ORDER BY copy, (doc_id * 2654435761) % 1000000007, doc_id) AS rn
+      FROM x)
+    SELECT doc_id, lang, CAST(copy AS BIGINT) AS copy
+    FROM r WHERE rn <= greatest(120, n)
+    """,
+)
+def cur_oversample_minority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic class rebalancing by oversampling
+    (`curation.oversample_minority`): every language reaches 120 rows by
+    cycling hashed-order duplicates; majority labels pass through. Copy
+    indices make the resample auditable; no RNG state anywhere."""
+    from hiss_cube_spark.operators.curation import oversample_minority
+
+    return oversample_minority(_t(spark, sf_dir, "documents"), target=120)
+
+
+@_q(
     "cur_temperature_sample",
     """
     WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
@@ -6683,7 +6710,7 @@ _CHECK_PRIORITY = [
     "ts_transition_matrix", "text_ngram_novelty", "a_corr_matrix",
     "emb_whiten", "a_weighted_median", "f_target_encode",
     "cur_contamination_score", "text_compression_ratio", "a_gini",
-    "ts_cusum_changepoint",
+    "ts_cusum_changepoint", "cur_oversample_minority",
     "p_variant_props", "q_recursive_cte", "viz_cube_union",
     "o1_zorder_clustering", "w_funnel_stages", "w_cohort_retention",
     "a_median_quartiles", "o_global_topk", "a_pivot_flags",

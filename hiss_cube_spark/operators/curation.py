@@ -27,6 +27,7 @@ __all__ = [
     "weighted_sample",
     "pack_sequences",
     "balanced_sample",
+    "oversample_minority",
     "decontaminate",
     "contamination_score",
     "corpus_report",
@@ -712,4 +713,40 @@ def contamination_score(
         F.round(F.col("_c")[1].cast("double") / F.col("_c")[0], 6).alias(
             "contamination"
         ),
+    )
+
+
+def oversample_minority(
+    df: DataFrame,
+    target: int,
+    label_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic oversampling WITH replacement: every label is brought
+    up to ``target`` rows by cycling duplicates of its members (majority
+    labels pass through untouched) — the class-imbalance fix for
+    fine-tuning sets, without RNG state.
+
+    Each row gains a ``copy`` index (1 = original). Duplicates are chosen
+    in Knuth-hashed order so which rows duplicate first is uniform in the
+    key and reproducible across runs/engines. Plan: one label-count
+    aggregate broadcast back, a row-local ``sequence`` explode bounded by
+    ceil(target/n) copies, and one rank window per label.
+    """
+    cnt = df.groupBy(label_col).agg(F.count(F.lit(1)).alias("_n"))
+    j = df.join(F.broadcast(cnt), label_col)
+    rep = F.ceil(F.lit(float(target)) / F.col("_n")).cast("int")
+    ex = j.select(
+        id_col,
+        label_col,
+        "_n",
+        F.explode(F.sequence(F.lit(1), F.greatest(rep, F.lit(1)))).alias("copy"),
+    )
+    w = Window.partitionBy(label_col).orderBy(
+        "copy", ((F.col(id_col) * _MIX) % F.lit(_ES_MOD)).asc(), F.col(id_col).asc()
+    )
+    return (
+        ex.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= F.greatest(F.lit(target), F.col("_n")))
+        .select(id_col, label_col, F.col("copy").cast("long").alias("copy"))
     )

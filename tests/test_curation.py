@@ -531,3 +531,28 @@ def test_compression_ratio_bands(spark):
     assert got[1]["compression_ratio"] < 0.05   # pure repetition collapses
     assert got[3]["compression_ratio"] > 0.7    # random text barely compresses
     assert got[2]["raw_bytes"] > got[2]["compressed_bytes"] > 0
+
+
+def test_oversample_minority_reaches_target_and_passes_majority(spark):
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from hiss_cube_spark.operators.curation import oversample_minority
+
+    rows = [(i, "maj") for i in range(50)] + [(100 + i, "min") for i in range(7)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = oversample_minority(df, target=20).collect()
+    per = Counter(r["lang"] for r in out)
+    assert per["maj"] == 50          # majority untouched
+    assert per["min"] == 20          # minority reaches target
+    maj_copies = {r["copy"] for r in out if r["lang"] == "maj"}
+    assert maj_copies == {1}
+    # minority: every original kept at copy 1, duplicates cycle upward
+    min_rows = [(r["doc_id"], r["copy"]) for r in out if r["lang"] == "min"]
+    assert sum(1 for _, c in min_rows if c == 1) == 7
+    assert max(c for _, c in min_rows) == 3  # ceil(20/7)
+    again = oversample_minority(df, target=20).collect()
+    assert sorted((r["doc_id"], r["copy"]) for r in out if r["lang"] == "min") == sorted(
+        (r["doc_id"], r["copy"]) for r in again if r["lang"] == "min"
+    )
