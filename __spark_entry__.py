@@ -2450,20 +2450,17 @@ def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "ann_sq_topk",
     """
-    WITH dims AS (
-      SELECT g.i AS d,
-             min(CAST(embedding[g.i] AS DOUBLE)) AS mn,
-             max(CAST(embedding[g.i] AS DOUBLE)) AS mx
-      FROM embeddings, unnest(generate_series(1, len(embedding))) g(i)
-      GROUP BY 1),
+    WITH mx AS (
+      SELECT max(abs(CAST(embedding[g.i] AS DOUBLE))) AS m
+      FROM embeddings, unnest(generate_series(1, len(embedding))) g(i)),
     codes AS (
       SELECT vec_id, g.i AS d,
-             CASE WHEN dims.mx > dims.mn
-                  THEN least(255, CAST(floor((CAST(embedding[g.i] AS DOUBLE) - dims.mn)
-                                             / (dims.mx - dims.mn) * 256.0) AS BIGINT))
+             CASE WHEN mx.m > 0
+                  THEN greatest(-127, least(127,
+                       CAST(floor(CAST(embedding[g.i] AS DOUBLE) / mx.m * 127.0)
+                            AS BIGINT)))
                   ELSE 0 END AS c
-      FROM embeddings, unnest(generate_series(1, len(embedding))) g(i)
-      JOIN dims ON dims.d = g.i),
+      FROM embeddings, unnest(generate_series(1, len(embedding))) g(i), mx),
     q AS (SELECT vec_id AS query_id, d, c FROM codes WHERE vec_id < 10),
     dots AS (
       SELECT q.query_id, c.vec_id AS neighbor_id,
@@ -2482,11 +2479,12 @@ def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ann_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 scalar-quantized ANN (`similarity.sq_topk`): corpus-trained
-    per-dim min/max grid, codes scored by INTEGER dot product — the one ANN
-    variant whose scores are exact to the bit in any engine, hence a full
-    value oracle (the float variants are rows-only by nature). 4× memory/IO
-    compression is the scale story; quantization is IEEE-exact sub/div/mul/
-    floor only."""
+    SYMMETRIC global scale (linear map — code dot is monotone in the true
+    dot, unlike per-dim affine grids), codes scored by INTEGER dot product
+    — the one ANN variant whose scores are exact to the bit in any engine,
+    hence a full value oracle (the float variants are rows-only by nature).
+    4× memory/IO compression is the scale story; quantization is IEEE-exact
+    abs/div/mul/floor only."""
     from hiss_cube_spark.operators.similarity import sq_topk
 
     e = _t(spark, sf_dir, "embeddings")

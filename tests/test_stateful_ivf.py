@@ -250,10 +250,10 @@ def test_sq_quantize_bounds_and_topk_finds_planted_neighbor(spark):
     coded = sq_quantize(df, dim).collect()
     for r in coded:
         assert len(r["code"]) == dim
-        assert all(0 <= c <= 255 for c in r["code"])
-    # grid endpoints are hit: some dim attains 0 and some attains 255
+        assert all(-127 <= c <= 127 for c in r["code"])
+    # the max-|v| element attains an endpoint of the symmetric grid
     flat = [c for r in coded for c in r["code"]]
-    assert min(flat) == 0 and max(flat) == 255
+    assert min(flat) == -127 or max(flat) == 127
 
     out = sq_topk(df.where(F.col("vec_id") == 0), df, k=3, dim=dim).collect()
     assert out[0]["neighbor_id"] == 99
