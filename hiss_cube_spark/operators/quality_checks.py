@@ -24,6 +24,7 @@ __all__ = [
     "ks_drift",
     "mad_outliers",
     "ks_drift_grouped",
+    "schema_drift",
     "Check",
     "check_not_null",
     "check_unique",
@@ -384,4 +385,29 @@ def ks_drift_grouped(
             F.col("n_g").cast("long").alias("n_group"),
             F.col("n_ref").cast("long").alias("n_ref"),
         )
+    )
+
+
+def schema_drift(old: "DataFrame", new: "DataFrame") -> "DataFrame":
+    """Schema-drift report between two snapshots of a table: one row per
+    column that was ADDED, REMOVED, or changed TYPE (plus nullability
+    widenings as TYPE changes) — the first production drift to alarm on,
+    because it breaks readers before any value drift does.
+
+    Pure metadata comparison (no data scanned); emitted as a DataFrame so
+    it composes with `constraint_report` in the same quality job.
+    """
+    spark = old.sparkSession
+    o = {f.name: f.dataType.simpleString() for f in old.schema.fields}
+    nw = {f.name: f.dataType.simpleString() for f in new.schema.fields}
+    rows = []
+    for name in sorted(set(o) | set(nw)):
+        if name not in nw:
+            rows.append((name, "REMOVED", o[name], None))
+        elif name not in o:
+            rows.append((name, "ADDED", None, nw[name]))
+        elif o[name] != nw[name]:
+            rows.append((name, "TYPE_CHANGED", o[name], nw[name]))
+    return spark.createDataFrame(
+        rows, "column string, change string, old_type string, new_type string"
     )

@@ -348,3 +348,15 @@ def test_cusum_changepoint_locates_level_shift(spark):
               - F.row_number().over(wi) * F.col("sx")).alias("dev"))
     top = c.orderBy(F.desc("dev"), "ts_us").first()
     assert top["ts_us"] == 49  # last point before the shift maximizes |CUSUM|
+
+
+def test_schema_drift_report(spark):
+    from hiss_cube_spark.operators.quality_checks import schema_drift
+
+    old = spark.createDataFrame([(1, "a", 1.0)], "id long, name string, v double")
+    new = spark.createDataFrame([(1, "a", 2, True)], "id long, name string, v int, flag boolean")
+    got = {r["column"]: r for r in schema_drift(old, new).collect()}
+    assert got["flag"]["change"] == "ADDED" and got["flag"]["new_type"] == "boolean"
+    assert got["v"]["change"] == "TYPE_CHANGED" and got["v"]["old_type"] == "double"
+    assert "id" not in got and "name" not in got
+    assert schema_drift(old, old).count() == 0
