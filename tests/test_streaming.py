@@ -622,3 +622,53 @@ def test_streaming_sessionizer_closes_on_gap_and_timeout(spark, tmp_path_factory
     assert a["session_end"] == 200_000 and a["n_events"] == 2 and a["sum_value"] == 3.0
     assert (1, 10_200_000) in got           # trailing session flushed by timeout
     assert got[(2, 50_000)]["sum_value"] == 9.0
+
+
+def test_stream_incremental_dedup_recovers_from_crashed_swap(spark, tmp_path_factory):
+    """Chaos: simulate a crash between the index-swap renames (index dir
+    gone, backup left behind) — the restarted query must repair the index,
+    replay the missed batch, and land exactly the unique corpus."""
+    import os
+    import shutil
+
+    from hiss_cube_spark.streaming.dedup_index import stream_incremental_dedup
+
+    src = str(tmp_path_factory.mktemp("ch_src"))
+    corpus = str(tmp_path_factory.mktemp("ch_corpus"))
+    index = str(tmp_path_factory.mktemp("ch_index")) + "/idx"
+    ckpt = str(tmp_path_factory.mktemp("ch_ckpt"))
+    schema = "doc_id long, text string"
+    spark.createDataFrame([], "fp string").write.parquet(index)
+
+    spark.createDataFrame([(1, "alpha"), (2, "beta")], schema).coalesce(1) \
+        .write.mode("overwrite").parquet(src)
+    q = stream_incremental_dedup(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src),
+        corpus, index, ckpt,
+    )
+    q.awaitTermination(120)
+
+    # crash simulation: swap died after rename(index -> backup): index dir
+    # missing, backup present (the pre-batch state)
+    backup = index.rstrip("/") + "._old"
+    os.rename(index, backup)
+    assert not os.path.exists(index)
+
+    # new data arrives; a restarted query must first repair the index from
+    # the backup, then process the new batch against the restored state
+    spark.createDataFrame([(3, "alpha"), (4, "gamma")], schema).coalesce(1) \
+        .write.mode("append").parquet(src)
+    q2 = stream_incremental_dedup(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src),
+        corpus, index, ckpt,
+    )
+    q2.awaitTermination(120)
+
+    landed = {
+        (r["doc_id"], r["text"])
+        for r in spark.read.parquet(os.path.join(corpus, "batch=*")).collect()
+    }
+    assert landed == {(1, "alpha"), (2, "beta"), (4, "gamma")}
+    assert not os.path.exists(backup)          # recovery cleaned up
+    assert spark.read.parquet(index).count() == 3
+    shutil.rmtree(ckpt, ignore_errors=True)
