@@ -1843,6 +1843,56 @@ def a_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "a_top_decile_share",
+    """
+    WITH s AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(round(o_totalprice * 100) AS DECIMAL(18,0)))
+                  AS BIGINT) AS spend
+      FROM orders GROUP BY o_custkey),
+    r AS (
+      SELECT spend,
+             row_number() OVER (ORDER BY spend DESC, o_custkey) AS rn,
+             count(*) OVER () AS n,
+             sum(spend) OVER () AS total
+      FROM s)
+    SELECT CAST(max(n) AS BIGINT) AS n_customers,
+           CAST(count(*) AS BIGINT) AS n_top,
+           round(CAST(sum(spend) AS DOUBLE) / CAST(max(total) AS DOUBLE), 6)
+             AS top_decile_share
+    FROM r WHERE rn <= CAST(ceil(n / 10.0) AS BIGINT)
+    """,
+)
+def a_top_decile_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share of total order value held by the top 10% of customers — the
+    concentration KPI next to `a_gini`. Cent-exact integer spends, a
+    deterministic rank (spend desc, custkey), integer sums; the only double
+    op is the final share division."""
+    o = _t(spark, sf_dir, "orders")
+    s = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("decimal(18,0)"))
+        .cast("long")
+        .alias("spend")
+    )
+    wr = Window.orderBy(F.desc("spend"), F.asc("o_custkey"))
+    wa = Window.partitionBy()
+    r = s.select(
+        "spend",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wa).alias("n"),
+        F.sum("spend").over(wa).alias("total"),
+    )
+    top = r.where(F.col("rn") <= F.ceil(F.col("n") / F.lit(10.0)).cast("long"))
+    return top.agg(
+        F.max("n").cast("long").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_top"),
+        _r6(
+            F.sum("spend").cast("double") / F.max("total").cast("double")
+        ).alias("top_decile_share"),
+    )
+
+
+@_q(
     "a_gini",
     """
     WITH v AS (
@@ -6708,7 +6758,7 @@ _CHECK_PRIORITY = [
     "ts_transition_matrix", "text_ngram_novelty", "a_corr_matrix",
     "emb_whiten", "a_weighted_median", "f_target_encode",
     "cur_contamination_score", "text_compression_ratio", "a_gini",
-    "ts_cusum_changepoint", "cur_oversample_minority",
+    "ts_cusum_changepoint", "cur_oversample_minority", "a_top_decile_share",
     "p_variant_props", "q_recursive_cte", "viz_cube_union",
     "o1_zorder_clustering", "w_funnel_stages", "w_cohort_retention",
     "a_median_quartiles", "o_global_topk", "a_pivot_flags",
