@@ -1867,7 +1867,13 @@ def a_top_decile_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Share of total order value held by the top 10% of customers — the
     concentration KPI next to `a_gini`. Cent-exact integer spends, a
     deterministic rank (spend desc, custkey), integer sums; the only double
-    op is the final share division."""
+    op is the final share division.
+
+    Scale note: the global rank runs over the CUSTOMER-grain table (fact
+    rows collapse first), but is still a single-partition window — the
+    oracle-exact gate, same stance as `a_trimmed_mean`; the 100 TB path
+    takes the decile threshold from approx_percentile over spends and
+    filters by value."""
     o = _t(spark, sf_dir, "orders")
     s = o.groupBy("o_custkey").agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("decimal(18,0)"))
