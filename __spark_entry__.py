@@ -1843,6 +1843,64 @@ def a_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "w_mom_change",
+    """
+    WITH m AS (
+      SELECT c.c_nationkey AS nation,
+             date_trunc('month', o.o_orderdate) AS month,
+             CAST(sum(CAST(round(o.o_totalprice * 100) AS DECIMAL(18,0)))
+                  AS BIGINT) AS rev_c
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      WHERE c.c_nationkey < 5
+      GROUP BY 1, 2),
+    lagd AS (
+      SELECT nation, month, rev_c,
+             lag(rev_c) OVER (PARTITION BY nation ORDER BY month) AS prev_c
+      FROM m)
+    SELECT nation, strftime(month, '%Y-%m') AS month,
+           round(rev_c / 100.0, 6) AS revenue,
+           round(CASE WHEN prev_c > 0
+                      THEN (CAST(rev_c AS DOUBLE) - CAST(prev_c AS DOUBLE))
+                           / CAST(prev_c AS DOUBLE) END, 6) AS mom_change
+    FROM lagd
+    """,
+)
+def w_mom_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue change per nation — lag over an AGGREGATED
+    series (the BI period-comparison shape: the window runs on the tiny
+    month-grain table, never the fact rows). Cent-exact monthly sums; the
+    percent change is one double division."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").where(F.col("c_nationkey") < 5)
+    m = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy(
+            F.col("c_nationkey").alias("nation"),
+            F.date_trunc("month", F.col("o_orderdate")).alias("month"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("decimal(18,0)"))
+            .cast("long")
+            .alias("rev_c")
+        )
+    )
+    w = Window.partitionBy("nation").orderBy("month")
+    lagd = m.withColumn("prev_c", F.lag("rev_c").over(w))
+    return lagd.select(
+        "nation",
+        F.date_format("month", "yyyy-MM").alias("month"),
+        _r6(F.col("rev_c") / F.lit(100.0)).alias("revenue"),
+        _r6(
+            F.when(
+                F.col("prev_c") > 0,
+                (F.col("rev_c").cast("double") - F.col("prev_c").cast("double"))
+                / F.col("prev_c").cast("double"),
+            )
+        ).alias("mom_change"),
+    )
+
+
+@_q(
     "a_top_decile_share",
     """
     WITH s AS (
@@ -6765,6 +6823,7 @@ _CHECK_PRIORITY = [
     "emb_whiten", "a_weighted_median", "f_target_encode",
     "cur_contamination_score", "text_compression_ratio", "a_gini",
     "ts_cusum_changepoint", "cur_oversample_minority", "a_top_decile_share",
+    "w_mom_change",
     "p_variant_props", "q_recursive_cte", "viz_cube_union",
     "o1_zorder_clustering", "w_funnel_stages", "w_cohort_retention",
     "a_median_quartiles", "o_global_topk", "a_pivot_flags",
