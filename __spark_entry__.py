@@ -4253,6 +4253,49 @@ def cur_best_of_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "cur_dedup_provenance",
+    f"""
+    WITH RECURSIVE pairs AS ({_SQL_SHINGLE_JACCARD}),
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+              UNION SELECT doc_b AS a, doc_a AS b FROM pairs),
+    reach(node, label) AS (
+      SELECT DISTINCT a, a FROM edges
+      UNION
+      SELECT e.b, r.label FROM reach r JOIN edges e ON e.a = r.node
+    ),
+    cc AS (SELECT node, min(label) AS cluster_id FROM reach GROUP BY node),
+    m AS (SELECT cc.node, cc.cluster_id, d.source, d.lang
+          FROM cc JOIN documents d ON d.doc_id = cc.node)
+    SELECT cluster_id AS kept_doc,
+           CAST(count(*) AS BIGINT) AS n_absorbed,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+    FROM m GROUP BY cluster_id
+    """,
+)
+def cur_dedup_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup provenance: for every kept (min-id) near-dup representative,
+    how many documents it absorbed and how many distinct sources/languages
+    they spanned — the audit trail production dedup keeps so dropped
+    volume stays attributable. One aggregation over the cluster map joined
+    to doc metadata; text never moves."""
+    from hiss_cube_spark.operators.clusters import connected_components
+    from hiss_cube_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents").where(F.size(F.split("text", " ")) >= 3)
+    pairs = ngram_jaccard_pairs(d, threshold=0.8, n=3, prefix_filter=True)
+    cc = connected_components(pairs)
+    m = cc.join(
+        d.select(F.col("doc_id").alias("node"), "source", "lang"), "node"
+    )
+    return m.groupBy(F.col("cluster_id").alias("kept_doc")).agg(
+        F.count(F.lit(1)).alias("n_absorbed"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+
+
 @_q("cur_semantic_dedup")
 def cur_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup over the embeddings table, rows-only (KMeans cells are not
@@ -6823,7 +6866,7 @@ _CHECK_PRIORITY = [
     "emb_whiten", "a_weighted_median", "f_target_encode",
     "cur_contamination_score", "text_compression_ratio", "a_gini",
     "ts_cusum_changepoint", "cur_oversample_minority", "a_top_decile_share",
-    "w_mom_change",
+    "w_mom_change", "cur_dedup_provenance",
     "p_variant_props", "q_recursive_cte", "viz_cube_union",
     "o1_zorder_clustering", "w_funnel_stages", "w_cohort_retention",
     "a_median_quartiles", "o_global_topk", "a_pivot_flags",
