@@ -4372,6 +4372,55 @@ def mm_audio_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("mm_audio_neardup")
+def mm_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup mining, rows-only: synthesize clips where doc_id%17
+    determines the tone (so clips sharing a residue are near-dups of each
+    other up to their length envelope), Haitsma–Kalker fingerprint each
+    (`multimodal.audio_fingerprint` — gain-invariant log-energy deltas),
+    and mine hamming≤7 pairs through the same pigeonhole banding as text
+    SimHash and image pHash. Completes the cross-modal fingerprint family."""
+    import numpy as _np
+    import pandas as _pd
+    from collections.abc import Iterator as _Iter
+
+    from pyspark.sql.types import BinaryType, LongType, StructField, StructType
+
+    from hiss_cube_spark.operators.multimodal import (
+        audio_fingerprint,
+        audio_neardup_pairs,
+        decode_audio,
+        encode_wav_np,
+    )
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", F.length("text").alias("n"))
+        .limit(60)
+    )
+
+    def _synth(batches: _Iter[_pd.DataFrame]) -> _Iter[_pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, n in zip(pdf["doc_id"], pdf["n"]):
+                rate = 8000
+                freq = 200 + (int(doc_id) % 17) * 100
+                t = _np.arange(4000) / rate
+                x = _np.sin(2 * _np.pi * freq * t) * 0.8
+                x += _np.sin(2 * _np.pi * freq * 2.5 * t) * 0.2  # broadband-ish
+                rows.append((int(doc_id), encode_wav_np(x, rate)))
+            yield _pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    wav = d.mapInPandas(
+        _synth,
+        schema=StructType(
+            [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+        ),
+    )
+    fps = audio_fingerprint(decode_audio(wav))
+    return audio_neardup_pairs(fps, max_hamming=7).orderBy("doc_a", "doc_b")
+
+
 @_q(
     "w_gaps_islands",
     """
@@ -6866,7 +6915,7 @@ _CHECK_PRIORITY = [
     "emb_whiten", "a_weighted_median", "f_target_encode",
     "cur_contamination_score", "text_compression_ratio", "a_gini",
     "ts_cusum_changepoint", "cur_oversample_minority", "a_top_decile_share",
-    "w_mom_change", "cur_dedup_provenance",
+    "w_mom_change", "cur_dedup_provenance", "mm_audio_neardup",
     "p_variant_props", "q_recursive_cte", "viz_cube_union",
     "o1_zorder_clustering", "w_funnel_stages", "w_cohort_retention",
     "a_median_quartiles", "o_global_topk", "a_pivot_flags",

@@ -35,6 +35,7 @@ __all__ = [
     "decode_images", "resize_images", "image_features",
     "image_phash", "phash_neardup_pairs",
     "encode_wav_np", "decode_wav_np", "decode_audio", "audio_features",
+    "audio_fingerprint", "audio_neardup_pairs",
 ]
 
 
@@ -510,3 +511,67 @@ def audio_features(df: DataFrame, n_bands: int = 8) -> DataFrame:
 
 
 _register_self(__name__)
+
+
+def audio_fingerprint(df: DataFrame, n_bands: int = 9, n_frames: int = 8) -> DataFrame:
+    """64-bit Haitsma–Kalker-style audio fingerprint over decoded samples:
+    the clip splits into ``n_frames`` windows × ``n_bands`` log-energy
+    bands, and each bit is the sign of the TIME-DELTA of the BAND-DELTA —
+    sign(E[f,b] − E[f,b+1] − (E[f−1,b] − E[f−1,b+1])) — the classic robust
+    hash: invariant to overall gain, resistant to noise, flipped only by
+    genuine spectral-shape changes. (n_bands−1)·n_frames bits packed into
+    one long; expects (doc_id, samples, rate) from `decode_audio`.
+
+    Completes the fingerprint family across modalities: text SimHash,
+    image pHash, audio HK — all three feed the same pigeonhole banding
+    (`audio_neardup_pairs` below) for near-dup mining. Arrow-batched numpy
+    kernel, one linear pass, no shuffle.
+    """
+
+    def _fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                x = np.asarray(r.samples, dtype=np.float64)
+                n = len(x)
+                fp = 0
+                if n >= n_frames * 2:
+                    frames = np.array_split(x, n_frames)
+                    eng = []
+                    for fr in frames:
+                        spec = np.abs(np.fft.rfft(fr)) ** 2
+                        edges = np.linspace(0, len(spec), n_bands + 1).astype(int)
+                        # true log energy (not log1p): gain scales E by g²,
+                        # adding a constant to log E that cancels in deltas
+                        eng.append(
+                            np.log(
+                                np.array([spec[a:b].sum() for a, b in zip(edges, edges[1:])])
+                                + 1e-12
+                            )
+                        )
+                    e = np.asarray(eng)  # (frames, bands)
+                    bd = e[:, :-1] - e[:, 1:]          # band deltas
+                    td = bd[1:] - bd[:-1]              # time delta of band delta
+                    td = np.vstack([bd[:1], td])       # frame 0: plain band delta
+                    bits = (td > 0).astype(np.uint64).reshape(-1)[:64]
+                    for i, b in enumerate(bits):
+                        fp |= int(b) << i
+                # map to signed 64-bit for a Spark long
+                if fp >= 1 << 63:
+                    fp -= 1 << 64
+                rows.append((r.doc_id, fp))
+            yield pd.DataFrame(rows, columns=["doc_id", "afp"])
+
+    return df.select("doc_id", "samples").mapInPandas(
+        _fp, schema="doc_id long, afp long"
+    )
+
+
+def audio_neardup_pairs(
+    fps: DataFrame, max_hamming: int = 7, n_chunks: int = 8
+) -> DataFrame:
+    """Audio near-dup pairs from HK fingerprints — the same pigeonhole
+    banding as text SimHash and image pHash, keyed on ``afp``."""
+    from hiss_cube_spark.operators.dedup import simhash_pairs
+
+    return simhash_pairs(fps, max_hamming=max_hamming, fp_col="afp", n_chunks=n_chunks)

@@ -201,3 +201,43 @@ def test_audio_features_pinned_sine(spark):
     assert abs(sum(bands) - 1.0) < 1e-6
     # 1 kHz in a 0-4 kHz range, 8 bands of 500 Hz → band index 2
     assert bands[2] > 0.95
+
+
+def test_audio_fingerprint_robust_to_gain_and_noise(spark):
+    import numpy as np
+
+    from hiss_cube_spark.operators.multimodal import (
+        audio_fingerprint,
+        audio_neardup_pairs,
+    )
+
+    rng = np.random.default_rng(7)
+    n, rate = 4096, 16_000
+    t = np.arange(n) / rate
+    # broadband base (tones + texture): real audio never has digitally
+    # silent bands, whose delta signs would be noise-determined coin flips
+    base = (
+        np.sin(2 * np.pi * 440 * t)
+        + 0.5 * np.sin(2 * np.pi * 1200 * t)
+        + 0.1 * rng.standard_normal(n)
+    )
+    rows = [
+        (1, base.tolist(), rate),                                    # original
+        (2, (base * 0.3).tolist(), rate),                            # gain change
+        (3, (base + rng.standard_normal(n) * 0.02).tolist(), rate),  # light noise
+        (4, rng.standard_normal(n).tolist(), rate),                  # unrelated
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, samples array<double>, rate int")
+    fps = audio_fingerprint(df)
+    got = {r["doc_id"]: r["afp"] for r in fps.collect()}
+    assert got[1] == got[2]  # log-energy deltas are gain-invariant
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert ham(got[1], got[3]) <= 7       # light noise stays within the gate
+    assert ham(got[1], got[4]) > 7        # unrelated audio does not
+
+    pairs = {(r["doc_a"], r["doc_b"]) for r in audio_neardup_pairs(fps).collect()}
+    assert (1, 2) in pairs and (1, 3) in pairs
+    assert all(4 not in p for p in pairs)
