@@ -3970,6 +3970,64 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "text_vocab_growth",
+    """
+    WITH toks AS (
+      SELECT doc_id, t.tok AS token
+      FROM documents, unnest(string_split(text, ' ')) t(tok)
+      WHERE len(t.tok) > 0),
+    firsts AS (SELECT token, min(doc_id) AS first_doc FROM toks GROUP BY token),
+    cp AS (SELECT (g.i * (SELECT max(doc_id) FROM documents)) // 10 AS checkpoint
+           FROM unnest(generate_series(1, 10)) g(i)),
+    vocab AS (
+      SELECT cp.checkpoint, count(*) AS vocab_size
+      FROM cp JOIN firsts ON firsts.first_doc <= cp.checkpoint
+      GROUP BY cp.checkpoint),
+    toksum AS (
+      SELECT cp.checkpoint, count(*) AS n_tokens
+      FROM cp JOIN toks ON toks.doc_id <= cp.checkpoint
+      GROUP BY cp.checkpoint)
+    SELECT CAST(v.checkpoint AS BIGINT) AS checkpoint,
+           CAST(t.n_tokens AS BIGINT) AS n_tokens,
+           CAST(v.vocab_size AS BIGINT) AS vocab_size
+    FROM vocab v JOIN toksum t ON t.checkpoint = v.checkpoint
+    """,
+)
+def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth curve: distinct vocabulary size and
+    cumulative token count at ten doc-id checkpoints — the corpus-diversity
+    diagnostic (a flattening curve means new data adds volume, not
+    vocabulary). Exact from ONE first-occurrence table (token → min doc_id,
+    the `text_ngram_novelty` primitive at token grain) joined to the tiny
+    checkpoint list — never a running distinct over raw tokens."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.filter(F.split("text", " "), lambda t: F.length(t) > 0)).alias("token")
+    )
+    firsts = toks.groupBy("token").agg(F.min("doc_id").alias("first_doc"))
+    mx = d.agg(F.max("doc_id").alias("mx"))
+    cp = (
+        spark.range(1, 11)
+        .crossJoin(F.broadcast(mx))
+        .select(F.expr("(id * mx) DIV 10").alias("checkpoint"))
+    )
+    # broadcast the 10-row checkpoint list, never the vocabulary
+    vocab = (
+        firsts.join(F.broadcast(cp), firsts["first_doc"] <= cp["checkpoint"])
+        .groupBy("checkpoint")
+        .agg(F.count(F.lit(1)).alias("vocab_size"))
+    )
+    toksum = (
+        toks.join(F.broadcast(cp), toks["doc_id"] <= cp["checkpoint"])
+        .groupBy("checkpoint")
+        .agg(F.count(F.lit(1)).alias("n_tokens"))
+    )
+    return vocab.join(toksum, "checkpoint").select(
+        "checkpoint", "n_tokens", "vocab_size"
+    )
+
+
+@_q(
     "text_entropy",
     """
     WITH toks AS (
@@ -6916,6 +6974,7 @@ _CHECK_PRIORITY = [
     "cur_contamination_score", "text_compression_ratio", "a_gini",
     "ts_cusum_changepoint", "cur_oversample_minority", "a_top_decile_share",
     "w_mom_change", "cur_dedup_provenance", "mm_audio_neardup",
+    "text_vocab_growth",
     "p_variant_props", "q_recursive_cte", "viz_cube_union",
     "o1_zorder_clustering", "w_funnel_stages", "w_cohort_retention",
     "a_median_quartiles", "o_global_topk", "a_pivot_flags",
