@@ -3720,7 +3720,7 @@ def cur_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hiss_cube_spark.operators.text_analysis import tokenize
 
     d = _t(spark, sf_dir, "documents").select(
-        "doc_id", F.size(tokenize(F.col("text"))).alias("w")
+        "doc_id", F.size(tokenize(F.col("text"))).cast("long").alias("w")
     )
     return weighted_sample(d, "w", k=100)
 

@@ -133,7 +133,9 @@ def weighted_sample(
     key_q = F.floor(F.log(u) / F.col(weight_col).cast("double") * F.lit(1e9)).cast("long")
     scored = df.where(F.col(weight_col) > 0).select(
         F.col(id_col),
-        F.col(weight_col).cast("long").alias("weight"),
+        # keep the weight's own type: casting fractional weights to long
+        # would display 0.5 as 0 even though selection used the true value
+        F.col(weight_col).alias("weight"),
         key_q.alias("_key_q"),
     )
     top = scored.orderBy(F.desc("_key_q"), F.asc(id_col)).limit(k)

@@ -176,6 +176,9 @@ def bfs_hops(
         new = nxt.join(dist.select("node"), "node", "left_anti").select(
             "node", F.lit(h).cast("int").alias("hops")
         )
+        # every round's frontier stays referenced by the result union, so
+        # none can be released here; caller owns unpersist
+        # (spark.catalog.clearCache), same convention as dedup.py
         new = new.persist()
         if new.isEmpty():
             break

@@ -160,11 +160,22 @@ def hard_negatives(
     )
 
 
+def sq_scale(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """One-row DataFrame holding the corpus-wide SQ8 scale stat ``_mx``
+    (max absolute component). Train once on the corpus, then apply the
+    same grid to corpus AND queries via ``sq_quantize(..., stats=...)``."""
+    v = F.col(vec_col)
+    return df.agg(
+        F.max(F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))).alias("_mx")
+    )
+
+
 def sq_quantize(
     df: DataFrame,
     dim: int,
     vec_col: str = "embedding",
     out_col: str = "code",
+    stats: DataFrame | None = None,
 ) -> DataFrame:
     """SYMMETRIC int8 scalar quantization: one corpus-wide scale
     Δ = max|v|/127, each component mapped to
@@ -184,9 +195,8 @@ def sq_quantize(
     kept for signature stability (the scale is dimension-free).
     """
     v = F.col(vec_col)
-    stats = df.agg(
-        F.max(F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))).alias("_mx")
-    )
+    if stats is None:
+        stats = sq_scale(df, vec_col)
 
     def _code(x: Column) -> Column:
         return (
@@ -226,24 +236,21 @@ def sq_topk(
     pair — exact in int64), so scoring, ranking, and the emitted ``dot_q``
     are deterministic to the bit in any engine and any reduction order —
     the one ANN variant with a value-exact oracle. Codes come from
-    `sq_quantize` (corpus-trained grid applied to queries and corpus
-    alike); the join broadcasts the quantized queries, the corpus streams
-    through at 1/4 the float32 footprint, and ranking is the usual
-    per-query window with id tie-break.
+    `sq_quantize` with the scale trained on the CORPUS and applied to
+    queries and corpus alike (queries carry their own ``vec_col``, so
+    query ids need not exist in the corpus); the join broadcasts the
+    quantized queries, the corpus streams through at 1/4 the float32
+    footprint, and ranking is the usual per-query window with id
+    tie-break. In production the corpus codes are a materialized index,
+    written once per snapshot and reused across query batches.
     """
-    # the code table feeds both the probe fetch and the candidate scan —
-    # persist so quantization (and its min/max pass) runs once; in
-    # production the codes are a materialized index, written once per
-    # corpus snapshot and reused across queries
-    coded = sq_quantize(corpus, dim, vec_col=vec_col, out_col="_code").persist()
-    q = (
-        coded.join(
-            queries.select(F.col(query_id).alias("query_id")),
-            on=coded[corpus_id] == F.col("query_id"),
-        )
-        .select("query_id", F.col("_code").alias("_qc"))
+    stats = sq_scale(corpus, vec_col)
+    q = sq_quantize(queries, dim, vec_col=vec_col, out_col="_qc", stats=stats).select(
+        F.col(query_id).alias("query_id"), "_qc"
     )
-    c = coded.select(F.col(corpus_id).alias("neighbor_id"), F.col("_code").alias("_cc"))
+    c = sq_quantize(corpus, dim, vec_col=vec_col, out_col="_cc", stats=stats).select(
+        F.col(corpus_id).alias("neighbor_id"), "_cc"
+    )
     dot = F.aggregate(
         F.zip_with(F.col("_qc"), F.col("_cc"), lambda a, b: (a * b).cast("long")),
         F.lit(0).cast("long"),

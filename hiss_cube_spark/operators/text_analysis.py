@@ -316,7 +316,9 @@ def bm25_topk(
         aggs.append(F.sum((F.col("token") == t).cast("long")).alias(f"tf{i}"))
     # feeds BOTH the stats reduction and the scoring pass — persist so the
     # explode+groupBy runs once, not once per subtree (at cluster scale
-    # this is the materialized doc-stats index a search system keeps warm)
+    # this is the materialized doc-stats index a search system keeps warm);
+    # caller owns unpersist (spark.catalog.clearCache) in long-lived
+    # sessions, same convention as dedup.py / bfs_hops
     per_doc = toks.groupBy("doc_id").agg(*aggs).persist()
 
     stat_aggs = [

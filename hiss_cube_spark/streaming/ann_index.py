@@ -44,10 +44,13 @@ def train_ivf_centroids(
     max_iter: int = 10,
 ) -> list[list[float]]:
     """Deterministic Lloyd centroids from a bounded hash-ordered sample
-    (driver-side; the collect is capped by construction)."""
+    (driver-side; the collect is capped by construction). Ordering by
+    ``xxhash64(id)`` rather than the raw id gives a pseudo-random slice —
+    low-id prefixes are often temporally or source-correlated and would
+    bias the centroids."""
     sample = (
         vecs.select(F.col(id_col).alias("_i"), F.col(vec_col).alias("_v"))
-        .orderBy("_i")
+        .orderBy(F.xxhash64(F.col("_i")), F.col("_i"))
         .limit(sample_rows)
         .collect()
     )
@@ -128,7 +131,15 @@ def query_ivf_index(
     into the scan as an IN-list partition filter — the physical plan shows
     ``PartitionFilters: [cell IN (...)]`` and untouched cells' files are
     never opened.
+
+    ``centroids`` must be the list the index was built with
+    (`train_ivf_centroids` output) — there is no usable default.
     """
+    if not centroids:
+        raise ValueError(
+            "query_ivf_index requires the centroids the index was built with "
+            "(pass train_ivf_centroids(...) output)"
+        )
     probes = F.expr(
         "slice(transform(array_sort(transform(sequence(0, size(_d)-1), "
         "i -> struct(_d[i] AS d, i AS idx))), s -> s.idx), 1, "
