@@ -2660,29 +2660,92 @@ def emb_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.round(norm, 2).alias("whitened_norm"))
 
 
-@_q("ann_lsh_topk")
+@_q(
+    "ann_lsh_topk",
+    """
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(n_found AS BIGINT) AS n_found,
+           CAST(n_hits AS BIGINT) AS n_hits
+    FROM (VALUES (0, 5, 0), (1, 5, 0), (2, 5, 0), (3, 5, 1), (4, 5, 0),
+                 (5, 2, 0), (6, 5, 0), (7, 2, 1), (8, 5, 2), (9, 5, 0))
+         AS t(query_id, n_found, n_hits)
+    """,
+)
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate LSH-bucketed top-k (rows-only check: recall is
-    probabilistic by design; the exact baseline above is the oracle-gated
-    one)."""
-    from hiss_cube_spark.operators.similarity import lsh_bucketed_topk
+    """Approximate LSH-bucketed top-k with a deterministic recall@k
+    companion: for each query, `n_found` (bucket may under-fill) and
+    `n_hits` = |LSH top-k ∩ exact top-k| computed Spark-side against the
+    brute-force baseline. The LSH planes are pure integer-hash functions
+    (no RNG), so both counts are bit-deterministic; the oracle pins the
+    measured values at the driver's check SF (0.01 — synthetic random
+    embeddings, hence the honest low recall at n_planes=6/64 buckets on a
+    500-row corpus; raw neighbor lists are covered by the operator tests)."""
+    from hiss_cube_spark.operators.similarity import cosine_topk, lsh_bucketed_topk
 
     e = _t(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") < 10)
-    return lsh_bucketed_topk(q, e, k=5)
+    lsh = lsh_bucketed_topk(q, e, k=5).select("query_id", "neighbor_id")
+    exact = cosine_topk(q, e, k=5).select(
+        "query_id", F.col("neighbor_id").alias("_en")
+    )
+    j = lsh.join(
+        exact,
+        (lsh["query_id"] == exact["query_id"])
+        & (lsh["neighbor_id"] == exact["_en"]),
+        "left",
+    ).select(lsh["query_id"], "neighbor_id", "_en")
+    return (
+        j.groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_found"),
+            F.count("_en").alias("n_hits"),
+        )
+        .select(F.col("query_id").cast("long"), "n_found", "n_hits")
+    )
 
 
-@_q("ann_pq_topk")
+@_q(
+    "ann_pq_topk",
+    """
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(n_found AS BIGINT) AS n_found,
+           CAST(n_hits AS BIGINT) AS n_hits
+    FROM (VALUES (0, 5, 5), (1, 5, 5), (2, 5, 5), (3, 5, 5), (4, 5, 4),
+                 (5, 5, 5), (6, 5, 4), (7, 5, 4), (8, 5, 5), (9, 5, 5))
+         AS t(query_id, n_found, n_hits)
+    """,
+)
 def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantization ANN with exact rerank (rows-only check: PQ
-    distances are approximate by design; recall vs the exact baseline is
-    pinned in tests/test_stateful_ivf.py). The stored-vector-compression
-    leg of the ANN triad: codes are m bytes vs dim*4 for the raw vector."""
-    from hiss_cube_spark.operators.similarity import pq_topk
+    """Product-quantization ANN with a deterministic recall@k companion:
+    per query, `n_hits` = |PQ top-k ∩ exact top-k| computed Spark-side.
+    PQ training is a seeded Lloyd run over a hash-ordered bounded sample,
+    so the codes — and hence the counts — are deterministic; the oracle
+    pins the measured values at the driver's check SF (0.01). Raw
+    neighbor lists and recall-vs-exact are pinned in
+    tests/test_stateful_ivf.py. The stored-vector-compression leg of the
+    ANN triad: codes are m bytes vs dim*4 for the raw vector."""
+    from hiss_cube_spark.operators.similarity import cosine_topk, pq_topk
 
     e = _t(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") < 10)
-    return pq_topk(q, e, k=5, m=16, n_centroids=64)
+    pq = pq_topk(q, e, k=5, m=16, n_centroids=64).select("query_id", "neighbor_id")
+    exact = cosine_topk(q, e, k=5).select(
+        "query_id", F.col("neighbor_id").alias("_en")
+    )
+    j = pq.join(
+        exact,
+        (pq["query_id"] == exact["query_id"])
+        & (pq["neighbor_id"] == exact["_en"]),
+        "left",
+    ).select(pq["query_id"], "neighbor_id", "_en")
+    return (
+        j.groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_found"),
+            F.count("_en").alias("n_hits"),
+        )
+        .select(F.col("query_id").cast("long"), "n_found", "n_hits")
+    )
 
 
 @_q("ann_ivf_pq_topk")
@@ -4354,32 +4417,80 @@ def cur_dedup_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q("cur_semantic_dedup")
+@_q(
+    "cur_semantic_dedup",
+    """
+    SELECT CAST(count(*) + 1 AS BIGINT) AS n_input,
+           TRUE AS planted_pair_deduped,
+           TRUE AS min_rep_kept,
+           TRUE AS survivors_bounded
+    FROM embeddings
+    """,
+)
 def cur_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup over the embeddings table, rows-only (KMeans cells are not
-    SQL-expressible): cluster-then-compare semantic near-dup removal
-    keeping the min-id representative (`similarity.semantic_dedup`).
-    Returns the surviving rows' ids + label counts per cell of the survivor
-    set — deterministic under the seeded KMeans."""
+    """SemDeDup (cluster-then-compare semantic near-dup removal,
+    `similarity.semantic_dedup`) with a planted-duplicate companion the
+    driver can hash: vec_id 0's embedding is re-inserted under a fresh id
+    (10^6), so the corpus provably contains one exact semantic duplicate.
+    The check emits `planted_pair_deduped` (exactly one of the twins
+    survives — identical vectors land in the same KMeans cell and cosine 1
+    ≥ any threshold), `min_rep_kept` (the min-id twin is the survivor, the
+    SemDeDup representative rule) and `survivors_bounded`
+    (0 < kept ≤ input). KMeans cells themselves stay non-SQL-expressible —
+    the booleans verify the dedup CONTRACT without pretending the
+    clustering has an oracle; per-cell survivor stats are unit-tested."""
     from hiss_cube_spark.operators.similarity import semantic_dedup
 
     e = _t(spark, sf_dir, "embeddings")
-    kept = semantic_dedup(e, threshold=0.95)
-    return kept.groupBy("label").agg(
-        F.count(F.lit(1)).alias("n_kept"),
-        F.min("vec_id").alias("min_vec_id"),
-        F.max("vec_id").alias("max_vec_id"),
+    planted = e.where(F.col("vec_id") == 0).select(
+        F.lit(1000000).cast(e.schema["vec_id"].dataType).alias("vec_id"),
+        "embedding",
+        "label",
+    )
+    corpus = e.unionByName(planted)
+    kept = semantic_dedup(corpus, threshold=0.95)
+    stats = kept.agg(
+        F.count(F.lit(1)).alias("_n_kept"),
+        F.sum(F.when(F.col("vec_id").isin(0, 1000000), 1).otherwise(0)).alias(
+            "_twins_kept"
+        ),
+        F.sum(F.when(F.col("vec_id") == 0, 1).otherwise(0)).alias("_rep_kept"),
+    )
+    total = corpus.agg(F.count(F.lit(1)).alias("n_input"))
+    return total.crossJoin(stats).select(
+        F.col("n_input").cast("long").alias("n_input"),
+        (F.col("_twins_kept") == 1).alias("planted_pair_deduped"),
+        (F.col("_rep_kept") == 1).alias("min_rep_kept"),
+        ((F.col("_n_kept") > 0) & (F.col("_n_kept") <= F.col("n_input"))).alias(
+            "survivors_bounded"
+        ),
     )
 
 
-@_q("mm_audio_pipeline")
+@_q(
+    "mm_audio_pipeline",
+    """
+    SELECT doc_id,
+           round(least(length(text) * 8, 4000) / 8000.0, 6) AS duration_s,
+           TRUE AS rms_ok, TRUE AS zcr_ok, TRUE AS peak_ok, TRUE AS centroid_ok
+    FROM documents WHERE doc_id < 100
+    """,
+)
 def mm_audio_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Real (dependency-free) audio pipeline, rows-only: synthesize a PCM
-    WAV per document (sine at a doc-derived frequency + text-length
-    envelope), hand-rolled RIFF decode to float samples, numpy signal
-    features (RMS / zero-crossings / FFT spectral centroid / band
-    energies). Audio twin of `mm_image_pipeline`; compressed codecs stay
-    behind the honest `require_real_codec` stub."""
+    """Real (dependency-free) audio pipeline with analytic companions the
+    driver can hash: synthesize a PCM WAV per document (pure sine at
+    freq = 200 + (doc_id%17)·100 Hz, amplitude 0.8, length from the text),
+    hand-rolled RIFF decode to float samples, numpy signal features (RMS /
+    zero-crossings / FFT spectral centroid / band energies). Each feature
+    is checked against its closed-form expectation for that signal —
+    duration is exactly n_samples/rate (SQL-reproducible), RMS ≈ 0.8/√2
+    (±0.01), zero-cross rate ≈ 2f/fs (±0.01), peak in (0.74, 0.8] (the
+    sampling-grid bound: integer samples-per-period clips the crest at
+    0.8·sin 72° ≈ 0.761), spectral
+    centroid within 500 Hz of the tone (FFT leakage bound measured at
+    ≤363 Hz on the worst short clip). Compressed codecs stay behind the
+    honest `require_real_codec` stub; raw feature values are pinned in the
+    multimodal unit tests."""
     import numpy as _np
     import pandas as _pd
     from collections.abc import Iterator as _Iter
@@ -4400,7 +4511,7 @@ def mm_audio_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = (
         _t(spark, sf_dir, "documents")
         .select("doc_id", F.length("text").alias("n"))
-        .limit(100)
+        .where(F.col("doc_id") < 100)
     )
 
     def _synth(batches: _Iter[_pd.DataFrame]) -> _Iter[_pd.DataFrame]:
@@ -4421,12 +4532,19 @@ def mm_audio_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     feats = audio_features(decode_audio(wav))
+    freq = (F.lit(200) + (F.col("doc_id") % 17) * 100).cast("double")
     return feats.select(
         "doc_id",
-        F.round("duration_s", 4).alias("duration_s"),
-        F.round("rms", 4).alias("rms"),
-        F.round("zero_cross_rate", 4).alias("zero_cross_rate"),
-        F.round("spectral_centroid_hz", 1).alias("spectral_centroid_hz"),
+        F.round(F.col("duration_s").cast("double"), 6).alias("duration_s"),
+        (F.abs(F.col("rms") - F.lit(0.8 / 2.0 ** 0.5)) < 0.01).alias("rms_ok"),
+        (F.abs(F.col("zero_cross_rate") - 2.0 * freq / 8000.0) < 0.01).alias(
+            "zcr_ok"
+        ),
+        # grid bound, not ±ε: when fs/f is a small integer the densest
+        # sample sits at sin(72°) → peak 0.8·0.951 ≈ 0.761 (e.g. 1600 Hz =
+        # 5 samples/period); irrational ratios fill the phase densely → 0.8
+        ((F.col("peak") > 0.74) & (F.col("peak") <= 0.8001)).alias("peak_ok"),
+        (F.abs(F.col("spectral_centroid_hz") - freq) < 500.0).alias("centroid_ok"),
     )
 
 
@@ -4544,15 +4662,31 @@ def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q("a_hll_sketch")
+@_q(
+    "a_hll_sketch",
+    """
+    WITH per AS (
+      SELECT c.c_nationkey, count(DISTINCT c.c_custkey) AS exact
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1)
+    SELECT CAST(c_nationkey AS INT) AS c_nationkey,
+           CAST(exact AS BIGINT) AS exact, TRUE AS est_ok
+    FROM per
+    UNION ALL
+    SELECT CAST(-1 AS INT), CAST(sum(exact) AS BIGINT), TRUE FROM per
+    """,
+)
 def a_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable HLL distinct-count sketches (Apache DataSketches, Spark 4
     `hll_sketch_agg`): per-nation sketch of distinct ordering customers,
     plus the UNION of all sketches re-estimated — the 100 TB path for
     COUNT(DISTINCT) (one pass, mergeable partials, no distinct shuffle).
-    Rows-only check (estimates are sketch-deterministic but not
-    SQL-reproducible in the oracle engine); the unit test pins estimate
-    accuracy vs exact and merge-invariance under repartitioning."""
+    The driver-hashable companion: the exact distinct (computed both ways)
+    and `est_ok` = |estimate − exact| ≤ 5%·exact per nation AND for the
+    merged union sketch — the lgK=12 error bound is ~1.6%, so the boolean
+    verifies the sketch without pretending DuckDB can reproduce
+    DataSketches registers. Raw-estimate accuracy and merge-invariance
+    under repartitioning stay pinned in the unit test."""
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     o = _t(spark, sf_dir, "orders").select("o_custkey")
     ordering = o.join(c, o.o_custkey == c.c_custkey).select(
@@ -4562,17 +4696,24 @@ def a_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_agg("c_custkey").alias("sk"),
         F.countDistinct("c_custkey").alias("exact"),
     )
-    union_est = per_nation.agg(
-        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"),
+    def _ok(est, exact):
+        return F.abs(est - exact) <= F.lit(0.05) * exact
+
+    union_row = per_nation.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("_est"),
         F.sum("exact").alias("exact"),
-    ).select(F.lit(-1).cast("int").alias("c_nationkey"), "est", "exact")
+    ).select(
+        F.lit(-1).cast("int").alias("c_nationkey"),
+        F.col("exact").cast("long").alias("exact"),
+        _ok(F.col("_est"), F.col("exact")).alias("est_ok"),
+    )
     return (
         per_nation.select(
             F.col("c_nationkey").cast("int").alias("c_nationkey"),
-            F.hll_sketch_estimate("sk").alias("est"),
-            "exact",
+            F.col("exact").cast("long").alias("exact"),
+            _ok(F.hll_sketch_estimate("sk"), F.col("exact")).alias("est_ok"),
         )
-        .unionByName(union_est)
+        .unionByName(union_row)
     )
 
 
@@ -4887,22 +5028,68 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.join(s, top.l_suppkey == s.s_suppkey).select("s_suppkey", "s_name", "total_rev")
 
 
-@_q("a_approx_stats")
+@_q(
+    "a_approx_stats",
+    """
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           TRUE AS distinct_ok, TRUE AS p50_ok, TRUE AS p95_ok, TRUE AS p99_ok
+    FROM lineitem GROUP BY 1
+    """,
+)
 def a_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate aggregates (rows-only: approximation has no exact oracle).
-
-    HLL distinct + t-digest percentiles — the approximate surface the engine
-    exposes beyond the reference (SURVEY §2.4 notes it lacks any). Quantiles
-    come back as scalar columns (p50/p95/p99), not array<double>: array
-    cells break the driver's sort_values canonicalizer."""
-    li = _t(spark, sf_dir, "lineitem")
-    q = F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99])
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        q.getItem(0).alias("price_p50"),
-        q.getItem(1).alias("price_p95"),
-        q.getItem(2).alias("price_p99"),
+    """Approximate aggregates with driver-hashable exactness companions:
+    HLL distinct + approximate percentiles per return flag (the
+    approximate surface the engine exposes beyond the reference, SURVEY
+    §2.4), each verified against an exact second pass computed Spark-side.
+    `distinct_ok` = |approx − exact| ≤ 10%·exact (default rsd 5%);
+    `pXX_ok` = the empirical CDF at the approximate percentile value is
+    within ±0.01 of the target rank (a RANK-space check — robust where a
+    value-space check would not be; default accuracy bounds rank error at
+    1e-4). The raw estimates stay approximate; the booleans are what an
+    engine can promise deterministically."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_partkey", "l_extendedprice"
+    )
+    qs = F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99])
+    agg = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("_ad"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
         F.count(F.lit(1)).alias("n"),
+        qs.getItem(0).alias("_p50"),
+        qs.getItem(1).alias("_p95"),
+        qs.getItem(2).alias("_p99"),
+    )
+    frac = (
+        li.join(F.broadcast(agg.select("l_returnflag", "_p50", "_p95", "_p99")),
+                "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            *[
+                (
+                    F.sum((F.col("l_extendedprice") <= F.col(f"_p{p}")).cast("long"))
+                    / F.count(F.lit(1))
+                ).alias(f"_f{p}")
+                for p in (50, 95, 99)
+            ]
+        )
+    )
+    return (
+        agg.join(frac, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "n",
+            "exact_parts",
+            (F.abs(F.col("_ad") - F.col("exact_parts"))
+             <= F.lit(0.10) * F.col("exact_parts")).alias("distinct_ok"),
+            *[
+                (F.abs(F.col(f"_f{p}") - F.lit(p / 100.0)) <= F.lit(0.01)).alias(
+                    f"p{p}_ok"
+                )
+                for p in (50, 95, 99)
+            ],
+        )
     )
 
 
