@@ -7109,69 +7109,72 @@ def entry(spark: SparkSession) -> DataFrame:
 # list, remaining never-checked queries first, so later rounds rotate the
 # window forward until every query has had a green row.
 _CHECK_PRIORITY = [
-    # round-1 failures, fixed this round — must re-check
-    "o3_cap_refs", "w_lag_sessionize", "a_approx_stats",
-    # sentinels (green in round 1; canaries against harness drift)
+    # ---- round-3 window (slots 1-50) ----
+    # sentinels (green r1+r2; canaries against harness drift)
     "flagship_ml_cube", "q1_pricing_summary",
-    # new this round — never driver-checked
-    "ts_ewma", "graph_pagerank", "j_bloom_prune", "cur_model_quality",
-    "dq_histogram", "cur_neardup_corpus", "cdc_time_travel", "dq_equidepth",
-    "cur_reservoir_sample", "q_lateral_topk", "a_hll_sketch",
-    "w_gaps_islands", "mm_audio_pipeline", "cur_semantic_dedup",
-    # structured streaming
-    "stream_tumbling_window", "stream_session_window",
-    "stream_sliding_window", "stream_interval_join",
-    # dedup family
-    "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash",
-    "dedup_eval_metrics", "dedup_clusters", "dedup_paragraphs",
-    # similarity / embeddings
-    "ann_cosine_topk", "ann_lsh_topk", "ann_pq_topk",
-    "emb_cosine_pairs", "emb_centroids",
-    # CDC
-    "cdc_apply_changelog", "cdc_table_diff", "cdc_scd2_history",
-    # non-equi / specialty joins
-    "j_asof_join", "j_range_join", "j_interval_overlap",
-    "j_fuzzy_match", "cone_search",
-    # text analysis
-    "text_langid", "text_quality", "text_token_count", "text_fingerprint",
-    "text_repetition", "text_lm_score", "text_heavy_hitters",
-    "text_tfidf_topk", "f_udtf_tokens",
-    # curation
-    "cur_incremental_dedup", "cur_chunk_documents", "cur_domain_cap",
-    "cur_hash_split", "cur_pack_sequences", "cur_balanced_sample",
-    "cur_temperature_sample", "cur_decontaminate", "cur_corpus_report",
-    "cur_redact_pii", "cur_quality_filter", "cur_full_pipeline",
-    # data quality
-    "dq_constraint_report", "dq_profile_table",
-    # NOTE: the driver's 50-query window ends at text_tfidf_topk (slot 50);
-    # everything below rotates into the window in later rounds.
-    # --- remaining never-checked, for the next rotation ---
+    # the six r2 `no_oracle` rows, now carrying deterministic companions
+    # (exactness booleans / planted-dup checks / pinned recall@k) — re-check
+    # so they flip to hash-green
+    "a_approx_stats", "a_hll_sketch", "mm_audio_pipeline",
+    "cur_semantic_dedup", "ann_lsh_topk", "ann_pq_topk",
+    # 42 fresh never-driver-checked queries (oracle-bearing), families
+    # interleaved in prior definition order: curation, data quality, dedup,
+    # streaming, graph, text, ANN/embeddings, CDC, joins, aggregates
+    "f_udtf_tokens", "cur_incremental_dedup", "cur_chunk_documents",
+    "cur_domain_cap", "cur_hash_split", "cur_pack_sequences",
+    "cur_balanced_sample", "cur_temperature_sample", "cur_decontaminate",
+    "cur_corpus_report", "cur_redact_pii", "cur_quality_filter",
+    "cur_full_pipeline", "dq_constraint_report", "dq_profile_table",
     "dedup_substring_spans", "text_simpson_diversity", "cur_mix_weights",
-    "stream_dedup_first", "stream_neardup_minhash", "mm_phash_neardup",
-    "ann_ivf_pq_topk", "text_bpe_tokens", "graph_triangles", "dq_outliers",
-    "stream_ann_refresh", "emb_hard_negatives", "text_bm25_topk",
-    "ann_sq_topk", "dedup_containment", "dq_ks_drift",
-    "cur_stratified_kfold", "text_entropy", "text_pmi_bigrams",
-    "ts_autocorr", "cur_weighted_sample", "dq_mad_outliers",
-    "dq_segment_drift", "a_trimmed_mean", "a_mode", "cdc_incremental_agg",
-    "j_asof_interp", "cur_best_of_cluster", "cur_score_calibrate",
-    "emb_random_projection", "graph_bfs_hops", "dq_benford",
-    "ts_transition_matrix", "text_ngram_novelty", "a_corr_matrix",
-    "emb_whiten", "a_weighted_median", "f_target_encode",
-    "cur_contamination_score", "text_compression_ratio", "a_gini",
-    "ts_cusum_changepoint", "cur_oversample_minority", "a_top_decile_share",
-    "w_mom_change", "cur_dedup_provenance", "mm_audio_neardup",
-    "text_vocab_growth",
+    "stream_dedup_first", "stream_neardup_minhash", "graph_triangles",
+    "dq_outliers", "emb_hard_negatives", "text_bm25_topk", "ann_sq_topk",
+    "dedup_containment", "dq_ks_drift", "cur_stratified_kfold",
+    "text_entropy", "text_pmi_bigrams", "ts_autocorr",
+    "cur_weighted_sample", "dq_mad_outliers", "dq_segment_drift",
+    "a_trimmed_mean", "a_mode", "cdc_incremental_agg", "j_asof_interp",
+    "cur_best_of_cluster", "cur_score_calibrate", "emb_random_projection",
+    "graph_bfs_hops",
+    # NOTE: the driver's 50-query window ends at graph_bfs_hops (slot 50);
+    # everything below rotates into the window in round 4 (47 remaining:
+    # 39 oracle-bearing + 8 rows-only by nature).
+    # --- remaining never-checked, for the next rotation ---
+    "dq_benford", "ts_transition_matrix", "text_ngram_novelty",
+    "a_corr_matrix", "a_weighted_median", "f_target_encode",
+    "cur_contamination_score", "a_gini", "ts_cusum_changepoint",
+    "cur_oversample_minority", "a_top_decile_share", "w_mom_change",
+    "cur_dedup_provenance", "text_vocab_growth",
     "p_variant_props", "q_recursive_cte", "viz_cube_union",
     "o1_zorder_clustering", "w_funnel_stages", "w_cohort_retention",
     "a_median_quartiles", "o_global_topk", "a_pivot_flags",
-    "mm_image_pipeline", "mm_decode_stub", "mm_frame_sample",
+    "mm_decode_stub", "mm_frame_sample",
     "q2_min_cost_supplier", "q6_forecast_revenue", "q7_volume_shipping",
     "q8_market_share", "q9_product_profit", "q11_important_stock",
     "q12_priority_class", "q13_order_count_distribution",
     "q15_top_supplier", "q16_supplier_cnt", "q17_small_quantity_revenue",
     "q20_excess_suppliers", "q21_lone_returned_supplier",
     "q22_no_order_customers",
+    # rows-only by nature (probabilistic / binary-domain / not
+    # SQL-expressible) — rotate last; candidates for future companions
+    "mm_phash_neardup", "ann_ivf_pq_topk", "text_bpe_tokens",
+    "stream_ann_refresh", "emb_whiten", "text_compression_ratio",
+    "mm_audio_neardup", "mm_image_pipeline",
+    # ---- previously green (r1∪r2), keep definition order after this ----
+    "o3_cap_refs", "w_lag_sessionize",
+    "ts_ewma", "graph_pagerank", "j_bloom_prune", "cur_model_quality",
+    "dq_histogram", "cur_neardup_corpus", "cdc_time_travel", "dq_equidepth",
+    "cur_reservoir_sample", "q_lateral_topk",
+    "w_gaps_islands",
+    "stream_tumbling_window", "stream_session_window",
+    "stream_sliding_window", "stream_interval_join",
+    "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash",
+    "dedup_eval_metrics", "dedup_clusters", "dedup_paragraphs",
+    "ann_cosine_topk", "emb_cosine_pairs", "emb_centroids",
+    "cdc_apply_changelog", "cdc_table_diff", "cdc_scd2_history",
+    "j_asof_join", "j_range_join", "j_interval_overlap",
+    "j_fuzzy_match", "cone_search",
+    "text_langid", "text_quality", "text_token_count", "text_fingerprint",
+    "text_repetition", "text_lm_score", "text_heavy_hitters",
+    "text_tfidf_topk",
 ]
 
 
