@@ -23,7 +23,7 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("input_dir")
     p.add_argument("warehouse")
     p.add_argument("command", choices=["create", "update"])
-    p.add_argument("--image-pattern", default="*.fits")
+    p.add_argument("--image-pattern", default="*.fits*")
     p.add_argument("--link", action="store_true")
     p.add_argument("--ml-cube", action="store_true")
     p.add_argument("--visualization-cube", action="store_true")

@@ -5,8 +5,11 @@ here): headers are 2880-byte blocks of 80-char cards; image data is
 big-endian typed by BITPIX with optional BSCALE/BZERO. This mirrors the
 reference's own fast raw-byte header parser (utils/fitstools.py:23-65).
 
-Compressed (RICE/tile) HDUs are not supported — plug astropy/fitsio through
-``decode_fn`` on a cluster that has them.
+Externally-compressed files (``.fits.bz2`` — the SDSS frame distribution
+format — and ``.fits.gz``) decompress transparently by magic-byte detection
+(:func:`maybe_decompress`). Internal RICE/tile-compressed HDUs are not
+supported — plug astropy/fitsio through ``decode_fn`` on a cluster that has
+them.
 
 Scan shape: ``spark.read.format("binaryFile")`` with pathGlobFilter (P1) and
 limit (P2), then mapInPandas parses per Arrow batch — file bytes never
@@ -30,9 +33,31 @@ __all__ = [
     "parse_fits_image",
     "scan_fits_headers",
     "read_fits_bytes_header",
+    "maybe_decompress",
 ]
 
 _BLOCK = 2880
+
+
+def maybe_decompress(data: bytes) -> bytes:
+    """Transparent bz2/gzip decompression keyed on magic bytes.
+
+    SDSS distributes frame images as ``frame-*.fits.bz2`` and astropy
+    decompresses them transparently (the reference's fixtures are bz2:
+    hisscube/tests/test_cube_utils.py:24); spectra ship ``.fits.gz`` in
+    some releases. Magic-byte detection (``BZh`` / ``1f 8b``) rather than
+    path suffix, so renamed or suffix-less blobs still parse. Plain FITS
+    (``SIMPLE``) passes through untouched.
+    """
+    if data[:3] == b"BZh":
+        import bz2
+
+        return bz2.decompress(data)
+    if data[:2] == b"\x1f\x8b":
+        import gzip
+
+        return gzip.decompress(data)
+    return data
 
 
 def read_fits_bytes_header(data: bytes, offset: int = 0) -> tuple[dict, int]:
@@ -76,15 +101,18 @@ def _parse_value(raw: bytes):
 
 
 def parse_fits_header(data: bytes) -> dict:
-    """Primary-HDU header of a FITS byte string."""
-    return read_fits_bytes_header(data, 0)[0]
+    """Primary-HDU header of a (possibly bz2/gzip-compressed) FITS byte
+    string."""
+    return read_fits_bytes_header(maybe_decompress(data), 0)[0]
 
 
 _BITPIX_DTYPE = {8: ">u1", 16: ">i2", 32: ">i4", 64: ">i8", -32: ">f4", -64: ">f8"}
 
 
 def parse_fits_image(data: bytes) -> tuple[dict, np.ndarray | None]:
-    """(primary header, 2-D data array) — BITPIX/BSCALE/BZERO honored."""
+    """(primary header, 2-D data array) — BITPIX/BSCALE/BZERO honored;
+    bz2/gzip payloads (SDSS ``frame-*.fits.bz2``) decompress transparently."""
+    data = maybe_decompress(data)
     header, pos = read_fits_bytes_header(data, 0)
     naxis = int(header.get("NAXIS", 0))
     if naxis < 2:
@@ -111,7 +139,7 @@ _HEADER_SCHEMA = StructType(
 def scan_fits_headers(
     spark: SparkSession,
     directory: str,
-    pattern: str = "*.fits",
+    pattern: str = "*.fits*",
     limit: int | None = None,
 ) -> DataFrame:
     """FITS header cache table (S4; ref MetadataCacheBuilder,
@@ -162,8 +190,10 @@ def parse_fits_bintable(data: bytes, hdu_index: int = 1) -> dict[str, np.ndarray
 
     Supports scalar columns of types L/B/I/J/K/E/D and fixed-width strings
     (rA) — the subset SDSS spec files and our own exporter use. Walks HDUs
-    from the primary header to ``hdu_index``.
+    from the primary header to ``hdu_index``. bz2/gzip payloads (SDSS
+    ``spec-*.fits.gz``) decompress transparently.
     """
+    data = maybe_decompress(data)
     pos = 0
     header: dict = {}
     for _ in range(hdu_index + 1):

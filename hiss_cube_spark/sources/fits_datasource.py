@@ -9,7 +9,7 @@ internally. Both paths share the same parser, so results agree by
 construction (pinned by test).
 
 Options:
-  ``pattern``  glob for file names (default ``*.fits``)
+  ``pattern``  glob for file names (default ``*.fits*`` — covers .fits, .fits.bz2, .fits.gz)
   ``mode``     ``headers`` (default: path/n_bytes/header-JSON rows, the S4
                cache shape) or ``image`` (adds naxis1/naxis2 and the flat
                float pixel array of HDU 0, the tiled-raster shape)
@@ -69,7 +69,7 @@ class _FitsReader(DataSourceReader):
         self.root = options.get("path")
         if not self.root:
             raise ValueError("fits source requires a path: .load('<dir>')")
-        self.pattern = options.get("pattern", "*.fits")
+        self.pattern = options.get("pattern", "*.fits*")
         self.mode = options.get("mode", "headers")
 
     def partitions(self):

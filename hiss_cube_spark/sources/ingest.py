@@ -109,7 +109,7 @@ _IMG_SCHEMA = (
 
 
 def ingest_images(
-    spark: SparkSession, directory: str, pattern: str = "*.fits", zooms: int = 5
+    spark: SparkSession, directory: str, pattern: str = "*.fits*", zooms: int = 5
 ) -> DataFrame:
     """Bulk image ingest: binaryFile scan → per-batch pyramid build.
 
@@ -216,7 +216,7 @@ _SPEC_SCHEMA = (
 
 
 def ingest_spectra(
-    spark: SparkSession, directory: str, pattern: str = "*.fits",
+    spark: SparkSession, directory: str, pattern: str = "*.fits*",
     zooms: int = 5, rebin_samples: int | None = None,
 ) -> DataFrame:
     """Bulk spectrum ingest: binaryFile scan → mapInPandas kernel."""

@@ -27,7 +27,7 @@ LANDING_SCHEMA = StructType(
 )
 
 
-def stage_binary_files(spark: SparkSession, src_dir: str, landing_dir: str, pattern: str = "*.fits") -> None:
+def stage_binary_files(spark: SparkSession, src_dir: str, landing_dir: str, pattern: str = "*.fits*") -> None:
     """Batch helper: copy raw files into the parquet landing zone."""
     (
         spark.read.format("binaryFile")

@@ -172,3 +172,43 @@ def test_fits_python_datasource_matches_scan(spark, tmp_path_factory):
     )
     assert len(img) == 3
     assert all(r["naxis1"] == 64 and len(r["data"]) == 64 * 48 for r in img)
+
+
+def test_compressed_fits_parse_and_ingest(spark, tmp_path_factory):
+    """bz2/gzip FITS (SDSS distributes frame-*.fits.bz2; ref fixtures are
+    bz2 — hisscube/tests/test_cube_utils.py:24) parse bit-identically to
+    the plain file and ride the default glob through the bulk scan."""
+    import bz2
+    import gzip
+    import json
+
+    from hiss_cube_spark.sources.fits import parse_fits_image, scan_fits_headers
+    from hiss_cube_spark.sources.ingest import ingest_images
+
+    src = str(tmp_path_factory.mktemp("zframes"))
+    plain = os.path.join(src, "frame-r-000001.fits")
+    _write_fits(plain)
+    raw = open(plain, "rb").read()
+    open(os.path.join(src, "frame-r-000002.fits.bz2"), "wb").write(bz2.compress(raw))
+    open(os.path.join(src, "frame-r-000003.fits.gz"), "wb").write(gzip.compress(raw))
+
+    # magic-byte parse parity: header and pixels identical to the plain file
+    h0, a0 = parse_fits_image(raw)
+    for blob in (bz2.compress(raw), gzip.compress(raw)):
+        h, a = parse_fits_image(blob)
+        assert h == h0
+        np.testing.assert_array_equal(a, a0)
+
+    # default glob (*.fits*) picks up all three; pixels identical per zoom
+    df = ingest_images(spark, src)
+    assert df.count() == 3 * 5
+    assert df.select("image_id").distinct().count() == 3
+    z0 = df.where("zoom = 0").select("path", "data").collect()
+    ref = {os.path.basename(r["path"]): r["data"] for r in z0}
+    assert ref["frame-r-000002.fits.bz2"] == ref["frame-r-000001.fits"]
+    assert ref["frame-r-000003.fits.gz"] == ref["frame-r-000001.fits"]
+
+    # header-cache scan decompresses too (no _error rows)
+    hdrs = scan_fits_headers(spark, src).collect()
+    assert len(hdrs) == 3
+    assert all("_error" not in json.loads(r["header"]) for r in hdrs)
