@@ -4821,35 +4821,36 @@ def cur_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q("mm_image_pipeline")
 def mm_image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Real (dependency-free) image pipeline, rows-only: synthesize a PPM
-    per document from its text bytes, decode to pixel rows, bilinear-resize
-    to 8x8, emit channel-stat + luma-histogram features. Unlike the stubbed
-    codecs, every stage here computes true pixel math (kernels pinned in
-    tests/test_multimodal_images.py)."""
+    """Real (dependency-free) image pipeline, rows-only: synthesize a PNG
+    per document from its text bytes (full in-repo baseline PNG codec —
+    zlib chunks, CRCs, scanline filters), decode to pixel rows,
+    bilinear-resize to 8x8, emit channel-stat + luma-histogram features.
+    Unlike the stubbed codecs, every stage here computes true pixel math
+    (PNG kernel + pipeline pinned in tests/test_multimodal_images.py)."""
     import numpy as _np
     import pandas as _pd
     from collections.abc import Iterator as _Iter
 
     from hiss_cube_spark.operators.multimodal import (
         decode_images,
-        encode_ppm_np,
+        encode_png_np,
         image_features,
         resize_images,
     )
 
     d = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 0).select("doc_id", "text")
 
-    def _to_ppm(batches: _Iter[_pd.DataFrame]) -> _Iter[_pd.DataFrame]:
+    def _to_png(batches: _Iter[_pd.DataFrame]) -> _Iter[_pd.DataFrame]:
         for pdf in batches:
             rows = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 b = _np.frombuffer(text.encode("utf-8"), dtype=_np.uint8)
                 h, w = 4 + int(doc_id) % 3, 6
                 px = _np.resize(b, h * w * 3).reshape(h, w, 3)
-                rows.append((int(doc_id), bytearray(encode_ppm_np(px))))
+                rows.append((int(doc_id), bytearray(encode_png_np(px))))
             yield _pd.DataFrame(rows, columns=["doc_id", "payload"])
 
-    payloads = d.mapInPandas(_to_ppm, schema="doc_id long, payload binary")
+    payloads = d.mapInPandas(_to_png, schema="doc_id long, payload binary")
     feats = image_features(resize_images(decode_images(payloads), 8, 8))
     return feats.select(
         "doc_id", F.round(F.element_at("feature", 1).cast("double"), 6).alias("mean_r"),

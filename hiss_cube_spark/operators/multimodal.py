@@ -4,11 +4,14 @@ Images/audio/video ride as ``binary`` columns with struct metadata; decode /
 feature-extract / resize / frame-sample are ``mapInPandas`` kernels so the
 heavy bytes stay in Arrow batches and never explode into JVM rows.
 
-The actual codecs (Pillow/libav/opencv) are NOT in this container — the
-decode step is stubbed: ``decode_fn`` defaults to a clearly-marked
-deterministic fake (and raises ``NotImplementedError`` when
-``require_real_codec=True``). Everything Spark-side — schema, batch shape,
-partitioning, UDF signature — is real and tested.
+Real dependency-free codecs: PNG (zlib is stdlib — full baseline 8-bit
+encode/decode with CRC checks and all five scanline filters), PPM P6 and
+PCM WAV. Codecs that genuinely need external libraries (JPEG/WebP/FLAC —
+Pillow/libav/opencv are NOT in this container) stay stubbed: ``decode_fn``
+defaults to a clearly-marked deterministic fake and raises
+``NotImplementedError`` when ``require_real_codec=True``. Everything
+Spark-side — schema, batch shape, partitioning, UDF signature — is real
+and tested either way.
 """
 
 from __future__ import annotations
@@ -32,6 +35,7 @@ from pyspark.sql.types import (
 __all__ = [
     "attach_binary_payload", "decode_metadata", "frame_sample", "extract_features",
     "encode_ppm_np", "decode_ppm_np", "bilinear_resize_np",
+    "encode_png_np", "decode_png_np", "decode_image_np",
     "decode_images", "resize_images", "image_features",
     "image_phash", "phash_neardup_pairs",
     "encode_wav_np", "decode_wav_np", "decode_audio", "audio_features",
@@ -192,6 +196,161 @@ def decode_ppm_np(payload: bytes) -> np.ndarray:
     return np.frombuffer(payload, dtype=np.uint8, count=h * w * 3, offset=pos).reshape(h, w, 3)
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}  # grayscale, truecolor, truecolor+alpha
+
+
+def encode_png_np(img: np.ndarray, level: int = 6) -> bytes:
+    """uint8 (h, w), (h, w, 1), (h, w, 3) or (h, w, 4) array → PNG bytes.
+
+    A complete, spec-conformant writer for the 8-bit non-interlaced cases
+    (zlib is stdlib — PNG needs no external codec): IHDR/IDAT/IEND chunks
+    with CRCs, filter type 0 per scanline. Readable by any PNG viewer.
+    """
+    import struct
+    import zlib
+
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, c = img.shape
+    color = {1: 0, 3: 2, 4: 6}[c]
+    raw = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
+
+    def _chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(raw, level))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png_np(payload: bytes) -> np.ndarray:
+    """PNG bytes → uint8 (h, w, channels) array — a real decoder, not a
+    stub: chunk walk with CRC verification, multi-IDAT zlib inflate, and
+    all five scanline filters (None/Sub/Up/Average/Paeth) reconstructed
+    per the spec's modulo-256 arithmetic.
+
+    Supports the baseline-8-bit non-interlaced cases (grayscale, RGB,
+    RGBA). Palette/16-bit/Adam7 raise a labeled ``NotImplementedError`` —
+    same honest-stub policy as the JPEG/FLAC codecs
+    (`decode_metadata(require_real_codec=True)`).
+    """
+    import struct
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, idat = 8, []
+    w = h = channels = None
+    while pos + 12 <= len(payload):
+        (ln,) = struct.unpack(">I", payload[pos : pos + 4])
+        tag = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        (crc,) = struct.unpack(">I", payload[pos + 8 + ln : pos + 12 + ln])
+        if zlib.crc32(tag + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
+        pos += 12 + ln
+        if tag == b"IHDR":
+            w, h, depth, color, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8:
+                raise NotImplementedError(
+                    f"PNG bit depth {depth} not supported (baseline 8-bit only)"
+                )
+            if color not in _PNG_CHANNELS:
+                raise NotImplementedError(
+                    f"PNG color type {color} (palette/gray+alpha) not supported"
+                )
+            if interlace:
+                raise NotImplementedError("interlaced (Adam7) PNG not supported")
+            channels = _PNG_CHANNELS[color]
+        elif tag == b"IDAT":
+            idat.append(data)
+        elif tag == b"IEND":
+            break
+    if w is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    raw = zlib.decompress(b"".join(idat))
+    stride, bpp = w * channels, channels
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline payload size mismatch")
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    p = 0
+    for y in range(h):
+        ftype = raw[p]
+        row = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=p + 1).copy()
+        p += 1 + stride
+        if ftype == 0:  # None
+            pass
+        elif ftype == 1:  # Sub — per-lane prefix sum mod 256 (vectorized)
+            for j in range(bpp):
+                row[j::bpp] = np.cumsum(row[j::bpp], dtype=np.uint64) & 0xFF
+        elif ftype == 2:  # Up
+            row += prev  # uint8 wraparound == mod 256 per spec
+        elif ftype == 3:  # Average
+            r = row.astype(np.int64)
+            pv = prev.astype(np.int64)
+            acc = np.zeros(stride, dtype=np.int64)
+            for i in range(stride):
+                left = acc[i - bpp] if i >= bpp else 0
+                acc[i] = (r[i] + (left + pv[i]) // 2) & 0xFF
+            row = acc.astype(np.uint8)
+        elif ftype == 4:  # Paeth
+            r = row.astype(np.int64)
+            pv = prev.astype(np.int64)
+            acc = np.zeros(stride, dtype=np.int64)
+            for i in range(stride):
+                left = acc[i - bpp] if i >= bpp else 0
+                ul = pv[i - bpp] if i >= bpp else 0
+                acc[i] = (r[i] + _paeth(int(left), int(pv[i]), int(ul))) & 0xFF
+            row = acc.astype(np.uint8)
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out[y] = row
+        prev = row
+    return out.reshape(h, w, channels)
+
+
+def decode_image_np(payload: bytes) -> np.ndarray:
+    """Magic-byte image dispatch: PNG (real decoder) or PPM P6. Grayscale
+    PNGs broadcast to 3 channels and RGBA drops alpha so every caller sees
+    uint8 (h, w, 3); compressed codecs without a dependency-free decoder
+    (JPEG/WebP) raise the labeled stub error."""
+    if payload[:8] == _PNG_SIG:
+        img = decode_png_np(payload)
+        if img.shape[2] == 1:
+            img = np.repeat(img, 3, axis=2)
+        elif img.shape[2] == 4:
+            img = img[:, :, :3]
+        return img
+    if payload[:2] == b"P6":
+        return decode_ppm_np(payload)
+    raise NotImplementedError(
+        "no dependency-free decoder for this image format (PNG and PPM P6 "
+        "are supported; JPEG/WebP need Pillow/libjpeg on the cluster)"
+    )
+
+
 def bilinear_resize_np(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     """Pure-numpy bilinear resample, pixel-center aligned."""
     h, w = img.shape[:2]
@@ -227,15 +386,16 @@ _IMAGE_SCHEMA = StructType(
 def decode_images(
     df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
 ) -> DataFrame:
-    """PPM payloads → flattened float pixel rows (row-major, [0, 1]) with a
-    shape triple — the tiled-raster storage shape the astronomy tables use
-    (flat array + shape columns, SURVEY §7.4)."""
+    """PNG/PPM payloads (magic-byte dispatch) → flattened float pixel rows
+    (row-major, [0, 1]) with a shape triple — the tiled-raster storage
+    shape the astronomy tables use (flat array + shape columns, SURVEY
+    §7.4)."""
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for doc_id, p in zip(pdf[id_col], pdf[payload_col]):
-                img = decode_ppm_np(bytes(p))
+                img = decode_image_np(bytes(p))
                 rows.append(
                     (
                         int(doc_id),
