@@ -4,10 +4,11 @@ snapshot current — the `foreachBatch` pattern that turns the batch
 
 Each micro-batch folds its I/U/D rows into the persisted snapshot with the
 batch operator (exactly the same semantics the oracle pins), stages the
-next snapshot into a sibling directory, and swaps via rename — readers see
-the old state or the new state, never a mix (same discipline as
-plans/maintenance.compact_table; on object stores the swap becomes a
-manifest/table-format commit, the staging pattern is identical).
+next snapshot, and commits atomically — readers see the old state or the
+new state, never a mix. Two protocols: sibling-dir rename (local posix
+fast path, same discipline as plans/maintenance.compact_table) or the
+``commit="manifest"`` pointer flip (`streaming.manifest` — versioned
+snapshot dirs + one ``_current`` file, the object-store-safe protocol).
 
 Exactly-once: `foreachBatch` replays a batch after failure with the same
 batch_id; the epoch marker written beside the snapshot makes the fold
@@ -87,37 +88,68 @@ def stream_apply_changelog(
     key_col: str = "key",
     seq_col: str = "seq",
     op_col: str = "op",
+    commit: str = "rename",
 ):
     """Start a streaming query that maintains ``snapshot_dir`` from the
     changelog stream ``changes`` (columns: seq, op, key, values...).
 
-    The snapshot directory must exist with an initial state (possibly an
-    empty DataFrame written with the target schema) and must be a LOCAL
-    filesystem path — the swap uses os.rename, which is atomic only on a
-    local posix fs. On object stores the same staging discipline belongs in
-    a table-format commit (Iceberg/Delta), not renames. Returns the started
-    ``StreamingQuery``; callers own awaitTermination/stop.
+    Two commit protocols:
+
+    * ``commit="rename"`` (default, local fast path): ``snapshot_dir`` IS
+      the parquet directory and must exist with an initial state; each
+      batch stages a sibling dir and swaps via rename — atomic only on a
+      local posix fs.
+    * ``commit="manifest"`` (object-store-safe protocol): ``snapshot_dir``
+      is a `ManifestSnapshotStore` root — versioned ``snap_<epoch>``
+      directories plus one small ``_current`` pointer file whose rewrite
+      is the commit (locally ``os.replace``; on an object store the same
+      protocol is one atomic PUT). Initialize with
+      ``ManifestSnapshotStore(root).init(initial_df)``; read with
+      ``.read(spark)``.
+
+    Returns the started ``StreamingQuery``; callers own
+    awaitTermination/stop.
     """
     if "://" in snapshot_dir and not snapshot_dir.startswith("file://"):
         raise ValueError(
             f"stream_apply_changelog requires a local snapshot path, got {snapshot_dir!r}"
         )
-    _recover(snapshot_dir)
     spark = changes.sparkSession
 
-    def _fold(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_id <= _last_applied(snapshot_dir):
-            return  # replayed epoch after recovery: already folded in
-        snap = spark.read.parquet(snapshot_dir)
-        nxt = apply_changelog(snap, batch_df, key_col, seq_col, op_col)
-        staging = snapshot_dir.rstrip("/") + f"._stage_{batch_id}"
-        nxt.write.mode("overwrite").parquet(staging)
-        with open(os.path.join(staging, _EPOCH_MARKER), "w") as fh:
-            fh.write(str(batch_id))
-        backup = snapshot_dir.rstrip("/") + "._old"
-        os.rename(snapshot_dir, backup)
-        os.rename(staging, snapshot_dir)
-        shutil.rmtree(backup)
+    if commit == "manifest":
+        from hiss_cube_spark.streaming.manifest import ManifestSnapshotStore
+
+        store = ManifestSnapshotStore(snapshot_dir)
+        store.recover()
+
+        def _fold(batch_df: DataFrame, batch_id: int) -> None:
+            if batch_id <= store.last_applied():
+                return  # replayed epoch after a post-commit crash
+            nxt = apply_changelog(
+                store.read(spark), batch_df, key_col, seq_col, op_col
+            )
+            store.stage(nxt, batch_id)
+            store.commit(batch_id)
+
+    elif commit == "rename":
+        _recover(snapshot_dir)
+
+        def _fold(batch_df: DataFrame, batch_id: int) -> None:
+            if batch_id <= _last_applied(snapshot_dir):
+                return  # replayed epoch after recovery: already folded in
+            snap = spark.read.parquet(snapshot_dir)
+            nxt = apply_changelog(snap, batch_df, key_col, seq_col, op_col)
+            staging = snapshot_dir.rstrip("/") + f"._stage_{batch_id}"
+            nxt.write.mode("overwrite").parquet(staging)
+            with open(os.path.join(staging, _EPOCH_MARKER), "w") as fh:
+                fh.write(str(batch_id))
+            backup = snapshot_dir.rstrip("/") + "._old"
+            os.rename(snapshot_dir, backup)
+            os.rename(staging, snapshot_dir)
+            shutil.rmtree(backup)
+
+    else:
+        raise ValueError(f"unknown commit protocol {commit!r}")
 
     return (
         changes.writeStream.foreachBatch(_fold)

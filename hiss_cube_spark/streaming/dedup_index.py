@@ -38,23 +38,45 @@ def stream_incremental_dedup(
     checkpoint_dir: str,
     text_col: str = "text",
     id_col: str = "doc_id",
+    commit: str = "rename",
 ):
     """Start a streaming query landing deduplicated documents.
 
-    ``index_dir`` must exist with an initial (possibly empty) one-column
-    ``fp string`` parquet table; ``corpus_dir`` is created on first land.
-    Returns the started ``StreamingQuery``.
+    With ``commit="rename"`` (default, local fast path) ``index_dir`` must
+    exist with an initial (possibly empty) one-column ``fp string`` parquet
+    table and swaps via sibling-dir rename. With ``commit="manifest"``
+    (object-store-safe pointer protocol, see `streaming.manifest`)
+    ``index_dir`` is a `ManifestSnapshotStore` root initialized via
+    ``ManifestSnapshotStore(index_dir).init(empty_fp_df)``. ``corpus_dir``
+    is created on first land either way. Returns the started
+    ``StreamingQuery``.
     """
     for p in (corpus_dir, index_dir):
         if "://" in p and not p.startswith("file://"):
             raise ValueError(f"local filesystem path required, got {p!r}")
-    _recover(index_dir)
     spark = docs.sparkSession
 
+    store = None
+    if commit == "manifest":
+        from hiss_cube_spark.streaming.manifest import ManifestSnapshotStore
+
+        store = ManifestSnapshotStore(index_dir)
+        store.recover()
+    elif commit == "rename":
+        _recover(index_dir)
+    else:
+        raise ValueError(f"unknown commit protocol {commit!r}")
+
+    def _read_index() -> DataFrame:
+        return store.read(spark) if store else spark.read.parquet(index_dir)
+
+    def _last() -> int:
+        return store.last_applied() if store else _last_applied(index_dir)
+
     def _land(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_id <= _last_applied(index_dir):
+        if batch_id <= _last():
             return  # replayed epoch: survivors directory already rewritten
-        index = spark.read.parquet(index_dir)
+        index = _read_index()
         survivors = incremental_dedup(
             batch_df, index, text_col=text_col, id_col=id_col
         )
@@ -62,12 +84,17 @@ def stream_incremental_dedup(
         survivors.drop("fp").write.mode("overwrite").parquet(
             os.path.join(corpus_dir, f"batch={batch_id}")
         )
-        staging = index_dir.rstrip("/") + f"._stage_{batch_id}"
-        index.unionByName(
+        nxt = index.unionByName(
             spark.read.parquet(
                 os.path.join(corpus_dir, f"batch={batch_id}")
             ).select(F.md5(F.col(text_col)).alias("fp"))
-        ).distinct().write.mode("overwrite").parquet(staging)
+        ).distinct()
+        if store:
+            store.stage(nxt, batch_id)
+            store.commit(batch_id)
+            return
+        staging = index_dir.rstrip("/") + f"._stage_{batch_id}"
+        nxt.write.mode("overwrite").parquet(staging)
         with open(os.path.join(staging, _EPOCH_MARKER), "w") as fh:
             fh.write(str(batch_id))
         backup = index_dir.rstrip("/") + "._old"

@@ -672,3 +672,129 @@ def test_stream_incremental_dedup_recovers_from_crashed_swap(spark, tmp_path_fac
     assert not os.path.exists(backup)          # recovery cleaned up
     assert spark.read.parquet(index).count() == 3
     shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_manifest_store_commit_protocol_and_crashes(spark, tmp_path_factory):
+    """The pointer-flip commit: a stage without a commit is invisible and
+    cleaned by recover(); commits retain exactly current + previous; a
+    missing pointer with a complete stage (crash during init) is adopted."""
+    import os
+
+    from hiss_cube_spark.streaming.manifest import ManifestSnapshotStore
+
+    root = str(tmp_path_factory.mktemp("mani")) + "/store"
+    store = ManifestSnapshotStore(root)
+    store.init(spark.createDataFrame([(1, "a")], "k long, v string"))
+    assert store.last_applied() == -1
+    assert {(r["k"], r["v"]) for r in store.read(spark).collect()} == {(1, "a")}
+
+    # crash BEFORE commit: stage batch 0, never flip the pointer
+    store.stage(spark.createDataFrame([(2, "b")], "k long, v string"), 0)
+    assert store.last_applied() == -1  # still the init snapshot
+    store.recover()
+    assert not os.path.exists(os.path.join(root, "snap_0"))  # stage dropped
+    assert {r["k"] for r in store.read(spark).collect()} == {1}
+
+    # normal commits: previous snapshot retained, older ones gc'd
+    store.stage(spark.createDataFrame([(2, "b")], "k long, v string"), 0)
+    store.commit(0)
+    assert store.last_applied() == 0
+    assert os.path.exists(os.path.join(root, "snap_-1"))  # previous kept
+    store.stage(spark.createDataFrame([(3, "c")], "k long, v string"), 1)
+    store.commit(1)
+    assert not os.path.exists(os.path.join(root, "snap_-1"))  # gc'd
+    assert os.path.exists(os.path.join(root, "snap_0"))
+    assert {r["k"] for r in store.read(spark).collect()} == {3}
+
+    # crash DURING init (pointer missing, complete stage present): adopt it
+    root2 = str(tmp_path_factory.mktemp("mani2")) + "/store"
+    s2 = ManifestSnapshotStore(root2)
+    s2.stage(spark.createDataFrame([(9, "z")], "k long, v string"), -1)
+    assert s2.current_name() is None
+    s2.recover()
+    assert s2.last_applied() == -1
+    assert {r["k"] for r in s2.read(spark).collect()} == {9}
+
+
+def test_stream_incremental_dedup_manifest_mode(spark, tmp_path_factory):
+    """The dedup index maintained through the manifest-pointer commit:
+    end-to-end dedup across batches, then a crash-before-commit (orphan
+    staged snapshot) is repaired on restart and the replayed batch lands
+    exactly once."""
+    import os
+    import shutil
+
+    from hiss_cube_spark.streaming.dedup_index import stream_incremental_dedup
+    from hiss_cube_spark.streaming.manifest import ManifestSnapshotStore
+
+    src = str(tmp_path_factory.mktemp("mm_src"))
+    corpus = str(tmp_path_factory.mktemp("mm_corpus"))
+    index = str(tmp_path_factory.mktemp("mm_index")) + "/idx"
+    ckpt = str(tmp_path_factory.mktemp("mm_ckpt"))
+    schema = "doc_id long, text string"
+    ManifestSnapshotStore(index).init(spark.createDataFrame([], "fp string"))
+
+    spark.createDataFrame([(1, "alpha"), (2, "beta")], schema).coalesce(1) \
+        .write.mode("overwrite").parquet(src)
+    q = stream_incremental_dedup(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src),
+        corpus, index, ckpt, commit="manifest",
+    )
+    q.awaitTermination(120)
+    store = ManifestSnapshotStore(index)
+    assert store.read(spark).count() == 2
+
+    # crash simulation: a later batch staged snap_7 but died before the
+    # pointer flip — the orphan must be dropped, not adopted
+    store.stage(spark.createDataFrame([("bogus",)], "fp string"), 7)
+    committed = store.last_applied()
+
+    spark.createDataFrame([(3, "alpha"), (4, "gamma")], schema).coalesce(1) \
+        .write.mode("append").parquet(src)
+    q2 = stream_incremental_dedup(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src),
+        corpus, index, ckpt, commit="manifest",
+    )
+    q2.awaitTermination(120)
+
+    assert not os.path.exists(os.path.join(index, "snap_7"))
+    assert ManifestSnapshotStore(index).last_applied() > committed
+    landed = {
+        (r["doc_id"], r["text"])
+        for r in spark.read.parquet(os.path.join(corpus, "batch=*")).collect()
+    }
+    assert landed == {(1, "alpha"), (2, "beta"), (4, "gamma")}
+    assert ManifestSnapshotStore(index).read(spark).count() == 3
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_stream_apply_changelog_manifest_mode(spark, tmp_path_factory):
+    """CDC snapshot maintained through the manifest-pointer commit."""
+    from hiss_cube_spark.streaming.cdc import stream_apply_changelog
+    from hiss_cube_spark.streaming.manifest import ManifestSnapshotStore
+
+    src = str(tmp_path_factory.mktemp("mc_src"))
+    snap = str(tmp_path_factory.mktemp("mc_snap")) + "/state"
+    ckpt = str(tmp_path_factory.mktemp("mc_ckpt"))
+    schema = "seq long, op string, key long, val string"
+    ManifestSnapshotStore(snap).init(
+        spark.createDataFrame([], "key long, val string")
+    )
+
+    spark.createDataFrame(
+        [(1, "I", 10, "a"), (2, "I", 20, "b")], schema
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+    spark.createDataFrame(
+        [(3, "U", 10, "a2"), (4, "D", 20, "b")], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    q = stream_apply_changelog(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src),
+        snap, ckpt, commit="manifest",
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["key"], r["val"])
+        for r in ManifestSnapshotStore(snap).read(spark).collect()
+    }
+    assert got == {(10, "a2")}
