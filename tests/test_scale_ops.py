@@ -413,6 +413,19 @@ def test_plan_shapes_hold(spark, sf_dir):
     # candidate-generating joins never degenerate to a cartesian product
     assert "CartesianProduct" not in plan("dedup_containment")
     assert "CartesianProduct" not in plan("ann_sq_topk")
+    # the composed 6-stage curation funnel: no cartesian anywhere, the
+    # persisted survivor-id stages ARE reused (InMemoryTableScan), and the
+    # exchange count stays bounded (47 at audit time — a de-optimization
+    # that re-materializes stages would blow well past this)
+    p = plan("cur_full_pipeline")
+    assert "CartesianProduct" not in p
+    assert "InMemoryTableScan" in p
+    assert p.count("Exchange") <= 60, p.count("Exchange")
+    # streaming near-dup result: banded fingerprint join, never cartesian,
+    # bounded exchanges (9 at audit time)
+    p = plan("stream_neardup_minhash")
+    assert "CartesianProduct" not in p
+    assert p.count("Exchange") <= 15, p.count("Exchange")
 
 
 def test_best_fuzzy_match_equals_bruteforce_no_cartesian(spark):
