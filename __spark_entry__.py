@@ -2638,26 +2638,64 @@ def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", F.col("j").cast("long").alias("j"), "proj_q")
 
 
-@_q("emb_whiten")
+@_q(
+    "emb_whiten",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_vectors, 64 AS dim,
+           TRUE AS mean_sq_norm_ok, TRUE AS var_ok, TRUE AS offdiag_ok
+    FROM embeddings
+    """,
+)
 def emb_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ZCA whitening of the embedding corpus (`similarity.whiten`):
     covariance from one mapInPandas partial pass (driver work bounded by
     dim², not rows), dim×dim eigendecomposition driver-side, broadcast
-    matmul apply. Rows-only check (eigendecomposition is not bit-portable
-    across engines); the identity-covariance contract is unit-tested.
-    Emits per-vector whitened norms."""
+    matmul apply. The eigendecomposition is not bit-portable across
+    engines, so the driver-hashable companion verifies the whitening
+    CONTRACT instead: post-whitening the sample covariance is the
+    identity, checked in-engine — mean squared norm = dim (±0.1), every
+    per-dimension variance within 0.05 of 1, every adjacent-dimension
+    covariance within 0.05 of 0. Raw whitened values stay unit-tested."""
     from hiss_cube_spark.operators.similarity import whiten
 
     e = _t(spark, sf_dir, "embeddings")
-    out = whiten(e, dim=64)
-    norm = F.sqrt(
-        F.aggregate(
-            F.col("whitened"),
-            F.lit(0.0),
-            lambda acc, x: acc + x.cast("double") * x.cast("double"),
-        )
+    out = whiten(e, dim=64).select("vec_id", "whitened")
+    x = out.select(F.posexplode("whitened").alias("d", "v")).select(
+        "d", F.col("v").cast("double").alias("v")
     )
-    return out.select("vec_id", F.round(norm, 2).alias("whitened_norm"))
+    per_dim = x.groupBy("d").agg(
+        F.avg("v").alias("_mu"), F.avg(F.col("v") * F.col("v")).alias("_m2")
+    )
+    var_ok = per_dim.agg(
+        F.max(F.abs(F.col("_m2") - F.col("_mu") * F.col("_mu") - 1.0)).alias("_dv")
+    ).select((F.col("_dv") < 0.05).alias("var_ok"))
+    prods = out.select(
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, 62), i -> "
+                "CAST(whitened[i] AS DOUBLE) * CAST(whitened[i+1] AS DOUBLE))"
+            )
+        ).alias("d", "p")
+    )
+    off_ok = (
+        prods.groupBy("d")
+        .agg(F.avg("p").alias("_c"))
+        .agg(F.max(F.abs(F.col("_c"))).alias("_mx"))
+        .select((F.col("_mx") < 0.05).alias("offdiag_ok"))
+    )
+    sq = F.aggregate(
+        F.col("whitened"),
+        F.lit(0.0),
+        lambda acc, v: acc + v.cast("double") * v.cast("double"),
+    )
+    base = out.agg(
+        F.count(F.lit(1)).alias("n_vectors"), F.avg(sq).alias("_msn")
+    ).select(
+        F.col("n_vectors").cast("long").alias("n_vectors"),
+        F.lit(64).alias("dim"),
+        (F.abs(F.col("_msn") - 64.0) < 0.1).alias("mean_sq_norm_ok"),
+    )
+    return base.crossJoin(var_ok).crossJoin(off_ok)
 
 
 @_q(
@@ -2748,18 +2786,50 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q("ann_ivf_pq_topk")
+@_q(
+    "ann_ivf_pq_topk",
+    """
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(n_found AS BIGINT) AS n_found,
+           CAST(n_hits AS BIGINT) AS n_hits
+    FROM (VALUES (0, 5, 4), (1, 5, 5), (2, 5, 4), (3, 5, 5), (4, 5, 5),
+                 (5, 5, 5), (6, 5, 3), (7, 5, 5), (8, 5, 4), (9, 5, 4))
+         AS t(query_id, n_found, n_hits)
+    """,
+)
 def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-PQ combined ANN (rows-only: approximate by design; recall vs
-    the exact baseline pinned in tests/test_stateful_ivf.py). The full
-    FAISS-style scale architecture: coarse cells bound which rows a query
-    scans, residual PQ codes bound what each row costs, per-cell bias +
-    shared query tables keep the scoring a native JVM aggregate."""
-    from hiss_cube_spark.operators.similarity import ivf_pq_topk
+    """IVF-PQ combined ANN with the deterministic recall@k companion
+    (same pattern as ann_lsh/pq_topk): per query, `n_hits` = |IVF-PQ
+    top-k ∩ exact top-k| computed Spark-side; seeded hash-ordered-sample
+    KMeans makes the counts bit-deterministic and the oracle pins the
+    measured values at the driver's check SF (0.01). The full FAISS-style
+    scale architecture: coarse cells bound which rows a query scans,
+    residual PQ codes bound what each row costs; raw neighbor lists stay
+    pinned in tests/test_stateful_ivf.py."""
+    from hiss_cube_spark.operators.similarity import cosine_topk, ivf_pq_topk
 
     e = _t(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") < 10)
-    return ivf_pq_topk(q, e, k=5, n_cells=8, n_probe=3, m=16, n_centroids=32)
+    ann = ivf_pq_topk(q, e, k=5, n_cells=8, n_probe=3, m=16, n_centroids=32).select(
+        "query_id", "neighbor_id"
+    )
+    exact = cosine_topk(q, e, k=5).select(
+        "query_id", F.col("neighbor_id").alias("_en")
+    )
+    j = ann.join(
+        exact,
+        (ann["query_id"] == exact["query_id"])
+        & (ann["neighbor_id"] == exact["_en"]),
+        "left",
+    ).select(ann["query_id"], "neighbor_id", "_en")
+    return (
+        j.groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_found"),
+            F.count("_en").alias("n_hits"),
+        )
+        .select(F.col("query_id").cast("long"), "n_found", "n_hits")
+    )
 
 
 @_q(
@@ -4020,16 +4090,40 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q("text_compression_ratio")
+@_q(
+    "text_compression_ratio",
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS raw_bytes,
+           TRUE AS band_ok, TRUE AS ratio_bounded
+    FROM documents WHERE doc_id % 20 = 0
+    """,
+)
 def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document zlib compressibility (1-in-20 sample) — the classic
     repetition/noise band filter (`text_analysis.compression_ratio`).
-    Rows-only check (DEFLATE is not SQL-expressible); the
-    repetitive < prose < random banding contract is unit-tested."""
+    DEFLATE output is zlib-build-specific, so the driver-hashable
+    companion checks the CONTRACT per document: the exact raw byte count
+    (SQL-reproducible), `ratio_bounded` (0 < ratio ≤ 1 + 11-byte zlib
+    header overhead on the raw size) and `band_ok` — natural prose of
+    ≥48 bytes compresses to between 25% and 95% of raw, the band the
+    C4/RefinedWeb-era filters key on. Absolute ratios and the
+    repetitive < prose < random ordering stay unit-tested."""
     from hiss_cube_spark.operators.text_analysis import compression_ratio
 
     d = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 20 == 0)
-    return compression_ratio(d)
+    c = compression_ratio(d)
+    return c.select(
+        "doc_id",
+        F.col("raw_bytes").cast("long").alias("raw_bytes"),
+        ((F.col("compression_ratio") > 0.25) & (F.col("compression_ratio") < 0.95)).alias(
+            "band_ok"
+        ),
+        (
+            (F.col("compressed_bytes") > 0)
+            & (F.col("compressed_bytes") <= F.col("raw_bytes") + 11)
+        ).alias("ratio_bounded"),
+    )
 
 
 @_q(
@@ -4548,14 +4642,33 @@ def mm_audio_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q("mm_audio_neardup")
+@_q(
+    "mm_audio_neardup",
+    """
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(CASE WHEN a.doc_id % 17 = b.doc_id % 17 THEN 0 ELSE 5 END
+                AS INT) AS hamming
+    FROM documents a JOIN documents b
+      ON a.doc_id < b.doc_id
+     AND (a.doc_id % 17 = b.doc_id % 17
+          OR (least(a.doc_id % 17, b.doc_id % 17) = 6
+              AND greatest(a.doc_id % 17, b.doc_id % 17) = 14))
+    WHERE a.doc_id < 60 AND b.doc_id < 60
+    """,
+)
 def mm_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Audio near-dup mining, rows-only: synthesize clips where doc_id%17
-    determines the tone (so clips sharing a residue are near-dups of each
-    other up to their length envelope), Haitsma–Kalker fingerprint each
-    (`multimodal.audio_fingerprint` — gain-invariant log-energy deltas),
-    and mine hamming≤7 pairs through the same pigeonhole banding as text
-    SimHash and image pHash. Completes the cross-modal fingerprint family."""
+    """Audio near-dup mining with an ANALYTIC ground-truth oracle:
+    doc_id%17 determines the synthesized tone, and the fixed-length clips
+    of one residue class are bit-identical, so the true near-dup set is
+    the same-residue pairs (hamming 0) PLUS the octave pairs — residues 6
+    and 14 are 800 Hz vs 1600 Hz, and the Haitsma–Kalker log-band-energy
+    fingerprint is octave-correlated by construction (their band deltas
+    land 5 bits apart, inside the ≤7 threshold). Both sets are pure
+    doc_id arithmetic, so SQL enumerates the full truth: the oracle
+    checks precision (nothing else survives banding+verify) and recall
+    (no true pair is lost to band partitioning) of the pigeonhole-banding
+    miner shared with text SimHash and image pHash. Completes the
+    cross-modal fingerprint family."""
     import numpy as _np
     import pandas as _pd
     from collections.abc import Iterator as _Iter
@@ -4572,7 +4685,7 @@ def mm_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = (
         _t(spark, sf_dir, "documents")
         .select("doc_id", F.length("text").alias("n"))
-        .limit(60)
+        .where(F.col("doc_id") < 60)  # id-deterministic subset (was limit)
     )
 
     def _synth(batches: _Iter[_pd.DataFrame]) -> _Iter[_pd.DataFrame]:
@@ -4819,14 +4932,55 @@ def cur_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q("mm_image_pipeline")
+@_q(
+    "mm_image_pipeline",
+    """
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, mean_r,
+           CAST(14 AS INT) AS dim
+    FROM (VALUES
+                 (0, 0.36803), (5, 0.364051), (10, 0.381274), (15, 0.385876),
+                 (20, 0.370038), (25, 0.407317), (30, 0.318704), (35,
+                 0.356306), (40, 0.373547), (45, 0.384421), (50, 0.391864),
+                 (55, 0.359979), (60, 0.375904), (65, 0.378086), (70,
+                 0.357637), (75, 0.343919), (80, 0.356761), (85, 0.352462),
+                 (90, 0.378814), (95, 0.352386), (100, 0.382922), (105,
+                 0.368244), (110, 0.347283), (115, 0.359322), (120,
+                 0.364246), (125, 0.347353), (130, 0.346119), (135,
+                 0.363542), (140, 0.371058), (145, 0.370163), (150,
+                 0.353569), (155, 0.37809), (160, 0.376766), (165, 0.354534),
+                 (170, 0.363769), (175, 0.377571), (180, 0.356296), (185,
+                 0.359297), (190, 0.394552), (195, 0.423346), (200, 0.40193),
+                 (205, 0.357785), (210, 0.341651), (215, 0.402936), (220,
+                 0.35469), (225, 0.37474), (230, 0.385503), (235, 0.378717),
+                 (240, 0.353539), (245, 0.364743), (250, 0.378125), (255,
+                 0.336964), (260, 0.357655), (265, 0.390213), (270,
+                 0.367892), (275, 0.354665), (280, 0.392319), (285,
+                 0.353753), (290, 0.388818), (295, 0.369944), (300,
+                 0.351792), (305, 0.368978), (310, 0.380315), (315,
+                 0.414522), (320, 0.376144), (325, 0.383695), (330,
+                 0.379596), (335, 0.358917), (340, 0.367829), (345,
+                 0.374877), (350, 0.364456), (355, 0.346089), (360,
+                 0.361657), (365, 0.372009), (370, 0.396311), (375,
+                 0.392065), (380, 0.33248), (385, 0.397527), (390, 0.415104),
+                 (395, 0.408152), (400, 0.376541), (405, 0.400107), (410,
+                 0.376822), (415, 0.35832), (420, 0.346247), (425, 0.383651),
+                 (430, 0.415966), (435, 0.367448), (440, 0.384849), (445,
+                 0.358101), (450, 0.387178), (455, 0.373711), (460,
+                 0.347697), (465, 0.385064), (470, 0.361333), (475,
+                 0.367836), (480, 0.399066), (485, 0.374569), (490,
+                 0.355276), (495, 0.401042)
+    ) AS t(doc_id, mean_r)
+    """,
+)
 def mm_image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Real (dependency-free) image pipeline, rows-only: synthesize a PNG
-    per document from its text bytes (full in-repo baseline PNG codec —
-    zlib chunks, CRCs, scanline filters), decode to pixel rows,
-    bilinear-resize to 8x8, emit channel-stat + luma-histogram features.
-    Unlike the stubbed codecs, every stage here computes true pixel math
-    (PNG kernel + pipeline pinned in tests/test_multimodal_images.py)."""
+    """Real (dependency-free) image pipeline: synthesize a PNG per
+    document from its text bytes (full in-repo baseline PNG codec — zlib
+    chunks, CRCs, scanline filters), decode to pixel rows, bilinear-resize
+    to 8x8, emit channel-stat + luma-histogram features. Every stage is
+    pure pixel arithmetic (+,*,/ on floats — bit-deterministic), so the
+    oracle pins the per-document mean-red channel at the driver's check
+    SF (0.01); PNG kernel + pipeline are additionally pinned in
+    tests/test_multimodal_images.py."""
     import numpy as _np
     import pandas as _pd
     from collections.abc import Iterator as _Iter
@@ -4892,14 +5046,26 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample(attach_binary_payload(d))
 
 
-@_q("mm_phash_neardup")
+@_q(
+    "mm_phash_neardup",
+    """
+    SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
+           CAST(hamming AS INT) AS hamming
+    FROM (VALUES (0, 1000000, 0), (98, 290, 3)) AS t(doc_a, doc_b, hamming)
+    """,
+)
 def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image near-dup detection, rows-only (pixel domain has no SQL
-    oracle): synthesize a PPM per document from its text bytes (near-dup
-    texts → near-identical rasters), dHash the decoded pixels, find pairs
-    at hamming ≤ 7 with the SAME pigeonhole banding join text SimHash uses
-    — the one-fingerprint-family-two-modalities path. Kernel correctness
-    is pinned in tests/test_multimodal_images.py."""
+    """Image near-dup detection with a planted-duplicate check: doc 0's
+    raster is re-inserted under id 10^6, so the miner provably must
+    surface the (0, 10^6, hamming 0) pair; dHash values are pure pixel
+    functions, so the one organically-mined near-dup pair at the check SF
+    (text bytes of docs 98/290 rasterize 3 bits apart) is pinned
+    alongside it. Pipeline: synthesize a PPM per even document from its
+    text bytes (near-dup texts → near-identical rasters), dHash the
+    decoded pixels, mine pairs at hamming ≤ 7 with the SAME pigeonhole
+    banding join text SimHash uses — the
+    one-fingerprint-family-two-modalities path. Kernel correctness is
+    pinned in tests/test_multimodal_images.py."""
     import numpy as _np
     import pandas as _pd
     from collections.abc import Iterator as _Iter
@@ -4920,6 +5086,8 @@ def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 b = _np.frombuffer(text.encode("utf-8"), dtype=_np.uint8)
                 px = _np.resize(b, 12 * 16 * 3).reshape(12, 16, 3)
                 rows.append((int(doc_id), bytearray(encode_ppm_np(px))))
+                if int(doc_id) == 0:  # planted exact duplicate raster
+                    rows.append((1000000, bytearray(encode_ppm_np(px))))
             yield _pd.DataFrame(rows, columns=["doc_id", "payload"])
 
     payloads = d.mapInPandas(_to_ppm, schema="doc_id long, payload binary")
@@ -6232,16 +6400,31 @@ def cur_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_filter(_t(spark, sf_dir, "documents"))
 
 
-@_q("stream_ann_refresh")
+@_q(
+    "stream_ann_refresh",
+    """
+    SELECT CAST(cell AS INT) AS cell,
+           CAST(n_wave0 AS BIGINT) AS n_wave0,
+           CAST(n_wave1 AS BIGINT) AS n_wave1,
+           round(n_wave1 / (1.0 * (n_wave0 + n_wave1)), 6) AS wave1_share
+    FROM (VALUES (0, 27, 37), (1, 27, 23), (2, 37, 40), (3, 40, 51),
+                 (4, 29, 26), (5, 34, 30), (6, 24, 19), (7, 32, 24))
+         AS t(cell, n_wave0, n_wave1)
+    """,
+)
 def stream_ann_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Windowed ANN refresh, rows-only: IVF centroids trained ONCE on the
-    initial corpus (even vec_ids, bounded sample), the second embedding
-    wave assigned to the FROZEN cells — the `streaming.stream_ivf_refresh`
-    batch shape, where refresh means append-with-assignment, never
-    retrain. Output: per-cell occupancy of both waves plus the drift
-    signal (share of wave-2 mass per cell) that tells an operator when a
-    rebuild is due. The streaming tests drive the same assignment through
-    checkpointed micro-batches into the partition-pruned on-disk index."""
+    """Windowed ANN refresh: IVF centroids trained ONCE on the initial
+    corpus (even vec_ids, seeded Lloyd over a bounded xxhash64-ordered
+    sample — bit-deterministic), the second embedding wave assigned to
+    the FROZEN cells — the `streaming.stream_ivf_refresh` batch shape,
+    where refresh means append-with-assignment, never retrain. Output:
+    per-cell occupancy of both waves plus the drift signal (share of
+    wave-2 mass per cell) that tells an operator when a rebuild is due;
+    the oracle pins the measured occupancies at the driver's check SF
+    (0.01) and recomputes the share arithmetic, so the whole
+    train→freeze→assign pipeline is hash-checked. The streaming tests
+    drive the same assignment through checkpointed micro-batches into the
+    partition-pruned on-disk index."""
     from hiss_cube_spark.streaming.ann_index import assign_cells, train_ivf_centroids
 
     vecs = _t(spark, sf_dir, "embeddings")
@@ -6270,19 +6453,37 @@ def stream_ann_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q("text_bpe_tokens")
+@_q(
+    "text_bpe_tokens",
+    """
+    WITH words AS (
+      SELECT lang, count(*) AS n_docs,
+             CAST(sum(len(list_filter(string_split(text, ' '),
+                                      t -> len(t) > 0))) AS BIGINT) AS total_words
+      FROM documents GROUP BY 1),
+    bpe AS (SELECT * FROM (VALUES ('de', 4100), ('en', 13544), ('fr', 4317),
+                                  ('es', 4591), ('zh', 4881))
+            AS t(lang, total_bpe_tokens))
+    SELECT w.lang, CAST(w.n_docs AS BIGINT) AS n_docs, w.total_words,
+           CAST(b.total_bpe_tokens AS BIGINT) AS total_bpe_tokens,
+           round(b.total_bpe_tokens / (1.0 * w.total_words), 6) AS fertility
+    FROM words w JOIN bpe b USING (lang)
+    """,
+)
 def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sample-trained BPE tokenization, rows-only: learn 100 merges from a
-    bounded hash-ordered document sample (driver-side, the PQ-codebook
-    precedent — BPE training is inherently sequential), broadcast the
-    merge-rank table, count true BPE tokens per document with the
-    Arrow-batched cached encoder, and report per-lang token fertility.
-    Training+apply are fully deterministic (lexicographic merge
-    tie-breaks); the algorithm itself is not SQL-expressible, so the
-    pinned unit tests (tests/test_curation.py) carry the semantics:
-    hand-computed merges on a toy corpus, the zero-merge token law
-    (chars+words), monotone shrink with merge count, and segmentation
-    roundtrip."""
+    """Sample-trained BPE tokenization: learn 100 merges from a bounded
+    hash-ordered document sample (driver-side, the PQ-codebook precedent —
+    BPE training is inherently sequential), broadcast the merge-rank
+    table, count true BPE tokens per document with the Arrow-batched
+    cached encoder, and report per-lang token fertility. Training+apply
+    are fully deterministic (lexicographic merge tie-breaks), so the
+    hybrid oracle computes doc and whitespace-word counts exactly in SQL
+    and pins only the genuinely non-SQL number — the BPE token total per
+    language at the driver's check SF (0.01) — recomputing fertility from
+    both. The pinned unit tests (tests/test_curation.py) carry the
+    algorithm semantics: hand-computed merges on a toy corpus, the
+    zero-merge token law (chars+words), monotone shrink with merge count,
+    and segmentation roundtrip."""
     from hiss_cube_spark.operators.tokenizer import bpe_token_counts, train_bpe
 
     d = _t(spark, sf_dir, "documents")
