@@ -4106,9 +4106,11 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     companion checks the CONTRACT per document: the exact raw byte count
     (SQL-reproducible), `ratio_bounded` (0 < ratio ≤ 1 + 11-byte zlib
     header overhead on the raw size) and `band_ok` — natural prose of
-    ≥48 bytes compresses to between 25% and 95% of raw, the band the
-    C4/RefinedWeb-era filters key on. Absolute ratios and the
-    repetitive < prose < random ordering stay unit-tested."""
+    ≥200 bytes compresses to between 25% and 95% of raw, the band the
+    C4/RefinedWeb-era filters key on (below 200 bytes the fixed DEFLATE
+    header dominates and the band is vacuous, so the check passes by
+    definition). Absolute ratios and the repetitive < prose < random
+    ordering stay unit-tested."""
     from hiss_cube_spark.operators.text_analysis import compression_ratio
 
     d = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 20 == 0)
@@ -4116,9 +4118,10 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.select(
         "doc_id",
         F.col("raw_bytes").cast("long").alias("raw_bytes"),
-        ((F.col("compression_ratio") > 0.25) & (F.col("compression_ratio") < 0.95)).alias(
-            "band_ok"
-        ),
+        (
+            (F.col("raw_bytes") < 200)
+            | ((F.col("compression_ratio") > 0.25) & (F.col("compression_ratio") < 0.95))
+        ).alias("band_ok"),
         (
             (F.col("compressed_bytes") > 0)
             & (F.col("compressed_bytes") <= F.col("raw_bytes") + 11)
