@@ -3678,6 +3678,100 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "cur_jsonl_roundtrip",
+    """
+    SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+           md5(text) AS text_md5
+    FROM documents WHERE doc_id % 3 = 1
+    """,
+)
+def cur_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL corpus interchange (`sources.jsonl_corpus` — the format The
+    Pile/RedPajama/Dolma ship in): write a document subset as gzip JSONL
+    shards, read it back with the PINNED schema (no inference pass,
+    PERMISSIVE corrupt-line capture), and emit per-document md5 of the
+    round-tripped text — the oracle reads the original parquet, so a
+    hash-green row proves the JSON escape/decode path is byte-lossless
+    and the sink/source pair preserves every column."""
+    import tempfile
+
+    from hiss_cube_spark.sources.jsonl_corpus import (
+        read_jsonl_corpus,
+        write_jsonl_corpus,
+    )
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 3 == 1)
+    out = tempfile.mkdtemp(prefix="jsonl_corpus_")
+    write_jsonl_corpus(d, out, compression="gzip", shards=4)
+    back = read_jsonl_corpus(spark, out)
+    return (
+        back.where(F.col("_corrupt").isNull())
+        .select(
+            "doc_id",
+            "lang",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            F.md5(F.encode(F.col("text"), "UTF-8")).alias("text_md5"),
+        )
+    )
+
+
+@_q(
+    "cur_perplexity_buckets",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    s AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i
+          FROM toks WHERE len(w) >= 2),
+    b AS (SELECT doc_id, w[i] AS w1, w[i + 1] AS w2 FROM s),
+    c2 AS (SELECT w1, w2, count(*) AS n2 FROM b GROUP BY w1, w2),
+    c1 AS (SELECT w1, count(*) AS n1 FROM b GROUP BY w1),
+    v AS (SELECT count(DISTINCT w2) AS vsz FROM b),
+    p AS (SELECT b.doc_id,
+                 (c2.n2 + 0.5) / (c1.n1 + 0.5 * v.vsz) AS p
+          FROM b JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v),
+    lm AS (SELECT doc_id,
+                  round(CAST(sum(CAST(p AS DECIMAL(30,8))) AS DOUBLE)
+                        / count(*), 6) AS lm_score
+           FROM p GROUP BY doc_id),
+    r AS (SELECT d.lang, lm.doc_id, lm.lm_score,
+                 ntile(3) OVER (PARTITION BY d.lang
+                                ORDER BY lm.lm_score DESC, lm.doc_id) AS bucket
+          FROM lm JOIN documents d USING (doc_id))
+    SELECT lang, CAST(bucket AS INT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CAST(floor(lm_score * 1e6) AS BIGINT)) AS BIGINT)
+             AS sum_score_q,
+           min(doc_id) AS min_doc, max(doc_id) AS max_doc
+    FROM r GROUP BY 1, 2
+    """,
+)
+def cur_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style quality bucketing (Wenzek et al. 2020): rank each
+    language's documents by corpus-trained bigram-LM likelihood and split
+    into head/middle/tail terciles — the standard perplexity-based
+    pretraining-mix partition (head = clean prose, tail = noise). ntile
+    over a fully-tied-broken ordering (score desc, doc_id) is
+    deterministic in both engines; per-bucket score mass is an exact
+    integer sum of the floor-quantized scores. Single-token documents
+    have no bigrams and are excluded, as in CCNet."""
+    from hiss_cube_spark.operators.text_analysis import bigram_lm_score
+
+    d = _t(spark, sf_dir, "documents")
+    lm = bigram_lm_score(d, max_train_docs=None).select("doc_id", "lm_score")
+    j = lm.join(d.select("doc_id", "lang"), "doc_id")
+    w = Window.partitionBy("lang").orderBy(F.col("lm_score").desc(), F.col("doc_id"))
+    return (
+        j.withColumn("bucket", F.ntile(3).over(w))
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.floor(F.col("lm_score") * 1e6).cast("long")).alias("sum_score_q"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )
+
+
+@_q(
     "cur_incremental_dedup",
     """
     WITH idx AS (SELECT DISTINCT md5(text) AS fp FROM documents
@@ -6650,6 +6744,52 @@ def cur_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Round-2 additions: substring-span dedup, mixture reweighting, lexical
 # diversity, streaming first-arrival dedup (batch shape)
 # ==========================================================================
+
+@_q(
+    "dedup_span_removal",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    d AS (SELECT doc_id, len(w) AS n_tokens, w FROM t),
+    g AS (SELECT doc_id, s.i - 1 AS pos,
+                 array_to_string(w[s.i : s.i + 4], ' ') AS gram
+          FROM d, unnest(generate_series(1, len(w) - 4)) s(i)
+          WHERE len(w) >= 5),
+    dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+    occ AS (SELECT g.doc_id, g.pos,
+                   row_number() OVER (PARTITION BY gram
+                                      ORDER BY g.doc_id, g.pos) AS rn
+            FROM g JOIN dup USING (gram)),
+    cov AS (SELECT DISTINCT doc_id, s.p AS p
+            FROM occ, unnest(generate_series(pos, pos + 4)) s(p)
+            WHERE rn > 1),
+    tok AS (SELECT doc_id, s.i - 1 AS p, w[s.i] AS tok
+            FROM d, unnest(generate_series(1, len(w))) s(i)),
+    kept AS (SELECT tok.doc_id, tok.p, tok.tok
+             FROM tok LEFT JOIN cov
+               ON tok.doc_id = cov.doc_id AND tok.p = cov.p
+             WHERE cov.p IS NULL),
+    rb AS (SELECT doc_id, count(*) AS n_kept,
+                  string_agg(tok, ' ' ORDER BY p) AS clean_text
+           FROM kept GROUP BY doc_id)
+    SELECT d.doc_id, CAST(d.n_tokens AS BIGINT) AS n_tokens,
+           CAST(d.n_tokens - COALESCE(rb.n_kept, 0) AS BIGINT) AS n_removed,
+           COALESCE(rb.clean_text, '') AS clean_text
+    FROM d LEFT JOIN rb USING (doc_id)
+    """,
+)
+def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-span REMOVAL (the acting half of Lee et al. 2022
+    ExactSubstr dedup; `dedup_substring_spans` is the measuring half):
+    each corpus-duplicated 5-gram keeps its first (doc_id, pos)
+    occurrence, later occurrences' tokens are cut, and the cleaned text
+    is rebuilt token-exact — the oracle reconstructs the same strings in
+    SQL. Production path shuffles 8-byte gram hashes
+    (`dedup.remove_duplicated_spans`)."""
+    from hiss_cube_spark.operators.dedup import remove_duplicated_spans
+
+    d = _t(spark, sf_dir, "documents")
+    return remove_duplicated_spans(d, n=5, min_count=2, hash_grams=True)
+
 
 @_q(
     "dedup_substring_spans",

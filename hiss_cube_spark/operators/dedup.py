@@ -27,6 +27,7 @@ from pyspark.sql.window import Window
 
 __all__ = [
     "exact_dedup",
+    "remove_duplicated_spans",
     "paragraph_dedup",
     "shingle_array",
     "document_grams",
@@ -869,5 +870,86 @@ def duplicated_span_fraction(
             F.round(
                 F.coalesce("dup_tokens", F.lit(0)).cast("double") / F.col("n_tokens"), 6
             ).alias("dup_fraction"),
+        )
+    )
+
+
+def remove_duplicated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    min_count: int = 2,
+    hash_grams: bool = True,
+) -> DataFrame:
+    """Exact substring-span REMOVAL — the acting half of Lee et al. 2022
+    ExactSubstr dedup (`duplicated_span_fraction` is the measuring half):
+    every corpus-duplicated n-gram window keeps exactly its FIRST
+    occurrence (global (doc_id, pos) order — deterministic) and every
+    later occurrence's tokens are cut from their document; the cleaned
+    text is the surviving tokens rejoined in order. Mid-sentence cuts are
+    the documented ExactSubstr behavior — the training-data win comes
+    from removing the memorization fuel, not from prose elegance.
+
+    Returns (doc_id, n_tokens, n_removed, clean_text).
+
+    Plan shape, linear at 100 TB: one explode to (doc, pos, key) windows,
+    one groupBy for duplicated keys, one rank window per key to elect the
+    first occurrence (state is one row per duplicated gram), one
+    position-explode of the loser windows into covered positions, and one
+    anti-join of token positions against that cover — no interval lists,
+    no per-doc Python. ``hash_grams`` swaps gram strings for 8-byte
+    xxhash64 shuffle keys (collision odds ~n_grams²/2⁶⁴); the string path
+    is the bit-exact oracle.
+    """
+    toks = F.split(F.col(text_col), " ")
+    d = df.select(F.col(id_col).alias("doc_id"), toks.alias("w")).withColumn(
+        "n_tokens", F.size("w")
+    )
+    grams = d.where(F.col("n_tokens") >= n).select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, size(w) - {n}), i -> array_join(slice(w, i + 1, {n}), ' '))"
+            )
+        ).alias("pos", "gram"),
+    )
+    grams = grams.withColumn(
+        "k", F.xxhash64("gram") if hash_grams else F.col("gram")
+    ).drop("gram")
+    dup = (
+        grams.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= min_count)
+        .select("k")
+    )
+    occ = grams.join(dup, "k")
+    wk = Window.partitionBy("k").orderBy("doc_id", "pos")
+    losers = occ.withColumn("_rn", F.row_number().over(wk)).where(F.col("_rn") > 1)
+    covered = losers.select(
+        "doc_id", F.explode(F.expr(f"sequence(pos, pos + {n - 1})")).alias("p")
+    ).distinct()
+    tokens = d.select(
+        "doc_id", "n_tokens", F.posexplode("w").alias("p", "tok")
+    )
+    kept = tokens.join(covered, ["doc_id", "p"], "left_anti")
+    rebuilt = kept.groupBy("doc_id", "n_tokens").agg(
+        F.count(F.lit(1)).alias("_n_kept"),
+        F.array_join(
+            F.expr("transform(array_sort(collect_list(struct(p, tok))), s -> s.tok)"),
+            " ",
+        ).alias("clean_text"),
+    )
+    # docs whose every token was cut vanish from `kept` — restore as empty
+    return (
+        d.select("doc_id", "n_tokens")
+        .join(rebuilt.drop("n_tokens"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            (F.col("n_tokens") - F.coalesce("_n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
         )
     )

@@ -630,3 +630,64 @@ def test_sql_functions_match_dataframe_api(spark):
     # bodies inline: the plan is pure project over the scan, no Python eval
     plan = spark.sql("SELECT mag_to_flux(r, wl) FROM _fx")._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_remove_duplicated_spans_pinned(spark):
+    """ExactSubstr removal semantics: the first occurrence of a duplicated
+    5-gram survives intact, later occurrences lose exactly the covered
+    tokens, untouched docs round-trip byte-identically."""
+    from hiss_cube_spark.operators.dedup import remove_duplicated_spans
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "intro text then the quick brown fox jumps over and more"),
+            (3, "totally unique words here nothing repeats at all"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in remove_duplicated_spans(df, n=5).collect()}
+    assert got[1]["n_removed"] == 0
+    assert got[1]["clean_text"] == "the quick brown fox jumps over the lazy dog"
+    assert got[2]["n_removed"] == 6  # 'the quick brown fox jumps over'
+    assert got[2]["clean_text"] == "intro text then and more"
+    assert got[3]["n_removed"] == 0
+    # hash-keyed and string-keyed paths agree
+    s = {r["doc_id"]: r["clean_text"]
+         for r in remove_duplicated_spans(df, n=5, hash_grams=False).collect()}
+    assert s == {k: v["clean_text"] for k, v in got.items()}
+    # a doc that is entirely a duplicated span empties, not vanishes
+    df2 = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d e")], "doc_id long, text string"
+    )
+    got2 = {r["doc_id"]: r for r in remove_duplicated_spans(df2, n=5).collect()}
+    assert got2[1]["clean_text"] == "a b c d e"
+    assert got2[2]["clean_text"] == "" and got2[2]["n_removed"] == 5
+
+
+def test_jsonl_corpus_roundtrip_and_corrupt_capture(spark, tmp_path_factory):
+    from hiss_cube_spark.sources.jsonl_corpus import (
+        read_jsonl_corpus,
+        write_jsonl_corpus,
+    )
+
+    d = str(tmp_path_factory.mktemp("jsonl"))
+    df = spark.createDataFrame(
+        [(1, 'uni"çode\ntext', "en", "web", 13), (2, "plain", "de", "book", 5)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    write_jsonl_corpus(df, d, shards=1)
+    back = read_jsonl_corpus(spark, d)
+    rows = {r["doc_id"]: r for r in back.where("_corrupt IS NULL").collect()}
+    assert rows[1]["text"] == 'uni"çode\ntext'  # escapes round-trip
+    assert rows[2]["source"] == "book"
+    # malformed line lands in _corrupt instead of failing the scan
+    import os
+
+    with open(os.path.join(d, "bad.json"), "w") as fh:
+        fh.write('{"doc_id": 3, "text": "ok"}\nnot json at all\n')
+    # (Spark refuses queries touching ONLY the corrupt column — always
+    # project a data column alongside it)
+    rows2 = read_jsonl_corpus(spark, d).select("doc_id", "_corrupt").collect()
+    assert sum(1 for r in rows2 if r["_corrupt"] is not None) == 1
+    assert sum(1 for r in rows2 if r["doc_id"] == 3) == 1
