@@ -7480,9 +7480,10 @@ _CHECK_PRIORITY = [
     "cur_best_of_cluster", "cur_score_calibrate", "emb_random_projection",
     "graph_bfs_hops",
     # NOTE: the driver's 50-query window ends at graph_bfs_hops (slot 50);
-    # everything below rotates into the window in round 4 (47 remaining:
-    # 39 oracle-bearing + 8 rows-only by nature).
+    # everything below rotates into the window in round 4 (50 remaining,
+    # all oracle-paired as of round 3).
     # --- remaining never-checked, for the next rotation ---
+    "dedup_span_removal", "cur_perplexity_buckets", "cur_jsonl_roundtrip",
     "dq_benford", "ts_transition_matrix", "text_ngram_novelty",
     "a_corr_matrix", "a_weighted_median", "f_target_encode",
     "cur_contamination_score", "a_gini", "ts_cusum_changepoint",
@@ -7498,8 +7499,8 @@ _CHECK_PRIORITY = [
     "q15_top_supplier", "q16_supplier_cnt", "q17_small_quantity_revenue",
     "q20_excess_suppliers", "q21_lone_returned_supplier",
     "q22_no_order_customers",
-    # rows-only by nature (probabilistic / binary-domain / not
-    # SQL-expressible) — rotate last; candidates for future companions
+    # formerly rows-only — all carry oracles since round 3 (companions /
+    # analytic truth sets / pins at the check SF); rotate with the rest
     "mm_phash_neardup", "ann_ivf_pq_topk", "text_bpe_tokens",
     "stream_ann_refresh", "emb_whiten", "text_compression_ratio",
     "mm_audio_neardup", "mm_image_pipeline",
