@@ -1095,6 +1095,57 @@ def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "ts_seasonal_decompose",
+    """
+    WITH b AS (
+      SELECT epoch_us(ts) // 3600000000 AS bucket,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1),
+    tr AS (
+      SELECT bucket, n,
+             sum(n) OVER w / (1.0 * count(n) OVER w) AS trend
+      FROM b
+      WINDOW w AS (ORDER BY bucket ROWS BETWEEN 11 PRECEDING AND 12 FOLLOWING)),
+    det AS (SELECT bucket % 24 AS hour_of_day, n, n - trend AS d FROM tr)
+    SELECT CAST(hour_of_day AS BIGINT) AS hour_of_day,
+           CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(sum(n) AS BIGINT) AS total_events,
+           round(CAST(sum(CAST(d AS DECIMAL(30,8))) AS DOUBLE) / count(*), 6)
+             AS seasonal
+    FROM det GROUP BY 1
+    """,
+)
+def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of the hourly event-count
+    series (the STL-lite shape): trend = 24-bucket centered moving
+    average, seasonal component = mean detrended value per hour-of-day.
+    Exact across engines by construction — bucket counts are longs, the
+    trend frame sums longs (then one IEEE division), and the per-phase
+    mean goes through the decimal-quantized order-independent sum. One
+    narrow aggregation + one ordered window + one regroup: linear scan
+    cost at any scale, the series itself is |hours| rows."""
+    e = _events(spark, sf_dir)
+    b = (
+        e.groupBy(F.expr("ts_us DIV 3600000000").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy("bucket").rowsBetween(-11, 12)
+    tr = b.withColumn(
+        "trend", F.sum("n").over(w) / (F.count("n").over(w) * F.lit(1.0))
+    )
+    det = tr.select(
+        F.pmod(F.col("bucket"), F.lit(24)).cast("long").alias("hour_of_day"),
+        "n",
+        (F.col("n") - F.col("trend")).alias("d"),
+    )
+    return det.groupBy("hour_of_day").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum("n").cast("long").alias("total_events"),
+        _r6(F.sum(_dec(F.col("d"))) / F.count(F.lit(1))).alias("seasonal"),
+    )
+
+
+@_q(
     "ts_autocorr",
     """
     WITH e AS (
@@ -3084,6 +3135,56 @@ def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "dq_chi2_independence",
+    """
+    WITH obs AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS o
+                 FROM documents GROUP BY 1, 2),
+    rt AS (SELECT lang, sum(o) AS rl FROM obs GROUP BY 1),
+    ct AS (SELECT source, sum(o) AS cs FROM obs GROUP BY 1),
+    n AS (SELECT sum(o) AS nn FROM obs)
+    SELECT obs.lang, obs.source, obs.o AS observed,
+           round(rt.rl * ct.cs / (1.0 * n.nn), 6) AS expected,
+           CAST(floor((obs.o - rt.rl * ct.cs / (1.0 * n.nn))
+                      * (obs.o - rt.rl * ct.cs / (1.0 * n.nn))
+                      / (rt.rl * ct.cs / (1.0 * n.nn)) * 1e6) AS BIGINT)
+             AS chi2_term_q
+    FROM obs JOIN rt USING (lang) JOIN ct USING (source) CROSS JOIN n
+    """,
+)
+def dq_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square independence test on the lang x source
+    contingency table — the categorical sibling of the KS drift monitor
+    (is the language mix independent of the crawl source?). Expected
+    counts derive from integer row/column totals (rl*cs exact in long,
+    one IEEE division), and each cell's chi2 contribution is
+    floor-quantized before any cross-engine comparison, so the whole
+    test is value-exact. Sum chi2_term_q/1e6 against the critical value
+    for (|lang|-1)(|source|-1) dof downstream. Three tiny aggregates +
+    two broadcast joins back onto the cell table: nothing here exceeds
+    |lang| x |source| rows regardless of corpus size."""
+    d = _t(spark, sf_dir, "documents")
+    obs = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("o"))
+    rt = obs.groupBy("lang").agg(F.sum("o").alias("rl"))
+    ct = obs.groupBy("source").agg(F.sum("o").alias("cs"))
+    nn = obs.agg(F.sum("o").alias("nn"))
+    exp = F.col("rl") * F.col("cs") / (F.col("nn") * F.lit(1.0))
+    return (
+        obs.join(F.broadcast(rt), "lang")
+        .join(F.broadcast(ct), "source")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "lang",
+            "source",
+            F.col("o").cast("long").alias("observed"),
+            _r6(exp).alias("expected"),
+            F.floor((F.col("o") - exp) * (F.col("o") - exp) / exp * F.lit(1e6))
+            .cast("long")
+            .alias("chi2_term_q"),
+        )
+    )
+
+
+@_q(
     "dq_ks_drift",
     """
     WITH s AS (
@@ -3675,6 +3776,84 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hiss_cube_spark.operators.text_analysis import bigram_lm_score
 
     return bigram_lm_score(_t(spark, sf_dir, "documents"), max_train_docs=None)
+
+
+@_q(
+    "text_gopher_rules",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), w -> len(w) > 0) AS toks,
+             text
+      FROM documents),
+    m AS (
+      SELECT doc_id, len(toks) AS n_words,
+             list_sum(list_transform(toks, w -> len(w))) / (1.0 * len(toks))
+               AS mean_wl,
+             len(list_filter(toks, w -> w SIMILAR TO '.*[a-zA-Z].*'))
+               / (1.0 * len(toks)) AS alpha_ratio,
+             (len(list_filter(toks, w -> w = '#' OR w LIKE '%...%')))
+               / (1.0 * len(toks)) AS symbol_ratio,
+             len(list_filter(toks, w -> list_contains(
+                 ['the','of','and','to','in','a','is','that'], w)))
+               AS n_stop
+      FROM t WHERE len(toks) > 0)
+    SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+           (n_words BETWEEN 50 AND 100000) AS word_count_ok,
+           (mean_wl BETWEEN 3 AND 10) AS mean_wl_ok,
+           (symbol_ratio <= 0.1) AS symbol_ratio_ok,
+           (alpha_ratio >= 0.8) AS alpha_ratio_ok,
+           (n_stop >= 2) AS stopword_ok,
+           ((n_words BETWEEN 50 AND 100000) AND (mean_wl BETWEEN 3 AND 10)
+            AND symbol_ratio <= 0.1 AND alpha_ratio >= 0.8 AND n_stop >= 2)
+             AS passes_all
+    FROM m
+    """,
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher quality-rule battery (Rae et al. 2021, Appendix A —
+    the published thresholds, as distinct from the blended
+    `text_analysis.quality_score`): per document, named boolean verdicts
+    for word count ∈ [50, 1e5], mean word length ∈ [3, 10],
+    symbol-to-word ratio (# / ellipsis) ≤ 0.1, ≥80% words containing an
+    alphabetic character, and ≥2 stopwords present, plus the conjunction
+    used as the drop filter. Pure column math — pushdown-friendly at any
+    scale, zero shuffle."""
+    toks = F.filter(F.split(F.col("text"), " "), lambda w: F.length(w) > 0)
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", toks.alias("w")
+    ).where(F.size("w") > 0)
+    n = F.size("w")
+    mean_wl = F.aggregate(
+        F.col("w"), F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+    ) / (n * F.lit(1.0))
+    alpha = F.size(F.filter(F.col("w"), lambda x: x.rlike("[a-zA-Z]"))) / (
+        n * F.lit(1.0)
+    )
+    symbol = F.size(
+        F.filter(F.col("w"), lambda x: (x == "#") | x.contains("..."))
+    ) / (n * F.lit(1.0))
+    stop = F.size(
+        F.filter(
+            F.col("w"),
+            lambda x: x.isin("the", "of", "and", "to", "in", "a", "is", "that"),
+        )
+    )
+    word_ok = (n >= 50) & (n <= 100000)
+    wl_ok = (mean_wl >= 3) & (mean_wl <= 10)
+    sym_ok = symbol <= 0.1
+    al_ok = alpha >= 0.8
+    st_ok = stop >= 2
+    return d.select(
+        "doc_id",
+        n.cast("long").alias("n_words"),
+        word_ok.alias("word_count_ok"),
+        wl_ok.alias("mean_wl_ok"),
+        sym_ok.alias("symbol_ratio_ok"),
+        al_ok.alias("alpha_ratio_ok"),
+        st_ok.alias("stopword_ok"),
+        (word_ok & wl_ok & sym_ok & al_ok & st_ok).alias("passes_all"),
+    )
 
 
 @_q(
@@ -7484,6 +7663,7 @@ _CHECK_PRIORITY = [
     # all oracle-paired as of round 3).
     # --- remaining never-checked, for the next rotation ---
     "dedup_span_removal", "cur_perplexity_buckets", "cur_jsonl_roundtrip",
+    "text_gopher_rules", "ts_seasonal_decompose", "dq_chi2_independence",
     "dq_benford", "ts_transition_matrix", "text_ngram_novelty",
     "a_corr_matrix", "a_weighted_median", "f_target_encode",
     "cur_contamination_score", "a_gini", "ts_cusum_changepoint",
