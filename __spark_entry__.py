@@ -5323,6 +5323,87 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "mm_video_pipeline",
+    """
+    WITH d AS (SELECT doc_id, 2 + doc_id % 5 AS cut FROM documents
+               WHERE doc_id < 40),
+    f AS (SELECT doc_id, cut, g.f AS frame_id
+          FROM d, unnest(generate_series(0, 7)) g(f)),
+    l AS (SELECT doc_id, frame_id, cut,
+                 (doc_id * 7) % 100 + frame_id
+                 + CASE WHEN frame_id >= cut THEN 100 ELSE 0 END AS luma
+          FROM f)
+    SELECT doc_id, CAST(frame_id AS INT) AS frame_id,
+           round(CAST(luma AS DOUBLE), 6) AS mean_luma,
+           round(CAST(CASE WHEN frame_id = 0 THEN 0
+                           WHEN frame_id = cut THEN 101
+                           ELSE 1 END AS DOUBLE), 6) AS frame_diff,
+           CAST(CASE WHEN frame_id > 0 AND frame_id = cut THEN 1 ELSE 0 END
+                AS INT) AS scene_cut
+    FROM l
+    """,
+)
+def mm_video_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real (dependency-free) video pipeline with an ANALYTIC oracle:
+    YUV4MPEG2 is the one video container that needs no codec, so the
+    video leg joins PPM/PNG (image) and WAV (audio) as a genuinely
+    decoded modality. Each document synthesizes an 8-frame Y4M clip of
+    constant-luma frames with a planted scene cut at frame
+    2 + doc_id % 5; `multimodal.video_frame_features` parses the
+    container (header tags, FRAME markers, exact plane arithmetic) and
+    emits per-frame mean luma, mean-absolute frame difference, and the
+    shot-boundary flag — every output value is closed-form in doc_id and
+    frame_id, so SQL reproduces the whole result. Compressed video
+    (H.264/VP9) stays behind the honest stub."""
+    import numpy as _np
+    import pandas as _pd
+    from collections.abc import Iterator as _Iter
+
+    from pyspark.sql.types import BinaryType, LongType, StructField, StructType
+
+    from hiss_cube_spark.operators.multimodal import (
+        encode_y4m_np,
+        video_frame_features,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id").where(F.col("doc_id") < 40)
+
+    def _synth(batches: _Iter[_pd.DataFrame]) -> _Iter[_pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                cut = 2 + doc_id % 5
+                frames = _np.stack(
+                    [
+                        _np.full(
+                            (16, 16),
+                            (doc_id * 7) % 100 + f + (100 if f >= cut else 0),
+                            dtype=_np.uint8,
+                        )
+                        for f in range(8)
+                    ]
+                )
+                rows.append((doc_id, encode_y4m_np(frames)))
+            yield _pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    clips = d.mapInPandas(
+        _synth,
+        schema=StructType(
+            [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+        ),
+    )
+    feats = video_frame_features(clips, cut_threshold=24.0)
+    return feats.select(
+        "doc_id",
+        "frame_id",
+        F.round(F.col("mean_luma").cast("double"), 6).alias("mean_luma"),
+        F.round(F.col("frame_diff").cast("double"), 6).alias("frame_diff"),
+        "scene_cut",
+    )
+
+
+@_q(
     "mm_phash_neardup",
     """
     SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
@@ -7664,6 +7745,7 @@ _CHECK_PRIORITY = [
     # --- remaining never-checked, for the next rotation ---
     "dedup_span_removal", "cur_perplexity_buckets", "cur_jsonl_roundtrip",
     "text_gopher_rules", "ts_seasonal_decompose", "dq_chi2_independence",
+    "mm_video_pipeline",
     "dq_benford", "ts_transition_matrix", "text_ngram_novelty",
     "a_corr_matrix", "a_weighted_median", "f_target_encode",
     "cur_contamination_score", "a_gini", "ts_cusum_changepoint",

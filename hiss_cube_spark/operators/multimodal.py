@@ -40,6 +40,7 @@ __all__ = [
     "image_phash", "phash_neardup_pairs",
     "encode_wav_np", "decode_wav_np", "decode_audio", "audio_features",
     "audio_fingerprint", "audio_neardup_pairs",
+    "encode_y4m_np", "decode_y4m_np", "video_frame_features",
 ]
 
 
@@ -735,3 +736,129 @@ def audio_neardup_pairs(
     from hiss_cube_spark.operators.dedup import simhash_pairs
 
     return simhash_pairs(fps, max_hamming=max_hamming, fp_col="afp", n_chunks=n_chunks)
+
+
+# --------------------------------------------------------------------------
+# Video: YUV4MPEG2 (Y4M) — the one video container that needs NO codec
+# (uncompressed planar YUV behind a text header), so the video leg of the
+# multimodal family gets a REAL decode path like PPM/PNG (images) and WAV
+# (audio). Compressed video (H.264/VP9) stays behind the honest stub.
+# --------------------------------------------------------------------------
+
+_Y4M_MAGIC = b"YUV4MPEG2"
+
+
+def encode_y4m_np(frames: np.ndarray, fps: int = 25, colorspace: str = "C444") -> bytes:
+    """uint8 (n_frames, h, w) luma array → Y4M bytes (mono stored as C444
+    with neutral chroma, per the spec's plane layout)."""
+    frames = np.ascontiguousarray(frames, dtype=np.uint8)
+    n, h, w = frames.shape
+    if colorspace != "C444":
+        raise ValueError("encoder emits C444 only")
+    header = f"YUV4MPEG2 W{w} H{h} F{fps}:1 Ip A1:1 C444\n".encode("ascii")
+    neutral = np.full((h, w), 128, dtype=np.uint8).tobytes()
+    out = [header]
+    for f in range(n):
+        out.append(b"FRAME\n")
+        out.append(frames[f].tobytes())
+        out.append(neutral)
+        out.append(neutral)
+    return b"".join(out)
+
+
+def decode_y4m_np(payload: bytes) -> tuple[np.ndarray, int]:
+    """Y4M bytes → (uint8 (n_frames, h, w) luma array, fps). Supports the
+    C420* and C444 colorspaces (chroma planes are parsed and skipped —
+    luma carries the analysis signal). A real parser: stream header tags,
+    per-FRAME markers with optional parameters, exact plane sizes."""
+    if not payload.startswith(_Y4M_MAGIC):
+        raise ValueError("not a YUV4MPEG2 payload")
+    eol = payload.index(b"\n")
+    w = h = None
+    fps = 25
+    cs = "C420jpeg"
+    for tag in payload[len(_Y4M_MAGIC):eol].split():
+        t = tag.decode("ascii", "replace")
+        if t.startswith("W"):
+            w = int(t[1:])
+        elif t.startswith("H"):
+            h = int(t[1:])
+        elif t.startswith("F"):
+            num, den = t[1:].split(":")
+            fps = max(1, int(round(int(num) / int(den))))
+        elif t.startswith("C"):
+            cs = t
+    if w is None or h is None:
+        raise ValueError("Y4M header missing W/H")
+    if cs.startswith("C420"):
+        chroma = 2 * ((w // 2) * (h // 2))
+    elif cs.startswith("C444"):
+        chroma = 2 * (w * h)
+    else:
+        raise NotImplementedError(f"Y4M colorspace {cs} not supported")
+    luma = w * h
+    frames = []
+    pos = eol + 1
+    while pos < len(payload):
+        if not payload.startswith(b"FRAME", pos):
+            raise ValueError(f"expected FRAME marker at byte {pos}")
+        pos = payload.index(b"\n", pos) + 1  # FRAME params (if any) end at \n
+        y = np.frombuffer(payload, dtype=np.uint8, count=luma, offset=pos)
+        frames.append(y.reshape(h, w))
+        pos += luma + chroma
+    return np.stack(frames) if frames else np.empty((0, h, w), np.uint8), fps
+
+
+_VIDEO_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_id", IntegerType()),
+        StructField("mean_luma", FloatType()),
+        StructField("frame_diff", FloatType()),
+        StructField("scene_cut", IntegerType()),
+    ]
+)
+
+
+def video_frame_features(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    frame_stride: int = 1,
+    cut_threshold: float = 24.0,
+) -> DataFrame:
+    """Real video frame analysis over Y4M payloads: decode every
+    ``frame_stride``-th frame's luma plane, emit per-frame mean luma, the
+    mean-absolute-difference to the previous SAMPLED frame, and a scene-cut
+    flag (diff > threshold — the classic shot-boundary detector). One
+    mapInPandas kernel; the payload bytes never become JVM rows, and each
+    clip's state is one previous frame."""
+
+    def _feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, p in zip(pdf[id_col], pdf[payload_col]):
+                frames, _fps = decode_y4m_np(bytes(p))
+                prev = None
+                for f in range(0, frames.shape[0], frame_stride):
+                    cur = frames[f].astype(np.float64)
+                    mean = float(cur.mean())
+                    diff = (
+                        float(np.abs(cur - prev).mean()) if prev is not None else 0.0
+                    )
+                    rows.append(
+                        (
+                            int(doc_id),
+                            f,
+                            mean,
+                            diff,
+                            int(prev is not None and diff > cut_threshold),
+                        )
+                    )
+                    prev = cur
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "frame_id", "mean_luma", "frame_diff", "scene_cut"],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(_feat, schema=_VIDEO_SCHEMA)

@@ -356,3 +356,46 @@ def test_distributed_pipeline_on_png(spark):
     a = {r["doc_id"]: r["pixels"] for r in png.collect()}
     b = {r["doc_id"]: r["pixels"] for r in ppm.collect()}
     assert a == b
+
+
+def test_y4m_roundtrip_and_c420_parse():
+    import pytest
+
+    from hiss_cube_spark.operators.multimodal import decode_y4m_np, encode_y4m_np
+
+    rng = np.random.default_rng(2)
+    fr = rng.integers(0, 256, (4, 6, 8), dtype=np.uint8)
+    out, fps = decode_y4m_np(encode_y4m_np(fr, fps=30))
+    np.testing.assert_array_equal(out, fr)
+    assert fps == 30
+    # C420 chroma-subsampled path with a parameterized FRAME marker
+    y = np.arange(8, dtype=np.uint8)
+    chroma = bytes(2 * (2 * 1))
+    payload = (b"YUV4MPEG2 W4 H2 F25:1 Ip A1:1 C420jpeg\n"
+               + b"FRAME\n" + y.tobytes() + chroma
+               + b"FRAME Xvlc\n" + y[::-1].copy().tobytes() + chroma)
+    fr2, _ = decode_y4m_np(payload)
+    assert fr2.shape == (2, 2, 4)
+    np.testing.assert_array_equal(fr2[1].reshape(-1), y[::-1])
+    with pytest.raises(ValueError, match="not a YUV4MPEG2"):
+        decode_y4m_np(b"RIFFxxxx")
+    with pytest.raises(NotImplementedError, match="colorspace"):
+        decode_y4m_np(b"YUV4MPEG2 W2 H2 C422\nFRAME\n" + bytes(8))
+
+
+def test_video_frame_features_scene_cut(spark):
+    """Shot-boundary detection over a real Y4M clip: constant 50-luma
+    frames, one jump to 200 at frame 2 — exactly one cut flagged there."""
+    from hiss_cube_spark.operators.multimodal import (
+        encode_y4m_np,
+        video_frame_features,
+    )
+
+    frames = np.stack([np.full((8, 8), 50 if f < 2 else 200, np.uint8) for f in range(5)])
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_y4m_np(frames)))], "doc_id long, payload binary"
+    )
+    rows = {r["frame_id"]: r for r in video_frame_features(df).collect()}
+    assert [rows[f]["scene_cut"] for f in range(5)] == [0, 0, 1, 0, 0]
+    assert rows[0]["mean_luma"] == 50.0 and rows[4]["mean_luma"] == 200.0
+    assert rows[2]["frame_diff"] == 150.0 and rows[3]["frame_diff"] == 0.0
