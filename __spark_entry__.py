@@ -3883,14 +3883,16 @@ def cur_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = tempfile.mkdtemp(prefix="jsonl_corpus_")
     write_jsonl_corpus(d, out, compression="gzip", shards=4)
     back = read_jsonl_corpus(spark, out)
-    return (
-        back.where(F.col("_corrupt").isNull())
-        .select(
-            "doc_id",
-            "lang",
-            F.col("n_chars").cast("long").alias("n_chars"),
-            F.md5(F.encode(F.col("text"), "UTF-8")).alias("text_md5"),
-        )
+    # no corrupt-line filter here: we authored the shards, and Spark (ANSI
+    # mode especially) rejects plans it thinks query only the corrupt
+    # column (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN); the
+    # PERMISSIVE capture path is exercised in
+    # tests/test_scale_ops.py::test_jsonl_corpus_roundtrip_and_corrupt_capture
+    return back.select(
+        "doc_id",
+        "lang",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.md5(F.encode(F.col("text"), "UTF-8")).alias("text_md5"),
     )
 
 
