@@ -2884,6 +2884,64 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "emb_dbscan",
+    f"""
+    WITH RECURSIVE {_SQL_EMB_NORMS},
+    dots AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             CAST(sum(CAST(floor(CAST(a.embedding[g.i] AS DOUBLE) * CAST(b.embedding[g.i] AS DOUBLE)
+                  * 1e12) AS BIGINT)) AS BIGINT) / 1e12 AS dot
+      FROM embeddings a, embeddings b, unnest(generate_series(1, len(a.embedding))) g(i)
+      WHERE a.vec_id < b.vec_id AND a.vec_id < 250 AND b.vec_id < 250
+      GROUP BY a.vec_id, b.vec_id),
+    pairs AS (
+      SELECT id_a, id_b
+      FROM dots JOIN norms na ON na.vec_id = id_a JOIN norms nb ON nb.vec_id = id_b
+      WHERE dot / (sqrt(na.nrm) * sqrt(nb.nrm)) >= 0.35),
+    edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    deg AS (SELECT a AS node, count(*) AS nbrs FROM edges GROUP BY a),
+    core AS (SELECT node FROM deg WHERE nbrs + 1 >= 3),
+    ce AS (SELECT e.a, e.b FROM edges e
+           JOIN core ca ON ca.node = e.a JOIN core cb ON cb.node = e.b),
+    reach(node, label) AS (
+      SELECT node, node FROM core
+      UNION
+      SELECT e.b, r.label FROM reach r JOIN ce e ON e.a = r.node),
+    core_lab AS (SELECT node, min(label) AS cluster_id FROM reach GROUP BY node),
+    border AS (
+      SELECT e.a AS node, min(cl.cluster_id) AS cluster_id
+      FROM edges e JOIN core_lab cl ON cl.node = e.b
+      WHERE e.a NOT IN (SELECT node FROM core)
+      GROUP BY e.a)
+    SELECT emb.vec_id,
+           CASE WHEN c.cluster_id IS NOT NULL THEN 'core'
+                WHEN b.cluster_id IS NOT NULL THEN 'border'
+                ELSE 'noise' END AS role,
+           CAST(coalesce(c.cluster_id, b.cluster_id) AS BIGINT) AS cluster_id
+    FROM (SELECT vec_id FROM embeddings WHERE vec_id < 250) emb
+    LEFT JOIN core_lab c ON c.node = emb.vec_id
+    LEFT JOIN border b ON b.node = emb.vec_id
+    """,
+)
+def emb_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN over embedding space (`similarity.dbscan_embeddings`,
+    Ester et al. 1996): cosine ≥ 0.35 eps-graph, min_pts 3 — the
+    density-based complement to KMeans-cell SemDeDup that separates dense
+    duplicate/junk nests (clusters) from sparse inliers (noise). Border
+    points deterministically attach to their minimum-labelled core
+    neighbor, so the full (role, cluster) assignment is engine-exact; the
+    oracle rebuilds the density closure with a recursive CTE."""
+    from hiss_cube_spark.operators.similarity import dbscan_embeddings
+
+    # 250-vector window: the recursive-CTE oracle's label propagation is
+    # quadratic per component, so the check corpus is bounded; the Spark
+    # operator itself has no such bound (min-label CC, diameter rounds)
+    e = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 250)
+    return dbscan_embeddings(e, threshold=0.35, min_pts=3)
+
+
+@_q(
     "emb_cosine_pairs",
     f"""
     WITH {_SQL_EMB_NORMS},
@@ -5325,7 +5383,7 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
-    "mm_video_pipeline",
+    "mm_video_pipeline", "emb_dbscan",
     """
     WITH d AS (SELECT doc_id, 2 + doc_id % 5 AS cut FROM documents
                WHERE doc_id < 40),

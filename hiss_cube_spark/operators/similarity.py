@@ -34,6 +34,7 @@ __all__ = [
     "cosine_topk", "cosine_pairs", "cosine_pairs_blocked", "lsh_bucketed_topk",
     "cosine_expr", "pq_topk", "ivf_topk", "ivf_pq_topk",
     "semantic_dedup", "sq_quantize", "sq_topk", "random_projection", "whiten",
+    "dbscan_embeddings",
 ]
 
 
@@ -982,3 +983,89 @@ def whiten(
         return pd.Series([row.astype(np.float32).tolist() for row in out])
 
     return df.select(F.col(id_col), _apply(F.col(vec_col)).alias("whitened"))
+
+
+def dbscan_embeddings(
+    corpus: DataFrame,
+    threshold: float = 0.35,
+    min_pts: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    blocked: bool = True,
+) -> DataFrame:
+    """DBSCAN over embedding space with cosine >= ``threshold`` as the
+    eps-neighborhood (Ester et al. 1996, the density-based complement to
+    KMeans-cell SemDeDup: finds arbitrarily-shaped dense regions and
+    labels sparse outliers as noise — duplicate nests and junk clusters in
+    a training corpus are exactly such regions).
+
+    Returns (id, role, cluster_id): role in {'core', 'border', 'noise'},
+    cluster_id = the minimum CORE id of the density-connected component
+    (NULL for noise). Border points attach to their minimum-labelled core
+    neighbor — the deterministic resolution of DBSCAN's classic
+    border-assignment ambiguity, so results are engine-exact.
+
+    Plan shape: the eps-graph comes from `cosine_pairs` (exact quantized
+    dots; swap in the LSH-blocked variant at scale — DBSCAN only ever
+    sees the pair list), degrees are one groupBy, cores one filter,
+    clusters min-label propagation over the core-core subgraph only
+    (`connected_components` — diameter-bounded rounds), borders one join.
+    Nothing materializes beyond the pair list the dedup family already
+    budgets for. The pair list comes from the blocked numpy kernel
+    (`cosine_pairs_blocked` — bit-identical to the Catalyst
+    quantized-dot expression, pinned by
+    test_cosine_pairs_blocked_matches_expr, ~15× faster); pass
+    ``blocked=False`` for the pure-expression path.
+    """
+    from hiss_cube_spark.operators.clusters import connected_components
+
+    if blocked:
+        pairs = cosine_pairs_blocked(
+            corpus, threshold, id_col=id_col, vec_col=vec_col
+        ).select("id_a", "id_b")
+    else:
+        pairs = cosine_pairs(
+            corpus, threshold, id_col=id_col, vec_col=vec_col, exact=True
+        ).select("id_a", "id_b")
+    und = pairs.union(
+        pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    )
+    # the eps-graph feeds four subtrees (degrees, core-core edges, border
+    # assignment, CC) — materialize once so the all-pairs kernel runs once
+    und = und.localCheckpoint(eager=True)
+    deg = und.groupBy(F.col("id_a").alias("node")).agg(
+        F.count(F.lit(1)).alias("nbrs")
+    )
+    core = deg.where(F.col("nbrs") + 1 >= min_pts).select("node")
+    ce = (
+        und.join(core.select(F.col("node").alias("id_a")), "id_a")
+        .join(core.select(F.col("node").alias("id_b")), "id_b")
+        .where(F.col("id_a") < F.col("id_b"))
+    )
+    cc = connected_components(ce, src="id_a", dst="id_b")
+    # cores with no core neighbor form singleton clusters labelled by
+    # themselves (CC only emits nodes that appear in an edge)
+    singles = core.join(cc.select("node"), "node", "left_anti").select(
+        "node", F.col("node").alias("cluster_id")
+    )
+    core_lab = cc.unionByName(singles)
+    border = (
+        und.join(core.select(F.col("node").alias("id_b")), "id_b")
+        .join(core.select(F.col("node").alias("id_a")), "id_a", "left_anti")
+        .join(core_lab.select(F.col("node").alias("id_b"), "cluster_id"), "id_b")
+        .groupBy(F.col("id_a").alias("node"))
+        .agg(F.min("cluster_id").alias("cluster_id"))
+    )
+    ids = corpus.select(F.col(id_col).alias("node"))
+    return (
+        ids.join(core_lab.withColumnRenamed("cluster_id", "_cc"), "node", "left")
+        .join(border.withColumnRenamed("cluster_id", "_cb"), "node", "left")
+        .select(
+            F.col("node").alias(id_col),
+            F.when(F.col("_cc").isNotNull(), F.lit("core"))
+            .when(F.col("_cb").isNotNull(), F.lit("border"))
+            .otherwise(F.lit("noise"))
+            .alias("role"),
+            F.coalesce("_cc", "_cb").cast("long").alias("cluster_id"),
+        )
+    )

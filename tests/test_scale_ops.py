@@ -691,3 +691,34 @@ def test_jsonl_corpus_roundtrip_and_corrupt_capture(spark, tmp_path_factory):
     rows2 = read_jsonl_corpus(spark, d).select("doc_id", "_corrupt").collect()
     assert sum(1 for r in rows2 if r["_corrupt"] is not None) == 1
     assert sum(1 for r in rows2 if r["doc_id"] == 3) == 1
+
+
+def test_dbscan_embeddings_planted_blobs(spark):
+    """Two dense orthogonal blobs become two clusters of cores labelled by
+    their min id; isolated vectors are noise; the blocked-kernel and
+    pure-expression eps-graphs yield identical assignments."""
+    import numpy as np
+
+    from hiss_cube_spark.operators.similarity import dbscan_embeddings
+
+    rng = np.random.default_rng(9)
+    u = rng.standard_normal(64); u /= np.linalg.norm(u)
+    v = rng.standard_normal(64); v -= (v @ u) * u; v /= np.linalg.norm(v)
+    rows = []
+    for i in range(5):   # blob A: ids 0-4
+        x = u + 0.02 * rng.standard_normal(64)
+        rows.append((i, [float(t) for t in x / np.linalg.norm(x)]))
+    for i in range(5, 9):  # blob B: ids 5-8
+        x = v + 0.02 * rng.standard_normal(64)
+        rows.append((i, [float(t) for t in x / np.linalg.norm(x)]))
+    for i in range(9, 12):  # isolated
+        x = rng.standard_normal(64)
+        rows.append((i, [float(t) for t in x / np.linalg.norm(x)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r for r in dbscan_embeddings(df, threshold=0.9, min_pts=3).collect()}
+    assert all(out[i]["role"] == "core" and out[i]["cluster_id"] == 0 for i in range(5))
+    assert all(out[i]["role"] == "core" and out[i]["cluster_id"] == 5 for i in range(5, 9))
+    assert all(out[i]["role"] == "noise" and out[i]["cluster_id"] is None for i in range(9, 12))
+    expr = {r["vec_id"]: (r["role"], r["cluster_id"])
+            for r in dbscan_embeddings(df, threshold=0.9, min_pts=3, blocked=False).collect()}
+    assert expr == {k: (r["role"], r["cluster_id"]) for k, r in out.items()}
