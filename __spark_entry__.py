@@ -4318,6 +4318,116 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "q_hybrid_retrieval",
+    """
+    WITH toks AS (
+      SELECT doc_id, t.tok AS token
+      FROM documents, unnest(string_split(text, ' ')) t(tok)
+      WHERE len(t.tok) > 0),
+    per_doc AS (
+      SELECT doc_id, count(*) AS dl,
+             sum(CASE WHEN token = 'vector' THEN 1 ELSE 0 END) AS tf0,
+             sum(CASE WHEN token = 'stream' THEN 1 ELSE 0 END) AS tf1,
+             sum(CASE WHEN token = 'join'   THEN 1 ELSE 0 END) AS tf2
+      FROM toks GROUP BY 1),
+    stats AS (
+      SELECT count(*) AS nd, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+             sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+             sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+             sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+      FROM per_doc),
+    s AS (
+      SELECT doc_id,
+          CAST(floor(ln(1.0 + (nd - df0 + 0.5)/(df0 + 0.5))
+               * CAST(tf0 AS DOUBLE) * (1.2 + 1.0)
+               / (CAST(tf0 AS DOUBLE) + (1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)))
+               * 1e6) AS BIGINT)
+        + CAST(floor(ln(1.0 + (nd - df1 + 0.5)/(df1 + 0.5))
+               * CAST(tf1 AS DOUBLE) * (1.2 + 1.0)
+               / (CAST(tf1 AS DOUBLE) + (1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)))
+               * 1e6) AS BIGINT)
+        + CAST(floor(ln(1.0 + (nd - df2 + 0.5)/(df2 + 0.5))
+               * CAST(tf2 AS DOUBLE) * (1.2 + 1.0)
+               / (CAST(tf2 AS DOUBLE) + (1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)))
+               * 1e6) AS BIGINT) AS score_q
+      FROM per_doc, stats),
+    cand AS (
+      SELECT doc_id, score_q,
+             row_number() OVER (ORDER BY score_q DESC, doc_id) AS bm25_rank
+      FROM s WHERE score_q > 0),
+    c20 AS (SELECT * FROM cand WHERE bm25_rank <= 20),
+    qv AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+    dots AS (
+      SELECT c.doc_id, c.bm25_rank,
+             CAST(sum(CAST(floor(CAST(e.embedding[g.i] AS DOUBLE)
+                                 * CAST(q.embedding[g.i] AS DOUBLE)
+                                 * 1e12) AS BIGINT)) AS BIGINT) / 1e12 AS dot,
+             CAST(sum(CAST(floor(CAST(e.embedding[g.i] AS DOUBLE)
+                                 * CAST(e.embedding[g.i] AS DOUBLE)
+                                 * 1e12) AS BIGINT)) AS BIGINT) / 1e12 AS nself,
+             CAST(sum(CAST(floor(CAST(q.embedding[g.i] AS DOUBLE)
+                                 * CAST(q.embedding[g.i] AS DOUBLE)
+                                 * 1e12) AS BIGINT)) AS BIGINT) / 1e12 AS qself
+      FROM c20 c JOIN embeddings e ON e.vec_id = c.doc_id
+      CROSS JOIN qv q, unnest(generate_series(1, len(e.embedding))) g(i)
+      GROUP BY c.doc_id, c.bm25_rank),
+    rr AS (
+      SELECT doc_id, bm25_rank,
+             dot / (sqrt(nself) * sqrt(qself)) AS cosine
+      FROM dots)
+    SELECT doc_id, CAST(bm25_rank AS BIGINT) AS bm25_rank,
+           CAST(row_number() OVER (
+                 ORDER BY floor(cosine * 1e6) DESC, doc_id) AS BIGINT)
+             AS rerank,
+           round(cosine, 6) AS cosine
+    FROM rr
+    """,
+)
+def q_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage hybrid retrieval — the canonical search architecture:
+    BM25 selects 20 lexical candidates for the query {vector, stream,
+    join} (`text_analysis.bm25_topk`), then a dense rerank orders them by
+    exact quantized cosine against a query embedding (vec 0's vector
+    stands in for the encoded query). Ranking keys are floor-quantized
+    with doc_id tie-breaks at both stages, so the full two-stage result
+    is engine-exact. At scale: stage 1 is the inverted-variant BM25 scan
+    (no postings shuffle), stage 2 touches exactly 20 vectors — the
+    rerank cost is independent of corpus size, which is the whole point
+    of the architecture."""
+    from hiss_cube_spark.operators.similarity import _dot_exact
+    from hiss_cube_spark.operators.text_analysis import bm25_topk
+
+    d = _t(spark, sf_dir, "documents")
+    e = _t(spark, sf_dir, "embeddings")
+    cands = bm25_topk(d, terms=["vector", "stream", "join"], k=20).select(
+        "doc_id", F.col("rank").alias("bm25_rank")
+    )
+    qv = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("_qv"))
+    j = (
+        cands.join(e, cands["doc_id"] == e["vec_id"])
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "doc_id",
+            "bm25_rank",
+            (
+                _dot_exact(F.col("embedding"), F.col("_qv"))
+                / (
+                    F.sqrt(_dot_exact(F.col("embedding"), F.col("embedding")))
+                    * F.sqrt(_dot_exact(F.col("_qv"), F.col("_qv")))
+                )
+            ).alias("cosine"),
+        )
+    )
+    w = Window.orderBy(F.floor(F.col("cosine") * 1e6).desc(), F.col("doc_id"))
+    return j.select(
+        "doc_id",
+        "bm25_rank",
+        F.row_number().over(w).cast("long").alias("rerank"),
+        _r6(F.col("cosine")).alias("cosine"),
+    )
+
+
+@_q(
     "text_bm25_topk",
     """
     WITH toks AS (
@@ -5383,7 +5493,7 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
-    "mm_video_pipeline", "emb_dbscan",
+    "mm_video_pipeline",
     """
     WITH d AS (SELECT doc_id, 2 + doc_id % 5 AS cut FROM documents
                WHERE doc_id < 40),
@@ -7805,7 +7915,7 @@ _CHECK_PRIORITY = [
     # --- remaining never-checked, for the next rotation ---
     "dedup_span_removal", "cur_perplexity_buckets", "cur_jsonl_roundtrip",
     "text_gopher_rules", "ts_seasonal_decompose", "dq_chi2_independence",
-    "mm_video_pipeline",
+    "mm_video_pipeline", "emb_dbscan", "q_hybrid_retrieval",
     "dq_benford", "ts_transition_matrix", "text_ngram_novelty",
     "a_corr_matrix", "a_weighted_median", "f_target_encode",
     "cur_contamination_score", "a_gini", "ts_cusum_changepoint",
