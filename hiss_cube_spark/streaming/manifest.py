@@ -46,7 +46,8 @@ from pyspark.sql import DataFrame, SparkSession
 __all__ = ["ManifestSnapshotStore"]
 
 _MARKER = "_last_applied_batch"
-_SNAP_RE = re.compile(r"snap_(-?\d+)$")
+# optional c<k> suffix: compaction rewrites of the same batch state
+_SNAP_RE = re.compile(r"snap_(-?\d+)(?:c\d+)?$")
 
 
 class ManifestSnapshotStore:
@@ -98,13 +99,55 @@ class ManifestSnapshotStore:
     def commit(self, batch_id: int) -> None:
         """Flip the pointer to snapshot ``batch_id`` (atomic single-file
         replace — the object-store analogue is one PUT), then gc."""
+        self._commit_name(f"snap_{batch_id}")
+
+    def _commit_name(self, name: str) -> None:
         prev = self.current_name()
         os.makedirs(self.root, exist_ok=True)
         tmp = self._manifest_path() + ".tmp"
         with open(tmp, "w") as fh:
-            fh.write(f"snap_{batch_id}")
+            fh.write(name)
         os.replace(tmp, self._manifest_path())
-        self._gc(keep={f"snap_{batch_id}"} | ({prev} if prev else set()))
+        self._gc(keep={name} | ({prev} if prev else set()))
+
+    def compact(
+        self,
+        spark: SparkSession,
+        target_rows_per_file: int,
+        sort_cols: list[str] | None = None,
+    ) -> str:
+        """Rewrite the CURRENT snapshot into ~target-sized, optionally
+        re-sorted files and commit it as a new snapshot VERSION of the same
+        batch state — small-file maintenance through the same pointer-flip
+        protocol the streaming writer uses, so readers never see a mix and
+        the sink's replay arithmetic is untouched.
+
+        Version naming is the crux: the rewrite commits as
+        ``snap_<batch>c<k>`` — the numeric prefix keeps ``last_applied()``
+        (the stream's idempotence cursor) unchanged, and the ``c`` suffix
+        keeps the directory disjoint from every future batch's stage dir,
+        so a compaction can never be overwritten by an in-flight batch
+        staging to its own id. Returns the committed snapshot name."""
+        cur = self.current_name()
+        if cur is None:
+            raise FileNotFoundError(f"nothing to compact under {self.root}")
+        m = re.match(r"snap_(-?\d+)(?:c(\d+))?$", cur)
+        base, k = int(m.group(1)), int(m.group(2) or 0)
+        df = self.read(spark)
+        n_rows = df.count()
+        n_files = max(1, -(-n_rows // max(1, target_rows_per_file)))
+        out = df.repartition(n_files)
+        if sort_cols:
+            out = out.sortWithinPartitions(*sort_cols)
+        name = f"snap_{base}c{k + 1}"
+        d = os.path.join(self.root, name)
+        out.write.mode("overwrite").parquet(d)
+        if spark.read.parquet(d).count() != n_rows:
+            raise RuntimeError("compaction row-count drift")
+        with open(os.path.join(d, _MARKER), "w") as fh:
+            fh.write(str(base))
+        self._commit_name(name)
+        return name
 
     def init(self, df: DataFrame) -> None:
         """Commit ``df`` as the initial snapshot (batch −1) unless a
@@ -149,9 +192,14 @@ class ManifestSnapshotStore:
         for bid, d in snaps:
             if bid > cur:
                 shutil.rmtree(d, ignore_errors=True)
-        # retain current + newest older (readers of the previous pointer)
-        older = [b for b, _ in snaps if b < cur]
-        keep = {f"snap_{cur}"} | ({f"snap_{max(older)}"} if older else set())
+        # retain the current snapshot BY NAME (it may be a c-suffixed
+        # compaction version — rebuilding the name from the batch id would
+        # gc the live directory) + the newest older batch for in-flight
+        # readers of the previous pointer
+        older = [(b, d) for b, d in snaps if b < cur]
+        keep = {name}
+        if older:
+            keep.add(os.path.basename(max(older)[1]))
         self._gc(keep)
 
     # -- read path ---------------------------------------------------------

@@ -798,3 +798,52 @@ def test_stream_apply_changelog_manifest_mode(spark, tmp_path_factory):
         for r in ManifestSnapshotStore(snap).read(spark).collect()
     }
     assert got == {(10, "a2")}
+
+
+def test_manifest_store_compaction_preserves_stream_cursor(spark, tmp_path_factory):
+    """Small-file maintenance through the pointer protocol: compaction
+    commits a c-suffixed VERSION of the same batch state — fewer files,
+    identical rows, last_applied unchanged — and the next stream batch
+    still applies (its id is beyond the untouched cursor)."""
+    import glob
+    import os
+
+    from hiss_cube_spark.streaming.dedup_index import stream_incremental_dedup
+    from hiss_cube_spark.streaming.manifest import ManifestSnapshotStore
+
+    src = str(tmp_path_factory.mktemp("cp_src"))
+    corpus = str(tmp_path_factory.mktemp("cp_corpus"))
+    index = str(tmp_path_factory.mktemp("cp_index")) + "/idx"
+    ckpt = str(tmp_path_factory.mktemp("cp_ckpt"))
+    schema = "doc_id long, text string"
+    ManifestSnapshotStore(index).init(spark.createDataFrame([], "fp string"))
+
+    spark.createDataFrame([(i, f"doc {i}") for i in range(20)], schema) \
+        .coalesce(1).write.mode("overwrite").parquet(src)
+    stream_incremental_dedup(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src),
+        corpus, index, ckpt, commit="manifest",
+    ).awaitTermination(120)
+
+    store = ManifestSnapshotStore(index)
+    before = store.last_applied()
+    # fragment the current snapshot, then compact to 1 file
+    frag = store.read(spark).repartition(8)
+    store.stage(frag, before)  # rewrite same version fragmented
+    store.commit(before)
+    assert len(glob.glob(os.path.join(store.current_dir(), "*.parquet"))) == 8
+    name = store.compact(spark, target_rows_per_file=1000)
+    assert name.endswith("c1") and store.current_name() == name
+    assert len(glob.glob(os.path.join(store.current_dir(), "*.parquet"))) == 1
+    assert store.read(spark).count() == 20
+    assert store.last_applied() == before  # stream cursor untouched
+
+    # the stream continues over the compacted snapshot
+    spark.createDataFrame([(100, "doc 0"), (101, "fresh")], schema) \
+        .coalesce(1).write.mode("append").parquet(src)
+    stream_incremental_dedup(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src),
+        corpus, index, ckpt, commit="manifest",
+    ).awaitTermination(120)
+    assert ManifestSnapshotStore(index).read(spark).count() == 21  # only 'fresh'
+    assert ManifestSnapshotStore(index).last_applied() > before
