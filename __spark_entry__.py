@@ -3915,6 +3915,55 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "cur_url_dedup",
+    """
+    WITH canon AS (
+      SELECT doc_id,
+             'https://' || source || '.example.com/p/' || (doc_id % 7)
+               || '?a=1&b=2' AS canonical_url
+      FROM documents)
+    SELECT canonical_url, CAST(count(*) AS BIGINT) AS n_dupes,
+           min(doc_id) AS kept_doc
+    FROM canon GROUP BY 1
+    """,
+)
+def cur_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + exact URL dedup — the first stage of every
+    web-crawl pipeline (`curation.canonicalize_urls`): each document gets
+    a synthetic URL whose spelling varies by doc_id (scheme/host case,
+    www., trailing slash, utm_* tracking params, param order, fragment);
+    the canonicalizer must collapse every variant to ONE normal form. The
+    oracle computes the ground-truth canonical directly from the
+    generating formula, so a hash-green row proves the regex/array
+    normalization chain — not a reimplementation of it. Dedup keeps the
+    minimum doc_id per canonical URL with the duplicate count."""
+    from hiss_cube_spark.operators.curation import canonicalize_urls
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    url = F.concat(
+        F.when(F.col("doc_id") % 3 == 0, F.lit("HTTPS://WWW."))
+        .when(F.col("doc_id") % 3 == 1, F.lit("https://"))
+        .otherwise(F.lit("https://www.")),
+        F.when(F.col("doc_id") % 2 == 0, F.upper("source")).otherwise(F.col("source")),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(".Example.COM")).otherwise(
+            F.lit(".example.com")
+        ),
+        F.lit("/p/"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 2 == 0, F.lit("?utm_source=feed&b=2&a=1")
+        ).otherwise(F.lit("?a=1&b=2&utm_campaign=x")),
+        F.lit("#sec"),
+        (F.col("doc_id") % 3).cast("string"),
+    )
+    c = canonicalize_urls(d.withColumn("url", url))
+    return c.groupBy("canonical_url").agg(
+        F.count(F.lit(1)).alias("n_dupes"), F.min("doc_id").alias("kept_doc")
+    )
+
+
+@_q(
     "cur_jsonl_roundtrip",
     """
     SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
@@ -4425,6 +4474,57 @@ def q_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w).cast("long").alias("rerank"),
         _r6(F.col("cosine")).alias("cosine"),
     )
+
+
+@_q(
+    "text_rake_keywords",
+    """
+    WITH toks AS (
+      SELECT doc_id, g.i - 1 AS pos, w[g.i] AS token,
+             (w[g.i] IN ('the', 'a')) AS is_stop
+      FROM (SELECT doc_id,
+                   list_filter(string_split(text, ' '), t -> len(t) > 0) AS w
+            FROM documents) t,
+           unnest(generate_series(1, len(w))) g(i)),
+    grp AS (
+      SELECT doc_id, pos, token, is_stop,
+             sum(CASE WHEN is_stop THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+      FROM toks),
+    words AS (SELECT doc_id, grp, pos, token FROM grp WHERE NOT is_stop),
+    phrases AS (SELECT doc_id, grp, count(*) AS plen, min(pos) AS start
+                FROM words GROUP BY 1, 2),
+    wp AS (SELECT w.doc_id, w.grp, w.pos, w.token, p.plen
+           FROM words w JOIN phrases p USING (doc_id, grp)),
+    wstats AS (SELECT doc_id, token, sum(plen) AS deg, count(*) AS freq
+               FROM wp GROUP BY 1, 2),
+    scored AS (
+      SELECT wp.doc_id, wp.grp,
+             sum(CAST(floor(CAST(ws.deg AS DOUBLE) / ws.freq * 1e6) AS BIGINT))
+               AS score_q,
+             string_agg(wp.token, ' ' ORDER BY wp.pos) AS phrase,
+             min(wp.pos) AS start
+      FROM wp JOIN wstats ws USING (doc_id, token)
+      GROUP BY 1, 2),
+    rk AS (SELECT doc_id, phrase, score_q,
+                  row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY score_q DESC, start) AS rn
+           FROM scored)
+    SELECT doc_id, phrase, round(score_q / 1e6, 6) AS score
+    FROM rk WHERE rn = 1
+    """,
+)
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (`text_analysis.rake_keywords`, Rose et al.
+    2010): each document's top-scoring stopword-delimited phrase by the
+    degree/frequency word score. Integer degree/freq counts, one
+    floor-quantized division per word before the per-phrase integer sum,
+    position tie-breaks — the whole unsupervised keyphrase pipeline is
+    engine-exact and the oracle reproduces it stage by stage."""
+    from hiss_cube_spark.operators.text_analysis import rake_keywords
+
+    return rake_keywords(_t(spark, sf_dir, "documents"))
 
 
 @_q(
@@ -7916,6 +8016,7 @@ _CHECK_PRIORITY = [
     "dedup_span_removal", "cur_perplexity_buckets", "cur_jsonl_roundtrip",
     "text_gopher_rules", "ts_seasonal_decompose", "dq_chi2_independence",
     "mm_video_pipeline", "emb_dbscan", "q_hybrid_retrieval",
+    "text_rake_keywords", "cur_url_dedup",
     "dq_benford", "ts_transition_matrix", "text_ngram_novelty",
     "a_corr_matrix", "a_weighted_median", "f_target_encode",
     "cur_contamination_score", "a_gini", "ts_cusum_changepoint",

@@ -38,6 +38,7 @@ __all__ = [
     "chunk_documents",
     "domain_cap",
     "reservoir_sample",
+    "canonicalize_urls",
 ]
 
 # Knuth multiplicative constant — scrambles sequential ids so range-correlated
@@ -752,3 +753,43 @@ def oversample_minority(
         .where(F.col("_rn") <= F.greatest(F.lit(target), F.col("_n")))
         .select(id_col, label_col, F.col("copy").cast("long").alias("copy"))
     )
+
+
+def canonicalize_urls(
+    df: DataFrame, url_col: str = "url", out_col: str = "canonical_url"
+) -> DataFrame:
+    """URL canonicalization — the first step of every web-crawl dedup
+    (CommonCrawl/C4 lineage): the same page arrives under dozens of
+    spellings, and near-dup text dedup is 1000× cheaper when exact URL
+    dedup has already collapsed them.
+
+    Normalizations (pure column expressions, zero shuffle):
+    fragment dropped; scheme+host lowercased (path/query case preserved —
+    paths are case-sensitive per RFC 3986); leading ``www.`` stripped;
+    tracking parameters (``utm_*``) removed; remaining query parameters
+    sorted byte-wise; trailing path slash stripped. Each step is a
+    regexp/array primitive available verbatim in ANSI engines.
+    """
+    u = F.regexp_replace(F.col(url_col), "#.*$", "")  # fragment
+    prefix = F.regexp_extract(u, "^([^:/?#]+://[^/?#]+)", 1)
+    rest = F.expr(
+        f"substring(regexp_replace({url_col}, '#.*$', ''), "
+        f"length(regexp_extract(regexp_replace({url_col}, '#.*$', ''), "
+        f"'^([^:/?#]+://[^/?#]+)', 1)) + 1)"
+    )
+    host = F.regexp_replace(F.lower(prefix), "://www\\.", "://")
+    path = F.regexp_replace(F.regexp_extract(rest, "^([^?]*)", 1), "/+$", "")
+    qs = F.regexp_extract(rest, "\\?(.*)$", 1)
+    params = F.array_sort(
+        F.filter(
+            F.split(qs, "&"),
+            lambda p: (F.length(p) > 0) & ~p.startswith("utm_"),
+        )
+    )
+    canon = F.concat(
+        host,
+        path,
+        F.when(F.size(params) > 0, F.concat(F.lit("?"), F.array_join(params, "&")))
+        .otherwise(F.lit("")),
+    )
+    return df.withColumn(out_col, canon)

@@ -8,6 +8,7 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from hiss_cube_spark.operators.dedup import token_code
 
@@ -27,6 +28,7 @@ __all__ = [
     "pmi_bigrams",
     "bigram_lm_score",
     "linear_model_score",
+    "rake_keywords",
 ]
 
 # Marker tokens per language for the n-gram/stopword heuristic. Determinism,
@@ -747,4 +749,76 @@ def compression_ratio(
         F.round(
             F.col("_s")[1].cast("double") / F.greatest(F.col("_s")[0], F.lit(1)), 6
         ).alias("compression_ratio"),
+    )
+
+
+def rake_keywords(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    stopwords: list[str] | None = None,
+) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010) — the classic
+    unsupervised keyphrase scorer: candidate phrases are maximal runs of
+    non-stopword tokens; each word scores degree/frequency within the
+    document (degree = summed length of the phrases containing it), and a
+    phrase scores the sum of its words' scores. Emits each document's
+    top-scoring phrase with its quantized score.
+
+    Engine-exact: degree and frequency are integer counts, each word's
+    degree/frequency ratio is ONE IEEE division floor-quantized to 1e6
+    before the per-phrase integer sum, and the winning phrase breaks ties
+    by first position. Plan: one explode to (doc, pos, token), a running
+    stopword-count window per doc to assign phrase groups (the classic
+    gaps-and-islands trick), two doc-local aggregations, one regroup —
+    every stage is doc-grain, nothing global shuffles but the explode.
+    """
+    stopwords = stopwords if stopwords is not None else _STOPWORDS
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokenize(F.col(text_col))).alias("pos", "token"),
+    ).withColumn("is_stop", F.col("token").isin(stopwords))
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    grp = toks.withColumn("grp", F.sum(F.col("is_stop").cast("int")).over(w))
+    words = grp.where(~F.col("is_stop")).select("doc_id", "grp", "pos", "token")
+    phrases = words.groupBy("doc_id", "grp").agg(
+        F.count(F.lit(1)).alias("plen"), F.min("pos").alias("start")
+    )
+    wp = words.join(phrases, ["doc_id", "grp"])
+    wstats = wp.groupBy("doc_id", "token").agg(
+        F.sum("plen").alias("deg"), F.count(F.lit(1)).alias("freq")
+    )
+    scored = (
+        wp.join(wstats, ["doc_id", "token"])
+        .withColumn(
+            "_wq",
+            F.floor(
+                F.col("deg").cast("double") / F.col("freq").cast("double") * 1e6
+            ).cast("long"),
+        )
+        .groupBy("doc_id", "grp")
+        .agg(
+            F.sum("_wq").alias("score_q"),
+            F.array_join(
+                F.expr("transform(array_sort(collect_list(struct(pos, token))), s -> s.token)"),
+                " ",
+            ).alias("phrase"),
+            F.min("pos").alias("start"),
+        )
+    )
+    rw = Window.partitionBy("doc_id").orderBy(
+        F.col("score_q").desc(), F.col("start").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(rw))
+        .where(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            "phrase",
+            F.round(F.col("score_q") / F.lit(1e6), 6).alias("score"),
+        )
     )

@@ -556,3 +556,40 @@ def test_oversample_minority_reaches_target_and_passes_majority(spark):
     assert sorted((r["doc_id"], r["copy"]) for r in out if r["lang"] == "min") == sorted(
         (r["doc_id"], r["copy"]) for r in again if r["lang"] == "min"
     )
+
+
+def test_canonicalize_urls_pinned(spark):
+    from hiss_cube_spark.operators.curation import canonicalize_urls
+
+    df = spark.createDataFrame(
+        [
+            (1, "HTTPS://WWW.Site.Example.COM/p/3/?utm_source=feed&b=2&a=1#sec"),
+            (2, "https://site.example.com/p/3?a=1&b=2&utm_campaign=x"),
+            (3, "http://www.other.org/Deep/Path/?z=9"),  # path case preserved
+            (4, "https://plain.net/x"),
+            (5, "https://plain.net/x?utm_a=1"),  # all params tracking -> none
+        ],
+        "doc_id long, url string",
+    )
+    got = {r["doc_id"]: r["canonical_url"] for r in canonicalize_urls(df).collect()}
+    assert got[1] == got[2] == "https://site.example.com/p/3?a=1&b=2"
+    assert got[3] == "http://other.org/Deep/Path?z=9"
+    assert got[4] == got[5] == "https://plain.net/x"
+
+
+def test_rake_keywords_pinned(spark):
+    """RAKE hand-check: in 'deep learning the deep model a fast index',
+    phrases are [deep learning], [deep model], [fast index]; deg(deep)=4,
+    freq=2 -> 2.0; learning/model 2/1 -> 2.0; fast/index 2/1 -> 2.0 each;
+    so [deep learning]=4.0 ties [deep model]=4.0 and [fast index]=4.0 —
+    first position wins."""
+    from hiss_cube_spark.operators.text_analysis import rake_keywords
+
+    df = spark.createDataFrame(
+        [(1, "deep learning the deep model a fast index"),
+         (2, "the solo a")],  # stopwords + one 1-word phrase
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["phrase"], r["score"]) for r in rake_keywords(df).collect()}
+    assert got[1] == ("deep learning", 4.0)
+    assert got[2] == ("solo", 1.0)
