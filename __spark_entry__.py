@@ -1095,6 +1095,113 @@ def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "ts_seasonal_anomaly",
+    """
+    WITH b AS (
+      SELECT epoch_us(ts) // 3600000000 AS bucket,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1),
+    tr AS (
+      SELECT bucket, n,
+             sum(n) OVER w / (1.0 * count(n) OVER w) AS trend
+      FROM b
+      WINDOW w AS (ORDER BY bucket ROWS BETWEEN 11 PRECEDING AND 12 FOLLOWING)),
+    det AS (SELECT bucket, bucket % 24 AS hod, n, n - trend AS d FROM tr),
+    seas AS (
+      SELECT hod,
+             CAST(sum(CAST(d AS DECIMAL(30,8))) AS DOUBLE) / count(*) AS s
+      FROM det GROUP BY 1),
+    resid AS (
+      SELECT det.bucket, det.n,
+             CAST(floor((det.d - seas.s) * 1e6) AS BIGINT) AS r_q
+      FROM det JOIN seas USING (hod)),
+    med AS (
+      SELECT r_q AS m_q FROM (
+        SELECT r_q, row_number() OVER (ORDER BY r_q, bucket) AS rn,
+               count(*) OVER () AS cnt
+        FROM resid) WHERE rn = (cnt + 1) // 2),
+    mad AS (
+      SELECT ad_q AS mad_q FROM (
+        SELECT abs(r.r_q - med.m_q) AS ad_q,
+               row_number() OVER (ORDER BY abs(r.r_q - med.m_q), r.bucket) AS rn,
+               count(*) OVER () AS cnt
+        FROM resid r CROSS JOIN med) WHERE rn = (cnt + 1) // 2)
+    SELECT r.bucket AS bucket, r.n AS n,
+           round(r.r_q / 1e6, 6) AS residual,
+           (abs(r.r_q - med.m_q) > 3 * mad.mad_q) AS is_anomaly
+    FROM resid r CROSS JOIN med CROSS JOIN mad
+    WHERE abs(r.r_q - med.m_q) > 3 * mad.mad_q
+    """,
+)
+def ts_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonally-adjusted anomaly detection — the STL-anomaly composition
+    every monitoring stack runs: hourly counts minus the 24-bucket moving
+    trend minus the per-hour-of-day seasonal component leaves residuals,
+    and buckets whose residual sits more than 3 robust deviations (MAD)
+    from the residual median are flagged. Residuals are floor-quantized
+    to longs BEFORE the median/MAD rank-walks, so the entire robust
+    statistic chain is integer-exact across engines (the lower-median
+    convention with bucket tie-break pins the rank). The series is
+    |hours| rows after the first aggregate — every later stage is
+    constant-size regardless of corpus scale."""
+    e = _events(spark, sf_dir)
+    b = (
+        e.groupBy(F.expr("ts_us DIV 3600000000").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy("bucket").rowsBetween(-11, 12)
+    det = (
+        b.withColumn(
+            "trend", F.sum("n").over(w) / (F.count("n").over(w) * F.lit(1.0))
+        )
+        .select(
+            "bucket",
+            F.pmod(F.col("bucket"), F.lit(24)).alias("hod"),
+            "n",
+            (F.col("n") - F.col("trend")).alias("d"),
+        )
+    )
+    seas = det.groupBy("hod").agg(
+        (F.sum(_dec(F.col("d"))).cast("double") / F.count(F.lit(1))).alias("s")
+    )
+    resid = det.join(F.broadcast(seas), "hod").select(
+        "bucket",
+        "n",
+        F.floor((F.col("d") - F.col("s")) * 1e6).cast("long").alias("r_q"),
+    )
+    cnt_w = Window.orderBy(F.col("r_q"), F.col("bucket"))
+    ranked = resid.withColumn("rn", F.row_number().over(cnt_w)).withColumn(
+        "cnt", F.count(F.lit(1)).over(Window.partitionBy())
+    )
+    med = ranked.where(F.col("rn") == F.expr("(cnt + 1) DIV 2")).select(
+        F.col("r_q").alias("m_q")
+    )
+    ad = resid.crossJoin(F.broadcast(med)).withColumn(
+        "ad_q", F.abs(F.col("r_q") - F.col("m_q"))
+    )
+    ad_w = Window.orderBy(F.col("ad_q"), F.col("bucket"))
+    mad = (
+        ad.withColumn("rn", F.row_number().over(ad_w))
+        .withColumn("cnt", F.count(F.lit(1)).over(Window.partitionBy()))
+        .where(F.col("rn") == F.expr("(cnt + 1) DIV 2"))
+        .select(F.col("ad_q").alias("mad_q"))
+    )
+    return (
+        resid.crossJoin(F.broadcast(med))
+        .crossJoin(F.broadcast(mad))
+        .where(F.abs(F.col("r_q") - F.col("m_q")) > 3 * F.col("mad_q"))
+        .select(
+            "bucket",
+            "n",
+            F.round(F.col("r_q") / F.lit(1e6), 6).alias("residual"),
+            (F.abs(F.col("r_q") - F.col("m_q")) > 3 * F.col("mad_q")).alias(
+                "is_anomaly"
+            ),
+        )
+    )
+
+
+@_q(
     "ts_seasonal_decompose",
     """
     WITH b AS (
@@ -2172,6 +2279,83 @@ def f_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("s") - xq).cast("double") / (F.col("n") - 1) / F.lit(100.0),
     )
     return j.select("o_orderkey", "nation", _r6(loo).alias("loo_mean_price"))
+
+
+@_q(
+    "a_winsorize",
+    """
+    WITH r AS (
+      SELECT l_returnflag, l_extendedprice,
+             row_number() OVER (PARTITION BY l_returnflag
+                                ORDER BY l_extendedprice, l_orderkey,
+                                         l_linenumber) AS rn,
+             count(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM lineitem),
+    cuts AS (
+      SELECT l_returnflag,
+             max(CASE WHEN rn = CAST(ceil(0.10 * n) AS BIGINT)
+                      THEN l_extendedprice END) AS p_lo,
+             max(CASE WHEN rn = CAST(ceil(0.90 * n) AS BIGINT)
+                      THEN l_extendedprice END) AS p_hi,
+             max(n) AS n
+      FROM r GROUP BY 1),
+    w AS (
+      SELECT r.l_returnflag,
+             least(greatest(r.l_extendedprice, c.p_lo), c.p_hi) AS wv
+      FROM r JOIN cuts c USING (l_returnflag))
+    SELECT w.l_returnflag, CAST(c.n AS BIGINT) AS n,
+           round(c.p_lo, 6) AS p_lo, round(c.p_hi, 6) AS p_hi,
+           round(CAST(sum(CAST(w.wv AS DECIMAL(30,8))) AS DOUBLE) / c.n, 6)
+             AS winsorized_mean
+    FROM w JOIN cuts c USING (l_returnflag)
+    GROUP BY 1, c.n, c.p_lo, c.p_hi
+    """,
+)
+def a_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized robust mean per return flag: clamp values at the exact
+    rank-based 10th/90th percentiles (value at rank ceil(q·n) under a
+    fully-tie-broken ordering), then a decimal-quantized mean of the
+    clamped column — the outlier-robust aggregate (sibling of
+    a_trimmed_mean, which DROPS the tails instead of CLAMPING them). The
+    exact rank-walk totals-orders 3 fat groups — the documented
+    oracle-gate stance; the 100 TB path swaps the cut lookup for
+    approx_percentile thresholds and keeps the identical clamp+mean."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    r = li.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("l_returnflag"))
+    )
+    cuts = r.groupBy("l_returnflag").agg(
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(0.10 * F.col("n")).cast("long"),
+                F.col("l_extendedprice"),
+            )
+        ).alias("p_lo"),
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(0.90 * F.col("n")).cast("long"),
+                F.col("l_extendedprice"),
+            )
+        ).alias("p_hi"),
+        F.max("n").alias("_cn"),
+    )
+    j = r.drop("n").join(F.broadcast(cuts), "l_returnflag").withColumn(
+        "wv", F.least(F.greatest(F.col("l_extendedprice"), F.col("p_lo")), F.col("p_hi"))
+    )
+    return j.groupBy("l_returnflag", "_cn", "p_lo", "p_hi").agg(
+        F.sum(_dec(F.col("wv"))).alias("_s")
+    ).select(
+        "l_returnflag",
+        F.col("_cn").cast("long").alias("n"),
+        _r6(F.col("p_lo")).alias("p_lo"),
+        _r6(F.col("p_hi")).alias("p_hi"),
+        _r6(F.col("_s").cast("double") / F.col("_cn")).alias("winsorized_mean"),
+    )
 
 
 @_q(
@@ -8016,7 +8200,8 @@ _CHECK_PRIORITY = [
     "dedup_span_removal", "cur_perplexity_buckets", "cur_jsonl_roundtrip",
     "text_gopher_rules", "ts_seasonal_decompose", "dq_chi2_independence",
     "mm_video_pipeline", "emb_dbscan", "q_hybrid_retrieval",
-    "text_rake_keywords", "cur_url_dedup",
+    "text_rake_keywords", "cur_url_dedup", "ts_seasonal_anomaly",
+    "a_winsorize",
     "dq_benford", "ts_transition_matrix", "text_ngram_novelty",
     "a_corr_matrix", "a_weighted_median", "f_target_encode",
     "cur_contamination_score", "a_gini", "ts_cusum_changepoint",
