@@ -4425,6 +4425,47 @@ def cur_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "cur_pack_atomic",
+    """
+    WITH RECURSIVE docs AS (
+      SELECT doc_id, source AS shard,
+             CAST(len(list_filter(string_split(text, ' '),
+                                  t -> len(t) > 0)) AS BIGINT) AS n_tokens,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY len(list_filter(string_split(text, ' '),
+                                        t -> len(t) > 0)) DESC, doc_id) AS rn
+      FROM documents),
+    pack(shard, rn, doc_id, n_tokens, bin_id, off, fill) AS (
+      SELECT shard, rn, doc_id, n_tokens, CAST(0 AS BIGINT),
+             CAST(0 AS BIGINT), n_tokens
+      FROM docs WHERE rn = 1
+      UNION ALL
+      SELECT d.shard, d.rn, d.doc_id, d.n_tokens,
+             CASE WHEN p.fill + d.n_tokens <= 512 THEN p.bin_id
+                  ELSE p.bin_id + 1 END,
+             CASE WHEN p.fill + d.n_tokens <= 512 THEN p.fill ELSE 0 END,
+             CASE WHEN p.fill + d.n_tokens <= 512 THEN p.fill + d.n_tokens
+                  ELSE d.n_tokens END
+      FROM pack p JOIN docs d ON d.shard = p.shard AND d.rn = p.rn + 1)
+    SELECT doc_id, shard, n_tokens, bin_id, off AS offset
+    FROM pack
+    """,
+)
+def cur_pack_atomic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-atomic next-fit-decreasing packing into 512-token bins
+    (`curation.pack_atomic`): every document lands whole in one bin —
+    the instruction-tuning/eval layout where window-boundary straddling
+    is forbidden, complementing cur_pack_sequences' zero-waste
+    concat-and-chunk. Each shard packs as one sequential applyInPandas
+    group (shard-parallel); the oracle replays the identical NFD
+    recurrence with a recursive CTE."""
+    from hiss_cube_spark.operators.curation import pack_atomic
+
+    return pack_atomic(_t(spark, sf_dir, "documents"), capacity=512)
+
+
+@_q(
     "cur_pack_sequences",
     """
     WITH n AS (
@@ -8201,7 +8242,7 @@ _CHECK_PRIORITY = [
     "text_gopher_rules", "ts_seasonal_decompose", "dq_chi2_independence",
     "mm_video_pipeline", "emb_dbscan", "q_hybrid_retrieval",
     "text_rake_keywords", "cur_url_dedup", "ts_seasonal_anomaly",
-    "a_winsorize",
+    "a_winsorize", "cur_pack_atomic",
     "dq_benford", "ts_transition_matrix", "text_ngram_novelty",
     "a_corr_matrix", "a_weighted_median", "f_target_encode",
     "cur_contamination_score", "a_gini", "ts_cusum_changepoint",

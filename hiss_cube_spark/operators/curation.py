@@ -39,6 +39,7 @@ __all__ = [
     "domain_cap",
     "reservoir_sample",
     "canonicalize_urls",
+    "pack_atomic",
 ]
 
 # Knuth multiplicative constant — scrambles sequential ids so range-correlated
@@ -793,3 +794,64 @@ def canonicalize_urls(
         .otherwise(F.lit("")),
     )
     return df.withColumn(out_col, canon)
+
+
+def pack_atomic(
+    df: DataFrame,
+    capacity: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shard_col: str = "source",
+) -> DataFrame:
+    """Document-ATOMIC next-fit-decreasing packing: unlike
+    `pack_sequences` (concat-and-chunk — zero waste, documents straddle
+    window boundaries), each document here lands whole in one bin; a bin
+    closes when the next document does not fit. Sorting big-first (the
+    NFD heuristic) keeps the waste bounded; the emitted layout is what
+    instruction-tuning / eval batching needs, where crossing a document
+    boundary is not allowed.
+
+    Packing is inherently sequential per shard, so each shard runs as one
+    `applyInPandas` group (shard-parallel, exactly the multi-worker
+    loader layout) over (n_tokens DESC, id) order — deterministic, and
+    mirrored by the oracle's recursive CTE. Oversize documents
+    (n > capacity) get a bin of their own.
+
+    Returns (doc_id, shard, n_tokens, bin_id, offset) — offset is the
+    document's start position inside its bin.
+    """
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    n = F.size(tokenize(F.col(text_col)))
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(shard_col).cast("string").alias("shard"),
+        n.cast("long").alias("n_tokens"),
+    )
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("shard", StringType()),
+            StructField("n_tokens", LongType()),
+            StructField("bin_id", LongType()),
+            StructField("offset", LongType()),
+        ]
+    )
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["n_tokens", "doc_id"], ascending=[False, True])
+        bin_id, fill = 0, 0
+        bins, offs = [], []
+        first = True
+        for nt in pdf["n_tokens"]:
+            if not first and fill + nt > capacity:
+                bin_id += 1
+                fill = 0
+            bins.append(bin_id)
+            offs.append(fill)
+            fill += nt
+            first = False
+        pdf = pdf.assign(bin_id=bins, offset=offs)
+        return pdf[["doc_id", "shard", "n_tokens", "bin_id", "offset"]]
+
+    return base.groupBy("shard").applyInPandas(_pack, schema=schema)

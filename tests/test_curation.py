@@ -593,3 +593,29 @@ def test_rake_keywords_pinned(spark):
     got = {r["doc_id"]: (r["phrase"], r["score"]) for r in rake_keywords(df).collect()}
     assert got[1] == ("deep learning", 4.0)
     assert got[2] == ("solo", 1.0)
+
+
+def test_pack_atomic_no_straddle_and_waste_bound(spark):
+    """Atomic packing invariants: every doc whole in one bin (offset +
+    n_tokens <= capacity for non-oversize docs), bins fill greedily
+    big-first, an oversize doc gets its own bin, and per-bin loads never
+    exceed capacity except for single-oversize-doc bins."""
+    from hiss_cube_spark.operators.curation import pack_atomic
+
+    df = spark.createDataFrame(
+        [(i, "s", ("w " * n).strip())
+         for i, n in enumerate([300, 300, 200, 100, 90, 700])],
+        "doc_id long, source string, text string",
+    )
+    out = {r["doc_id"]: r for r in pack_atomic(df, capacity=512).collect()}
+    # big-first order: 700 (oversize, own bin), 300, 300, 200, 100, 90
+    assert out[5]["bin_id"] == 0 and out[5]["offset"] == 0      # oversize alone
+    assert out[0]["bin_id"] == 1 and out[0]["offset"] == 0      # 300
+    assert out[1]["bin_id"] == 2                                 # 300+300 > 512
+    assert out[2]["bin_id"] == 2 and out[2]["offset"] == 300     # 300+200 fits
+    assert out[3]["bin_id"] == 3                                 # 200+100 > remaining 12
+    assert out[4]["bin_id"] == 3 and out[4]["offset"] == 100
+    # invariant: non-oversize docs end within capacity
+    for r in out.values():
+        if r["n_tokens"] <= 512:
+            assert r["offset"] + r["n_tokens"] <= 512
