@@ -3068,6 +3068,144 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "emb_matryoshka_recall",
+    """
+    WITH emb AS (SELECT vec_id, embedding FROM embeddings),
+    topk8 AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY (SELECT CAST(sum(CAST(floor(CAST(c.embedding[g.i] AS DOUBLE)
+                            * CAST(q.embedding[g.i] AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT)
+                           FROM unnest(generate_series(1, 8)) g(i))
+                          / (sqrt((SELECT CAST(sum(CAST(floor(CAST(c.embedding[g.i] AS DOUBLE)
+                                   * CAST(c.embedding[g.i] AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT)
+                                   FROM unnest(generate_series(1, 8)) g(i)) / 1e12)
+                             * sqrt((SELECT CAST(sum(CAST(floor(CAST(q.embedding[g.i] AS DOUBLE)
+                                   * CAST(q.embedding[g.i] AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT)
+                                   FROM unnest(generate_series(1, 8)) g(i)) / 1e12)) DESC,
+                          c.vec_id ASC) AS rnk
+        FROM emb q JOIN emb c ON q.vec_id < 10 AND c.vec_id <> q.vec_id)
+      WHERE rnk <= 5),
+    topk16 AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY (SELECT CAST(sum(CAST(floor(CAST(c.embedding[g.i] AS DOUBLE)
+                            * CAST(q.embedding[g.i] AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT)
+                           FROM unnest(generate_series(1, 16)) g(i))
+                          / (sqrt((SELECT CAST(sum(CAST(floor(CAST(c.embedding[g.i] AS DOUBLE)
+                                   * CAST(c.embedding[g.i] AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT)
+                                   FROM unnest(generate_series(1, 16)) g(i)) / 1e12)
+                             * sqrt((SELECT CAST(sum(CAST(floor(CAST(q.embedding[g.i] AS DOUBLE)
+                                   * CAST(q.embedding[g.i] AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT)
+                                   FROM unnest(generate_series(1, 16)) g(i)) / 1e12)) DESC,
+                          c.vec_id ASC) AS rnk
+        FROM emb q JOIN emb c ON q.vec_id < 10 AND c.vec_id <> q.vec_id)
+      WHERE rnk <= 5),
+    topk32 AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY (SELECT CAST(sum(CAST(floor(CAST(c.embedding[g.i] AS DOUBLE)
+                            * CAST(q.embedding[g.i] AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT)
+                           FROM unnest(generate_series(1, 32)) g(i))
+                          / (sqrt((SELECT CAST(sum(CAST(floor(CAST(c.embedding[g.i] AS DOUBLE)
+                                   * CAST(c.embedding[g.i] AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT)
+                                   FROM unnest(generate_series(1, 32)) g(i)) / 1e12)
+                             * sqrt((SELECT CAST(sum(CAST(floor(CAST(q.embedding[g.i] AS DOUBLE)
+                                   * CAST(q.embedding[g.i] AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT)
+                                   FROM unnest(generate_series(1, 32)) g(i)) / 1e12)) DESC,
+                          c.vec_id ASC) AS rnk
+        FROM emb q JOIN emb c ON q.vec_id < 10 AND c.vec_id <> q.vec_id)
+      WHERE rnk <= 5),
+    topk64 AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY (SELECT CAST(sum(CAST(floor(CAST(c.embedding[g.i] AS DOUBLE)
+                            * CAST(q.embedding[g.i] AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT)
+                           FROM unnest(generate_series(1, 64)) g(i))
+                          / (sqrt((SELECT CAST(sum(CAST(floor(CAST(c.embedding[g.i] AS DOUBLE)
+                                   * CAST(c.embedding[g.i] AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT)
+                                   FROM unnest(generate_series(1, 64)) g(i)) / 1e12)
+                             * sqrt((SELECT CAST(sum(CAST(floor(CAST(q.embedding[g.i] AS DOUBLE)
+                                   * CAST(q.embedding[g.i] AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT)
+                                   FROM unnest(generate_series(1, 64)) g(i)) / 1e12)) DESC,
+                          c.vec_id ASC) AS rnk
+        FROM emb q JOIN emb c ON q.vec_id < 10 AND c.vec_id <> q.vec_id)
+      WHERE rnk <= 5)
+    SELECT CAST(d AS INT) AS dim, query_id,
+           CAST(n_hits AS BIGINT) AS n_hits
+    FROM (
+      SELECT 8 AS d, a.query_id, count(b.neighbor_id) AS n_hits
+      FROM topk8 a LEFT JOIN topk64 b
+        ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
+      GROUP BY a.query_id
+      UNION ALL
+      SELECT 16, a.query_id, count(b.neighbor_id)
+      FROM topk16 a LEFT JOIN topk64 b
+        ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
+      GROUP BY a.query_id
+      UNION ALL
+      SELECT 32, a.query_id, count(b.neighbor_id)
+      FROM topk32 a LEFT JOIN topk64 b
+        ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
+      GROUP BY a.query_id)
+    """,
+)
+def emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation evaluation (Kusupati et al. 2022): top-5
+    recall of prefix-truncated embeddings (8/16/32 dims) against the
+    full-64-dim exact neighbors, per query — the measurement that picks a
+    serving dimension for MRL-trained embedding stacks. Every leg is the
+    exact quantized-dot top-k at its own prefix length, so the whole
+    evaluation is engine-exact with NO pinned values — the oracle
+    recomputes all four rankings. (Random embeddings ⇒ low prefix recall;
+    the measurement harness, not the embedding quality, is the surface
+    under test.)"""
+    from hiss_cube_spark.operators.similarity import cosine_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+
+    def trunc(df, d):
+        return df.select(
+            "vec_id", F.slice("embedding", 1, d).alias("embedding")
+        )
+
+    full = cosine_topk(
+        e.where(F.col("vec_id") < 10), e, k=5, exact=True
+    ).select("query_id", F.col("neighbor_id").alias("_fn"))
+    parts = []
+    for d in (8, 16, 32):
+        td = trunc(e, d)
+        topd = cosine_topk(
+            td.where(F.col("vec_id") < 10), td, k=5, exact=True
+        ).select("query_id", "neighbor_id")
+        j = topd.join(
+            full,
+            (topd["query_id"] == full["query_id"])
+            & (topd["neighbor_id"] == full["_fn"]),
+            "left",
+        ).select(topd["query_id"], "_fn")
+        parts.append(
+            j.groupBy("query_id").agg(F.count("_fn").alias("n_hits")).select(
+                F.lit(d).cast("int").alias("dim"),
+                F.col("query_id").cast("long").alias("query_id"),
+                F.col("n_hits").cast("long").alias("n_hits"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@_q(
     "emb_dbscan",
     f"""
     WITH RECURSIVE {_SQL_EMB_NORMS},
@@ -8242,7 +8380,7 @@ _CHECK_PRIORITY = [
     "text_gopher_rules", "ts_seasonal_decompose", "dq_chi2_independence",
     "mm_video_pipeline", "emb_dbscan", "q_hybrid_retrieval",
     "text_rake_keywords", "cur_url_dedup", "ts_seasonal_anomaly",
-    "a_winsorize", "cur_pack_atomic",
+    "a_winsorize", "cur_pack_atomic", "emb_matryoshka_recall",
     "dq_benford", "ts_transition_matrix", "text_ngram_novelty",
     "a_corr_matrix", "a_weighted_median", "f_target_encode",
     "cur_contamination_score", "a_gini", "ts_cusum_changepoint",
