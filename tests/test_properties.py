@@ -177,3 +177,52 @@ def test_query_disc_equals_bruteforce_center_cover(order, seed):
     pad = math.radians(1.3 * 58.6323 / nside)
     want = ids[dist <= math.radians(radius) + pad]
     assert np.array_equal(got, want)
+
+
+def test_canonicalize_urls_idempotent(spark):
+    """Canonicalization is a projection: applying it to its own output is
+    the identity (the property that makes incremental URL dedup sound)."""
+    from pyspark.sql import functions as F
+
+    from hiss_cube_spark.operators.curation import canonicalize_urls
+
+    urls = [
+        "HTTPS://WWW.A.Example.COM/p/1/?utm_x=1&b=2&a=1#f",
+        "https://a.example.com/p/1?a=1&b=2",
+        "http://www.b.org/Path/Deep?z=1&y=2&utm_source=x",
+        "https://c.net",
+        "https://c.net/?utm_only=1",
+    ]
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(urls)], "doc_id long, url string")
+    once = canonicalize_urls(df).select("doc_id", F.col("canonical_url").alias("url"))
+    twice = canonicalize_urls(once)
+    rows = {r["doc_id"]: (r["url"], r["canonical_url"]) for r in twice.collect()}
+    for i, (u1, u2) in rows.items():
+        assert u1 == u2, (i, u1, u2)
+
+
+def test_pack_atomic_invariants_random(spark):
+    """Property: every non-oversize document ends within capacity, bins
+    are contiguous from 0 per shard, and total tokens are conserved."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from hiss_cube_spark.operators.curation import pack_atomic
+
+    rng = np.random.default_rng(13)
+    rows = [
+        (i, f"s{i % 3}", " ".join(["w"] * int(rng.integers(1, 200))))
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = pack_atomic(df, capacity=128).collect()
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r)
+        if r["n_tokens"] <= 128:
+            assert r["offset"] + r["n_tokens"] <= 128
+    for shard, rs in by_shard.items():
+        bins = sorted({r["bin_id"] for r in rs})
+        assert bins == list(range(len(bins)))  # contiguous from 0
+    total_in = sum(len(t.split()) for _, _, t in rows)
+    assert sum(r["n_tokens"] for r in out) == total_in
