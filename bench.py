@@ -71,6 +71,18 @@ HEADLINE = [
     "stream_neardup_minhash",
     "text_bm25_topk",
     "ann_sq_topk",
+    # round-3 additions (one representative per new family; totals are
+    # therefore not comparable across rounds — compare per-query)
+    "dedup_span_removal",
+    "cur_perplexity_buckets",
+    "q_hybrid_retrieval",
+    "cur_url_dedup",
+    "text_gopher_rules",
+    "emb_dbscan",
+    "mm_video_pipeline",
+    "text_rake_keywords",
+    "cur_pack_atomic",
+    "ts_seasonal_anomaly",
 ]
 
 
