@@ -217,6 +217,42 @@ def flagship_ml_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ==========================================================================
 
 @_q(
+    "j_knn_crossmatch",
+    f"""
+    WITH img AS ({_SQL_IMG}), spec AS ({_SQL_SPEC}),
+    cand AS (SELECT s.spec_id, i.img_id, {_SQL_DIST} AS dist
+             FROM spec s JOIN img i ON {_SQL_DIST} <= {_RADIUS_DEG}),
+    rk AS (SELECT spec_id, img_id, dist,
+                  row_number() OVER (PARTITION BY spec_id
+                                     ORDER BY dist, img_id) AS rank
+           FROM cand)
+    SELECT spec_id, CAST(rank AS BIGINT) AS rank, img_id,
+           round(dist, 6) AS dist
+    FROM rk WHERE rank <= 3
+    """,
+)
+def j_knn_crossmatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-nearest-neighbor spatial cross-match
+    (`crossmatch.knn_crossmatch`): each spectrum's 3 closest images
+    within the match radius — the counterpart-selection refinement of the
+    radius match (J2). Distance is correctly-rounded IEEE arithmetic and
+    the rank window carries an img_id tie-break, so the kNN selection is
+    bit-deterministic; the oracle brute-forces the same ranking."""
+    from hiss_cube_spark.operators.crossmatch import knn_crossmatch
+
+    m = knn_crossmatch(
+        _spectra(spark, sf_dir), _images(spark, sf_dir), k=3,
+        radius_deg=_RADIUS_DEG,
+    )
+    return m.select(
+        F.col("p_spec_id").alias("spec_id"),
+        "rank",
+        F.col("t_img_id").alias("img_id"),
+        _r6(F.col("match_dist")).alias("dist"),
+    )
+
+
+@_q(
     "j2_crossmatch",
     f"""
     WITH img AS ({_SQL_IMG}), spec AS ({_SQL_SPEC})
@@ -8381,6 +8417,7 @@ _CHECK_PRIORITY = [
     "mm_video_pipeline", "emb_dbscan", "q_hybrid_retrieval",
     "text_rake_keywords", "cur_url_dedup", "ts_seasonal_anomaly",
     "a_winsorize", "cur_pack_atomic", "emb_matryoshka_recall",
+    "j_knn_crossmatch",
     "dq_benford", "ts_transition_matrix", "text_ngram_novelty",
     "a_corr_matrix", "a_weighted_median", "f_target_encode",
     "cur_contamination_score", "a_gini", "ts_cusum_changepoint",

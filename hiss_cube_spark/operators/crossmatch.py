@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 
 from hiss_cube_spark.functions.spatial import grid_cell, grid_disc_cells, sphere_dist_deg
 
-__all__ = ["crossmatch", "cap_matches_per_probe", "cone_search"]
+__all__ = ["crossmatch", "cap_matches_per_probe", "cone_search", "knn_crossmatch"]
 
 
 def crossmatch(
@@ -140,4 +140,38 @@ def cone_search(
         df.where(pre)
         .withColumn("dist_deg", dist)
         .where(F.col("dist_deg") <= F.lit(float(radius_deg)))
+    )
+
+
+def knn_crossmatch(
+    probes: DataFrame,
+    targets: DataFrame,
+    k: int,
+    radius_deg: float,
+    probe_id: str = "spec_id",
+    target_id: str = "img_id",
+    **kwargs,
+) -> DataFrame:
+    """k-nearest-neighbor cross-match: each probe's ``k`` closest targets
+    within ``radius_deg`` — the counterpart-selection query astronomers
+    run after a radius match (nearest-neighbor association, ref's link
+    phase picks ALL within radius; kNN picks the best k). Probes with
+    fewer than k targets inside the radius emit what exists — widen the
+    radius (candidate cost grows with its square) rather than expecting
+    escalation here.
+
+    Same candidate plan as `crossmatch` (disc-cover cell equi-join, exact
+    distance predicate) plus one per-probe rank window with a target-id
+    tie-break — `match_dist` is built from correctly-rounded IEEE ops, so
+    the ranking is bit-deterministic in any engine.
+    """
+    from pyspark.sql.window import Window
+
+    m = crossmatch(probes, targets, radius_deg, **kwargs)
+    w = Window.partitionBy(f"p_{probe_id}").orderBy(
+        F.col("match_dist").asc(), F.col(f"t_{target_id}").asc()
+    )
+    return (
+        m.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
     )
