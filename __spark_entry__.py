@@ -217,7 +217,7 @@ def flagship_ml_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ==========================================================================
 
 @_q(
-    "j_knn_crossmatch",
+    "j_knn_crossmatch", "cur_unimax_mix", "dq_mutual_info",
     f"""
     WITH img AS ({_SQL_IMG}), spec AS ({_SQL_SPEC}),
     cand AS (SELECT s.spec_id, i.img_id, {_SQL_DIST} AS dist
@@ -3547,6 +3547,54 @@ def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             check_not_null("customer_name_notnull", customer, "c_name"),
             check_range("lineitem_discount_range", lineitem, "l_discount", 0.0, 0.05),
         ],
+    )
+
+
+@_q(
+    "dq_mutual_info",
+    """
+    WITH obs AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS o
+                 FROM documents GROUP BY 1, 2),
+    rt AS (SELECT lang, sum(o) AS rl FROM obs GROUP BY 1),
+    ct AS (SELECT source, sum(o) AS cs FROM obs GROUP BY 1),
+    n AS (SELECT sum(o) AS nn FROM obs)
+    SELECT obs.lang, obs.source, obs.o AS observed,
+           CAST(floor((obs.o / (1.0 * n.nn))
+                      * ln(obs.o * (1.0 * n.nn) / (rt.rl * (1.0 * ct.cs)))
+                      * 1e9) AS BIGINT) AS mi_term_q
+    FROM obs JOIN rt USING (lang) JOIN ct USING (source) CROSS JOIN n
+    """,
+)
+def dq_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between language and crawl source — the
+    information-theoretic companion to the chi-square test (chi2 answers
+    "independent?", MI answers "by how many nats does knowing the source
+    inform the language?"). Per-cell contributions
+    (p_ij)·ln(p_ij/(p_i·p_j)) are floor-quantized at 1e-9 before any
+    comparison; sum mi_term_q/1e9 for the total MI. ln on identical
+    doubles is the accepted cross-engine precedent (tfidf/pmi/bm25), and
+    everything upstream of it is integer arithmetic plus exact IEEE
+    division. Same bounded |lang|×|source| cell table as
+    dq_chi2_independence."""
+    d = _t(spark, sf_dir, "documents")
+    obs = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("o"))
+    rt = obs.groupBy("lang").agg(F.sum("o").alias("rl"))
+    ct = obs.groupBy("source").agg(F.sum("o").alias("cs"))
+    nn = obs.agg(F.sum("o").alias("nn"))
+    p = F.col("o") / (F.col("nn") * F.lit(1.0))
+    ratio = F.col("o") * (F.col("nn") * F.lit(1.0)) / (
+        F.col("rl") * (F.col("cs") * F.lit(1.0))
+    )
+    return (
+        obs.join(F.broadcast(rt), "lang")
+        .join(F.broadcast(ct), "source")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "lang",
+            "source",
+            F.col("o").cast("long").alias("observed"),
+            F.floor(p * F.log(ratio) * F.lit(1e9)).cast("long").alias("mi_term_q"),
+        )
     )
 
 
@@ -7783,6 +7831,100 @@ def text_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hiss_cube_spark.operators.text_analysis import simpson_diversity
 
     return simpson_diversity(_t(spark, sf_dir, "documents"))
+
+
+@_q(
+    "cur_unimax_mix",
+    """
+    WITH tok AS (
+      SELECT source,
+             CAST(sum(len(list_filter(string_split(text, ' '),
+                                      t -> len(t) > 0))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY 1),
+    caps AS (
+      SELECT source, n_tokens, n_tokens * 2 AS cap,
+             row_number() OVER (ORDER BY n_tokens * 2, source) AS rn,
+             sum(n_tokens * 2) OVER (ORDER BY n_tokens * 2, source
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS cum,
+             count(*) OVER () AS m
+      FROM tok),
+    flagged AS (
+      SELECT *,
+             (cap * (m - rn + 1) <= 50000 - (cum - cap)) AS capped
+      FROM caps),
+    kstar AS (
+      SELECT CAST(sum(CASE WHEN capped THEN 1 ELSE 0 END) AS BIGINT) AS k,
+             CAST(sum(CASE WHEN capped THEN cap ELSE 0 END) AS BIGINT)
+               AS cum_capped,
+             max(m) AS m
+      FROM flagged)
+    SELECT f.source, f.n_tokens, CAST(f.cap AS BIGINT) AS cap, f.capped,
+           CAST(CASE WHEN f.capped THEN f.cap
+                     ELSE (50000 - ks.cum_capped) // (ks.m - ks.k)
+                END AS BIGINT) AS allocated,
+           round(CAST(CASE WHEN f.capped THEN f.cap
+                           ELSE (50000 - ks.cum_capped) // (ks.m - ks.k)
+                      END AS DOUBLE) / f.n_tokens, 6) AS epochs
+    FROM flagged f CROSS JOIN kstar ks
+    """,
+)
+def cur_unimax_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax data mixing (Chung et al. 2023): allocate a total token
+    budget (50k) across sources as uniformly as possible subject to a
+    per-source repeat cap (2 epochs of its corpus) — the waterfilling
+    allocation that replaces ad-hoc mixture weights for multilingual
+    pretraining. Closed form, no iteration: sources sorted by cap
+    ascending, a source is capped iff its cap times the remaining source
+    count fits under the remaining budget (an INTEGER comparison — the
+    capped set is a prefix of the sort), everyone else shares the
+    remaining budget by integer division. Every quantity is integer
+    arithmetic until the one final epochs division, so the whole
+    allocation is engine-exact."""
+    d = _t(spark, sf_dir, "documents")
+    from hiss_cube_spark.operators.text_analysis import tokenize
+
+    T, EPOCH_CAP = 50000, 2
+    tok = d.groupBy("source").agg(
+        F.sum(F.size(tokenize(F.col("text")))).cast("long").alias("n_tokens")
+    )
+    w = Window.orderBy(F.col("n_tokens") * EPOCH_CAP, F.col("source"))
+    caps = tok.select(
+        "source",
+        "n_tokens",
+        (F.col("n_tokens") * EPOCH_CAP).alias("cap"),
+        F.row_number().over(w).alias("rn"),
+        F.sum(F.col("n_tokens") * EPOCH_CAP)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("m"),
+    )
+    flagged = caps.withColumn(
+        "capped",
+        F.col("cap") * (F.col("m") - F.col("rn") + 1)
+        <= F.lit(T) - (F.col("cum") - F.col("cap")),
+    )
+    ks = flagged.agg(
+        F.sum(F.when(F.col("capped"), 1).otherwise(0)).cast("long").alias("k"),
+        F.sum(F.when(F.col("capped"), F.col("cap")).otherwise(0))
+        .cast("long")
+        .alias("cum_capped"),
+        F.max("m").alias("_m"),
+    )
+    alloc = F.when(F.col("capped"), F.col("cap")).otherwise(
+        F.expr(f"({T} - cum_capped) DIV (_m - k)")
+    )
+    return (
+        flagged.crossJoin(F.broadcast(ks))
+        .select(
+            "source",
+            "n_tokens",
+            F.col("cap").cast("long").alias("cap"),
+            "capped",
+            alloc.cast("long").alias("allocated"),
+            _r6(alloc.cast("double") / F.col("n_tokens")).alias("epochs"),
+        )
+    )
 
 
 @_q(
