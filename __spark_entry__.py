@@ -217,7 +217,7 @@ def flagship_ml_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ==========================================================================
 
 @_q(
-    "j_knn_crossmatch", "cur_unimax_mix", "dq_mutual_info",
+    "j_knn_crossmatch",
     f"""
     WITH img AS ({_SQL_IMG}), spec AS ({_SQL_SPEC}),
     cand AS (SELECT s.spec_id, i.img_id, {_SQL_DIST} AS dist
@@ -8559,7 +8559,7 @@ _CHECK_PRIORITY = [
     "mm_video_pipeline", "emb_dbscan", "q_hybrid_retrieval",
     "text_rake_keywords", "cur_url_dedup", "ts_seasonal_anomaly",
     "a_winsorize", "cur_pack_atomic", "emb_matryoshka_recall",
-    "j_knn_crossmatch",
+    "j_knn_crossmatch", "cur_unimax_mix", "dq_mutual_info",
     "dq_benford", "ts_transition_matrix", "text_ngram_novelty",
     "a_corr_matrix", "a_weighted_median", "f_target_encode",
     "cur_contamination_score", "a_gini", "ts_cusum_changepoint",
