@@ -8525,35 +8525,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # list, remaining never-checked queries first, so later rounds rotate the
 # window forward until every query has had a green row.
 _CHECK_PRIORITY = [
-    # ---- round-3 window (slots 1-50) ----
-    # sentinels (green r1+r2; canaries against harness drift)
+    # ---- round-4 window (slots 1-50) ----
+    # sentinels (green r1+r2+r3; canaries against harness drift)
     "flagship_ml_cube", "q1_pricing_summary",
-    # the six r2 `no_oracle` rows, now carrying deterministic companions
-    # (exactness booleans / planted-dup checks / pinned recall@k) — re-check
-    # so they flip to hash-green
-    "a_approx_stats", "a_hll_sketch", "mm_audio_pipeline",
-    "cur_semantic_dedup", "ann_lsh_topk", "ann_pq_topk",
-    # 42 fresh never-driver-checked queries (oracle-bearing), families
-    # interleaved in prior definition order: curation, data quality, dedup,
-    # streaming, graph, text, ANN/embeddings, CDC, joins, aggregates
-    "f_udtf_tokens", "cur_incremental_dedup", "cur_chunk_documents",
-    "cur_domain_cap", "cur_hash_split", "cur_pack_sequences",
-    "cur_balanced_sample", "cur_temperature_sample", "cur_decontaminate",
-    "cur_corpus_report", "cur_redact_pii", "cur_quality_filter",
-    "cur_full_pipeline", "dq_constraint_report", "dq_profile_table",
-    "dedup_substring_spans", "text_simpson_diversity", "cur_mix_weights",
-    "stream_dedup_first", "stream_neardup_minhash", "graph_triangles",
-    "dq_outliers", "emb_hard_negatives", "text_bm25_topk", "ann_sq_topk",
-    "dedup_containment", "dq_ks_drift", "cur_stratified_kfold",
-    "text_entropy", "text_pmi_bigrams", "ts_autocorr",
-    "cur_weighted_sample", "dq_mad_outliers", "dq_segment_drift",
-    "a_trimmed_mean", "a_mode", "cdc_incremental_agg", "j_asof_interp",
-    "cur_best_of_cluster", "cur_score_calibrate", "emb_random_projection",
-    "graph_bfs_hops",
-    # NOTE: the driver's 50-query window ends at graph_bfs_hops (slot 50);
-    # everything below rotates into the window in round 4 (50 remaining,
-    # all oracle-paired as of round 3).
-    # --- remaining never-checked, for the next rotation ---
+    # 48 fresh never-driver-checked queries (all oracle-paired since
+    # round 3): the round-3 additions, the §2-adjacent rows
+    # (o1_zorder_clustering, viz_cube_union), and the first slice of the
+    # TPC-H breadth batch — 96% of the window has never had a driver row.
     "dedup_span_removal", "cur_perplexity_buckets", "cur_jsonl_roundtrip",
     "text_gopher_rules", "ts_seasonal_decompose", "dq_chi2_independence",
     "mm_video_pipeline", "emb_dbscan", "q_hybrid_retrieval",
@@ -8570,17 +8548,37 @@ _CHECK_PRIORITY = [
     "a_median_quartiles", "o_global_topk", "a_pivot_flags",
     "mm_decode_stub", "mm_frame_sample",
     "q2_min_cost_supplier", "q6_forecast_revenue", "q7_volume_shipping",
-    "q8_market_share", "q9_product_profit", "q11_important_stock",
+    "q8_market_share", "q9_product_profit",
+    # NOTE: the driver's 50-query window ends at q9_product_profit
+    # (slot 50); the 17 below are the round-5 rotation (the remaining
+    # TPC-H slice plus the round-3-companioned formerly-rows-only set).
+    # --- remaining never-checked, for the round-5 rotation ---
+    "q11_important_stock",
     "q12_priority_class", "q13_order_count_distribution",
     "q15_top_supplier", "q16_supplier_cnt", "q17_small_quantity_revenue",
     "q20_excess_suppliers", "q21_lone_returned_supplier",
     "q22_no_order_customers",
-    # formerly rows-only — all carry oracles since round 3 (companions /
-    # analytic truth sets / pins at the check SF); rotate with the rest
     "mm_phash_neardup", "ann_ivf_pq_topk", "text_bpe_tokens",
     "stream_ann_refresh", "emb_whiten", "text_compression_ratio",
     "mm_audio_neardup", "mm_image_pipeline",
-    # ---- previously green (r1∪r2), keep definition order after this ----
+    # ---- previously green (r1∪r2∪r3), definition order after this ----
+    # round-3 window greens first
+    "a_approx_stats", "a_hll_sketch", "mm_audio_pipeline",
+    "cur_semantic_dedup", "ann_lsh_topk", "ann_pq_topk",
+    "f_udtf_tokens", "cur_incremental_dedup", "cur_chunk_documents",
+    "cur_domain_cap", "cur_hash_split", "cur_pack_sequences",
+    "cur_balanced_sample", "cur_temperature_sample", "cur_decontaminate",
+    "cur_corpus_report", "cur_redact_pii", "cur_quality_filter",
+    "cur_full_pipeline", "dq_constraint_report", "dq_profile_table",
+    "dedup_substring_spans", "text_simpson_diversity", "cur_mix_weights",
+    "stream_dedup_first", "stream_neardup_minhash", "graph_triangles",
+    "dq_outliers", "emb_hard_negatives", "text_bm25_topk", "ann_sq_topk",
+    "dedup_containment", "dq_ks_drift", "cur_stratified_kfold",
+    "text_entropy", "text_pmi_bigrams", "ts_autocorr",
+    "cur_weighted_sample", "dq_mad_outliers", "dq_segment_drift",
+    "a_trimmed_mean", "a_mode", "cdc_incremental_agg", "j_asof_interp",
+    "cur_best_of_cluster", "cur_score_calibrate", "emb_random_projection",
+    "graph_bfs_hops",
     "o3_cap_refs", "w_lag_sessionize",
     "ts_ewma", "graph_pagerank", "j_bloom_prune", "cur_model_quality",
     "dq_histogram", "cur_neardup_corpus", "cdc_time_travel", "dq_equidepth",
