@@ -3300,6 +3300,91 @@ def emb_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "emb_dbscan_blocked",
+    """
+    WITH RECURSIVE planted AS (
+      SELECT e.vec_id * 10 + r.rep AS vec_id,
+             list_transform(e.embedding,
+               x -> CAST(CAST(x AS DOUBLE) * (1.0 + r.rep / 20.0) AS FLOAT)) AS embedding
+      FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5) e
+      CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS rep) r),
+    norms AS (
+      SELECT vec_id,
+             CAST(sum(CAST(floor(CAST(embedding[g.i] AS DOUBLE) * CAST(embedding[g.i] AS DOUBLE)
+                  * 1e12) AS BIGINT)) AS BIGINT) / 1e12 AS nrm
+      FROM planted, unnest(generate_series(1, len(embedding))) g(i)
+      GROUP BY vec_id),
+    dots AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             CAST(sum(CAST(floor(CAST(a.embedding[g.i] AS DOUBLE) * CAST(b.embedding[g.i] AS DOUBLE)
+                  * 1e12) AS BIGINT)) AS BIGINT) / 1e12 AS dot
+      FROM planted a, planted b, unnest(generate_series(1, len(a.embedding))) g(i)
+      WHERE a.vec_id < b.vec_id
+      GROUP BY a.vec_id, b.vec_id),
+    pairs AS (
+      SELECT id_a, id_b
+      FROM dots JOIN norms na ON na.vec_id = id_a JOIN norms nb ON nb.vec_id = id_b
+      WHERE dot / (sqrt(na.nrm) * sqrt(nb.nrm)) >= 0.9),
+    edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    deg AS (SELECT a AS node, count(*) AS nbrs FROM edges GROUP BY a),
+    core AS (SELECT p.vec_id AS node FROM planted p
+             LEFT JOIN deg d ON d.node = p.vec_id
+             WHERE coalesce(d.nbrs, 0) + 1 >= 3),
+    ce AS (SELECT e.a, e.b FROM edges e
+           JOIN core ca ON ca.node = e.a JOIN core cb ON cb.node = e.b),
+    reach(node, label) AS (
+      SELECT node, node FROM core
+      UNION
+      SELECT e.b, r.label FROM reach r JOIN ce e ON e.a = r.node),
+    core_lab AS (SELECT node, min(label) AS cluster_id FROM reach GROUP BY node),
+    border AS (
+      SELECT e.a AS node, min(cl.cluster_id) AS cluster_id
+      FROM edges e JOIN core_lab cl ON cl.node = e.b
+      WHERE e.a NOT IN (SELECT node FROM core)
+      GROUP BY e.a)
+    SELECT p.vec_id,
+           CASE WHEN c.cluster_id IS NOT NULL THEN 'core'
+                WHEN b.cluster_id IS NOT NULL THEN 'border'
+                ELSE 'noise' END AS role,
+           CAST(coalesce(c.cluster_id, b.cluster_id) AS BIGINT) AS cluster_id
+    FROM planted p
+    LEFT JOIN core_lab c ON c.node = p.vec_id
+    LEFT JOIN border b ON b.node = p.vec_id
+    """,
+)
+def emb_dbscan_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB DBSCAN path: sign-LSH-blocked eps-graph
+    (`dbscan_embeddings(use_lsh_blocking=True)` — pairs generated only
+    within LSH buckets, never all-pairs) on a planted-blob corpus with an
+    ANALYTIC recall contract instead of pinned constants. The corpus is 5
+    blobs × 10 direction-identical copies (base vector scaled by
+    1 + rep/20): sign-LSH buckets are scale-invariant (``sign(c·v·h) =
+    sign(v·h)`` for c > 0), so every within-blob edge survives blocking —
+    blocked recall is exactly 1.0 BY CONSTRUCTION on duplicate nests, the
+    workload this operator targets — and exact DBSCAN (recursive-CTE
+    density closure in the oracle) is the truth set. Cross-blob cosines of
+    the synthetic base vectors sit far below the 0.9 threshold, so the
+    dropped cross-bucket candidates carry no edges."""
+    from hiss_cube_spark.operators.similarity import dbscan_embeddings
+
+    base = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 5)
+    planted = base.select(
+        "vec_id", "embedding", F.explode(F.sequence(F.lit(0), F.lit(9))).alias("rep")
+    ).select(
+        (F.col("vec_id") * 10 + F.col("rep")).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x: (
+                x.cast("double")
+                * (F.lit(1.0) + F.col("rep").cast("double") / F.lit(20.0))
+            ).cast("float"),
+        ).alias("embedding"),
+    )
+    return dbscan_embeddings(planted, threshold=0.9, min_pts=3, use_lsh_blocking=True)
+
+
+@_q(
     "emb_cosine_pairs",
     f"""
     WITH {_SQL_EMB_NORMS},
@@ -8561,6 +8646,8 @@ _CHECK_PRIORITY = [
     "mm_phash_neardup", "ann_ivf_pq_topk", "text_bpe_tokens",
     "stream_ann_refresh", "emb_whiten", "text_compression_ratio",
     "mm_audio_neardup", "mm_image_pipeline",
+    # round-4 additions (never checked yet, all oracle-paired)
+    "emb_dbscan_blocked",
     # ---- previously green (r1∪r2∪r3), definition order after this ----
     # round-3 window greens first
     "a_approx_stats", "a_hll_sketch", "mm_audio_pipeline",

@@ -992,6 +992,10 @@ def dbscan_embeddings(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     blocked: bool = True,
+    pairs: DataFrame | None = None,
+    use_lsh_blocking: bool = False,
+    n_planes: int = 8,
+    seed: int = 42,
 ) -> DataFrame:
     """DBSCAN over embedding space with cosine >= ``threshold`` as the
     eps-neighborhood (Ester et al. 1996, the density-based complement to
@@ -1005,21 +1009,37 @@ def dbscan_embeddings(
     neighbor — the deterministic resolution of DBSCAN's classic
     border-assignment ambiguity, so results are engine-exact.
 
-    Plan shape: the eps-graph comes from `cosine_pairs` (exact quantized
-    dots; swap in the LSH-blocked variant at scale — DBSCAN only ever
-    sees the pair list), degrees are one groupBy, cores one filter,
-    clusters min-label propagation over the core-core subgraph only
-    (`connected_components` — diameter-bounded rounds), borders one join.
-    Nothing materializes beyond the pair list the dedup family already
-    budgets for. The pair list comes from the blocked numpy kernel
-    (`cosine_pairs_blocked` — bit-identical to the Catalyst
-    quantized-dot expression, pinned by
-    test_cosine_pairs_blocked_matches_expr, ~15× faster); pass
-    ``blocked=False`` for the pure-expression path.
+    Plan shape: DBSCAN only ever sees a pair list, so the eps-graph source
+    is pluggable — the 100 TB path is sub-quadratic by construction:
+
+    * ``pairs=<DataFrame>`` — bring your own (id_a, id_b) eps-graph, e.g.
+      from `minhash_lsh_pairs` or `semantic_dedup`'s cell pairs;
+    * ``use_lsh_blocking=True`` — sign-LSH bucketed `cosine_pairs`
+      (pairs generated only within LSH buckets — approximate recall,
+      never all-pairs; the scale default for big corpora);
+    * default — the exact blocked numpy kernel (`cosine_pairs_blocked`,
+      bit-identical to the Catalyst quantized-dot expression, pinned by
+      test_cosine_pairs_blocked_matches_expr, ~15× faster than it);
+      ``blocked=False`` selects the pure-expression path. Both exact
+      paths are quadratic — the oracle reference, not the scale path.
+
+    Downstream of the pair list: degrees are one groupBy (left-joined from
+    the full corpus id set, so zero-neighbor points are counted — with
+    ``min_pts=1`` they correctly become singleton cores, not noise),
+    cores one filter, clusters min-label propagation over the core-core
+    subgraph only (`connected_components` — diameter-bounded rounds),
+    borders one join.
     """
     from hiss_cube_spark.operators.clusters import connected_components
 
-    if blocked:
+    if pairs is not None:
+        pairs = pairs.select("id_a", "id_b")
+    elif use_lsh_blocking:
+        pairs = cosine_pairs(
+            corpus, threshold, id_col=id_col, vec_col=vec_col,
+            exact=True, use_lsh_blocking=True, n_planes=n_planes, seed=seed,
+        ).select("id_a", "id_b")
+    elif blocked:
         pairs = cosine_pairs_blocked(
             corpus, threshold, id_col=id_col, vec_col=vec_col
         ).select("id_a", "id_b")
@@ -1033,9 +1053,14 @@ def dbscan_embeddings(
     # the eps-graph feeds four subtrees (degrees, core-core edges, border
     # assignment, CC) — materialize once so the all-pairs kernel runs once
     und = und.localCheckpoint(eager=True)
-    deg = und.groupBy(F.col("id_a").alias("node")).agg(
-        F.count(F.lit(1)).alias("nbrs")
-    )
+    all_ids = corpus.select(F.col(id_col).alias("node"))
+    deg = all_ids.join(
+        und.groupBy(F.col("id_a").alias("node")).agg(
+            F.count(F.lit(1)).alias("nbrs")
+        ),
+        "node",
+        "left",
+    ).select("node", F.coalesce("nbrs", F.lit(0)).alias("nbrs"))
     core = deg.where(F.col("nbrs") + 1 >= min_pts).select("node")
     ce = (
         und.join(core.select(F.col("node").alias("id_a")), "id_a")
@@ -1056,9 +1081,8 @@ def dbscan_embeddings(
         .groupBy(F.col("id_a").alias("node"))
         .agg(F.min("cluster_id").alias("cluster_id"))
     )
-    ids = corpus.select(F.col(id_col).alias("node"))
     return (
-        ids.join(core_lab.withColumnRenamed("cluster_id", "_cc"), "node", "left")
+        all_ids.join(core_lab.withColumnRenamed("cluster_id", "_cc"), "node", "left")
         .join(border.withColumnRenamed("cluster_id", "_cb"), "node", "left")
         .select(
             F.col("node").alias(id_col),

@@ -722,3 +722,78 @@ def test_dbscan_embeddings_planted_blobs(spark):
     expr = {r["vec_id"]: (r["role"], r["cluster_id"])
             for r in dbscan_embeddings(df, threshold=0.9, min_pts=3, blocked=False).collect()}
     assert expr == {k: (r["role"], r["cluster_id"]) for k, r in out.items()}
+
+
+def test_dbscan_pluggable_pair_source(spark):
+    """The eps-graph is pluggable: a caller-supplied `pairs` DataFrame
+    (the 100 TB path — e.g. MinHash/LSH-bucketed candidates) drives the
+    same degree/core/CC machinery. Supplying the 0-1-2 triangle plus a
+    3-4 edge yields one 3-core cluster and, at min_pts=3, non-core 3/4."""
+    from hiss_cube_spark.operators.similarity import dbscan_embeddings
+
+    corpus = spark.createDataFrame(
+        [(i, [1.0] * 4) for i in range(6)], "vec_id long, embedding array<float>"
+    )
+    pairs = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 2), (3, 4)], "id_a long, id_b long"
+    )
+    out = {
+        r["vec_id"]: (r["role"], r["cluster_id"])
+        for r in dbscan_embeddings(corpus, min_pts=3, pairs=pairs).collect()
+    }
+    assert out[0] == ("core", 0) and out[1] == ("core", 0) and out[2] == ("core", 0)
+    # 3 and 4 have one neighbor each -> not core; no core neighbor -> noise
+    assert out[3] == ("noise", None) and out[4] == ("noise", None)
+    assert out[5] == ("noise", None)
+
+
+def test_dbscan_min_pts_one_singletons_are_cores(spark):
+    """DBSCAN defines every point as core of its own singleton cluster at
+    min_pts=1 — including points with ZERO eps-neighbors, which never
+    appear in the edge list (degrees are left-joined from the corpus id
+    set, not derived from the eps-graph alone)."""
+    from hiss_cube_spark.operators.similarity import dbscan_embeddings
+
+    corpus = spark.createDataFrame(
+        [(7, [1.0] * 4), (8, [1.0] * 4), (9, [1.0] * 4)],
+        "vec_id long, embedding array<float>",
+    )
+    pairs = spark.createDataFrame([(7, 8)], "id_a long, id_b long")
+    out = {
+        r["vec_id"]: (r["role"], r["cluster_id"])
+        for r in dbscan_embeddings(corpus, min_pts=1, pairs=pairs).collect()
+    }
+    assert out[7] == ("core", 7) and out[8] == ("core", 7)
+    # 9 has no eps-neighbor at all, yet is its own singleton core
+    assert out[9] == ("core", 9)
+
+
+def test_dbscan_lsh_blocked_full_recall_on_scaled_copies(spark):
+    """Sign-LSH buckets are scale-invariant, so direction-identical
+    copies (the duplicate-nest workload) keep ALL within-blob edges under
+    LSH blocking: blocked DBSCAN == exact DBSCAN on planted blobs."""
+    import numpy as np
+
+    from hiss_cube_spark.operators.similarity import dbscan_embeddings
+
+    rng = np.random.default_rng(21)
+    rows = []
+    for b in range(3):
+        base = rng.standard_normal(64)
+        for j in range(5):
+            rows.append(
+                (b * 10 + j, [float(t * (1.0 + j / 20.0)) for t in base])
+            )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    exact = {
+        r["vec_id"]: (r["role"], r["cluster_id"])
+        for r in dbscan_embeddings(df, threshold=0.9, min_pts=3).collect()
+    }
+    lsh = {
+        r["vec_id"]: (r["role"], r["cluster_id"])
+        for r in dbscan_embeddings(
+            df, threshold=0.9, min_pts=3, use_lsh_blocking=True
+        ).collect()
+    }
+    assert lsh == exact
+    assert all(lsh[b * 10 + j] == ("core", b * 10) for b in range(3) for j in range(5))
