@@ -773,11 +773,10 @@ def canonicalize_urls(
     """
     u = F.regexp_replace(F.col(url_col), "#.*$", "")  # fragment
     prefix = F.regexp_extract(u, "^([^:/?#]+://[^/?#]+)", 1)
-    rest = F.expr(
-        f"substring(regexp_replace({url_col}, '#.*$', ''), "
-        f"length(regexp_extract(regexp_replace({url_col}, '#.*$', ''), "
-        f"'^([^:/?#]+://[^/?#]+)', 1)) + 1)"
-    )
+    # expr-free Column ops: the column is referenced once through F.col,
+    # so names needing backticks (dots, spaces) work, and the
+    # fragment-strip/prefix logic is not duplicated in a SQL string
+    rest = F.substring(u, F.length(prefix) + F.lit(1), F.length(u))
     host = F.regexp_replace(F.lower(prefix), "://www\\.", "://")
     path = F.regexp_replace(F.regexp_extract(rest, "^([^?]*)", 1), "/+$", "")
     qs = F.regexp_extract(rest, "\\?(.*)$", 1)

@@ -50,11 +50,15 @@ def best_fuzzy_match(
         F.col(cand_col).isNotNull()
     ).distinct().withColumn("_clen", F.length(cand_col))
 
-    max_len_row = (
-        p.agg(F.max(F.length(probe_col)).alias("m")).collect()[0]["m"] or 0,
-        candidates.agg(F.max(F.length(cand_col)).alias("m")).collect()[0]["m"] or 0,
+    # one driver round-trip for both scalar maxima: union the two 1-row
+    # aggregates into a single job instead of two separate collects
+    cap_row = (
+        p.agg(F.max(F.length(probe_col)).alias("m"))
+        .unionAll(candidates.agg(F.max(F.length(cand_col)).alias("m")))
+        .agg(F.max("m").alias("m"))
+        .collect()[0]
     )
-    cap = max(max_len_row)  # B >= cap puts every pair in band
+    cap = cap_row["m"] or 0  # B >= cap puts every pair in band
 
     results: list[DataFrame] = []
     remaining = p

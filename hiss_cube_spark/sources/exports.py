@@ -144,10 +144,11 @@ def write_votable_binary(df: DataFrame, path: str, max_rows: int = 5_000_000) ->
         _SPARK_VOT_TYPES.get(f.dataType.simpleString(), "char")
         for f in df.schema.fields
     ]
-    pdf = df.limit(max_rows).toPandas()
-    doc = _votable_binary_doc(
-        list(pdf.columns), vts, pdf.itertuples(index=False, name=None)
-    )
+    # collect row tuples directly — a pandas roundtrip would degrade a
+    # nullable long column to float64 and silently round ints above 2^53
+    # before struct.pack encodes them as 'long'
+    rows = (tuple(r) for r in df.limit(max_rows).collect())
+    doc = _votable_binary_doc(list(df.columns), vts, rows)
     with open(path, "w") as f:
         f.write(doc)
 

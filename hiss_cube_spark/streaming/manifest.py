@@ -186,7 +186,11 @@ class ManifestSnapshotStore:
                 raise FileNotFoundError(
                     f"no snapshot under {self.root} to recover (init() first)"
                 )
-            self.commit(snaps[-1][0])
+            # adopt the newest complete snapshot BY DIRECTORY NAME: after
+            # repeated compactions only c-suffixed versions of a batch may
+            # survive, so rebuilding "snap_<id>" from the batch id could
+            # commit a dangling pointer and then gc the real directory
+            self._commit_name(os.path.basename(snaps[-1][1]))
             return
         cur = self.last_applied()
         for bid, d in snaps:

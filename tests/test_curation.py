@@ -576,6 +576,15 @@ def test_canonicalize_urls_pinned(spark):
     assert got[3] == "http://other.org/Deep/Path?z=9"
     assert got[4] == got[5] == "https://plain.net/x"
 
+    # column names that need backticks (dots) work — the implementation
+    # references the column through F.col, never an interpolated SQL string
+    dotted = df.withColumnRenamed("url", "page.url")
+    got2 = {
+        r["doc_id"]: r["canonical_url"]
+        for r in canonicalize_urls(dotted, url_col="`page.url`").collect()
+    }
+    assert got2 == got
+
 
 def test_rake_keywords_pinned(spark):
     """RAKE hand-check: in 'deep learning the deep model a fast index',

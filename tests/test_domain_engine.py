@@ -428,3 +428,13 @@ def test_votable_binary_roundtrip(spark, tmp_path_factory):
     names2, rows2 = read_votable(txtp)
     assert names2 == names and len(rows2) == 3
     assert {r[0] for r in rows2} == {1, 2, 3}
+
+    # a NULLABLE long column keeps exact int64 values above 2^53 (a pandas
+    # roundtrip would degrade the column to float64 and round them)
+    big = 2**62 + 12345
+    df2 = spark.createDataFrame([(1, big), (2, None)], "id long, v long")
+    p2 = os.path.join(d, "big.vot")
+    write_votable_binary(df2, p2)
+    _, rows = read_votable(p2)
+    got = {r[0]: r[1] for r in rows}
+    assert got[1] == big and got[2] is None

@@ -715,6 +715,24 @@ def test_manifest_store_commit_protocol_and_crashes(spark, tmp_path_factory):
     assert s2.last_applied() == -1
     assert {r["k"] for r in s2.read(spark).collect()} == {9}
 
+    # lost pointer AFTER compaction: only the c-suffixed version of the
+    # batch survives — recovery must adopt it BY NAME (rebuilding
+    # "snap_<id>" from the batch id would commit a dangling pointer and
+    # then gc the surviving directory)
+    root3 = str(tmp_path_factory.mktemp("mani3")) + "/store"
+    s3 = ManifestSnapshotStore(root3)
+    s3.init(spark.createDataFrame([(5, "e")], "k long, v string"))
+    s3.stage(spark.createDataFrame([(6, "f"), (7, "g")], "k long, v string"), 0)
+    s3.commit(0)
+    s3.compact(spark, target_rows_per_file=1)   # snap_0c1, gc's snap_0
+    s3.compact(spark, target_rows_per_file=10)  # snap_0c2, gc's snap_0c1
+    assert not os.path.exists(os.path.join(root3, "snap_0"))
+    os.remove(os.path.join(root3, "_current"))
+    s3.recover()
+    assert s3.current_name() == "snap_0c2"
+    assert s3.last_applied() == 0
+    assert {r["k"] for r in s3.read(spark).collect()} == {6, 7}
+
 
 def test_stream_incremental_dedup_manifest_mode(spark, tmp_path_factory):
     """The dedup index maintained through the manifest-pointer commit:
