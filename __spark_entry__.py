@@ -6091,6 +6091,80 @@ def mm_image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "mm_jpeg_pipeline",
+    """
+    SELECT doc_id,
+           CAST(16 + (doc_id % 3) * 8 AS INT) AS height,
+           CAST(24 AS INT) AS width,
+           TRUE AS within_tol
+    FROM documents WHERE doc_id % 5 = 0
+    """,
+)
+def mm_jpeg_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end BASELINE JPEG leg of the image pipeline (the in-repo
+    T.81 codec, `operators/jpeg.py` — no Pillow/libjpeg): synthesize an
+    RGB image per document from its text bytes, encode as JPEG (mixing
+    4:4:4 / 4:2:0 subsampling and restart intervals across documents so
+    every decoder branch runs distributed), decode, and check the decoded
+    pixels against the source. JPEG is lossy, so the oracle is the
+    ANALYTIC contract — decoded dimensions (from the synthesis law) plus
+    a reconstruction-error bound (mean |dec-src| < 8, ~2.5x the measured
+    worst case for quality-95 noise) — not a pin of codec internals;
+    exact per-pixel behavior is pinned in tests/test_multimodal_images.py."""
+    import numpy as _np
+    import pandas as _pd
+    from collections.abc import Iterator as _Iter
+
+    from hiss_cube_spark.operators.jpeg import decode_jpeg_np, encode_jpeg_np
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 0).select("doc_id", "text")
+
+    def _roundtrip(batches: _Iter[_pd.DataFrame]) -> _Iter[_pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                b = _np.resize(
+                    _np.frombuffer(text.encode("utf-8"), dtype=_np.uint8), 9
+                ).astype(_np.float64)
+                h, w = 16 + int(doc_id) % 3 * 8, 24
+                # smooth byte-seeded sinusoid per channel: JPEG-natural
+                # content, so the 4:2:0 chroma subsample stays in-bound
+                yy = _np.arange(h)[:, None] / h
+                xx = _np.arange(w)[None, :] / w
+                chans = [
+                    128.0
+                    + 90.0
+                    * _np.sin(
+                        2.0 * _np.pi
+                        * ((1 + b[3 * c] % 3) * xx + (1 + b[3 * c + 1] % 3) * yy
+                           + b[3 * c + 2] / 256.0)
+                    )
+                    for c in range(3)
+                ]
+                px = _np.clip(_np.round(_np.stack(chans, axis=-1)), 0, 255).astype(
+                    _np.uint8
+                )
+                blob = encode_jpeg_np(
+                    px,
+                    quality=95,
+                    subsampling="420" if doc_id % 2 else "444",
+                    restart_interval=2 if doc_id % 3 == 0 else 0,
+                )
+                dec = decode_jpeg_np(blob)
+                err = float(
+                    _np.abs(dec.astype(_np.float64) - px.astype(_np.float64)).mean()
+                )
+                rows.append((int(doc_id), dec.shape[0], dec.shape[1], bool(err < 8.0)))
+            yield _pd.DataFrame(
+                rows, columns=["doc_id", "height", "width", "within_tol"]
+            )
+
+    return d.mapInPandas(
+        _roundtrip, schema="doc_id long, height int, width int, within_tol boolean"
+    )
+
+
+@_q(
     "mm_decode_stub",
     """
     SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
@@ -8647,7 +8721,7 @@ _CHECK_PRIORITY = [
     "stream_ann_refresh", "emb_whiten", "text_compression_ratio",
     "mm_audio_neardup", "mm_image_pipeline",
     # round-4 additions (never checked yet, all oracle-paired)
-    "emb_dbscan_blocked",
+    "emb_dbscan_blocked", "mm_jpeg_pipeline",
     # ---- previously green (r1∪r2∪r3), definition order after this ----
     # round-3 window greens first
     "a_approx_stats", "a_hll_sketch", "mm_audio_pipeline",

@@ -1,0 +1,618 @@
+"""Baseline JPEG codec (ITU-T T.81 sequential DCT, 8-bit) — pure numpy.
+
+Replaces the honest JPEG stub in :mod:`multimodal`: a web-scale multimodal
+corpus is mostly JPEG, so the decode leg of the image pipeline must not
+depend on Pillow/libjpeg being present on the cluster. Clean-room from the
+public spec:
+
+* marker parse: SOI / APPn / COM / DQT / DHT / DRI / SOF0+SOF1 / SOS / EOI;
+* entropy decode: canonical Huffman (tables taken from the stream's DHT
+  segments), DC difference coding with EXTEND sign recovery, AC
+  run/length with EOB and ZRL escapes, 0xFF00 byte unstuffing, RSTn
+  restart-interval resync;
+* block reconstruction: dequantize → inverse zigzag → 8×8 IDCT as two
+  matrix products with the orthonormal DCT basis (whole-image batched in
+  numpy) → +128 level shift;
+* chroma upsampling by sample replication for 4:2:0/4:2:2, then the
+  BT.601 YCbCr→RGB transform.
+
+Progressive (SOF2), arithmetic coding, 12-bit precision, and hierarchical
+modes raise labeled ``NotImplementedError`` — the same honest-gap policy as
+the PNG palette/Adam7 cases. The encoder (baseline, 4:4:4, IJG-style
+quality scaling, Annex-K tables) exists so fixtures and the mm_* queries
+can synthesize deterministic JPEG payloads without external tooling;
+encode→decode is deterministic bit-for-bit given the same input.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+__all__ = ["encode_jpeg_np", "decode_jpeg_np"]
+
+# standard Annex-K quantization tables (quality 50 base)
+_QT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int64)
+_QT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int64)
+
+_ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+_UNZIGZAG = np.argsort(_ZIGZAG)
+
+# Annex-K typical Huffman tables: (BITS[1..16], HUFFVAL)
+_DC_LUMA = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0], list(range(12)))
+_DC_CHROMA = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0], list(range(12)))
+_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+        0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+        0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+        0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+        0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+        0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+        0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+        0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+        0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+        0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+        0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+        0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+        0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+        0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+        0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+        0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+        0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+        0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+        0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+        0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+        0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+        0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+        0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+
+for _bits, _vals in (_DC_LUMA, _DC_CHROMA, _AC_LUMA, _AC_CHROMA):
+    assert sum(_bits) == len(_vals), "Huffman table BITS/HUFFVAL mismatch"
+
+# orthonormal 8x8 DCT-II basis: C[u, x] = c(u)/2 * cos((2x+1)u*pi/16)
+_C = np.zeros((8, 8))
+for _u in range(8):
+    for _x in range(8):
+        _C[_u, _x] = (np.sqrt(0.125) if _u == 0 else 0.5) * np.cos(
+            (2 * _x + 1) * _u * np.pi / 16
+        )
+
+
+def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """value -> (code, length) canonical Huffman assignment (T.81 C.2)."""
+    out, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) -> value for the bit-serial decoder."""
+    return {(ln, c): v for v, (c, ln) in _canonical_codes(bits, vals).items()}
+
+
+def _quality_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
+    quality = min(100, max(1, int(quality)))
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    qt = []
+    for base in (_QT_LUMA, _QT_CHROMA):
+        t = (base * scale + 50) // 100
+        qt.append(np.clip(t, 1, 255).astype(np.int64))
+    return qt[0], qt[1]
+
+
+def _rgb_to_ycbcr(img: np.ndarray) -> np.ndarray:
+    r, g, b = (img[..., i].astype(np.float64) for i in range(3))
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168735892 * r - 0.331264108 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418687589 * g - 0.081312411 * b
+    return np.stack([y, cb, cr], axis=-1)
+
+
+def _ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136286 * (cb - 128.0) - 0.714136286 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    out = np.stack([r, g, b], axis=-1)
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
+def _blocks_of(plane: np.ndarray) -> np.ndarray:
+    """(h, w) float plane (already multiple of 8) -> (n, 8, 8) blocks in
+    raster order."""
+    h, w = plane.shape
+    return (
+        plane.reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+    )
+
+
+class _BitWriterJ:
+    __slots__ = ("buf", "acc", "n")
+
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            self.n -= 8
+            byte = (self.acc >> self.n) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:
+                self.buf.append(0x00)  # byte stuffing
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> bytes:
+        if self.n:
+            pad = 8 - self.n
+            self.put((1 << pad) - 1, pad)  # 1-fill padding per spec
+        return bytes(self.buf)
+
+
+def _category(v: int) -> int:
+    return int(v).bit_length() if v >= 0 else int(-v).bit_length()
+
+
+def _encode_block(
+    w: _BitWriterJ,
+    coef: np.ndarray,
+    pred: int,
+    dc_codes: dict,
+    ac_codes: dict,
+) -> int:
+    zz = coef.ravel()[_ZIGZAG]
+    dc = int(zz[0])
+    diff = dc - pred
+    size = _category(diff)
+    code, ln = dc_codes[size]
+    w.put(code, ln)
+    if size:
+        w.put(diff if diff >= 0 else diff + (1 << size) - 1, size)
+    run = 0
+    last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+    for k in range(1, 64):
+        v = int(zz[k])
+        if k > last_nz:
+            break
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_codes[0xF0]  # ZRL
+            w.put(code, ln)
+            run -= 16
+        size = _category(v)
+        code, ln = ac_codes[(run << 4) | size]
+        w.put(code, ln)
+        w.put(v if v >= 0 else v + (1 << size) - 1, size)
+        run = 0
+    if last_nz < 63:
+        code, ln = ac_codes[0x00]  # EOB
+        w.put(code, ln)
+    return dc
+
+
+def _pad_plane(p: np.ndarray, ph: int, pw: int) -> np.ndarray:
+    q = np.empty((ph, pw))
+    h, w = p.shape
+    q[:h, :w] = p
+    q[h:, :w] = p[-1:, :]  # edge replicate
+    q[:, w:] = q[:, w - 1 : w]
+    return q
+
+
+def encode_jpeg_np(
+    img: np.ndarray,
+    quality: int = 85,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """uint8 (h, w, 3) RGB or (h, w) grayscale -> baseline JFIF bytes
+    (Annex-K Huffman tables, IJG quality scaling). ``subsampling``:
+    '444' (default) or '420' (2x2-mean chroma downsample); optional DRI
+    restart markers every ``restart_interval`` MCUs."""
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    qt_l, qt_c = _quality_tables(quality)
+    if subsampling not in ("444", "420"):
+        raise ValueError("subsampling must be '444' or '420'")
+    sub = subsampling == "420" and not gray
+
+    if gray:
+        comps = [{"plane": img.astype(np.float64), "h": 1, "v": 1, "qt": qt_l,
+                  "dc": _canonical_codes(*_DC_LUMA), "ac": _canonical_codes(*_AC_LUMA)}]
+    else:
+        ycc = _rgb_to_ycbcr(img)
+        yf, cb, cr = (ycc[..., i] for i in range(3))
+        if sub:
+            ph2, pw2 = -(-h // 2) * 2, -(-w // 2) * 2
+            cb = _pad_plane(cb, ph2, pw2).reshape(ph2 // 2, 2, pw2 // 2, 2).mean((1, 3))
+            cr = _pad_plane(cr, ph2, pw2).reshape(ph2 // 2, 2, pw2 // 2, 2).mean((1, 3))
+        sf = 2 if sub else 1
+        comps = [
+            {"plane": yf, "h": sf, "v": sf, "qt": qt_l,
+             "dc": _canonical_codes(*_DC_LUMA), "ac": _canonical_codes(*_AC_LUMA)},
+            {"plane": cb, "h": 1, "v": 1, "qt": qt_c,
+             "dc": _canonical_codes(*_DC_CHROMA), "ac": _canonical_codes(*_AC_CHROMA)},
+            {"plane": cr, "h": 1, "v": 1, "qt": qt_c,
+             "dc": _canonical_codes(*_DC_CHROMA), "ac": _canonical_codes(*_AC_CHROMA)},
+        ]
+
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+
+    # per-component coefficient grids in block coordinates
+    for c in comps:
+        gh, gw = mcuy * c["v"] * 8, mcux * c["h"] * 8
+        p = _pad_plane(c["plane"], gh, gw) - 128.0
+        blocks = _blocks_of(p)
+        f = np.einsum("ux,nxy,vy->nuv", _C, blocks, _C)
+        c["coef"] = np.round(f / c["qt"].reshape(8, 8)).astype(np.int64)
+        c["nbx"] = gw // 8
+
+    bw = _BitWriterJ()
+    preds = [0] * len(comps)
+    scan = bytearray()
+    mcu_count = 0
+    rst = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                scan += bw.flush()
+                scan += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                bw = _BitWriterJ()
+                preds = [0] * len(comps)
+            for ci, c in enumerate(comps):
+                for byy in range(c["v"]):
+                    for bxx in range(c["h"]):
+                        bidx = (my * c["v"] + byy) * c["nbx"] + (mx * c["h"] + bxx)
+                        preds[ci] = _encode_block(
+                            bw, c["coef"][bidx], preds[ci], c["dc"], c["ac"]
+                        )
+            mcu_count += 1
+    scan += bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xFFDB, b"\x00" + bytes(qt_l[_ZIGZAG].astype(np.uint8)))
+    if not gray:
+        out += seg(0xFFDB, b"\x01" + bytes(qt_c[_ZIGZAG].astype(np.uint8)))
+    ncomp = 1 if gray else 3
+    sof = bytearray(struct.pack(">BHHB", 8, h, w, ncomp))
+    for ci, c in enumerate(comps):
+        sof += bytes([ci + 1, (c["h"] << 4) | c["v"], 0 if ci == 0 else 1])
+    out += seg(0xFFC0, bytes(sof))
+    if restart_interval:
+        out += seg(0xFFDD, struct.pack(">H", restart_interval))
+    for cls, tid, (bits, vals) in (
+        (0, 0, _DC_LUMA), (1, 0, _AC_LUMA), (0, 1, _DC_CHROMA), (1, 1, _AC_CHROMA)
+    )[: 2 if gray else 4]:
+        out += seg(0xFFC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals))
+    sos = bytearray([ncomp])
+    for ci in range(ncomp):
+        tid = 0 if ci == 0 else 1
+        sos += bytes([ci + 1, (tid << 4) | tid])
+    sos += b"\x00\x3f\x00"
+    out += seg(0xFFDA, bytes(sos))
+    out += scan
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _BitReaderJ:
+    """Entropy-segment bit reader with 0xFF00 unstuffing; stops at markers."""
+
+    __slots__ = ("data", "pos", "acc", "n", "marker")
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+        self.marker: int | None = None
+
+    def _fill(self) -> None:
+        b = self.data[self.pos]
+        if b == 0xFF:
+            nxt = self.data[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+            elif 0xD0 <= nxt <= 0xD7 or nxt in (0xD9,):
+                self.marker = nxt
+                b = 0  # reading past a marker yields zero-fill (spec 2-pass pad)
+                self.acc = (self.acc << 8)
+                self.n += 8
+                return
+            else:
+                self.marker = nxt
+                self.acc = self.acc << 8
+                self.n += 8
+                return
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.n += 8
+
+    def get(self, nbits: int) -> int:
+        while self.n < nbits:
+            self._fill()
+        self.n -= nbits
+        out = (self.acc >> self.n) & ((1 << nbits) - 1)
+        self.acc &= (1 << self.n) - 1
+        return out
+
+    def align_restart(self) -> None:
+        """Byte-align and consume an RSTn marker."""
+        self.acc = 0
+        self.n = 0
+        self.marker = None
+        while self.data[self.pos] != 0xFF or not (
+            0xD0 <= self.data[self.pos + 1] <= 0xD7
+        ):
+            self.pos += 1
+        self.pos += 2
+
+
+def _bilinear_up(p: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Pixel-center-aligned bilinear upsample of one plane."""
+    h, w = p.shape
+    y = np.clip((np.arange(out_h) + 0.5) * h / out_h - 0.5, 0, h - 1)
+    x = np.clip((np.arange(out_w) + 0.5) * w / out_w - 0.5, 0, w - 1)
+    y0 = np.floor(y).astype(np.int64)
+    x0 = np.floor(x).astype(np.int64)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    fy = (y - y0)[:, None]
+    fx = (x - x0)[None, :]
+    return (
+        p[np.ix_(y0, x0)] * (1 - fy) * (1 - fx)
+        + p[np.ix_(y0, x1)] * (1 - fy) * fx
+        + p[np.ix_(y1, x0)] * fy * (1 - fx)
+        + p[np.ix_(y1, x1)] * fy * fx
+    )
+
+
+def _huff_decode(r: _BitReaderJ, table: dict[tuple[int, int], int]) -> int:
+    code, ln = 0, 0
+    while ln < 17:
+        code = (code << 1) | r.get(1)
+        ln += 1
+        v = table.get((ln, code))
+        if v is not None:
+            return v
+    raise ValueError("invalid Huffman code in JPEG stream")
+
+
+def _extend(v: int, size: int) -> int:
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def decode_jpeg_np(payload: bytes) -> np.ndarray:
+    """Baseline JPEG bytes -> uint8 (h, w, 3) RGB (grayscale broadcasts
+    to 3 channels, matching `decode_image_np`'s contract)."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    pos = 2
+    qtabs: dict[int, np.ndarray] = {}
+    htabs: dict[tuple[int, int], dict] = {}
+    restart = 0
+    frame = None
+    while pos < len(payload):
+        if payload[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = payload[pos + 1]
+        pos += 2
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD9:
+            continue
+        (seglen,) = struct.unpack(">H", payload[pos : pos + 2])
+        seg = payload[pos + 2 : pos + seglen]
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                prec, tid = seg[p] >> 4, seg[p] & 0xF
+                n = 64 * (2 if prec else 1)
+                raw = seg[p + 1 : p + 1 + n]
+                vals = (
+                    np.frombuffer(raw, dtype=">u2" if prec else np.uint8)
+                    .astype(np.int64)
+                )
+                qtabs[tid] = vals[_UNZIGZAG]
+                p += 1 + n
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                cls, tid = seg[p] >> 4, seg[p] & 0xF
+                bits = list(seg[p + 1 : p + 17])
+                nv = sum(bits)
+                vals = list(seg[p + 17 : p + 17 + nv])
+                htabs[(cls, tid)] = _decode_table(bits, vals)
+                p += 17 + nv
+        elif marker in (0xC0, 0xC1):  # SOF0/1 baseline
+            prec, h, w, ncomp = struct.unpack(">BHHB", seg[:6])
+            if prec != 8:
+                raise NotImplementedError(f"JPEG precision {prec} (8-bit only)")
+            comps = []
+            for ci in range(ncomp):
+                cid, samp, qid = seg[6 + 3 * ci : 9 + 3 * ci]
+                comps.append({"id": cid, "h": samp >> 4, "v": samp & 0xF, "q": qid})
+            frame = (h, w, comps)
+        elif marker == 0xC2:
+            raise NotImplementedError("progressive JPEG (SOF2) not supported")
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(f"JPEG SOF marker 0x{marker:02x} not supported")
+        elif marker == 0xDD:  # DRI
+            (restart,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = seg[0]
+            scomps = []
+            for i in range(ns):
+                cid, tids = seg[1 + 2 * i], seg[2 + 2 * i]
+                scomps.append((cid, tids >> 4, tids & 0xF))
+            data_pos = pos + seglen
+            return _decode_scan(
+                payload, data_pos, frame, scomps, qtabs, htabs, restart
+            )
+        pos += seglen
+    raise ValueError("JPEG stream has no scan")
+
+
+def _decode_scan(payload, data_pos, frame, scomps, qtabs, htabs, restart):
+    h, w, comps = frame
+    by_id = {c["id"]: c for c in comps}
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+
+    planes = {}
+    coef_lists = {}
+    for c in comps:
+        planes[c["id"]] = np.zeros(
+            (mcuy * c["v"] * 8, mcux * c["h"] * 8), dtype=np.float64
+        )
+        coef_lists[c["id"]] = []
+
+    r = _BitReaderJ(payload, data_pos)
+    preds = {c["id"]: 0 for c in comps}
+    order = [by_id[cid] for cid, _, _ in scomps]
+    tids = {cid: (dc, ac) for cid, dc, ac in scomps}
+    mcu_count = 0
+    blocks_pos: dict[int, list[tuple[int, int]]] = {c["id"]: [] for c in comps}
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart and mcu_count and mcu_count % restart == 0:
+                r.align_restart()
+                preds = {c["id"]: 0 for c in comps}
+            for c in order:
+                dc_t = htabs[(0, tids[c["id"]][0])]
+                ac_t = htabs[(1, tids[c["id"]][1])]
+                for byy in range(c["v"]):
+                    for bxx in range(c["h"]):
+                        zz = np.zeros(64, dtype=np.int64)
+                        size = _huff_decode(r, dc_t)
+                        diff = _extend(r.get(size), size) if size else 0
+                        preds[c["id"]] += diff
+                        zz[0] = preds[c["id"]]
+                        k = 1
+                        while k < 64:
+                            rs = _huff_decode(r, ac_t)
+                            run, size = rs >> 4, rs & 0xF
+                            if size == 0:
+                                if run == 15:
+                                    k += 16  # ZRL
+                                    continue
+                                break  # EOB
+                            k += run
+                            if k > 63:
+                                raise ValueError("JPEG AC index overflow")
+                            zz[k] = _extend(r.get(size), size)
+                            k += 1
+                        coef_lists[c["id"]].append(zz)
+                        blocks_pos[c["id"]].append(
+                            (my * c["v"] + byy, mx * c["h"] + bxx)
+                        )
+            mcu_count += 1
+
+    # dequantize + batched IDCT per component
+    for c in comps:
+        zzs = np.stack(coef_lists[c["id"]])  # (n, 64) zigzag order
+        deq = zzs * qtabs[c["q"]][_ZIGZAG]
+        blocks = deq[:, _UNZIGZAG].reshape(-1, 8, 8).astype(np.float64)
+        pix = np.einsum("xu,nuv,yv->nxy", _C.T, blocks, _C.T) + 128.0
+        plane = planes[c["id"]]
+        for (byy, bxx), blk in zip(blocks_pos[c["id"]], pix):
+            plane[byy * 8 : byy * 8 + 8, bxx * 8 : bxx * 8 + 8] = blk
+
+    # upsample to full resolution (bilinear, pixel-center aligned — the
+    # libjpeg "fancy upsampling" class of filter, not blocky replication)
+    # and crop
+    full = {}
+    for c in comps:
+        p = planes[c["id"]]
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1 or rx > 1:
+            p = _bilinear_up(p, p.shape[0] * ry, p.shape[1] * rx)
+        full[c["id"]] = p[:h, :w]
+
+    if len(comps) == 1:
+        y = np.clip(np.round(full[comps[0]["id"]]), 0, 255).astype(np.uint8)
+        return np.repeat(y[:, :, None], 3, axis=2)
+    ids = [c["id"] for c in comps]
+    return _ycbcr_to_rgb(full[ids[0]], full[ids[1]], full[ids[2]])
+
+
+from hiss_cube_spark._serde import register_self as _register_self  # noqa: E402
+
+_register_self(__name__)

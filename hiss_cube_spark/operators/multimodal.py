@@ -5,13 +5,14 @@ feature-extract / resize / frame-sample are ``mapInPandas`` kernels so the
 heavy bytes stay in Arrow batches and never explode into JVM rows.
 
 Real dependency-free codecs: PNG (zlib is stdlib — full baseline 8-bit
-encode/decode with CRC checks and all five scanline filters), PPM P6 and
-PCM WAV. Codecs that genuinely need external libraries (JPEG/WebP/FLAC —
-Pillow/libav/opencv are NOT in this container) stay stubbed: ``decode_fn``
-defaults to a clearly-marked deterministic fake and raises
-``NotImplementedError`` when ``require_real_codec=True``. Everything
-Spark-side — schema, batch shape, partitioning, UDF signature — is real
-and tested either way.
+encode/decode with CRC checks and all five scanline filters), baseline
+JPEG (:mod:`hiss_cube_spark.operators.jpeg` — sequential DCT, 4:4:4/4:2:0,
+restart intervals), PPM P6 and PCM WAV. Codecs that genuinely need
+external libraries (WebP/FLAC/video beyond Y4M — Pillow/libav/opencv are
+NOT in this container) stay stubbed: ``decode_fn`` defaults to a
+clearly-marked deterministic fake and raises ``NotImplementedError`` when
+``require_real_codec=True``. Everything Spark-side — schema, batch shape,
+partitioning, UDF signature — is real and tested either way.
 """
 
 from __future__ import annotations
@@ -251,7 +252,7 @@ def decode_png_np(payload: bytes) -> np.ndarray:
 
     Supports the baseline-8-bit non-interlaced cases (grayscale, RGB,
     RGBA). Palette/16-bit/Adam7 raise a labeled ``NotImplementedError`` —
-    same honest-stub policy as the JPEG/FLAC codecs
+    same honest-stub policy as the WebP/FLAC codecs
     (`decode_metadata(require_real_codec=True)`).
     """
     import struct
@@ -333,10 +334,10 @@ def decode_png_np(payload: bytes) -> np.ndarray:
 
 
 def decode_image_np(payload: bytes) -> np.ndarray:
-    """Magic-byte image dispatch: PNG (real decoder) or PPM P6. Grayscale
-    PNGs broadcast to 3 channels and RGBA drops alpha so every caller sees
-    uint8 (h, w, 3); compressed codecs without a dependency-free decoder
-    (JPEG/WebP) raise the labeled stub error."""
+    """Magic-byte image dispatch: PNG, baseline JPEG, or PPM P6 — all real
+    dependency-free decoders. Grayscale broadcasts to 3 channels and RGBA
+    drops alpha so every caller sees uint8 (h, w, 3); formats without a
+    decoder (WebP, progressive JPEG) raise the labeled stub error."""
     if payload[:8] == _PNG_SIG:
         img = decode_png_np(payload)
         if img.shape[2] == 1:
@@ -344,11 +345,15 @@ def decode_image_np(payload: bytes) -> np.ndarray:
         elif img.shape[2] == 4:
             img = img[:, :, :3]
         return img
+    if payload[:2] == b"\xff\xd8":
+        from hiss_cube_spark.operators.jpeg import decode_jpeg_np
+
+        return decode_jpeg_np(payload)
     if payload[:2] == b"P6":
         return decode_ppm_np(payload)
     raise NotImplementedError(
-        "no dependency-free decoder for this image format (PNG and PPM P6 "
-        "are supported; JPEG/WebP need Pillow/libjpeg on the cluster)"
+        "no dependency-free decoder for this image format (PNG, baseline "
+        "JPEG and PPM P6 are supported; WebP/AVIF need Pillow on the cluster)"
     )
 
 

@@ -212,3 +212,114 @@ def test_compressed_fits_parse_and_ingest(spark, tmp_path_factory):
     hdrs = scan_fits_headers(spark, src).collect()
     assert len(hdrs) == 3
     assert all("_error" not in json.loads(r["header"]) for r in hdrs)
+
+
+def test_rice_tile_compressed_fits_parse_and_ingest(spark, tmp_path_factory):
+    """fpack-style `.fits.fz` (ZIMAGE bintable, RICE_1 tiles) parses
+    bit-identically to the plain int16 file in every path — direct image
+    parse, logical header reconstruction, bulk ingest via the default
+    glob, and the header-cache scan. Reference parity: fitsio reads
+    compressed HDUs transparently (hisscube/utils/photometry.py:18,31)."""
+    import json
+
+    from hiss_cube_spark.sources.fits import (
+        parse_fits_header,
+        parse_fits_image,
+        scan_fits_headers,
+        write_rice_fits,
+    )
+    from hiss_cube_spark.sources.ingest import ingest_images
+
+    src = str(tmp_path_factory.mktemp("fzframes"))
+    extra = {
+        "RUN": 1234, "CAMCOL": 2, "FILTER": "r", "TAI": 55000.5,
+        "CRPIX1": 32.0, "CRPIX2": 24.0, "CD1_1": 4e-4, "CD1_2": 0.0,
+        "CD2_1": 0.0, "CD2_2": 4e-4, "CRVAL1": 30.0, "CRVAL2": 10.0,
+        "CTYPE1": "RA---TAN", "CTYPE2": "DEC--TAN",
+    }
+    rng = np.random.default_rng(5150)
+    img = (900 + np.cumsum(rng.integers(-4, 5, (48, 64)), axis=1)).astype(np.int16)
+
+    # plain int16 file with the same cards
+    def card(k, v):
+        if isinstance(v, bool):
+            return f"{k:<8}= {'T' if v else 'F':>20}".ljust(80).encode()
+        if isinstance(v, (int, float)):
+            return f"{k:<8}= {v:>20}".ljust(80).encode()
+        return f"{k:<8}= '{v}'".ljust(80).encode()
+
+    cards = [card("SIMPLE", True), card("BITPIX", 16), card("NAXIS", 2),
+             card("NAXIS1", 64), card("NAXIS2", 48)]
+    cards += [card(k, v) for k, v in extra.items()]
+    cards.append("END".ljust(80).encode())
+    hdr = b"".join(cards)
+    hdr += b" " * ((-len(hdr)) % 2880)
+    body = img.astype(">i2").tobytes()
+    body += b"\x00" * ((-len(body)) % 2880)
+    plain = os.path.join(src, "frame-r-000011.fits")
+    open(plain, "wb").write(hdr + body)
+
+    fz = write_rice_fits(img, tile_rows=1, header_extra=extra)
+    open(os.path.join(src, "frame-r-000012.fits.fz"), "wb").write(fz)
+
+    # direct parse parity: identical pixels, logical header carries the cards
+    h0, a0 = parse_fits_image(open(plain, "rb").read())
+    h1, a1 = parse_fits_image(fz)
+    np.testing.assert_array_equal(a1, a0)
+    for k in extra:
+        assert h1[k] == h0[k], k
+    assert h1["BITPIX"] == 16 and h1["NAXIS1"] == 64 and h1["NAXIS2"] == 48
+    hh = parse_fits_header(fz)
+    assert hh["NAXIS"] == 2 and hh["CRVAL1"] == 30.0
+
+    # GZIP_1 tiles decode through the same path
+    gz = write_rice_fits(img, tile_rows=8, header_extra=extra, cmptype="GZIP_1")
+    _, a2 = parse_fits_image(gz)
+    np.testing.assert_array_equal(a2, a0)
+
+    # bulk ingest: the default *.fits* glob picks up the .fz file and the
+    # zoom-0 pixel payloads are identical to the plain file's
+    df = ingest_images(spark, src)
+    assert df.select("image_id").distinct().count() == 2
+    z0 = df.where("zoom = 0").select("path", "data").collect()
+    ref = {os.path.basename(r["path"]): r["data"] for r in z0}
+    assert ref["frame-r-000012.fits.fz"] == ref["frame-r-000011.fits"]
+
+    # header-cache scan reconstructs the logical header (no _error rows)
+    hdrs = {os.path.basename(r["path"]): json.loads(r["header"])
+            for r in scan_fits_headers(spark, src).collect()}
+    assert len(hdrs) == 2
+    assert hdrs["frame-r-000012.fits.fz"]["NAXIS1"] == 64
+    assert hdrs["frame-r-000012.fits.fz"]["CRVAL2"] == 10.0
+
+
+def test_rice_codec_roundtrip_and_stream_shape():
+    """RICE_1 codec contract: exact roundtrip for u1/i2/i4 across signal
+    shapes (constant, smooth ramp, noise, full-range alternation), the
+    all-zero-diff block emits the fs=0 escape (near-zero bytes), and
+    noise stays ~incompressible — the block-adaptive behavior the FITS
+    tiled convention specifies."""
+    from hiss_cube_spark.sources.rice import rice_decode, rice_encode
+
+    rng = np.random.default_rng(3)
+    for bytepix, dt in [(1, np.uint8), (2, np.int16), (4, np.int32)]:
+        lo = 0 if dt is np.uint8 else -(2 ** (8 * bytepix - 1))
+        hi = 255 if dt is np.uint8 else 2 ** (8 * bytepix - 1) - 1
+        cases = {
+            "const": np.full(500, 7),
+            "smooth": np.cumsum(rng.integers(-3, 4, 500)),
+            "noise": rng.integers(lo, hi, 500),
+            "extreme": np.array([lo, hi] * 250),
+        }
+        for name, a in cases.items():
+            a = a.astype(dt)
+            enc = rice_encode(a, 32, bytepix)
+            dec = rice_decode(enc, len(a), 32, bytepix)
+            got = (
+                (dec & ((1 << (8 * bytepix)) - 1))
+                .astype(f"u{bytepix}")
+                .view(dt)
+            )
+            np.testing.assert_array_equal(got, a, err_msg=f"{bytepix}/{name}")
+        assert len(rice_encode(cases["const"].astype(dt), 32, bytepix)) <= bytepix + 500 // 32 + 8
+        assert len(rice_encode(cases["noise"].astype(dt), 32, bytepix)) >= 500 * bytepix
