@@ -6096,28 +6096,46 @@ def mm_image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            CAST(16 + (doc_id % 3) * 8 AS INT) AS height,
            CAST(24 AS INT) AS width,
+           CASE WHEN doc_id % 4 = 0 THEN 'prog' ELSE 'base' END AS codec,
            TRUE AS within_tol
     FROM documents WHERE doc_id % 5 = 0
     """,
 )
 def mm_jpeg_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end BASELINE JPEG leg of the image pipeline (the in-repo
-    T.81 codec, `operators/jpeg.py` — no Pillow/libjpeg): synthesize an
-    RGB image per document from its text bytes, encode as JPEG (mixing
-    4:4:4 / 4:2:0 subsampling and restart intervals across documents so
-    every decoder branch runs distributed), decode, and check the decoded
-    pixels against the source. JPEG is lossy, so the oracle is the
-    ANALYTIC contract — decoded dimensions (from the synthesis law) plus
-    a reconstruction-error bound (mean |dec-src| < 8, ~2.5x the measured
-    worst case for quality-95 noise) — not a pin of codec internals;
-    exact per-pixel behavior is pinned in tests/test_multimodal_images.py."""
+    """End-to-end JPEG leg of the image pipeline (the in-repo T.81 codec,
+    `operators/jpeg.py` — no Pillow/libjpeg): synthesize an RGB image per
+    document from its text bytes, encode as JPEG — mixing BASELINE
+    (4:4:4 / 4:2:0 subsampling, restart intervals) and PROGRESSIVE (SOF2
+    Annex-G scan script) across documents so every decoder branch runs
+    distributed — decode, and check the decoded pixels against the
+    source. JPEG is lossy, so the oracle is the ANALYTIC contract —
+    decoded dimensions (from the synthesis law), the codec-selection law,
+    and a reconstruction-error bound (mean |dec-src| < 8, ~2.5x the
+    measured worst case for quality-95 smooth content) — not a pin of
+    codec internals; exact per-pixel behavior (incl. progressive ==
+    baseline bit-exactness) is pinned in tests/test_multimodal_images.py
+    and tests/test_jpeg_progressive.py."""
     import numpy as _np
     import pandas as _pd
     from collections.abc import Iterator as _Iter
 
-    from hiss_cube_spark.operators.jpeg import decode_jpeg_np, encode_jpeg_np
+    from hiss_cube_spark.operators.jpeg import (
+        decode_jpeg_np,
+        encode_jpeg_np,
+        encode_jpeg_progressive_np,
+    )
 
-    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 0).select("doc_id", "text")
+    # the codec kernel is CPU-bound python: fan the (tiny) doc rows out
+    # across all cores before mapInPandas — a small parquet reads as one
+    # partition and would serialize the whole decode leg otherwise (at
+    # 100 TB the scan itself yields thousands of partitions and this
+    # repartition collapses to a cheap rebalance)
+    d = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 5 == 0)
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
 
     def _roundtrip(batches: _Iter[_pd.DataFrame]) -> _Iter[_pd.DataFrame]:
         for pdf in batches:
@@ -6127,40 +6145,52 @@ def mm_jpeg_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                     _np.frombuffer(text.encode("utf-8"), dtype=_np.uint8), 9
                 ).astype(_np.float64)
                 h, w = 16 + int(doc_id) % 3 * 8, 24
-                # smooth byte-seeded sinusoid per channel: JPEG-natural
-                # content, so the 4:2:0 chroma subsample stays in-bound
+                # one shared LOW spatial frequency (1 cycle per image) with
+                # byte-seeded amplitude + phase per channel: the chroma
+                # planes stay smooth, so the 4:2:0 subsample round-trips
+                # within the tolerance contract (higher per-channel
+                # frequencies put chroma near Nyquist, which NO subsampled
+                # codec can reconstruct)
                 yy = _np.arange(h)[:, None] / h
                 xx = _np.arange(w)[None, :] / w
                 chans = [
                     128.0
-                    + 90.0
+                    + (70.0 + b[3 * c] % 21)
                     * _np.sin(
                         2.0 * _np.pi
-                        * ((1 + b[3 * c] % 3) * xx + (1 + b[3 * c + 1] % 3) * yy
-                           + b[3 * c + 2] / 256.0)
+                        * (xx + yy + b[3 * c + 2] / 256.0 + c * 0.17)
                     )
                     for c in range(3)
                 ]
                 px = _np.clip(_np.round(_np.stack(chans, axis=-1)), 0, 255).astype(
                     _np.uint8
                 )
-                blob = encode_jpeg_np(
-                    px,
-                    quality=95,
-                    subsampling="420" if doc_id % 2 else "444",
-                    restart_interval=2 if doc_id % 3 == 0 else 0,
-                )
+                sub = "420" if doc_id % 2 else "444"
+                if doc_id % 4 == 0:
+                    codec = "prog"
+                    blob = encode_jpeg_progressive_np(px, quality=95, subsampling=sub)
+                else:
+                    codec = "base"
+                    blob = encode_jpeg_np(
+                        px,
+                        quality=95,
+                        subsampling=sub,
+                        restart_interval=2 if doc_id % 3 == 0 else 0,
+                    )
                 dec = decode_jpeg_np(blob)
                 err = float(
                     _np.abs(dec.astype(_np.float64) - px.astype(_np.float64)).mean()
                 )
-                rows.append((int(doc_id), dec.shape[0], dec.shape[1], bool(err < 8.0)))
+                rows.append(
+                    (int(doc_id), dec.shape[0], dec.shape[1], codec, bool(err < 8.0))
+                )
             yield _pd.DataFrame(
-                rows, columns=["doc_id", "height", "width", "within_tol"]
+                rows, columns=["doc_id", "height", "width", "codec", "within_tol"]
             )
 
     return d.mapInPandas(
-        _roundtrip, schema="doc_id long, height int, width int, within_tol boolean"
+        _roundtrip,
+        schema="doc_id long, height int, width int, codec string, within_tol boolean",
     )
 
 
@@ -8684,78 +8714,35 @@ def entry(spark: SparkSession) -> DataFrame:
 # list, remaining never-checked queries first, so later rounds rotate the
 # window forward until every query has had a green row.
 _CHECK_PRIORITY = [
-    # ---- round-4 window (slots 1-50) ----
-    # sentinels (green r1+r2+r3; canaries against harness drift)
+    # ---- round-5 window (slots 1-50) ----
+    # sentinels (green every round; canaries against harness drift)
     "flagship_ml_cube", "q1_pricing_summary",
-    # 48 fresh never-driver-checked queries (all oracle-paired since
-    # round 3): the round-3 additions, the §2-adjacent rows
-    # (o1_zorder_clustering, viz_cube_union), and the first slice of the
-    # TPC-H breadth batch — 96% of the window has never had a driver row.
-    "dedup_span_removal", "cur_perplexity_buckets", "cur_jsonl_roundtrip",
-    "text_gopher_rules", "ts_seasonal_decompose", "dq_chi2_independence",
-    "mm_video_pipeline", "emb_dbscan", "q_hybrid_retrieval",
-    "text_rake_keywords", "cur_url_dedup", "ts_seasonal_anomaly",
-    "a_winsorize", "cur_pack_atomic", "emb_matryoshka_recall",
-    "j_knn_crossmatch", "cur_unimax_mix", "dq_mutual_info",
-    "dq_benford", "ts_transition_matrix", "text_ngram_novelty",
-    "a_corr_matrix", "a_weighted_median", "f_target_encode",
-    "cur_contamination_score", "a_gini", "ts_cusum_changepoint",
-    "cur_oversample_minority", "a_top_decile_share", "w_mom_change",
-    "cur_dedup_provenance", "text_vocab_growth",
-    "p_variant_props", "q_recursive_cte", "viz_cube_union",
-    "o1_zorder_clustering", "w_funnel_stages", "w_cohort_retention",
-    "a_median_quartiles", "o_global_topk", "a_pivot_flags",
-    "mm_decode_stub", "mm_frame_sample",
-    "q2_min_cost_supplier", "q6_forecast_revenue", "q7_volume_shipping",
-    "q8_market_share", "q9_product_profit",
-    # NOTE: the driver's 50-query window ends at q9_product_profit
-    # (slot 50); the 17 below are the round-5 rotation (the remaining
-    # TPC-H slice plus the round-3-companioned formerly-rows-only set).
-    # --- remaining never-checked, for the round-5 rotation ---
-    "q11_important_stock",
-    "q12_priority_class", "q13_order_count_distribution",
-    "q15_top_supplier", "q16_supplier_cnt", "q17_small_quantity_revenue",
+    # the FINAL 19 never-driver-checked queries (verification debt opened
+    # in round 2 closes here: after this window every registered query has
+    # had at least one green driver CORRECTNESS row)
+    "q11_important_stock", "q12_priority_class",
+    "q13_order_count_distribution", "q15_top_supplier",
+    "q16_supplier_cnt", "q17_small_quantity_revenue",
     "q20_excess_suppliers", "q21_lone_returned_supplier",
     "q22_no_order_customers",
     "mm_phash_neardup", "ann_ivf_pq_topk", "text_bpe_tokens",
     "stream_ann_refresh", "emb_whiten", "text_compression_ratio",
     "mm_audio_neardup", "mm_image_pipeline",
-    # round-4 additions (never checked yet, all oracle-paired)
     "emb_dbscan_blocked", "mm_jpeg_pipeline",
-    # ---- previously green (r1∪r2∪r3), definition order after this ----
-    # round-3 window greens first
-    "a_approx_stats", "a_hll_sketch", "mm_audio_pipeline",
-    "cur_semantic_dedup", "ann_lsh_topk", "ann_pq_topk",
-    "f_udtf_tokens", "cur_incremental_dedup", "cur_chunk_documents",
-    "cur_domain_cap", "cur_hash_split", "cur_pack_sequences",
-    "cur_balanced_sample", "cur_temperature_sample", "cur_decontaminate",
-    "cur_corpus_report", "cur_redact_pii", "cur_quality_filter",
-    "cur_full_pipeline", "dq_constraint_report", "dq_profile_table",
-    "dedup_substring_spans", "text_simpson_diversity", "cur_mix_weights",
-    "stream_dedup_first", "stream_neardup_minhash", "graph_triangles",
-    "dq_outliers", "emb_hard_negatives", "text_bm25_topk", "ann_sq_topk",
-    "dedup_containment", "dq_ks_drift", "cur_stratified_kfold",
-    "text_entropy", "text_pmi_bigrams", "ts_autocorr",
-    "cur_weighted_sample", "dq_mad_outliers", "dq_segment_drift",
-    "a_trimmed_mean", "a_mode", "cdc_incremental_agg", "j_asof_interp",
-    "cur_best_of_cluster", "cur_score_calibrate", "emb_random_projection",
-    "graph_bfs_hops",
-    "o3_cap_refs", "w_lag_sessionize",
-    "ts_ewma", "graph_pagerank", "j_bloom_prune", "cur_model_quality",
-    "dq_histogram", "cur_neardup_corpus", "cdc_time_travel", "dq_equidepth",
-    "cur_reservoir_sample", "q_lateral_topk",
-    "w_gaps_islands",
-    "stream_tumbling_window", "stream_session_window",
-    "stream_sliding_window", "stream_interval_join",
-    "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash",
-    "dedup_eval_metrics", "dedup_clusters", "dedup_paragraphs",
-    "ann_cosine_topk", "emb_cosine_pairs", "emb_centroids",
-    "cdc_apply_changelog", "cdc_table_diff", "cdc_scd2_history",
-    "j_asof_join", "j_range_join", "j_interval_overlap",
-    "j_fuzzy_match", "cone_search",
-    "text_langid", "text_quality", "text_token_count", "text_fingerprint",
-    "text_repetition", "text_lm_score", "text_heavy_hitters",
-    "text_tfidf_topk",
+    # 29 round-robin RE-verifications: the oldest greens (first checked in
+    # round 1, untouched by the driver since) — guards against silent
+    # regressions in long-green code
+    "j2_crossmatch", "a1_ivw_mean", "j1_theta_lookup", "j4_left_join",
+    "j6_target_grouping", "a1_light_curve", "j7_first_in_group",
+    "p7_completeness", "f5_time_to_mjd", "o3_cap_refs", "dedup_exact",
+    "a_unpivot_melt", "f17_unpivot", "q3_shipping_priority",
+    "q5_region_revenue", "j_semi_exists", "j_anti_not_exists",
+    "a_rollup", "a_cube", "a_grouping_sets", "set_ops", "w_rank_topk",
+    "w_distribution_ranks", "w_moving_sum", "ts_phase_fold",
+    "w_range_frame_sum", "w_first_last_nth", "s1_scan_filter_limit",
+    "s2_path_synthesis",
+    # ---- slot 50 ends at s2_path_synthesis; everything else follows in
+    # definition order (all previously driver-green in r1–r4) ----
 ]
 
 

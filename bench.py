@@ -83,7 +83,16 @@ HEADLINE = [
     "text_rake_keywords",
     "cur_pack_atomic",
     "ts_seasonal_anomaly",
+    # round-4 additions
+    "emb_dbscan_blocked",
+    "mm_jpeg_pipeline",
 ]
+
+# Environment-drift sentinel: per-query ratchets are expressed relative to
+# this query's time in the same run (PLANS.md "Relative ratchet protocol").
+# q1 is pure scan+groupBy TPC-H pricing summary — stable, code untouched
+# since round 1, and it tracks machine speed, not plan changes.
+SENTINEL = "q1_pricing_summary"
 
 
 def main() -> None:
@@ -121,6 +130,8 @@ def main() -> None:
         timings[name] = round(best, 3)
         total += best
 
+    sentinel_sec = timings.get(SENTINEL) or 1.0
+    rel = {n: round(t / sentinel_sec, 3) for n, t in timings.items()}
     print(
         json.dumps(
             {
@@ -129,6 +140,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "sentinel": SENTINEL,
+                "rel": rel,
             }
         )
     )

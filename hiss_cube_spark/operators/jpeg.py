@@ -1,11 +1,13 @@
-"""Baseline JPEG codec (ITU-T T.81 sequential DCT, 8-bit) — pure numpy.
+"""JPEG codec (ITU-T T.81, 8-bit): baseline sequential DCT + progressive
+(SOF2, Annex G spectral selection / successive approximation) — pure numpy.
 
 Replaces the honest JPEG stub in :mod:`multimodal`: a web-scale multimodal
 corpus is mostly JPEG, so the decode leg of the image pipeline must not
 depend on Pillow/libjpeg being present on the cluster. Clean-room from the
 public spec:
 
-* marker parse: SOI / APPn / COM / DQT / DHT / DRI / SOF0+SOF1 / SOS / EOI;
+* marker parse: SOI / APPn / COM / DQT / DHT / DRI / SOF0+SOF1+SOF2 /
+  SOS / EOI;
 * entropy decode: canonical Huffman (tables taken from the stream's DHT
   segments), DC difference coding with EXTEND sign recovery, AC
   run/length with EOB and ZRL escapes, 0xFF00 byte unstuffing, RSTn
@@ -13,15 +15,21 @@ public spec:
 * block reconstruction: dequantize → inverse zigzag → 8×8 IDCT as two
   matrix products with the orthonormal DCT basis (whole-image batched in
   numpy) → +128 level shift;
-* chroma upsampling by sample replication for 4:2:0/4:2:2, then the
-  BT.601 YCbCr→RGB transform.
+* chroma upsampling by pixel-center bilinear interpolation (triangle
+  filter, the libjpeg "fancy upsampling" geometry) for 4:2:0/4:2:2, then
+  the BT.601 YCbCr→RGB transform.
 
-Progressive (SOF2), arithmetic coding, 12-bit precision, and hierarchical
-modes raise labeled ``NotImplementedError`` — the same honest-gap policy as
-the PNG palette/Adam7 cases. The encoder (baseline, 4:4:4, IJG-style
-quality scaling, Annex-K tables) exists so fixtures and the mm_* queries
-can synthesize deterministic JPEG payloads without external tooling;
-encode→decode is deterministic bit-for-bit given the same input.
+Progressive scans (T.81 Annex G) accumulate per-component zigzag
+coefficient grids across SOS segments — DC/AC first passes and DC/AC
+refinement passes with EOBRUN block skips — and reconstruct once at EOI;
+decode output is bit-identical to baseline at the same coefficients.
+Arithmetic coding, 12-bit precision, and hierarchical modes raise labeled
+``NotImplementedError`` — the same honest-gap policy as the PNG
+palette/Adam7 cases. The encoders (baseline `encode_jpeg_np` and
+progressive `encode_jpeg_progressive_np`, IJG-style quality scaling,
+Annex-K tables) exist so fixtures and the mm_* queries can synthesize
+deterministic JPEG payloads without external tooling; encode→decode is
+deterministic bit-for-bit given the same input.
 """
 
 from __future__ import annotations
@@ -457,8 +465,11 @@ def _extend(v: int, size: int) -> int:
 
 
 def decode_jpeg_np(payload: bytes) -> np.ndarray:
-    """Baseline JPEG bytes -> uint8 (h, w, 3) RGB (grayscale broadcasts
-    to 3 channels, matching `decode_image_np`'s contract)."""
+    """Baseline (SOF0/1) or progressive (SOF2) JPEG bytes -> uint8
+    (h, w, 3) RGB (grayscale broadcasts to 3 channels, matching
+    `decode_image_np`'s contract). Baseline scans decode in one pass;
+    progressive scans accumulate coefficients per SOS (T.81 Annex G)
+    and reconstruct at EOI."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
     pos = 2
@@ -466,13 +477,17 @@ def decode_jpeg_np(payload: bytes) -> np.ndarray:
     htabs: dict[tuple[int, int], dict] = {}
     restart = 0
     frame = None
+    progressive = False
+    coefs: dict[int, np.ndarray] | None = None
     while pos < len(payload):
         if payload[pos] != 0xFF:
             pos += 1
             continue
         marker = payload[pos + 1]
         pos += 2
-        if marker in (0x01,) or 0xD0 <= marker <= 0xD9:
+        if marker == 0xD9:  # EOI
+            break
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD8:
             continue
         (seglen,) = struct.unpack(">H", payload[pos : pos + 2])
         seg = payload[pos + 2 : pos + seglen]
@@ -497,7 +512,7 @@ def decode_jpeg_np(payload: bytes) -> np.ndarray:
                 vals = list(seg[p + 17 : p + 17 + nv])
                 htabs[(cls, tid)] = _decode_table(bits, vals)
                 p += 17 + nv
-        elif marker in (0xC0, 0xC1):  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             prec, h, w, ncomp = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise NotImplementedError(f"JPEG precision {prec} (8-bit only)")
@@ -506,8 +521,20 @@ def decode_jpeg_np(payload: bytes) -> np.ndarray:
                 cid, samp, qid = seg[6 + 3 * ci : 9 + 3 * ci]
                 comps.append({"id": cid, "h": samp >> 4, "v": samp & 0xF, "q": qid})
             frame = (h, w, comps)
-        elif marker == 0xC2:
-            raise NotImplementedError("progressive JPEG (SOF2) not supported")
+            if marker == 0xC2:
+                progressive = True
+                hmax = max(c["h"] for c in comps)
+                vmax = max(c["v"] for c in comps)
+                mcux = -(-w // (8 * hmax))
+                mcuy = -(-h // (8 * vmax))
+                # zigzag-order coefficient accumulator on the padded
+                # MCU-aligned block grid, filled scan by scan
+                coefs = {
+                    c["id"]: np.zeros(
+                        (mcuy * c["v"], mcux * c["h"], 64), dtype=np.int64
+                    )
+                    for c in comps
+                }
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(f"JPEG SOF marker 0x{marker:02x} not supported")
         elif marker == 0xDD:  # DRI
@@ -521,11 +548,215 @@ def decode_jpeg_np(payload: bytes) -> np.ndarray:
                 cid, tids = seg[1 + 2 * i], seg[2 + 2 * i]
                 scomps.append((cid, tids >> 4, tids & 0xF))
             data_pos = pos + seglen
-            return _decode_scan(
-                payload, data_pos, frame, scomps, qtabs, htabs, restart
+            if not progressive:
+                return _decode_scan(
+                    payload, data_pos, frame, scomps, qtabs, htabs, restart
+                )
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            preds = {c["id"]: 0 for c in frame[2]}
+            pos = _progressive_scan(
+                payload,
+                data_pos,
+                frame,
+                scomps,
+                (ss, se, ahal >> 4, ahal & 0xF),
+                htabs,
+                restart,
+                coefs,
+                preds,
             )
+            continue
         pos += seglen
+    if progressive and frame is not None:
+        return _reconstruct_progressive(frame, coefs, qtabs)
     raise ValueError("JPEG stream has no scan")
+
+
+def _comp_block_dims(h, w, c, hmax, vmax):
+    """Non-interleaved block grid of one component (T.81 A.1.1)."""
+    ch = -(-(h * c["v"]) // vmax)  # component pixel height
+    cw = -(-(w * c["h"]) // hmax)
+    return -(-ch // 8), -(-cw // 8)
+
+
+def _progressive_scan(payload, data_pos, frame, scomps, params, htabs,
+                      restart, coefs, preds):
+    """Decode one SOS of a progressive frame (T.81 Annex G), updating the
+    per-component zigzag coefficient grids in ``coefs`` in place.
+    Returns the payload offset of the next marker."""
+    h, w, comps = frame
+    ss, se, ah, al = params
+    by_id = {c["id"]: c for c in comps}
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    r = _BitReaderJ(payload, data_pos)
+    eobrun = 0
+    unit = 0
+
+    def maybe_restart(unit):
+        nonlocal eobrun
+        if restart and unit and unit % restart == 0:
+            r.align_restart()
+            eobrun = 0
+            for cid in preds:
+                preds[cid] = 0
+
+    if ss == 0:
+        # DC scan: interleaved over the scan components in MCU order; a
+        # single-component DC scan degenerates to its own block order
+        if len(scomps) > 1:
+            mcux = -(-w // (8 * hmax))
+            mcuy = -(-h // (8 * vmax))
+            order = [by_id[cid] for cid, _, _ in scomps]
+            tids = {cid: dc for cid, dc, _ in scomps}
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    maybe_restart(unit)
+                    for c in order:
+                        cid = c["id"]
+                        for byy in range(c["v"]):
+                            for bxx in range(c["h"]):
+                                b = (my * c["v"] + byy, mx * c["h"] + bxx)
+                                if ah == 0:
+                                    size = _huff_decode(r, htabs[(0, tids[cid])])
+                                    diff = _extend(r.get(size), size) if size else 0
+                                    preds[cid] += diff
+                                    coefs[cid][b[0], b[1], 0] = preds[cid] << al
+                                else:  # DC refinement: one raw bit per block
+                                    if r.get(1):
+                                        coefs[cid][b[0], b[1], 0] |= 1 << al
+                    unit += 1
+        else:
+            cid, dc_tid, _ = scomps[0]
+            c = by_id[cid]
+            nby, nbx = _comp_block_dims(h, w, c, hmax, vmax)
+            for byy in range(nby):
+                for bxx in range(nbx):
+                    maybe_restart(unit)
+                    if ah == 0:
+                        size = _huff_decode(r, htabs[(0, dc_tid)])
+                        diff = _extend(r.get(size), size) if size else 0
+                        preds[cid] += diff
+                        coefs[cid][byy, bxx, 0] = preds[cid] << al
+                    else:
+                        if r.get(1):
+                            coefs[cid][byy, bxx, 0] |= 1 << al
+                    unit += 1
+    else:
+        # AC scan: always non-interleaved (T.81 G.1.1.1)
+        if len(scomps) != 1:
+            raise ValueError("progressive AC scan must have one component")
+        cid, _, ac_tid = scomps[0]
+        c = by_id[cid]
+        ac_t = htabs[(1, ac_tid)]
+        nby, nbx = _comp_block_dims(h, w, c, hmax, vmax)
+        p1 = 1 << al
+        m1 = -1 << al
+        for byy in range(nby):
+            for bxx in range(nbx):
+                maybe_restart(unit)
+                unit += 1
+                block = coefs[cid][byy, bxx]
+                if ah == 0:
+                    # first AC pass (G.1.2.2): EOBRUN skips whole blocks
+                    if eobrun > 0:
+                        eobrun -= 1
+                        continue
+                    k = ss
+                    while k <= se:
+                        rs = _huff_decode(r, ac_t)
+                        run, size = rs >> 4, rs & 0xF
+                        if size == 0:
+                            if run == 15:
+                                k += 16  # ZRL
+                                continue
+                            eobrun = (1 << run) - 1
+                            if run:
+                                eobrun += r.get(run)
+                            break
+                        k += run
+                        if k > se:
+                            raise ValueError("JPEG AC index overflow")
+                        block[k] = _extend(r.get(size), size) << al
+                        k += 1
+                else:
+                    # AC refinement pass (G.1.2.3): correction bits for
+                    # already-nonzero coefficients, newly-significant ±1<<al
+                    k = ss
+                    if eobrun == 0:
+                        while k <= se:
+                            rs = _huff_decode(r, ac_t)
+                            run, size = rs >> 4, rs & 0xF
+                            if size == 0:
+                                if run < 15:
+                                    # EOBn: the current block is included
+                                    eobrun = 1 << run
+                                    if run:
+                                        eobrun += r.get(run)
+                                    break
+                                val = 0  # ZRL: skip 16 zero-history coeffs
+                            else:
+                                val = p1 if r.get(1) else m1
+                            while k <= se:
+                                if block[k] != 0:
+                                    if r.get(1) and (block[k] & p1) == 0:
+                                        block[k] += p1 if block[k] >= 0 else m1
+                                else:
+                                    if run == 0:
+                                        if val:
+                                            block[k] = val
+                                        k += 1
+                                        break
+                                    run -= 1
+                                k += 1
+                    if eobrun > 0:
+                        # tail correction bits of the block ending the run
+                        while k <= se:
+                            if block[k] != 0:
+                                if r.get(1) and (block[k] & p1) == 0:
+                                    block[k] += p1 if block[k] >= 0 else m1
+                            k += 1
+                        eobrun -= 1
+
+    # advance to the next marker (skip stuffed 0x00 bytes and RSTn)
+    p = r.pos
+    n = len(payload)
+    while p + 1 < n:
+        if payload[p] == 0xFF and payload[p + 1] != 0x00:
+            if 0xD0 <= payload[p + 1] <= 0xD7:
+                p += 2
+                continue
+            break
+        p += 1
+    return p
+
+
+def _reconstruct_progressive(frame, coefs, qtabs):
+    """Accumulated zigzag coefficient grids -> uint8 RGB (dequantize,
+    batched IDCT, chroma upsample, BT.601)."""
+    h, w, comps = frame
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    full = {}
+    for c in comps:
+        zz = coefs[c["id"]]
+        nby, nbx, _ = zz.shape
+        deq = zz.reshape(-1, 64) * qtabs[c["q"]][_ZIGZAG]
+        blocks = deq[:, _UNZIGZAG].reshape(-1, 8, 8).astype(np.float64)
+        pix = np.einsum("xu,nuv,yv->nxy", _C.T, blocks, _C.T) + 128.0
+        plane = (
+            pix.reshape(nby, nbx, 8, 8).transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
+        )
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1 or rx > 1:
+            plane = _bilinear_up(plane, plane.shape[0] * ry, plane.shape[1] * rx)
+        full[c["id"]] = plane[:h, :w]
+    if len(comps) == 1:
+        y = np.clip(np.round(full[comps[0]["id"]]), 0, 255).astype(np.uint8)
+        return np.repeat(y[:, :, None], 3, axis=2)
+    ids = [c["id"] for c in comps]
+    return _ycbcr_to_rgb(full[ids[0]], full[ids[1]], full[ids[2]])
 
 
 def _decode_scan(payload, data_pos, frame, scomps, qtabs, htabs, restart):
@@ -611,6 +842,218 @@ def _decode_scan(payload, data_pos, frame, scomps, qtabs, htabs, restart):
         return np.repeat(y[:, :, None], 3, axis=2)
     ids = [c["id"] for c in comps]
     return _ycbcr_to_rgb(full[ids[0]], full[ids[1]], full[ids[2]])
+
+
+class _ProgWriter(_BitWriterJ):
+    """Bit writer with deferred EOBRUN + correction-bit buffering (the
+    refinement-scan encoder must emit pending correction bits after the
+    next Huffman symbol, T.81 G.1.2.3)."""
+
+    def __init__(self, ac_codes):
+        super().__init__()
+        self.ac_codes = ac_codes
+        self.eobrun = 0
+        self.bits: list[int] = []
+
+    def put_bits(self, bits):
+        for b in bits:
+            self.put(b, 1)
+
+    def flush_eobrun(self):
+        if self.eobrun > 0:
+            nbits = self.eobrun.bit_length() - 1
+            code, ln = self.ac_codes[nbits << 4]
+            self.put(code, ln)
+            if nbits:
+                self.put(self.eobrun - (1 << nbits), nbits)
+            self.eobrun = 0
+            self.put_bits(self.bits)
+            self.bits = []
+
+
+def encode_jpeg_progressive_np(
+    img: np.ndarray, quality: int = 85, subsampling: str = "444"
+) -> bytes:
+    """uint8 RGB/gray -> progressive JFIF (SOF2): spectral selection +
+    one successive-approximation level, libjpeg-style scan script
+    DC(Al=1) -> AC first (Al=1) per component -> DC refine -> AC refine
+    per component — so every Annex-G decoder branch (EOBRUN, ZRL,
+    newly-significant, correction bits) is exercised. The Annex-K
+    baseline AC tables lack EOBn (n>1) symbols, so EOB runs are emitted
+    one block at a time (symbol 0x00); decode output is bit-identical to
+    the baseline encoder's at the same quality/subsampling."""
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    qt_l, qt_c = _quality_tables(quality)
+    if subsampling not in ("444", "420"):
+        raise ValueError("subsampling must be '444' or '420'")
+    sub = subsampling == "420" and not gray
+
+    if gray:
+        comps = [{"plane": img.astype(np.float64), "h": 1, "v": 1, "qt": qt_l,
+                  "dc": _canonical_codes(*_DC_LUMA), "ac": _canonical_codes(*_AC_LUMA)}]
+    else:
+        ycc = _rgb_to_ycbcr(img)
+        yf, cb, cr = (ycc[..., i] for i in range(3))
+        if sub:
+            ph2, pw2 = -(-h // 2) * 2, -(-w // 2) * 2
+            cb = _pad_plane(cb, ph2, pw2).reshape(ph2 // 2, 2, pw2 // 2, 2).mean((1, 3))
+            cr = _pad_plane(cr, ph2, pw2).reshape(ph2 // 2, 2, pw2 // 2, 2).mean((1, 3))
+        sf = 2 if sub else 1
+        comps = [
+            {"plane": yf, "h": sf, "v": sf, "qt": qt_l,
+             "dc": _canonical_codes(*_DC_LUMA), "ac": _canonical_codes(*_AC_LUMA)},
+            {"plane": cb, "h": 1, "v": 1, "qt": qt_c,
+             "dc": _canonical_codes(*_DC_CHROMA), "ac": _canonical_codes(*_AC_CHROMA)},
+            {"plane": cr, "h": 1, "v": 1, "qt": qt_c,
+             "dc": _canonical_codes(*_DC_CHROMA), "ac": _canonical_codes(*_AC_CHROMA)},
+        ]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    for c in comps:
+        gh, gw = mcuy * c["v"] * 8, mcux * c["h"] * 8
+        p = _pad_plane(c["plane"], gh, gw) - 128.0
+        blocks = _blocks_of(p)
+        f = np.einsum("ux,nxy,vy->nuv", _C, blocks, _C)
+        coef = np.round(f / c["qt"].reshape(8, 8)).astype(np.int64)
+        c["zz"] = coef.reshape(-1, 64)[:, _ZIGZAG].reshape(gh // 8, gw // 8, 64)
+        c["nby"], c["nbx"] = _comp_block_dims(h, w, c, hmax, vmax)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xFFDB, b"\x00" + bytes(qt_l[_ZIGZAG].astype(np.uint8)))
+    if not gray:
+        out += seg(0xFFDB, b"\x01" + bytes(qt_c[_ZIGZAG].astype(np.uint8)))
+    ncomp = len(comps)
+    sof = bytearray(struct.pack(">BHHB", 8, h, w, ncomp))
+    for ci, c in enumerate(comps):
+        sof += bytes([ci + 1, (c["h"] << 4) | c["v"], 0 if ci == 0 else 1])
+    out += seg(0xFFC2, bytes(sof))  # SOF2 progressive
+    for cls, tid, (bits, vals) in (
+        (0, 0, _DC_LUMA), (1, 0, _AC_LUMA), (0, 1, _DC_CHROMA), (1, 1, _AC_CHROMA)
+    )[: 2 if gray else 4]:
+        out += seg(0xFFC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals))
+
+    def sos_hdr(comp_ids, ss, se, ah, al):
+        b = bytearray([len(comp_ids)])
+        for cid in comp_ids:
+            tid = 0 if cid == 1 else 1
+            b += bytes([cid, (tid << 4) | tid])
+        b += bytes([ss, se, (ah << 4) | al])
+        return seg(0xFFDA, bytes(b))
+
+    AL = 1  # one successive-approximation level
+
+    # ---- scan 1: DC first, all components interleaved, Al=AL ----
+    bw = _BitWriterJ()
+    preds = [0] * ncomp
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, c in enumerate(comps):
+                for byy in range(c["v"]):
+                    for bxx in range(c["h"]):
+                        dc = int(c["zz"][my * c["v"] + byy, mx * c["h"] + bxx, 0]) >> AL
+                        diff = dc - preds[ci]
+                        preds[ci] = dc
+                        size = _category(diff)
+                        code, ln = c["dc"][size]
+                        bw.put(code, ln)
+                        if size:
+                            bw.put(diff if diff >= 0 else diff + (1 << size) - 1, size)
+    out += sos_hdr(list(range(1, ncomp + 1)), 0, 0, 0, AL)
+    out += bw.flush()
+
+    # ---- per component: AC first scan (Ss=1..63, Ah=0, Al=AL) ----
+    for ci, c in enumerate(comps):
+        pw = _ProgWriter(c["ac"])
+        for byy in range(c["nby"]):
+            for bxx in range(c["nbx"]):
+                zz = c["zz"][byy, bxx]
+                r = 0
+                for k in range(1, 64):
+                    v = int(zz[k])
+                    t = abs(v) >> AL
+                    if t == 0:
+                        r += 1
+                        continue
+                    pw.flush_eobrun()
+                    while r > 15:
+                        code, ln = c["ac"][0xF0]
+                        pw.put(code, ln)
+                        r -= 16
+                    size = _category(t)
+                    code, ln = c["ac"][(r << 4) | size]
+                    pw.put(code, ln)
+                    sv = t if v >= 0 else -t
+                    pw.put(sv if sv >= 0 else sv + (1 << size) - 1, size)
+                    r = 0
+                if r > 0:
+                    pw.eobrun = 1
+                    pw.flush_eobrun()
+        out += sos_hdr([ci + 1], 1, 63, 0, AL)
+        out += pw.flush()
+
+    # ---- DC refinement scan (Ah=AL, Al=0): one raw bit per block ----
+    bw = _BitWriterJ()
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for c in comps:
+                for byy in range(c["v"]):
+                    for bxx in range(c["h"]):
+                        bw.put(int(c["zz"][my * c["v"] + byy, mx * c["h"] + bxx, 0]) & 1, 1)
+    out += sos_hdr(list(range(1, ncomp + 1)), 0, 0, AL, 0)
+    out += bw.flush()
+
+    # ---- per component: AC refinement (Ah=AL, Al=0) ----
+    for ci, c in enumerate(comps):
+        pw = _ProgWriter(c["ac"])
+        for byy in range(c["nby"]):
+            for bxx in range(c["nbx"]):
+                zz = c["zz"][byy, bxx]
+                absv = np.abs(zz[1:64])
+                eob = 0
+                for k in range(1, 64):
+                    if absv[k - 1] == 1:
+                        eob = k
+                r = 0
+                br: list[int] = []
+                for k in range(1, 64):
+                    t = int(absv[k - 1])
+                    if t == 0:
+                        r += 1
+                        continue
+                    while r > 15 and k <= eob:
+                        pw.flush_eobrun()
+                        code, ln = c["ac"][0xF0]
+                        pw.put(code, ln)
+                        r -= 16
+                        pw.put_bits(br)
+                        br = []
+                    if t > 1:
+                        # already significant: correction bit only
+                        br.append(t & 1)
+                        continue
+                    pw.flush_eobrun()
+                    code, ln = c["ac"][(r << 4) | 1]
+                    pw.put(code, ln)
+                    pw.put(1 if int(zz[k]) > 0 else 0, 1)
+                    pw.put_bits(br)
+                    br = []
+                    r = 0
+                if r > 0 or br:
+                    pw.eobrun = 1
+                    pw.bits.extend(br)
+                    pw.flush_eobrun()
+        out += sos_hdr([ci + 1], 1, 63, AL, 0)
+        out += pw.flush()
+
+    out += b"\xff\xd9"
+    return bytes(out)
 
 
 from hiss_cube_spark._serde import register_self as _register_self  # noqa: E402

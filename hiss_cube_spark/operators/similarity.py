@@ -1054,13 +1054,17 @@ def dbscan_embeddings(
     # assignment, CC) — materialize once so the all-pairs kernel runs once
     und = und.localCheckpoint(eager=True)
     all_ids = corpus.select(F.col(id_col).alias("node"))
-    deg = all_ids.join(
-        und.groupBy(F.col("id_a").alias("node")).agg(
-            F.count(F.lit(1)).alias("nbrs")
-        ),
-        "node",
-        "left",
-    ).select("node", F.coalesce("nbrs", F.lit(0)).alias("nbrs"))
+    deg = und.groupBy(F.col("id_a").alias("node")).agg(
+        F.count(F.lit(1)).alias("nbrs")
+    )
+    if min_pts <= 1:
+        # zero-neighbor points are singleton cores only when min_pts==1;
+        # for min_pts>=2 they can never be core and already fall out as
+        # noise in the final left joins, so skip the corpus-wide
+        # completion join on the default path
+        deg = all_ids.join(deg, "node", "left").select(
+            "node", F.coalesce("nbrs", F.lit(0)).alias("nbrs")
+        )
     core = deg.where(F.col("nbrs") + 1 >= min_pts).select("node")
     ce = (
         und.join(core.select(F.col("node").alias("id_a")), "id_a")

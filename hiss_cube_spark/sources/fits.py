@@ -12,8 +12,10 @@ format — and ``.fits.gz``) decompress transparently by magic-byte detection
 transparently too, through the pure-python RICE_1 codec in
 :mod:`hiss_cube_spark.sources.rice` — parity with fitsio's native
 compressed-HDU reads in the reference (utils/photometry.py:18,31).
-Quantized float tiles with subtractive dithering are the one honest gap
-(they need cfitsio's RNG stream); NO_DITHER linear scaling is supported.
+Quantized float tiles decode for NO_DITHER linear scaling AND for
+SUBTRACTIVE_DITHER_1/2 — the convention's RNG stream is regenerated
+clean-room in :mod:`hiss_cube_spark.sources.quantize` (ZDITHER0-seeded
+Park–Miller table walk, DITHER_2 zero preservation).
 
 Scan shape: ``spark.read.format("binaryFile")`` with pathGlobFilter (P1) and
 limit (P2), then mapInPandas parses per Arrow batch — file bytes never
@@ -370,11 +372,8 @@ def decompress_tiled_image(data: bytes, header: dict, dpos: int) -> np.ndarray:
     if cmptype not in ("RICE_1", "GZIP_1"):
         raise NotImplementedError(f"ZCMPTYPE {cmptype!r} not supported (RICE_1/GZIP_1)")
     quantiz = str(header.get("ZQUANTIZ", "NO_DITHER")).strip()
-    if quantiz.startswith("SUBTRACTIVE_DITHER"):
-        raise NotImplementedError(
-            "quantized float tiles with subtractive dithering need cfitsio's "
-            "RNG stream; re-compress with -q0 (NO_DITHER) or decode via fitsio"
-        )
+    dithered = quantiz.startswith("SUBTRACTIVE_DITHER")
+    dither_seed = int(header.get("ZDITHER0", 1)) if dithered else 0
     # RICE parameters from ZNAMEi/ZVALi
     blocksize, bytepix = 32, max(1, min(4, abs(zbitpix) // 8))
     for i in range(1, 10):
@@ -423,10 +422,15 @@ def decompress_tiled_image(data: bytes, header: dict, dpos: int) -> np.ndarray:
                     .view(int_dtype[bytepix])
                     .astype(np.int64)
                 )
-            else:  # GZIP_1 of the raw big-endian pixels
-                vals = np.frombuffer(
-                    _gzip.decompress(raw), dtype=_ZBITPIX_DTYPE[zbitpix]
-                ).astype(np.int64 if zbitpix > 0 else np.float64)
+            else:  # GZIP_1 of the raw big-endian pixels (or int32 codes
+                # when the float image was quantized)
+                gz_dtype = (
+                    ">i4" if (zbitpix < 0 and "ZSCALE" in layout)
+                    else _ZBITPIX_DTYPE[zbitpix]
+                )
+                vals = np.frombuffer(_gzip.decompress(raw), dtype=gz_dtype).astype(
+                    np.int64 if (zbitpix > 0 or gz_dtype == ">i4") else np.float64
+                )
         elif "GZIP_COMPRESSED_DATA" in layout:
             gform, goff = layout["GZIP_COMPRESSED_DATA"]
             gn, go = _read_descriptor(data, row_start, goff, gform)
@@ -440,12 +444,21 @@ def decompress_tiled_image(data: bytes, header: dict, dpos: int) -> np.ndarray:
 
         tile_vals = vals.astype(np.float64) if zbitpix < 0 else vals
         if zbitpix < 0 and "ZSCALE" in layout:
-            # NO_DITHER linear quantization: value = q * zscale + zzero
             sform, soff = layout["ZSCALE"]
             zform, zoff = layout["ZZERO"]
             zscale = np.frombuffer(data[row_start + soff : row_start + soff + 8], ">f8")[0]
             zzero = np.frombuffer(data[row_start + zoff : row_start + zoff + 8], ">f8")[0]
-            tile_vals = tile_vals * zscale + zzero
+            if dithered:
+                # SUBTRACTIVE_DITHER_1/2: regenerate the convention's RNG
+                # stream for this tile and undo the dither (quantize.py)
+                from hiss_cube_spark.sources.quantize import unquantize_tile
+
+                tile_vals = unquantize_tile(
+                    vals, t + 1, dither_seed, zscale, zzero, quantiz
+                )
+            else:
+                # NO_DITHER linear quantization: value = q * zscale + zzero
+                tile_vals = tile_vals * zscale + zzero
         sl = tuple(slice(s, s + z) for s, z in zip(starts[::-1], sizes[::-1]))
         out[sl] = tile_vals.reshape(sizes[::-1])
     return out
@@ -526,6 +539,115 @@ def write_rice_fits(
         _fits_card("ZVAL1", blocksize),
         _fits_card("ZNAME2", "BYTEPIX"),
         _fits_card("ZVAL2", bytepix),
+    ]
+    for k, v in (header_extra or {}).items():
+        cards.append(_fits_card(k, v))
+    cards.append("END".ljust(80).encode())
+    hdr = b"".join(cards)
+    hdr += b" " * ((-len(hdr)) % _BLOCK)
+
+    payload = bytes(table) + bytes(heap)
+    payload += b"\x00" * ((-len(payload)) % _BLOCK)
+    return primary + hdr + payload
+
+
+def write_quantized_fits(
+    arr: np.ndarray,
+    tile_rows: int = 1,
+    blocksize: int = 32,
+    header_extra: dict | None = None,
+    cmptype: str = "RICE_1",
+    quantiz: str = "SUBTRACTIVE_DITHER_1",
+    dither_seed: int = 1,
+    quantize_level: float = 16.0,
+) -> bytes:
+    """fpack-style compression of a FLOAT image: per-tile linear
+    quantization to int32 with the convention's subtractive dither
+    (``ZQUANTIZ='SUBTRACTIVE_DITHER_1/2'``, ``ZDITHER0``), then RICE_1 or
+    GZIP_1 tiles with per-tile ZSCALE/ZZERO columns. ``quantize_level`` is
+    the cfitsio ``q``: ZSCALE = tile_stddev / q (floored at tile_range /
+    2^24 so codes stay in int32). The write-side fixture generator for the
+    dithered `.fits.fz` roundtrip tests."""
+    import gzip as _gzip
+
+    from hiss_cube_spark.sources.exports import _fits_card
+    from hiss_cube_spark.sources.quantize import quantize_tile
+    from hiss_cube_spark.sources.rice import rice_encode
+
+    if arr.ndim != 2 or arr.dtype.kind != "f":
+        raise ValueError("write_quantized_fits expects a 2-D float image")
+    h, w = arr.shape
+    zbitpix = -32 if arr.dtype.itemsize == 4 else -64
+
+    tiles, heap, zscales, zzeros = [], bytearray(), [], []
+    for tnum, r0 in enumerate(range(0, h, tile_rows), start=1):
+        tile = arr[r0 : r0 + tile_rows].astype(np.float64).ravel()
+        finite = tile[np.isfinite(tile)]
+        std = float(finite.std()) if finite.size else 0.0
+        rng = float(finite.max() - finite.min()) if finite.size else 0.0
+        zscale = max(std / quantize_level, rng / float(1 << 24), 1e-12)
+        zzero = float(finite.min()) if finite.size else 0.0
+        codes = quantize_tile(tile, tnum, dither_seed, zscale, zzero, quantiz)
+        codes32 = codes.astype(np.int32)
+        if cmptype == "GZIP_1":
+            enc = _gzip.compress(codes32.astype(">i4").tobytes())
+        else:
+            enc = rice_encode(codes32, blocksize, 4)
+        tiles.append((len(enc), len(heap)))
+        heap += enc
+        zscales.append(zscale)
+        zzeros.append(zzero)
+
+    # 3 fields: 1PB descriptor + ZSCALE (1D) + ZZERO (1D) = 24-byte rows
+    row_bytes = 24
+    table = bytearray()
+    for (n, o), zs, zz in zip(tiles, zscales, zzeros):
+        table += int(n).to_bytes(4, "big") + int(o).to_bytes(4, "big")
+        # NB: 0-d numpy scalars ignore byte order in astype — go through a
+        # 1-element array for the big-endian table cells
+        table += np.array([zs, zz], dtype=">f8").tobytes()
+
+    primary = b"".join(
+        [
+            _fits_card("SIMPLE", True),
+            _fits_card("BITPIX", 8),
+            _fits_card("NAXIS", 0),
+            _fits_card("EXTEND", True),
+            "END".ljust(80).encode(),
+        ]
+    )
+    primary += b" " * ((-len(primary)) % _BLOCK)
+
+    maxlen = max((n for n, _ in tiles), default=0)
+    cards = [
+        _fits_card("XTENSION", "BINTABLE"),
+        _fits_card("BITPIX", 8),
+        _fits_card("NAXIS", 2),
+        _fits_card("NAXIS1", row_bytes),
+        _fits_card("NAXIS2", len(tiles)),
+        _fits_card("PCOUNT", len(heap)),
+        _fits_card("GCOUNT", 1),
+        _fits_card("TFIELDS", 3),
+        _fits_card("TTYPE1", "COMPRESSED_DATA"),
+        _fits_card("TFORM1", f"1PB({maxlen})"),
+        _fits_card("TTYPE2", "ZSCALE"),
+        _fits_card("TFORM2", "1D"),
+        _fits_card("TTYPE3", "ZZERO"),
+        _fits_card("TFORM3", "1D"),
+        _fits_card("ZIMAGE", True),
+        _fits_card("ZCMPTYPE", cmptype),
+        _fits_card("ZBITPIX", zbitpix),
+        _fits_card("ZNAXIS", 2),
+        _fits_card("ZNAXIS1", w),
+        _fits_card("ZNAXIS2", h),
+        _fits_card("ZTILE1", w),
+        _fits_card("ZTILE2", tile_rows),
+        _fits_card("ZQUANTIZ", quantiz),
+        _fits_card("ZDITHER0", dither_seed),
+        _fits_card("ZNAME1", "BLOCKSIZE"),
+        _fits_card("ZVAL1", blocksize),
+        _fits_card("ZNAME2", "BYTEPIX"),
+        _fits_card("ZVAL2", 4),
     ]
     for k, v in (header_extra or {}).items():
         cards.append(_fits_card(k, v))

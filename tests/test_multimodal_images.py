@@ -334,8 +334,17 @@ def test_decode_image_np_dispatch_and_stub():
     np.testing.assert_array_equal(got[:, :, 0], g)
     rgba = rng.integers(0, 256, (4, 5, 4), dtype=np.uint8)
     np.testing.assert_array_equal(decode_image_np(encode_png_np(rgba)), rgba[:, :, :3])
-    with pytest.raises(NotImplementedError, match="JPEG"):
+    # JPEG magic dispatches into the real decoder: garbage after the SOI
+    # marker is a parse error, and a genuine encode->decode roundtrip
+    # reconstructs a flat image exactly (DC-only => lossless at q95)
+    with pytest.raises(ValueError):
         decode_image_np(b"\xff\xd8\xff\xe0 jpeg bytes")
+    from hiss_cube_spark.operators.jpeg import encode_jpeg_np
+
+    flat = np.full((8, 8, 3), 99, dtype=np.uint8)
+    dec = decode_image_np(encode_jpeg_np(flat, quality=95, subsampling="444"))
+    assert dec.shape == (8, 8, 3)
+    assert np.abs(dec.astype(int) - 99).max() <= 1
 
 
 def test_distributed_pipeline_on_png(spark):

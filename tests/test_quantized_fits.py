@@ -1,0 +1,137 @@
+"""Subtractive-dither quantized float tiles (fpack's float default).
+
+Reference parity: fitsio reads dithered `.fits.fz` transparently
+(/root/reference/hisscube/utils/photometry.py:18,31); here the clean-room
+RNG stream in hiss_cube_spark/sources/quantize.py must reproduce the
+convention's table walk exactly, or decoded pixels are noise.
+"""
+
+import numpy as np
+import pytest
+
+from hiss_cube_spark.sources.fits import parse_fits_image, write_quantized_fits
+from hiss_cube_spark.sources.quantize import (
+    N_RANDOM,
+    quantize_tile,
+    rand_table,
+    tile_dither,
+    unquantize_tile,
+)
+
+
+def test_rand_table_convention_constants():
+    """The Park–Miller table is pinned by the convention itself: the
+    final LCG seed must be 1043618065 (checked inside rand_table) and the
+    values are uniform in (0, 1)."""
+    rv = rand_table()
+    assert rv.shape == (N_RANDOM,)
+    assert rv.min() > 0.0 and rv.max() < 1.0
+    # first value: seed=1 -> 16807/m
+    assert rv[0] == pytest.approx(16807.0 / 2147483647.0, rel=0, abs=0)
+
+
+def test_tile_dither_walk_and_wrap():
+    """The stream starts at int(table[i0]*500) and wraps by advancing i0 —
+    a long tile must cross the 10000-entry boundary consistently."""
+    rv = rand_table()
+    i0 = (7 + 42 - 2) % N_RANDOM
+    start = int(rv[i0] * 500)
+    d = tile_dither(7, 42, 16)
+    np.testing.assert_array_equal(d, rv[start : start + 16])
+    # crossing the table end: the tail re-derives from the next iseed
+    long = tile_dither(7, 42, N_RANDOM)
+    np.testing.assert_array_equal(long[: N_RANDOM - start], rv[start:])
+    nxt = int(rv[(i0 + 1) % N_RANDOM] * 500)
+    np.testing.assert_array_equal(
+        long[N_RANDOM - start :], rv[nxt : nxt + start]
+    )
+    # different tiles / seeds get different streams
+    assert not np.array_equal(tile_dither(8, 42, 16), d)
+    assert not np.array_equal(tile_dither(7, 43, 16), d)
+
+
+def test_quantize_roundtrip_error_bound():
+    """|decode(encode(v)) - v| <= ZSCALE/2 exactly (NINT error half-ulp of
+    the quantization grid; the dither cancels by construction)."""
+    rng = np.random.default_rng(11)
+    v = rng.normal(100.0, 5.0, 4096)
+    zscale, zzero = 0.25, float(v.min())
+    for method in ("SUBTRACTIVE_DITHER_1", "SUBTRACTIVE_DITHER_2"):
+        q = quantize_tile(v, 3, 17, zscale, zzero, method)
+        back = unquantize_tile(q, 3, 17, zscale, zzero, method)
+        assert np.abs(back - v).max() <= zscale / 2 + 1e-12
+        # wrong tile number or seed -> the dither does NOT cancel
+        wrong = unquantize_tile(q, 4, 17, zscale, zzero, method)
+        assert np.abs(wrong - v).max() > zscale / 2
+
+
+def test_write_quantized_fits_all_paths():
+    """Full-file roundtrip through the ZIMAGE bintable parser for both
+    dither methods x both codecs, with NaN (NULL_VALUE) pixels."""
+    rng = np.random.default_rng(7)
+    img = (
+        1000.0
+        + 50.0 * np.sin(np.linspace(0, 6, 48 * 64)).reshape(48, 64)
+        + rng.normal(0, 3, (48, 64))
+    ).astype(np.float32)
+    img[5, 7] = np.nan
+    finite = np.isfinite(img)
+    for quantiz in ("SUBTRACTIVE_DITHER_1", "SUBTRACTIVE_DITHER_2"):
+        for cmp in ("RICE_1", "GZIP_1"):
+            blob = write_quantized_fits(
+                img, tile_rows=4, cmptype=cmp, quantiz=quantiz,
+                dither_seed=42, quantize_level=16.0,
+            )
+            hdr, arr = parse_fits_image(blob)
+            assert hdr["BITPIX"] == -32
+            assert arr.shape == img.shape
+            assert np.isnan(arr[5, 7])
+            err = np.abs(arr[finite].astype(np.float64) - img[finite])
+            # zscale = tile std/16 <= ~0.5 here; float32 re-cast adds ulps
+            assert err.max() < 0.3, (quantiz, cmp, err.max())
+
+
+def test_dither2_preserves_exact_zeros():
+    rng = np.random.default_rng(3)
+    img = rng.normal(50.0, 4.0, (16, 16)).astype(np.float32)
+    img[4:6, :] = 0.0
+    blob = write_quantized_fits(
+        img, tile_rows=4, quantiz="SUBTRACTIVE_DITHER_2", dither_seed=9
+    )
+    _, arr = parse_fits_image(blob)
+    assert np.all(arr[4:6, :] == 0.0)
+    # DITHER_1 has no zero escape: zeros come back only within zscale/2
+    blob1 = write_quantized_fits(
+        img, tile_rows=4, quantiz="SUBTRACTIVE_DITHER_1", dither_seed=9
+    )
+    _, arr1 = parse_fits_image(blob1)
+    assert not np.all(arr1[4:6, :] == 0.0)
+    assert np.abs(arr1[4:6, :]).max() < 2.0
+
+
+def test_bulk_ingest_dithered_fz(spark, tmp_path):
+    """A dithered float `.fits.fz` flows the standard bulk-ingest glob and
+    lands with pixels within the quantization bound of the source."""
+    import os
+
+    from hiss_cube_spark.sources.ingest import ingest_images
+
+    extra = {
+        "RUN": 77, "CAMCOL": 1, "FILTER": "g", "TAI": 55100.25,
+        "CRPIX1": 16.0, "CRPIX2": 12.0, "CD1_1": 4e-4, "CD1_2": 0.0,
+        "CD2_1": 0.0, "CD2_2": 4e-4, "CRVAL1": 12.0, "CRVAL2": -3.0,
+        "CTYPE1": "RA---TAN", "CTYPE2": "DEC--TAN",
+    }
+    rng = np.random.default_rng(5151)
+    img = (200.0 + rng.normal(0, 2, (32, 32))).astype(np.float32)
+    fz = write_quantized_fits(
+        img, tile_rows=1, header_extra=extra,
+        quantiz="SUBTRACTIVE_DITHER_1", dither_seed=123,
+    )
+    src = str(tmp_path)
+    open(os.path.join(src, "frame-g-000077.fits.fz"), "wb").write(fz)
+    df = ingest_images(spark, src)
+    row = df.where("zoom = 0").select("data", "naxis1", "naxis2").first()
+    assert (row["naxis1"], row["naxis2"]) == (32, 32)
+    got = np.array(row["data"], dtype=np.float64).reshape(32, 32)
+    assert np.abs(got - img).max() < 0.2
