@@ -6195,6 +6195,168 @@ def mm_jpeg_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "mm_png_variants",
+    """
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CASE CAST(doc_id % 4 AS INT)
+                WHEN 0 THEN 'palette' WHEN 1 THEN 'gray_alpha'
+                WHEN 2 THEN 'rgb16' ELSE 'adam7' END AS variant,
+           CAST(5 + doc_id % 4 AS INT) AS height,
+           CAST(7 AS INT) AS width,
+           CAST(CASE CAST(doc_id % 4 AS INT)
+                WHEN 0 THEN 4 WHEN 1 THEN 2 ELSE 3 END AS INT) AS channels,
+           TRUE AS exact_roundtrip
+    FROM documents WHERE doc_id % 5 = 0
+    """,
+)
+def mm_png_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-spec PNG legs of the image pipeline, distributed: per document
+    synthesize pixel content from its text bytes and push it through one
+    of the four non-baseline PNG shapes the round-5 decoder added —
+    palette+PLTE/tRNS, gray+alpha, 16-bit RGB, Adam7-interlaced RGB
+    (`operators/multimodal.py:encode_png_np/decode_png_np`, clean-room
+    zlib/CRC chunk codec). PNG is lossless, so the oracle is fully
+    analytic: the synthesis dimension law, the variant-selection law, the
+    decoded channel count, and EXACT pixel equality after the documented
+    expansions (palette lookup + tRNS alpha; uint16 passthrough) — any
+    filter/interlace/palette bug flips `exact_roundtrip`. Per-pixel kernel
+    behavior is additionally pinned in tests/test_png_full.py."""
+    import numpy as _np
+    import pandas as _pd
+    from collections.abc import Iterator as _Iter
+
+    from hiss_cube_spark.operators.multimodal import decode_png_np, encode_png_np
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 5 == 0)
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def _roundtrip(batches: _Iter[_pd.DataFrame]) -> _Iter[_pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                b = _np.frombuffer(text.encode("utf-8"), dtype=_np.uint8)
+                h, w = 5 + int(doc_id) % 4, 7
+                v = int(doc_id) % 4
+                if v == 0:  # palette + tRNS
+                    pal = _np.resize(b, 16 * 3).reshape(16, 3)
+                    trns = _np.resize(b[::2], 16)
+                    idx = _np.resize(b[1::2], h * w).reshape(h, w) % 16
+                    dec = decode_png_np(encode_png_np(idx, palette=pal, trns=trns))
+                    alpha = trns  # all 16 entries supplied
+                    ok = bool(
+                        _np.array_equal(dec[:, :, :3], pal[idx])
+                        and _np.array_equal(dec[:, :, 3], alpha[idx])
+                    )
+                    variant, ch = "palette", dec.shape[2]
+                elif v == 1:  # gray + alpha
+                    src = _np.resize(b, h * w * 2).reshape(h, w, 2)
+                    dec = decode_png_np(encode_png_np(src))
+                    ok = bool(_np.array_equal(dec, src))
+                    variant, ch = "gray_alpha", dec.shape[2]
+                elif v == 2:  # 16-bit RGB
+                    src = (
+                        _np.resize(b.astype(_np.uint16) * 257, h * w * 3)
+                        .reshape(h, w, 3)
+                    )
+                    dec = decode_png_np(encode_png_np(src))
+                    ok = bool(dec.dtype == _np.uint16 and _np.array_equal(dec, src))
+                    variant, ch = "rgb16", dec.shape[2]
+                else:  # Adam7-interlaced 8-bit RGB
+                    src = _np.resize(b, h * w * 3).reshape(h, w, 3)
+                    dec = decode_png_np(encode_png_np(src, interlace=True))
+                    ok = bool(_np.array_equal(dec, src))
+                    variant, ch = "adam7", dec.shape[2]
+                rows.append((int(doc_id), variant, h, w, int(ch), ok))
+            yield _pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "variant", "height", "width", "channels",
+                    "exact_roundtrip",
+                ],
+            )
+
+    return d.mapInPandas(
+        _roundtrip,
+        schema=(
+            "doc_id long, variant string, height int, width int, "
+            "channels int, exact_roundtrip boolean"
+        ),
+    )
+
+
+@_q(
+    "mm_fits_codec_sweep",
+    """
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CASE CAST(doc_id % 4 AS INT)
+                WHEN 0 THEN 'RICE_1' WHEN 1 THEN 'GZIP_1'
+                WHEN 2 THEN 'GZIP_2' ELSE 'HCOMPRESS_1' END AS cmptype,
+           CAST(8 + (doc_id % 3) * 4 AS INT) AS height,
+           CAST(12 AS INT) AS width,
+           TRUE AS exact_roundtrip
+    FROM documents WHERE doc_id % 5 = 0
+    """,
+)
+def mm_fits_codec_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All four FITS tiled-image codecs (`ZCMPTYPE` = RICE_1 / GZIP_1 /
+    GZIP_2 byte-shuffle / HCOMPRESS_1 H-transform quadtree — reference
+    reads these transparently via fitsio+cfitsio,
+    /root/reference/hisscube/utils/photometry.py:18) exercised
+    distributed: per document synthesize an int16 frame from its text
+    bytes, fpack it (`sources/fits.py:write_rice_fits`), parse it back
+    through the `.fits.fz` ZIMAGE bintable path, and assert exact pixel
+    recovery — integer tiles are lossless in every codec, so the oracle
+    is fully analytic (dimension law, codec-selection law, equality).
+    Codec kernels are pinned in tests/test_hcompress.py and
+    tests/test_ingest_cli.py."""
+    import numpy as _np
+    import pandas as _pd
+    from collections.abc import Iterator as _Iter
+
+    from hiss_cube_spark.sources.fits import parse_fits_image, write_rice_fits
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 5 == 0)
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    codecs = ["RICE_1", "GZIP_1", "GZIP_2", "HCOMPRESS_1"]
+
+    def _roundtrip(batches: _Iter[_pd.DataFrame]) -> _Iter[_pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                b = _np.frombuffer(text.encode("utf-8"), dtype=_np.uint8)
+                h, w = 8 + int(doc_id) % 3 * 4, 12
+                img = (
+                    _np.resize(b.astype(_np.int64) * 97, h * w).reshape(h, w)
+                    - 5000
+                ).astype(_np.int16)
+                cmp = codecs[int(doc_id) % 4]
+                fz = write_rice_fits(img, tile_rows=5, cmptype=cmp)
+                _, dec = parse_fits_image(fz)
+                ok = bool(_np.array_equal(dec, img.astype(_np.int64)))
+                rows.append((int(doc_id), cmp, h, w, ok))
+            yield _pd.DataFrame(
+                rows,
+                columns=["doc_id", "cmptype", "height", "width", "exact_roundtrip"],
+            )
+
+    return d.mapInPandas(
+        _roundtrip,
+        schema=(
+            "doc_id long, cmptype string, height int, width int, "
+            "exact_roundtrip boolean"
+        ),
+    )
+
+
+@_q(
     "mm_decode_stub",
     """
     SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -199,41 +199,92 @@ def decode_ppm_np(payload: bytes) -> np.ndarray:
 
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
-_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}  # grayscale, truecolor, truecolor+alpha
+# color type -> samples per pixel (0 gray, 2 RGB, 3 palette idx, 4 gray+alpha,
+# 6 RGBA)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+_PNG_DEPTHS = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+               4: (8, 16), 6: (8, 16)}
+# Adam7 pass grid: (x_start, y_start, x_step, y_step) per the PNG spec
+_ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
 
 
-def encode_png_np(img: np.ndarray, level: int = 6) -> bytes:
-    """uint8 (h, w), (h, w, 1), (h, w, 3) or (h, w, 4) array → PNG bytes.
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
 
-    A complete, spec-conformant writer for the 8-bit non-interlaced cases
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png_np(
+    img: np.ndarray,
+    level: int = 6,
+    interlace: bool = False,
+    palette: np.ndarray | None = None,
+    trns: np.ndarray | None = None,
+) -> bytes:
+    """(h, w[, c]) array → PNG bytes — a complete spec-conformant writer
     (zlib is stdlib — PNG needs no external codec): IHDR/IDAT/IEND chunks
-    with CRCs, filter type 0 per scanline. Readable by any PNG viewer.
+    with CRCs, filter type 0 per scanline.
+
+    - uint8 input: gray (h,w)/(h,w,1), gray+alpha (h,w,2), RGB (h,w,3),
+      RGBA (h,w,4);
+    - uint16 input: same layouts, written as big-endian 16-bit samples;
+    - ``palette=(n,3) uint8``: ``img`` is an (h, w) index array, written
+      as color-type-3 with a PLTE chunk (+ optional ``trns`` alpha vector);
+    - ``interlace=True``: Adam7 — the IDAT stream is the concatenation of
+      the 7 filtered pass sub-images.
+
+    Readable by any PNG viewer.
     """
     import struct
     import zlib
 
-    img = np.ascontiguousarray(img, dtype=np.uint8)
-    if img.ndim == 2:
+    if palette is not None:
+        img = np.ascontiguousarray(img, dtype=np.uint8)
+        if img.ndim != 2:
+            raise ValueError("palette PNG expects an (h, w) index array")
         img = img[:, :, None]
+        color, depth = 3, 8
+    else:
+        img = np.ascontiguousarray(img)
+        if img.dtype == np.uint16:
+            depth = 16
+        elif img.dtype == np.uint8:
+            depth = 8
+        else:
+            raise ValueError(f"encode_png_np: dtype {img.dtype} (u1/u2 only)")
+        if img.ndim == 2:
+            img = img[:, :, None]
+        color = {1: 0, 2: 4, 3: 2, 4: 6}[img.shape[2]]
     h, w, c = img.shape
-    color = {1: 0, 3: 2, 4: 6}[c]
-    raw = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
 
-    def _chunk(tag: bytes, data: bytes) -> bytes:
-        return (
-            struct.pack(">I", len(data))
-            + tag
-            + data
-            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+    def _rows(sub: np.ndarray) -> bytes:
+        if depth == 16:
+            sub = sub.astype(">u2")
+        return b"".join(b"\x00" + sub[y].tobytes() for y in range(sub.shape[0]))
+
+    if interlace:
+        raw = b"".join(
+            _rows(img[y0::ys, x0::xs])
+            for x0, y0, xs, ys in _ADAM7
+            if img[y0::ys, x0::xs].shape[0] and img[y0::ys, x0::xs].shape[1]
         )
+    else:
+        raw = _rows(img)
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
-    return (
-        _PNG_SIG
-        + _chunk(b"IHDR", ihdr)
-        + _chunk(b"IDAT", zlib.compress(raw, level))
-        + _chunk(b"IEND", b"")
-    )
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, int(interlace))
+    out = _PNG_SIG + _png_chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += _png_chunk(b"PLTE", np.ascontiguousarray(palette, dtype=np.uint8).tobytes())
+        if trns is not None:
+            out += _png_chunk(b"tRNS", np.ascontiguousarray(trns, dtype=np.uint8).tobytes())
+    return out + _png_chunk(b"IDAT", zlib.compress(raw, level)) + _png_chunk(b"IEND", b"")
 
 
 def _paeth(a: int, b: int, c: int) -> int:
@@ -244,60 +295,15 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
-def decode_png_np(payload: bytes) -> np.ndarray:
-    """PNG bytes → uint8 (h, w, channels) array — a real decoder, not a
-    stub: chunk walk with CRC verification, multi-IDAT zlib inflate, and
-    all five scanline filters (None/Sub/Up/Average/Paeth) reconstructed
-    per the spec's modulo-256 arithmetic.
-
-    Supports the baseline-8-bit non-interlaced cases (grayscale, RGB,
-    RGBA). Palette/16-bit/Adam7 raise a labeled ``NotImplementedError`` —
-    same honest-stub policy as the WebP/FLAC codecs
-    (`decode_metadata(require_real_codec=True)`).
-    """
-    import struct
-    import zlib
-
-    if payload[:8] != _PNG_SIG:
-        raise ValueError("not a PNG payload")
-    pos, idat = 8, []
-    w = h = channels = None
-    while pos + 12 <= len(payload):
-        (ln,) = struct.unpack(">I", payload[pos : pos + 4])
-        tag = payload[pos + 4 : pos + 8]
-        data = payload[pos + 8 : pos + 8 + ln]
-        (crc,) = struct.unpack(">I", payload[pos + 8 + ln : pos + 12 + ln])
-        if zlib.crc32(tag + data) & 0xFFFFFFFF != crc:
-            raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
-        pos += 12 + ln
-        if tag == b"IHDR":
-            w, h, depth, color, _comp, _filt, interlace = struct.unpack(
-                ">IIBBBBB", data
-            )
-            if depth != 8:
-                raise NotImplementedError(
-                    f"PNG bit depth {depth} not supported (baseline 8-bit only)"
-                )
-            if color not in _PNG_CHANNELS:
-                raise NotImplementedError(
-                    f"PNG color type {color} (palette/gray+alpha) not supported"
-                )
-            if interlace:
-                raise NotImplementedError("interlaced (Adam7) PNG not supported")
-            channels = _PNG_CHANNELS[color]
-        elif tag == b"IDAT":
-            idat.append(data)
-        elif tag == b"IEND":
-            break
-    if w is None or not idat:
-        raise ValueError("PNG missing IHDR/IDAT")
-    raw = zlib.decompress(b"".join(idat))
-    stride, bpp = w * channels, channels
-    if len(raw) != h * (stride + 1):
+def _png_defilter(raw: bytes, h: int, stride: int, bpp: int, p: int) -> tuple[np.ndarray, int]:
+    """Reconstruct ``h`` filtered scanlines of ``stride`` bytes starting at
+    offset ``p`` in the inflated stream; all five filters
+    (None/Sub/Up/Average/Paeth) per the spec's modulo-256 arithmetic.
+    Returns the (h, stride) byte grid and the stream offset after it."""
+    if len(raw) < p + h * (stride + 1):
         raise ValueError("PNG scanline payload size mismatch")
     out = np.empty((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
-    p = 0
     for y in range(h):
         ftype = raw[p]
         row = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=p + 1).copy()
@@ -330,16 +336,124 @@ def decode_png_np(payload: bytes) -> np.ndarray:
             raise ValueError(f"unknown PNG filter type {ftype}")
         out[y] = row
         prev = row
-    return out.reshape(h, w, channels)
+    return out, p
+
+
+def _png_unpack(rows: np.ndarray, w: int, channels: int, depth: int) -> np.ndarray:
+    """(h, stride) defiltered bytes → (h, w, channels) sample array
+    (uint16 for depth 16, uint8 otherwise; sub-byte samples NOT scaled)."""
+    h = rows.shape[0]
+    if depth == 8:
+        return rows[:, : w * channels].reshape(h, w, channels)
+    if depth == 16:
+        u = rows[:, : w * channels * 2].reshape(h, w * channels, 2).astype(np.uint16)
+        return ((u[:, :, 0] << 8) | u[:, :, 1]).reshape(h, w, channels)
+    # depth 1/2/4 — single-sample pixels only (gray or palette index)
+    bits = np.unpackbits(rows, axis=1)[:, : w * depth].reshape(h, w, depth)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    return (bits * weights).sum(axis=2, dtype=np.uint16).astype(np.uint8)[:, :, None]
+
+
+def decode_png_np(payload: bytes) -> np.ndarray:
+    """PNG bytes → (h, w, channels) array — a real decoder, not a stub:
+    chunk walk with CRC verification, multi-IDAT zlib inflate, all five
+    scanline filters, every legal depth/color-type combination (1/2/4/8/16
+    bit; gray, gray+alpha, RGB, palette+PLTE/tRNS, RGBA), and Adam7
+    interlace.
+
+    Output dtype is uint16 when the file is 16-bit, else uint8. Palette
+    images come back expanded to RGB (RGBA when a tRNS chunk supplies
+    alpha); sub-byte grayscale is rescaled to 0-255 (palette indices are
+    looked up, never rescaled), per the spec's sample-depth semantics.
+    """
+    import struct
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, idat = 8, []
+    w = h = depth = color = interlace = None
+    plte = trns = None
+    while pos + 12 <= len(payload):
+        (ln,) = struct.unpack(">I", payload[pos : pos + 4])
+        tag = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        (crc,) = struct.unpack(">I", payload[pos + 8 + ln : pos + 12 + ln])
+        if zlib.crc32(tag + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
+        pos += 12 + ln
+        if tag == b"IHDR":
+            w, h, depth, color, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if color not in _PNG_CHANNELS:
+                raise ValueError(f"PNG color type {color} invalid")
+            if depth not in _PNG_DEPTHS[color]:
+                raise ValueError(f"PNG depth {depth} invalid for color type {color}")
+        elif tag == b"PLTE":
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif tag == b"tRNS":
+            trns = np.frombuffer(data, dtype=np.uint8)
+        elif tag == b"IDAT":
+            idat.append(data)
+        elif tag == b"IEND":
+            break
+    if w is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    channels = _PNG_CHANNELS[color]
+    raw = zlib.decompress(b"".join(idat))
+    bpp = max(1, channels * depth // 8)
+
+    def _stride(width: int) -> int:
+        return (width * channels * depth + 7) // 8
+
+    if interlace:  # Adam7: 7 independently-filtered pass sub-images
+        samples = np.zeros(
+            (h, w, channels), dtype=np.uint16 if depth == 16 else np.uint8
+        )
+        p = 0
+        for x0, y0, xs, ys in _ADAM7:
+            pw = (w - x0 + xs - 1) // xs
+            ph = (h - y0 + ys - 1) // ys
+            if pw <= 0 or ph <= 0:
+                continue
+            rows, p = _png_defilter(raw, ph, _stride(pw), bpp, p)
+            samples[y0::ys, x0::xs] = _png_unpack(rows, pw, channels, depth)
+    else:
+        rows, _ = _png_defilter(raw, h, _stride(w), bpp, 0)
+        samples = _png_unpack(rows, w, channels, depth)
+
+    if color == 3:  # palette lookup (+ tRNS alpha)
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE")
+        idx = samples[:, :, 0].astype(np.intp)
+        if int(idx.max(initial=0)) >= plte.shape[0]:
+            raise ValueError("PNG palette index out of range")
+        rgb = plte[idx]
+        if trns is not None:
+            alpha = np.full(plte.shape[0], 255, dtype=np.uint8)
+            alpha[: trns.size] = trns
+            return np.concatenate([rgb, alpha[idx][:, :, None]], axis=2)
+        return rgb
+    if color == 0 and depth < 8:  # rescale sub-byte gray to full 8-bit
+        return (samples.astype(np.uint16) * 255 // ((1 << depth) - 1)).astype(
+            np.uint8
+        )
+    return samples
 
 
 def decode_image_np(payload: bytes) -> np.ndarray:
     """Magic-byte image dispatch: PNG, baseline JPEG, or PPM P6 — all real
-    dependency-free decoders. Grayscale broadcasts to 3 channels and RGBA
-    drops alpha so every caller sees uint8 (h, w, 3); formats without a
-    decoder (WebP, progressive JPEG) raise the labeled stub error."""
+    dependency-free decoders. Grayscale broadcasts to 3 channels, alpha is
+    dropped (gray+alpha and RGBA), and 16-bit samples collapse to their
+    high byte, so every caller sees uint8 (h, w, 3); formats without a
+    decoder (WebP) raise the labeled stub error."""
     if payload[:8] == _PNG_SIG:
         img = decode_png_np(payload)
+        if img.dtype == np.uint16:
+            img = (img >> 8).astype(np.uint8)
+        if img.shape[2] == 2:  # gray+alpha: keep luma only
+            img = img[:, :, :1]
         if img.shape[2] == 1:
             img = np.repeat(img, 3, axis=2)
         elif img.shape[2] == 4:
@@ -754,28 +868,46 @@ _Y4M_MAGIC = b"YUV4MPEG2"
 
 
 def encode_y4m_np(frames: np.ndarray, fps: int = 25, colorspace: str = "C444") -> bytes:
-    """uint8 (n_frames, h, w) luma array → Y4M bytes (mono stored as C444
-    with neutral chroma, per the spec's plane layout)."""
+    """uint8 frames → Y4M bytes. ``frames`` is either (n, h, w) mono luma
+    (chroma written neutral-128) or (n, h, w, 3) full YUV; ``colorspace``
+    is ``C444`` (full-res planes) or ``C420jpeg``/``C420`` (chroma
+    box-averaged 2x2 per the JPEG/MPEG-2 siting — h and w must be even)."""
     frames = np.ascontiguousarray(frames, dtype=np.uint8)
-    n, h, w = frames.shape
-    if colorspace != "C444":
-        raise ValueError("encoder emits C444 only")
-    header = f"YUV4MPEG2 W{w} H{h} F{fps}:1 Ip A1:1 C444\n".encode("ascii")
-    neutral = np.full((h, w), 128, dtype=np.uint8).tobytes()
+    mono = frames.ndim == 3
+    if mono:
+        frames = np.concatenate(
+            [frames[..., None], np.full((*frames.shape, 2), 128, np.uint8)],
+            axis=-1,
+        )
+    n, h, w, c = frames.shape
+    if c != 3:
+        raise ValueError("encode_y4m_np expects (n,h,w) luma or (n,h,w,3) YUV")
+    is420 = colorspace.startswith("C420")
+    if is420 and (h % 2 or w % 2):
+        raise ValueError("C420 needs even frame dimensions")
+    if not is420 and colorspace != "C444":
+        raise ValueError(f"Y4M colorspace {colorspace} not supported (C444/C420*)")
+    header = f"YUV4MPEG2 W{w} H{h} F{fps}:1 Ip A1:1 {colorspace}\n".encode("ascii")
     out = [header]
     for f in range(n):
         out.append(b"FRAME\n")
-        out.append(frames[f].tobytes())
-        out.append(neutral)
-        out.append(neutral)
+        out.append(np.ascontiguousarray(frames[f, :, :, 0]).tobytes())
+        for p in (1, 2):
+            plane = frames[f, :, :, p]
+            if is420:  # 2x2 box mean, round-half-up — the C420jpeg siting
+                s = plane.reshape(h // 2, 2, w // 2, 2).astype(np.uint16)
+                plane = ((s.sum(axis=(1, 3)) + 2) // 4).astype(np.uint8)
+            out.append(np.ascontiguousarray(plane).tobytes())
     return b"".join(out)
 
 
-def decode_y4m_np(payload: bytes) -> tuple[np.ndarray, int]:
-    """Y4M bytes → (uint8 (n_frames, h, w) luma array, fps). Supports the
-    C420* and C444 colorspaces (chroma planes are parsed and skipped —
-    luma carries the analysis signal). A real parser: stream header tags,
-    per-FRAME markers with optional parameters, exact plane sizes."""
+def decode_y4m_np(payload: bytes, return_color: bool = False) -> tuple[np.ndarray, int]:
+    """Y4M bytes → (frames, fps). Default: uint8 (n, h, w) luma only —
+    chroma planes are parsed and skipped (luma carries the analysis
+    signal). With ``return_color=True``: uint8 (n, h, w, 3) YUV — C420*
+    chroma is replicated 2x2 back to full resolution, C444 passes
+    through. A real parser: stream header tags, per-FRAME markers with
+    optional parameters, exact plane sizes."""
     if not payload.startswith(_Y4M_MAGIC):
         raise ValueError("not a YUV4MPEG2 payload")
     eol = payload.index(b"\n")
@@ -795,23 +927,37 @@ def decode_y4m_np(payload: bytes) -> tuple[np.ndarray, int]:
             cs = t
     if w is None or h is None:
         raise ValueError("Y4M header missing W/H")
-    if cs.startswith("C420"):
-        chroma = 2 * ((w // 2) * (h // 2))
+    is420 = cs.startswith("C420")
+    if is420:
+        cw, ch_ = w // 2, h // 2
     elif cs.startswith("C444"):
-        chroma = 2 * (w * h)
+        cw, ch_ = w, h
     else:
         raise NotImplementedError(f"Y4M colorspace {cs} not supported")
-    luma = w * h
+    luma, chroma = w * h, 2 * cw * ch_
     frames = []
     pos = eol + 1
     while pos < len(payload):
         if not payload.startswith(b"FRAME", pos):
             raise ValueError(f"expected FRAME marker at byte {pos}")
         pos = payload.index(b"\n", pos) + 1  # FRAME params (if any) end at \n
-        y = np.frombuffer(payload, dtype=np.uint8, count=luma, offset=pos)
-        frames.append(y.reshape(h, w))
+        y = np.frombuffer(payload, dtype=np.uint8, count=luma, offset=pos).reshape(h, w)
+        if return_color:
+            planes = [y]
+            for p in range(2):
+                cp = np.frombuffer(
+                    payload, dtype=np.uint8, count=cw * ch_,
+                    offset=pos + luma + p * cw * ch_,
+                ).reshape(ch_, cw)
+                if is420:  # nearest-neighbor replication back to full res
+                    cp = cp.repeat(2, axis=0).repeat(2, axis=1)[:h, :w]
+                planes.append(cp)
+            frames.append(np.stack(planes, axis=-1))
+        else:
+            frames.append(y)
         pos += luma + chroma
-    return np.stack(frames) if frames else np.empty((0, h, w), np.uint8), fps
+    shape = (0, h, w, 3) if return_color else (0, h, w)
+    return np.stack(frames) if frames else np.empty(shape, np.uint8), fps
 
 
 _VIDEO_SCHEMA = StructType(

@@ -34,6 +34,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
+from hiss_cube_spark.sources.exports import _fits_card
+from hiss_cube_spark.sources.hcompress import hcompress as _hcompress
+from hiss_cube_spark.sources.hcompress import hdecompress as _hdecompress
+from hiss_cube_spark.sources.plio import plio_decode, plio_encode
+from hiss_cube_spark.sources.quantize import quantize_tile, unquantize_tile
+from hiss_cube_spark.sources.rice import rice_decode, rice_encode
+
 __all__ = [
     "parse_fits_header",
     "parse_fits_image",
@@ -361,16 +368,19 @@ def decompress_tiled_image(data: bytes, header: dict, dpos: int) -> np.ndarray:
     """Reassemble the logical image from a ZIMAGE bintable HDU."""
     import gzip as _gzip
 
-    from hiss_cube_spark.sources.rice import rice_decode
-
     zbitpix = int(header["ZBITPIX"])
     znaxis = int(header["ZNAXIS"])
     dims = [int(header[f"ZNAXIS{ax}"]) for ax in range(1, znaxis + 1)]  # ax1 fastest
     tiles = [int(header.get(f"ZTILE{ax}", dims[ax - 1] if ax == 1 else 1))
              for ax in range(1, znaxis + 1)]
     cmptype = str(header.get("ZCMPTYPE", "RICE_1")).strip()
-    if cmptype not in ("RICE_1", "GZIP_1"):
-        raise NotImplementedError(f"ZCMPTYPE {cmptype!r} not supported (RICE_1/GZIP_1)")
+    if cmptype not in (
+        "RICE_1", "GZIP_1", "GZIP_2", "HCOMPRESS_1", "PLIO_1", "NOCOMPRESS"
+    ):
+        raise NotImplementedError(
+            f"ZCMPTYPE {cmptype!r} not supported "
+            "(RICE_1/GZIP_1/GZIP_2/HCOMPRESS_1/PLIO_1/NOCOMPRESS)"
+        )
     quantiz = str(header.get("ZQUANTIZ", "NO_DITHER")).strip()
     dithered = quantiz.startswith("SUBTRACTIVE_DITHER")
     dither_seed = int(header.get("ZDITHER0", 1)) if dithered else 0
@@ -422,13 +432,40 @@ def decompress_tiled_image(data: bytes, header: dict, dpos: int) -> np.ndarray:
                     .view(int_dtype[bytepix])
                     .astype(np.int64)
                 )
-            else:  # GZIP_1 of the raw big-endian pixels (or int32 codes
-                # when the float image was quantized)
+            elif cmptype == "HCOMPRESS_1":
+                hc = _hdecompress(raw)
+                if hc.size != npix:
+                    raise ValueError(
+                        f"tile {t}: HCOMPRESS {hc.size} px, expected {npix}"
+                    )
+                vals = hc.ravel().astype(np.int64)
+            elif cmptype == "PLIO_1":
+                vals = plio_decode(raw)
+                if vals.size != npix:
+                    raise ValueError(
+                        f"tile {t}: PLIO {vals.size} px, expected {npix}"
+                    )
+            elif cmptype == "NOCOMPRESS":
+                vals = np.frombuffer(raw, dtype=_ZBITPIX_DTYPE[zbitpix]).astype(
+                    np.int64 if zbitpix > 0 else np.float64
+                )
+            else:  # GZIP_1/GZIP_2 of the raw big-endian pixels (or int32
+                # codes when the float image was quantized)
                 gz_dtype = (
                     ">i4" if (zbitpix < 0 and "ZSCALE" in layout)
                     else _ZBITPIX_DTYPE[zbitpix]
                 )
-                vals = np.frombuffer(_gzip.decompress(raw), dtype=gz_dtype).astype(
+                dec = _gzip.decompress(raw)
+                if cmptype == "GZIP_2":
+                    # byte-shuffled: all most-significant bytes first,
+                    # then the next-most-significant, etc.
+                    isz = np.dtype(gz_dtype).itemsize
+                    dec = (
+                        np.frombuffer(dec, dtype=np.uint8)
+                        .reshape(isz, -1)
+                        .T.tobytes()
+                    )
+                vals = np.frombuffer(dec, dtype=gz_dtype).astype(
                     np.int64 if (zbitpix > 0 or gz_dtype == ">i4") else np.float64
                 )
         elif "GZIP_COMPRESSED_DATA" in layout:
@@ -451,8 +488,6 @@ def decompress_tiled_image(data: bytes, header: dict, dpos: int) -> np.ndarray:
             if dithered:
                 # SUBTRACTIVE_DITHER_1/2: regenerate the convention's RNG
                 # stream for this tile and undo the dither (quantize.py)
-                from hiss_cube_spark.sources.quantize import unquantize_tile
-
                 tile_vals = unquantize_tile(
                     vals, t + 1, dither_seed, zscale, zzero, quantiz
                 )
@@ -475,9 +510,6 @@ def write_rice_fits(
     FITS file whose image HDU is a RICE_1 ZIMAGE bintable (one tile =
     ``tile_rows`` image rows). The write-side of S-series compressed-FITS
     parity and the fixture generator for the `.fits.fz` ingest tests."""
-    from hiss_cube_spark.sources.exports import _fits_card
-    from hiss_cube_spark.sources.rice import rice_encode
-
     if arr.ndim != 2:
         raise ValueError("write_rice_fits expects a 2-D image")
     kind_bitpix = {"u1": 8, "i2": 16, "i4": 32}
@@ -491,10 +523,21 @@ def write_rice_fits(
     tiles, heap = [], bytearray()
     for r0 in range(0, h, tile_rows):
         tile = arr[r0 : r0 + tile_rows].ravel()
-        if cmptype == "GZIP_1":
+        if cmptype in ("GZIP_1", "GZIP_2"):
             import gzip as _gzip
 
-            enc = _gzip.compress(tile.astype(_ZBITPIX_DTYPE[zbitpix]).tobytes())
+            be = tile.astype(_ZBITPIX_DTYPE[zbitpix]).tobytes()
+            if cmptype == "GZIP_2":
+                # shuffle: most-significant bytes of every pixel first
+                isz = zbitpix // 8
+                be = np.frombuffer(be, dtype=np.uint8).reshape(-1, isz).T.tobytes()
+            enc = _gzip.compress(be)
+        elif cmptype == "HCOMPRESS_1":
+            enc = _hcompress(tile.reshape(-1, w).astype(np.int64))
+        elif cmptype == "PLIO_1":
+            enc = plio_encode(tile.astype(np.int64))
+        elif cmptype == "NOCOMPRESS":
+            enc = tile.astype(_ZBITPIX_DTYPE[zbitpix]).tobytes()
         else:
             enc = rice_encode(tile, blocksize, bytepix)
         tiles.append((len(enc), len(heap)))
@@ -569,10 +612,6 @@ def write_quantized_fits(
     2^24 so codes stay in int32). The write-side fixture generator for the
     dithered `.fits.fz` roundtrip tests."""
     import gzip as _gzip
-
-    from hiss_cube_spark.sources.exports import _fits_card
-    from hiss_cube_spark.sources.quantize import quantize_tile
-    from hiss_cube_spark.sources.rice import rice_encode
 
     if arr.ndim != 2 or arr.dtype.kind != "f":
         raise ValueError("write_quantized_fits expects a 2-D float image")

@@ -135,3 +135,7 @@ def unquantize_tile(
     if method == "SUBTRACTIVE_DITHER_2":
         out[iq == ZERO_VALUE] = 0.0
     return out
+
+from hiss_cube_spark._serde import register_self as _register_self  # noqa: E402
+
+_register_self(__name__)

@@ -1,0 +1,120 @@
+"""HCOMPRESS_1 + GZIP_2 FITS tiled-compression tests.
+
+Codec contract for `hiss_cube_spark/sources/hcompress.py` (clean-room
+H-transform + bitplane quadtree per White 1992 and the FITS tiled-image
+convention; reference reads these transparently via fitsio —
+/root/reference/hisscube/utils/photometry.py:18) and the GZIP_2
+byte-shuffle tile path in `sources/fits.py`.
+"""
+
+import numpy as np
+import pytest
+
+from hiss_cube_spark.sources.fits import parse_fits_image, write_rice_fits
+from hiss_cube_spark.sources.hcompress import (
+    hcompress,
+    hdecompress,
+    hinv,
+    htrans,
+)
+
+RNG = np.random.default_rng(20260814)
+
+
+@pytest.mark.parametrize(
+    "shape",
+    [(1, 1), (2, 2), (4, 4), (3, 5), (7, 7), (16, 16), (17, 31), (64, 48), (5, 128)],
+)
+def test_htrans_hinv_exact_roundtrip(shape):
+    """The deferred-normalization H-transform is exactly invertible in
+    integer arithmetic for any shape (pad is cropped)."""
+    a = RNG.integers(-5000, 5000, size=shape).astype(np.int64)
+    w, n = htrans(a)
+    assert w.shape == (n, n) and n >= max(shape)
+    np.testing.assert_array_equal(hinv(w, *shape), a)
+
+
+@pytest.mark.parametrize(
+    "shape", [(2, 2), (8, 8), (16, 16), (13, 29), (48, 64), (100, 3)]
+)
+def test_hcompress_lossless_roundtrip(shape):
+    a = RNG.integers(-(2**15), 2**15, size=shape).astype(np.int64)
+    buf = hcompress(a)
+    np.testing.assert_array_equal(hdecompress(buf), a)
+
+
+def test_hcompress_negative_and_extreme_values():
+    a = np.array(
+        [[-(2**30), 2**30 - 1, 0, -1], [1, -(2**20), 7, -7],
+         [0, 0, 0, 0], [2**25, -(2**25), 3, -3]],
+        dtype=np.int64,
+    )
+    np.testing.assert_array_equal(hdecompress(hcompress(a)), a)
+
+
+def test_hcompress_compresses_smooth_images():
+    """A smooth gradient image (the astronomical regime the codec was
+    designed for) must compress well below raw int16 size; pure noise
+    must still roundtrip (no correctness/compression tradeoff)."""
+    y, x = np.mgrid[0:64, 0:64]
+    smooth = (100.0 + 0.5 * x + 0.25 * y).astype(np.int64)
+    buf = hcompress(smooth)
+    assert len(buf) < smooth.size * 2 * 0.30, len(buf)  # <30% of raw i16
+
+    noise = RNG.integers(-32768, 32767, size=(64, 64)).astype(np.int64)
+    np.testing.assert_array_equal(hdecompress(hcompress(noise)), noise)
+
+
+def test_hcompress_lossy_scale_bounds_error():
+    """scale>1 digitizes coefficients: max |err| is bounded (coefficient
+    error <= scale/2 per level, image error stays O(scale)) and the
+    stream shrinks vs lossless."""
+    y, x = np.mgrid[0:32, 0:32]
+    img = (1000.0 + 10.0 * np.sin(x / 5.0) * np.cos(y / 7.0) * 10).astype(
+        np.int64
+    )
+    lossless = hcompress(img)
+    lossy = hcompress(img, scale=8)
+    out = hdecompress(lossy)
+    assert out.shape == img.shape
+    err = np.abs(out - img).max()
+    assert err <= 8 * 6, err  # a few quantization steps across 6 levels
+    assert len(lossy) < len(lossless)
+
+
+def test_hcompress_input_validation():
+    with pytest.raises(ValueError):
+        hcompress(np.arange(8, dtype=np.int64))  # 1-D
+    with pytest.raises(ValueError):
+        hdecompress(b"\x00\x01" + b"\x00" * 32)  # bad magic
+    good = hcompress(RNG.integers(0, 100, size=(8, 8)).astype(np.int64))
+    with pytest.raises(ValueError):
+        hdecompress(good[: len(good) // 2])  # truncated bitstream
+
+
+@pytest.mark.parametrize("cmptype", ["HCOMPRESS_1", "GZIP_2"])
+@pytest.mark.parametrize("tile_rows", [4, 16, 48])
+def test_fits_tiled_roundtrip(cmptype, tile_rows):
+    """write_rice_fits(cmptype=...) -> parse_fits_image recovers the exact
+    image through the ZIMAGE bintable path for both new codecs, including
+    a final short tile (48 rows % 16 != 0 case via tile_rows=48 vs 41)."""
+    img = RNG.integers(-3000, 3000, size=(41, 64)).astype(np.int16)
+    fz = write_rice_fits(img, tile_rows=tile_rows, cmptype=cmptype)
+    hdr, arr = parse_fits_image(fz)
+    assert hdr["BITPIX"] == 16
+    np.testing.assert_array_equal(arr, img.astype(np.int64))
+
+
+def test_gzip2_shuffle_actually_helps():
+    """GZIP_2's byte shuffle groups the near-constant high bytes of
+    smooth i16 data, so it must beat GZIP_1 on a smooth ramp — pins that
+    the shuffle is real, not a relabeled GZIP_1."""
+    y, x = np.mgrid[0:64, 0:64]
+    img = (1000 + 4 * x + 2 * y).astype(np.int16)
+    g1 = write_rice_fits(img, tile_rows=64, cmptype="GZIP_1")
+    g2 = write_rice_fits(img, tile_rows=64, cmptype="GZIP_2")
+    _, a1 = parse_fits_image(g1)
+    _, a2 = parse_fits_image(g2)
+    np.testing.assert_array_equal(a1, a2)
+    # compare heap payload sizes via total file length (same header size)
+    assert len(g2) <= len(g1)

@@ -408,3 +408,52 @@ def test_video_frame_features_scene_cut(spark):
     assert [rows[f]["scene_cut"] for f in range(5)] == [0, 0, 1, 0, 0]
     assert rows[0]["mean_luma"] == 50.0 and rows[4]["mean_luma"] == 200.0
     assert rows[2]["frame_diff"] == 150.0 and rows[3]["frame_diff"] == 0.0
+
+
+def test_y4m_color_roundtrip():
+    """Color Y4M: C444 YUV roundtrips exactly; C420 box-downsampled chroma
+    comes back within one 2x2 block mean of smooth source chroma, and
+    constant chroma roundtrips exactly; mono luma API is unchanged."""
+    import numpy as np
+
+    from hiss_cube_spark.operators.multimodal import decode_y4m_np, encode_y4m_np
+
+    rng = np.random.default_rng(7)
+    yuv = rng.integers(0, 256, size=(3, 8, 10, 3)).astype(np.uint8)
+    out, fps = decode_y4m_np(encode_y4m_np(yuv, fps=24), return_color=True)
+    assert fps == 24
+    np.testing.assert_array_equal(out, yuv)
+
+    # C420: luma untouched, constant chroma exact
+    yuv_const = yuv.copy()
+    yuv_const[..., 1] = 77
+    yuv_const[..., 2] = 200
+    out420, _ = decode_y4m_np(
+        encode_y4m_np(yuv_const, colorspace="C420jpeg"), return_color=True
+    )
+    np.testing.assert_array_equal(out420[..., 0], yuv_const[..., 0])
+    np.testing.assert_array_equal(out420[..., 1], yuv_const[..., 1])
+    np.testing.assert_array_equal(out420[..., 2], yuv_const[..., 2])
+
+    # C420 smooth chroma: replicated upsample within one block-gradient step
+    y, x = np.mgrid[0:8, 0:10]
+    smooth = np.stack(
+        [rng.integers(0, 256, size=(8, 10)).astype(np.uint8),
+         (20 + 4 * x).astype(np.uint8), (30 + 4 * y).astype(np.uint8)],
+        axis=-1,
+    )[None]
+    outs, _ = decode_y4m_np(
+        encode_y4m_np(smooth, colorspace="C420"), return_color=True
+    )
+    err = np.abs(outs[..., 1:].astype(int) - smooth[..., 1:].astype(int)).max()
+    assert err <= 4, err
+
+    # luma-only decode of a color stream matches the Y plane
+    mono, _ = decode_y4m_np(encode_y4m_np(yuv))
+    np.testing.assert_array_equal(mono, yuv[..., 0])
+
+    # odd dims refuse C420
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        encode_y4m_np(yuv[:, :7], colorspace="C420")
