@@ -23,9 +23,12 @@ Progressive scans (T.81 Annex G) accumulate per-component zigzag
 coefficient grids across SOS segments — DC/AC first passes and DC/AC
 refinement passes with EOBRUN block skips — and reconstruct once at EOI;
 decode output is bit-identical to baseline at the same coefficients.
-Arithmetic coding, 12-bit precision, and hierarchical modes raise labeled
-``NotImplementedError`` — the same honest-gap policy as the PNG
-palette/Adam7 cases. The encoders (baseline `encode_jpeg_np` and
+12-bit precision (extended sequential SOF1: uint16 samples, 16-bit
+quantization tables, per-image optimized Huffman tables per Annex
+K.2/K.3 — also usable as libjpeg-style ``optimize`` for 8-bit) is
+supported in both directions; arithmetic coding and hierarchical modes
+raise labeled ``NotImplementedError`` — the same honest-gap policy as
+the WebP/FLAC cases. The encoders (baseline `encode_jpeg_np` and
 progressive `encode_jpeg_progressive_np`, IJG-style quality scaling,
 Annex-K tables) exist so fixtures and the mm_* queries can synthesize
 deterministic JPEG payloads without external tooling; encode→decode is
@@ -169,20 +172,110 @@ def _quality_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
     return qt[0], qt[1]
 
 
-def _rgb_to_ycbcr(img: np.ndarray) -> np.ndarray:
+def _rgb_to_ycbcr(img: np.ndarray, center: float = 128.0) -> np.ndarray:
     r, g, b = (img[..., i].astype(np.float64) for i in range(3))
     y = 0.299 * r + 0.587 * g + 0.114 * b
-    cb = 128.0 - 0.168735892 * r - 0.331264108 * g + 0.5 * b
-    cr = 128.0 + 0.5 * r - 0.418687589 * g - 0.081312411 * b
+    cb = center - 0.168735892 * r - 0.331264108 * g + 0.5 * b
+    cr = center + 0.5 * r - 0.418687589 * g - 0.081312411 * b
     return np.stack([y, cb, cr], axis=-1)
 
 
-def _ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
-    r = y + 1.402 * (cr - 128.0)
-    g = y - 0.344136286 * (cb - 128.0) - 0.714136286 * (cr - 128.0)
-    b = y + 1.772 * (cb - 128.0)
+def _ycbcr_to_rgb(
+    y: np.ndarray,
+    cb: np.ndarray,
+    cr: np.ndarray,
+    center: float = 128.0,
+    maxval: int = 255,
+) -> np.ndarray:
+    r = y + 1.402 * (cr - center)
+    g = y - 0.344136286 * (cb - center) - 0.714136286 * (cr - center)
+    b = y + 1.772 * (cb - center)
     out = np.stack([r, g, b], axis=-1)
-    return np.clip(np.round(out), 0, 255).astype(np.uint8)
+    return np.clip(np.round(out), 0, maxval).astype(
+        np.uint8 if maxval <= 255 else np.uint16
+    )
+
+
+def _optimal_table(freq: np.ndarray) -> tuple[list[int], list[int]]:
+    """Per-image optimal Huffman table from symbol frequencies — the
+    T.81 Annex-K.2/K.3 procedure: pairwise merge of the two least-frequent
+    codes (ties to the HIGHER symbol value) to get code sizes, then the
+    16-bit length-limit adjustment, then symbols sorted by (size, value).
+    Symbol 256 is reserved with frequency 1 so no real symbol gets the
+    all-ones code. Needed for 12-bit precision (DC categories to 15, AC
+    sizes to 14 — beyond the Annex-K example tables) and available as the
+    libjpeg-style 'optimize' mode for 8-bit."""
+    freq = freq.astype(np.int64).copy()
+    if freq.size < 257:
+        freq = np.concatenate([freq, np.zeros(257 - freq.size, np.int64)])
+    freq[256] = 1
+    codesize = np.zeros(257, np.int64)
+    others = np.full(257, -1, np.int64)
+    while True:
+        nz = np.flatnonzero(freq)
+        if nz.size <= 1:
+            break
+        order = nz[np.lexsort((-nz, freq[nz]))]  # min freq, then max value
+        v1, v2 = int(order[0]), int(order[1])
+        freq[v1] += freq[v2]
+        freq[v2] = 0
+        codesize[v1] += 1
+        while others[v1] != -1:
+            v1 = int(others[v1])
+            codesize[v1] += 1
+        others[v1] = v2
+        codesize[v2] += 1
+        while others[v2] != -1:
+            v2 = int(others[v2])
+            codesize[v2] += 1
+    bits = np.zeros(max(33, int(codesize.max()) + 1), np.int64)
+    for v in range(257):
+        if codesize[v]:
+            bits[codesize[v]] += 1
+    i = len(bits) - 1  # K.3: push codes longer than 16 bits down
+    while i > 16:
+        while bits[i] > 0:
+            j = i - 2
+            while bits[j] == 0:
+                j -= 1
+            bits[i] -= 2
+            bits[i - 1] += 1
+            bits[j + 1] += 2
+            bits[j] -= 1
+        i -= 1
+    i = 16
+    while i > 0 and bits[i] == 0:
+        i -= 1
+    if i > 0:
+        bits[i] -= 1  # drop the reserved symbol's slot
+    syms = [v for v in range(256) if codesize[v]]
+    syms.sort(key=lambda v: (codesize[v], v))
+    return [int(b) for b in bits[1:17]], syms
+
+
+class _SymbolCounter(dict):
+    """Stands in for a code dict during the statistics pass: counts every
+    symbol lookup, returns a zero-length code."""
+
+    def __init__(self) -> None:
+        super().__init__()
+        self.freq = np.zeros(257, np.int64)
+
+    def __getitem__(self, k: int) -> tuple[int, int]:
+        self.freq[k] += 1
+        return (0, 0)
+
+
+class _NullWriterJ:
+    """Bit sink for the statistics pass."""
+
+    __slots__ = ()
+
+    def put(self, code: int, length: int) -> None:
+        pass
+
+    def flush(self) -> bytes:
+        return b""
 
 
 def _blocks_of(plane: np.ndarray) -> np.ndarray:
@@ -272,58 +365,11 @@ def _pad_plane(p: np.ndarray, ph: int, pw: int) -> np.ndarray:
     return q
 
 
-def encode_jpeg_np(
-    img: np.ndarray,
-    quality: int = 85,
-    subsampling: str = "444",
-    restart_interval: int = 0,
-) -> bytes:
-    """uint8 (h, w, 3) RGB or (h, w) grayscale -> baseline JFIF bytes
-    (Annex-K Huffman tables, IJG quality scaling). ``subsampling``:
-    '444' (default) or '420' (2x2-mean chroma downsample); optional DRI
-    restart markers every ``restart_interval`` MCUs."""
-    gray = img.ndim == 2
-    h, w = img.shape[:2]
-    qt_l, qt_c = _quality_tables(quality)
-    if subsampling not in ("444", "420"):
-        raise ValueError("subsampling must be '444' or '420'")
-    sub = subsampling == "420" and not gray
-
-    if gray:
-        comps = [{"plane": img.astype(np.float64), "h": 1, "v": 1, "qt": qt_l,
-                  "dc": _canonical_codes(*_DC_LUMA), "ac": _canonical_codes(*_AC_LUMA)}]
-    else:
-        ycc = _rgb_to_ycbcr(img)
-        yf, cb, cr = (ycc[..., i] for i in range(3))
-        if sub:
-            ph2, pw2 = -(-h // 2) * 2, -(-w // 2) * 2
-            cb = _pad_plane(cb, ph2, pw2).reshape(ph2 // 2, 2, pw2 // 2, 2).mean((1, 3))
-            cr = _pad_plane(cr, ph2, pw2).reshape(ph2 // 2, 2, pw2 // 2, 2).mean((1, 3))
-        sf = 2 if sub else 1
-        comps = [
-            {"plane": yf, "h": sf, "v": sf, "qt": qt_l,
-             "dc": _canonical_codes(*_DC_LUMA), "ac": _canonical_codes(*_AC_LUMA)},
-            {"plane": cb, "h": 1, "v": 1, "qt": qt_c,
-             "dc": _canonical_codes(*_DC_CHROMA), "ac": _canonical_codes(*_AC_CHROMA)},
-            {"plane": cr, "h": 1, "v": 1, "qt": qt_c,
-             "dc": _canonical_codes(*_DC_CHROMA), "ac": _canonical_codes(*_AC_CHROMA)},
-        ]
-
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
-
-    # per-component coefficient grids in block coordinates
-    for c in comps:
-        gh, gw = mcuy * c["v"] * 8, mcux * c["h"] * 8
-        p = _pad_plane(c["plane"], gh, gw) - 128.0
-        blocks = _blocks_of(p)
-        f = np.einsum("ux,nxy,vy->nuv", _C, blocks, _C)
-        c["coef"] = np.round(f / c["qt"].reshape(8, 8)).astype(np.int64)
-        c["nbx"] = gw // 8
-
-    bw = _BitWriterJ()
+def _sequential_scan(comps, mcuy, mcux, restart_interval, writer_cls=_BitWriterJ):
+    """One interleaved sequential scan over the MCU grid. Each comp dict
+    carries 'coef'/'nbx'/'dc'/'ac'; with a _SymbolCounter+_NullWriterJ
+    pair this same loop is the statistics pass for optimized tables."""
+    bw = writer_cls()
     preds = [0] * len(comps)
     scan = bytearray()
     mcu_count = 0
@@ -334,7 +380,7 @@ def encode_jpeg_np(
                 scan += bw.flush()
                 scan += bytes([0xFF, 0xD0 + rst])
                 rst = (rst + 1) % 8
-                bw = _BitWriterJ()
+                bw = writer_cls()
                 preds = [0] * len(comps)
             for ci, c in enumerate(comps):
                 for byy in range(c["v"]):
@@ -345,25 +391,120 @@ def encode_jpeg_np(
                         )
             mcu_count += 1
     scan += bw.flush()
+    return scan
+
+
+def encode_jpeg_np(
+    img: np.ndarray,
+    quality: int = 85,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+    precision: int = 8,
+    optimize: bool | None = None,
+) -> bytes:
+    """(h, w, 3) RGB or (h, w) grayscale -> sequential JFIF bytes.
+
+    ``precision`` 8 (baseline SOF0, uint8 samples, Annex-K Huffman
+    tables, IJG quality scaling) or 12 (extended sequential SOF1, uint16
+    samples 0-4095, 16-bit quantization tables scaled 16x, per-image
+    optimized Huffman tables — the larger DC/AC symbol alphabet exceeds
+    the Annex-K examples). ``optimize=True`` builds per-image tables for
+    8-bit too (libjpeg's -optimize; entropy-lossless, so decoded pixels
+    are bit-identical to the standard-table stream). ``subsampling``:
+    '444' (default) or '420' (2x2-mean chroma downsample); optional DRI
+    restart markers every ``restart_interval`` MCUs."""
+    if precision not in (8, 12):
+        raise ValueError("precision must be 8 or 12")
+    if optimize is None:
+        optimize = precision != 8
+    if precision == 12 and not optimize:
+        raise ValueError("12-bit encoding requires optimized Huffman tables")
+    center = float(1 << (precision - 1))
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    qt_l, qt_c = _quality_tables(quality)
+    if precision == 12:
+        # the Annex-K tables are 8-bit-referred: scale into the 12-bit
+        # sample range (cfitsio/libjpeg practice), 16-bit DQT entries
+        qt_l = np.clip(qt_l * 16, 1, 65535)
+        qt_c = np.clip(qt_c * 16, 1, 65535)
+    if subsampling not in ("444", "420"):
+        raise ValueError("subsampling must be '444' or '420'")
+    sub = subsampling == "420" and not gray
+
+    if gray:
+        comps = [{"plane": img.astype(np.float64), "h": 1, "v": 1, "qt": qt_l,
+                  "role": 0}]
+    else:
+        ycc = _rgb_to_ycbcr(img, center)
+        yf, cb, cr = (ycc[..., i] for i in range(3))
+        if sub:
+            ph2, pw2 = -(-h // 2) * 2, -(-w // 2) * 2
+            cb = _pad_plane(cb, ph2, pw2).reshape(ph2 // 2, 2, pw2 // 2, 2).mean((1, 3))
+            cr = _pad_plane(cr, ph2, pw2).reshape(ph2 // 2, 2, pw2 // 2, 2).mean((1, 3))
+        sf = 2 if sub else 1
+        comps = [
+            {"plane": yf, "h": sf, "v": sf, "qt": qt_l, "role": 0},
+            {"plane": cb, "h": 1, "v": 1, "qt": qt_c, "role": 1},
+            {"plane": cr, "h": 1, "v": 1, "qt": qt_c, "role": 1},
+        ]
+
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+
+    # per-component coefficient grids in block coordinates
+    for c in comps:
+        gh, gw = mcuy * c["v"] * 8, mcux * c["h"] * 8
+        p = _pad_plane(c["plane"], gh, gw) - center
+        blocks = _blocks_of(p)
+        f = np.einsum("ux,nxy,vy->nuv", _C, blocks, _C)
+        c["coef"] = np.round(f / c["qt"].reshape(8, 8)).astype(np.int64)
+        c["nbx"] = gw // 8
+
+    std = {(0, 0): _DC_LUMA, (1, 0): _AC_LUMA,
+           (0, 1): _DC_CHROMA, (1, 1): _AC_CHROMA}
+    if optimize:
+        counters = {key: _SymbolCounter() for key in std}
+        for c in comps:
+            c["dc"] = counters[(0, c["role"])]
+            c["ac"] = counters[(1, c["role"])]
+        _sequential_scan(comps, mcuy, mcux, restart_interval, _NullWriterJ)
+        tables = {
+            key: _optimal_table(cnt.freq)
+            for key, cnt in counters.items()
+            if cnt.freq.any()
+        }
+    else:
+        tables = {key: std[key] for key in std if gray is False or key[1] == 0}
+    for c in comps:
+        c["dc"] = _canonical_codes(*tables[(0, c["role"])])
+        c["ac"] = _canonical_codes(*tables[(1, c["role"])])
+
+    scan = _sequential_scan(comps, mcuy, mcux, restart_interval)
 
     def seg(marker: int, payload: bytes) -> bytes:
         return struct.pack(">HH", marker, len(payload) + 2) + payload
 
     out = bytearray(b"\xff\xd8")  # SOI
     out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    out += seg(0xFFDB, b"\x00" + bytes(qt_l[_ZIGZAG].astype(np.uint8)))
-    if not gray:
-        out += seg(0xFFDB, b"\x01" + bytes(qt_c[_ZIGZAG].astype(np.uint8)))
+    if precision == 8:
+        out += seg(0xFFDB, b"\x00" + bytes(qt_l[_ZIGZAG].astype(np.uint8)))
+        if not gray:
+            out += seg(0xFFDB, b"\x01" + bytes(qt_c[_ZIGZAG].astype(np.uint8)))
+    else:
+        out += seg(0xFFDB, b"\x10" + qt_l[_ZIGZAG].astype(">u2").tobytes())
+        if not gray:
+            out += seg(0xFFDB, b"\x11" + qt_c[_ZIGZAG].astype(">u2").tobytes())
     ncomp = 1 if gray else 3
-    sof = bytearray(struct.pack(">BHHB", 8, h, w, ncomp))
+    sof = bytearray(struct.pack(">BHHB", precision, h, w, ncomp))
     for ci, c in enumerate(comps):
         sof += bytes([ci + 1, (c["h"] << 4) | c["v"], 0 if ci == 0 else 1])
-    out += seg(0xFFC0, bytes(sof))
+    out += seg(0xFFC0 if precision == 8 else 0xFFC1, bytes(sof))
     if restart_interval:
         out += seg(0xFFDD, struct.pack(">H", restart_interval))
-    for cls, tid, (bits, vals) in (
-        (0, 0, _DC_LUMA), (1, 0, _AC_LUMA), (0, 1, _DC_CHROMA), (1, 1, _AC_CHROMA)
-    )[: 2 if gray else 4]:
+    for (cls, tid), (bits, vals) in sorted(tables.items(), key=lambda kv: kv[0][::-1]):
         out += seg(0xFFC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals))
     sos = bytearray([ncomp])
     for ci in range(ncomp):
@@ -514,13 +655,13 @@ def decode_jpeg_np(payload: bytes) -> np.ndarray:
                 p += 17 + nv
         elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             prec, h, w, ncomp = struct.unpack(">BHHB", seg[:6])
-            if prec != 8:
-                raise NotImplementedError(f"JPEG precision {prec} (8-bit only)")
+            if prec not in (8, 12):
+                raise NotImplementedError(f"JPEG precision {prec} (8/12-bit)")
             comps = []
             for ci in range(ncomp):
                 cid, samp, qid = seg[6 + 3 * ci : 9 + 3 * ci]
                 comps.append({"id": cid, "h": samp >> 4, "v": samp & 0xF, "q": qid})
-            frame = (h, w, comps)
+            frame = (h, w, comps, prec)
             if marker == 0xC2:
                 progressive = True
                 hmax = max(c["h"] for c in comps)
@@ -585,7 +726,7 @@ def _progressive_scan(payload, data_pos, frame, scomps, params, htabs,
     """Decode one SOS of a progressive frame (T.81 Annex G), updating the
     per-component zigzag coefficient grids in ``coefs`` in place.
     Returns the payload offset of the next marker."""
-    h, w, comps = frame
+    h, w, comps = frame[:3]
     ss, se, ah, al = params
     by_id = {c["id"]: c for c in comps}
     hmax = max(c["h"] for c in comps)
@@ -735,7 +876,8 @@ def _progressive_scan(payload, data_pos, frame, scomps, params, htabs,
 def _reconstruct_progressive(frame, coefs, qtabs):
     """Accumulated zigzag coefficient grids -> uint8 RGB (dequantize,
     batched IDCT, chroma upsample, BT.601)."""
-    h, w, comps = frame
+    h, w, comps, prec = frame
+    center, maxval = float(1 << (prec - 1)), (1 << prec) - 1
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     full = {}
@@ -744,7 +886,7 @@ def _reconstruct_progressive(frame, coefs, qtabs):
         nby, nbx, _ = zz.shape
         deq = zz.reshape(-1, 64) * qtabs[c["q"]][_ZIGZAG]
         blocks = deq[:, _UNZIGZAG].reshape(-1, 8, 8).astype(np.float64)
-        pix = np.einsum("xu,nuv,yv->nxy", _C.T, blocks, _C.T) + 128.0
+        pix = np.einsum("xu,nuv,yv->nxy", _C.T, blocks, _C.T) + center
         plane = (
             pix.reshape(nby, nbx, 8, 8).transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
         )
@@ -753,14 +895,17 @@ def _reconstruct_progressive(frame, coefs, qtabs):
             plane = _bilinear_up(plane, plane.shape[0] * ry, plane.shape[1] * rx)
         full[c["id"]] = plane[:h, :w]
     if len(comps) == 1:
-        y = np.clip(np.round(full[comps[0]["id"]]), 0, 255).astype(np.uint8)
+        y = np.clip(np.round(full[comps[0]["id"]]), 0, maxval).astype(
+            np.uint8 if maxval <= 255 else np.uint16
+        )
         return np.repeat(y[:, :, None], 3, axis=2)
     ids = [c["id"] for c in comps]
-    return _ycbcr_to_rgb(full[ids[0]], full[ids[1]], full[ids[2]])
+    return _ycbcr_to_rgb(full[ids[0]], full[ids[1]], full[ids[2]], center, maxval)
 
 
 def _decode_scan(payload, data_pos, frame, scomps, qtabs, htabs, restart):
-    h, w, comps = frame
+    h, w, comps, prec = frame
+    center, maxval = float(1 << (prec - 1)), (1 << prec) - 1
     by_id = {c["id"]: c for c in comps}
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
@@ -821,7 +966,7 @@ def _decode_scan(payload, data_pos, frame, scomps, qtabs, htabs, restart):
         zzs = np.stack(coef_lists[c["id"]])  # (n, 64) zigzag order
         deq = zzs * qtabs[c["q"]][_ZIGZAG]
         blocks = deq[:, _UNZIGZAG].reshape(-1, 8, 8).astype(np.float64)
-        pix = np.einsum("xu,nuv,yv->nxy", _C.T, blocks, _C.T) + 128.0
+        pix = np.einsum("xu,nuv,yv->nxy", _C.T, blocks, _C.T) + center
         plane = planes[c["id"]]
         for (byy, bxx), blk in zip(blocks_pos[c["id"]], pix):
             plane[byy * 8 : byy * 8 + 8, bxx * 8 : bxx * 8 + 8] = blk
@@ -838,10 +983,12 @@ def _decode_scan(payload, data_pos, frame, scomps, qtabs, htabs, restart):
         full[c["id"]] = p[:h, :w]
 
     if len(comps) == 1:
-        y = np.clip(np.round(full[comps[0]["id"]]), 0, 255).astype(np.uint8)
+        y = np.clip(np.round(full[comps[0]["id"]]), 0, maxval).astype(
+            np.uint8 if maxval <= 255 else np.uint16
+        )
         return np.repeat(y[:, :, None], 3, axis=2)
     ids = [c["id"] for c in comps]
-    return _ycbcr_to_rgb(full[ids[0]], full[ids[1]], full[ids[2]])
+    return _ycbcr_to_rgb(full[ids[0]], full[ids[1]], full[ids[2]], center, maxval)
 
 
 class _ProgWriter(_BitWriterJ):

@@ -462,7 +462,10 @@ def decode_image_np(payload: bytes) -> np.ndarray:
     if payload[:2] == b"\xff\xd8":
         from hiss_cube_spark.operators.jpeg import decode_jpeg_np
 
-        return decode_jpeg_np(payload)
+        img = decode_jpeg_np(payload)
+        if img.dtype == np.uint16:  # 12-bit: collapse to the high 8 bits
+            img = (img >> 4).astype(np.uint8)
+        return img
     if payload[:2] == b"P6":
         return decode_ppm_np(payload)
     raise NotImplementedError(
