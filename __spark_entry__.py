@@ -8860,6 +8860,143 @@ def dq_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "dq_kl_divergence",
+    """
+    WITH per AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS o
+                 FROM documents GROUP BY 1, 2),
+    tot AS (SELECT lang, sum(o) AS tl FROM per GROUP BY 1),
+    ns  AS (SELECT source, sum(o) AS n FROM per GROUP BY 1),
+    nn  AS (SELECT sum(o) AS nt FROM per)
+    SELECT per.source, per.lang, per.o AS observed,
+           CAST(floor((per.o / (1.0 * ns.n))
+                      * ln(per.o * (1.0 * nn.nt) / (ns.n * (1.0 * tot.tl)))
+                      * 1e9) AS BIGINT) AS kl_term_q
+    FROM per JOIN ns USING (source) JOIN tot USING (lang) CROSS JOIN nn
+    """,
+)
+def dq_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source language-mix drift as KL(P_source || P_corpus): the
+    third leg of the drift family (chi2 tests independence, MI measures
+    it in nats, KL localizes WHICH slice diverges — the monitor you page
+    on when one crawl source's language mix shifts). Terms
+    p·ln(p/q) are floor-quantized at 1e-9 before comparison (the
+    dq_mutual_info precedent); only observed cells appear, and q > 0
+    always holds (a cell's language has corpus support by construction),
+    so no smoothing is needed. Sum kl_term_q/1e9 per source for the
+    total divergence. Scale: |source|x|lang| bounded cell table, one
+    doc-grain aggregate — the same shape as chi2/MI."""
+    d = _t(spark, sf_dir, "documents")
+    per = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("o"))
+    tot = per.groupBy("lang").agg(F.sum("o").alias("tl"))
+    ns = per.groupBy("source").agg(F.sum("o").alias("n"))
+    nn = per.agg(F.sum("o").alias("nt"))
+    p = F.col("o") / (F.col("n") * F.lit(1.0))
+    ratio = F.col("o") * (F.col("nt") * F.lit(1.0)) / (F.col("n") * (F.col("tl") * F.lit(1.0)))
+    return (
+        per.join(ns, "source").join(tot, "lang").crossJoin(F.broadcast(nn))
+        .select(
+            "source", "lang", F.col("o").alias("observed"),
+            F.floor(p * F.log(ratio) * F.lit(1e9)).cast("long").alias("kl_term_q"),
+        )
+    )
+
+
+@_q(
+    "text_zipf_slope",
+    """
+    WITH toks AS (
+      SELECT unnest(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS tok
+      FROM documents),
+    cnt AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY 1),
+    rk AS (SELECT tok, c, row_number() OVER (ORDER BY c DESC, tok) AS r
+           FROM cnt QUALIFY r <= 100),
+    q AS (SELECT CAST(floor(ln(r) * 1e6) AS BIGINT) AS x,
+                 CAST(floor(ln(c) * 1e6) AS BIGINT) AS y FROM rk),
+    s AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS sx, sum(y) AS sy,
+                 sum(x * y) AS sxy, sum(x * x) AS sxx FROM q)
+    SELECT n AS n_ranks,
+           round((n * sxy - sx * sy) / (1.0 * (n * sxx - sx * sx)), 6) AS zipf_slope
+    FROM s
+    """,
+)
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus vocabulary: least-squares slope of
+    ln(frequency) against ln(rank) for the top-100 tokens (a natural
+    corpus should sit near -1; a template-heavy or deduplicated-to-death
+    corpus drifts away — a one-number corpus-health indicator). The
+    closed-form slope runs on 1e-6 floor-quantized log values, so every
+    sum is integer-exact and order-independent; rank ties break on the
+    token string. Scale: one token-grain aggregate (map-side combines),
+    a 100-row top-k (WindowGroupLimit truncates map-side), and a
+    constant-size regression — scan-bound at any corpus size."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(
+            F.filter(F.split("text", " "), lambda t: F.length(t) > 0)
+        ).alias("tok")
+    )
+    cnt = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    win = Window.orderBy(F.col("c").desc(), F.col("tok"))
+    rk = cnt.withColumn("r", F.row_number().over(win)).where(F.col("r") <= 100)
+    q = rk.select(
+        F.floor(F.log(F.col("r").cast("double")) * 1e6).cast("long").alias("x"),
+        F.floor(F.log(F.col("c").cast("double")) * 1e6).cast("long").alias("y"),
+    )
+    s = q.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")) * F.lit(1.0)
+    return s.select(
+        F.col("n").alias("n_ranks"),
+        F.round(num / den, 6).alias("zipf_slope"),
+    )
+
+
+@_q(
+    "cur_bottomk_sample",
+    """
+    WITH h AS (SELECT doc_id, source,
+                      (doc_id * 2654435761) % 1000000 AS hk FROM documents),
+    r AS (SELECT doc_id, source, hk,
+                 row_number() OVER (PARTITION BY source ORDER BY hk, doc_id) AS rn
+          FROM h)
+    SELECT doc_id, source, CAST(hk AS BIGINT) AS hash_key,
+           CAST(rn AS INT) AS rn
+    FROM r WHERE rn <= 50
+    """,
+)
+def cur_bottomk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-k sampling per stratum: the k=50 docs with the smallest
+    Knuth-multiplicative hash per source — a deterministic, seedless
+    uniform-without-replacement sample whose union across shards is
+    itself the corpus-level bottom-k (the mergeable property reservoir
+    sampling lacks; this is how you take a consistent audit sample of a
+    100 TB corpus in one pass). Hash, not RNG, so the oracle reproduces
+    it exactly; ties break on doc_id. Scale: the per-source rank window
+    truncates map-side (WindowGroupLimit) so only <=k rows per stratum
+    survive the exchange."""
+    d = _t(spark, sf_dir, "documents")
+    h = d.select(
+        "doc_id", "source",
+        ((F.col("doc_id") * F.lit(2654435761)) % F.lit(1000000)).alias("hk"),
+    )
+    win = Window.partitionBy("source").orderBy("hk", "doc_id")
+    return (
+        h.withColumn("rn", F.row_number().over(win))
+        .where(F.col("rn") <= 50)
+        .select(
+            "doc_id", "source",
+            F.col("hk").cast("long").alias("hash_key"),
+            F.col("rn").cast("int").alias("rn"),
+        )
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return flagship_ml_cube(spark, "/root/testdata/sf0.001")

@@ -272,10 +272,12 @@ def test_rice_tile_compressed_fits_parse_and_ingest(spark, tmp_path_factory):
     hh = parse_fits_header(fz)
     assert hh["NAXIS"] == 2 and hh["CRVAL1"] == 30.0
 
-    # GZIP_1 tiles decode through the same path
-    gz = write_rice_fits(img, tile_rows=8, header_extra=extra, cmptype="GZIP_1")
-    _, a2 = parse_fits_image(gz)
-    np.testing.assert_array_equal(a2, a0)
+    # every other convention codec decodes through the same path
+    for cmp in ("GZIP_1", "GZIP_2", "HCOMPRESS_1", "PLIO_1", "NOCOMPRESS"):
+        img_c = np.abs(img) if cmp == "PLIO_1" else img  # PLIO: masks >= 0
+        gz = write_rice_fits(img_c, tile_rows=8, header_extra=extra, cmptype=cmp)
+        _, a2 = parse_fits_image(gz)
+        np.testing.assert_array_equal(a2, np.abs(a0) if cmp == "PLIO_1" else a0)
 
     # bulk ingest: the default *.fits* glob picks up the .fz file and the
     # zoom-0 pixel payloads are identical to the plain file's

@@ -226,3 +226,53 @@ def test_pack_atomic_invariants_random(spark):
         assert bins == list(range(len(bins)))  # contiguous from 0
     total_in = sum(len(t.split()) for _, _, t in rows)
     assert sum(r["n_tokens"] for r in out) == total_in
+
+
+@given(
+    arr=arrays(
+        np.int64,
+        st.tuples(st.integers(1, 12), st.integers(1, 12)),
+        elements=st.integers(-(2**20), 2**20),
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_hcompress_roundtrip_property(arr):
+    """HCOMPRESS_1 lossless mode is exactly invertible for any 2-D int
+    image (shape, sign, magnitude)."""
+    from hiss_cube_spark.sources.hcompress import hcompress, hdecompress
+
+    np.testing.assert_array_equal(hdecompress(hcompress(arr)), arr)
+
+
+@given(
+    arr=arrays(
+        np.int64,
+        st.integers(0, 400),
+        elements=st.integers(0, 2**27 - 1),
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_plio_roundtrip_property(arr):
+    """PLIO_1 line lists reproduce any non-negative 1-D mask exactly."""
+    from hiss_cube_spark.sources.plio import plio_decode, plio_encode
+
+    np.testing.assert_array_equal(plio_decode(plio_encode(arr)), arr)
+
+
+@given(
+    img=arrays(
+        np.uint8,
+        st.tuples(st.integers(1, 10), st.integers(1, 10), st.sampled_from([1, 2, 3, 4])),
+        elements=st.integers(0, 255),
+    ),
+    interlace=st.booleans(),
+)
+@settings(max_examples=40, deadline=None)
+def test_png_roundtrip_property(img, interlace):
+    """PNG encode->decode is the identity for every channel count and
+    both interlace modes (the filters/unpack/Adam7 paths are lossless)."""
+    from hiss_cube_spark.operators.multimodal import decode_png_np, encode_png_np
+
+    np.testing.assert_array_equal(
+        decode_png_np(encode_png_np(img, interlace=interlace)), img
+    )
