@@ -3663,23 +3663,23 @@ def dq_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     dq_chi2_independence."""
     d = _t(spark, sf_dir, "documents")
     obs = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("o"))
-    rt = obs.groupBy("lang").agg(F.sum("o").alias("rl"))
-    ct = obs.groupBy("source").agg(F.sum("o").alias("cs"))
-    nn = obs.agg(F.sum("o").alias("nn"))
+    # marginals as windows over the bounded cell table — ONE corpus scan
+    # (the join formulation re-scans the fact table per marginal)
+    obs = obs.select(
+        "lang", "source", "o",
+        F.sum("o").over(Window.partitionBy("lang")).alias("rl"),
+        F.sum("o").over(Window.partitionBy("source")).alias("cs"),
+        F.sum("o").over(Window.partitionBy()).alias("nn"),
+    )
     p = F.col("o") / (F.col("nn") * F.lit(1.0))
     ratio = F.col("o") * (F.col("nn") * F.lit(1.0)) / (
         F.col("rl") * (F.col("cs") * F.lit(1.0))
     )
-    return (
-        obs.join(F.broadcast(rt), "lang")
-        .join(F.broadcast(ct), "source")
-        .crossJoin(F.broadcast(nn))
-        .select(
-            "lang",
-            "source",
-            F.col("o").cast("long").alias("observed"),
-            F.floor(p * F.log(ratio) * F.lit(1e9)).cast("long").alias("mi_term_q"),
-        )
+    return obs.select(
+        "lang",
+        "source",
+        F.col("o").cast("long").alias("observed"),
+        F.floor(p * F.log(ratio) * F.lit(1e9)).cast("long").alias("mi_term_q"),
     )
 
 
@@ -3708,28 +3708,27 @@ def dq_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     one IEEE division), and each cell's chi2 contribution is
     floor-quantized before any cross-engine comparison, so the whole
     test is value-exact. Sum chi2_term_q/1e6 against the critical value
-    for (|lang|-1)(|source|-1) dof downstream. Three tiny aggregates +
-    two broadcast joins back onto the cell table: nothing here exceeds
-    |lang| x |source| rows regardless of corpus size."""
+    for (|lang|-1)(|source|-1) dof downstream. One corpus scan; the
+    marginals are windows over the bounded cell table, so nothing here
+    exceeds |lang| x |source| rows regardless of corpus size."""
     d = _t(spark, sf_dir, "documents")
     obs = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("o"))
-    rt = obs.groupBy("lang").agg(F.sum("o").alias("rl"))
-    ct = obs.groupBy("source").agg(F.sum("o").alias("cs"))
-    nn = obs.agg(F.sum("o").alias("nn"))
+    # marginals as windows over the bounded cell table — ONE corpus scan
+    obs = obs.select(
+        "lang", "source", "o",
+        F.sum("o").over(Window.partitionBy("lang")).alias("rl"),
+        F.sum("o").over(Window.partitionBy("source")).alias("cs"),
+        F.sum("o").over(Window.partitionBy()).alias("nn"),
+    )
     exp = F.col("rl") * F.col("cs") / (F.col("nn") * F.lit(1.0))
-    return (
-        obs.join(F.broadcast(rt), "lang")
-        .join(F.broadcast(ct), "source")
-        .crossJoin(F.broadcast(nn))
-        .select(
-            "lang",
-            "source",
-            F.col("o").cast("long").alias("observed"),
-            _r6(exp).alias("expected"),
-            F.floor((F.col("o") - exp) * (F.col("o") - exp) / exp * F.lit(1e6))
-            .cast("long")
-            .alias("chi2_term_q"),
-        )
+    return obs.select(
+        "lang",
+        "source",
+        F.col("o").cast("long").alias("observed"),
+        _r6(exp).alias("expected"),
+        F.floor((F.col("o") - exp) * (F.col("o") - exp) / exp * F.lit(1e6))
+        .cast("long")
+        .alias("chi2_term_q"),
     )
 
 
@@ -5245,6 +5244,8 @@ def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.range(1, 11)
         .crossJoin(F.broadcast(mx))
         .select(F.expr("(id * mx) DIV 10").alias("checkpoint"))
+        .localCheckpoint(eager=True)  # 10 rows; referenced by two joins —
+        # without materialization each reference re-scans documents for mx
     )
     # broadcast the 10-row checkpoint list, never the vocabulary
     vocab = (
@@ -8888,17 +8889,20 @@ def dq_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc-grain aggregate — the same shape as chi2/MI."""
     d = _t(spark, sf_dir, "documents")
     per = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("o"))
-    tot = per.groupBy("lang").agg(F.sum("o").alias("tl"))
-    ns = per.groupBy("source").agg(F.sum("o").alias("n"))
-    nn = per.agg(F.sum("o").alias("nt"))
+    # marginals as windows over the tiny cell table: ONE documents scan
+    # total (the equivalent join formulation re-scans the fact table once
+    # per marginal — at 100 TB that is 4 scans for a drift monitor)
+    per = per.select(
+        "source", "lang", "o",
+        F.sum("o").over(Window.partitionBy("lang")).alias("tl"),
+        F.sum("o").over(Window.partitionBy("source")).alias("n"),
+        F.sum("o").over(Window.partitionBy()).alias("nt"),
+    )
     p = F.col("o") / (F.col("n") * F.lit(1.0))
     ratio = F.col("o") * (F.col("nt") * F.lit(1.0)) / (F.col("n") * (F.col("tl") * F.lit(1.0)))
-    return (
-        per.join(ns, "source").join(tot, "lang").crossJoin(F.broadcast(nn))
-        .select(
-            "source", "lang", F.col("o").alias("observed"),
-            F.floor(p * F.log(ratio) * F.lit(1e9)).cast("long").alias("kl_term_q"),
-        )
+    return per.select(
+        "source", "lang", F.col("o").alias("observed"),
+        F.floor(p * F.log(ratio) * F.lit(1e9)).cast("long").alias("kl_term_q"),
     )
 
 

@@ -917,15 +917,16 @@ def remove_duplicated_spans(
     grams = grams.withColumn(
         "k", F.xxhash64("gram") if hash_grams else F.col("gram")
     ).drop("gram")
-    dup = (
-        grams.groupBy("k")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .where(F.col("c") >= min_count)
-        .select("k")
-    )
-    occ = grams.join(dup, "k")
+    # duplicated-gram election as two windows over ONE gram derivation
+    # sharing the k partitioning (single exchange): the groupBy-dup-set +
+    # join-back formulation re-derived the gram explode once per
+    # reference (3 corpus-scale explode passes instead of 1)
     wk = Window.partitionBy("k").orderBy("doc_id", "pos")
-    losers = occ.withColumn("_rn", F.row_number().over(wk)).where(F.col("_rn") > 1)
+    losers = (
+        grams.withColumn("_c", F.count(F.lit(1)).over(Window.partitionBy("k")))
+        .withColumn("_rn", F.row_number().over(wk))
+        .where((F.col("_c") >= min_count) & (F.col("_rn") > 1))
+    )
     covered = losers.select(
         "doc_id", F.explode(F.expr(f"sequence(pos, pos + {n - 1})")).alias("p")
     ).distinct()

@@ -131,6 +131,11 @@ def triangle_count(
         )
     else:
         ranked = und.where(F.col("a") < F.col("b"))
+    # the oriented edge list is referenced by all three wedge legs —
+    # materialize it once (it IS the algorithm's working set) or the
+    # whole upstream edge derivation re-executes per leg (6 fact-table
+    # scans for a 4-table edge definition)
+    ranked = ranked.localCheckpoint(eager=True)
     w1 = ranked.select(F.col("a").alias("x"), F.col("b").alias("y"))
     w2 = ranked.select(F.col("a").alias("y"), F.col("b").alias("z"))
     w3 = ranked.select(F.col("a").alias("x"), F.col("b").alias("z"))

@@ -39,19 +39,35 @@ __all__ = [
 class Check:
     name: str
     violations: Callable[[], DataFrame]
+    # predicate fast path: when set, constraint_report folds every check
+    # sharing the same source into ONE conditional-count aggregate (one
+    # scan per table instead of one per check); violations() stays the
+    # row-level inspection API either way
+    source: DataFrame | None = None
+    predicate: "F.Column | None" = None
 
 
 def check_not_null(name: str, df: DataFrame, col: str) -> Check:
     """Rows where ``col`` is NULL."""
-    return Check(name, lambda: df.where(F.col(col).isNull()))
+    return Check(
+        name, lambda: df.where(F.col(col).isNull()), df, F.col(col).isNull()
+    )
 
 
 def check_unique(name: str, df: DataFrame, cols: list[str]) -> Check:
     """Rows whose key appears more than once (all copies count)."""
 
     def _v() -> DataFrame:
-        dupes = df.groupBy(*cols).agg(F.count(F.lit(1)).alias("_n")).where(F.col("_n") > 1)
-        return df.join(dupes.select(*cols), cols, "left_semi")
+        from pyspark.sql.window import Window
+
+        # key-count window, ONE scan (the groupBy + semi-join-back
+        # formulation scanned the table twice)
+        w = Window.partitionBy(*cols)
+        return (
+            df.withColumn("_n", F.count(F.lit(1)).over(w))
+            .where(F.col("_n") > 1)
+            .drop("_n")
+        )
 
     return Check(name, _v)
 
@@ -70,20 +86,59 @@ def check_foreign_key(
 
 def check_range(name: str, df: DataFrame, col: str, lo: float, hi: float) -> Check:
     """Rows where ``col`` falls outside [lo, hi] (NULLs don't violate)."""
-    return Check(
-        name, lambda: df.where((F.col(col) < lo) | (F.col(col) > hi))
-    )
+    pred = (F.col(col) < lo) | (F.col(col) > hi)
+    return Check(name, lambda: df.where(pred), df, pred)
 
 
 def constraint_report(spark: SparkSession, checks: list[Check]) -> DataFrame:
-    """One (check_name, n_violations) row per check, as a single plan."""
-    parts = [
-        c.violations().agg(
-            F.lit(c.name).alias("check_name"),
-            F.count(F.lit(1)).alias("n_violations"),
+    """One (check_name, n_violations) row per check, as a single plan.
+
+    Predicate checks (not-null, range) sharing a source DataFrame fold
+    into one conditional-count aggregate — one scan per TABLE, however
+    many expectations it carries (the per-check formulation scanned the
+    source once per expectation). Structural checks (unique, foreign
+    key) keep their own branch; unique is itself single-scan now."""
+    parts = []
+    folded: dict[int, list[Check]] = {}
+    fold_order: list[int] = []
+    for c in checks:
+        if c.predicate is not None and c.source is not None:
+            key = id(c.source)
+            if key not in folded:
+                folded[key] = []
+                fold_order.append(key)
+            folded[key].append(c)
+        else:
+            parts.append(
+                c.violations().agg(
+                    F.lit(c.name).alias("check_name"),
+                    F.count(F.lit(1)).alias("n_violations"),
+                )
+            )
+    for key in fold_order:
+        grp = folded[key]
+        wide = grp[0].source.agg(
+            *[
+                F.sum(F.when(c.predicate, 1).otherwise(0))
+                .cast("long")
+                .alias(f"_c{i}")
+                for i, c in enumerate(grp)
+            ]
         )
-        for c in checks
-    ]
+        melted = wide.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(c.name).alias("check_name"),
+                            F.col(f"_c{i}").alias("n_violations"),
+                        )
+                        for i, c in enumerate(grp)
+                    ]
+                )
+            ).alias("kv")
+        ).select("kv.check_name", "kv.n_violations")
+        parts.append(melted)
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
@@ -289,26 +344,31 @@ def mad_outliers(
     interpolations of integers — exact doubles, no ulp surface; the
     threshold compare is two correctly-rounded multiplies.
 
-    Scale shape: two key-grouped exact percentiles + one broadcast-back
-    join, everything shuffled by ``key_col`` once each. Exact percentile
-    is a sort-based aggregate per key — fine while single keys fit an
-    executor; for heavier keys swap stage one for approx_percentile
+    Scale shape: ONE scan, ONE shuffle — both exact percentiles run as
+    window aggregates over the same ``key_col`` partitioning, so Spark
+    plans a single exchange and evaluates them in place (the equivalent
+    groupBy+join formulation lazily re-derives the event projection four
+    times). Exact percentile buffers a key's rows — fine while single
+    keys fit an executor; for heavier keys swap in approx_percentile
     (sketch) with the same downstream flagging.
     """
+    from pyspark.sql.window import Window
+
     xq = F.round(F.col(value_col) * quant).alias("xq")
-    e = df.select(F.col(key_col), xq)
-    med = e.groupBy(key_col).agg(F.percentile("xq", F.lit(0.5)).alias("med"))
-    dev = e.join(med, key_col).select(
-        key_col, "xq", "med", F.abs(F.col("xq") - F.col("med")).alias("adev")
-    )
-    mad = dev.groupBy(key_col).agg(F.percentile("adev", F.lit(0.5)).alias("mad"))
-    flagged = dev.join(mad, key_col).select(
-        key_col,
-        "med",
-        "mad",
-        F.when(
-            F.col("adev") > F.lit(n_sigmas) * (F.lit(1.4826) * F.col("mad")), 1
-        ).otherwise(0).alias("is_out"),
+    wk = Window.partitionBy(key_col)
+    flagged = (
+        df.select(F.col(key_col), xq)
+        .withColumn("med", F.percentile("xq", F.lit(0.5)).over(wk))
+        .withColumn("adev", F.abs(F.col("xq") - F.col("med")))
+        .withColumn("mad", F.percentile("adev", F.lit(0.5)).over(wk))
+        .select(
+            key_col,
+            "med",
+            "mad",
+            F.when(
+                F.col("adev") > F.lit(n_sigmas) * (F.lit(1.4826) * F.col("mad")), 1
+            ).otherwise(0).alias("is_out"),
+        )
     )
     return flagged.groupBy(key_col).agg(
         F.count(F.lit(1)).alias("n_events"),
@@ -334,18 +394,30 @@ def ks_drift_grouped(
     alone are not sound). The reference collapses to distinct-value counts
     once and is replicated per group via a crossJoin with the (small)
     group list; cumulative windows run per group over value-domain-bounded
-    merged point sets. Raw rows never shuffle more than once.
+    merged point sets. Raw rows never shuffle more than once, and the
+    fact table is scanned ONCE: the per-(group, value) cell table is
+    checkpointed (it is bounded by |groups| x |distinct values|), the
+    group list and — when ``reference is df``, the common self-drift
+    monitor — the reference histogram and its total all derive from the
+    cells instead of lazily re-deriving the scan.
     """
     from pyspark.sql.window import Window
 
-    refd = reference.groupBy(F.col(value_col).alias("v")).agg(
-        F.count(F.lit(1)).alias("c_r")
+    curd = (
+        df.groupBy(F.col(group_col).alias("g"), F.col(value_col).alias("v"))
+        .agg(F.count(F.lit(1)).alias("c_g"))
+        .localCheckpoint(eager=True)
     )
-    n_ref = reference.agg(F.count(F.lit(1)).alias("n_ref"))
-    groups = df.select(F.col(group_col).alias("g")).distinct()
-    curd = df.groupBy(
-        F.col(group_col).alias("g"), F.col(value_col).alias("v")
-    ).agg(F.count(F.lit(1)).alias("c_g"))
+    if reference is df:
+        refd = curd.groupBy("v").agg(F.sum("c_g").alias("c_r"))
+    else:
+        refd = (
+            reference.groupBy(F.col(value_col).alias("v"))
+            .agg(F.count(F.lit(1)).alias("c_r"))
+            .localCheckpoint(eager=True)
+        )
+    n_ref = refd.agg(F.sum("c_r").alias("n_ref"))
+    groups = curd.select("g").distinct()
 
     ref_rep = groups.crossJoin(refd).select("g", "v", F.lit(0).alias("c_g"), "c_r")
     cur_rep = curd.select("g", "v", "c_g", F.lit(0).alias("c_r"))

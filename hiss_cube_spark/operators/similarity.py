@@ -856,6 +856,11 @@ def semantic_dedup(
         .withColumnRenamed("prediction", "cell")
         .withColumn("nrm", array_l2_norm(F.col("v")))
         .select("id", "v", "cell", "nrm")
+        # both sides of the within-cell self-join read this — persist so
+        # the KMeans assignment pass runs once, not once per side (at
+        # scale this is the standard materialize-before-self-join stage;
+        # MEMORY_AND_DISK via persist keeps it spill-safe)
+        .persist()
     )
     a, b = assigned.alias("a"), assigned.alias("b")
     pairs = (

@@ -419,20 +419,26 @@ def pmi_bigrams(
         F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
         lambda a, b: F.concat_ws(" ", a, b),
     )
-    bi = (
+    # TWO corpus passes total: the bigram-type and unigram-type count
+    # tables are materialized (vocabulary-bounded, not corpus-bounded),
+    # and the grand totals derive from them (sum of counts == total
+    # occurrences — identical values); the lazy formulation re-scanned
+    # the corpus for each total and once per broadcast reference of uni
+    bi_all = (
         df.select(F.explode(bigrams).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("c_ab"))
-        .where(F.col("c_ab") >= min_count)
+        .localCheckpoint(eager=True)
     )
+    bi = bi_all.where(F.col("c_ab") >= min_count)
     uni = (
         df.select(F.explode(toks).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
     )
-    totals = df.select(
-        F.sum(F.size(toks).cast("long")).alias("n_tok"),
-        F.sum(F.greatest(F.size(toks) - 1, F.lit(0)).cast("long")).alias("n_bi"),
+    totals = uni.agg(F.sum("c").cast("long").alias("n_tok")).crossJoin(
+        bi_all.agg(F.sum("c_ab").cast("long").alias("n_bi"))
     )
     parts = F.split("bigram", " ")
     scored = (
@@ -571,9 +577,19 @@ def bigram_lm_score(
 
     b = bigrams(df, with_id=True)
     tb = bigrams(train_src, with_id=False)
-    c2 = tb.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2"))
-    c1 = tb.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
-    vocab = tb.agg(F.countDistinct("w2").alias("vsz"))
+    # the LM tables: ONE training scan. c2 is materialized (bounded by
+    # |vocab|^2 bigram TYPES, not corpus size) and the unigram counts +
+    # vocabulary size derive from it (sum over w2 / distinct w2 —
+    # identical values); the lazy formulation re-scanned the training
+    # corpus once per table because per-branch column pruning defeats
+    # exchange reuse
+    c2 = (
+        tb.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n2"))
+        .localCheckpoint(eager=True)
+    )
+    c1 = c2.groupBy("w1").agg(F.sum("n2").alias("n1"))
+    vocab = c2.agg(F.countDistinct("w2").alias("vsz"))
     p = (
         b.join(c2, ["w1", "w2"], "left").join(c1, ["w1"], "left").crossJoin(vocab)
         .withColumn(
@@ -785,15 +801,21 @@ def rake_keywords(
     )
     grp = toks.withColumn("grp", F.sum(F.col("is_stop").cast("int")).over(w))
     words = grp.where(~F.col("is_stop")).select("doc_id", "grp", "pos", "token")
-    phrases = words.groupBy("doc_id", "grp").agg(
-        F.count(F.lit(1)).alias("plen"), F.min("pos").alias("start")
-    )
-    wp = words.join(phrases, ["doc_id", "grp"])
-    wstats = wp.groupBy("doc_id", "token").agg(
-        F.sum("plen").alias("deg"), F.count(F.lit(1)).alias("freq")
+    # phrase length and word degree/frequency as windows on ONE derivation
+    # chain — the groupBy+join formulation lazily re-derived the token
+    # explode once per reference (4 corpus scans); every window partitions
+    # by a doc_id superset key, so the explode's exchange is reused and
+    # only per-partition sorts are added
+    wgrp = Window.partitionBy("doc_id", "grp")
+    wtok = Window.partitionBy("doc_id", "token")
+    wp = (
+        words.withColumn("plen", F.count(F.lit(1)).over(wgrp))
+        .withColumn("start", F.min("pos").over(wgrp))
+        .withColumn("deg", F.sum("plen").over(wtok))
+        .withColumn("freq", F.count(F.lit(1)).over(wtok))
     )
     scored = (
-        wp.join(wstats, ["doc_id", "token"])
+        wp
         .withColumn(
             "_wq",
             F.floor(
