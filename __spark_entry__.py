@@ -1184,6 +1184,10 @@ def ts_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = (
         e.groupBy(F.expr("ts_us DIV 3600000000").alias("bucket"))
         .agg(F.count(F.lit(1)).alias("n"))
+        # |hours|-row series; every later stage re-references it —
+        # materialize so the corpus is scanned ONCE (the audit counted 8
+        # event scans from lazy re-derivation of this tiny table)
+        .localCheckpoint(eager=True)
     )
     w = Window.orderBy("bucket").rowsBetween(-11, 12)
     det = (
@@ -1271,6 +1275,10 @@ def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = (
         e.groupBy(F.expr("ts_us DIV 3600000000").alias("bucket"))
         .agg(F.count(F.lit(1)).alias("n"))
+        # |hours|-row series; every later stage re-references it —
+        # materialize so the corpus is scanned ONCE (the audit counted 8
+        # event scans from lazy re-derivation of this tiny table)
+        .localCheckpoint(eager=True)
     )
     w = Window.orderBy("bucket").rowsBetween(-11, 12)
     tr = b.withColumn(
@@ -7726,10 +7734,15 @@ def w_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = _events(spark, sf_dir).select("user_id", "event_type", "ts_us")
     week = 604_800_000_000
+    # each stage table is referenced by the next stage AND the final
+    # count — materialize them (one row per user, tiny vs the log) so the
+    # event log is scanned once per stage, as the docstring promises
+    # (lazily the audit counted 6 scans: p re-derived c re-derived v)
     v = (
         e.where(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts_us").alias("u1"))
+        .localCheckpoint(eager=True)
     )
     c = (
         e.where(F.col("event_type") == "click")
@@ -7737,6 +7750,7 @@ def w_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((F.col("ts_us") > F.col("u1")) & (F.col("ts_us") <= F.col("u1") + week))
         .groupBy("user_id", "u1")
         .agg(F.min("ts_us").alias("u2"))
+        .localCheckpoint(eager=True)
     )
     p = (
         e.where(F.col("event_type") == "purchase")

@@ -48,9 +48,15 @@ def pagerank(
     the unrolled SQL oracle). Returns ``(node, rank)`` with ``rank``
     rounded to ``scale`` decimals.
     """
-    e = edges.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).distinct()
+    # materialize the deduped edge list ONCE: nodes, outdegrees, and every
+    # iteration re-reference it, and the caller's edge definition may be a
+    # multi-table join — without the checkpoint the audit counted 14 fact
+    # scans for 3 iterations (iterative lineage re-derivation)
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -85,7 +91,10 @@ def pagerank(
                 * F.coalesce(F.col("mass").cast("double"), F.lit(0.0)),
                 scale,
             ).alias("rank"),
-        )
+        # truncate the iteration's lineage (the connected-components
+        # precedent): without this each round's plan embeds every prior
+        # round's joins
+        ).localCheckpoint(eager=True)
     return ranks
 
 
