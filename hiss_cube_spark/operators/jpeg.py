@@ -428,23 +428,27 @@ def encode_jpeg_np(
         # sample range (cfitsio/libjpeg practice), 16-bit DQT entries
         qt_l = np.clip(qt_l * 16, 1, 65535)
         qt_c = np.clip(qt_c * 16, 1, 65535)
-    if subsampling not in ("444", "420"):
-        raise ValueError("subsampling must be '444' or '420'")
-    sub = subsampling == "420" and not gray
-
+    if subsampling not in ("444", "422", "420"):
+        raise ValueError("subsampling must be '444', '422' or '420'")
+    # chroma decimation factors: (horizontal, vertical)
+    cx, cy = {"444": (1, 1), "422": (2, 1), "420": (2, 2)}[subsampling]
     if gray:
+        cx = cy = 1
         comps = [{"plane": img.astype(np.float64), "h": 1, "v": 1, "qt": qt_l,
                   "role": 0}]
     else:
         ycc = _rgb_to_ycbcr(img, center)
         yf, cb, cr = (ycc[..., i] for i in range(3))
-        if sub:
-            ph2, pw2 = -(-h // 2) * 2, -(-w // 2) * 2
-            cb = _pad_plane(cb, ph2, pw2).reshape(ph2 // 2, 2, pw2 // 2, 2).mean((1, 3))
-            cr = _pad_plane(cr, ph2, pw2).reshape(ph2 // 2, 2, pw2 // 2, 2).mean((1, 3))
-        sf = 2 if sub else 1
+        if cx > 1 or cy > 1:
+            ph2, pw2 = -(-h // cy) * cy, -(-w // cx) * cx
+            cb = _pad_plane(cb, ph2, pw2).reshape(
+                ph2 // cy, cy, pw2 // cx, cx
+            ).mean((1, 3))
+            cr = _pad_plane(cr, ph2, pw2).reshape(
+                ph2 // cy, cy, pw2 // cx, cx
+            ).mean((1, 3))
         comps = [
-            {"plane": yf, "h": sf, "v": sf, "qt": qt_l, "role": 0},
+            {"plane": yf, "h": cx, "v": cy, "qt": qt_l, "role": 0},
             {"plane": cb, "h": 1, "v": 1, "qt": qt_c, "role": 1},
             {"plane": cr, "h": 1, "v": 1, "qt": qt_c, "role": 1},
         ]
@@ -1032,9 +1036,9 @@ def encode_jpeg_progressive_np(
     gray = img.ndim == 2
     h, w = img.shape[:2]
     qt_l, qt_c = _quality_tables(quality)
-    if subsampling not in ("444", "420"):
-        raise ValueError("subsampling must be '444' or '420'")
-    sub = subsampling == "420" and not gray
+    if subsampling not in ("444", "422", "420"):
+        raise ValueError("subsampling must be '444', '422' or '420'")
+    cx, cy = {"444": (1, 1), "422": (2, 1), "420": (2, 2)}[subsampling]
 
     if gray:
         comps = [{"plane": img.astype(np.float64), "h": 1, "v": 1, "qt": qt_l,
@@ -1042,13 +1046,12 @@ def encode_jpeg_progressive_np(
     else:
         ycc = _rgb_to_ycbcr(img)
         yf, cb, cr = (ycc[..., i] for i in range(3))
-        if sub:
-            ph2, pw2 = -(-h // 2) * 2, -(-w // 2) * 2
-            cb = _pad_plane(cb, ph2, pw2).reshape(ph2 // 2, 2, pw2 // 2, 2).mean((1, 3))
-            cr = _pad_plane(cr, ph2, pw2).reshape(ph2 // 2, 2, pw2 // 2, 2).mean((1, 3))
-        sf = 2 if sub else 1
+        if cx > 1 or cy > 1:
+            ph2, pw2 = -(-h // cy) * cy, -(-w // cx) * cx
+            cb = _pad_plane(cb, ph2, pw2).reshape(ph2 // cy, cy, pw2 // cx, cx).mean((1, 3))
+            cr = _pad_plane(cr, ph2, pw2).reshape(ph2 // cy, cy, pw2 // cx, cx).mean((1, 3))
         comps = [
-            {"plane": yf, "h": sf, "v": sf, "qt": qt_l,
+            {"plane": yf, "h": cx, "v": cy, "qt": qt_l,
              "dc": _canonical_codes(*_DC_LUMA), "ac": _canonical_codes(*_AC_LUMA)},
             {"plane": cb, "h": 1, "v": 1, "qt": qt_c,
              "dc": _canonical_codes(*_DC_CHROMA), "ac": _canonical_codes(*_AC_CHROMA)},

@@ -127,3 +127,28 @@ def test_dispatch_normalizes_12bit():
     assert out.dtype == np.uint8 and out.shape == (16, 16, 3)
     err = np.abs(out[:, :, 0].astype(int) - (img >> 4).astype(int)).mean()
     assert err < 8, err
+
+
+def test_422_subsampling_roundtrip():
+    """4:2:2 (horizontal-only chroma decimation): smooth content meets the
+    same tolerance as 4:2:0, and the stream carries the 2x1 sampling
+    factors the generic decoder upsamples from."""
+    y, x = np.mgrid[0:16, 0:24]
+    px = np.clip(
+        np.stack(
+            [128 + 80 * np.sin(2 * np.pi * (x / 24 + y / 16 + c * 0.2))
+             for c in range(3)],
+            axis=-1,
+        ).round(),
+        0, 255,
+    ).astype(np.uint8)
+    blob = encode_jpeg_np(px, quality=95, subsampling="422")
+    dec = decode_jpeg_np(blob)
+    err = np.abs(dec.astype(float) - px.astype(float)).mean()
+    assert err < 8, err
+    # 4:2:2 must carry MORE chroma fidelity than 4:2:0 on the same input
+    dec420 = decode_jpeg_np(encode_jpeg_np(px, quality=95, subsampling="420"))
+    err420 = np.abs(dec420.astype(float) - px.astype(float)).mean()
+    assert err <= err420 + 0.5, (err, err420)
+    with pytest.raises(ValueError):
+        encode_jpeg_np(px, subsampling="411")

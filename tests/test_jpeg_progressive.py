@@ -98,3 +98,31 @@ def test_progressive_reconstruction_error_bound():
         dec = decode_jpeg_np(encode_jpeg_progressive_np(img, 95, sub))
         err = np.abs(dec.astype(float) - img.astype(float)).mean()
         assert err < 8.0, (sub, err)
+
+
+def test_progressive_422_matches_baseline():
+    """Progressive 4:2:2 decodes bit-identically to baseline 4:2:2 at the
+    same quality (coefficients identical; only scan order differs)."""
+    import numpy as np
+
+    from hiss_cube_spark.operators.jpeg import (
+        decode_jpeg_np,
+        encode_jpeg_np,
+        encode_jpeg_progressive_np,
+    )
+
+    rng = np.random.default_rng(11)
+    y, x = np.mgrid[0:16, 0:24]
+    px = np.clip(
+        np.stack(
+            [128 + 70 * np.sin(2 * np.pi * (x / 24 + y / 16 + c * 0.15))
+             for c in range(3)],
+            axis=-1,
+        ).round(),
+        0, 255,
+    ).astype(np.uint8)
+    base = decode_jpeg_np(encode_jpeg_np(px, quality=92, subsampling="422"))
+    prog = decode_jpeg_np(
+        encode_jpeg_progressive_np(px, quality=92, subsampling="422")
+    )
+    np.testing.assert_array_equal(base, prog)

@@ -162,3 +162,36 @@ def test_decode_image_np_dispatch_still_rgb():
     out16 = decode_image_np(encode_png_np(img16))
     assert out16.shape == (5, 4, 3) and out16.dtype == np.uint8
     np.testing.assert_array_equal(out16, (img16 >> 8).astype(np.uint8))
+
+
+def test_adam7_subbyte_grayscale():
+    """Adam7 interlace combined with depth-2 grayscale: each pass packs
+    its own bit-rows; hand-built fixture decodes to the rescaled image."""
+    w, h, depth = 9, 10, 2
+    maxv = 3
+    samples = RNG.integers(0, maxv + 1, size=(h, w))
+    ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+             (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+    raw = b""
+    for x0, y0, xs, ys in ADAM7:
+        sub = samples[y0::ys, x0::xs]
+        ph, pw = sub.shape
+        if ph == 0 or pw == 0:
+            continue
+        for yy in range(ph):
+            bits = np.zeros(pw * depth, dtype=np.uint8)
+            for xx in range(pw):
+                for b in range(depth):
+                    bits[xx * depth + b] = (sub[yy, xx] >> (depth - 1 - b)) & 1
+            raw += b"\x00" + np.packbits(bits).tobytes()
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, 0, 0, 0, 1)  # interlace=1
+    buf = (
+        SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+    out = decode_png_np(buf)
+    np.testing.assert_array_equal(
+        out[:, :, 0], (samples * 255 // maxv).astype(np.uint8)
+    )
