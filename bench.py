@@ -86,6 +86,12 @@ HEADLINE = [
     # round-4 additions
     "emb_dbscan_blocked",
     "mm_jpeg_pipeline",
+    # round-5 additions
+    "mm_png_variants",
+    "mm_fits_codec_sweep",
+    "dq_kl_divergence",
+    "text_zipf_slope",
+    "cur_bottomk_sample",
 ]
 
 # Environment-drift sentinel: per-query ratchets are expressed relative to
