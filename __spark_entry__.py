@@ -6366,6 +6366,69 @@ def mm_fits_codec_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "mm_flac_pipeline",
+    """
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(2000 + (doc_id % 3) * 1000 AS BIGINT) AS n_samples,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS INT) AS channels,
+           TRUE AS exact_roundtrip
+    FROM documents WHERE doc_id % 5 = 0
+    """,
+)
+def mm_flac_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-audio leg of the multimodal family, distributed: per
+    document synthesize an int16 signal from its text bytes (byte-seeded
+    sinusoid + byte noise), round-trip it through the in-repo FLAC
+    subset codec (`operators/flac.py` — fixed predictors, Rice
+    residuals, CRC-8/16, STREAMINFO MD5), alternating mono and stereo.
+    FLAC is lossless, so the oracle is fully analytic: the synthesis
+    length/channel laws plus EXACT sample equality — any
+    predictor/Rice/CRC bug flips `exact_roundtrip`. Kernel behavior is
+    additionally pinned in tests/test_flac.py."""
+    import numpy as _np
+    import pandas as _pd
+    from collections.abc import Iterator as _Iter
+
+    from hiss_cube_spark.operators.flac import decode_flac_np, encode_flac_np
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 5 == 0)
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def _roundtrip(batches: _Iter[_pd.DataFrame]) -> _Iter[_pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                b = _np.frombuffer(text.encode("utf-8"), dtype=_np.uint8)
+                n = 2000 + int(doc_id) % 3 * 1000
+                t = _np.arange(n)
+                base = (
+                    _np.sin(t / (10.0 + b[0] % 20)) * (4000 + b[1] % 100 * 40)
+                    + _np.resize(b.astype(_np.int64) - 128, n) * 8
+                ).astype(_np.int16)
+                if doc_id % 2 == 0:
+                    sig = base
+                    ch = 1
+                else:
+                    sig = _np.stack([base, base[::-1].copy()], axis=-1)
+                    ch = 2
+                dec, rate = decode_flac_np(encode_flac_np(sig, rate=16_000))
+                ok = bool(rate == 16_000 and _np.array_equal(dec, sig))
+                rows.append((int(doc_id), n, ch, ok))
+            yield _pd.DataFrame(
+                rows, columns=["doc_id", "n_samples", "channels", "exact_roundtrip"]
+            )
+
+    return d.mapInPandas(
+        _roundtrip,
+        schema="doc_id long, n_samples long, channels int, exact_roundtrip boolean",
+    )
+
+
+@_q(
     "mm_decode_stub",
     """
     SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

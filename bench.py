@@ -92,6 +92,7 @@ HEADLINE = [
     "dq_kl_divergence",
     "text_zipf_slope",
     "cur_bottomk_sample",
+    "mm_flac_pipeline",
 ]
 
 # Environment-drift sentinel: per-query ratchets are expressed relative to

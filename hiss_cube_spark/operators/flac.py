@@ -1,0 +1,441 @@
+"""FLAC codec subset — pure numpy/stdlib, clean-room from the public
+FLAC format specification (xiph.org / RFC 9639).
+
+Closes the last feasible audio-codec gap in the multimodal family: PCM
+WAV decoded since round 2, but compressed audio stayed stubbed. This
+module implements the lossless core:
+
+- **container**: ``fLaC`` magic, STREAMINFO metadata block (blocksize /
+  sample-rate / channels / bits-per-sample / total-samples / MD5 of the
+  raw little-endian PCM), additional metadata blocks skipped;
+- **frames**: 14-bit sync, blocking-strategy bit, blocksize / rate /
+  channel-assignment / sample-size codes, UTF-8-coded frame number,
+  CRC-8 header check and CRC-16 whole-frame check (both real, both
+  verified on decode);
+- **subframes**: CONSTANT, VERBATIM and FIXED predictors (orders 0-4,
+  the closed-form polynomial predictors) with Rice-coded residuals —
+  both 4-bit (method 0) and 5-bit (method 1) parameter widths, partition
+  orders, and the raw-bits escape;
+- **encoder**: 16-bit mono/stereo (independent channels), fixed 4096
+  blocksize, per-subframe best-of fixed predictor order 0-2 by absolute
+  residual sum, single-partition Rice with the mean-based parameter
+  estimate. Output is spec-shaped (magic, STREAMINFO, framing, CRCs);
+  the property tests pin exact roundtrip for every path.
+
+Not implemented (raise a labeled error): LPC subframes, stereo
+decorrelation modes (left/side, right/side, mid/side), wasted bits,
+bit depths other than 8/16/24 — the same honest-gap policy as the other
+from-scratch codecs. Like RICE/HCOMPRESS/PLIO there is no reference
+binary in this environment, so bit-compatibility with libFLAC is
+documented as unverified; the stream layout follows the spec.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+import numpy as np
+
+__all__ = ["encode_flac_np", "decode_flac_np"]
+
+_MAGIC = b"fLaC"
+
+_CRC8_TABLE = np.zeros(256, dtype=np.uint8)
+for _i in range(256):
+    _c = _i
+    for _ in range(8):
+        _c = ((_c << 1) ^ 0x07) & 0xFF if _c & 0x80 else (_c << 1) & 0xFF
+    _CRC8_TABLE[_i] = _c
+
+_CRC16_TABLE = np.zeros(256, dtype=np.uint16)
+for _i in range(256):
+    _c = _i << 8
+    for _ in range(8):
+        _c = ((_c << 1) ^ 0x8005) & 0xFFFF if _c & 0x8000 else (_c << 1) & 0xFFFF
+    _CRC16_TABLE[_i] = _c
+
+
+def _crc8(data: bytes) -> int:
+    c = 0
+    for b in data:
+        c = int(_CRC8_TABLE[c ^ b])
+    return c
+
+
+def _crc16(data: bytes) -> int:
+    c = 0
+    for b in data:
+        c = ((c << 8) & 0xFFFF) ^ int(_CRC16_TABLE[((c >> 8) ^ b) & 0xFF])
+    return c
+
+
+class _BW:
+    """MSB-first bit writer."""
+
+    __slots__ = ("buf", "acc", "n")
+
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, v: int, nbits: int) -> None:
+        self.acc = (self.acc << nbits) | (v & ((1 << nbits) - 1))
+        self.n += nbits
+        while self.n >= 8:
+            self.n -= 8
+            self.buf.append((self.acc >> self.n) & 0xFF)
+        self.acc &= (1 << self.n) - 1
+
+    def put_unary(self, q: int) -> None:
+        while q >= 32:
+            self.put(0, 32)
+            q -= 32
+        self.put(1, q + 1)  # q zeros then a one
+
+    def align(self) -> None:
+        if self.n:
+            self.put(0, 8 - self.n)
+
+
+class _BR:
+    """MSB-first bit reader."""
+
+    __slots__ = ("data", "pos", "bit")
+
+    def __init__(self, data: bytes, pos: int = 0) -> None:
+        self.data = data
+        self.pos = pos
+        self.bit = 0
+
+    def get(self, nbits: int) -> int:
+        out = 0
+        while nbits > 0:
+            if self.pos >= len(self.data):
+                raise ValueError("FLAC bitstream truncated")
+            avail = 8 - self.bit
+            take = min(avail, nbits)
+            byte = self.data[self.pos]
+            out = (out << take) | ((byte >> (avail - take)) & ((1 << take) - 1))
+            self.bit += take
+            nbits -= take
+            if self.bit == 8:
+                self.bit = 0
+                self.pos += 1
+        return out
+
+    def get_unary(self) -> int:
+        q = 0
+        while self.get(1) == 0:
+            q += 1
+        return q
+
+    def align(self) -> None:
+        if self.bit:
+            self.bit = 0
+            self.pos += 1
+
+
+def _utf8_number(n: int) -> bytes:
+    """FLAC's extended-UTF-8 coded number (frame/sample index)."""
+    if n < 0x80:
+        return bytes([n])
+    out = []
+    nbytes = 2
+    while n >= (1 << (1 + 5 * nbytes)) and nbytes < 7:
+        nbytes += 1
+    lead = (0xFF << (8 - nbytes)) & 0xFF
+    shift = 6 * (nbytes - 1)
+    out.append(lead | ((n >> shift) & ((1 << (7 - nbytes)) - 1)))
+    for i in range(nbytes - 1):
+        shift -= 6
+        out.append(0x80 | ((n >> shift) & 0x3F))
+    return bytes(out)
+
+
+def _read_utf8_number(br: _BR) -> int:
+    b0 = br.get(8)
+    if b0 < 0x80:
+        return b0
+    nbytes = 0
+    mask = 0x80
+    while b0 & mask:
+        nbytes += 1
+        mask >>= 1
+    n = b0 & (mask - 1)
+    for _ in range(nbytes - 1):
+        n = (n << 6) | (br.get(8) & 0x3F)
+    return n
+
+
+_FIXED_COEFS = {0: [], 1: [1], 2: [2, -1], 3: [3, -3, 1], 4: [4, -6, 4, -1]}
+
+
+def _fixed_residual(s: np.ndarray, order: int) -> np.ndarray:
+    r = s.astype(np.int64)
+    for _ in range(order):
+        r = np.diff(r)
+    return r
+
+
+def _zigzag(r: np.ndarray) -> np.ndarray:
+    return np.where(r >= 0, r << 1, (-r << 1) - 1).astype(np.int64)
+
+
+def _rice_write(bw: _BW, res: np.ndarray, param: int) -> None:
+    for u in _zigzag(res):
+        u = int(u)
+        bw.put_unary(u >> param)
+        if param:
+            bw.put(u & ((1 << param) - 1), param)
+
+
+def _rice_param(res: np.ndarray) -> int:
+    if res.size == 0:
+        return 0
+    mean = float(np.abs(res).mean()) * 2.0 + 1.0
+    p = max(0, int(np.ceil(np.log2(mean))) - 1)
+    return min(p, 14)
+
+
+def encode_flac_np(samples: np.ndarray, rate: int = 16_000) -> bytes:
+    """int16 (n,) mono or (n, ch) array -> FLAC bytes (lossless)."""
+    s = np.asarray(samples)
+    if s.dtype != np.int16:
+        raise ValueError("encode_flac_np expects int16 samples")
+    if s.ndim == 1:
+        s = s[:, None]
+    n, ch = s.shape
+    if not 1 <= ch <= 8:
+        raise ValueError("1-8 channels")
+    bps = 16
+    md5 = hashlib.md5(
+        np.ascontiguousarray(s.astype("<i2")).tobytes()
+    ).digest()
+
+    block = 4096
+    sib = _BW()
+    sib.put(block if n else 16, 16)  # min blocksize (spec min 16)
+    sib.put(block if n else 16, 16)
+    sib.put(0, 24)  # min/max framesize unknown
+    sib.put(0, 24)
+    sib.put(int(rate), 20)
+    sib.put(ch - 1, 3)
+    sib.put(bps - 1, 5)
+    sib.put(n, 36)
+    streaminfo = bytes(sib.buf) + md5
+    out = bytearray(_MAGIC)
+    out += bytes([0x80]) + struct.pack(">I", len(streaminfo))[1:] + streaminfo
+
+    for fi, start in enumerate(range(0, max(n, 1), block)):
+        blk = s[start : start + block]
+        bs = blk.shape[0] if n else 0
+        if bs == 0:
+            break
+        hb = _BW()
+        hb.put(0b11111111111110, 14)
+        hb.put(0, 1)  # reserved
+        hb.put(0, 1)  # fixed-blocksize strategy
+        custom_bs = None
+        if bs == 4096:
+            hb.put(0b1100, 4)
+        elif bs == 192:
+            hb.put(0b0001, 4)
+        else:
+            hb.put(0b0111, 4)  # 16-bit blocksize-1 follows
+            custom_bs = bs - 1
+        hb.put(0, 4)  # sample rate: from STREAMINFO
+        hb.put(ch - 1, 4)  # independent channels
+        hb.put(0b100, 3)  # 16-bit samples
+        hb.put(0, 1)  # reserved
+        hdr = bytes(hb.buf) + _utf8_number(fi)
+        if custom_bs is not None:
+            hdr += struct.pack(">H", custom_bs)
+        hdr += bytes([_crc8(hdr)])
+
+        fb = _BW()
+        for c in range(ch):
+            chan = blk[:, c].astype(np.int64)
+            if bs and np.all(chan == chan[0]):
+                fb.put(0, 1)
+                fb.put(0b000000, 6)  # CONSTANT
+                fb.put(0, 1)
+                fb.put(int(chan[0]), bps)
+                continue
+            best_o, best_r, best_cost = 0, chan, float("inf")
+            for o in range(min(3, bs)):
+                r = _fixed_residual(chan, o)
+                cost = float(np.abs(r).sum()) + o * 32768
+                if cost < best_cost:
+                    best_o, best_r, best_cost = o, r, cost
+            fb.put(0, 1)
+            fb.put(0b001000 | best_o, 6)  # FIXED order
+            fb.put(0, 1)
+            for w in chan[:best_o]:
+                fb.put(int(w), bps)
+            fb.put(0, 2)  # residual method 0 (4-bit rice)
+            fb.put(0, 4)  # partition order 0
+            param = _rice_param(best_r)
+            fb.put(param, 4)
+            _rice_write(fb, best_r, param)
+        fb.align()
+        frame = hdr + bytes(fb.buf)
+        out += frame + struct.pack(">H", _crc16(frame))
+    return bytes(out)
+
+
+_BS_CODES = {1: 192, **{i: 576 << (i - 2) for i in range(2, 6)},
+             **{i: 256 << (i - 8) for i in range(8, 16)}}
+
+
+def decode_flac_np(payload: bytes) -> tuple[np.ndarray, int]:
+    """FLAC bytes -> (int16 (n,) mono or (n, ch) array, sample rate)."""
+    if payload[:4] != _MAGIC:
+        raise ValueError("not a FLAC payload (missing fLaC magic)")
+    pos = 4
+    rate = ch = bps = total = None
+    md5_expect = None
+    while pos + 4 <= len(payload):  # metadata blocks
+        head = payload[pos]
+        last, btype = head & 0x80, head & 0x7F
+        (ln,) = struct.unpack(">I", b"\x00" + payload[pos + 1 : pos + 4])
+        body = payload[pos + 4 : pos + 4 + ln]
+        if btype == 0:  # STREAMINFO
+            br = _BR(body)
+            br.get(16), br.get(16), br.get(24), br.get(24)
+            rate = br.get(20)
+            ch = br.get(3) + 1
+            bps = br.get(5) + 1
+            total = br.get(36)
+            md5_expect = body[18:34]
+        pos += 4 + ln
+        if last:
+            break
+    if rate is None:
+        raise ValueError("FLAC missing STREAMINFO")
+    if bps not in (8, 16, 24):
+        raise NotImplementedError(f"FLAC bits-per-sample {bps} (8/16/24)")
+
+    chans: list[list[np.ndarray]] = [[] for _ in range(ch)]
+    got = 0
+    while got < total and pos < len(payload):
+        frame_start = pos
+        br = _BR(payload, pos)
+        if br.get(14) != 0b11111111111110:
+            raise ValueError(f"FLAC frame sync lost at byte {frame_start}")
+        br.get(1)
+        br.get(1)  # blocking strategy (both handled: number is opaque)
+        bs_code = br.get(4)
+        sr_code = br.get(4)
+        ca = br.get(4)
+        ss_code = br.get(3)
+        br.get(1)
+        _read_utf8_number(br)
+        if ca >= 8:
+            raise NotImplementedError(
+                "stereo decorrelation (left/right/mid-side) not supported"
+            )
+        if ca + 1 != ch:
+            raise ValueError("frame channel count != STREAMINFO")
+        if bs_code == 0b0110:
+            bs = br.get(8) + 1
+        elif bs_code == 0b0111:
+            bs = br.get(16) + 1
+        elif bs_code in _BS_CODES:
+            bs = _BS_CODES[bs_code]
+        else:
+            raise ValueError(f"reserved blocksize code {bs_code}")
+        if sr_code == 0b1100:
+            br.get(8)
+        elif sr_code in (0b1101, 0b1110):
+            br.get(16)
+        elif sr_code == 0b1111:
+            raise ValueError("invalid sample-rate code")
+        sbits = {0: bps, 1: 8, 2: 12, 4: 16, 5: 20, 6: 24}.get(ss_code)
+        if sbits is None:
+            raise ValueError(f"reserved sample-size code {ss_code}")
+        hdr_end = br.pos + (1 if br.bit else 0)
+        crc8_got = br.get(8) if br.bit == 0 else None
+        if crc8_got is None:
+            raise ValueError("FLAC header not byte-aligned before CRC-8")
+        if _crc8(payload[frame_start:hdr_end]) != crc8_got:
+            raise ValueError("FLAC frame header CRC-8 mismatch")
+
+        for c in range(ch):
+            if br.get(1):
+                raise ValueError("subframe padding bit set")
+            stype = br.get(6)
+            if br.get(1):
+                raise NotImplementedError("wasted bits not supported")
+            if stype == 0:  # CONSTANT
+                v = br.get(sbits)
+                v -= (v >> (sbits - 1)) << sbits  # sign
+                chans[c].append(np.full(bs, v, dtype=np.int64))
+            elif stype == 1:  # VERBATIM
+                vals = np.array([br.get(sbits) for _ in range(bs)], dtype=np.int64)
+                vals -= (vals >> (sbits - 1)) << sbits
+                chans[c].append(vals)
+            elif 8 <= stype <= 12:  # FIXED order 0-4
+                order = stype - 8
+                warm = np.array([br.get(sbits) for _ in range(order)], dtype=np.int64)
+                warm -= (warm >> (sbits - 1)) << sbits
+                method = br.get(2)
+                if method > 1:
+                    raise ValueError("reserved residual coding method")
+                pbits = 4 if method == 0 else 5
+                escape = (1 << pbits) - 1
+                porder = br.get(4)
+                nparts = 1 << porder
+                res = np.empty(bs - order, dtype=np.int64)
+                ri = 0
+                for p in range(nparts):
+                    cnt = (bs >> porder) - (order if p == 0 else 0)
+                    param = br.get(pbits)
+                    if param == escape:
+                        raw = br.get(5)
+                        for _ in range(cnt):
+                            v = br.get(raw) if raw else 0
+                            if raw:
+                                v -= (v >> (raw - 1)) << raw
+                            res[ri] = v
+                            ri += 1
+                    else:
+                        for _ in range(cnt):
+                            q = br.get_unary()
+                            u = (q << param) | (br.get(param) if param else 0)
+                            res[ri] = (u >> 1) ^ -(u & 1)
+                            ri += 1
+                # integrate the fixed predictor: order cumulative sums
+                sig = res
+                for o in range(order, 0, -1):
+                    seed = _fixed_residual(warm, o - 1)[-1:]
+                    sig = np.concatenate([seed, sig]).cumsum()[1:]
+                chans[c].append(
+                    np.concatenate([warm, sig]) if order else sig
+                )
+            elif 32 <= stype <= 63:
+                raise NotImplementedError("LPC subframes not supported")
+            else:
+                raise ValueError(f"reserved subframe type {stype}")
+        br.align()
+        crc16_got = br.get(16)
+        if _crc16(payload[frame_start : br.pos - 2]) != crc16_got:
+            raise ValueError("FLAC frame CRC-16 mismatch")
+        pos = br.pos
+        got += bs
+
+    arr = np.stack([np.concatenate(c) if c else np.empty(0, np.int64)
+                    for c in chans], axis=-1)[:total]
+    if md5_expect and md5_expect != b"\x00" * 16:
+        if hashlib.md5(
+            np.ascontiguousarray(arr.astype("<i2")).tobytes()
+        ).digest() != md5_expect:
+            raise ValueError("FLAC decoded-audio MD5 mismatch")
+    out = arr.astype(np.int16)
+    return (out[:, 0] if ch == 1 else out), int(rate)
+
+
+from hiss_cube_spark._serde import register_self as _register_self  # noqa: E402
+
+_register_self(__name__)

@@ -4,15 +4,18 @@ Images/audio/video ride as ``binary`` columns with struct metadata; decode /
 feature-extract / resize / frame-sample are ``mapInPandas`` kernels so the
 heavy bytes stay in Arrow batches and never explode into JVM rows.
 
-Real dependency-free codecs: PNG (zlib is stdlib — full baseline 8-bit
-encode/decode with CRC checks and all five scanline filters), baseline
-JPEG (:mod:`hiss_cube_spark.operators.jpeg` — sequential DCT, 4:4:4/4:2:0,
-restart intervals), PPM P6 and PCM WAV. Codecs that genuinely need
-external libraries (WebP/FLAC/video beyond Y4M — Pillow/libav/opencv are
-NOT in this container) stay stubbed: ``decode_fn`` defaults to a
-clearly-marked deterministic fake and raises ``NotImplementedError`` when
-``require_real_codec=True``. Everything Spark-side — schema, batch shape,
-partitioning, UDF signature — is real and tested either way.
+Real dependency-free codecs: PNG (full spec — palette/tRNS, gray+alpha,
+16-bit, sub-byte depths, Adam7, all five filters, CRC-checked), JPEG
+(:mod:`hiss_cube_spark.operators.jpeg` — baseline + progressive SOF2 +
+12-bit SOF1, 4:4:4/4:2:2/4:2:0, restart intervals, optimized Huffman),
+PPM P6, PCM WAV, FLAC (:mod:`hiss_cube_spark.operators.flac` — fixed
+predictors + Rice residuals, CRC-verified), and color Y4M (C444/C420).
+Codecs that genuinely need external libraries (WebP / video beyond Y4M —
+Pillow/libav/opencv are NOT in this container) stay stubbed:
+``decode_fn`` defaults to a clearly-marked deterministic fake and raises
+``NotImplementedError`` when ``require_real_codec=True``. Everything
+Spark-side — schema, batch shape, partitioning, UDF signature — is real
+and tested either way.
 """
 
 from __future__ import annotations
@@ -39,7 +42,8 @@ __all__ = [
     "encode_png_np", "decode_png_np", "decode_image_np",
     "decode_images", "resize_images", "image_features",
     "image_phash", "phash_neardup_pairs",
-    "encode_wav_np", "decode_wav_np", "decode_audio", "audio_features",
+    "encode_wav_np", "decode_wav_np", "decode_audio_np", "decode_audio",
+    "audio_features",
     "audio_fingerprint", "audio_neardup_pairs",
     "encode_y4m_np", "decode_y4m_np", "video_frame_features",
 ]
@@ -705,18 +709,33 @@ _AUDIO_SCHEMA = StructType(
 )
 
 
+def decode_audio_np(payload: bytes) -> tuple[np.ndarray, int]:
+    """Magic-byte audio dispatch: PCM WAV (RIFF) or FLAC (the in-repo
+    subset codec, `operators/flac.py`) → (mono float32 samples in
+    [-1, 1], rate). Stereo FLAC downmixes by channel mean — the analysis
+    pipeline's mono contract."""
+    if payload[:4] == b"fLaC":
+        from hiss_cube_spark.operators.flac import decode_flac_np
+
+        arr, rate = decode_flac_np(payload)
+        if arr.ndim == 2:
+            arr = arr.astype(np.float32).mean(axis=1)
+        return arr.astype(np.float32) / 32767.0, rate
+    return decode_wav_np(payload)
+
+
 def decode_audio(
     df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
 ) -> DataFrame:
-    """WAV payloads → flat float sample arrays + rate (the audio analog of
-    `decode_images`' flat-pixels shape). Arrow-batched; bytes never leave
-    the Python worker as JVM rows."""
+    """WAV/FLAC payloads → flat float sample arrays + rate (the audio
+    analog of `decode_images`' flat-pixels shape). Arrow-batched; bytes
+    never leave the Python worker as JVM rows."""
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for doc_id, p in zip(pdf[id_col], pdf[payload_col]):
-                samples, rate = decode_wav_np(bytes(p))
+                samples, rate = decode_audio_np(bytes(p))
                 rows.append((int(doc_id), rate, len(samples), samples.tolist()))
             yield pd.DataFrame(
                 rows, columns=["doc_id", "rate", "n_samples", "samples"]
