@@ -71,32 +71,44 @@ def _crc16(data: bytes) -> int:
 
 
 class _BW:
-    """MSB-first bit writer."""
+    """MSB-first bit writer over unpacked bit chunks (numpy packbits at
+    the end — lets the Rice coder emit whole residual arrays in one
+    vectorized append instead of per-sample bit pushes)."""
 
-    __slots__ = ("buf", "acc", "n")
+    __slots__ = ("chunks", "nbits")
 
     def __init__(self) -> None:
-        self.buf = bytearray()
-        self.acc = 0
-        self.n = 0
+        self.chunks: list[np.ndarray] = []
+        self.nbits = 0
 
     def put(self, v: int, nbits: int) -> None:
-        self.acc = (self.acc << nbits) | (v & ((1 << nbits) - 1))
-        self.n += nbits
-        while self.n >= 8:
-            self.n -= 8
-            self.buf.append((self.acc >> self.n) & 0xFF)
-        self.acc &= (1 << self.n) - 1
+        if nbits == 0:
+            return
+        bits = (
+            (int(v) >> np.arange(nbits - 1, -1, -1)) & 1
+        ).astype(np.uint8)
+        self.chunks.append(bits)
+        self.nbits += nbits
+
+    def put_bits(self, bits: np.ndarray) -> None:
+        if bits.size:
+            self.chunks.append(bits.astype(np.uint8, copy=False).ravel())
+            self.nbits += bits.size
 
     def put_unary(self, q: int) -> None:
-        while q >= 32:
-            self.put(0, 32)
-            q -= 32
-        self.put(1, q + 1)  # q zeros then a one
+        bits = np.zeros(q + 1, dtype=np.uint8)
+        bits[q] = 1
+        self.put_bits(bits)
 
     def align(self) -> None:
-        if self.n:
-            self.put(0, 8 - self.n)
+        if self.nbits % 8:
+            self.put_bits(np.zeros(8 - self.nbits % 8, dtype=np.uint8))
+
+    @property
+    def buf(self) -> bytes:
+        if not self.chunks:
+            return b""
+        return np.packbits(np.concatenate(self.chunks)).tobytes()
 
 
 class _BR:
@@ -126,10 +138,25 @@ class _BR:
         return out
 
     def get_unary(self) -> int:
+        # byte-wise zero skipping: jump 8 bits at a time through the
+        # quotient run instead of one get(1) call per bit
         q = 0
-        while self.get(1) == 0:
-            q += 1
-        return q
+        while True:
+            if self.pos >= len(self.data):
+                raise ValueError("FLAC bitstream truncated")
+            cur = self.data[self.pos] & ((1 << (8 - self.bit)) - 1)
+            if cur == 0:
+                q += 8 - self.bit
+                self.bit = 0
+                self.pos += 1
+                continue
+            zeros = (8 - self.bit) - cur.bit_length()
+            q += zeros
+            self.bit += zeros + 1
+            if self.bit >= 8:
+                self.bit = 0
+                self.pos += 1
+            return q
 
     def align(self) -> None:
         if self.bit:
@@ -184,11 +211,20 @@ def _zigzag(r: np.ndarray) -> np.ndarray:
 
 
 def _rice_write(bw: _BW, res: np.ndarray, param: int) -> None:
-    for u in _zigzag(res):
-        u = int(u)
-        bw.put_unary(u >> param)
-        if param:
-            bw.put(u & ((1 << param) - 1), param)
+    """Vectorized Rice emission: build the whole partition's bit array at
+    once (unary quotients + terminators + remainder bits) — the
+    per-sample Python loop was the encoder's hot spot."""
+    u = _zigzag(res)
+    q = u >> param
+    L = q + 1 + param
+    off = np.concatenate([[0], np.cumsum(L)])
+    bits = np.zeros(int(off[-1]), dtype=np.uint8)
+    bits[off[:-1] + q] = 1  # unary terminators
+    if param:
+        pos = (off[:-1] + q + 1)[:, None] + np.arange(param)[None, :]
+        vals = (u[:, None] >> np.arange(param - 1, -1, -1)[None, :]) & 1
+        bits[pos.ravel()] = vals.ravel().astype(np.uint8)
+    bw.put_bits(bits)
 
 
 def _rice_param(res: np.ndarray) -> int:
