@@ -9094,35 +9094,32 @@ def entry(spark: SparkSession) -> DataFrame:
 # list, remaining never-checked queries first, so later rounds rotate the
 # window forward until every query has had a green row.
 _CHECK_PRIORITY = [
-    # ---- round-5 window (slots 1-50) ----
+    # ---- round-6 window (slots 1-50) ----
     # sentinels (green every round; canaries against harness drift)
     "flagship_ml_cube", "q1_pricing_summary",
-    # the FINAL 19 never-driver-checked queries (verification debt opened
-    # in round 2 closes here: after this window every registered query has
-    # had at least one green driver CORRECTNESS row)
-    "q11_important_stock", "q12_priority_class",
-    "q13_order_count_distribution", "q15_top_supplier",
-    "q16_supplier_cnt", "q17_small_quantity_revenue",
-    "q20_excess_suppliers", "q21_lone_returned_supplier",
-    "q22_no_order_customers",
-    "mm_phash_neardup", "ann_ivf_pq_topk", "text_bpe_tokens",
-    "stream_ann_refresh", "emb_whiten", "text_compression_ratio",
-    "mm_audio_neardup", "mm_image_pipeline",
-    "emb_dbscan_blocked", "mm_jpeg_pipeline",
-    # 29 round-robin RE-verifications: the oldest greens (first checked in
-    # round 1, untouched by the driver since) — guards against silent
-    # regressions in long-green code
-    "j2_crossmatch", "a1_ivw_mean", "j1_theta_lookup", "j4_left_join",
-    "j6_target_grouping", "a1_light_curve", "j7_first_in_group",
-    "p7_completeness", "f5_time_to_mjd", "o3_cap_refs", "dedup_exact",
-    "a_unpivot_melt", "f17_unpivot", "q3_shipping_priority",
-    "q5_region_revenue", "j_semi_exists", "j_anti_not_exists",
-    "a_rollup", "a_cube", "a_grouping_sets", "set_ops", "w_rank_topk",
-    "w_distribution_ranks", "w_moving_sum", "ts_phase_fold",
-    "w_range_frame_sum", "w_first_last_nth", "s1_scan_filter_limit",
-    "s2_path_synthesis",
-    # ---- slot 50 ends at s2_path_synthesis; everything else follows in
-    # definition order (all previously driver-green in r1–r4) ----
+    # the 6 round-5 additions — the only queries never driver-checked
+    # (after this window, zero verification debt again)
+    "mm_png_variants", "mm_fits_codec_sweep", "dq_kl_divergence",
+    "text_zipf_slope", "cur_bottomk_sample", "mm_flac_pipeline",
+    # 42 round-robin RE-verifications: the oldest greens — all 18 queries
+    # last checked in round 1 plus the first 24 of the round-2 cohort
+    # (the remaining 17 r2-era + the 48 r3-era rotate in r7/r8)
+    "a1_ivw_arrays", "a5_l1_distance", "a6_max_merge", "a_distinct_agg",
+    "f16_string_funcs", "f6_mag_to_flux", "j5_cutout_deref",
+    "p3_nan_sanitize", "p6_json_projection", "p8_cutout_wholeness",
+    "q10_returned_revenue", "q14_promo_ratio", "q18_large_orders",
+    "q19_disjunctive_predicates", "q4_order_priority",
+    "q_scalar_subquery", "ts_resample_locf", "w_cumulative_sum",
+    "ann_cosine_topk", "cdc_apply_changelog", "cdc_scd2_history",
+    "cdc_table_diff", "cdc_time_travel", "cone_search",
+    "cur_model_quality", "cur_neardup_corpus", "cur_reservoir_sample",
+    "dedup_clusters", "dedup_eval_metrics", "dedup_minhash_lsh",
+    "dedup_ngram_jaccard", "dedup_paragraphs", "dedup_simhash",
+    "dq_equidepth", "dq_histogram", "emb_centroids", "emb_cosine_pairs",
+    "graph_pagerank", "j_asof_join", "j_bloom_prune", "j_fuzzy_match",
+    "j_interval_overlap",
+    # ---- slot 50 ends at j_interval_overlap; everything else follows in
+    # definition order (all previously driver-green in r1–r5) ----
 ]
 
 

@@ -139,20 +139,34 @@ def main() -> None:
 
     sentinel_sec = timings.get(SENTINEL) or 1.0
     rel = {n: round(t / sentinel_sec, 3) for n, t in timings.items()}
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "sentinel": SENTINEL,
-                "rel": rel,
-            }
-        )
-    )
+    record = {
+        "metric": "headline_queries_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "sentinel": SENTINEL,
+        "rel": rel,
+    }
+    # Full record (incl. the derivable rel map) goes to a side file; stdout
+    # gets ONE compact line WITHOUT rel, printed last, so the driver's
+    # bounded tail capture always contains a parseable JSON line
+    # (BENCH_r04/r05 "parsed": null was the 69-query line + rel overflowing
+    # the tail window).
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_last.json"),
+            "w",
+        ) as fh:
+            json.dump(record, fh, indent=1)
+            fh.write("\n")
+    except OSError:
+        pass
     spark.stop()
+    sys.stdout.flush()
+    compact = {k: v for k, v in record.items() if k != "rel"}
+    print(json.dumps(compact, separators=(",", ":")))
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":

@@ -113,3 +113,178 @@ def test_decode_audio_spark_path_mixes_wav_and_flac(spark):
     b = np.array(out[2]["samples"], dtype=np.float32)
     assert a.shape == b.shape == (2000,)
     np.testing.assert_allclose(a, b, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Round-6 decoder surface: LPC, stereo decorrelation, wasted bits, byte-width
+# MD5 for 8/24-bit streams (reference parity: the SDSS audio-adjacent payloads
+# are opaque binaries; codec correctness is pinned here, not via the oracle).
+# ---------------------------------------------------------------------------
+
+import hashlib
+import struct
+
+import hiss_cube_spark.operators.flac as flac_mod
+
+
+def test_lpc_roundtrip_and_wins_on_tonal():
+    """lpc=True roundtrips exactly and beats fixed predictors on
+    HIGH-frequency tones — fixed differencing amplifies those (gain
+    (2·sin(ω/2))^k per order), while an order-4 LPC models two
+    sinusoids down to coefficient-quantization noise."""
+    t = np.arange(3 * 4096)
+    s = (np.sin(t * 1.3) * 12000 + np.sin(t * 0.9 + 1.0) * 5000).astype(
+        np.int16
+    )
+    fixed = encode_flac_np(s)
+    lpc = encode_flac_np(s, lpc=True)
+    dec, rate = decode_flac_np(lpc)
+    assert rate == 16_000
+    np.testing.assert_array_equal(dec, s)
+    assert len(lpc) < len(fixed)
+
+
+def test_lpc_roundtrip_noisy_stereo():
+    s = RNG.integers(-15000, 15000, size=(4096 + 321, 2)).astype(np.int16)
+    dec, _ = decode_flac_np(encode_flac_np(s, lpc=True))
+    np.testing.assert_array_equal(dec, s)
+
+
+@pytest.mark.parametrize(
+    "mode", ["left-side", "right-side", "mid-side", "auto"]
+)
+def test_stereo_decorrelation_roundtrip(mode):
+    """All stereo modes reconstruct exactly — including odd L+R sums
+    (the mid-side >>1 floor + side-LSB reinjection path)."""
+    t = np.arange(4096 + 999)
+    left = (np.sin(t * 0.02) * 9000).astype(np.int64)
+    right = left + RNG.integers(-300, 300, size=t.size)  # correlated
+    right[0] = left[0] + 1  # force an odd sum at the frame head
+    s = np.stack([left, right], axis=1).astype(np.int16)
+    blob = encode_flac_np(s, stereo=mode, lpc=(mode == "auto"))
+    dec, _ = decode_flac_np(blob)
+    np.testing.assert_array_equal(dec, s)
+
+
+def test_stereo_decorrelation_compresses_correlated():
+    """On strongly-correlated stereo the side channel is tiny: mid-side
+    must beat independent coding."""
+    t = np.arange(2 * 4096)
+    left = (np.sin(t * 0.015) * 11000).astype(np.int64)
+    s = np.stack([left, left + (t % 3) - 1], axis=1).astype(np.int16)
+    ind = encode_flac_np(s, stereo="independent")
+    ms = encode_flac_np(s, stereo="mid-side")
+    auto = encode_flac_np(s, stereo="auto")
+    dec, _ = decode_flac_np(ms)
+    np.testing.assert_array_equal(dec, s)
+    assert len(ms) < len(ind)
+    assert len(auto) <= len(ms)
+
+
+def test_stereo_mode_requires_two_channels():
+    with pytest.raises(ValueError):
+        encode_flac_np(np.zeros(64, dtype=np.int16), stereo="mid-side")
+
+
+def _craft_mono(samples, bps, *, wasted=0, md5=None, rate=8_000):
+    """Hand-build a single-frame mono FLAC stream (VERBATIM subframe) at
+    an arbitrary bit depth / wasted-bits count — the encoder only emits
+    16-bit, so the 8/24-bit and wasted-bits decode paths are pinned with
+    crafted spec-shaped streams."""
+    s = np.asarray(samples, dtype=np.int64)
+    n = s.size
+    if md5 is None:
+        if bps == 8:
+            raw = s.astype("<i1").tobytes()
+        elif bps == 16:
+            raw = s.astype("<i2").tobytes()
+        else:
+            b4 = np.ascontiguousarray(s.astype("<i4")).view(np.uint8)
+            raw = np.ascontiguousarray(b4.reshape(-1, 4)[:, :3]).tobytes()
+        md5 = hashlib.md5(raw).digest()
+    sib = flac_mod._BW()
+    sib.put(16, 16)
+    sib.put(65535, 16)
+    sib.put(0, 24)
+    sib.put(0, 24)
+    sib.put(rate, 20)
+    sib.put(0, 3)  # 1 channel
+    sib.put(bps - 1, 5)
+    sib.put(n, 36)
+    out = bytearray(b"fLaC")
+    out += bytes([0x80]) + struct.pack(">I", 34)[1:] + bytes(sib.buf) + md5
+
+    hb = flac_mod._BW()
+    hb.put(0b11111111111110, 14)
+    hb.put(0, 1)
+    hb.put(0, 1)
+    hb.put(0b0111, 4)  # 16-bit blocksize-1 follows
+    hb.put(0, 4)  # rate from STREAMINFO
+    hb.put(0, 4)  # mono
+    hb.put({8: 1, 16: 4, 24: 6}[bps], 3)
+    hb.put(0, 1)
+    hdr = bytes(hb.buf) + flac_mod._utf8_number(0) + struct.pack(">H", n - 1)
+    hdr += bytes([flac_mod._crc8(hdr)])
+
+    fb = flac_mod._BW()
+    fb.put(0, 1)  # padding
+    fb.put(1, 6)  # VERBATIM
+    if wasted:
+        fb.put(1, 1)
+        fb.put(1, wasted)  # unary (wasted-1): w-1 zeros then a 1
+    else:
+        fb.put(0, 1)
+    ssb = bps - wasted
+    for v in (s >> wasted).tolist():
+        fb.put(v & ((1 << ssb) - 1), ssb)
+    fb.align()
+    frame = hdr + bytes(fb.buf)
+    out += frame + struct.pack(">H", flac_mod._crc16(frame))
+    return bytes(out)
+
+
+def test_crafted_16bit_matches_encoder_decode():
+    """Sanity-pin the crafting helper itself against the encoder path."""
+    s = RNG.integers(-3000, 3000, size=100).astype(np.int64)
+    dec, rate = decode_flac_np(_craft_mono(s, 16))
+    assert rate == 8_000
+    assert dec.dtype == np.int16
+    np.testing.assert_array_equal(dec, s.astype(np.int16))
+
+
+def test_wasted_bits_decode():
+    """Samples that are all multiples of 8 coded at ssb=bps-3 with the
+    wasted-bits header restore the <<3 on decode."""
+    s = (RNG.integers(-1000, 1000, size=64) * 8).astype(np.int64)
+    dec, _ = decode_flac_np(_craft_mono(s, 16, wasted=3))
+    np.testing.assert_array_equal(dec, s.astype(np.int16))
+
+
+def test_8bit_stream_md5_at_byte_width():
+    """A valid 8-bit stream with populated MD5 decodes (the round-5 gate
+    hashed '<i2' and spuriously rejected it)."""
+    s = RNG.integers(-128, 128, size=200).astype(np.int64)
+    dec, _ = decode_flac_np(_craft_mono(s, 8))
+    assert dec.dtype == np.int16
+    np.testing.assert_array_equal(dec, s.astype(np.int16))
+
+
+def test_24bit_stream_int32_out_and_md5():
+    """24-bit samples beyond int16 range survive (int32 out, MD5 over
+    3-byte little-endian PCM)."""
+    s = RNG.integers(-(2**23), 2**23, size=150).astype(np.int64)
+    s[0], s[1] = 2**23 - 1, -(2**23)  # extremes: would wrap as int16
+    dec, _ = decode_flac_np(_craft_mono(s, 24))
+    assert dec.dtype == np.int32
+    np.testing.assert_array_equal(dec, s.astype(np.int32))
+
+
+def test_md5_mismatch_rejected():
+    s = RNG.integers(-100, 100, size=50).astype(np.int64)
+    bad = _craft_mono(s, 24, md5=b"\x01" * 16)
+    with pytest.raises(ValueError, match="MD5"):
+        decode_flac_np(bad)
+    # zeroed MD5 = "unset" per spec: decode succeeds
+    ok = _craft_mono(s, 24, md5=b"\x00" * 16)
+    dec, _ = decode_flac_np(ok)
+    np.testing.assert_array_equal(dec, s.astype(np.int32))
