@@ -63,10 +63,12 @@ def check_unique(name: str, df: DataFrame, cols: list[str]) -> Check:
         # key-count window, ONE scan (the groupBy + semi-join-back
         # formulation scanned the table twice)
         w = Window.partitionBy(*cols)
+        # collision-proof internal name: a user column literally named
+        # "_n" must survive the count-filter round-trip
         return (
-            df.withColumn("_n", F.count(F.lit(1)).over(w))
-            .where(F.col("_n") > 1)
-            .drop("_n")
+            df.withColumn("__qc_n", F.count(F.lit(1)).over(w))
+            .where(F.col("__qc_n") > 1)
+            .select(*df.columns)
         )
 
     return Check(name, _v)
@@ -119,7 +121,7 @@ def constraint_report(spark: SparkSession, checks: list[Check]) -> DataFrame:
         grp = folded[key]
         wide = grp[0].source.agg(
             *[
-                F.sum(F.when(c.predicate, 1).otherwise(0))
+                F.count(F.when(c.predicate, F.lit(1)))
                 .cast("long")
                 .alias(f"_c{i}")
                 for i, c in enumerate(grp)

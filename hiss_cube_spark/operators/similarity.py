@@ -856,11 +856,12 @@ def semantic_dedup(
         .withColumnRenamed("prediction", "cell")
         .withColumn("nrm", array_l2_norm(F.col("v")))
         .select("id", "v", "cell", "nrm")
-        # both sides of the within-cell self-join read this — persist so
-        # the KMeans assignment pass runs once, not once per side (at
-        # scale this is the standard materialize-before-self-join stage;
-        # MEMORY_AND_DISK via persist keeps it spill-safe)
-        .persist()
+        # both sides of the within-cell self-join read this —
+        # materialize so the KMeans assignment pass runs once, not once
+        # per side. localCheckpoint (like the sibling operators) rather
+        # than persist: the blocks are reclaimed when the plan is GC'd,
+        # so repeated calls in one session don't accumulate pinned cache
+        .localCheckpoint(eager=True)
     )
     a, b = assigned.alias("a"), assigned.alias("b")
     pairs = (

@@ -374,6 +374,11 @@ def decompress_tiled_image(data: bytes, header: dict, dpos: int) -> np.ndarray:
     tiles = [int(header.get(f"ZTILE{ax}", dims[ax - 1] if ax == 1 else 1))
              for ax in range(1, znaxis + 1)]
     cmptype = str(header.get("ZCMPTYPE", "RICE_1")).strip()
+    # HCOMPRESS_1/PLIO_1 here mean THIS repo's property-tested streams
+    # (sources/hcompress.py, sources/plio.py), not cfitsio's bit layout:
+    # hdecompress rejects foreign 0xDD99 tiles via its container version
+    # byte, and a real fpack PLIO tile fails the 0x3A50 line-list magic —
+    # foreign tiles of either type error, they do not mis-decode.
     if cmptype not in (
         "RICE_1", "GZIP_1", "GZIP_2", "HCOMPRESS_1", "PLIO_1", "NOCOMPRESS"
     ):

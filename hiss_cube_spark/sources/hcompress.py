@@ -32,8 +32,11 @@ FITS "Tiled Image Compression" convention as ``ZCMPTYPE='HCOMPRESS_1'``:
    follow each group, one per nonzero coefficient in raster order.
 
 Container layout mirrors the published stream: magic ``0xDD 0x99``,
-ny/nx/scale (4-byte big-endian), the DC total (8-byte signed), and 3
-per-group bitplane counts.  The bitstream is self-consistent (this
+then a version byte ``0x01`` (NOT in cfitsio's layout — it
+disambiguates this module's streams from real fpack tiles, which share
+the magic; decode raises a labeled NotImplementedError on foreign
+streams instead of mis-decoding), ny/nx/scale (4-byte big-endian), the
+DC total (8-byte signed), and 3 per-group bitplane counts.  The bitstream is self-consistent (this
 module's ``hdecompress`` is the exact inverse, property-tested) and is
 what the Spark-side `.fits.fz` ingest reads and writes; it is NOT
 claimed bit-compatible with cfitsio's hcomp output (no reference binary
@@ -242,6 +245,12 @@ def hcompress(a: np.ndarray, scale: int = 0) -> bytes:
 
     bw = _BitW()
     head = bytearray(_MAGIC)
+    # container version byte: cfitsio's hcomp stream shares the 0xDD99
+    # magic but not this layout — a real fpack tile would otherwise pass
+    # the magic check and silently decode to garbage. In a cfitsio
+    # stream this position is the high byte of a 4-byte nx (0x00 for any
+    # plausible image), so 0x01 marks "produced by this module".
+    head += b"\x01"
     head += int(ny).to_bytes(4, "big") + int(nx).to_bytes(4, "big")
     head += int(max(scale, 0)).to_bytes(4, "big")
     head += int(dc).to_bytes(8, "big", signed=True)
@@ -256,14 +265,20 @@ def hdecompress(buf: bytes) -> np.ndarray:
     """HCOMPRESS_1 byte stream -> 2-D int64 image."""
     if buf[:2] != _MAGIC:
         raise ValueError("not an HCOMPRESS_1 stream (bad magic)")
-    ny = int.from_bytes(buf[2:6], "big")
-    nx = int.from_bytes(buf[6:10], "big")
-    scale = int.from_bytes(buf[10:14], "big")
-    dc = int.from_bytes(buf[14:22], "big", signed=True)
-    nb0, nb1, nb2 = buf[22], buf[23], buf[24]
+    if len(buf) < 3 or buf[2] != 1:
+        raise NotImplementedError(
+            "foreign HCOMPRESS_1 stream (cfitsio/fpack bit layout): only "
+            "streams produced by this module's hcompress() decode — the "
+            "shared 0xDD99 magic is disambiguated by a version byte"
+        )
+    ny = int.from_bytes(buf[3:7], "big")
+    nx = int.from_bytes(buf[7:11], "big")
+    scale = int.from_bytes(buf[11:15], "big")
+    dc = int.from_bytes(buf[15:23], "big", signed=True)
+    nb0, nb1, nb2 = buf[23], buf[24], buf[25]
     n = max(2, _next_pow2(max(ny, nx)))
     s = n // 2
-    br = _BitR(buf[25:])
+    br = _BitR(buf[26:])
     (q0,) = _decode_group(br, [s], nb0)
     q1, q2 = _decode_group(br, [s, s], nb1)
     (q3,) = _decode_group(br, [s], nb2)

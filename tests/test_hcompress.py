@@ -118,3 +118,21 @@ def test_gzip2_shuffle_actually_helps():
     np.testing.assert_array_equal(a1, a2)
     # compare heap payload sizes via total file length (same header size)
     assert len(g2) <= len(g1)
+
+
+def test_foreign_hcompress_stream_rejected():
+    """cfitsio/fpack hcomp tiles share the 0xDD99 magic but not this
+    container; the version byte must turn silent mis-decode into a
+    labeled error. A cfitsio stream has nx's 0x00 high byte there."""
+    import pytest
+
+    from hiss_cube_spark.sources.hcompress import hcompress, hdecompress
+
+    foreign = b"\xdd\x99\x00\x00\x00\x40\x00\x00\x00\x40" + b"\x00" * 64
+    with pytest.raises(NotImplementedError, match="foreign"):
+        hdecompress(foreign)
+    # self-produced streams carry the version byte and still roundtrip
+    a = np.arange(64, dtype=np.int64).reshape(8, 8)
+    blob = hcompress(a)
+    assert blob[:3] == b"\xdd\x99\x01"
+    assert np.array_equal(hdecompress(blob), a)

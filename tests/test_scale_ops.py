@@ -380,6 +380,23 @@ def test_quality_checks_find_planted_violations(spark):
     # violating rows are retrievable per check
     assert [r["id"] for r in checks[0].violations().collect()] == [3]
 
+    # empty source: folded predicate counts must report 0, not NULL
+    empty = child.where(F.lit(False))
+    ev = constraint_report(
+        spark,
+        [check_not_null("e_nn", empty, "ref"),
+         check_range("e_rng", empty, "ref", 0, 50),
+         check_unique("e_uniq", empty, ["id"])],
+    ).collect()
+    assert {r["check_name"]: r["n_violations"] for r in ev} == {
+        "e_nn": 0, "e_rng": 0, "e_uniq": 0,
+    }
+
+    # a user column literally named "_n" survives check_unique
+    with_n = child.withColumn("_n", F.col("id") * 100)
+    rows = check_unique("u2", with_n, ["id"]).violations().collect()
+    assert sorted(r["_n"] for r in rows) == [400, 400]
+
 
 def test_plan_shapes_hold(spark, sf_dir):
     """Physical-plan regression guard: the properties the 100 TB story
