@@ -655,48 +655,107 @@ from hiss_cube_spark._serde import register_self as _register_self  # noqa: E402
 # `decode_metadata(require_real_codec=True)` stub.
 
 
-def encode_wav_np(samples: np.ndarray, rate: int = 16_000) -> bytes:
-    """Mono float [-1, 1] samples → 16-bit PCM WAV bytes (RIFF header)."""
+def encode_wav_np(
+    samples: np.ndarray, rate: int = 16_000, *, bits: int = 16
+) -> bytes:
+    """Float [-1, 1] samples → PCM WAV bytes (RIFF header).
+
+    Accepts (n,) mono or (n, ch) multi-channel; ``bits`` ∈ {8, 16, 24,
+    32}. Defaults (mono float in, 16-bit) are byte-stable vs earlier
+    rounds."""
     import struct
 
-    pcm = np.clip(samples, -1.0, 1.0)
-    data = (pcm * 32767.0).astype("<i2").tobytes()
+    s = np.asarray(samples)
+    if s.ndim == 1:
+        s = s[:, None]
+    n, ch = s.shape
+    pcm = np.clip(s, -1.0, 1.0)
+    if bits == 16:
+        data = np.ascontiguousarray((pcm * 32767.0).astype("<i2")).tobytes()
+    elif bits == 8:  # 8-bit WAV is UNSIGNED, midpoint 128
+        data = np.ascontiguousarray(
+            np.round(pcm * 127.0 + 128.0).astype(np.uint8)
+        ).tobytes()
+    elif bits == 24:
+        i32 = np.ascontiguousarray(
+            np.round(pcm * 8_388_607.0).astype("<i4")
+        ).view(np.uint8).reshape(-1, 4)
+        data = np.ascontiguousarray(i32[:, :3]).tobytes()
+    elif bits == 32:
+        data = np.ascontiguousarray(
+            np.round(pcm * 2_147_483_647.0).astype("<i4")
+        ).tobytes()
+    else:
+        raise ValueError("bits must be 8/16/24/32")
+    block = ch * bits // 8
     hdr = struct.pack(
         "<4sI4s4sIHHIIHH4sI",
         b"RIFF", 36 + len(data), b"WAVE", b"fmt ", 16,
-        1, 1, rate, rate * 2, 2, 16, b"data", len(data),
+        1, ch, rate, rate * block, block, bits, b"data", len(data),
     )
     return hdr + data
 
 
 def decode_wav_np(payload: bytes) -> tuple[np.ndarray, int]:
-    """PCM WAV bytes → (mono float32 samples in [-1, 1], sample rate).
+    """PCM WAV bytes → (float32 samples in [-1, 1], sample rate); shape
+    (n,) mono, (n, ch) multi-channel.
 
-    Walks RIFF chunks (not a fixed offset) so padded/extra chunks parse;
-    only uncompressed 16-bit mono PCM is accepted — anything else raises,
-    keeping the honest-stub contract for real codecs.
-    """
+    Walks RIFF chunks (not a fixed offset) so padded/extra chunks parse.
+    Accepts uncompressed PCM at 8 (unsigned) / 16 / 24 / 32 bits, IEEE
+    float32/float64 (format 3), and WAVE_FORMAT_EXTENSIBLE (0xFFFE)
+    wrapping either — anything else raises, keeping the honest-stub
+    contract for real lossy codecs."""
     import struct
 
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
-    pos, rate, data = 12, None, None
+    pos, rate, data, fmt, ch, bits = 12, None, None, None, 1, 16
     while pos + 8 <= len(payload):
         cid, sz = struct.unpack("<4sI", payload[pos : pos + 8])
         body = payload[pos + 8 : pos + 8 + sz]
         if cid == b"fmt ":
             fmt, ch, rate, _, _, bits = struct.unpack("<HHIIHH", body[:16])
-            if (fmt, ch, bits) != (1, 1, 16):
-                raise NotImplementedError(
-                    "only 16-bit mono PCM decodes in-container"
-                )
+            if fmt == 0xFFFE and sz >= 26:  # EXTENSIBLE: GUID leads with
+                (fmt,) = struct.unpack("<H", body[24:26])  # the real code
         elif cid == b"data":
             data = body
         pos += 8 + sz + (sz & 1)  # RIFF chunks are word-aligned
     if rate is None or data is None:
         raise ValueError("missing fmt/data chunk")
-    samples = np.frombuffer(data, dtype="<i2").astype(np.float32) / 32767.0
-    return samples, int(rate)
+    if ch < 1:
+        raise ValueError("WAV with zero channels")
+    if fmt == 1:
+        if bits == 16:
+            flat = np.frombuffer(data, dtype="<i2").astype(np.float32) / 32767.0
+        elif bits == 8:
+            flat = (
+                np.frombuffer(data, dtype=np.uint8).astype(np.float32) - 128.0
+            ) / 127.0
+        elif bits == 24:
+            raw = np.frombuffer(data, dtype=np.uint8)
+            raw = raw[: raw.size // 3 * 3].reshape(-1, 3).astype(np.int32)
+            i32 = raw[:, 0] | (raw[:, 1] << 8) | (raw[:, 2] << 16)
+            i32 -= (i32 & 0x800000) << 1  # sign-extend 24 -> 32
+            flat = i32.astype(np.float32) / 8_388_607.0
+        elif bits == 32:
+            flat = (
+                np.frombuffer(data, dtype="<i4").astype(np.float32)
+                / 2_147_483_647.0
+            )
+        else:
+            raise NotImplementedError(f"PCM WAV bits-per-sample {bits}")
+    elif fmt == 3:  # IEEE float
+        if bits == 32:
+            flat = np.frombuffer(data, dtype="<f4").astype(np.float32)
+        elif bits == 64:
+            flat = np.frombuffer(data, dtype="<f8").astype(np.float32)
+        else:
+            raise NotImplementedError(f"float WAV bits-per-sample {bits}")
+    else:
+        raise NotImplementedError(f"WAV format tag {fmt} (PCM/float only)")
+    if ch > 1:
+        flat = flat[: flat.size // ch * ch].reshape(-1, ch)
+    return flat, int(rate)
 
 
 _AUDIO_SCHEMA = StructType(
@@ -721,7 +780,10 @@ def decode_audio_np(payload: bytes) -> tuple[np.ndarray, int]:
         if arr.ndim == 2:
             arr = arr.astype(np.float32).mean(axis=1)
         return arr.astype(np.float32) / 32767.0, rate
-    return decode_wav_np(payload)
+    arr, rate = decode_wav_np(payload)
+    if arr.ndim == 2:
+        arr = arr.mean(axis=1, dtype=np.float32)
+    return arr.astype(np.float32, copy=False), rate
 
 
 def decode_audio(

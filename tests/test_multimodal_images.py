@@ -457,3 +457,63 @@ def test_y4m_color_roundtrip():
 
     with _pytest.raises(ValueError):
         encode_y4m_np(yuv[:, :7], colorspace="C420")
+
+
+def test_wav_bit_depths_and_channels():
+    """8/16/24/32-bit PCM x mono/stereo roundtrip within one LSB; the
+    default 16-bit mono stream is byte-stable vs earlier rounds."""
+    import hashlib
+
+    import numpy as np
+
+    from hiss_cube_spark.operators.multimodal import decode_wav_np, encode_wav_np
+
+    rng = np.random.default_rng(20260815)
+    mono = np.sin(np.arange(700) / 9.0) * 0.8
+    stereo = np.stack([mono, rng.uniform(-0.9, 0.9, size=700)], axis=1)
+    tol = {8: 1.1 / 127, 16: 1.1 / 32767, 24: 1.1 / 8_388_607, 32: 1e-6}
+    for bits in (8, 16, 24, 32):
+        for sig in (mono, stereo):
+            back, rate = decode_wav_np(encode_wav_np(sig, rate=22_050, bits=bits))
+            assert rate == 22_050 and back.shape == sig.shape, (bits, sig.shape)
+            assert np.max(np.abs(back - sig)) < tol[bits], bits
+    # byte-stability pin of the historical default path
+    legacy = encode_wav_np(np.linspace(-1, 1, 64), rate=8000)
+    assert hashlib.md5(legacy).hexdigest() == "28b563112080e1d03f97df62dd366f53"
+
+
+def test_wav_float_and_extensible_decode():
+    """IEEE-float (fmt 3) and WAVE_FORMAT_EXTENSIBLE (0xFFFE wrapping
+    PCM) payloads decode; the mono downmix contract holds via
+    decode_audio_np."""
+    import struct
+
+    import numpy as np
+
+    from hiss_cube_spark.operators.multimodal import decode_audio_np, decode_wav_np
+
+    sig = np.sin(np.arange(500) / 11.0).astype("<f4")
+
+    def wav(fmt_tag, ch, bits, data, extensible=False):
+        if extensible:
+            ext = struct.pack("<HHI", 22, bits, 0x3) + struct.pack("<H", fmt_tag) + b"\x00" * 14
+            fmt_body = struct.pack("<HHIIHH", 0xFFFE, ch, 16000, 16000 * ch * bits // 8, ch * bits // 8, bits) + ext
+        else:
+            fmt_body = struct.pack("<HHIIHH", fmt_tag, ch, 16000, 16000 * ch * bits // 8, ch * bits // 8, bits)
+        return (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt_body) + 8 + len(data)) + b"WAVE"
+                + b"fmt " + struct.pack("<I", len(fmt_body)) + fmt_body
+                + b"data" + struct.pack("<I", len(data)) + data)
+
+    back, rate = decode_wav_np(wav(3, 1, 32, sig.tobytes()))
+    assert rate == 16000
+    np.testing.assert_allclose(back, sig, atol=1e-7)
+    # float64
+    back64, _ = decode_wav_np(wav(3, 1, 64, sig.astype("<f8").tobytes()))
+    np.testing.assert_allclose(back64, sig, atol=1e-7)
+    # extensible wrapping PCM-16 stereo; downmix = channel mean
+    pcm = (np.stack([sig, -sig], axis=1) * 32767.0).astype("<i2")
+    st, _ = decode_wav_np(wav(1, 2, 16, pcm.tobytes(), extensible=True))
+    assert st.shape == (500, 2)
+    mono, _ = decode_audio_np(wav(1, 2, 16, pcm.tobytes(), extensible=True))
+    assert mono.shape == (500,)
+    np.testing.assert_allclose(mono, st.mean(axis=1), atol=1e-7)
