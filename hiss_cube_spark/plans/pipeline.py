@@ -19,6 +19,7 @@ its own table) — the ``update --<phase>`` CLI surface of the reference
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 
@@ -84,16 +85,75 @@ class CubePipeline:
     def write_bronze(self, df: DataFrame, table: str, partition_by: list[str] | None = None) -> None:
         """Bronze sink (S9): partition by zoom, cluster by healpix within
         files so spatial joins/scans prune well (the reference's sorted
-        db_index, metadata_strategy_image.py:351-355)."""
+        db_index, metadata_strategy_image.py:351-355).
+
+        Range-partitioned on (zoom, healpix), NOT hash-partitioned on
+        zoom: hash would funnel each zoom level into a single task (5
+        distinct keys), which caps write parallelism at |zooms| and
+        OOMs the writer once a zoom level outgrows one executor — the
+        full-scale galaxy_small corpus (4.5 GB at zoom 0) already hits
+        it, a 100 TB ingest catastrophically so. Ranges additionally
+        give files DISJOINT healpix intervals per zoom, so min/max
+        stats prune spatial scans file-by-file (hash gives every file
+        the full healpix range)."""
         w = df
         parts = partition_by if partition_by is not None else (
             ["zoom"] if "zoom" in df.columns else []
         )
         if "healpix" in df.columns:
-            w = w.repartition(*[F.col(c) for c in parts] if parts else [F.lit(1)]).sortWithinPartitions(
-                "healpix"
+            cols = [F.col(c) for c in parts] + [F.col("healpix")]
+            n = max(
+                int(self.spark.conf.get("spark.sql.shuffle.partitions")),
+                self.spark.sparkContext.defaultParallelism,
+                64,  # floor: array-heavy bronze rows are MBs each — keep
+                #      tasks well under executor memory even at toy SF
+            )
+            w = w.repartitionByRange(n, *cols).sortWithinPartitions(
+                *parts, "healpix"
             )
         self._write_observed(w, table, parts)
+
+    #: per-task byte budget for one vectorized-parquet batch of frame rows
+    #: (sized so 32 concurrent local tasks stay well inside the driver heap;
+    #: on a cluster it bounds each executor core the same way)
+    _VECTOR_BATCH_TARGET_BYTES = 128 << 20
+
+    @contextlib.contextmanager
+    def _frame_bounded_batches(self):
+        """Vectorized-parquet batches sized in BYTES, not rows.
+
+        Spark's columnar reader reserves capacity for
+        ``spark.sql.parquet.columnarReaderBatchSize`` ROWS per column
+        (default 4096) — calibrated for KB-sized rows. Bronze image rows
+        carry full frames (data+errors ≈ 8·naxis1·naxis2 bytes — ~24 MB
+        for a 2048×1489 SDSS frame), so one default batch would reserve
+        ~100 GB per column vector and OOM any executor, at ANY cluster
+        size. Derive the row budget from the actual frame geometry (one
+        column-pruned scalar lookup) and clamp to [4, 4096]. Spark has no
+        per-scan override, so set + restore the session conf around the
+        phase's actions.
+        """
+        key = "spark.sql.parquet.columnarReaderBatchSize"
+        row = (
+            self.read("images")
+            .where(F.col("zoom") == 0)
+            .agg(F.max("naxis1").alias("w"), F.max("naxis2").alias("h"))
+            .head()
+        )
+        if row is None or row["w"] is None:
+            yield
+            return
+        est = 8 * int(row["w"]) * int(row["h"])
+        batch = min(4096, max(4, self._VECTOR_BATCH_TARGET_BYTES // est))
+        prev = self.spark.conf.get(key, None)
+        self.spark.conf.set(key, str(batch))
+        try:
+            yield
+        finally:
+            if prev is None:
+                self.spark.conf.unset(key)
+            else:
+                self.spark.conf.set(key, prev)
 
     # -- phases ------------------------------------------------------------
 
@@ -122,8 +182,9 @@ class CubePipeline:
         refs = self.read("cutout_refs")
         images = self.read("images")
         spec_cube, img_cube = build_ml_cube(spectra, refs, images)
-        self._write_observed(spec_cube, "ml_cube_spectra", ["zoom"])
-        self._write_observed(img_cube, "ml_cube_images", ["zoom"])
+        with self._frame_bounded_batches():
+            self._write_observed(spec_cube, "ml_cube_spectra", ["zoom"])
+            self._write_observed(img_cube, "ml_cube_images", ["zoom"])
 
     def phase_visualization(self, export: str | None = None, export_zoom: int = 0) -> None:
         """Gold: the per-zoom point table; optionally export one zoom as a
@@ -136,7 +197,8 @@ class CubePipeline:
         refs = self.read("cutout_refs")
         images = self.read("images")
         viz = build_visualization_cube(spectra, refs, images)
-        self._write_observed(viz, "visualization_cube", ["zoom"])
+        with self._frame_bounded_batches():
+            self._write_observed(viz, "visualization_cube", ["zoom"])
         if export:
             from hiss_cube_spark.sources.exports import write_fits_table, write_votable
 

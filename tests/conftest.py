@@ -13,6 +13,9 @@ from hiss_cube_spark import get_spark  # noqa: E402
 @pytest.fixture(scope="session")
 def spark():
     os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
+    # the full-scale galaxy_small e2e moves a ~6 GB image corpus through
+    # one local JVM; 8g leaves the parquet writers short
+    os.environ.setdefault("SPARK_DRIVER_MEM", "24g")
     s = get_spark("hiss-cube-tests", shuffle_partitions=8)
     s.sparkContext.setLogLevel("ERROR")
     yield s

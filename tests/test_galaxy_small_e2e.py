@@ -1,0 +1,189 @@
+"""Value-golden end-to-end on the full-scale synthetic galaxy_small.
+
+The reference pins its galaxy_small warehouse by exact counts and
+shapes (/root/reference/hisscube/tests/test_export.py:63,92,98-99):
+
+    spectral (visualization) cube @ zoom 0 : 276,100 rows
+    spectral (visualization) cube @ zoom 3 :   9,867 rows
+    ML cube @ zoom 2: image stack (2, 5, 16, 16), spectra (2, 1155)
+
+Its FITS blobs are missing from the snapshot, so pixel-value goldens are
+impossible — but those numbers are cardinality laws of the SHAPES
+(185 images 2048x1489, 11 spectra 4620 samples, 64-px cutouts, 5 zooms),
+and with a synthetic fixture of the same shapes this pipeline must
+reproduce them EXACTLY:
+
+    276,100 = 11*4620 + 11*5*64**2
+      9,867 = 11*577  + 11*5*(64>>3)**2
+
+ivw values are checked against an independent numpy oracle over the
+regenerated per-seed inputs (the driver-side ``synth_*`` functions),
+and the ML zoom-2 shapes against their row/length analogs.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from astro_fixtures import BANDS, N_SPECTRA, ZOOMS
+from astro_fixtures_fullscale import (
+    CUTOUT,
+    FIELD_OF_SPEC,
+    SPEC_N,
+    make_images_fullscale,
+    make_spectra_fullscale,
+    synth_spectrum,
+)
+
+N_FIELDS = 37
+N_BANDS = len(BANDS)
+N_TARGETS = N_SPECTRA - 2  # spectra 0/1 and 2/3 share positions
+
+
+@pytest.fixture(scope="module")
+def warehouse(spark, tmp_path_factory):
+    from hiss_cube_spark.plans.pipeline import CubePipeline
+
+    wh = str(tmp_path_factory.mktemp("galaxy_small_wh"))
+    pipe = CubePipeline(spark, wh, match_radius_deg=0.01, cutout_size=CUTOUT)
+    pipe.create(make_images_fullscale(spark), make_spectra_fullscale(spark))
+    return wh, pipe
+
+
+def test_reference_exact_viz_cube_counts(spark, warehouse):
+    """The reference's own pinned numbers, reproduced value-for-value."""
+    wh, pipe = warehouse
+    viz = spark.read.parquet(os.path.join(wh, "visualization_cube"))
+    per_zoom = {
+        r["zoom"]: r["n"]
+        for r in viz.groupBy("zoom").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert per_zoom[0] == 276_100  # ref test_export.py:63
+    assert per_zoom[3] == 9_867    # ref test_export.py:92
+    for z in range(ZOOMS):
+        want = N_SPECTRA * (SPEC_N >> z) + N_SPECTRA * N_BANDS * (CUTOUT >> z) ** 2
+        assert per_zoom[z] == want, z
+
+
+def test_table_cardinality_laws(spark, warehouse):
+    wh, pipe = warehouse
+    expected = {
+        "images": N_FIELDS * N_BANDS * ZOOMS,       # 925
+        "spectra": N_SPECTRA * ZOOMS,               # 55
+        "cutout_refs": N_SPECTRA * N_BANDS * ZOOMS, # 275
+        "ml_cube_spectra": N_TARGETS * ZOOMS,       # 45
+        "ml_cube_images": N_TARGETS * ZOOMS * N_BANDS,  # 225
+    }
+    for t, want in expected.items():
+        n = spark.read.parquet(os.path.join(wh, t)).count()
+        assert n == want, f"{t}: {n} != {want}"
+        assert pipe.stats[t] == n, t
+
+
+def test_ml_cube_zoom2_shape_analogs(spark, warehouse):
+    """The (2, 5, 16, 16) / (2, 1155) zoom-2 pins, as table analogs:
+    the 2-epoch target's zoom-2 surface is 2 member spectra of 1155
+    samples and 5 band stacks of 16x16 cutout pixels."""
+    wh, _ = warehouse
+    spectra = spark.read.parquet(os.path.join(wh, "spectra"))
+    # the shared target = healpix cell of spectra 0/1
+    tgt = spectra.where((F.col("spec_id") == 0) & (F.col("zoom") == 0)).head()["healpix"]
+    members = spectra.where(
+        (F.col("healpix") == tgt) & (F.col("zoom") == 2)
+    ).select("spec_id", F.size("flux_mean").alias("n")).collect()
+    assert sorted(r["spec_id"] for r in members) == [0, 1]
+    assert [r["n"] for r in members] == [1155, 1155]  # (2, 1155)
+
+    refs = spark.read.parquet(os.path.join(wh, "cutout_refs"))
+    epoch_refs = refs.where(
+        F.col("spec_id").isin([0, 1]) & (F.col("zoom") == 2)
+    )
+    assert epoch_refs.count() == 2 * N_BANDS  # (2, 5, ...)
+    mlimg = spark.read.parquet(os.path.join(wh, "ml_cube_images"))
+    z2 = mlimg.where((F.col("target_id") == tgt) & (F.col("zoom") == 2))
+    rows = z2.select("band", F.size("cutout_flux").alias("npx")).collect()
+    assert len(rows) == N_BANDS
+    assert all(r["npx"] == 16 * 16 for r in rows)  # (..., 16, 16)
+    # spectral side at zoom 2: merged target spectrum has 1155 samples
+    mlspec = spark.read.parquet(os.path.join(wh, "ml_cube_spectra"))
+    srow = mlspec.where((F.col("target_id") == tgt) & (F.col("zoom") == 2)).head()
+    assert len(srow["flux"]) == 1155
+
+
+def test_ivw_values_against_numpy_oracle(spark, warehouse):
+    """ml_cube_spectra for the 2-epoch target == independent numpy ivw of
+    the regenerated synthetic inputs, at zoom 0 and down the ladder."""
+    from hiss_cube_spark.functions.pyramid import downsample_spectrum
+    from hiss_cube_spark.operators.ivw import ivw_np
+
+    wh, _ = warehouse
+    spectra = spark.read.parquet(os.path.join(wh, "spectra"))
+    tgt = spectra.where((F.col("spec_id") == 0) & (F.col("zoom") == 0)).head()["healpix"]
+    mlspec = spark.read.parquet(os.path.join(wh, "ml_cube_spectra"))
+
+    _, f0, s0 = synth_spectrum(0)
+    _, f1, s1 = synth_spectrum(1)
+    w0 = w1 = np.linspace(3839.7244, 8914.597, SPEC_N)
+    for z in range(ZOOMS):
+        want_mean, want_sig = ivw_np(np.stack([f0, f1]), np.stack([s0, s1]))
+        row = mlspec.where(
+            (F.col("target_id") == tgt) & (F.col("zoom") == z)
+        ).head()
+        got_mean = np.array(row["flux"], dtype=np.float64)
+        got_sig = np.array(row["sigma"], dtype=np.float64)
+        np.testing.assert_allclose(got_mean, want_mean, rtol=2e-6, atol=1e-6)
+        np.testing.assert_allclose(got_sig, want_sig, rtol=2e-6, atol=1e-6)
+        if z < ZOOMS - 1:
+            w0, f0, s0 = downsample_spectrum(np.asarray(w0, np.float64), f0, s0)
+            w1, f1, s1 = downsample_spectrum(np.asarray(w1, np.float64), f1, s1)
+
+
+def test_cutout_pixel_consistency(spark, warehouse):
+    """Co-located spectra see identical cutout pixels (same image), and
+    the ML image stack equals the first spectrum's viz-cube pixels — the
+    J5/J7/F18 chain is value-consistent across gold tables.
+
+    Cutout rows are distinguished from spectrum-sample rows by the time
+    column: images carry tai_time 55000+f+0.1*band_idx, spectra 56000+s
+    (the fixture's epoch encoding)."""
+    wh, _ = warehouse
+    z = 2
+    viz = spark.read.parquet(os.path.join(wh, "visualization_cube"))
+    cut = (
+        viz.where(
+            (F.col("zoom") == z)
+            & F.col("spec_id").isin([0, 1])
+            & (F.col("time") < 56_000)
+        )
+        .select("spec_id", "time", "mean", "sigma")
+        .collect()
+    )
+    by_key: dict[tuple[int, int], list[tuple[float, float]]] = {}
+    for r in cut:
+        bi = round((float(r["time"]) - 55_000.0) * 10)  # field 0 -> band idx
+        by_key.setdefault((r["spec_id"], bi), []).append(
+            (r["mean"], r["sigma"])
+        )
+    assert sorted(by_key) == [(s, b) for s in (0, 1) for b in range(N_BANDS)]
+    for bi in range(N_BANDS):
+        a = sorted(by_key[(0, bi)])
+        b = sorted(by_key[(1, bi)])
+        assert len(a) == len(b) == (CUTOUT >> z) ** 2
+        np.testing.assert_allclose(a, b, rtol=0, atol=0)  # same image
+
+    spectra = spark.read.parquet(os.path.join(wh, "spectra"))
+    tgt = spectra.where((F.col("spec_id") == 0) & (F.col("zoom") == 0)).head()["healpix"]
+    mlimg = spark.read.parquet(os.path.join(wh, "ml_cube_images"))
+    for r in mlimg.where((F.col("target_id") == tgt) & (F.col("zoom") == z)).collect():
+        bi = [b for b, _ in BANDS].index(r["band"])
+        want = np.array(sorted(m for m, _ in by_key[(0, bi)]), dtype=np.float64)
+        got = np.array(sorted(r["cutout_flux"]), dtype=np.float64)
+        np.testing.assert_allclose(got, want, rtol=2e-6, atol=1e-6)
+        # single-epoch stack (J7 first-spectrum): sigma_out == pixel errors
+        want_s = np.array(sorted(s for _, s in by_key[(0, bi)]), dtype=np.float64)
+        got_s = np.array(sorted(r["cutout_sigma"]), dtype=np.float64)
+        np.testing.assert_allclose(got_s, want_s, rtol=2e-6, atol=1e-6)
