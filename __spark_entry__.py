@@ -9078,6 +9078,85 @@ def cur_bottomk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "ts_theil_sen",
+    """
+    WITH b AS (
+      SELECT user_id, epoch_us(ts) // 3600000000 AS t,
+             CAST(sum(CAST(round(value * 100) AS DECIMAL(18,0))) AS BIGINT)
+               AS yq
+      FROM events GROUP BY user_id, epoch_us(ts) // 3600000000),
+    r AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY t) AS rn
+          FROM b),
+    h AS (SELECT user_id, t, yq FROM r WHERE rn <= 24),
+    p AS (SELECT i.user_id, i.t AS ti, j.t AS tj,
+                 CAST(j.yq - i.yq AS DOUBLE) / CAST(j.t - i.t AS DOUBLE) AS s
+          FROM h i JOIN h j ON i.user_id = j.user_id AND i.t < j.t),
+    rk AS (SELECT user_id, s,
+                  row_number() OVER (PARTITION BY user_id
+                                     ORDER BY s, ti, tj) AS prn,
+                  count(*) OVER (PARTITION BY user_id) AS cnt
+           FROM p)
+    SELECT user_id, max(cnt) AS n_pairs,
+           round((min(s) + max(s)) / 2 / 100, 6) AS sen_slope
+    FROM rk
+    WHERE prn = (cnt + 1) // 2 OR prn = (cnt + 2) // 2
+    GROUP BY user_id
+    """,
+)
+def ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend slope per user over hourly value buckets
+    (`operators/timeseries.theil_sen_trend`) — median of all pairwise
+    bucket slopes, the 29%-breakdown-point trend a few corrupted batches
+    can't drag. Slopes are single IEEE divisions of exact integers and the
+    median is an exact rank-walk, so Spark and the oracle agree
+    bit-for-bit; the C(24,2) pair blow-up per key is a constant, so the
+    self-join stays linear in keys at any corpus size."""
+    from hiss_cube_spark.operators.timeseries import theil_sen_trend
+
+    return theil_sen_trend(_events(spark, sf_dir), horizon=24)
+
+
+@_q(
+    "ts_holt_linear",
+    """
+    WITH RECURSIVE b AS (
+      SELECT user_id, epoch_us(ts) // 3600000000 AS t,
+             CAST(sum(CAST(round(value * 100) AS DECIMAL(18,0))) AS BIGINT)
+               AS yq
+      FROM events GROUP BY user_id, epoch_us(ts) // 3600000000),
+    r AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY t) AS rn
+          FROM b),
+    h AS (SELECT user_id, rn, CAST(yq AS DOUBLE) / 100 AS y
+          FROM r WHERE rn <= 48),
+    n AS (SELECT user_id, max(rn) AS n_buckets FROM h GROUP BY user_id),
+    walk(user_id, rn, l, tr) AS (
+      SELECT user_id, 1, y, CAST(0.0 AS DOUBLE) FROM h WHERE rn = 1
+      UNION ALL
+      SELECT w.user_id, w.rn + 1,
+             (h.y + (w.l + w.tr)) / 2,
+             (((h.y + (w.l + w.tr)) / 2 - w.l) + w.tr) / 2
+      FROM walk w JOIN h ON h.user_id = w.user_id AND h.rn = w.rn + 1)
+    SELECT w.user_id, n.n_buckets,
+           round(w.l, 6) AS level, round(w.tr, 6) AS trend,
+           round(w.l + w.tr, 6) AS forecast
+    FROM walk w JOIN n ON n.user_id = w.user_id AND w.rn = n.n_buckets
+    """,
+)
+def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend smoothing (α = β = ½) per user over hourly
+    buckets (`operators/timeseries.holt_linear`): level + trend + one-step
+    forecast. The recursion folds INSIDE Catalyst via the higher-order
+    `aggregate` over the sorted, horizon-bounded series (JVM codegen, no
+    Python, no driver loop); the oracle's recursive CTE replays the
+    identical IEEE op sequence, so both engines agree bit-for-bit. State
+    is O(horizon) per key — the applyInPandasWithState shape without
+    leaving the JVM."""
+    from hiss_cube_spark.operators.timeseries import holt_linear
+
+    return holt_linear(_events(spark, sf_dir), horizon=48)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return flagship_ml_cube(spark, "/root/testdata/sf0.001")

@@ -93,6 +93,8 @@ HEADLINE = [
     "text_zipf_slope",
     "cur_bottomk_sample",
     "mm_flac_pipeline",
+    "ts_theil_sen",
+    "ts_holt_linear",
 ]
 
 # Environment-drift sentinel: per-query ratchets are expressed relative to

@@ -21,7 +21,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["resample_locf", "ewma", "autocorrelation"]
+__all__ = [
+    "resample_locf",
+    "ewma",
+    "autocorrelation",
+    "theil_sen_trend",
+    "holt_linear",
+]
 
 
 def resample_locf(
@@ -230,4 +236,160 @@ def autocorrelation(
         F.col(key_col),
         F.col("n").cast("long").alias("n_pairs"),
         F.round(corr, 6).alias("acf"),
+    )
+
+
+def _bucketed_cents(
+    df: DataFrame,
+    key_col: str,
+    ts_us_col: str,
+    value_col: str,
+    bucket_us: int,
+    horizon: int,
+) -> DataFrame:
+    """Shared head of the trend operators: quantize values to cents, sum
+    them per (key, time-bucket) — the map-side combine collapses raw event
+    cardinality BEFORE any window/join — and keep each key's first
+    ``horizon`` buckets. Output: (key, t, rn, yq) with t the integer bucket
+    index and yq an exact BIGINT (order-independent integer reduction)."""
+    b = (
+        df.select(
+            F.col(key_col).alias("key"),
+            F.expr(f"{ts_us_col} DIV {bucket_us}").alias("t"),
+            F.round(F.col(value_col) * 100).cast("decimal(18,0)").alias("xq"),
+        )
+        .groupBy("key", "t")
+        .agg(F.sum("xq").cast("long").alias("yq"))
+    )
+    w = Window.partitionBy("key").orderBy("t")
+    return b.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= horizon
+    )
+
+
+def theil_sen_trend(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_us_col: str = "ts_us",
+    value_col: str = "value",
+    bucket_us: int = 3_600_000_000,
+    horizon: int = 24,
+) -> DataFrame:
+    """Theil–Sen robust trend per key: the median of all pairwise slopes
+    (y_j − y_i)/(t_j − t_i) over the key's bucketed series — the
+    breakdown-point-0.29 alternative to least-squares trend (Sen 1968),
+    what a data-quality monitor wants when a few corrupted batches would
+    drag an OLS slope.
+
+    Exactness: bucket sums are integer cents (BIGINT), bucket indices are
+    integers, so every slope is ONE correctly-rounded IEEE division of two
+    exact integers — bit-identical across engines. The median is an exact
+    rank-walk ((min+max)/2 of the two middle slopes under a total order
+    with (t_i, t_j) tie-breaks; /2 is exact, and for odd counts the two
+    picks coincide). Only the final cents→units /100 and round(·, 6) touch
+    the value again.
+
+    Scale shape: the pair blow-up is C(horizon, 2) ≈ 276 per key — a
+    CONSTANT, set by the same horizon-cap reasoning as ``ewma`` — so the
+    self-join output is linear in keys; both join legs hash-partition on
+    the key and the two window passes reuse that partitioning. No
+    driver-side work, no data-sized collect.
+    """
+    b = _bucketed_cents(df, key_col, ts_us_col, value_col, bucket_us, horizon)
+    lhs = b.select(
+        "key", F.col("t").alias("ti"), F.col("yq").alias("yi"),
+        F.col("rn").alias("ri"),
+    )
+    rhs = b.select(
+        "key", F.col("t").alias("tj"), F.col("yq").alias("yj"),
+        F.col("rn").alias("rj"),
+    )
+    pairs = lhs.join(rhs, "key").where(F.col("ri") < F.col("rj")).select(
+        "key", "ti", "tj",
+        (
+            (F.col("yj") - F.col("yi")).cast("double")
+            / (F.col("tj") - F.col("ti")).cast("double")
+        ).alias("s"),
+    )
+    w_ord = Window.partitionBy("key").orderBy("s", "ti", "tj")
+    w_all = Window.partitionBy("key")
+    ranked = pairs.select(
+        "key", "s",
+        F.row_number().over(w_ord).alias("prn"),
+        F.count(F.lit(1)).over(w_all).alias("cnt"),
+    ).where(
+        (F.col("prn") == F.expr("(cnt + 1) DIV 2"))
+        | (F.col("prn") == F.expr("(cnt + 2) DIV 2"))
+    )
+    return (
+        ranked.groupBy("key")
+        .agg(
+            F.max("cnt").alias("n_pairs"),
+            ((F.min("s") + F.max("s")) / F.lit(2.0)).alias("_med"),
+        )
+        .select(
+            F.col("key").alias(key_col),
+            F.col("n_pairs"),
+            F.round(F.col("_med") / 100.0, 6).alias("sen_slope"),
+        )
+    )
+
+
+def holt_linear(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_us_col: str = "ts_us",
+    value_col: str = "value",
+    bucket_us: int = 3_600_000_000,
+    horizon: int = 48,
+) -> DataFrame:
+    """Holt's linear-trend double exponential smoothing per key
+    (α = β = 1/2): level l_t = (y_t + (l_{t-1} + b_{t-1}))/2, trend
+    b_t = ((l_t − l_{t-1}) + b_{t-1})/2, initialized l_1 = y_1, b_1 = 0 —
+    the one-step forecast (level + trend) behind every capacity-planning
+    dashboard, one notch richer than ``ewma``'s level-only recursion.
+
+    The recursion runs INSIDE Catalyst as a higher-order ``aggregate`` over
+    the key's (sorted, horizon-bounded) bucket series — whole-stage-codegen
+    JVM arithmetic, no Python, no iteration driver-side. Cross-engine
+    exactness: y values are cents/100 doubles and both engines evaluate the
+    IDENTICAL IEEE op sequence (the oracle's recursive CTE repeats the same
+    expression shapes), so level/trend agree bit-for-bit.
+
+    Scale shape: one shuffle to bucket (map-side combine first), one
+    groupBy collecting ≤ horizon elements per key — state is O(horizon)
+    per key, keys spread independently; the same shape
+    ``applyInPandasWithState`` would have, without leaving the JVM.
+    """
+    b = _bucketed_cents(df, key_col, ts_us_col, value_col, bucket_us, horizon)
+    series = b.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("rn", "yq"))),
+            lambda s: s["yq"].cast("double") / 100.0,
+        ).alias("ys"),
+    )
+    # acc = (l, b); one fold step per bucket after the first. The level
+    # expression is repeated inside the trend update (aggregate lambdas
+    # can't name intermediates) — the oracle repeats it the same way.
+    fold = F.aggregate(
+        F.slice(F.col("ys"), 2, horizon),
+        F.struct(
+            F.element_at(F.col("ys"), 1).alias("l"),
+            F.lit(0.0).alias("b"),
+        ),
+        lambda acc, y: F.struct(
+            ((y + (acc["l"] + acc["b"])) / 2.0).alias("l"),
+            (
+                (((y + (acc["l"] + acc["b"])) / 2.0 - acc["l"]) + acc["b"])
+                / 2.0
+            ).alias("b"),
+        ),
+    )
+    return series.select(
+        F.col("key").alias(key_col),
+        F.col("n_buckets"),
+        F.round(fold["l"], 6).alias("level"),
+        F.round(fold["b"], 6).alias("trend"),
+        F.round(fold["l"] + fold["b"], 6).alias("forecast"),
     )

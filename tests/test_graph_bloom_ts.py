@@ -360,3 +360,76 @@ def test_schema_drift_report(spark):
     assert got["v"]["change"] == "TYPE_CHANGED" and got["v"]["old_type"] == "double"
     assert "id" not in got and "name" not in got
     assert schema_drift(old, old).count() == 0
+
+
+def _ts_rows(series):
+    """(key, bucket, value) -> operator input rows; one event per bucket."""
+    H = 3_600_000_000
+    return [
+        (k, b * H + 17, float(v), 1000 * b + i)
+        for i, (k, b, v) in enumerate(series)
+    ]
+
+
+def test_theil_sen_constant_slope_and_outlier_resistance(spark):
+    from hiss_cube_spark.operators.timeseries import theil_sen_trend
+
+    rows = _ts_rows(
+        # key "a": perfectly linear, 2 cents per hour -> slope 0.02
+        [("a", t, 0.02 * t) for t in range(4)]
+        # key "b": same line but the last bucket explodes 300x;
+        # median-of-slopes shrugs where OLS would be dragged
+        + [("b", 0, 0.0), ("b", 1, 0.02), ("b", 2, 0.04), ("b", 3, 6.0)]
+    )
+    df = spark.createDataFrame(
+        rows, "user_id string, ts_us long, value double, event_id long"
+    )
+    got = {r["user_id"]: r for r in theil_sen_trend(df).collect()}
+    assert got["a"]["n_pairs"] == 6
+    assert got["a"]["sen_slope"] == pytest.approx(0.02, abs=1e-9)
+    # slopes for b in cents/bucket: [2, 2, 2, 200, 299, 596] -> med 101
+    assert got["b"]["sen_slope"] == pytest.approx(1.01, abs=1e-9)
+
+
+def test_theil_sen_multiple_events_per_bucket_sum(spark):
+    from hiss_cube_spark.operators.timeseries import theil_sen_trend
+
+    # two events in bucket 0 sum to the bucket value (0.03), one in bucket 1
+    rows = [
+        ("a", 100, 0.01, 1),
+        ("a", 200, 0.02, 2),
+        ("a", 3_600_000_000, 0.05, 3),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id string, ts_us long, value double, event_id long"
+    )
+    r = theil_sen_trend(df).collect()[0]
+    assert r["n_pairs"] == 1
+    assert r["sen_slope"] == pytest.approx(0.02, abs=1e-9)  # (5-3) cents/1h
+
+
+def test_holt_linear_hand_recursion(spark):
+    from hiss_cube_spark.operators.timeseries import holt_linear
+
+    rows = _ts_rows([("a", 0, 0.01), ("a", 1, 0.02), ("a", 2, 0.04)])
+    df = spark.createDataFrame(
+        rows, "user_id string, ts_us long, value double, event_id long"
+    )
+    r = holt_linear(df).collect()[0]
+    # hand fold: l1=1,b1=0 (cents); y=2: l=1.5 b=0.25; y=4: l=2.875 b=0.8125
+    assert r["n_buckets"] == 3
+    assert r["level"] == pytest.approx(0.02875, abs=1e-9)
+    assert r["trend"] == pytest.approx(0.008125, abs=1e-9)
+    assert r["forecast"] == pytest.approx(0.036875, abs=1e-9)
+
+
+def test_holt_linear_single_bucket_is_identity(spark):
+    from hiss_cube_spark.operators.timeseries import holt_linear
+
+    df = spark.createDataFrame(
+        _ts_rows([("solo", 5, 1.23)]),
+        "user_id string, ts_us long, value double, event_id long",
+    )
+    r = holt_linear(df).collect()[0]
+    assert (r["n_buckets"], r["level"], r["trend"]) == (1, 1.23, 0.0)
+    assert r["forecast"] == 1.23
