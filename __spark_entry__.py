@@ -9079,6 +9079,94 @@ def cur_bottomk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "mm_exif_pipeline",
+    """
+    SELECT doc_id,
+           CAST(doc_id % 8 + 1 AS INT) AS orientation,
+           CAST(CASE WHEN doc_id % 8 + 1 >= 5 THEN 24
+                     ELSE 16 + (doc_id % 3) * 8 END AS INT) AS out_h,
+           CAST(CASE WHEN doc_id % 8 + 1 >= 5 THEN 16 + (doc_id % 3) * 8
+                     ELSE 24 END AS INT) AS out_w,
+           TRUE AS pixels_preserved
+    FROM documents WHERE doc_id % 7 = 0
+    """,
+)
+def mm_exif_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXIF orientation leg of the image pipeline: plant Exif tag 0x0112
+    (orientation = doc_id%8+1, alternating II/MM TIFF byte orders) in each
+    document's JPEG, then — distributed — re-parse the tag from the BLOB
+    bytes, rotate upright (`operators/jpeg.py:jpeg_orientation` /
+    `apply_exif_orientation`), and verify the value-preservation law (all
+    eight transforms are pixel permutations, checked by exact histogram
+    equality). The oracle is the analytic contract: parsed == planted,
+    the dimension-swap law for orientations 5-8, preservation TRUE. The
+    step every real photo corpus needs before a visual model sees pixels
+    (cameras store rotation as metadata, not rotated pixels)."""
+    import numpy as _np
+    import pandas as _pd
+    from collections.abc import Iterator as _Iter
+
+    from hiss_cube_spark.operators.jpeg import encode_jpeg_np, jpeg_orientation
+    from hiss_cube_spark.operators.multimodal import decode_image_np
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 7 == 0)
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def _roundtrip(batches: _Iter[_pd.DataFrame]) -> _Iter[_pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(doc_id)
+                b = _np.resize(
+                    _np.frombuffer(text.encode("utf-8"), dtype=_np.uint8), 4
+                )
+                h, w = 16 + did % 3 * 8, 24
+                ramp = (
+                    _np.arange(h)[:, None, None] * 3
+                    + _np.arange(w)[None, :, None] * 5
+                    + _np.arange(3)[None, None, :] * 31
+                    + b[:3][None, None, :]
+                )
+                px = (ramp % 256).astype(_np.uint8)
+                o = did % 8 + 1
+                blob = encode_jpeg_np(
+                    px,
+                    quality=95,
+                    exif_orientation=o,
+                    exif_byte_order="II" if did % 2 == 0 else "MM",
+                )
+                parsed = jpeg_orientation(blob)
+                raw = decode_image_np(blob)
+                up = decode_image_np(blob, apply_exif=True)
+                preserved = bool(
+                    _np.array_equal(
+                        _np.bincount(raw.ravel(), minlength=256),
+                        _np.bincount(up.ravel(), minlength=256),
+                    )
+                )
+                rows.append(
+                    (did, parsed, up.shape[0], up.shape[1], preserved)
+                )
+            yield _pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "orientation", "out_h", "out_w",
+                    "pixels_preserved",
+                ],
+            )
+
+    return d.mapInPandas(
+        _roundtrip,
+        schema="doc_id long, orientation int, out_h int, out_w int, "
+        "pixels_preserved boolean",
+    )
+
+
+@_q(
     "ts_theil_sen",
     """
     WITH b AS (

@@ -95,6 +95,7 @@ HEADLINE = [
     "mm_flac_pipeline",
     "ts_theil_sen",
     "ts_holt_linear",
+    "mm_exif_pipeline",
 ]
 
 # Environment-drift sentinel: per-query ratchets are expressed relative to

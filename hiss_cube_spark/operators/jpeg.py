@@ -41,7 +41,13 @@ import struct
 
 import numpy as np
 
-__all__ = ["encode_jpeg_np", "decode_jpeg_np"]
+__all__ = [
+    "encode_jpeg_np",
+    "decode_jpeg_np",
+    "build_exif_app1",
+    "jpeg_orientation",
+    "apply_exif_orientation",
+]
 
 # standard Annex-K quantization tables (quality 50 base)
 _QT_LUMA = np.array([
@@ -394,6 +400,105 @@ def _sequential_scan(comps, mcuy, mcux, restart_interval, writer_cls=_BitWriterJ
     return scan
 
 
+# -- EXIF orientation (TIFF 6.0 IFD inside an APP1 segment) -----------------
+#
+# Real-world photo corpora carry camera rotation as Exif tag 0x0112 rather
+# than rotated pixels; a training pipeline that ignores it feeds models
+# sideways images. Clean-room from the public TIFF 6.0 and Exif 2.3 specs.
+
+_EXIF_ORIENT_TAG = 0x0112
+
+
+def build_exif_app1(orientation: int, byte_order: str = "II") -> bytes:
+    """Minimal Exif APP1 payload: ``Exif\\0\\0`` + TIFF header + an IFD0
+    holding only the orientation SHORT. ``byte_order``: 'II' (little) or
+    'MM' (big) — both appear in the wild and both must parse."""
+    if not 1 <= orientation <= 8:
+        raise ValueError("EXIF orientation must be 1..8")
+    if byte_order not in ("II", "MM"):
+        raise ValueError("byte_order must be 'II' or 'MM'")
+    e = "<" if byte_order == "II" else ">"
+    tiff = byte_order.encode()
+    tiff += struct.pack(e + "HI", 42, 8)  # magic + IFD0 offset
+    tiff += struct.pack(e + "H", 1)  # one directory entry
+    # tag, type=3 (SHORT), count=1, value left-justified in the 4-byte slot
+    tiff += struct.pack(e + "HHI", _EXIF_ORIENT_TAG, 3, 1)
+    tiff += struct.pack(e + "H", orientation) + b"\x00\x00"
+    tiff += struct.pack(e + "I", 0)  # no next IFD
+    return b"Exif\x00\x00" + tiff
+
+
+def jpeg_orientation(payload: bytes) -> int:
+    """Extract Exif orientation (1..8) from a JPEG stream; 1 when absent
+    or malformed (the spec default — never fail a decode over metadata).
+    Pure marker walk, no entropy decode: O(header) however large the
+    image."""
+    if payload[:2] != b"\xff\xd8":
+        return 1
+    pos = 2
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            return 1
+        marker = payload[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if marker in (0xD9, 0xDA):  # EOI / SOS: no more metadata
+            return 1
+        (seglen,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+        seg = payload[pos + 4 : pos + 2 + seglen]
+        pos += 2 + seglen
+        if marker != 0xE1 or seg[:6] != b"Exif\x00\x00":
+            continue
+        tiff = seg[6:]
+        try:
+            bo = tiff[:2]
+            e = {b"II": "<", b"MM": ">"}[bo]
+            magic, ifd0 = struct.unpack_from(e + "HI", tiff, 2)
+            if magic != 42:
+                return 1
+            (n,) = struct.unpack_from(e + "H", tiff, ifd0)
+            for i in range(n):
+                tag, typ, cnt = struct.unpack_from(
+                    e + "HHI", tiff, ifd0 + 2 + 12 * i
+                )
+                if tag == _EXIF_ORIENT_TAG and typ == 3 and cnt == 1:
+                    (val,) = struct.unpack_from(
+                        e + "H", tiff, ifd0 + 2 + 12 * i + 8
+                    )
+                    return val if 1 <= val <= 8 else 1
+        except (KeyError, struct.error):
+            return 1
+        return 1
+    return 1
+
+
+def apply_exif_orientation(img: np.ndarray, orientation: int) -> np.ndarray:
+    """Normalize pixels to upright display order (Exif 2.3 §4.6.4). Every
+    transform is a numpy view permutation — zero copies until a consumer
+    materializes, and exactly value-preserving (the pixel multiset is
+    unchanged, which the distributed oracle exploits)."""
+    o = orientation
+    if o == 1:
+        return img
+    if o == 2:
+        return img[:, ::-1]
+    if o == 3:
+        return img[::-1, ::-1]
+    if o == 4:
+        return img[::-1]
+    t = np.swapaxes(img, 0, 1)
+    if o == 5:
+        return t
+    if o == 6:
+        return t[:, ::-1]
+    if o == 7:
+        return t[::-1, ::-1]
+    if o == 8:
+        return t[::-1]
+    raise ValueError(f"EXIF orientation {orientation} outside 1..8")
+
+
 def encode_jpeg_np(
     img: np.ndarray,
     quality: int = 85,
@@ -401,6 +506,8 @@ def encode_jpeg_np(
     restart_interval: int = 0,
     precision: int = 8,
     optimize: bool | None = None,
+    exif_orientation: int | None = None,
+    exif_byte_order: str = "II",
 ) -> bytes:
     """(h, w, 3) RGB or (h, w) grayscale -> sequential JFIF bytes.
 
@@ -412,7 +519,9 @@ def encode_jpeg_np(
     8-bit too (libjpeg's -optimize; entropy-lossless, so decoded pixels
     are bit-identical to the standard-table stream). ``subsampling``:
     '444' (default) or '420' (2x2-mean chroma downsample); optional DRI
-    restart markers every ``restart_interval`` MCUs."""
+    restart markers every ``restart_interval`` MCUs. ``exif_orientation``
+    embeds an Exif APP1 orientation tag (pixels are stored as given —
+    the tag tells viewers how to rotate, exactly like a camera)."""
     if precision not in (8, 12):
         raise ValueError("precision must be 8 or 12")
     if optimize is None:
@@ -493,6 +602,8 @@ def encode_jpeg_np(
 
     out = bytearray(b"\xff\xd8")  # SOI
     out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    if exif_orientation is not None:
+        out += seg(0xFFE1, build_exif_app1(exif_orientation, exif_byte_order))
     if precision == 8:
         out += seg(0xFFDB, b"\x00" + bytes(qt_l[_ZIGZAG].astype(np.uint8)))
         if not gray:

@@ -36,6 +36,16 @@ from pyspark.sql.types import (
     StructType,
 )
 
+# Module-level, NOT lazy inside decode_image_np: a function-local import
+# re-imports on the executor, where the package directory may not exist
+# (closures ship by value via _serde) — the exact bug class the round-5
+# fits.py hoist fixed.
+from hiss_cube_spark.operators.jpeg import (  # noqa: E402
+    apply_exif_orientation,
+    decode_jpeg_np,
+    jpeg_orientation,
+)
+
 __all__ = [
     "attach_binary_payload", "decode_metadata", "frame_sample", "extract_features",
     "encode_ppm_np", "decode_ppm_np", "bilinear_resize_np",
@@ -446,12 +456,15 @@ def decode_png_np(payload: bytes) -> np.ndarray:
     return samples
 
 
-def decode_image_np(payload: bytes) -> np.ndarray:
+def decode_image_np(payload: bytes, apply_exif: bool = False) -> np.ndarray:
     """Magic-byte image dispatch: PNG, baseline JPEG, or PPM P6 — all real
     dependency-free decoders. Grayscale broadcasts to 3 channels, alpha is
     dropped (gray+alpha and RGBA), and 16-bit samples collapse to their
     high byte, so every caller sees uint8 (h, w, 3); formats without a
-    decoder (WebP) raise the labeled stub error."""
+    decoder (WebP) raise the labeled stub error. ``apply_exif`` rotates
+    JPEG pixels upright per the Exif orientation tag (what any training
+    pipeline must do before a visual model sees them); default False
+    keeps raw storage order for byte-exact codec tests."""
     if payload[:8] == _PNG_SIG:
         img = decode_png_np(payload)
         if img.dtype == np.uint16:
@@ -464,11 +477,11 @@ def decode_image_np(payload: bytes) -> np.ndarray:
             img = img[:, :, :3]
         return img
     if payload[:2] == b"\xff\xd8":
-        from hiss_cube_spark.operators.jpeg import decode_jpeg_np
-
         img = decode_jpeg_np(payload)
         if img.dtype == np.uint16:  # 12-bit: collapse to the high 8 bits
             img = (img >> 4).astype(np.uint8)
+        if apply_exif:
+            img = apply_exif_orientation(img, jpeg_orientation(payload))
         return img
     if payload[:2] == b"P6":
         return decode_ppm_np(payload)

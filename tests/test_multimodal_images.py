@@ -517,3 +517,97 @@ def test_wav_float_and_extensible_decode():
     mono, _ = decode_audio_np(wav(1, 2, 16, pcm.tobytes(), extensible=True))
     assert mono.shape == (500,)
     np.testing.assert_allclose(mono, st.mean(axis=1), atol=1e-7)
+
+
+# -- EXIF orientation --------------------------------------------------------
+
+
+def _exif_img():
+    rng = np.random.default_rng(7)
+    return rng.integers(0, 256, (24, 16, 3), dtype=np.uint8)
+
+
+def test_exif_roundtrip_both_byte_orders_all_orientations():
+    from hiss_cube_spark.operators.jpeg import encode_jpeg_np, jpeg_orientation
+
+    img = _exif_img()
+    for bo in ("II", "MM"):
+        for o in range(1, 9):
+            blob = encode_jpeg_np(
+                img, quality=95, exif_orientation=o, exif_byte_order=bo
+            )
+            assert jpeg_orientation(blob) == o, (bo, o)
+
+
+def test_exif_transforms_match_independent_numpy_reference():
+    from hiss_cube_spark.operators.jpeg import apply_exif_orientation
+
+    a = np.arange(24, dtype=np.uint8).reshape(4, 6)  # asymmetric
+    want = {
+        1: a,
+        2: np.fliplr(a),
+        3: np.rot90(a, 2),
+        4: np.flipud(a),
+        5: a.T,
+        6: np.rot90(a, -1),             # rotate 90 CW to display
+        7: np.rot90(np.fliplr(a), -1),  # transverse
+        8: np.rot90(a, 1),              # rotate 90 CCW
+    }
+    for o, w in want.items():
+        got = apply_exif_orientation(a, o)
+        assert np.array_equal(got, w), o
+        # every transform is a permutation of the pixel multiset
+        assert np.array_equal(np.sort(got.ravel()), np.sort(a.ravel()))
+
+
+def test_exif_default_and_malformed_return_one():
+    from hiss_cube_spark.operators.jpeg import encode_jpeg_np, jpeg_orientation
+
+    img = _exif_img()
+    assert jpeg_orientation(encode_jpeg_np(img)) == 1  # no APP1 at all
+    blob = bytearray(encode_jpeg_np(img, exif_orientation=6))
+    i = blob.find(b"Exif\x00\x00")
+    blob[i + 6 : i + 8] = b"XX"  # clobber the TIFF byte-order mark
+    assert jpeg_orientation(bytes(blob)) == 1
+    assert jpeg_orientation(b"\x00\x01") == 1  # not a JPEG
+
+
+def test_exif_orientation_tag_found_among_other_entries():
+    import struct
+
+    from hiss_cube_spark.operators.jpeg import jpeg_orientation
+
+    # hand-built IFD0 with a leading unrelated tag (0x010F Make) before
+    # 0x0112 — the walker must skip entries it does not know
+    tiff = b"II" + struct.pack("<HI", 42, 8)
+    tiff += struct.pack("<H", 2)
+    tiff += struct.pack("<HHI", 0x010F, 2, 4) + b"cam\x00"
+    tiff += struct.pack("<HHI", 0x0112, 3, 1) + struct.pack("<H", 7) + b"\x00\x00"
+    tiff += struct.pack("<I", 0)
+    app1 = b"Exif\x00\x00" + tiff
+    jpg = (
+        b"\xff\xd8"
+        + b"\xff\xe1"
+        + struct.pack(">H", len(app1) + 2)
+        + app1
+        + b"\xff\xd9"
+    )
+    assert jpeg_orientation(jpg) == 7
+
+
+def test_decode_image_np_applies_exif_upright():
+    from hiss_cube_spark.operators.jpeg import (
+        apply_exif_orientation,
+        decode_jpeg_np,
+        encode_jpeg_np,
+    )
+    from hiss_cube_spark.operators.multimodal import decode_image_np
+
+    img = _exif_img()
+    for o in (1, 3, 6, 8):
+        blob = encode_jpeg_np(img, quality=95, exif_orientation=o)
+        up = decode_image_np(blob, apply_exif=True)
+        assert np.array_equal(up, apply_exif_orientation(decode_jpeg_np(blob), o))
+        assert up.shape[:2] == ((16, 24) if o >= 5 else (24, 16))
+        # default stays raw storage order (codec tests depend on it)
+        assert decode_image_np(blob).shape[:2] == (24, 16)
