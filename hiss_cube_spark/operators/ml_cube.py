@@ -91,12 +91,24 @@ def build_ml_cube(
     refs: DataFrame,
     images: DataFrame,
     n_bands: int = 5,
+    materialize=None,
 ) -> tuple[DataFrame, DataFrame]:
     """(ml_cube_spectra, ml_cube_images) filtered to band-complete targets
     (P7; ref cube_ml.py:260-262: a target counts only with cutouts in all
-    5 filters)."""
+    5 filters).
+
+    ``materialize`` (optional, ``DataFrame -> DataFrame``): applied to the
+    cutout table BEFORE the completeness filter. Both returned cubes
+    derive from that table — the completeness set feeds the spectra cube
+    too — so a consumer running MORE THAN ONE action over the pair (the
+    pipeline writes two tables) re-executes the full-frame scan per
+    action unless it pins the table first (lazy re-derivation; see the
+    round-5 scan audit). Single-action consumers (the flagship query)
+    should leave it None — an eager pin would only add a pass there."""
     targeted = assign_targets(spectra) if "target_id" not in spectra.columns else spectra
     img_cube = ml_cube_images(refs, images, targeted)
+    if materialize is not None:
+        img_cube = materialize(img_cube)
     complete = (
         img_cube.where(F.col("zoom") == 0)
         .groupBy("target_id")
