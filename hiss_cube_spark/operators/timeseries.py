@@ -292,10 +292,15 @@ def theil_sen_trend(
     Scale shape: the pair blow-up is C(horizon, 2) ≈ 276 per key — a
     CONSTANT, set by the same horizon-cap reasoning as ``ewma`` — so the
     self-join output is linear in keys; both join legs hash-partition on
-    the key and the two window passes reuse that partitioning. No
-    driver-side work, no data-sized collect.
+    the key and the two window passes reuse that partitioning. The
+    bucketed table (keys × horizon rows — tiny next to raw events) is
+    eagerly checkpointed so the self-join's two legs read it instead of
+    each re-scanning + re-reducing the raw event table (the round-5
+    scan-audit pattern). No driver-side work, no data-sized collect.
     """
-    b = _bucketed_cents(df, key_col, ts_us_col, value_col, bucket_us, horizon)
+    b = _bucketed_cents(
+        df, key_col, ts_us_col, value_col, bucket_us, horizon
+    ).localCheckpoint(eager=True)
     lhs = b.select(
         "key", F.col("t").alias("ti"), F.col("yq").alias("yi"),
         F.col("rn").alias("ri"),
