@@ -55,12 +55,21 @@ def ml_cube_images(
     refs: DataFrame,
     images: DataFrame,
     spectra: DataFrame,
+    tiles: DataFrame | None = None,
+    tile: int = 256,
 ) -> DataFrame:
     """Per-(target, zoom, band) ivw-mean cutout stack.
 
     ``refs``: the link table (spec_id, image_id, zoom, band, bounds).
     Cutouts are taken from the FIRST spectrum of each target only (J7;
     ref cube_ml.py:652-655) — a row_number window on the target's spectra.
+
+    ``tiles``: optional tiled raster table (`tiles.tile_images` layout).
+    When given, cutouts dereference against it — only the ≤4 covering
+    tiles per cutout are read instead of whole frames (the HDF5 chunked
+    region read of the reference, io_strategy.py:80-91; at 100 TB the
+    frame scan reads ~0.4% of the bytes this way). ``images`` is then
+    untouched on the pixel path.
     """
     first_spec = (
         spectra.select("spec_id", "target_id")
@@ -72,7 +81,12 @@ def ml_cube_images(
         .drop("_rn")
     )
     refs_first = refs.join(first_spec, "spec_id")
-    cut = dereference_cutouts(refs_first, images)
+    if tiles is not None:
+        from hiss_cube_spark.operators.tiles import dereference_cutouts_tiled
+
+        cut = dereference_cutouts_tiled(refs_first, tiles, tile=tile)
+    else:
+        cut = dereference_cutouts(refs_first, images)
     flat = cut.select(
         "target_id",
         "zoom",
@@ -92,6 +106,8 @@ def build_ml_cube(
     images: DataFrame,
     n_bands: int = 5,
     materialize=None,
+    tiles: DataFrame | None = None,
+    tile: int = 256,
 ) -> tuple[DataFrame, DataFrame]:
     """(ml_cube_spectra, ml_cube_images) filtered to band-complete targets
     (P7; ref cube_ml.py:260-262: a target counts only with cutouts in all
@@ -106,7 +122,7 @@ def build_ml_cube(
     round-5 scan audit). Single-action consumers (the flagship query)
     should leave it None — an eager pin would only add a pass there."""
     targeted = assign_targets(spectra) if "target_id" not in spectra.columns else spectra
-    img_cube = ml_cube_images(refs, images, targeted)
+    img_cube = ml_cube_images(refs, images, targeted, tiles=tiles, tile=tile)
     if materialize is not None:
         img_cube = materialize(img_cube)
     complete = (

@@ -48,26 +48,51 @@ def tile_images(
     h = F.size(F.col(data_col))
     w = F.size(F.element_at(F.col(data_col), 1))
     nty = F.ceil(h / F.lit(tile)).cast("int")
-    ntx = F.ceil(w / F.lit(tile)).cast("int")
     keys = [c for c in images.columns if c not in (data_col, errors_col)]
-    t = (
-        images.withColumn("_h", h)
-        .withColumn("_w", w)
-        .withColumn("tile_y", F.explode(F.sequence(F.lit(0), nty - 1)))
-        .withColumn("tile_x", F.explode(F.sequence(F.lit(0), ntx - 1)))
+
+    # Memory discipline: a naive explode(tile_y) × explode(tile_x) carries
+    # the FULL frame arrays through both generators, and GenerateExec
+    # copies its input row into every generated row — 48 × 24 MB per SDSS
+    # frame, which OOMs executors regardless of heap (measured). Instead
+    # each step pre-builds an array of the NEXT-level slices row-locally
+    # and posexplodes ELEMENTS: the full frame never rides a generated
+    # row; a band (≤ tile rows) is the largest payload after step 1 and a
+    # single tile after step 2. F.slice clamps at the array end, handling
+    # the ragged last band/column for free.
+    bands = F.transform(
+        F.sequence(F.lit(0), nty - 1),
+        lambda b: F.struct(
+            F.slice(F.col(data_col), b * tile + 1, tile).alias("d"),
+            F.slice(F.col(errors_col), b * tile + 1, tile).alias("e"),
+        ),
     )
-    y0 = F.col("tile_y") * tile
-    x0 = F.col("tile_x") * tile
-    y1 = F.least(y0 + tile, F.col("_h"))
-    x1 = F.least(x0 + tile, F.col("_w"))
-    return t.select(
+    t1 = images.withColumn("_h", h).withColumn("_w", w).select(
+        *keys, "_w",
+        F.posexplode(bands).alias("tile_y", "_band"),
+    )
+    tiles_arr = F.transform(
+        F.sequence(F.lit(0), F.ceil(F.col("_w") / F.lit(tile)).cast("int") - 1),
+        lambda x: F.struct(
+            F.transform(
+                F.col("_band")["d"], lambda r: F.slice(r, x * tile + 1, tile)
+            ).alias("d"),
+            F.transform(
+                F.col("_band")["e"], lambda r: F.slice(r, x * tile + 1, tile)
+            ).alias("e"),
+        ),
+    )
+    t2 = t1.select(
+        *keys, "tile_y",
+        F.posexplode(tiles_arr).alias("tile_x", "_t"),
+    )
+    return t2.select(
         *keys,
         "tile_y",
         "tile_x",
-        y0.cast("int").alias("y0"),
-        x0.cast("int").alias("x0"),
-        slice_2d(F.col(data_col), y0, y1, x0, x1).alias(data_col),
-        slice_2d(F.col(errors_col), y0, y1, x0, x1).alias(errors_col),
+        (F.col("tile_y") * tile).cast("int").alias("y0"),
+        (F.col("tile_x") * tile).cast("int").alias("x0"),
+        F.col("_t")["d"].alias(data_col),
+        F.col("_t")["e"].alias(errors_col),
     )
 
 

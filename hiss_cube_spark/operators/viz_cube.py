@@ -66,12 +66,23 @@ def spectra_point_table(spectra: DataFrame) -> DataFrame:
     )
 
 
-def cutout_point_table(refs: DataFrame, images: DataFrame, spectra: DataFrame) -> DataFrame:
+def cutout_point_table(
+    refs: DataFrame,
+    images: DataFrame,
+    spectra: DataFrame,
+    tiles: DataFrame | None = None,
+    tile: int = 256,
+) -> DataFrame:
     """Unpivot linked cutouts: one row per cutout pixel with per-pixel
     world coordinates (F18; ref cube_visualization.py:147-188).
 
     Pixel (ra, dec) comes from the linear WCS forward transform — all native
     expressions over a double posexplode (rows, then columns).
+
+    With ``tiles``, pixels come from the tiled raster table (≤4 covering
+    tiles per cutout) and ``images`` contributes ONLY scalar metadata
+    (wcs/tai_time/path — a column-pruned join that never touches frame
+    payloads).
     """
     # one metadata row per spectrum (the input carries one row per zoom)
     spec_meta = spectra.select(
@@ -85,7 +96,20 @@ def cutout_point_table(refs: DataFrame, images: DataFrame, spectra: DataFrame) -
     img_cols = ["image_id", "zoom", "wcs", "tai_time", "data", "errors"] + (
         ["path"] if "path" in images.columns else []
     )
-    cut = dereference_cutouts(refs, images.select(*img_cols))
+    if tiles is not None:
+        from hiss_cube_spark.operators.tiles import dereference_cutouts_tiled
+
+        meta_cols = [c for c in img_cols if c not in ("data", "errors")]
+        meta = images.select(*meta_cols)
+        # ref side authoritative on shared columns, like dereference_cutouts
+        dup = [
+            c for c in meta.columns
+            if c in refs.columns and c not in ("image_id", "zoom")
+        ]
+        enriched = refs.join(meta.drop(*dup), ["image_id", "zoom"])
+        cut = dereference_cutouts_tiled(enriched, tiles, tile=tile)
+    else:
+        cut = dereference_cutouts(refs, images.select(*img_cols))
     # Pair mean/sigma row-wise first so both posexplodes stay aligned.
     paired = cut.withColumn(
         "_rows",
@@ -129,10 +153,14 @@ def cutout_point_table(refs: DataFrame, images: DataFrame, spectra: DataFrame) -
 
 
 def build_visualization_cube(
-    spectra: DataFrame, refs: DataFrame, images: DataFrame
+    spectra: DataFrame,
+    refs: DataFrame,
+    images: DataFrame,
+    tiles: DataFrame | None = None,
+    tile: int = 256,
 ) -> DataFrame:
     """Union of spectrum samples and cutout pixels per zoom (§3.3) —
     ``unionByName`` of two explode pipelines."""
     sp = spectra_point_table(spectra)
-    cp = cutout_point_table(refs, images, spectra)
+    cp = cutout_point_table(refs, images, spectra, tiles=tiles, tile=tile)
     return sp.unionByName(cp)

@@ -50,13 +50,25 @@ class CubePipeline:
         zooms: int = 5,
         cutout_size: int = 64,
         max_refs: int = 200,
+        tiled: bool = False,
+        tile: int = 256,
     ):
+        """``tiled=True`` additionally materializes an ``image_tiles``
+        table at ingest (one row per ``tile×tile`` block — the HDF5
+        chunked layout of the reference, io_strategy.py:80-91) and the
+        gold phases dereference cutouts against it: only the ≤4 covering
+        tiles per cutout are read, never whole frames. At 100 TB that
+        turns the dominant gold-phase I/O from a full-corpus frame scan
+        into ~cutout_size²/frame_size of it (~0.4% for 64-px cutouts on
+        SDSS frames), at the storage cost of the extra tile copy."""
         self.spark = spark
         self.warehouse = warehouse
         self.match_radius_deg = match_radius_deg
         self.zooms = zooms
         self.cutout_size = cutout_size
         self.max_refs = max_refs
+        self.tiled = tiled
+        self.tile = tile
         #: per-table row counts, filled as phases run (the reference's
         #: image_count/spectrum_count file attrs, utils/io.py:183-199 —
         #: observed on the write pass itself, no extra count() job).
@@ -119,7 +131,7 @@ class CubePipeline:
     _VECTOR_BATCH_TARGET_BYTES = 128 << 20
 
     @contextlib.contextmanager
-    def _frame_bounded_batches(self):
+    def _bounded_batches(self, est_row_bytes: int):
         """Vectorized-parquet batches sized in BYTES, not rows.
 
         Spark's columnar reader reserves capacity for
@@ -128,23 +140,12 @@ class CubePipeline:
         carry full frames (data+errors ≈ 8·naxis1·naxis2 bytes — ~24 MB
         for a 2048×1489 SDSS frame), so one default batch would reserve
         ~100 GB per column vector and OOM any executor, at ANY cluster
-        size. Derive the row budget from the actual frame geometry (one
-        column-pruned scalar lookup) and clamp to [4, 4096]. Spark has no
-        per-scan override, so set + restore the session conf around the
-        phase's actions.
+        size. Clamp the row budget to [4, 4096] from the caller's row
+        byte estimate. Spark has no per-scan override, so set + restore
+        the session conf around the phase's actions.
         """
         key = "spark.sql.parquet.columnarReaderBatchSize"
-        row = (
-            self.read("images")
-            .where(F.col("zoom") == 0)
-            .agg(F.max("naxis1").alias("w"), F.max("naxis2").alias("h"))
-            .head()
-        )
-        if row is None or row["w"] is None:
-            yield
-            return
-        est = 8 * int(row["w"]) * int(row["h"])
-        batch = min(4096, max(4, self._VECTOR_BATCH_TARGET_BYTES // est))
+        batch = min(4096, max(4, self._VECTOR_BATCH_TARGET_BYTES // est_row_bytes))
         prev = self.spark.conf.get(key, None)
         self.spark.conf.set(key, str(batch))
         try:
@@ -155,12 +156,66 @@ class CubePipeline:
             else:
                 self.spark.conf.set(key, prev)
 
+    def _frame_row_bytes(self) -> int | None:
+        """data+errors bytes of the largest zoom-0 frame (one column-pruned
+        scalar lookup against bronze), or None on an empty table."""
+        row = (
+            self.read("images")
+            .where(F.col("zoom") == 0)
+            .agg(F.max("naxis1").alias("w"), F.max("naxis2").alias("h"))
+            .head()
+        )
+        if row is None or row["w"] is None:
+            return None
+        return 8 * int(row["w"]) * int(row["h"])
+
+    @contextlib.contextmanager
+    def _frame_bounded_batches(self):
+        """`_bounded_batches` sized for whatever the pixel path scans:
+        tile rows in tiled mode, full frames otherwise."""
+        if self.tiled:
+            with self._bounded_batches(8 * self.tile * self.tile):
+                yield
+            return
+        est = self._frame_row_bytes()
+        if est is None:
+            yield
+            return
+        with self._bounded_batches(est):
+            yield
+
     # -- phases ------------------------------------------------------------
 
     def phase_ingest(self, images: DataFrame, spectra: DataFrame) -> None:
-        """Bronze: persist observation tables (ingest sources produce them)."""
+        """Bronze: persist observation tables (ingest sources produce them).
+
+        Tiled mode additionally explodes the just-written frames into the
+        ``image_tiles`` table (one extra frame pass, paid once at ingest;
+        every gold rebuild afterwards reads tiles only)."""
         self.write_bronze(images, "images")
         self.write_bronze(spectra, "spectra")
+        if self.tiled:
+            from hiss_cube_spark.operators.tiles import tile_images
+
+            est = self._frame_row_bytes()
+            with self._bounded_batches(est or 8 * self.tile * self.tile):
+                t = tile_images(self.read("images"), tile=self.tile)
+                # Streaming write, deliberately: NO repartition (a range
+                # shuffle moves the whole pixel corpus — measured 87 s →
+                # 407 s ingest), NO sort and NO partitionBy (both buffer
+                # the explode output per task — pixel-sized buffers that
+                # OOM'd an 8-thread/24 g run). The explode order is
+                # already per-frame contiguous, so row groups carry tight
+                # (image_id, zoom) min/max runs for skipping; zoom is a
+                # filter column, not a partition dir, on this table. A
+                # 16 MB row group bounds each writer's buffer to
+                # ~32 tile rows.
+                obs = Observation("image_tiles")
+                w = t.observe(obs, F.count(F.lit(1)).alias("rows"))
+                w.write.mode("overwrite").option(
+                    "parquet.block.size", 16 * 1024 * 1024
+                ).parquet(self.path("image_tiles"))
+                self.stats["image_tiles"] = int(obs.get["rows"])
 
     def phase_link(self) -> None:
         """Silver: the J2 cross-match link table."""
@@ -189,10 +244,12 @@ class CubePipeline:
         spectra = assign_targets(self.read("spectra"))
         refs = self.read("cutout_refs")
         images = self.read("images")
+        tiles = self.read("image_tiles") if self.tiled else None
         with self._frame_bounded_batches():
             spec_cube, img_cube = build_ml_cube(
                 spectra, refs, images,
                 materialize=lambda df: df.localCheckpoint(eager=True),
+                tiles=tiles, tile=self.tile,
             )
             self._write_observed(spec_cube, "ml_cube_spectra", ["zoom"])
             self._write_observed(img_cube, "ml_cube_images", ["zoom"])
@@ -207,7 +264,10 @@ class CubePipeline:
         spectra = self.read("spectra")
         refs = self.read("cutout_refs")
         images = self.read("images")
-        viz = build_visualization_cube(spectra, refs, images)
+        tiles = self.read("image_tiles") if self.tiled else None
+        viz = build_visualization_cube(
+            spectra, refs, images, tiles=tiles, tile=self.tile
+        )
         with self._frame_bounded_batches():
             self._write_observed(viz, "visualization_cube", ["zoom"])
         if export:

@@ -438,3 +438,29 @@ def test_votable_binary_roundtrip(spark, tmp_path_factory):
     _, rows = read_votable(p2)
     got = {r[0]: r[1] for r in rows}
     assert got[1] == big and got[2] is None
+
+
+def test_tiled_pipeline_matches_untiled(spark, tmp_path_factory):
+    """tiled=True (chunked-raster dereference — the reference's HDF5
+    region reads, io_strategy.py:80-91) produces bit-identical gold
+    tables; tile=7 deliberately misaligns every cutout across tiles."""
+    import os
+
+    from astro_fixtures import make_images, make_spectra
+    from hiss_cube_spark.plans.pipeline import CubePipeline
+
+    wa = str(tmp_path_factory.mktemp("wh_plain"))
+    wb = str(tmp_path_factory.mktemp("wh_tiled"))
+    CubePipeline(spark, wa, match_radius_deg=0.01, cutout_size=16).create(
+        make_images(spark), make_spectra(spark)
+    )
+    pt = CubePipeline(
+        spark, wb, match_radius_deg=0.01, cutout_size=16, tiled=True, tile=7
+    )
+    pt.create(make_images(spark), make_spectra(spark))
+    for t in ("ml_cube_spectra", "ml_cube_images", "visualization_cube"):
+        a = spark.read.parquet(os.path.join(wa, t))
+        b = spark.read.parquet(os.path.join(wb, t))
+        assert a.exceptAll(b).count() == 0, t
+        assert b.exceptAll(a).count() == 0, t
+    assert pt.stats["image_tiles"] > 0
