@@ -9167,6 +9167,82 @@ def mm_exif_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "j5_tiled_cutout_service",
+    """
+    SELECT d.doc_id,
+           CAST(d.doc_id % 5 AS INT) AS y_min,
+           CAST(d.doc_id % 7 AS INT) AS x_min,
+           CAST(sum((3 * (d.doc_id % 5 + g.y) + 5 * (d.doc_id % 7 + g.x)
+                     + d.doc_id) % 97) AS BIGINT) AS cut_sum
+    FROM documents d,
+         (SELECT a.y, b.x
+          FROM unnest(generate_series(0, 5)) a(y),
+               unnest(generate_series(0, 5)) b(x)) g
+    WHERE d.doc_id % 11 = 0
+    GROUP BY d.doc_id
+    """,
+)
+def j5_tiled_cutout_service(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cutout-service access pattern over the TILED raster layout
+    (`operators/tiles.py` — the reference's HDF5 chunked region reads,
+    io_strategy.py:80-91): synthetic frames with a closed-form pixel law
+    are built with PURE native expressions (nested `transform`, no
+    Python), exploded into 8×8 tiles by `tile_images`, and 6×6 cutouts
+    are dereferenced through `dereference_cutouts_tiled` — every cutout
+    straddles tile boundaries, so the covering-tile join + intra-tile
+    slice + Arrow paste-assembly all execute distributed. The oracle
+    recomputes each cutout's pixel sum from the generating law — exact
+    integers end to end."""
+    from hiss_cube_spark.operators.tiles import (
+        dereference_cutouts_tiled,
+        tile_images,
+    )
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 11 == 0)
+        .select("doc_id")
+    )
+    h = F.lit(20) + (F.col("doc_id") % 3).cast("int") * 7
+    w = F.lit(33)
+    pix = lambda y, x: (  # noqa: E731 — shared by data and errors
+        (3 * y + 5 * x + F.col("doc_id")) % 97
+    ).cast("float")
+    frames = d.select(
+        F.col("doc_id").alias("image_id"),
+        F.transform(
+            F.sequence(F.lit(0), h - 1),
+            lambda y: F.transform(F.sequence(F.lit(0), w - 1), lambda x: pix(y, x)),
+        ).alias("data"),
+        F.transform(
+            F.sequence(F.lit(0), h - 1),
+            lambda y: F.transform(
+                F.sequence(F.lit(0), w - 1), lambda x: pix(y, x) + 1
+            ),
+        ).alias("errors"),
+    )
+    tiles = tile_images(frames, tile=8)
+    refs = d.select(
+        F.col("doc_id").alias("image_id"),
+        (F.col("doc_id") % 5).cast("int").alias("y_min"),
+        ((F.col("doc_id") % 5) + 6).cast("int").alias("y_max"),
+        (F.col("doc_id") % 7).cast("int").alias("x_min"),
+        ((F.col("doc_id") % 7) + 6).cast("int").alias("x_max"),
+    )
+    cut = dereference_cutouts_tiled(refs, tiles, tile=8)
+    return cut.select(
+        F.col("image_id").alias("doc_id"),
+        "y_min",
+        "x_min",
+        F.aggregate(
+            F.flatten("cutout_data"),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v.cast("bigint"),
+        ).alias("cut_sum"),
+    )
+
+
+@_q(
     "ts_theil_sen",
     """
     WITH b AS (

@@ -96,6 +96,7 @@ HEADLINE = [
     "ts_theil_sen",
     "ts_holt_linear",
     "mm_exif_pipeline",
+    "j5_tiled_cutout_service",
 ]
 
 # Environment-drift sentinel: per-query ratchets are expressed relative to
