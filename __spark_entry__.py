@@ -9337,32 +9337,32 @@ def entry(spark: SparkSession) -> DataFrame:
 # list, remaining never-checked queries first, so later rounds rotate the
 # window forward until every query has had a green row.
 _CHECK_PRIORITY = [
-    # ---- round-6 window (slots 1-50) ----
+    # ---- round-7 window (slots 1-50) ----
     # sentinels (green every round; canaries against harness drift)
     "flagship_ml_cube", "q1_pricing_summary",
-    # the 6 round-5 additions — the only queries never driver-checked
+    # the 4 round-6 additions — the only queries never driver-checked
     # (after this window, zero verification debt again)
-    "mm_png_variants", "mm_fits_codec_sweep", "dq_kl_divergence",
-    "text_zipf_slope", "cur_bottomk_sample", "mm_flac_pipeline",
-    # 42 round-robin RE-verifications: the oldest greens — all 18 queries
-    # last checked in round 1 plus the first 24 of the round-2 cohort
-    # (the remaining 17 r2-era + the 48 r3-era rotate in r7/r8)
-    "a1_ivw_arrays", "a5_l1_distance", "a6_max_merge", "a_distinct_agg",
-    "f16_string_funcs", "f6_mag_to_flux", "j5_cutout_deref",
-    "p3_nan_sanitize", "p6_json_projection", "p8_cutout_wholeness",
-    "q10_returned_revenue", "q14_promo_ratio", "q18_large_orders",
-    "q19_disjunctive_predicates", "q4_order_priority",
-    "q_scalar_subquery", "ts_resample_locf", "w_cumulative_sum",
-    "ann_cosine_topk", "cdc_apply_changelog", "cdc_scd2_history",
-    "cdc_table_diff", "cdc_time_travel", "cone_search",
-    "cur_model_quality", "cur_neardup_corpus", "cur_reservoir_sample",
-    "dedup_clusters", "dedup_eval_metrics", "dedup_minhash_lsh",
-    "dedup_ngram_jaccard", "dedup_paragraphs", "dedup_simhash",
-    "dq_equidepth", "dq_histogram", "emb_centroids", "emb_cosine_pairs",
-    "graph_pagerank", "j_asof_join", "j_bloom_prune", "j_fuzzy_match",
-    "j_interval_overlap",
-    # ---- slot 50 ends at j_interval_overlap; everything else follows in
-    # definition order (all previously driver-green in r1–r5) ----
+    "ts_theil_sen", "ts_holt_linear", "mm_exif_pipeline",
+    "j5_tiled_cutout_service",
+    # 44 round-robin RE-verifications: the oldest greens — all 17 queries
+    # last checked in round 2 plus the first 27 of the round-3 cohort
+    # (the remaining 21 r3-era rotate in r8)
+    "w_lag_sessionize", "stream_tumbling_window", "stream_session_window",
+    "text_langid", "text_quality", "text_token_count", "text_fingerprint",
+    "text_repetition", "text_lm_score", "text_heavy_hitters",
+    "text_tfidf_topk", "w_gaps_islands", "q_lateral_topk", "j_range_join",
+    "stream_sliding_window", "stream_interval_join", "ts_ewma",
+    "j_asof_interp", "ts_autocorr", "a_trimmed_mean", "a_mode",
+    "dedup_containment", "emb_hard_negatives", "ann_sq_topk",
+    "emb_random_projection", "ann_lsh_topk", "ann_pq_topk",
+    "f_udtf_tokens", "dq_constraint_report", "dq_ks_drift",
+    "dq_mad_outliers", "dq_segment_drift", "dq_profile_table",
+    "cdc_incremental_agg", "cur_incremental_dedup", "cur_chunk_documents",
+    "cur_domain_cap", "cur_hash_split", "cur_stratified_kfold",
+    "cur_weighted_sample", "cur_pack_sequences", "cur_balanced_sample",
+    "cur_corpus_report", "text_bm25_topk",
+    # ---- slot 50 ends at text_bm25_topk; everything else follows in
+    # definition order (all previously driver-green in r1–r6) ----
 ]
 
 

@@ -21,8 +21,11 @@ decoder reads the subframe/stereo surface real-world FLAC files use:
 - **stereo decorrelation (decode)**: independent, left/side,
   right/side and mid/side reconstruction per RFC 9639 §4.2;
 - **encoder**: 16-bit mono/stereo, fixed 4096 blocksize. Default
-  (``lpc=False, stereo="independent"``) is byte-stable vs round 5:
-  best-of fixed predictor order 0-2, single-partition Rice. Opt-in
+  (``lpc=False, stereo="independent"``) uses best-of fixed predictor
+  order (estimated Rice bit cost), single-partition Rice; one default
+  8-bit stream is byte-pinned in tests, but cross-version byte
+  stability of every input is not a contract — only losslessness is.
+  Opt-in
   ``lpc=True`` adds Levinson-Durbin LPC subframes (orders 2/4/8,
   precision 12) chosen by estimated Rice bit cost; ``stereo=`` adds
   left/side / right/side / mid/side (or ``"auto"`` per-frame best).
@@ -49,7 +52,7 @@ import struct
 
 import numpy as np
 
-__all__ = ["encode_flac_np", "decode_flac_np"]
+__all__ = ["encode_flac_np", "decode_flac_np", "flac_streaminfo"]
 
 _MAGIC = b"fLaC"
 
@@ -287,8 +290,8 @@ def _rice_read_vec(
         step = 1
         while step < cnt:
             m = min(step, cnt - step)
-            idx[step : step + m] = jump[idx[:m]] + step * 0  # orbit fill
-            jump = jump[np.minimum(jump, win.size)]  # compose: next^(2*step)
+            idx[step : step + m] = jump[idx[:m]]  # orbit fill
+            jump = jump[jump]  # compose: next^(2*step); values <= win.size
             step *= 2
         if cnt > 1 and int(idx.max()) >= win.size:
             raise ValueError("FLAC bitstream truncated")
@@ -327,8 +330,8 @@ def _read_residual(
     porder, t = _read_uint_vec(bits, t, 1, 4)
     porder = int(porder[0])
     nparts = 1 << porder
-    if bs >> porder << porder != bs or (bs >> porder) <= order and nparts == 1 and bs != order:
-        pass  # partition size validity is enforced by cnt computation below
+    if (bs >> porder) << porder != bs:
+        raise ValueError("invalid partition order for blocksize")
     parts = []
     for pi in range(nparts):
         cnt = (bs >> porder) - (order if pi == 0 else 0)
@@ -707,6 +710,34 @@ def _decode_subframe(
     if wasted:
         out = out << wasted
     return out, t
+
+
+def flac_streaminfo(payload: bytes) -> dict:
+    """STREAMINFO fields only — no frame decode. Callers that need the
+    stream's bit depth (e.g. per-depth [-1, 1] normalization in
+    `multimodal.decode_audio_np`) get it here without paying for a full
+    decode twice."""
+    if payload[:4] != _MAGIC:
+        raise ValueError("not a FLAC payload (missing fLaC magic)")
+    pos = 4
+    while pos + 4 <= len(payload):
+        head = payload[pos]
+        last, btype = head & 0x80, head & 0x7F
+        (ln,) = struct.unpack(">I", b"\x00" + payload[pos + 1 : pos + 4])
+        body = payload[pos + 4 : pos + 4 + ln]
+        if btype == 0:  # STREAMINFO
+            br = _BR(body)
+            br.get(16), br.get(16), br.get(24), br.get(24)
+            return {
+                "rate": br.get(20),
+                "channels": br.get(3) + 1,
+                "bits_per_sample": br.get(5) + 1,
+                "total_samples": br.get(36),
+            }
+        pos += 4 + ln
+        if last:
+            break
+    raise ValueError("FLAC missing STREAMINFO")
 
 
 def decode_flac_np(payload: bytes) -> tuple[np.ndarray, int]:

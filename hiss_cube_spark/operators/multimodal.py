@@ -785,14 +785,20 @@ def decode_audio_np(payload: bytes) -> tuple[np.ndarray, int]:
     """Magic-byte audio dispatch: PCM WAV (RIFF) or FLAC (the in-repo
     subset codec, `operators/flac.py`) → (mono float32 samples in
     [-1, 1], rate). Stereo FLAC downmixes by channel mean — the analysis
-    pipeline's mono contract."""
+    pipeline's mono contract. FLAC normalizes at the STREAM's bit depth
+    (127 / 32767 / 8388607), same per-depth contract as the WAV branch."""
     if payload[:4] == b"fLaC":
-        from hiss_cube_spark.operators.flac import decode_flac_np
+        from hiss_cube_spark.operators.flac import (
+            decode_flac_np,
+            flac_streaminfo,
+        )
 
         arr, rate = decode_flac_np(payload)
         if arr.ndim == 2:
             arr = arr.astype(np.float32).mean(axis=1)
-        return arr.astype(np.float32) / 32767.0, rate
+        bps = flac_streaminfo(payload)["bits_per_sample"]
+        scale = {8: 127.0, 16: 32767.0, 24: 8_388_607.0}[bps]
+        return arr.astype(np.float32) / scale, rate
     arr, rate = decode_wav_np(payload)
     if arr.ndim == 2:
         arr = arr.mean(axis=1, dtype=np.float32)

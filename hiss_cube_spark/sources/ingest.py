@@ -23,7 +23,10 @@ from hiss_cube_spark.functions.pyramid import downsample_image
 from hiss_cube_spark.functions.spatial import _ang2pix_nest_np
 from hiss_cube_spark.sources.fits import parse_fits_image
 
-__all__ = ["image_rows_from_fits", "ingest_images", "IMG_SPAT_ORDER"]
+__all__ = [
+    "image_rows_from_fits", "ingest_images", "spectrum_rows_from_fits",
+    "ingest_spectra", "ingest_one", "overwrite_one", "IMG_SPAT_ORDER",
+]
 
 IMG_SPAT_ORDER = 10  # nside 2^10, ref config IMG_SPAT_INDEX_ORDER=11 → order-1
 
@@ -108,8 +111,32 @@ _IMG_SCHEMA = (
 )
 
 
+def _binary_scan(
+    spark: SparkSession,
+    directory: str,
+    pattern: str,
+    paths: list[str] | None = None,
+) -> DataFrame:
+    """binaryFile scan: glob-over-directory, or an explicit path list (the
+    CSV-driven S2/S3 scans resolve their lists to paths first — the
+    reference expands CSV rows to per-row globs the same way,
+    processors/metadata.py:132-160)."""
+    reader = spark.read.format("binaryFile")
+    if paths is not None:
+        if not paths:
+            raise ValueError("empty path list for binary scan")
+        return reader.load(list(paths)).select("path", "content")
+    return (
+        reader.option("pathGlobFilter", pattern)
+        .option("recursiveFileLookup", "true")
+        .load(directory)
+        .select("path", "content")
+    )
+
+
 def ingest_images(
-    spark: SparkSession, directory: str, pattern: str = "*.fits*", zooms: int = 5
+    spark: SparkSession, directory: str, pattern: str = "*.fits*", zooms: int = 5,
+    paths: list[str] | None = None,
 ) -> DataFrame:
     """Bulk image ingest: binaryFile scan → per-batch pyramid build.
 
@@ -117,13 +144,7 @@ def ingest_images(
     zipWithIndex-free hash of path — stable and shuffle-free)."""
     from pyspark.sql import functions as F
 
-    files = (
-        spark.read.format("binaryFile")
-        .option("pathGlobFilter", pattern)
-        .option("recursiveFileLookup", "true")
-        .load(directory)
-        .select("path", "content")
-    )
+    files = _binary_scan(spark, directory, pattern, paths)
 
     cols = [
         "path", "run", "camcol", "band", "wl", "tai_time", "ra", "dec",
@@ -218,17 +239,12 @@ _SPEC_SCHEMA = (
 def ingest_spectra(
     spark: SparkSession, directory: str, pattern: str = "*.fits*",
     zooms: int = 5, rebin_samples: int | None = None,
+    paths: list[str] | None = None,
 ) -> DataFrame:
     """Bulk spectrum ingest: binaryFile scan → mapInPandas kernel."""
     from pyspark.sql import functions as F
 
-    files = (
-        spark.read.format("binaryFile")
-        .option("pathGlobFilter", pattern)
-        .option("recursiveFileLookup", "true")
-        .load(directory)
-        .select("path", "content")
-    )
+    files = _binary_scan(spark, directory, pattern, paths)
     cols = [
         "path", "plateid", "mjd", "fiberid", "plug_ra", "plug_dec",
         "healpix", "time", "zoom", "wl", "flux_mean", "flux_sigma",
@@ -248,6 +264,136 @@ def ingest_spectra(
 
     parsed = files.mapInPandas(_parse, schema=_SPEC_SCHEMA)
     return parsed.withColumn("spec_id", F.xxhash64("path"))
+
+
+# --------------------------------------------------------------------------
+# Single-object ingest (ref SingleImageBuilder / SingleSpectrumBuilder,
+# builders.py:36-123): one FITS → all-zoom bronze rows appended to the
+# warehouse table. Duplicate insert raises, mirroring the reference's
+# duplicate-spatial-index AssertionError (tests/test_serial_builders.py:
+# 108-116); ``overwrite_one`` is the idempotent variant.
+# --------------------------------------------------------------------------
+
+
+def _one_file_rows(
+    spark: SparkSession, path: str, kind: str, zooms: int,
+    rebin_samples: int | None,
+) -> tuple[str, DataFrame]:
+    """Parse ONE observation file → (table name, all-zoom rows DataFrame).
+
+    The file bytes come back through the JVM's Hadoop FS layer (so any
+    warehouse-reachable URI works), and the parse runs on the driver —
+    deliberate: this is the serial maintenance API for appending a single
+    observation, the reference's serial-builder cost model. Bulk loads go
+    through ``ingest_images``/``ingest_spectra`` (executor-side parse)."""
+    from pyspark.sql import functions as F
+
+    row = (
+        spark.read.format("binaryFile").load(path)
+        .select("path", "content").head()
+    )
+    if row is None:
+        raise FileNotFoundError(path)
+    content, full_path = bytes(row["content"]), row["path"]
+    if kind == "auto":
+        from hiss_cube_spark.sources.fits import (
+            maybe_decompress,
+            read_fits_bytes_header,
+        )
+
+        hdr, _ = read_fits_bytes_header(maybe_decompress(content), 0)
+        # spectrum files carry the plug coordinates in an NAXIS=0 primary
+        # header; image frames are 2-D primary HDUs
+        kind = "spectrum" if int(hdr.get("NAXIS", 0)) == 0 else "image"
+    if kind == "image":
+        rows = image_rows_from_fits(content, full_path, zooms)
+        df = spark.createDataFrame(rows, schema=_IMG_SCHEMA)
+        return "images", df.withColumn("image_id", F.xxhash64("path"))
+    if kind == "spectrum":
+        rows = spectrum_rows_from_fits(content, full_path, zooms, rebin_samples)
+        df = spark.createDataFrame(rows, schema=_SPEC_SCHEMA)
+        return "spectra", df.withColumn("spec_id", F.xxhash64("path"))
+    raise ValueError(f"kind must be image|spectrum|auto, got {kind!r}")
+
+
+def ingest_one(
+    spark: SparkSession,
+    path: str,
+    warehouse: str,
+    kind: str = "auto",
+    zooms: int = 5,
+    rebin_samples: int | None = None,
+) -> str:
+    """Append ONE observation to the warehouse; returns the table written.
+
+    Raises ``ValueError`` if the path is already ingested (the reference's
+    duplicate-insert contract). The append lands in the existing
+    ``zoom=N`` partition directories; per-file healpix clustering of the
+    bulk sink is not disturbed (one extra file per zoom partition)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    table, df = _one_file_rows(spark, path, kind, zooms, rebin_samples)
+    tpath = os.path.join(warehouse, table)
+    new_path = df.select("path").head()["path"]
+    try:
+        existing = spark.read.parquet(tpath)
+        dup = existing.where(F.col("path") == new_path).limit(1).count()
+    except Exception:
+        dup = 0  # table absent: first object creates it
+    if dup:
+        raise ValueError(
+            f"{new_path} already ingested into {tpath}; use overwrite_one "
+            "for idempotent re-ingest (ref duplicate-insert contract, "
+            "tests/test_serial_builders.py:108-116)"
+        )
+    df.write.mode("append").partitionBy("zoom").parquet(tpath)
+    return table
+
+
+def overwrite_one(
+    spark: SparkSession,
+    path: str,
+    warehouse: str,
+    kind: str = "auto",
+    zooms: int = 5,
+    rebin_samples: int | None = None,
+) -> str:
+    """Idempotent single-observation re-ingest: replaces any existing rows
+    for the same path, inserts if absent.
+
+    Parquet has no row-level delete, so replacement rewrites the table
+    minus the old rows through a temp directory and swaps — correct and
+    atomic-enough for the serial maintenance API this is; a high-churn
+    update workload belongs on the manifest snapshot store
+    (``streaming/manifest.py``), not on raw parquet."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    table, df = _one_file_rows(spark, path, kind, zooms, rebin_samples)
+    tpath = os.path.join(warehouse, table)
+    new_path = df.select("path").head()["path"]
+    try:
+        existing = spark.read.parquet(tpath)
+        has_old = existing.where(F.col("path") == new_path).limit(1).count()
+    except Exception:
+        existing, has_old = None, 0
+    if not has_old:
+        df.write.mode("append").partitionBy("zoom").parquet(tpath)
+        return table
+    tmp = tpath + "__rewrite_tmp"
+    kept_cols = existing.columns
+    (
+        existing.where(F.col("path") != new_path)
+        .unionByName(df.select(*kept_cols))
+        .write.mode("overwrite").partitionBy("zoom").parquet(tmp)
+    )
+    shutil.rmtree(tpath)
+    os.replace(tmp, tpath)
+    return table
 
 
 from hiss_cube_spark._serde import register_self as _register_self  # noqa: E402

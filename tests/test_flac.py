@@ -288,3 +288,45 @@ def test_md5_mismatch_rejected():
     ok = _craft_mono(s, 24, md5=b"\x00" * 16)
     dec, _ = decode_flac_np(ok)
     np.testing.assert_array_equal(dec, s.astype(np.int32))
+
+
+def test_streaminfo_helper():
+    s = RNG.integers(-100, 100, size=64).astype(np.int64)
+    info = flac_mod.flac_streaminfo(_craft_mono(s, 24, rate=12_000))
+    assert info == {
+        "rate": 12_000,
+        "channels": 1,
+        "bits_per_sample": 24,
+        "total_samples": 64,
+    }
+    with pytest.raises(ValueError, match="fLaC"):
+        flac_mod.flac_streaminfo(b"RIFFxxxx")
+
+
+def test_decode_audio_np_normalizes_at_stream_depth():
+    """decode_audio_np's [-1, 1] contract must hold at EVERY FLAC bit
+    depth (round-6 divided by 32767 unconditionally: 8-bit came out
+    ~256x too quiet, 24-bit up to +-256)."""
+    from hiss_cube_spark.operators.multimodal import decode_audio_np
+
+    for bps, full in ((8, 127), (16, 32767), (24, 8_388_607)):
+        s = np.zeros(32, dtype=np.int64)
+        s[0], s[1] = full, -full
+        mono, rate = decode_audio_np(_craft_mono(s, bps))
+        assert rate == 8_000
+        assert mono.dtype == np.float32
+        assert abs(float(mono[0]) - 1.0) < 1e-6, bps
+        assert abs(float(mono[1]) + 1.0) < 1e-6, bps
+        assert float(np.abs(mono).max()) <= 1.0 + 1e-6
+
+
+def test_invalid_partition_order_rejected():
+    """A porder that does not divide the blocksize must raise at the
+    residual header, not surface later as a CRC/shape mismatch."""
+    bits = np.zeros(64, dtype=np.uint8)
+    # method=0 (00), porder=3 on bs=100 (100 % 8 != 0) -> invalid
+    bits[2:6] = [0, 0, 1, 1]
+    ones = np.flatnonzero(bits)
+    rank = np.cumsum(bits, dtype=np.int64)
+    with pytest.raises(ValueError, match="partition order"):
+        flac_mod._read_residual(bits, ones, rank, 0, 100, 2)
