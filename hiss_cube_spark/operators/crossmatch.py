@@ -29,7 +29,22 @@ from pyspark.sql import functions as F
 
 from hiss_cube_spark.functions.spatial import grid_cell, grid_disc_cells, sphere_dist_deg
 
-__all__ = ["crossmatch", "cap_matches_per_probe", "cone_search", "knn_crossmatch"]
+__all__ = [
+    "crossmatch", "cap_matches_per_probe", "cone_search", "knn_crossmatch",
+    "healpix_order_for_radius",
+]
+
+
+def healpix_order_for_radius(radius_deg: float) -> int:
+    """Deepest HEALPix order whose pixels still cover a disc of
+    ``radius_deg`` with a small constant cell count (pixel circumradius
+    ≥ radius ⇒ ≤ ~9 cover cells, the 3×3 analog of the grid family).
+    58.6323°/nside bounds the nested pixel circumradius (same constant the
+    inclusive-cover padding uses, functions/spatial.py)."""
+    import math as _math
+
+    order = int(_math.floor(_math.log2(58.6323 / max(radius_deg, 1e-12))))
+    return max(0, min(order, 29))
 
 
 def crossmatch(
@@ -44,16 +59,41 @@ def crossmatch(
     disc_cells_fn: Callable[[Column, Column], Column] | None = None,
     cell_fn: Callable[[Column, Column], Column] | None = None,
     broadcast_targets: bool = False,
+    index: str = "grid",
+    healpix_order: int | None = None,
 ) -> DataFrame:
     """All (probe, target) pairs within ``radius_deg``.
 
     Probe columns are prefixed ``p_`` and target columns ``t_`` in the output,
     plus a ``match_dist`` column. The spatial index family is pluggable:
-    defaults to the native grid index with ``cell_deg = radius_deg`` (3×3
-    covers); pass ``disc_cells_fn``/``cell_fn`` for HEALPix.
+    ``index="grid"`` (default here; equatorial/oracle-parity family —
+    equiangular cells with ``cell_deg = radius_deg``, 3×3 covers, pole
+    caveat documented at functions/spatial.py:71-74) or
+    ``index="healpix"`` (the reference's family, astrometry.py:158-182 —
+    pole-correct, equal-area; the PIPELINE default, plans/pipeline.py).
+    Both are superset covers + exact post-filter, so the MATCH SET is
+    identical wherever the grid cover is valid; near the poles only
+    healpix is correct. Explicit ``disc_cells_fn``/``cell_fn`` override
+    either family.
     """
     if cell_deg is None:
         cell_deg = radius_deg
+    if index not in ("grid", "healpix"):
+        raise ValueError(f"index must be grid|healpix, got {index!r}")
+    if index == "healpix" and disc_cells_fn is None and cell_fn is None:
+        from hiss_cube_spark.functions.spatial import (
+            healpix_ang2pix_nest,
+            healpix_disc_cover,
+        )
+
+        order = (
+            healpix_order_for_radius(radius_deg)
+            if healpix_order is None else healpix_order
+        )
+        disc_cells_fn = lambda ra, dec: healpix_disc_cover(
+            ra, dec, radius_deg, order
+        )
+        cell_fn = lambda ra, dec: healpix_ang2pix_nest(ra, dec, order)
     if disc_cells_fn is None:
         disc_cells_fn = lambda ra, dec: grid_disc_cells(ra, dec, radius_deg, cell_deg)
     if cell_fn is None:

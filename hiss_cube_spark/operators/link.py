@@ -29,6 +29,7 @@ def build_cutout_refs(
     zooms: int = 5,
     cutout_size: int = 64,
     max_refs: int = 200,
+    index: str = "healpix",
 ) -> DataFrame:
     """Cutout reference table: (spec_id, image_id, zoom, band, wl, bounds…).
 
@@ -40,6 +41,12 @@ def build_cutout_refs(
     the rescaled WCS arithmetically (no extra joins) and are exploded from a
     per-zoom array — the same "link once, reference every resolution"
     shape as the reference (metadata_strategy_spectrum.py:648-675).
+
+    ``index`` defaults to HEALPix — the reference's own family
+    (query_disc, astrometry.py:158-182), pole-correct for real sky-survey
+    data; ``"grid"`` is the equatorial/oracle-parity family (same match
+    set away from the poles, documented caveat at
+    functions/spatial.py:71-74).
     """
     m = crossmatch(
         spectra.select("spec_id", F.col("plug_ra").alias("ra"), F.col("plug_dec").alias("dec")),
@@ -49,6 +56,7 @@ def build_cutout_refs(
         probe_dec="dec",
         target_ra="ra",
         target_dec="dec",
+        index=index,
     )
     # Deterministic cap BEFORE the zoom explode (the reference caps refs per
     # spectrum at the original resolution, config.ini:36).

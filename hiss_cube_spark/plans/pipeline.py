@@ -52,6 +52,7 @@ class CubePipeline:
         max_refs: int = 200,
         tiled: bool = False,
         tile: int = 256,
+        spatial_index: str = "healpix",
     ):
         """``tiled=True`` additionally materializes an ``image_tiles``
         table at ingest (one row per ``tile×tile`` block — the HDF5
@@ -69,6 +70,10 @@ class CubePipeline:
         self.max_refs = max_refs
         self.tiled = tiled
         self.tile = tile
+        #: spatial-index family for the link cross-match: "healpix" (the
+        #: reference's query_disc family — pole-correct, the default) or
+        #: "grid" (equatorial/oracle-parity; functions/spatial.py:71-74)
+        self.spatial_index = spatial_index
         #: per-table row counts, filled as phases run (the reference's
         #: image_count/spectrum_count file attrs, utils/io.py:183-199 —
         #: observed on the write pass itself, no extra count() job).
@@ -195,27 +200,33 @@ class CubePipeline:
         self.write_bronze(images, "images")
         self.write_bronze(spectra, "spectra")
         if self.tiled:
-            from hiss_cube_spark.operators.tiles import tile_images
+            self.phase_tiles()
 
-            est = self._frame_row_bytes()
-            with self._bounded_batches(est or 8 * self.tile * self.tile):
-                t = tile_images(self.read("images"), tile=self.tile)
-                # Streaming write, deliberately: NO repartition (a range
-                # shuffle moves the whole pixel corpus — measured 87 s →
-                # 407 s ingest), NO sort and NO partitionBy (both buffer
-                # the explode output per task — pixel-sized buffers that
-                # OOM'd an 8-thread/24 g run). The explode order is
-                # already per-frame contiguous, so row groups carry tight
-                # (image_id, zoom) min/max runs for skipping; zoom is a
-                # filter column, not a partition dir, on this table. A
-                # 16 MB row group bounds each writer's buffer to
-                # ~32 tile rows.
-                obs = Observation("image_tiles")
-                w = t.observe(obs, F.count(F.lit(1)).alias("rows"))
-                w.write.mode("overwrite").option(
-                    "parquet.block.size", 16 * 1024 * 1024
-                ).parquet(self.path("image_tiles"))
-                self.stats["image_tiles"] = int(obs.get["rows"])
+    def phase_tiles(self) -> None:
+        """Explode the written ``images`` bronze into ``image_tiles`` (one
+        extra frame pass, paid once; every gold rebuild afterwards reads
+        tiles only)."""
+        from hiss_cube_spark.operators.tiles import tile_images
+
+        est = self._frame_row_bytes()
+        with self._bounded_batches(est or 8 * self.tile * self.tile):
+            t = tile_images(self.read("images"), tile=self.tile)
+            # Streaming write, deliberately: NO repartition (a range
+            # shuffle moves the whole pixel corpus — measured 87 s →
+            # 407 s ingest), NO sort and NO partitionBy (both buffer
+            # the explode output per task — pixel-sized buffers that
+            # OOM'd an 8-thread/24 g run). The explode order is
+            # already per-frame contiguous, so row groups carry tight
+            # (image_id, zoom) min/max runs for skipping; zoom is a
+            # filter column, not a partition dir, on this table. A
+            # 16 MB row group bounds each writer's buffer to
+            # ~32 tile rows.
+            obs = Observation("image_tiles")
+            w = t.observe(obs, F.count(F.lit(1)).alias("rows"))
+            w.write.mode("overwrite").option(
+                "parquet.block.size", 16 * 1024 * 1024
+            ).parquet(self.path("image_tiles"))
+            self.stats["image_tiles"] = int(obs.get["rows"])
 
     def phase_link(self) -> None:
         """Silver: the J2 cross-match link table."""
@@ -228,6 +239,7 @@ class CubePipeline:
             zooms=self.zooms,
             cutout_size=self.cutout_size,
             max_refs=self.max_refs,
+            index=self.spatial_index,
         )
         self._write_observed(refs, "cutout_refs", ["zoom"])
 

@@ -16,14 +16,19 @@ __all__ = ["image_paths_from_csv", "spectra_paths_from_csv", "match_listing"]
 
 
 def image_paths_from_csv(spark: SparkSession, csv_path: str, rerun: int = 301) -> DataFrame:
-    """(run, camcol, field, path_glob) from an image list CSV."""
+    """(run, camcol, field, path_glob) from an image list CSV.
+
+    Expansion matches the reference exactly (processors/metadata.py:
+    139-147): directory ``<rerun>/<run>/<camcol>/`` (run NOT zero-padded —
+    the CSV string is used as-is there), rglob pattern ``*<field:04d>.fits``
+    — the field is the 4-digit suffix of SDSS frame names."""
     df = spark.read.option("header", "true").csv(csv_path)
     return df.select(
         F.col("run").cast("int"),
         F.col("camcol").cast("int"),
         F.col("field").cast("int"),
         F.format_string(
-            f"{rerun}/%d/%d/frame-*-%06d-*.fits",
+            f"{rerun}/%d/%d/*%04d.fits",
             F.col("run").cast("int"),
             F.col("camcol").cast("int"),
             F.col("field").cast("int"),

@@ -25,6 +25,7 @@ become JVM rows.
 from __future__ import annotations
 
 import json
+import os
 import re
 from collections.abc import Iterator
 
@@ -45,6 +46,7 @@ __all__ = [
     "parse_fits_header",
     "parse_fits_image",
     "scan_fits_headers",
+    "read_fits_table_df",
     "read_fits_bytes_header",
     "maybe_decompress",
     "find_tiled_image_hdu",
@@ -266,6 +268,137 @@ def parse_fits_bintable(data: bytes, hdu_index: int = 1) -> dict[str, np.ndarray
         names.append(name)
     rec = np.frombuffer(data[pos : pos + row_bytes * nrows], dtype=np.dtype(dtype))
     return {n: np.array(rec[n]) for n in names}
+
+
+def _nth_header(data: bytes, hdu_index: int) -> dict:
+    """Header of HDU ``hdu_index`` from in-memory bytes (data skipped by
+    size arithmetic, never scanned)."""
+    pos = 0
+    for i in range(hdu_index + 1):
+        hdr, dpos = read_fits_bytes_header(data, pos)
+        if i == hdu_index:
+            return hdr
+        pos = dpos + _hdu_data_size(hdr)
+    raise ValueError(f"no HDU {hdu_index}")
+
+
+def _nth_header_seek(path: str, hdu_index: int) -> dict | None:
+    """Seek-based header walk for a LOCAL uncompressed file: reads only
+    header blocks (KBs), skipping each data section with a seek — schema
+    discovery never touches table data. Returns None when the path isn't
+    local/seekable (compressed or remote → caller falls back to a
+    one-file driver fetch)."""
+    p = path
+    if p.startswith("file:"):
+        p = re.sub(r"^file:/*", "/", p)
+    if p.endswith((".gz", ".bz2")) or not os.path.isfile(p):
+        return None
+    with open(p, "rb") as f:
+        pos = 0
+        for i in range(hdu_index + 1):
+            blocks = b""
+            hdr = dpos_rel = None
+            f.seek(pos)
+            while hdr is None:
+                blk = f.read(_BLOCK)
+                if len(blk) < _BLOCK:
+                    raise ValueError("truncated FITS header")
+                blocks += blk
+                try:
+                    hdr, dpos_rel = read_fits_bytes_header(blocks, 0)
+                except ValueError:
+                    continue
+            if i == hdu_index:
+                return hdr
+            pos += dpos_rel + _hdu_data_size(hdr)
+    raise ValueError(f"no HDU {hdu_index}")
+
+
+_TFORM_SPARK = {
+    "L": "boolean", "B": "smallint", "I": "smallint", "J": "int",
+    "K": "long", "E": "float", "D": "double",
+}
+_TFORM_NUMPY_NATIVE = {
+    "L": np.bool_, "B": np.int16, "I": np.int16, "J": np.int32,
+    "K": np.int64, "E": np.float32, "D": np.float64,
+}
+
+
+def read_fits_table_df(
+    spark: SparkSession,
+    path: str,
+    hdu_index: int = 1,
+    with_row_id: bool = True,
+) -> DataFrame:
+    """External FITS catalog table → DataFrame (S7 as a first-class read;
+    the reference loads gal_info/gal_sfr catalogs this way via fitsio,
+    processors/sfr.py:24-31).
+
+    Schema comes from a driver-side header walk (header blocks only —
+    data sections are seek-skipped for local files; compressed/remote
+    files fall back to one driver fetch of the file). The table data
+    itself parses executor-side (binaryFile → mapInPandas), one task per
+    file: a single-file catalog is one blob — its parse cannot
+    parallelize, but everything downstream (the SFR join) is distributed
+    and the driver never holds row data.
+
+    ``row_id`` is the row's position within its file — for the
+    single-file catalogs this API targets, the global positional-concat
+    key the reference's ``pd.concat(axis=1)`` relies on (sfr.py:30)."""
+    hdr = _nth_header_seek(path, hdu_index)
+    if hdr is None:
+        row = spark.read.format("binaryFile").load(path).select("content").head()
+        if row is None:
+            raise FileNotFoundError(path)
+        hdr = _nth_header(maybe_decompress(bytes(row["content"])), hdu_index)
+    if hdr.get("XTENSION") != "BINTABLE":
+        raise ValueError(f"HDU {hdu_index} is not a BINTABLE")
+
+    fields: list[tuple[str, str]] = []  # (name, spark type)
+    for i in range(1, int(hdr["TFIELDS"]) + 1):
+        name = str(hdr.get(f"TTYPE{i}", f"col{i}")).strip()
+        form = str(hdr[f"TFORM{i}"]).strip()
+        if form.endswith("A"):
+            fields.append((name, "string"))
+            continue
+        rep = int(form[:-1]) if form[:-1] else 1
+        base = _TFORM_SPARK.get(form[-1])
+        if base is None:
+            raise NotImplementedError(f"TFORM {form!r} (L/B/I/J/K/E/D/A)")
+        fields.append((name, f"array<{base}>" if rep > 1 else base))
+    names = [n for n, _ in fields]
+    ddl = ", ".join(f"`{n}` {t}" for n, t in fields)
+    if with_row_id:
+        ddl += ", row_id long"
+
+    idx = hdu_index
+
+    def _parse(batches):
+        import pandas as _pd
+
+        for pdf in batches:
+            for content in pdf["content"]:
+                cols = parse_fits_bintable(bytes(content), idx)
+                out = {}
+                n_rows = 0
+                for nm, typ in fields:
+                    arr = cols[nm]
+                    n_rows = len(arr)
+                    if arr.dtype.kind == "S":
+                        out[nm] = [
+                            v.decode("ascii", "replace").rstrip() for v in arr
+                        ]
+                    elif arr.ndim > 1:
+                        native = arr.astype(arr.dtype.newbyteorder("="))
+                        out[nm] = list(native)
+                    else:
+                        out[nm] = arr.astype(arr.dtype.newbyteorder("="))
+                if with_row_id:
+                    out["row_id"] = np.arange(n_rows, dtype=np.int64)
+                yield _pd.DataFrame(out)
+
+    files = spark.read.format("binaryFile").load(path).select("content")
+    return files.mapInPandas(_parse, schema=ddl)
 
 
 # --------------------------------------------------------------------------

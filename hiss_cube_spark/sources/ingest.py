@@ -19,9 +19,22 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
-from hiss_cube_spark.functions.pyramid import downsample_image
+# everything an executor-run kernel touches imports at MODULE level:
+# a lazy `from hiss_cube_spark...` inside a mapInPandas-called function
+# dies with ModuleNotFoundError on workers when the driver runs outside
+# the repo (the package ships by-value via _serde cloudpickle
+# registration; import statements inside the function body bypass it)
+from hiss_cube_spark.functions.pyramid import downsample_image, downsample_spectrum
 from hiss_cube_spark.functions.spatial import _ang2pix_nest_np
-from hiss_cube_spark.sources.fits import parse_fits_image
+from hiss_cube_spark.sources.fits import (
+    parse_fits_bintable,
+    parse_fits_header,
+    parse_fits_image,
+)
+from hiss_cube_spark.sources.photometry_ingest import (
+    rebin_spectrum,
+    spectrum_physical_units,
+)
 
 __all__ = [
     "image_rows_from_fits", "ingest_images", "spectrum_rows_from_fits",
@@ -183,13 +196,6 @@ def spectrum_rows_from_fits(
     """One spectrum FITS (BINTABLE HDU1: loglam/flux/ivar) → one bronze row
     per zoom: physical units (photometry.py:105-108), rebin onto the fixed
     survey grid (photometry.py:343-350), Gaussian pyramid (σ/2 per level)."""
-    from hiss_cube_spark.functions.pyramid import downsample_spectrum
-    from hiss_cube_spark.sources.fits import parse_fits_bintable, parse_fits_header
-    from hiss_cube_spark.sources.photometry_ingest import (
-        rebin_spectrum,
-        spectrum_physical_units,
-    )
-
     header = parse_fits_header(content)
     cols = parse_fits_bintable(content, hdu_index=1)
     wl, flux, sigma = spectrum_physical_units(
@@ -305,13 +311,25 @@ def _one_file_rows(
         # spectrum files carry the plug coordinates in an NAXIS=0 primary
         # header; image frames are 2-D primary HDUs
         kind = "spectrum" if int(hdr.get("NAXIS", 0)) == 0 else "image"
+    def _plain(v):
+        # createDataFrame wants python-native containers, not ndarrays
+        if isinstance(v, np.ndarray):
+            return v.tolist()
+        if isinstance(v, np.generic):
+            return v.item()
+        if isinstance(v, dict):
+            return {k: _plain(x) for k, x in v.items()}
+        if isinstance(v, (list, tuple)):
+            return [_plain(x) for x in v]
+        return v
+
     if kind == "image":
         rows = image_rows_from_fits(content, full_path, zooms)
-        df = spark.createDataFrame(rows, schema=_IMG_SCHEMA)
+        df = spark.createDataFrame([_plain(r) for r in rows], schema=_IMG_SCHEMA)
         return "images", df.withColumn("image_id", F.xxhash64("path"))
     if kind == "spectrum":
         rows = spectrum_rows_from_fits(content, full_path, zooms, rebin_samples)
-        df = spark.createDataFrame(rows, schema=_SPEC_SCHEMA)
+        df = spark.createDataFrame([_plain(r) for r in rows], schema=_SPEC_SCHEMA)
         return "spectra", df.withColumn("spec_id", F.xxhash64("path"))
     raise ValueError(f"kind must be image|spectrum|auto, got {kind!r}")
 

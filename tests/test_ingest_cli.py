@@ -325,3 +325,205 @@ def test_rice_codec_roundtrip_and_stream_shape():
             np.testing.assert_array_equal(got, a, err_msg=f"{bytepix}/{name}")
         assert len(rice_encode(cases["const"].astype(dt), 32, bytepix)) <= bytepix + 500 // 32 + 8
         assert len(rice_encode(cases["noise"].astype(dt), 32, bytepix)) >= 500 * bytepix
+
+
+# --------------------------------------------------------------------------
+# CLI surface parity with the reference (hisscube.py:24-62): the two e2e
+# recipes of /root/reference/hisscube/tests/test_end_to_end.py:52-85 —
+# pattern-driven and CSV-list-driven — plus --sfr, --truncate and the
+# update granularity flags.
+# --------------------------------------------------------------------------
+
+
+def _galaxy_corpus(tmp_path_factory) -> str:
+    """SDSS-layout corpus: images/<rerun>/<run>/<camcol>/frame-*.fits,
+    spectra/<plate>/spec-*.fits — two fields, two plates."""
+    root = str(tmp_path_factory.mktemp("cli_corpus"))
+    for field in (129, 130):
+        d = os.path.join(root, "images", "301", "1234", "2")
+        os.makedirs(d, exist_ok=True)
+        for band in ["u", "g", "r", "i", "z"]:
+            _write_fits(
+                os.path.join(d, f"frame-{band}-001234-2-{field:04d}.fits"),
+                band=band, ra=30.0 + (field - 129), dec=10.0,
+            )
+    for plate in (3000, 3001):
+        d = os.path.join(root, "spectra", f"{plate:04d}")
+        os.makedirs(d, exist_ok=True)
+        _write_spec_fits(
+            os.path.join(d, f"spec-{plate}-56000-0007.fits"), plate=plate,
+            ra=30.0, dec=10.0,
+        )
+    return root
+
+
+_CLI_COMMON = ["--rebin-samples", "128", "--match-radius-deg", "0.01",
+               "--cutout-size", "16"]
+
+_TABLES = ["fits_headers", "images", "spectra", "cutout_refs",
+           "ml_cube_images", "ml_cube_spectra", "visualization_cube"]
+
+
+def test_cli_create_matches_library_path(spark, tmp_path_factory):
+    """Recipe 1 (pattern-driven create): one CLI command builds the whole
+    warehouse; gold tables match a library-path CubePipeline run on the
+    same corpus row for row."""
+    import json
+
+    from hiss_cube_spark.__main__ import main
+    from hiss_cube_spark.plans.pipeline import CubePipeline
+    from hiss_cube_spark.sources.ingest import ingest_images, ingest_spectra
+
+    root = _galaxy_corpus(tmp_path_factory)
+    wh = str(tmp_path_factory.mktemp("cli_wh"))
+    rc = main(_CLI_COMMON + ["--image-pattern", "frame-*-001234-*.fits",
+                             root, wh, "create"])
+    assert rc == 0
+    for t in _TABLES:
+        assert os.path.isdir(os.path.join(wh, t)), t
+    stats = json.load(open(os.path.join(wh, "_stats.json")))
+    assert stats["images"] == 10 * 5 and stats["spectra"] == 2 * 5
+
+    # library path over the same corpus
+    wh2 = str(tmp_path_factory.mktemp("lib_wh"))
+    pipe = CubePipeline(spark, wh2, match_radius_deg=0.01, cutout_size=16)
+    pipe.create(
+        ingest_images(spark, os.path.join(root, "images"),
+                      "frame-*-001234-*.fits"),
+        ingest_spectra(spark, os.path.join(root, "spectra"),
+                       rebin_samples=128),
+    )
+    for t in _TABLES[1:]:
+        a = spark.read.parquet(os.path.join(wh, t))
+        b = spark.read.parquet(os.path.join(wh2, t))
+        assert a.count() == b.count(), t
+        assert sorted(a.columns) == sorted(b.columns), t
+
+
+def test_cli_update_csv_lists_and_granularity(spark, tmp_path_factory):
+    """Recipe 2 (CSV-list-driven): --image-list/--spectra-list restrict the
+    bronze re-ingest to exactly the listed observations; granularity flags
+    re-run single builders against the existing warehouse."""
+    from hiss_cube_spark.__main__ import main
+
+    root = _galaxy_corpus(tmp_path_factory)
+    wh = str(tmp_path_factory.mktemp("cli_wh_csv"))
+    img_csv = os.path.join(root, "imgs.csv")
+    spec_csv = os.path.join(root, "specs.csv")
+    open(img_csv, "w").write("run,camcol,field\n1234,2,129\n")
+    open(spec_csv, "w").write("plate\n3000\n")
+
+    assert main(_CLI_COMMON + [root, wh, "create"]) == 0
+    # whole corpus first: 2 fields x 5 bands, 2 plates
+    assert (spark.read.parquet(os.path.join(wh, "images"))
+            .select("path").distinct().count()) == 10
+
+    rc = main(_CLI_COMMON + ["--image-list", img_csv,
+                             "--spectra-list", spec_csv,
+                             root, wh, "update", "--data"])
+    assert rc == 0
+    imgs = spark.read.parquet(os.path.join(wh, "images"))
+    assert imgs.select("path").distinct().count() == 5  # field 129 only
+    assert imgs.where(~imgs.path.contains("0129.fits")).count() == 0
+    specs = spark.read.parquet(os.path.join(wh, "spectra"))
+    assert specs.select("path").distinct().count() == 1  # plate 3000 only
+
+    # granularity: rebuild the header cache + link only (bronze untouched)
+    before = imgs.count()
+    rc = main(_CLI_COMMON + [root, wh, "update",
+                             "--fits-metadata-cache", "--link"])
+    assert rc == 0
+    assert spark.read.parquet(os.path.join(wh, "images")).count() == before
+    assert os.path.isdir(os.path.join(wh, "fits_headers"))
+    assert os.path.isdir(os.path.join(wh, "cutout_refs"))
+
+    # --truncate wipes the warehouse before the selected builders run
+    rc = main(_CLI_COMMON + ["--truncate", root, wh, "update",
+                             "--data-image"])
+    assert rc == 0
+    assert os.path.isdir(os.path.join(wh, "images"))
+    assert not os.path.isdir(os.path.join(wh, "spectra"))
+
+
+def test_cli_sfr_and_fits_catalog_reader(spark, tmp_path_factory):
+    """--sfr --gal-info --gal-sfr: FITS catalogs → positional concat →
+    left join on (PLATEID, MJD, FIBERID); unmatched spectra keep NULL SFR
+    (ref processors/sfr.py:18-48, tests/test_sfr.py:57)."""
+    from pyspark.sql import functions as F
+
+    from hiss_cube_spark.__main__ import main
+    from hiss_cube_spark.sources.exports import write_fits_table
+    from hiss_cube_spark.sources.fits import read_fits_table_df
+
+    root = _galaxy_corpus(tmp_path_factory)
+    wh = str(tmp_path_factory.mktemp("cli_wh_sfr"))
+    gal_info = os.path.join(root, "gal_info.fits")
+    gal_sfr = os.path.join(root, "gal_sfr.fits")
+    write_fits_table(
+        spark.createDataFrame(
+            [(3000, 56000, 7, 30.0), (8000, 50000, 99, 1.0)],
+            "PLATEID int, MJD int, FIBERID int, RA double",
+        ),
+        gal_info,
+    )
+    write_fits_table(
+        spark.createDataFrame([(1.5, 1.6), (2.5, 2.6)],
+                              "MEDIAN double, AVG double"),
+        gal_sfr,
+    )
+
+    # the catalog reader: schema from header walk, executor-side parse,
+    # positional row_id
+    cat = read_fits_table_df(spark, gal_info)
+    assert cat.schema.simpleString() == (
+        "struct<PLATEID:int,MJD:int,FIBERID:int,RA:double,row_id:bigint>"
+    )
+    assert [r["PLATEID"] for r in cat.orderBy("row_id").collect()] == [3000, 8000]
+
+    rc = main(_CLI_COMMON + ["--sfr", "--gal-info", gal_info,
+                             "--gal-sfr", gal_sfr, root, wh, "create"])
+    assert rc == 0
+    sfr = spark.read.parquet(os.path.join(wh, "spectra_sfr"))
+    assert sfr.count() == 2
+    matched = {r["PLATEID"]: r["MEDIAN"] for r in sfr.collect()}
+    assert matched[3000] == 1.5 and matched[3001] is None
+
+    # reference contract: --sfr without catalog paths is a parser error
+    with pytest.raises(SystemExit):
+        main(_CLI_COMMON + ["--sfr", root, wh, "create"])
+
+
+def test_ingest_one_duplicate_contract(spark, tmp_path_factory):
+    """Single-object ingest (ref SingleImageBuilder/SingleSpectrumBuilder,
+    builders.py:36-123): one FITS → all-zoom rows; duplicate insert raises
+    (ref duplicate-spatial-index AssertionError, test_serial_builders.py:
+    108-116); overwrite_one is idempotent."""
+    from hiss_cube_spark.sources.ingest import ingest_one, overwrite_one
+
+    d = str(tmp_path_factory.mktemp("one_src"))
+    wh = str(tmp_path_factory.mktemp("one_wh"))
+    img = os.path.join(d, "frame-r-000042.fits")
+    spec = os.path.join(d, "spec-3000-56000-0007.fits")
+    _write_fits(img)
+    _write_spec_fits(spec, plate=3000)
+
+    assert ingest_one(spark, img, wh) == "images"  # kind sniffed: image
+    assert ingest_one(spark, spec, wh, rebin_samples=128) == "spectra"
+    imgs = spark.read.parquet(os.path.join(wh, "images"))
+    assert imgs.count() == 5 and imgs.select("zoom").distinct().count() == 5
+    assert spark.read.parquet(os.path.join(wh, "spectra")).count() == 5
+
+    with pytest.raises(ValueError, match="already ingested"):
+        ingest_one(spark, img, wh)
+
+    # idempotent variant: replaces, never duplicates
+    assert overwrite_one(spark, img, wh) == "images"
+    imgs = spark.read.parquet(os.path.join(wh, "images"))
+    assert imgs.count() == 5
+    assert imgs.select("image_id").distinct().count() == 1
+
+    # second object appends alongside the first
+    img2 = os.path.join(d, "frame-g-000043.fits")
+    _write_fits(img2, band="g")
+    assert ingest_one(spark, img2, wh) == "images"
+    assert spark.read.parquet(os.path.join(wh, "images")).count() == 10

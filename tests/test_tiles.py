@@ -92,3 +92,77 @@ def test_compact_table_preserves_rows_and_restores_clustering(spark, tmp_path_fa
         .count()
     )
     assert disorder == 0
+
+
+def _scan_counts(df) -> dict[str, int]:
+    """Parquet scans per table in the formatted physical plan (the
+    tools/scan_audit.py counter, inlined for phase-level audits)."""
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    per: dict[str, int] = {}
+    for line in buf.getvalue().splitlines():
+        if "Location:" in line:
+            tbl = line.rstrip("]").rstrip("/").rsplit("/", 1)[-1]
+            per[tbl] = per.get(tbl, 0) + 1
+    return per
+
+
+def test_viz_phase_scan_audit(spark, tmp_path_factory):
+    """Viz-phase plan audit: the FRAME table (the 100 TB payload) is
+    scanned exactly once in untiled mode; in tiled mode the tile table is
+    scanned once and the frame table contributes one column-pruned
+    metadata scan that must NOT read the pixel arrays. The spectra table
+    legitimately appears twice (full arrays for the sample unpivot + a
+    pruned scalar-metadata scan for the cutout rows) — the second scan's
+    ReadSchema must carry no flux arrays."""
+    import contextlib
+    import io
+    import os
+
+    from tests.astro_fixtures import make_images, make_spectra
+
+    from hiss_cube_spark.operators.viz_cube import build_visualization_cube
+    from hiss_cube_spark.plans.pipeline import CubePipeline
+
+    wh = str(tmp_path_factory.mktemp("viz_audit_wh"))
+    pipe = CubePipeline(spark, wh, match_radius_deg=0.01, cutout_size=16,
+                        tiled=True, tile=20)
+    pipe.phase_ingest(make_images(spark), make_spectra(spark))
+    pipe.phase_link()
+
+    spectra = pipe.read("spectra")
+    refs = pipe.read("cutout_refs")
+    images = pipe.read("images")
+    tiles = pipe.read("image_tiles")
+
+    untiled = build_visualization_cube(spectra, refs, images)
+    per = _scan_counts(untiled)
+    assert per.get("images") == 1, per
+    assert per.get("cutout_refs") == 1, per
+    assert per.get("spectra") == 2, per
+
+    tiled = build_visualization_cube(spectra, refs, images,
+                                     tiles=tiles, tile=20)
+    per_t = _scan_counts(tiled)
+    assert per_t.get("image_tiles") == 1, per_t
+    assert per_t.get("images") == 1, per_t
+
+    # the frame-table scan in tiled mode is metadata-only: no pixel arrays
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        tiled.explain("formatted")
+    plan = buf.getvalue()
+    img_schemas = [
+        ln for ln in plan.splitlines()
+        if "ReadSchema" in ln and f"{os.sep}images" in plan  # plan-wide guard
+    ]
+    frame_reads = [
+        ln for ln in plan.splitlines() if "ReadSchema" in ln
+    ]
+    # exactly one ReadSchema may carry the 2-D float arrays (the tile scan)
+    heavy = [ln for ln in frame_reads if "array<array<float" in ln]
+    assert len(heavy) == 1, heavy
