@@ -149,28 +149,56 @@ def dereference_cutouts_tiled(
         slice_2d(F.col("errors"), oy0 - F.col("y0"), oy1 - F.col("y0"), ox0 - F.col("x0"), ox1 - F.col("x0")).alias("_pe"),
     )
 
-    out_schema = StructType(
-        [piece.schema[c] for c in ref_cols]
-        + [
+    # Paste-assembly: collect the ≤4 pieces per cutout with a native
+    # shuffle agg, then ONE Arrow-batched pandas UDF pastes whole batches
+    # of cutouts. (A per-group applyInPandas here costs one Python call +
+    # pandas DataFrame per CUTOUT — measured 1.8 s of the 2.0 s
+    # j5_tiled_cutout_service wall at sf0.1 for 455 cutouts; the batched
+    # UDF pastes the same 455 in one call.)
+    grouped = piece.groupBy(*ref_cols).agg(
+        F.collect_list(F.struct("py", "px", "_pd", "_pe")).alias("_pieces")
+    )
+
+    paste_t = StructType(
+        [
             StructField("cutout_data", ArrayType(ArrayType(FloatType()))),
             StructField("cutout_errors", ArrayType(ArrayType(FloatType()))),
         ]
     )
 
-    def _assemble(pdf: pd.DataFrame) -> pd.DataFrame:
-        h = int(pdf["y_max"].iloc[0] - pdf["y_min"].iloc[0])
-        w = int(pdf["x_max"].iloc[0] - pdf["x_min"].iloc[0])
-        cd = np.full((h, w), np.nan, dtype=np.float32)
-        ce = np.full((h, w), np.nan, dtype=np.float32)
-        for _, row in pdf.iterrows():
-            pd_blk = np.asarray([np.asarray(r_, dtype=np.float32) for r_ in row["_pd"]])
-            pe_blk = np.asarray([np.asarray(r_, dtype=np.float32) for r_ in row["_pe"]])
-            py, px = int(row["py"]), int(row["px"])
-            cd[py : py + pd_blk.shape[0], px : px + pd_blk.shape[1]] = pd_blk
-            ce[py : py + pe_blk.shape[0], px : px + pe_blk.shape[1]] = pe_blk
-        out = {c: [pdf[c].iloc[0]] for c in ref_cols}
-        out["cutout_data"] = [list(cd)]
-        out["cutout_errors"] = [list(ce)]
-        return pd.DataFrame(out)
+    @F.pandas_udf(paste_t)
+    def _paste(
+        y_min: pd.Series, y_max: pd.Series, x_min: pd.Series,
+        x_max: pd.Series, pieces: pd.Series,
+    ) -> pd.DataFrame:
+        out_d, out_e = [], []
+        for y0, y1, x0, x1, pcs in zip(y_min, y_max, x_min, x_max, pieces):
+            h, w = int(y1 - y0), int(x1 - x0)
+            cd = np.full((h, w), np.nan, dtype=np.float32)
+            ce = np.full((h, w), np.nan, dtype=np.float32)
+            for p in pcs:
+                blk_d = np.asarray(
+                    [np.asarray(r_, dtype=np.float32) for r_ in p["_pd"]]
+                )
+                blk_e = np.asarray(
+                    [np.asarray(r_, dtype=np.float32) for r_ in p["_pe"]]
+                )
+                py, px = int(p["py"]), int(p["px"])
+                cd[py : py + blk_d.shape[0], px : px + blk_d.shape[1]] = blk_d
+                ce[py : py + blk_e.shape[0], px : px + blk_e.shape[1]] = blk_e
+            out_d.append([r_.tolist() for r_ in cd])
+            out_e.append([r_.tolist() for r_ in ce])
+        return pd.DataFrame({"cutout_data": out_d, "cutout_errors": out_e})
 
-    return piece.groupBy(*ref_cols).applyInPandas(_assemble, schema=out_schema)
+    pasted = grouped.withColumn(
+        "_cut",
+        _paste(
+            F.col("y_min"), F.col("y_max"), F.col("x_min"), F.col("x_max"),
+            F.col("_pieces"),
+        ),
+    )
+    return pasted.select(
+        *ref_cols,
+        F.col("_cut.cutout_data").alias("cutout_data"),
+        F.col("_cut.cutout_errors").alias("cutout_errors"),
+    )
