@@ -6304,6 +6304,8 @@ def mm_png_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE CAST(doc_id % 4 AS INT)
                 WHEN 0 THEN 'RICE_1' WHEN 1 THEN 'GZIP_1'
                 WHEN 2 THEN 'GZIP_2' ELSE 'HCOMPRESS_1' END AS cmptype,
+           CASE WHEN doc_id % 4 <> 3 THEN 'n/a'
+                WHEN doc_id % 8 = 7 THEN 'cfitsio' ELSE 'native' END AS layout,
            CAST(8 + (doc_id % 3) * 4 AS INT) AS height,
            CAST(12 AS INT) AS width,
            TRUE AS exact_roundtrip
@@ -6320,7 +6322,11 @@ def mm_fits_codec_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     through the `.fits.fz` ZIMAGE bintable path, and assert exact pixel
     recovery — integer tiles are lossless in every codec, so the oracle
     is fully analytic (dimension law, codec-selection law, equality).
-    Codec kernels are pinned in tests/test_hcompress.py and
+    HCOMPRESS_1 rows alternate BOTH stream layouts: the repo's native
+    container and the foreign hcomp/cfitsio layout real fpack files use
+    (sources/hcomp_foreign.py) — the reader dispatches on the byte after
+    the shared 0xDD99 magic. Codec kernels are pinned in
+    tests/test_hcompress.py, tests/test_hcomp_foreign.py and
     tests/test_ingest_cli.py."""
     import numpy as _np
     import pandas as _pd
@@ -6347,20 +6353,29 @@ def mm_fits_codec_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
                     - 5000
                 ).astype(_np.int16)
                 cmp = codecs[int(doc_id) % 4]
-                fz = write_rice_fits(img, tile_rows=5, cmptype=cmp)
+                layout = "n/a"
+                if cmp == "HCOMPRESS_1":
+                    layout = "cfitsio" if int(doc_id) % 8 == 7 else "native"
+                fz = write_rice_fits(
+                    img, tile_rows=5, cmptype=cmp,
+                    hcomp_layout=layout if layout != "n/a" else "native",
+                )
                 _, dec = parse_fits_image(fz)
                 ok = bool(_np.array_equal(dec, img.astype(_np.int64)))
-                rows.append((int(doc_id), cmp, h, w, ok))
+                rows.append((int(doc_id), cmp, layout, h, w, ok))
             yield _pd.DataFrame(
                 rows,
-                columns=["doc_id", "cmptype", "height", "width", "exact_roundtrip"],
+                columns=[
+                    "doc_id", "cmptype", "layout", "height", "width",
+                    "exact_roundtrip",
+                ],
             )
 
     return d.mapInPandas(
         _roundtrip,
         schema=(
-            "doc_id long, cmptype string, height int, width int, "
-            "exact_roundtrip boolean"
+            "doc_id long, cmptype string, layout string, height int, "
+            "width int, exact_roundtrip boolean"
         ),
     )
 
@@ -9321,6 +9336,151 @@ def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     return holt_linear(_events(spark, sf_dir), horizon=48)
 
 
+@_q(
+    "j_polar_crossmatch",
+    """
+    WITH spec AS (
+      SELECT c_custkey AS spec_id,
+             (c_custkey * CAST(11.317 AS DOUBLE)) % 360.0 AS ra,
+             (85.0 + (c_custkey * CAST(0.261 AS DOUBLE)) % 4.9)
+               * (CASE WHEN c_custkey % 2 = 0 THEN 1 ELSE -1 END) AS dec
+      FROM customer WHERE c_custkey % 5 = 0),
+    img AS (
+      SELECT p_partkey AS img_id,
+             (p_partkey * CAST(7.919 AS DOUBLE)) % 360.0 AS ra,
+             (85.0 + (p_partkey * CAST(0.377 AS DOUBLE)) % 4.9)
+               * (CASE WHEN p_partkey % 2 = 0 THEN 1 ELSE -1 END) AS dec
+      FROM part WHERE p_partkey % 7 = 0)
+    SELECT s.spec_id, i.img_id,
+           round(sqrt(least(abs(s.ra - i.ra), 360.0 - abs(s.ra - i.ra))
+                      * least(abs(s.ra - i.ra), 360.0 - abs(s.ra - i.ra))
+                      + (s.dec - i.dec) * (s.dec - i.dec)), 6) AS dist_deg
+    FROM spec s JOIN img i
+      ON sqrt(least(abs(s.ra - i.ra), 360.0 - abs(s.ra - i.ra))
+              * least(abs(s.ra - i.ra), 360.0 - abs(s.ra - i.ra))
+              + (s.dec - i.dec) * (s.dec - i.dec)) <= 1.5
+    """,
+)
+def j_polar_crossmatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-match on POLAR-CAP synthetic catalogs through the HEALPix
+    index family — the round-7 pipeline default (`crossmatch(index=
+    'healpix')`: ring-arithmetic query_disc cover, the reference's own
+    index, astrometry.py:158-182). Every point sits within 5° of a pole
+    (both caps), where the equiangular grid family's ra bounding box is
+    the documented weak spot (functions/spatial.py:71-74). The oracle is
+    the brute-force distance join — a superset candidate cover plus the
+    exact post-filter must reproduce it pair for pair; every op is
+    correctly-rounded IEEE (mul/sub/abs/least/sqrt — no trig), so the
+    match SET and distances agree bit-for-bit."""
+    from hiss_cube_spark.operators.crossmatch import crossmatch
+
+    c = _t(spark, sf_dir, "customer").where(F.col("c_custkey") % 5 == 0)
+    p = _t(spark, sf_dir, "part").where(F.col("p_partkey") % 7 == 0)
+    cap = lambda key, step: (  # noqa: E731
+        (F.lit(85.0) + F.pmod(key * F.lit(step), F.lit(4.9)))
+        * F.when(key % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+    )
+    spec = c.select(
+        F.col("c_custkey").alias("spec_id"),
+        F.pmod(F.col("c_custkey") * F.lit(11.317), F.lit(360.0)).alias("ra"),
+        cap(F.col("c_custkey"), 0.261).alias("dec"),
+    )
+    img = p.select(
+        F.col("p_partkey").alias("img_id"),
+        F.pmod(F.col("p_partkey") * F.lit(7.919), F.lit(360.0)).alias("ra"),
+        cap(F.col("p_partkey"), 0.377).alias("dec"),
+    )
+    m = crossmatch(spec, img, radius_deg=1.5, index="healpix")
+    return m.select(
+        F.col("p_spec_id").alias("spec_id"),
+        F.col("t_img_id").alias("img_id"),
+        _r6(F.col("match_dist")).alias("dist_deg"),
+    )
+
+
+@_q(
+    "text_readability",
+    """
+    WITH d AS (
+      SELECT doc_id, regexp_replace(text, ' table ', '. ', 'g') AS t
+      FROM documents),
+    c AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(t, '\\S+')) AS INT) AS n_words,
+             CAST(greatest(len(regexp_extract_all(t, '[.!?]+')), 1) AS INT)
+               AS n_sentences,
+             CAST(len(regexp_extract_all(t, '[aeiouyAEIOUY]+')) AS INT)
+               AS n_syllables
+      FROM d)
+    SELECT doc_id, n_words, n_sentences, n_syllables,
+           206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+                   - 84.6 * (CAST(n_syllables AS DOUBLE)
+                             / greatest(n_words, 1)) AS flesch_ease,
+           0.39 * (CAST(n_words AS DOUBLE) / n_sentences)
+             + 11.8 * (CAST(n_syllables AS DOUBLE) / greatest(n_words, 1))
+             - 15.59 AS fk_grade
+    FROM c
+    """,
+)
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease + Flesch–Kincaid grade per document
+    (`operators/text_analysis.readability_scores`) — the curation gate
+    that flags boilerplate soup (ease collapses) and run-on extraction
+    failures (grade explodes). Three native regexp counts, two exact IEEE
+    score expressions — no tokenizer UDF, bit-identical to the oracle.
+    The synthetic corpus has no punctuation, so the demo first maps the
+    word 'table' to a sentence break (same convention as
+    dedup_paragraphs' separator, documented there)."""
+    from hiss_cube_spark.operators.text_analysis import readability_scores
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "text", F.regexp_replace("text", " table ", ". ")
+    )
+    return readability_scores(d)
+
+
+@_q(
+    "cur_source_overlap",
+    """
+    WITH d AS (SELECT source, string_split(text, ' ') AS w FROM documents
+               WHERE len(string_split(text, ' ')) >= 3),
+    sh AS (
+      SELECT DISTINCT source, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram
+      FROM d, unnest(generate_series(1, len(w) - 2)) t(i)),
+    sizes AS (SELECT source, count(*) AS sz FROM sh GROUP BY source),
+    inter AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.gram = b.gram AND a.source < b.source
+      GROUP BY 1, 2)
+    SELECT source_a, source_b, CAST(n_inter AS BIGINT) AS n_inter,
+           CAST(sa.sz + sb.sz - n_inter AS BIGINT) AS n_union,
+           round(n_inter * 1.0 / (sa.sz + sb.sz - n_inter), 6) AS jaccard
+    FROM inter JOIN sizes sa ON sa.source = source_a
+               JOIN sizes sb ON sb.source = source_b
+    """,
+)
+def cur_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-level 3-gram Jaccard
+    (`operators/dedup.source_overlap_matrix`) — the cross-provenance
+    contamination matrix (benchmark-vs-training leakage, duplicated crawl
+    snapshots). Scale-safe by construction: the per-gram state is a
+    source SET (≤ |sources|, tens), so a gram shared by s sources costs
+    C(s,2) pair rows bounded by the source count — never the doc-level
+    hot-gram blow-up; the pair matrix is |sources|² rows at any corpus
+    size."""
+    from hiss_cube_spark.operators.dedup import source_overlap_matrix
+
+    d = _t(spark, sf_dir, "documents").where(
+        F.size(F.split("text", " ")) >= 3
+    )
+    out = source_overlap_matrix(d)
+    return out.select(
+        "source_a", "source_b", "n_inter", "n_union",
+        _r6(F.col("jaccard")).alias("jaccard"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return flagship_ml_cube(spark, "/root/testdata/sf0.001")
@@ -9340,13 +9500,14 @@ _CHECK_PRIORITY = [
     # ---- round-7 window (slots 1-50) ----
     # sentinels (green every round; canaries against harness drift)
     "flagship_ml_cube", "q1_pricing_summary",
-    # the 4 round-6 additions — the only queries never driver-checked
-    # (after this window, zero verification debt again)
+    # the 4 round-6 additions + the 3 round-7 additions — after this
+    # window, zero verification debt again
     "ts_theil_sen", "ts_holt_linear", "mm_exif_pipeline",
     "j5_tiled_cutout_service",
-    # 44 round-robin RE-verifications: the oldest greens — all 17 queries
-    # last checked in round 2 plus the first 27 of the round-3 cohort
-    # (the remaining 21 r3-era rotate in r8)
+    "j_polar_crossmatch", "text_readability", "cur_source_overlap",
+    # 41 round-robin RE-verifications: the oldest greens — all 17 queries
+    # last checked in round 2 plus the first 24 of the round-3 cohort
+    # (the remaining 24 r3-era rotate in r8)
     "w_lag_sessionize", "stream_tumbling_window", "stream_session_window",
     "text_langid", "text_quality", "text_token_count", "text_fingerprint",
     "text_repetition", "text_lm_score", "text_heavy_hitters",
@@ -9359,9 +9520,8 @@ _CHECK_PRIORITY = [
     "dq_mad_outliers", "dq_segment_drift", "dq_profile_table",
     "cdc_incremental_agg", "cur_incremental_dedup", "cur_chunk_documents",
     "cur_domain_cap", "cur_hash_split", "cur_stratified_kfold",
-    "cur_weighted_sample", "cur_pack_sequences", "cur_balanced_sample",
-    "cur_corpus_report", "text_bm25_topk",
-    # ---- slot 50 ends at text_bm25_topk; everything else follows in
+    "cur_weighted_sample", "cur_pack_sequences",
+    # ---- slot 50 ends at cur_pack_sequences; everything else follows in
     # definition order (all previously driver-green in r1–r6) ----
 ]
 

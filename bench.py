@@ -97,6 +97,10 @@ HEADLINE = [
     "ts_holt_linear",
     "mm_exif_pipeline",
     "j5_tiled_cutout_service",
+    # round-7 additions
+    "j_polar_crossmatch",
+    "text_readability",
+    "cur_source_overlap",
 ]
 
 # Environment-drift sentinel: per-query ratchets are expressed relative to

@@ -954,3 +954,63 @@ def remove_duplicated_spans(
             F.coalesce("clean_text", F.lit("")).alias("clean_text"),
         )
     )
+
+
+def source_overlap_matrix(
+    df: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    n: int = 3,
+) -> DataFrame:
+    """Pairwise n-gram Jaccard between corpus SOURCES — the
+    cross-provenance contamination diagnostic (a crawl snapshot that
+    near-duplicates another source inflates apparent diversity; a
+    benchmark source overlapping a training source is leakage).
+
+    Scale shape: distinct (source, gram) →  ``collect_set(source)`` per
+    gram → explode source PAIRS. Per-gram state is bounded by the SOURCE
+    count (tens), never by corpus size, so the hot-gram problem of
+    doc-level pair joins does not exist here: a gram shared by s sources
+    yields C(s,2) ≤ C(|sources|,2) pair rows — at 100 TB the shuffle
+    carries (gram, ≤|sources| labels), and the pair table is
+    |sources|² rows regardless of corpus size.
+
+    Output: (source_a, source_b, n_inter, n_union, jaccard), a < b.
+    """
+    grams = (
+        df.select(source_col, F.explode(shingle_array(F.col(text_col), n)).alias("gram"))
+        .distinct()
+    )
+    sizes = grams.groupBy(source_col).agg(F.count(F.lit(1)).alias("sz"))
+    pair = (
+        grams.groupBy("gram")
+        .agg(F.sort_array(F.collect_set(source_col)).alias("srcs"))
+        .where(F.size("srcs") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(srcs, (a, i) -> "
+                    "transform(slice(srcs, i + 2, size(srcs)), "
+                    "b -> struct(a, b))))"
+                )
+            ).alias("p")
+        )
+        .groupBy(F.col("p.a").alias("source_a"), F.col("p.b").alias("source_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col(source_col).alias("source_a"), F.col("sz").alias("_sa"))
+    sb = sizes.select(F.col(source_col).alias("source_b"), F.col("sz").alias("_sb"))
+    return (
+        pair.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_inter",
+            (F.col("_sa") + F.col("_sb") - F.col("n_inter")).alias("n_union"),
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("_sa") + F.col("_sb") - F.col("n_inter")).cast("double")
+            ).alias("jaccard"),
+        )
+    )

@@ -844,3 +844,42 @@ def rake_keywords(
             F.round(F.col("score_q") / F.lit(1e6), 6).alias("score"),
         )
     )
+
+
+def readability_scores(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Flesch reading-ease / Flesch–Kincaid grade per document — the
+    classic readability gates of web-corpus curation (too-low reading
+    ease flags boilerplate/navigation soup; absurdly high grade flags
+    run-on extraction failures).
+
+    Pure native expressions over three regexp counts (no tokenizer UDF):
+    words = ``\\S+`` runs, sentences = ``[.!?]+`` runs (min 1 so headline
+    fragments don't divide by zero), syllables = vowel-group runs
+    (``[aeiouyAEIOUY]+``) — the standard orthographic approximation.
+    Integer counts make the two scores exact IEEE expressions
+    (div/mul/sub only), so the SQL oracle reproduces them bit-for-bit.
+
+    Flesch = 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words);
+    FK grade = 0.39·(words/sentences) + 11.8·(syllables/words) − 15.59.
+    """
+    words = F.regexp_count(F.col(text_col), F.lit(r"\S+"))
+    sents = F.greatest(
+        F.regexp_count(F.col(text_col), F.lit(r"[.!?]+")), F.lit(1)
+    )
+    syll = F.regexp_count(F.col(text_col), F.lit("[aeiouyAEIOUY]+"))
+    wps = words.cast("double") / sents.cast("double")
+    spw = syll.cast("double") / F.greatest(words, F.lit(1)).cast("double")
+    return df.select(
+        F.col(id_col),
+        words.alias("n_words"),
+        sents.alias("n_sentences"),
+        syll.alias("n_syllables"),
+        (F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw).alias(
+            "flesch_ease"
+        ),
+        (F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59)).alias(
+            "fk_grade"
+        ),
+    )

@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 from hiss_cube_spark.sources.exports import _fits_card
+from hiss_cube_spark.sources.hcomp_foreign import hcomp_encode as _hcomp_encode_foreign
 from hiss_cube_spark.sources.hcompress import hcompress as _hcompress
 from hiss_cube_spark.sources.hcompress import hdecompress as _hdecompress
 from hiss_cube_spark.sources.plio import plio_decode, plio_encode
@@ -507,11 +508,13 @@ def decompress_tiled_image(data: bytes, header: dict, dpos: int) -> np.ndarray:
     tiles = [int(header.get(f"ZTILE{ax}", dims[ax - 1] if ax == 1 else 1))
              for ax in range(1, znaxis + 1)]
     cmptype = str(header.get("ZCMPTYPE", "RICE_1")).strip()
-    # HCOMPRESS_1/PLIO_1 here mean THIS repo's property-tested streams
-    # (sources/hcompress.py, sources/plio.py), not cfitsio's bit layout:
-    # hdecompress rejects foreign 0xDD99 tiles via its container version
-    # byte, and a real fpack PLIO tile fails the 0x3A50 line-list magic —
-    # foreign tiles of either type error, they do not mis-decode.
+    # HCOMPRESS_1 tiles decode through BOTH layouts: this repo's
+    # self-versioned container (sources/hcompress.py, version byte 0x01)
+    # and the foreign cfitsio/fpack hcomp layout
+    # (sources/hcomp_foreign.py) — dispatched on the byte after the
+    # shared 0xDD99 magic. PLIO_1 remains this repo's stream only: a
+    # real fpack PLIO tile fails the 0x3A50 line-list magic and errors,
+    # it does not mis-decode.
     if cmptype not in (
         "RICE_1", "GZIP_1", "GZIP_2", "HCOMPRESS_1", "PLIO_1", "NOCOMPRESS"
     ):
@@ -576,6 +579,19 @@ def decompress_tiled_image(data: bytes, header: dict, dpos: int) -> np.ndarray:
                     raise ValueError(
                         f"tile {t}: HCOMPRESS {hc.size} px, expected {npix}"
                     )
+                # reconcile the stream's (slow, fast) dims with the tile's
+                # (height, width): a foreign writer that swapped the axis
+                # convention is transposed, never mis-raveled
+                th = sizes[1] if len(sizes) > 1 else 1
+                tw = sizes[0]
+                if hc.shape != (th, tw):
+                    if hc.shape == (tw, th):
+                        hc = hc.T
+                    else:
+                        raise ValueError(
+                            f"tile {t}: HCOMPRESS dims {hc.shape} vs "
+                            f"tile ({th}, {tw})"
+                        )
                 vals = hc.ravel().astype(np.int64)
             elif cmptype == "PLIO_1":
                 vals = plio_decode(raw)
@@ -643,11 +659,16 @@ def write_rice_fits(
     blocksize: int = 32,
     header_extra: dict | None = None,
     cmptype: str = "RICE_1",
+    hcomp_layout: str = "native",
 ) -> bytes:
     """fpack-style tile compression: serialize a 2-D integer image as a
     FITS file whose image HDU is a RICE_1 ZIMAGE bintable (one tile =
     ``tile_rows`` image rows). The write-side of S-series compressed-FITS
-    parity and the fixture generator for the `.fits.fz` ingest tests."""
+    parity and the fixture generator for the `.fits.fz` ingest tests.
+
+    ``hcomp_layout="cfitsio"`` writes HCOMPRESS_1 tiles in the FOREIGN
+    hcomp/cfitsio stream layout (sources/hcomp_foreign.py) — the fixture
+    generator for real-fpack-shaped files."""
     if arr.ndim != 2:
         raise ValueError("write_rice_fits expects a 2-D image")
     kind_bitpix = {"u1": 8, "i2": 16, "i4": 32}
@@ -671,7 +692,10 @@ def write_rice_fits(
                 be = np.frombuffer(be, dtype=np.uint8).reshape(-1, isz).T.tobytes()
             enc = _gzip.compress(be)
         elif cmptype == "HCOMPRESS_1":
-            enc = _hcompress(tile.reshape(-1, w).astype(np.int64))
+            if hcomp_layout == "cfitsio":
+                enc = _hcomp_encode_foreign(tile.reshape(-1, w).astype(np.int64))
+            else:
+                enc = _hcompress(tile.reshape(-1, w).astype(np.int64))
         elif cmptype == "PLIO_1":
             enc = plio_encode(tile.astype(np.int64))
         elif cmptype == "NOCOMPRESS":

@@ -34,8 +34,9 @@ FITS "Tiled Image Compression" convention as ``ZCMPTYPE='HCOMPRESS_1'``:
 Container layout mirrors the published stream: magic ``0xDD 0x99``,
 then a version byte ``0x01`` (NOT in cfitsio's layout — it
 disambiguates this module's streams from real fpack tiles, which share
-the magic; decode raises a labeled NotImplementedError on foreign
-streams instead of mis-decoding), ny/nx/scale (4-byte big-endian), the
+the magic; decode routes foreign streams to the cfitsio-layout decoder
+in :mod:`hiss_cube_spark.sources.hcomp_foreign`), ny/nx/scale (4-byte
+big-endian), the
 DC total (8-byte signed), and 3 per-group bitplane counts.  The bitstream is self-consistent (this
 module's ``hdecompress`` is the exact inverse, property-tested) and is
 what the Spark-side `.fits.fz` ingest reads and writes; it is NOT
@@ -52,6 +53,11 @@ mapInPandas ingest batches is executor-parallel and allocation-bound.
 from __future__ import annotations
 
 import numpy as np
+
+# module-level (executor-safe) import: hdecompress dispatches foreign
+# streams here, and a lazy in-function package import dies on workers
+# when the driver runs outside the repo
+from hiss_cube_spark.sources.hcomp_foreign import hcomp_decode as _hcomp_decode_foreign
 
 __all__ = ["hcompress", "hdecompress", "htrans", "hinv"]
 
@@ -262,15 +268,18 @@ def hcompress(a: np.ndarray, scale: int = 0) -> bytes:
 
 
 def hdecompress(buf: bytes) -> np.ndarray:
-    """HCOMPRESS_1 byte stream -> 2-D int64 image."""
+    """HCOMPRESS_1 byte stream -> 2-D int64 image.
+
+    Dispatches on the byte after the shared 0xDD99 magic: 0x01 is this
+    module's self-versioned container; anything else is a FOREIGN
+    (cfitsio/fpack hcomp-layout) stream — that position is the high byte
+    of a 4-byte big-endian nx there, 0x00 for any plausible tile — and
+    routes to :func:`hiss_cube_spark.sources.hcomp_foreign.hcomp_decode`
+    (real ``.fits.fz`` HCOMPRESS tiles decode through that path)."""
     if buf[:2] != _MAGIC:
         raise ValueError("not an HCOMPRESS_1 stream (bad magic)")
     if len(buf) < 3 or buf[2] != 1:
-        raise NotImplementedError(
-            "foreign HCOMPRESS_1 stream (cfitsio/fpack bit layout): only "
-            "streams produced by this module's hcompress() decode — the "
-            "shared 0xDD99 magic is disambiguated by a version byte"
-        )
+        return _hcomp_decode_foreign(buf)
     ny = int.from_bytes(buf[3:7], "big")
     nx = int.from_bytes(buf[7:11], "big")
     scale = int.from_bytes(buf[11:15], "big")

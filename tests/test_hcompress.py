@@ -120,19 +120,32 @@ def test_gzip2_shuffle_actually_helps():
     assert len(g2) <= len(g1)
 
 
-def test_foreign_hcompress_stream_rejected():
+def test_foreign_hcompress_stream_dispatched():
     """cfitsio/fpack hcomp tiles share the 0xDD99 magic but not this
-    container; the version byte must turn silent mis-decode into a
-    labeled error. A cfitsio stream has nx's 0x00 high byte there."""
+    container; the version byte routes them to the FOREIGN decoder
+    (sources/hcomp_foreign.py — round 7; round 6 raised a labeled
+    NotImplementedError here). A truncated/garbage foreign stream still
+    fails LOUDLY, never silently mis-decodes."""
     import pytest
 
     from hiss_cube_spark.sources.hcompress import hcompress, hdecompress
 
+    # an all-zero foreign header IS a valid all-zero image (0 bitplanes)
     foreign = b"\xdd\x99\x00\x00\x00\x40\x00\x00\x00\x40" + b"\x00" * 64
-    with pytest.raises(NotImplementedError, match="foreign"):
-        hdecompress(foreign)
-    # self-produced streams carry the version byte and still roundtrip
+    assert not hdecompress(foreign).any()
+    # garbage after a nonzero bitplane count -> loud error (bad format
+    # code / truncation), never a silent mis-decode
+    bad = bytearray(foreign)
+    bad[22] = 3          # nbitplanes[0] = 3
+    bad[25] = 0b01100000  # plane 1 format code = 6: neither 0x0 nor 0xF
+    with pytest.raises(ValueError):
+        hdecompress(bytes(bad))
+    # a REAL foreign-layout stream decodes through the dispatch
+    from hiss_cube_spark.sources.hcomp_foreign import hcomp_encode
+
     a = np.arange(64, dtype=np.int64).reshape(8, 8)
+    assert np.array_equal(hdecompress(hcomp_encode(a)), a)
+    # self-produced streams carry the version byte and still roundtrip
     blob = hcompress(a)
     assert blob[:3] == b"\xdd\x99\x01"
     assert np.array_equal(hdecompress(blob), a)
