@@ -981,7 +981,12 @@ def source_overlap_matrix(
         df.select(source_col, F.explode(shingle_array(F.col(text_col), n)).alias("gram"))
         .distinct()
     )
-    sizes = grams.groupBy(source_col).agg(F.count(F.lit(1)).alias("sz"))
+    # sizes is |sources| rows; pin it so the two size joins below don't
+    # each re-derive the corpus-wide gram scan (lazy re-derivation — the
+    # scan-audit discipline, PLANS.md "Same-table scan audit")
+    sizes = grams.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("sz")
+    ).localCheckpoint(eager=False)
     pair = (
         grams.groupBy("gram")
         .agg(F.sort_array(F.collect_set(source_col)).alias("srcs"))

