@@ -76,8 +76,12 @@ def test_write_quantized_fits_all_paths():
     ).astype(np.float32)
     img[5, 7] = np.nan
     finite = np.isfinite(img)
+    # HCOMPRESS_1 here exercises the FOREIGN (cfitsio-layout) stream under
+    # quantization — the "dithered float tiles" leg of the r3 verdict gap
+    # that the r7 foreign codec closes (real fpack float compression is
+    # exactly quantize + hcomp)
     for quantiz in ("SUBTRACTIVE_DITHER_1", "SUBTRACTIVE_DITHER_2"):
-        for cmp in ("RICE_1", "GZIP_1"):
+        for cmp in ("RICE_1", "GZIP_1", "HCOMPRESS_1"):
             blob = write_quantized_fits(
                 img, tile_rows=4, cmptype=cmp, quantiz=quantiz,
                 dither_seed=42, quantize_level=16.0,
