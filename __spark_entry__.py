@@ -9481,6 +9481,51 @@ def cur_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "ts_structure_function",
+    """
+    WITH b AS (
+      SELECT user_id, epoch_us(ts) // 3600000000 AS t,
+             CAST(sum(CAST(round(value * 100) AS DECIMAL(18,0))) AS BIGINT)
+               AS yq
+      FROM events GROUP BY user_id, epoch_us(ts) // 3600000000),
+    r AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY t) AS rn
+          FROM b),
+    h AS (SELECT user_id, t, yq FROM r WHERE rn <= 24),
+    p AS (SELECT i.user_id, j.t - i.t AS lag,
+                 (j.yq - i.yq) * (j.yq - i.yq) AS d2q
+          FROM h i JOIN h j ON i.user_id = j.user_id AND i.t < j.t)
+    SELECT user_id, lag, CAST(count(*) AS BIGINT) AS n_pairs,
+           round(CAST(CAST(sum(d2q) AS BIGINT) AS DOUBLE)
+                 / count(*) / 1e4, 6) AS sf
+    FROM p GROUP BY user_id, lag
+    """,
+)
+def ts_structure_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order structure function per user over hourly value buckets
+    (`operators/timeseries.structure_function`) — mean squared difference
+    vs bucket lag, THE variability-vs-timescale statistic of light-curve
+    analysis (the reference's time-domain science case; flat = white
+    noise, rising = correlated drift, plateau = decorrelation timescale).
+    Everything up to the closing division is order-independent integer
+    arithmetic (cents² summed exactly; per-key sums are horizon-bounded
+    so the BIGINT never overflows at any corpus size), and int64→double
+    is a single correctly-rounded conversion in both engines — exact
+    parity with no decimal-to-double hazard."""
+    from hiss_cube_spark.operators.timeseries import structure_function
+
+    out = structure_function(_events(spark, sf_dir), horizon=24)
+    return out.select(
+        F.col("key").alias("user_id"),
+        "lag",
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        _r6(
+            F.col("sum_d2q").cast("long").cast("double")
+            / F.col("n_pairs") / F.lit(1e4)
+        ).alias("sf"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return flagship_ml_cube(spark, "/root/testdata/sf0.001")
@@ -9500,14 +9545,15 @@ _CHECK_PRIORITY = [
     # ---- round-7 window (slots 1-50) ----
     # sentinels (green every round; canaries against harness drift)
     "flagship_ml_cube", "q1_pricing_summary",
-    # the 4 round-6 additions + the 3 round-7 additions — after this
+    # the 4 round-6 additions + the 4 round-7 additions — after this
     # window, zero verification debt again
     "ts_theil_sen", "ts_holt_linear", "mm_exif_pipeline",
     "j5_tiled_cutout_service",
     "j_polar_crossmatch", "text_readability", "cur_source_overlap",
-    # 41 round-robin RE-verifications: the oldest greens — all 17 queries
-    # last checked in round 2 plus the first 24 of the round-3 cohort
-    # (the remaining 24 r3-era rotate in r8)
+    "ts_structure_function",
+    # 40 round-robin RE-verifications: the oldest greens — all 17 queries
+    # last checked in round 2 plus the first 23 of the round-3 cohort
+    # (the remaining 25 r3-era rotate in r8)
     "w_lag_sessionize", "stream_tumbling_window", "stream_session_window",
     "text_langid", "text_quality", "text_token_count", "text_fingerprint",
     "text_repetition", "text_lm_score", "text_heavy_hitters",
@@ -9520,8 +9566,8 @@ _CHECK_PRIORITY = [
     "dq_mad_outliers", "dq_segment_drift", "dq_profile_table",
     "cdc_incremental_agg", "cur_incremental_dedup", "cur_chunk_documents",
     "cur_domain_cap", "cur_hash_split", "cur_stratified_kfold",
-    "cur_weighted_sample", "cur_pack_sequences",
-    # ---- slot 50 ends at cur_pack_sequences; everything else follows in
+    "cur_weighted_sample",
+    # ---- slot 50 ends at cur_weighted_sample; everything else follows in
     # definition order (all previously driver-green in r1–r6) ----
 ]
 

@@ -101,6 +101,7 @@ HEADLINE = [
     "j_polar_crossmatch",
     "text_readability",
     "cur_source_overlap",
+    "ts_structure_function",
 ]
 
 # Environment-drift sentinel: per-query ratchets are expressed relative to

@@ -27,6 +27,7 @@ __all__ = [
     "autocorrelation",
     "theil_sen_trend",
     "holt_linear",
+    "structure_function",
 ]
 
 
@@ -397,4 +398,54 @@ def holt_linear(
         F.round(fold["l"], 6).alias("level"),
         F.round(fold["b"], 6).alias("trend"),
         F.round(fold["l"] + fold["b"], 6).alias("forecast"),
+    )
+
+
+def structure_function(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_us_col: str = "ts_us",
+    value_col: str = "value",
+    bucket_us: int = 3_600_000_000,
+    horizon: int = 24,
+) -> DataFrame:
+    """First-order structure function per key: for every bucket-index lag
+    τ, the mean squared difference mean((y(t+τ) − y(t))²) over all bucket
+    pairs at that lag — THE standard variability-vs-timescale statistic of
+    light-curve analysis (AGN/quasar variability studies; the time-domain
+    leg of the reference's science case) and a drift diagnostic anywhere
+    else (flat SF = white noise, power-law SF = correlated drift, plateau
+    = the decorrelation timescale).
+
+    Exactness: bucket values are exact BIGINT cents, the squared
+    difference is an exact integer (cents², summed as DECIMAL(38,0)), so
+    everything up to the single closing division is order-independent
+    integer arithmetic — bit-identical across engines.
+
+    Scale shape: identical to ``theil_sen_trend`` — the pair blow-up is
+    C(horizon, 2) per key (a constant), the bucketed table is eagerly
+    checkpointed so the self-join's legs don't each re-reduce raw events,
+    and everything partitions on the key.
+
+    Output: (key, lag, n_pairs, sum_d2q) — sum_d2q in cents² so callers
+    can aggregate further exactly; divide by n_pairs·10⁴ for units².
+    """
+    b = _bucketed_cents(
+        df, key_col, ts_us_col, value_col, bucket_us, horizon
+    ).localCheckpoint(eager=True)
+    lhs = b.select("key", F.col("t").alias("ti"), F.col("yq").alias("yi"),
+                   F.col("rn").alias("ri"))
+    rhs = b.select("key", F.col("t").alias("tj"), F.col("yq").alias("yj"),
+                   F.col("rn").alias("rj"))
+    pairs = lhs.join(rhs, "key").where(F.col("ri") < F.col("rj"))
+    d = pairs.select(
+        "key",
+        (F.col("tj") - F.col("ti")).alias("lag"),
+        (
+            (F.col("yj") - F.col("yi")) * (F.col("yj") - F.col("yi"))
+        ).cast("decimal(38,0)").alias("d2q"),
+    )
+    return d.groupBy("key", "lag").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("d2q").cast("decimal(38,0)").alias("sum_d2q"),
     )
