@@ -517,10 +517,12 @@ def hcomp_encode(a: np.ndarray, scale: int = 0) -> bytes:
     head += bytes(nb)
 
     bw = _BW()
+    # quadrant STREAM order is TL, TR, BL, BR — the published dodecode
+    # reads &a[0], &a[ny2], &a[ny*nx2], &a[ny*nx2+ny2] in that order
     quads = [
         (mag[:nx2, :ny2], nb[0]),
-        (mag[nx2:, :ny2], nb[1]),
         (mag[:nx2, ny2:], nb[1]),
+        (mag[nx2:, :ny2], nb[1]),
         (mag[nx2:, ny2:], nb[2]),
     ]
     # the DC was extracted to the header: zero it in the first quadrant
@@ -563,10 +565,11 @@ def hcomp_decode(buf: bytes) -> np.ndarray:
     nx2, ny2 = (nx + 1) // 2, (ny + 1) // 2
     br = _BR(buf, 25)
     mag = np.zeros((nx, ny), dtype=np.int64)
+    # TL, TR, BL, BR — must mirror the encoder/published dodecode order
     quad_dims = [
         (slice(0, nx2), slice(0, ny2), nb[0]),
-        (slice(nx2, nx), slice(0, ny2), nb[1]),
         (slice(0, nx2), slice(ny2, ny), nb[1]),
+        (slice(nx2, nx), slice(0, ny2), nb[1]),
         (slice(nx2, nx), slice(ny2, ny), nb[2]),
     ]
     for sx, sy, qnb in quad_dims:
