@@ -53,7 +53,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("input_path", metavar="input",
                    help="data folder that includes folders images and spectra")
     p.add_argument("output_path", metavar="output",
-                   help="warehouse directory, does not need to exist")
+                   help="warehouse directory, does not need to exist "
+                        "(LOCAL filesystem path — truncate/overwrite use "
+                        "local fs ops; remote URIs are rejected)")
     p.add_argument("--truncate", action="store_true",
                    help="Truncate the existing warehouse first?")
     p.add_argument("--image-pattern", dest="image_pattern", default=None,
@@ -201,6 +203,23 @@ def main(argv: list[str] | None = None) -> int:
     from hiss_cube_spark import get_spark
     from hiss_cube_spark.plans.pipeline import CubePipeline
     from hiss_cube_spark.sources.ingest import ingest_images, ingest_spectra
+
+    # The CLI's truncate and overwrite_one paths use local-filesystem ops
+    # (shutil.rmtree / os.replace); on a remote URI truncate would be a
+    # silent no-op and overwrite would fail mid-rewrite — reject up front
+    # (ADVICE r7). Library users on remote stores should drive CubePipeline
+    # directly and manage deletes through their store's own API.
+    import re as _re
+
+    m = _re.match(r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", args.output_path)
+    if m and m.group(1) != "file":
+        print(
+            f"output warehouse must be a local path; got scheme "
+            f"'{m.group(1)}://' — the CLI's truncate/overwrite use local "
+            "filesystem operations",
+            file=sys.stderr,
+        )
+        return 2
 
     owns_session = SparkSession.getActiveSession() is None
     spark = get_spark("hiss-cube-cli")

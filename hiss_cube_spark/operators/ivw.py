@@ -102,13 +102,26 @@ def ivw_aggregate_arrays(
     )
 
     @pandas_udf(out_t)
-    def _agg(fl: pd.Series, sg: pd.Series) -> pd.DataFrame:
+    def _agg(pairs: pd.Series) -> pd.DataFrame:
         means, sigs = [], []
-        for flist, slist in zip(fl, sg):
-            n = max(len(a) for a in flist)
-            f = np.full((len(flist), n), np.nan)
-            s = np.full((len(flist), n), np.nan)
-            for i, (a, b) in enumerate(zip(flist, slist)):
+        for plist in pairs:
+            # collect_list(struct) keeps flux/sigma pairwise aligned per row
+            # (two independent collect_lists would drop nulls independently
+            # and silently desynchronize the pairing); a pair with a null
+            # member carries no usable observation — skip it.
+            kept = [
+                (p["f"], p["s"])
+                for p in plist
+                if p["f"] is not None and p["s"] is not None
+            ]
+            if not kept:
+                means.append(None)
+                sigs.append(None)
+                continue
+            n = max(len(a) for a, _ in kept)
+            f = np.full((len(kept), n), np.nan)
+            s = np.full((len(kept), n), np.nan)
+            for i, (a, b) in enumerate(kept):
                 f[i, : len(a)] = np.asarray(a, dtype=np.float64)
                 s[i, : len(b)] = np.asarray(b, dtype=np.float64)
             mean, sig = ivw_np(f, s)
@@ -120,11 +133,12 @@ def ivw_aggregate_arrays(
         df.select(*group_cols, flux_col, sigma_col)
         .groupBy(*group_cols)
         .agg(
-            F.collect_list(flux_col).alias("_fl"),
-            F.collect_list(sigma_col).alias("_sg"),
+            F.collect_list(
+                F.struct(F.col(flux_col).alias("f"), F.col(sigma_col).alias("s"))
+            ).alias("_pairs"),
         )
     )
-    out = grouped.withColumn("_o", _agg(F.col("_fl"), F.col("_sg")))
+    out = grouped.withColumn("_o", _agg(F.col("_pairs")))
     return out.select(
         *group_cols,
         F.col(f"_o.{mean_name}").alias(mean_name),

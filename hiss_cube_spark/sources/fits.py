@@ -579,19 +579,20 @@ def decompress_tiled_image(data: bytes, header: dict, dpos: int) -> np.ndarray:
                     raise ValueError(
                         f"tile {t}: HCOMPRESS {hc.size} px, expected {npix}"
                     )
-                # reconcile the stream's (slow, fast) dims with the tile's
-                # (height, width): a foreign writer that swapped the axis
-                # convention is transposed, never mis-raveled
+                # The stream's (slow, fast) dims must equal the tile's
+                # (height, width). A swapped pair is AMBIGUOUS without a real
+                # fpack sample: the writer may have transposed the raster
+                # (fix = .T) or merely swapped the header dims over the same
+                # ravel (fix = reshape). Guessing .T would silently scramble
+                # pixels in the second case — fail loudly instead (ADVICE r7).
                 th = sizes[1] if len(sizes) > 1 else 1
                 tw = sizes[0]
                 if hc.shape != (th, tw):
-                    if hc.shape == (tw, th):
-                        hc = hc.T
-                    else:
-                        raise ValueError(
-                            f"tile {t}: HCOMPRESS dims {hc.shape} vs "
-                            f"tile ({th}, {tw})"
-                        )
+                    raise ValueError(
+                        f"tile {t}: HCOMPRESS dims {hc.shape} vs tile "
+                        f"({th}, {tw}) — ambiguous transpose-vs-reshape; "
+                        "refusing to guess without a verified fpack sample"
+                    )
                 vals = hc.ravel().astype(np.int64)
             elif cmptype == "PLIO_1":
                 vals = plio_decode(raw)

@@ -491,7 +491,13 @@ def hcomp_encode(a: np.ndarray, scale: int = 0) -> bytes:
     nx, ny = a.shape  # nx = slow axis (rows), matching the published order
     w = htrans_f(a)
     if scale > 1:
-        # C-style truncation toward zero (numpy // floors on negatives)
+        # Published digitize() (White 1992 digitize.c, carried verbatim into
+        # cfitsio fits_hcompress.c):  d=(scale+1)/2-1;
+        #   *p = ((*p>0) ? *p+d : *p-d)/scale   (C division truncates to 0)
+        # sign(w)*((|w|+d)//scale) reproduces that exactly for +,-,0 because
+        # |w|+d >= 0 makes floor==truncate. (An r7 advice note suggested
+        # d=scale//2; re-derived against the published source — the actual
+        # offset is (scale+1)/2-1, e.g. scale=4 -> d=1, not 2.)
         d = (scale + 1) // 2 - 1
         w = np.sign(w) * ((np.abs(w) + d) // scale)
     dc = int(w[0, 0])

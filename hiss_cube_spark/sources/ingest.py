@@ -352,14 +352,20 @@ def ingest_one(
 
     from pyspark.sql import functions as F
 
+    from pyspark.errors import AnalysisException
+
     table, df = _one_file_rows(spark, path, kind, zooms, rebin_samples)
     tpath = os.path.join(warehouse, table)
     new_path = df.select("path").head()["path"]
     try:
         existing = spark.read.parquet(tpath)
         dup = existing.where(F.col("path") == new_path).limit(1).count()
-    except Exception:
-        dup = 0  # table absent: first object creates it
+    except AnalysisException:
+        # table absent: first object creates it. Only the path-not-found
+        # case may disable the duplicate guard — a corrupt footer or a
+        # permission error must propagate, not silently append a dup
+        # (ADVICE r7).
+        dup = 0
     if dup:
         raise ValueError(
             f"{new_path} already ingested into {tpath}; use overwrite_one "
@@ -389,6 +395,7 @@ def overwrite_one(
     import os
     import shutil
 
+    from pyspark.errors import AnalysisException
     from pyspark.sql import functions as F
 
     table, df = _one_file_rows(spark, path, kind, zooms, rebin_samples)
@@ -397,7 +404,8 @@ def overwrite_one(
     try:
         existing = spark.read.parquet(tpath)
         has_old = existing.where(F.col("path") == new_path).limit(1).count()
-    except Exception:
+    except AnalysisException:
+        # only "table absent" means insert-fresh; other read errors propagate
         existing, has_old = None, 0
     if not has_old:
         df.write.mode("append").partitionBy("zoom").parquet(tpath)

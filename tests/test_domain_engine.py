@@ -504,3 +504,40 @@ def test_crossmatch_healpix_polar_correct(spark):
         for r in crossmatch(p, t, radius_deg=radius, index="healpix").collect()
     }
     assert got == brute
+
+
+def test_ivw_arrays_null_member_alignment(spark):
+    """ADVICE r7: a row with a null in only ONE of flux/sigma must not
+    desynchronize the pairing (two independent collect_lists drop nulls
+    independently); all-null groups must yield null arrays, not crash."""
+    from hiss_cube_spark.operators.ivw import ivw_aggregate_arrays, ivw_np
+
+    rows = [
+        # group A: one good pair, one flux-null pair (must be skipped as a
+        # UNIT — the old two-collect_list form would pair sigma of row 2
+        # with flux of row 3)
+        ("A", [1.0, 2.0], [0.5, 0.5]),
+        ("A", None, [9.0, 9.0]),
+        ("A", [3.0, 4.0], [1.0, 1.0]),
+        # group B: every pair has a null member
+        ("B", None, [1.0, 1.0]),
+        ("B", [1.0, 1.0], None),
+    ]
+    df = spark.createDataFrame(
+        rows, "g string, flux array<float>, sigma array<float>"
+    )
+    out = {
+        r["g"]: r
+        for r in ivw_aggregate_arrays(df, ["g"]).collect()
+    }
+    exp_mean, exp_sig = ivw_np(
+        np.array([[1.0, 2.0], [3.0, 4.0]]), np.array([[0.5, 0.5], [1.0, 1.0]])
+    )
+    np.testing.assert_allclose(
+        np.array(out["A"]["flux_mean"], dtype=np.float64), exp_mean, rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.array(out["A"]["flux_sigma"], dtype=np.float64), exp_sig, rtol=1e-6
+    )
+    assert out["B"]["flux_mean"] is None
+    assert out["B"]["flux_sigma"] is None
