@@ -6301,11 +6301,13 @@ def mm_png_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mm_fits_codec_sweep",
     """
     SELECT CAST(doc_id AS BIGINT) AS doc_id,
-           CASE CAST(doc_id % 4 AS INT)
+           CASE CAST((doc_id // 5) % 5 AS INT)
                 WHEN 0 THEN 'RICE_1' WHEN 1 THEN 'GZIP_1'
-                WHEN 2 THEN 'GZIP_2' ELSE 'HCOMPRESS_1' END AS cmptype,
-           CASE WHEN doc_id % 4 <> 3 THEN 'n/a'
-                WHEN doc_id % 8 = 7 THEN 'cfitsio' ELSE 'native' END AS layout,
+                WHEN 2 THEN 'GZIP_2' WHEN 3 THEN 'HCOMPRESS_1'
+                ELSE 'PLIO_1' END AS cmptype,
+           CASE WHEN (doc_id // 5) % 5 < 3 THEN 'n/a'
+                WHEN (doc_id // 5) % 2 = 1 THEN 'cfitsio'
+                ELSE 'native' END AS layout,
            CAST(8 + (doc_id % 3) * 4 AS INT) AS height,
            CAST(12 AS INT) AS width,
            TRUE AS exact_roundtrip
@@ -6313,20 +6315,22 @@ def mm_png_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def mm_fits_codec_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All four FITS tiled-image codecs (`ZCMPTYPE` = RICE_1 / GZIP_1 /
-    GZIP_2 byte-shuffle / HCOMPRESS_1 H-transform quadtree — reference
-    reads these transparently via fitsio+cfitsio,
+    """All five FITS tiled-image codecs (`ZCMPTYPE` = RICE_1 / GZIP_1 /
+    GZIP_2 byte-shuffle / HCOMPRESS_1 H-transform quadtree / PLIO_1
+    pixel-list — reference reads these transparently via fitsio+cfitsio,
     /root/reference/hisscube/utils/photometry.py:18) exercised
     distributed: per document synthesize an int16 frame from its text
     bytes, fpack it (`sources/fits.py:write_rice_fits`), parse it back
     through the `.fits.fz` ZIMAGE bintable path, and assert exact pixel
     recovery — integer tiles are lossless in every codec, so the oracle
     is fully analytic (dimension law, codec-selection law, equality).
-    HCOMPRESS_1 rows alternate BOTH stream layouts: the repo's native
-    container and the foreign hcomp/cfitsio layout real fpack files use
-    (sources/hcomp_foreign.py) — the reader dispatches on the byte after
-    the shared 0xDD99 magic. Codec kernels are pinned in
-    tests/test_hcompress.py, tests/test_hcomp_foreign.py and
+    HCOMPRESS_1 and PLIO_1 rows alternate BOTH stream layouts: the
+    repo's native containers and the foreign cfitsio streams real fpack
+    files use (sources/hcomp_foreign.py dispatched on the byte after the
+    shared 0xDD99 magic; sources/plio_foreign.py IRAF line lists on the
+    -100 new-format marker). PLIO rows use the codec's non-negative
+    mask domain. Codec kernels are pinned in tests/test_hcompress.py,
+    tests/test_hcomp_foreign.py, tests/test_plio.py and
     tests/test_ingest_cli.py."""
     import numpy as _np
     import pandas as _pd
@@ -6340,7 +6344,7 @@ def mm_fits_codec_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text")
         .repartition(spark.sparkContext.defaultParallelism)
     )
-    codecs = ["RICE_1", "GZIP_1", "GZIP_2", "HCOMPRESS_1"]
+    codecs = ["RICE_1", "GZIP_1", "GZIP_2", "HCOMPRESS_1", "PLIO_1"]
 
     def _roundtrip(batches: _Iter[_pd.DataFrame]) -> _Iter[_pd.DataFrame]:
         for pdf in batches:
@@ -6348,17 +6352,28 @@ def mm_fits_codec_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 b = _np.frombuffer(text.encode("utf-8"), dtype=_np.uint8)
                 h, w = 8 + int(doc_id) % 3 * 4, 12
-                img = (
-                    _np.resize(b.astype(_np.int64) * 97, h * w).reshape(h, w)
-                    - 5000
-                ).astype(_np.int16)
-                cmp = codecs[int(doc_id) % 4]
+                k = (int(doc_id) // 5) % 5
+                cmp = codecs[k]
+                if cmp == "PLIO_1":
+                    # pixel-list domain: non-negative mask values
+                    img = (
+                        _np.resize(b.astype(_np.int64) * 97, h * w)
+                        .reshape(h, w) % 1021
+                    ).astype(_np.int16)
+                else:
+                    img = (
+                        _np.resize(b.astype(_np.int64) * 97, h * w)
+                        .reshape(h, w) - 5000
+                    ).astype(_np.int16)
                 layout = "n/a"
-                if cmp == "HCOMPRESS_1":
-                    layout = "cfitsio" if int(doc_id) % 8 == 7 else "native"
+                if cmp in ("HCOMPRESS_1", "PLIO_1"):
+                    layout = (
+                        "cfitsio" if (int(doc_id) // 5) % 2 == 1 else "native"
+                    )
                 fz = write_rice_fits(
                     img, tile_rows=5, cmptype=cmp,
                     hcomp_layout=layout if layout != "n/a" else "native",
+                    plio_layout=layout if layout != "n/a" else "native",
                 )
                 _, dec = parse_fits_image(fz)
                 ok = bool(_np.array_equal(dec, img.astype(_np.int64)))
@@ -9542,33 +9557,37 @@ def entry(spark: SparkSession) -> DataFrame:
 # list, remaining never-checked queries first, so later rounds rotate the
 # window forward until every query has had a green row.
 _CHECK_PRIORITY = [
-    # ---- round-7 window (slots 1-50) ----
+    # ---- round-8 window (slots 1-50) ----
     # sentinels (green every round; canaries against harness drift)
     "flagship_ml_cube", "q1_pricing_summary",
-    # the 4 round-6 additions + the 4 round-7 additions — after this
-    # window, zero verification debt again
-    "ts_theil_sen", "ts_holt_linear", "mm_exif_pipeline",
-    "j5_tiled_cutout_service",
-    "j_polar_crossmatch", "text_readability", "cur_source_overlap",
-    "ts_structure_function",
-    # 40 round-robin RE-verifications: the oldest greens — all 17 queries
-    # last checked in round 2 plus the first 23 of the round-3 cohort
-    # (the remaining 25 r3-era rotate in r8)
-    "w_lag_sessionize", "stream_tumbling_window", "stream_session_window",
-    "text_langid", "text_quality", "text_token_count", "text_fingerprint",
-    "text_repetition", "text_lm_score", "text_heavy_hitters",
-    "text_tfidf_topk", "w_gaps_islands", "q_lateral_topk", "j_range_join",
-    "stream_sliding_window", "stream_interval_join", "ts_ewma",
-    "j_asof_interp", "ts_autocorr", "a_trimmed_mean", "a_mode",
-    "dedup_containment", "emb_hard_negatives", "ann_sq_topk",
-    "emb_random_projection", "ann_lsh_topk", "ann_pq_topk",
-    "f_udtf_tokens", "dq_constraint_report", "dq_ks_drift",
-    "dq_mad_outliers", "dq_segment_drift", "dq_profile_table",
-    "cdc_incremental_agg", "cur_incremental_dedup", "cur_chunk_documents",
-    "cur_domain_cap", "cur_hash_split", "cur_stratified_kfold",
-    "cur_weighted_sample",
-    # ---- slot 50 ends at cur_weighted_sample; everything else follows in
-    # definition order (all previously driver-green in r1–r6) ----
+    # STALENESS INVARIANT (VERDICT r7 #2, now policy): any query whose
+    # implementation or oracle changed since its last driver row goes
+    # first. These three changed in r7 after their r6 rows
+    # (mm_fits_codec_sweep: new layout column; mm_flac_pipeline: per-depth
+    # normalization; a1_ivw_arrays: batched kernel, and AGAIN in r8 —
+    # struct-aligned collect_list).
+    "mm_fits_codec_sweep", "mm_flac_pipeline", "a1_ivw_arrays",
+    # the full remaining round-3 cohort (last driver row r3) — after this
+    # window, every registered query's latest row is r4+
+    "cur_pack_sequences", "cur_balanced_sample", "cur_corpus_report",
+    "text_bm25_topk", "text_entropy", "text_pmi_bigrams",
+    "cur_score_calibrate", "cur_temperature_sample", "cur_best_of_cluster",
+    "cur_semantic_dedup", "mm_audio_pipeline", "a_hll_sketch",
+    "cur_decontaminate", "a_approx_stats", "cur_redact_pii",
+    "cur_quality_filter", "cur_full_pipeline", "dedup_substring_spans",
+    "text_simpson_diversity", "cur_mix_weights", "stream_dedup_first",
+    "stream_neardup_minhash", "graph_bfs_hops", "graph_triangles",
+    "dq_outliers",
+    # round-robin RE-verifications: the oldest r4-era greens in
+    # definition order (the rest of the r4 cohort rotates in r9)
+    "j_knn_crossmatch", "ts_transition_matrix", "ts_cusum_changepoint",
+    "ts_seasonal_anomaly", "ts_seasonal_decompose", "a_corr_matrix",
+    "w_mom_change", "a_top_decile_share", "a_gini", "a_weighted_median",
+    "f_target_encode", "a_winsorize", "emb_matryoshka_recall",
+    "emb_dbscan", "dq_mutual_info", "dq_chi2_independence", "dq_benford",
+    "p_variant_props", "q_recursive_cte", "text_gopher_rules",
+    # ---- slot 50 ends at text_gopher_rules; everything else follows in
+    # definition order (all previously driver-green in r1–r7) ----
 ]
 
 

@@ -72,9 +72,30 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Path to the gal_info catalog (FITS table or parquet).")
     p.add_argument("--gal-sfr", dest="gal_sfr", default=None,
                    help="Path to the galaxy SFR catalog (FITS table or parquet).")
-    p.add_argument("--match-radius-deg", type=float, default=0.133)
-    p.add_argument("--cutout-size", type=int, default=64)
-    p.add_argument("--zooms", type=int, default=5)
+    # knobs that may also come from --config default to None so the
+    # precedence chain (flag > config file > built-in default) can tell
+    # "user set it" from "default"
+    p.add_argument("--config", dest="config_path", default=None,
+                   help="Path to a reference-shaped config.ini "
+                        "(hisscube.py:41-42); explicit flags override "
+                        "file values.")
+    p.add_argument("--match-radius-deg", type=float, default=None,
+                   help="Link radius in degrees (default 0.133 = the "
+                        "reference's 8-arcmin image radius).")
+    p.add_argument("--cutout-size", type=int, default=None,
+                   help="Cutout side in pixels (default 64).")
+    p.add_argument("--zooms", type=int, default=None,
+                   help="Zoom levels incl. full resolution (default 5).")
+    p.add_argument("--max-cutout-refs", dest="max_cutout_refs", type=int,
+                   default=None,
+                   help="Cap on cutout refs per spectrum (default 200; "
+                        "config.ini Writer.MAX_CUTOUT_REFS).")
+    p.add_argument("--limit-image-count", dest="limit_image_count",
+                   type=int, default=None,
+                   help="Ingest at most N image files (Writer.LIMIT_IMAGE_COUNT).")
+    p.add_argument("--limit-spectra-count", dest="limit_spectra_count",
+                   type=int, default=None,
+                   help="Ingest at most N spectrum files (Writer.LIMIT_SPECTRA_COUNT).")
     p.add_argument("--rebin-samples", type=int, default=None,
                    help="Spectrum rebin grid size (default: reference 4620).")
     p.add_argument("--tiled", action="store_true",
@@ -221,22 +242,55 @@ def main(argv: list[str] | None = None) -> int:
         )
         return 2
 
+    # flag > config file > built-in default (reference precedence:
+    # hisscube.py reads --config once; flags are the operator override)
+    from hiss_cube_spark.config import HissCubeConfig
+
+    cfg = (
+        HissCubeConfig.from_ini(args.config_path)
+        if args.config_path
+        else HissCubeConfig()
+    )
+    knobs = cfg.merged_under(
+        match_radius_deg=args.match_radius_deg,
+        cutout_size=args.cutout_size,
+        zooms=args.zooms,
+        max_refs=args.max_cutout_refs,
+        image_pattern=args.image_pattern,
+        spectra_pattern=args.spectra_pattern,
+        limit_image_count=args.limit_image_count,
+        limit_spectra_count=args.limit_spectra_count,
+        rebin_samples=args.rebin_samples,
+    )
+    zooms = knobs["zooms"] if knobs["zooms"] is not None else 5
+    rebin_samples = knobs["rebin_samples"]
+    limit_images = knobs["limit_image_count"]
+    limit_spectra = knobs["limit_spectra_count"]
+    build_ml = cfg.create_ml_cube is not False
+    build_viz = cfg.create_visualization_cube is not False
+
     owns_session = SparkSession.getActiveSession() is None
     spark = get_spark("hiss-cube-cli")
     spark.sparkContext.setLogLevel("WARN")
     pipe = CubePipeline(
         spark,
         args.output_path,
-        match_radius_deg=args.match_radius_deg,
-        cutout_size=args.cutout_size,
-        zooms=args.zooms,
+        match_radius_deg=(
+            knobs["match_radius_deg"]
+            if knobs["match_radius_deg"] is not None else 0.133
+        ),
+        cutout_size=(
+            knobs["cutout_size"] if knobs["cutout_size"] is not None else 64
+        ),
+        zooms=zooms,
+        max_refs=knobs["max_refs"] if knobs["max_refs"] is not None else 200,
         tiled=args.tiled,
         tile=args.tile,
     )
     img_dir = _sub_dir(args.input_path, "images")
     spec_dir = _sub_dir(args.input_path, "spectra")
-    img_pat = args.image_pattern or "*.fits*"
-    spec_pat = args.spectra_pattern or "*.fits*"
+    img_pat = knobs["image_pattern"] or "*.fits*"
+    spec_pat = knobs["spectra_pattern"] or "*.fits*"
 
     def _ingest(kind: str) -> int:
         """Write one bronze table; returns its row count (observed on the
@@ -250,7 +304,8 @@ def main(argv: list[str] | None = None) -> int:
                 print("image list matched no files", file=sys.stderr)
                 return 0
             df = ingest_images(
-                spark, img_dir, img_pat, zooms=args.zooms, paths=paths
+                spark, img_dir, img_pat, zooms=zooms, paths=paths,
+                limit=limit_images,
             )
         else:
             paths = (
@@ -261,8 +316,9 @@ def main(argv: list[str] | None = None) -> int:
                 print("spectra list matched no files", file=sys.stderr)
                 return 0
             df = ingest_spectra(
-                spark, spec_dir, spec_pat, zooms=args.zooms,
-                rebin_samples=args.rebin_samples, paths=paths,
+                spark, spec_dir, spec_pat, zooms=zooms,
+                rebin_samples=rebin_samples, paths=paths,
+                limit=limit_spectra,
             )
         pipe.write_bronze(df, kind)
         n = pipe.stats.get(kind, 0)
@@ -282,8 +338,12 @@ def main(argv: list[str] | None = None) -> int:
             pipe.phase_tiles()
         if n_img and n_spec:
             pipe.phase_link()
-            pipe.phase_ml_cube()
-            pipe.phase_visualization()
+            # Builder.CREATE_ML_CUBE / CREATE_VISUALIZATION_CUBE toggles
+            # (reference: director.py chooses the builders from config)
+            if build_ml:
+                pipe.phase_ml_cube()
+            if build_viz:
+                pipe.phase_visualization()
         else:
             print(
                 "skipping link/gold phases: need both images and spectra "

@@ -961,6 +961,7 @@ def source_overlap_matrix(
     text_col: str = "text",
     source_col: str = "source",
     n: int = 3,
+    hash_grams: bool = True,
 ) -> DataFrame:
     """Pairwise n-gram Jaccard between corpus SOURCES — the
     cross-provenance contamination diagnostic (a crawl snapshot that
@@ -976,11 +977,21 @@ def source_overlap_matrix(
     |sources|² rows regardless of corpus size.
 
     Output: (source_a, source_b, n_inter, n_union, jaccard), a < b.
+
+    ``hash_grams`` (default on) replaces each raw gram string with its
+    ``xxhash64`` BEFORE the corpus-wide ``.distinct()`` — the dominant
+    shuffle then carries (source, int64) instead of (source, ~20-60 byte
+    string), identical set semantics up to 64-bit collisions (odds
+    ~n²/2⁶⁵; at 10¹⁰ distinct grams that is ~0.3% for ONE colliding pair
+    corpus-wide, which perturbs one count by 1 — fine for a diagnostic;
+    pass False for the exact-string path).
     """
-    grams = (
-        df.select(source_col, F.explode(shingle_array(F.col(text_col), n)).alias("gram"))
-        .distinct()
+    grams = df.select(
+        source_col, F.explode(shingle_array(F.col(text_col), n)).alias("gram")
     )
+    if hash_grams:
+        grams = grams.select(source_col, F.xxhash64("gram").alias("gram"))
+    grams = grams.distinct()
     # sizes is |sources| rows; pin it so the two size joins below don't
     # each re-derive the corpus-wide gram scan (lazy re-derivation — the
     # scan-audit discipline, PLANS.md "Same-table scan audit")

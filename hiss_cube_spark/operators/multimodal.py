@@ -40,6 +40,10 @@ from pyspark.sql.types import (
 # re-imports on the executor, where the package directory may not exist
 # (closures ship by value via _serde) — the exact bug class the round-5
 # fits.py hoist fixed.
+from hiss_cube_spark.operators.flac import (  # noqa: E402
+    decode_flac_np,
+    flac_streaminfo,
+)
 from hiss_cube_spark.operators.jpeg import (  # noqa: E402
     apply_exif_orientation,
     decode_jpeg_np,
@@ -788,11 +792,6 @@ def decode_audio_np(payload: bytes) -> tuple[np.ndarray, int]:
     pipeline's mono contract. FLAC normalizes at the STREAM's bit depth
     (127 / 32767 / 8388607), same per-depth contract as the WAV branch."""
     if payload[:4] == b"fLaC":
-        from hiss_cube_spark.operators.flac import (
-            decode_flac_np,
-            flac_streaminfo,
-        )
-
         arr, rate = decode_flac_np(payload)
         if arr.ndim == 2:
             arr = arr.astype(np.float32).mean(axis=1)

@@ -40,6 +40,10 @@ from hiss_cube_spark.sources.hcomp_foreign import hcomp_encode as _hcomp_encode_
 from hiss_cube_spark.sources.hcompress import hcompress as _hcompress
 from hiss_cube_spark.sources.hcompress import hdecompress as _hdecompress
 from hiss_cube_spark.sources.plio import plio_decode, plio_encode
+from hiss_cube_spark.sources.plio_foreign import (
+    iraf_plio_decode,
+    iraf_plio_encode,
+)
 from hiss_cube_spark.sources.quantize import quantize_tile, unquantize_tile
 from hiss_cube_spark.sources.rice import rice_decode, rice_encode
 
@@ -508,13 +512,12 @@ def decompress_tiled_image(data: bytes, header: dict, dpos: int) -> np.ndarray:
     tiles = [int(header.get(f"ZTILE{ax}", dims[ax - 1] if ax == 1 else 1))
              for ax in range(1, znaxis + 1)]
     cmptype = str(header.get("ZCMPTYPE", "RICE_1")).strip()
-    # HCOMPRESS_1 tiles decode through BOTH layouts: this repo's
-    # self-versioned container (sources/hcompress.py, version byte 0x01)
-    # and the foreign cfitsio/fpack hcomp layout
-    # (sources/hcomp_foreign.py) — dispatched on the byte after the
-    # shared 0xDD99 magic. PLIO_1 remains this repo's stream only: a
-    # real fpack PLIO tile fails the 0x3A50 line-list magic and errors,
-    # it does not mis-decode.
+    # HCOMPRESS_1 and PLIO_1 tiles decode through BOTH layouts: the
+    # repo's self-versioned containers (sources/hcompress.py version
+    # byte; sources/plio.py 0x3A50 magic) and the foreign cfitsio/fpack
+    # streams (sources/hcomp_foreign.py on the byte after 0xDD99;
+    # sources/plio_foreign.py IRAF line lists on the -100 new-format
+    # marker). Unrecognized streams error loudly, never mis-decode.
     if cmptype not in (
         "RICE_1", "GZIP_1", "GZIP_2", "HCOMPRESS_1", "PLIO_1", "NOCOMPRESS"
     ):
@@ -595,11 +598,18 @@ def decompress_tiled_image(data: bytes, header: dict, dpos: int) -> np.ndarray:
                     )
                 vals = hc.ravel().astype(np.int64)
             elif cmptype == "PLIO_1":
-                vals = plio_decode(raw)
-                if vals.size != npix:
-                    raise ValueError(
-                        f"tile {t}: PLIO {vals.size} px, expected {npix}"
-                    )
+                # two stream layouts, dispatched by magic: this repo's
+                # self-versioned line list (word 0 = 0x3A50) and the
+                # foreign IRAF/cfitsio pliocomp stream real fpack files
+                # carry (sources/plio_foreign.py); anything else errors
+                if len(raw) >= 2 and raw[0] == 0x3A and raw[1] == 0x50:
+                    vals = plio_decode(raw)
+                    if vals.size != npix:
+                        raise ValueError(
+                            f"tile {t}: PLIO {vals.size} px, expected {npix}"
+                        )
+                else:
+                    vals = iraf_plio_decode(raw, npix)
             elif cmptype == "NOCOMPRESS":
                 vals = np.frombuffer(raw, dtype=_ZBITPIX_DTYPE[zbitpix]).astype(
                     np.int64 if zbitpix > 0 else np.float64
@@ -661,6 +671,7 @@ def write_rice_fits(
     header_extra: dict | None = None,
     cmptype: str = "RICE_1",
     hcomp_layout: str = "native",
+    plio_layout: str = "native",
 ) -> bytes:
     """fpack-style tile compression: serialize a 2-D integer image as a
     FITS file whose image HDU is a RICE_1 ZIMAGE bintable (one tile =
@@ -668,8 +679,10 @@ def write_rice_fits(
     parity and the fixture generator for the `.fits.fz` ingest tests.
 
     ``hcomp_layout="cfitsio"`` writes HCOMPRESS_1 tiles in the FOREIGN
-    hcomp/cfitsio stream layout (sources/hcomp_foreign.py) — the fixture
-    generator for real-fpack-shaped files."""
+    hcomp/cfitsio stream layout (sources/hcomp_foreign.py);
+    ``plio_layout="cfitsio"`` writes PLIO_1 tiles as IRAF line lists
+    (sources/plio_foreign.py) — the fixture generators for
+    real-fpack-shaped files."""
     if arr.ndim != 2:
         raise ValueError("write_rice_fits expects a 2-D image")
     kind_bitpix = {"u1": 8, "i2": 16, "i4": 32}
@@ -698,7 +711,10 @@ def write_rice_fits(
             else:
                 enc = _hcompress(tile.reshape(-1, w).astype(np.int64))
         elif cmptype == "PLIO_1":
-            enc = plio_encode(tile.astype(np.int64))
+            if plio_layout == "cfitsio":
+                enc = iraf_plio_encode(tile.astype(np.int64))
+            else:
+                enc = plio_encode(tile.astype(np.int64))
         elif cmptype == "NOCOMPRESS":
             enc = tile.astype(_ZBITPIX_DTYPE[zbitpix]).tobytes()
         else:

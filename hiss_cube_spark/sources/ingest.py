@@ -149,15 +149,21 @@ def _binary_scan(
 
 def ingest_images(
     spark: SparkSession, directory: str, pattern: str = "*.fits*", zooms: int = 5,
-    paths: list[str] | None = None,
+    paths: list[str] | None = None, limit: int | None = None,
 ) -> DataFrame:
     """Bulk image ingest: binaryFile scan → per-batch pyramid build.
+
+    ``limit`` caps the FILE count (config.ini Writer.LIMIT_IMAGE_COUNT);
+    deterministic first-N in path order — the reference truncates its
+    walked path list the same way, just in walk order.
 
     The image_id is assigned after the parallel parse (dense ids via
     zipWithIndex-free hash of path — stable and shuffle-free)."""
     from pyspark.sql import functions as F
 
     files = _binary_scan(spark, directory, pattern, paths)
+    if limit is not None:
+        files = files.orderBy("path").limit(limit)
 
     cols = [
         "path", "run", "camcol", "band", "wl", "tai_time", "ra", "dec",
@@ -245,12 +251,17 @@ _SPEC_SCHEMA = (
 def ingest_spectra(
     spark: SparkSession, directory: str, pattern: str = "*.fits*",
     zooms: int = 5, rebin_samples: int | None = None,
-    paths: list[str] | None = None,
+    paths: list[str] | None = None, limit: int | None = None,
 ) -> DataFrame:
-    """Bulk spectrum ingest: binaryFile scan → mapInPandas kernel."""
+    """Bulk spectrum ingest: binaryFile scan → mapInPandas kernel.
+
+    ``limit`` caps the FILE count (Writer.LIMIT_SPECTRA_COUNT),
+    deterministic first-N in path order."""
     from pyspark.sql import functions as F
 
     files = _binary_scan(spark, directory, pattern, paths)
+    if limit is not None:
+        files = files.orderBy("path").limit(limit)
     cols = [
         "path", "plateid", "mjd", "fiberid", "plug_ra", "plug_dec",
         "healpix", "time", "zoom", "wl", "flux_mean", "flux_sigma",

@@ -527,3 +527,84 @@ def test_ingest_one_duplicate_contract(spark, tmp_path_factory):
     _write_fits(img2, band="g")
     assert ingest_one(spark, img2, wh) == "images"
     assert spark.read.parquet(os.path.join(wh, "images")).count() == 10
+
+
+def test_cli_config_file_reproduces_flag_run(spark, tmp_path_factory):
+    """VERDICT r7 #3: `create` driven by a reference-shaped config.ini
+    (hisscube.py:41-42, config/config.ini keys) reproduces the flag-driven
+    gold tables; explicit flags override file values; Builder.CREATE_*
+    toggles and Writer.LIMIT_* caps apply."""
+    import json
+
+    from hiss_cube_spark.__main__ import main
+
+    root = _galaxy_corpus(tmp_path_factory)
+
+    # flag-driven baseline
+    wh_flags = str(tmp_path_factory.mktemp("cfg_flags_wh"))
+    assert main(_CLI_COMMON + ["--image-pattern", "frame-*-001234-*.fits",
+                               root, wh_flags, "create"]) == 0
+
+    # the same knobs spelled as the reference's config.ini keys
+    # (0.6 arcmin diameter / 60 = the 0.01 deg radius; ZOOM_CNT counts
+    # levels below full resolution, so 4 -> 5 zooms)
+    ini = os.path.join(str(tmp_path_factory.mktemp("cfg")), "config.ini")
+    with open(ini, "w") as f:
+        f.write("""
+[Builder]
+CREATE_ML_CUBE = True
+CREATE_VISUALIZATION_CUBE = True
+
+[Handler]
+IMAGE_CUTOUT_SIZE = 16
+IMG_ZOOM_CNT = 4
+SPEC_ZOOM_CNT = 4
+IMAGE_CHUNK_SIZE
+
+[Writer]
+IMAGE_PATTERN = frame-*-001234-*.fits
+SPECTRA_PATTERN = *.fits
+MAX_CUTOUT_REFS = 200
+
+[SDSS]
+REBIN_SAMPLES = 128
+IMG_DIAMETER_ANG_MIN = 0.6            # 0.01 deg link radius
+""")
+    wh_cfg = str(tmp_path_factory.mktemp("cfg_wh"))
+    assert main(["--config", ini, root, wh_cfg, "create"]) == 0
+    for t in _TABLES:
+        a = spark.read.parquet(os.path.join(wh_flags, t))
+        b = spark.read.parquet(os.path.join(wh_cfg, t))
+        assert a.count() == b.count(), t
+        assert sorted(a.columns) == sorted(b.columns), t
+    s_flags = json.load(open(os.path.join(wh_flags, "_stats.json")))
+    s_cfg = json.load(open(os.path.join(wh_cfg, "_stats.json")))
+    assert s_flags == s_cfg
+
+    # explicit flag overrides the file: cutout 8 beats the ini's 16
+    wh_ovr = str(tmp_path_factory.mktemp("cfg_ovr_wh"))
+    assert main(["--config", ini, "--cutout-size", "8",
+                 root, wh_ovr, "create"]) == 0
+    refs = spark.read.parquet(os.path.join(wh_ovr, "ml_cube_images"))
+    from pyspark.sql import functions as F
+
+    npx = refs.where(F.col("zoom") == 0).select(
+        F.size("cutout_flux").alias("n")).head()["n"]
+    assert npx == 8 * 8
+
+    # CREATE_VISUALIZATION_CUBE = False skips the viz gold phase;
+    # LIMIT_SPECTRA_COUNT = 1 caps the spectrum file count
+    with open(ini, "a") as f:
+        f.write("\n[DEFAULT]\n")
+    ini2 = ini + ".2"
+    with open(ini2, "w") as f:
+        f.write(open(ini).read()
+                .replace("CREATE_VISUALIZATION_CUBE = True",
+                         "CREATE_VISUALIZATION_CUBE = False")
+                .replace("MAX_CUTOUT_REFS = 200",
+                         "MAX_CUTOUT_REFS = 200\nLIMIT_SPECTRA_COUNT = 1"))
+    wh_lim = str(tmp_path_factory.mktemp("cfg_lim_wh"))
+    assert main(["--config", ini2, root, wh_lim, "create"]) == 0
+    assert not os.path.isdir(os.path.join(wh_lim, "visualization_cube"))
+    stats = json.load(open(os.path.join(wh_lim, "_stats.json")))
+    assert stats["spectra"] == 1 * 5  # one file x five zooms

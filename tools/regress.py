@@ -41,6 +41,7 @@ def main() -> None:
     results = []
     if not quick:
         results.append(run("pytest", [sys.executable, "-m", "pytest", "tests/", "-q"], cwd=REPO))
+    results.append(run("lazy-import lint", [sys.executable, f"{REPO}/tools/lint_lazy_imports.py", REPO]))
     results.append(run("parity", [sys.executable, f"{REPO}/tools/parity_full.py", "/root/testdata/sf0.01"]))
     results.append(run("ansi", [sys.executable, f"{REPO}/tools/ansi_smoke.py", "/root/testdata/sf0.001"]))
     results.append(run("bench", [sys.executable, f"{REPO}/bench.py"]))
