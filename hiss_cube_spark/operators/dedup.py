@@ -991,16 +991,26 @@ def source_overlap_matrix(
     )
     if hash_grams:
         grams = grams.select(source_col, F.xxhash64("gram").alias("gram"))
-    grams = grams.distinct()
-    # sizes is |sources| rows; pin it so the two size joins below don't
-    # each re-derive the corpus-wide gram scan (lazy re-derivation — the
-    # scan-audit discipline, PLANS.md "Same-table scan audit")
-    sizes = grams.groupBy(source_col).agg(
-        F.count(F.lit(1)).alias("sz")
-    ).localCheckpoint(eager=False)
-    pair = (
+    # ONE corpus scan: groupBy(gram) → source set (collect_set dedupes
+    # map-side; no pre-`.distinct()` exchange needed), then BOTH legs —
+    # per-source sizes and the pair matrix — derive from the pinned
+    # per-gram table. The checkpoint is sized by DISTINCT grams (8-byte
+    # hashes + ≤|sources| labels), far smaller than the corpus, and the
+    # alternative (sizes and pairs each re-deriving the shingle scan)
+    # reads the full document corpus twice — at 100 TB the extra scan
+    # dwarfs the gram-table materialization. Profiled at sf0.1: the
+    # shingle explode itself is the floor (~1.3 s/scan); 2-scan = 3.5 s,
+    # 1-scan = ~2 s.
+    pergram = (
         grams.groupBy("gram")
         .agg(F.sort_array(F.collect_set(source_col)).alias("srcs"))
+        .localCheckpoint(eager=True)
+    )
+    sizes = pergram.select(F.explode("srcs").alias(source_col)).groupBy(
+        source_col
+    ).agg(F.count(F.lit(1)).alias("sz"))
+    pair = (
+        pergram
         .where(F.size("srcs") >= 2)
         .select(
             F.explode(
