@@ -2886,6 +2886,166 @@ def ann_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "emb_kmeans_cosine",
+    """
+    WITH q AS (
+      SELECT vec_id AS vid,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS vq
+      FROM embeddings),
+    c0 AS (SELECT row_number() OVER (ORDER BY vid) AS cid, vq AS cq
+           FROM q ORDER BY vid LIMIT 8),
+    s1 AS (
+      SELECT q.vid, c0.cid,
+             (SELECT CAST(sum(q.vq[g.i] * c0.cq[g.i]) AS BIGINT)
+              FROM unnest(generate_series(1, 64)) g(i)) AS dot,
+             (SELECT CAST(sum(c0.cq[g.i] * c0.cq[g.i]) AS BIGINT)
+              FROM unnest(generate_series(1, 64)) g(i)) AS cn
+      FROM q CROSS JOIN c0),
+    a1 AS (SELECT vid, cid FROM (
+             SELECT vid, cid, row_number() OVER (PARTITION BY vid
+               ORDER BY dot / sqrt(CAST(cn AS DOUBLE)) DESC, cid) AS rn
+             FROM s1) WHERE rn = 1),
+    cell1 AS (
+      SELECT a1.cid, g.i AS pos, CAST(sum(q.vq[g.i]) AS BIGINT) AS s,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM a1 JOIN q USING (vid), unnest(generate_series(1, 64)) g(i)
+      GROUP BY 1, 2),
+    c1 AS (SELECT cid,
+                  array_agg((s - ((s % cnt + cnt) % cnt)) // cnt
+                            ORDER BY pos) AS cq
+           FROM cell1 GROUP BY 1),
+    s2 AS (
+      SELECT q.vid, c1.cid,
+             (SELECT CAST(sum(q.vq[g.i] * c1.cq[g.i]) AS BIGINT)
+              FROM unnest(generate_series(1, 64)) g(i)) AS dot,
+             (SELECT CAST(sum(c1.cq[g.i] * c1.cq[g.i]) AS BIGINT)
+              FROM unnest(generate_series(1, 64)) g(i)) AS cn
+      FROM q CROSS JOIN c1),
+    a2 AS (SELECT vid, cid FROM (
+             SELECT vid, cid, row_number() OVER (PARTITION BY vid
+               ORDER BY dot / sqrt(CAST(cn AS DOUBLE)) DESC, cid) AS rn
+             FROM s2) WHERE rn = 1)
+    SELECT CAST(cid AS BIGINT) AS cluster,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(sum(vid) AS BIGINT) AS vid_sum
+    FROM a2 GROUP BY 1
+    """,
+)
+def emb_kmeans_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spherical k-means (k=8, two Lloyd assignment rounds) over the
+    embedding corpus (`similarity.kmeans_cosine`) — the clustering
+    primitive behind cluster-balanced sampling and SemDeDup curation.
+    Deterministic and cross-engine exact end-to-end: 1e6-grid integer
+    vectors, smallest-k-ids init, integer FLOOR-MEAN centroids (bounded
+    below 2^53 at any cluster size), argmax on dot/sqrt(|c|²) where both operands are
+    exact BIGINTs below 2^53 and the sqrt/divide/compare are
+    correctly-rounded IEEE. Per round: broadcast k×dim centroids, one
+    corpus scan, one tiny integer-sum shuffle; centroids checkpointed so
+    the scan count stays flat. Output: per-cluster membership count and
+    exact id-sum signature of the full assignment."""
+    from hiss_cube_spark.operators.similarity import kmeans_cosine
+
+    e = _t(spark, sf_dir, "embeddings")
+    a = kmeans_cosine(e, k=8, dim=64, rounds=2)
+    return a.groupBy(F.col("cluster")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.sum("vec_id").cast("long").alias("vid_sum"),
+    )
+
+
+@_q(
+    "emb_cluster_prototypes",
+    """
+    WITH q AS (
+      SELECT vec_id AS vid,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS vq
+      FROM embeddings),
+    c0 AS (SELECT row_number() OVER (ORDER BY vid) AS cid, vq AS cq
+           FROM q ORDER BY vid LIMIT 8),
+    s1 AS (
+      SELECT q.vid, c0.cid,
+             (SELECT CAST(sum(q.vq[g.i] * c0.cq[g.i]) AS BIGINT)
+              FROM unnest(generate_series(1, 64)) g(i)) AS dot,
+             (SELECT CAST(sum(c0.cq[g.i] * c0.cq[g.i]) AS BIGINT)
+              FROM unnest(generate_series(1, 64)) g(i)) AS cn
+      FROM q CROSS JOIN c0),
+    a1 AS (SELECT vid, cid FROM (
+             SELECT vid, cid, row_number() OVER (PARTITION BY vid
+               ORDER BY dot / sqrt(CAST(cn AS DOUBLE)) DESC, cid) AS rn
+             FROM s1) WHERE rn = 1),
+    cell1 AS (
+      SELECT a1.cid, g.i AS pos, CAST(sum(q.vq[g.i]) AS BIGINT) AS s,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM a1 JOIN q USING (vid), unnest(generate_series(1, 64)) g(i)
+      GROUP BY 1, 2),
+    c1 AS (SELECT cid,
+                  array_agg((s - ((s % cnt + cnt) % cnt)) // cnt
+                            ORDER BY pos) AS cq
+           FROM cell1 GROUP BY 1),
+    s2 AS (
+      SELECT q.vid, c1.cid,
+             (SELECT CAST(sum(q.vq[g.i] * c1.cq[g.i]) AS BIGINT)
+              FROM unnest(generate_series(1, 64)) g(i)) AS dot,
+             (SELECT CAST(sum(c1.cq[g.i] * c1.cq[g.i]) AS BIGINT)
+              FROM unnest(generate_series(1, 64)) g(i)) AS cn
+      FROM q CROSS JOIN c1),
+    a2 AS (SELECT vid, cid FROM (
+             SELECT vid, cid, row_number() OVER (PARTITION BY vid
+               ORDER BY dot / sqrt(CAST(cn AS DOUBLE)) DESC, cid) AS rn
+             FROM s2) WHERE rn = 1),
+    cell2 AS (
+      SELECT a2.cid, g.i AS pos, CAST(sum(q.vq[g.i]) AS BIGINT) AS s,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM a2 JOIN q USING (vid), unnest(generate_series(1, 64)) g(i)
+      GROUP BY 1, 2),
+    c2 AS (SELECT cid,
+                  array_agg((s - ((s % cnt + cnt) % cnt)) // cnt
+                            ORDER BY pos) AS cq
+           FROM cell2 GROUP BY 1),
+    s3 AS (
+      SELECT a2.vid, a2.cid,
+             (SELECT CAST(sum(q.vq[g.i] * c2.cq[g.i]) AS BIGINT)
+              FROM unnest(generate_series(1, 64)) g(i)) AS dot,
+             (SELECT CAST(sum(q.vq[g.i] * q.vq[g.i]) AS BIGINT)
+              FROM unnest(generate_series(1, 64)) g(i)) AS vn,
+             (SELECT CAST(sum(c2.cq[g.i] * c2.cq[g.i]) AS BIGINT)
+              FROM unnest(generate_series(1, 64)) g(i)) AS cn
+      FROM a2 JOIN q USING (vid) JOIN c2 USING (cid)),
+    r AS (
+      SELECT vid, cid,
+             row_number() OVER (PARTITION BY cid ORDER BY
+               dot / (sqrt(CAST(vn AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE)))
+               DESC, vid) AS rd,
+             row_number() OVER (PARTITION BY cid ORDER BY
+               dot / (sqrt(CAST(vn AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE)))
+               ASC, vid DESC) AS ra
+      FROM s3)
+    SELECT CAST(cid AS BIGINT) AS cluster, vid AS vec_id,
+           CASE WHEN rd <= 2 THEN 'proto' ELSE 'outlier' END AS role,
+           CAST(rd AS BIGINT) AS rank_desc
+    FROM r WHERE rd <= 2 OR ra <= 2
+    """,
+)
+def emb_cluster_prototypes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster prototypicality ranking
+    (`similarity.cluster_prototypes`) composed over the spherical k-means
+    of emb_kmeans_cosine — the SemDeDup/DataComp curation move: a
+    cluster's most prototypical members are the near-duplicates to
+    prune, its least prototypical the diversity to keep. Scoring is
+    cosine-to-own-centroid against the exact integer floor-mean centroid, so
+    the whole pipeline (init → 2 Lloyd rounds → rank) is
+    bit-deterministic; emits top-2 'proto' and bottom-2 'outlier' per
+    cluster (ties on id). Scale: 2 k-means scans + 1 centroid-sum scan +
+    1 scoring scan; assignment checkpoint is (id, cluster) only."""
+    from hiss_cube_spark.operators.similarity import cluster_prototypes
+
+    e = _t(spark, sf_dir, "embeddings")
+    return cluster_prototypes(e, k=8, rounds=2, n_proto=2, n_outlier=2)
+
+
+@_q(
     "emb_random_projection",
     """
     WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20),
@@ -9014,6 +9174,49 @@ def dq_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "dq_psi",
+    """
+    WITH cells AS (
+      SELECT GREATEST(0, LEAST(19,
+               CAST(floor(l_extendedprice / 5500.0) AS INT))) AS bucket,
+             CAST(sum(CASE WHEN l_shipdate < TIMESTAMP '1998-01-01'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+             CAST(sum(CASE WHEN l_shipdate < TIMESTAMP '1998-01-01'
+                           THEN 0 ELSE 1 END) AS BIGINT) AS n_cur
+      FROM lineitem GROUP BY 1),
+    tot AS (SELECT sum(n_base) AS tb, sum(n_cur) AS tc FROM cells)
+    SELECT bucket, round(bucket * 5500.0, 6) AS bucket_lo, n_base, n_cur,
+           CASE WHEN n_base > 0 AND n_cur > 0 THEN
+             CAST(floor((n_cur / (1.0 * tc) - n_base / (1.0 * tb))
+                        * ln((n_cur / (1.0 * tc)) / (n_base / (1.0 * tb)))
+                        * 1e9) AS BIGINT)
+           END AS psi_term_q
+    FROM cells CROSS JOIN tot
+    """,
+)
+def dq_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of l_extendedprice between pre- and
+    post-1998 shipments (`operators/quality_checks.psi_drift`) — the
+    fourth drift leg: the banded per-bin score production scorecards
+    alert on (<0.1 stable / 0.1-0.25 shifting / >0.25 action). ONE fact
+    scan (the baseline/current split is a conditional sum inside the
+    bucket aggregate); totals are windows over the 20-row bucket table;
+    terms floor-quantized at 1e-9 (dq_kl precedent); a bin empty on
+    either side reports NULL, never a smoothed value."""
+    from hiss_cube_spark.operators.quality_checks import psi_drift
+
+    li = _t(spark, sf_dir, "lineitem")
+    return psi_drift(
+        li,
+        "l_extendedprice",
+        F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"),
+        0.0,
+        110000.0,
+        20,
+    )
+
+
+@_q(
     "text_zipf_slope",
     """
     WITH toks AS (
@@ -9541,6 +9744,75 @@ def ts_structure_function(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "ts_dtw_distance",
+    """
+    WITH RECURSIVE b AS (
+      SELECT user_id, epoch_us(ts) // 3600000000 AS t,
+             CAST(sum(CAST(round(value * 100) AS DECIMAL(18,0))) AS BIGINT)
+               AS yq
+      FROM events GROUP BY 1, 2),
+    r AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY t) AS rn
+          FROM b),
+    ser AS (
+      SELECT user_id, array_agg(yq ORDER BY rn) AS v
+      FROM r WHERE rn <= 16 GROUP BY user_id HAVING count(*) = 16
+      ORDER BY user_id LIMIT 6),
+    pairs AS (
+      SELECT a.user_id AS key_a, c.user_id AS key_b, a.v AS av, c.v AS bv
+      FROM ser a JOIN ser c ON a.user_id < c.user_id),
+    dp AS (
+      SELECT key_a, key_b, av, bv, -1 AS i,
+             CAST([] AS BIGINT[]) AS prev
+      FROM pairs
+      UNION ALL
+      SELECT key_a, key_b, av, bv, i + 1,
+             list_transform(S, (sj, j) -> sj + list_min(list_slice(T, 1, j)))
+      FROM (
+        SELECT key_a, key_b, av, bv, i,
+               list_transform(c, (x, j) ->
+                 CAST(list_sum(list_slice(c, 1, j)) AS BIGINT)) AS S,
+               list_transform(range(1, 17), (k) ->
+                 (CASE WHEN len(prev) = 0
+                       THEN (CASE WHEN k = 1 THEN 0
+                             ELSE 1000000000000000 END)
+                       ELSE least(prev[k],
+                                  CASE WHEN k > 1 THEN prev[k-1]
+                                       ELSE 1000000000000000 END) END)
+                 - (CASE WHEN k > 1
+                         THEN CAST(list_sum(list_slice(c, 1, k - 1))
+                                   AS BIGINT)
+                         ELSE 0 END)) AS T
+        FROM (
+          SELECT key_a, key_b, av, bv, i, prev,
+                 list_transform(bv, (y) -> abs(av[i + 2] - y)) AS c
+          FROM dp WHERE i < 15)))
+    SELECT key_a AS user_a, key_b AS user_b,
+           CAST(prev[16] AS BIGINT) AS dtw_q
+    FROM dp WHERE i = 15
+    """,
+)
+def ts_dtw_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise dynamic-time-warping distance between user light curves
+    (`operators/timeseries.dtw_distance`) — elastic shape similarity the
+    lock-step structure function can't see. The n×n DP runs inside
+    whole-stage codegen as a nested higher-order fold using the
+    prefix-scan form of the row recurrence (new[j] = S[j] +
+    min_{k<=j}(m[k] - S[k-1]) with m = pairwise min of the previous
+    row), which a recursive-CTE oracle replays verbatim; every quantity
+    is an exact int64 (|Δcents| costs, min/+ only — no IEEE anywhere),
+    so the distance is bit-identical across engines. 6 smallest
+    full-series users → 15 pairs of 16-bucket series."""
+    from hiss_cube_spark.operators.timeseries import dtw_distance
+
+    out = dtw_distance(_events(spark, sf_dir), n=16, max_keys=6)
+    return out.select(
+        F.col("key_a").alias("user_a"),
+        F.col("key_b").alias("user_b"),
+        F.col("dtw_q").cast("long").alias("dtw_q"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return flagship_ml_cube(spark, "/root/testdata/sf0.001")
@@ -9578,16 +9850,21 @@ _CHECK_PRIORITY = [
     "text_simpson_diversity", "cur_mix_weights", "stream_dedup_first",
     "stream_neardup_minhash", "graph_bfs_hops", "graph_triangles",
     "dq_outliers",
+    # the four NEW r8 queries (never driver-checked — highest priority
+    # after the stale trio per the staleness invariant)
+    "dq_psi", "emb_kmeans_cosine", "emb_cluster_prototypes",
+    "ts_dtw_distance",
     # round-robin RE-verifications: the oldest r4-era greens in
     # definition order (the rest of the r4 cohort rotates in r9)
     "j_knn_crossmatch", "ts_transition_matrix", "ts_cusum_changepoint",
     "ts_seasonal_anomaly", "ts_seasonal_decompose", "a_corr_matrix",
     "w_mom_change", "a_top_decile_share", "a_gini", "a_weighted_median",
     "f_target_encode", "a_winsorize", "emb_matryoshka_recall",
-    "emb_dbscan", "dq_mutual_info", "dq_chi2_independence", "dq_benford",
-    "p_variant_props", "q_recursive_cte", "text_gopher_rules",
-    # ---- slot 50 ends at text_gopher_rules; everything else follows in
-    # definition order (all previously driver-green in r1–r7) ----
+    "emb_dbscan", "dq_mutual_info", "dq_chi2_independence",
+    # ---- slot 50 ends at dq_chi2_independence; everything else follows
+    # in definition order (all previously driver-green in r1–r7);
+    # dq_benford, p_variant_props, q_recursive_cte, text_gopher_rules
+    # lead the r9 round-robin ----
 ]
 
 

@@ -102,6 +102,11 @@ HEADLINE = [
     "text_readability",
     "cur_source_overlap",
     "ts_structure_function",
+    # round-8 additions
+    "dq_psi",
+    "emb_kmeans_cosine",
+    "emb_cluster_prototypes",
+    "ts_dtw_distance",
 ]
 
 # Environment-drift sentinel: per-query ratchets are expressed relative to

@@ -22,6 +22,7 @@ __all__ = [
     "numeric_histogram",
     "equidepth_profile",
     "ks_drift",
+    "psi_drift",
     "mad_outliers",
     "ks_drift_grouped",
     "schema_drift",
@@ -219,6 +220,69 @@ def numeric_histogram(
             "n",
             "sum_x",
         )
+    )
+
+
+def psi_drift(
+    df: DataFrame,
+    col: str,
+    baseline_pred,
+    lo: float,
+    hi: float,
+    n_buckets: int = 20,
+) -> DataFrame:
+    """Population Stability Index between the baseline slice
+    (``baseline_pred`` true) and the current slice, over an equi-width
+    binning of ``col`` — the fourth leg of the drift family (KS compares
+    CDFs, chi² tests independence, KL localizes per cell; PSI is the
+    banded per-bin score production scorecards page on: <0.1 stable,
+    0.1-0.25 shifting, >0.25 action).
+
+    One scan, one map-side-combining aggregation on the bucket key (the
+    baseline/current split is a conditional sum inside the same
+    aggregate, not a second scan); totals come from windows over the
+    ≤``n_buckets``-row bucket table. Per-bin term
+    (p_cur - p_base)·ln(p_cur/p_base) is floor-quantized at 1e-9 (the
+    dq_kl/dq_mi precedent); a bin empty on either side yields a NULL
+    term — reported, never smoothed away. Sum psi_term_q/1e9 for the
+    headline PSI.
+    """
+    from pyspark.sql import Window
+
+    w = (float(hi) - float(lo)) / int(n_buckets)
+    b = F.greatest(
+        F.lit(0),
+        F.least(
+            F.lit(int(n_buckets) - 1),
+            F.floor((F.col(col) - F.lit(float(lo))) / F.lit(w)).cast("int"),
+        ),
+    )
+    cells = (
+        df.select(b.alias("bucket"), baseline_pred.alias("_base"))
+        .groupBy("bucket")
+        .agg(
+            F.sum(F.when(F.col("_base"), 1).otherwise(0)).cast("long").alias("n_base"),
+            F.sum(F.when(F.col("_base"), 0).otherwise(1)).cast("long").alias("n_cur"),
+        )
+    )
+    tot = Window.partitionBy()
+    cells = cells.select(
+        "bucket", "n_base", "n_cur",
+        F.sum("n_base").over(tot).alias("_tb"),
+        F.sum("n_cur").over(tot).alias("_tc"),
+    )
+    pb = F.col("n_base") / (F.col("_tb") * F.lit(1.0))
+    pc = F.col("n_cur") / (F.col("_tc") * F.lit(1.0))
+    term = F.when(
+        (F.col("n_base") > 0) & (F.col("n_cur") > 0),
+        F.floor((pc - pb) * F.log(pc / pb) * F.lit(1e9)).cast("long"),
+    )
+    return cells.select(
+        "bucket",
+        F.round(F.lit(float(lo)) + F.col("bucket") * F.lit(w), 6).alias("bucket_lo"),
+        "n_base",
+        "n_cur",
+        term.alias("psi_term_q"),
     )
 
 

@@ -34,7 +34,7 @@ __all__ = [
     "cosine_topk", "cosine_pairs", "cosine_pairs_blocked", "lsh_bucketed_topk",
     "cosine_expr", "pq_topk", "ivf_topk", "ivf_pq_topk",
     "semantic_dedup", "sq_quantize", "sq_topk", "random_projection", "whiten",
-    "dbscan_embeddings",
+    "dbscan_embeddings", "kmeans_cosine", "cluster_prototypes",
 ]
 
 
@@ -1101,5 +1101,201 @@ def dbscan_embeddings(
             .otherwise(F.lit("noise"))
             .alias("role"),
             F.coalesce("_cc", "_cb").cast("long").alias("cluster_id"),
+        )
+    )
+
+
+def kmeans_cosine(
+    df: DataFrame,
+    k: int = 8,
+    dim: int = 64,
+    rounds: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quant: int = 1_000_000,
+) -> DataFrame:
+    """Spherical (cosine) k-means assignment over an embedding corpus —
+    the training-data clustering primitive behind cluster-balanced
+    sampling and SemDeDup-style curation — with a fully deterministic,
+    cross-engine-exact formulation:
+
+    * vectors quantize once onto a ``quant`` integer grid (floor);
+    * init = the ``k`` smallest ids' vectors (deterministic, the sampled
+      codebook precedent of :func:`pq_topk`);
+    * centroids are element-wise FLOOR-MEAN vectors on the same integer
+      grid: the update sums components exactly in int64, then divides by
+      the cluster size with mathematical floor division (the
+      ``(s - posmod(s, n)) / n`` form both engines evaluate identically
+      for negative sums — Spark ``DIV`` alone truncates toward zero).
+      Floor-mean keeps centroid components the same magnitude as the
+      inputs, so dot and |c|² stay ≤ ~64·quant² ≈ 2.6e14 < 2^53 at ANY
+      cluster size — exact in int64 AND exactly convertible to double
+      (raw integer-sum centroids overflow |c|² beyond ~6k members);
+    * assignment = argmax over k of ``dot / sqrt(|c|²)`` (|v| is constant
+      per vector and cancels): dot and |c|² are exact BIGINTs below
+      2^53, and the final sqrt/divide/compare are correctly-rounded IEEE
+      doubles — bit-identical in any engine. Ties break on the smaller
+      cluster id.
+
+    Scale shape: per round ONE corpus scan — broadcast the k×dim centroid
+    table, k dots per row inside codegen (``zip_with``/``aggregate``),
+    window-argmax partitioned by id, then a (k×dim)-key integer-sum
+    shuffle for the update; centroids are eagerly checkpointed each round
+    so lineage (and scan count) stays flat. Member sums bound at
+    ~9.2e18/quant ≈ 9e12 members per cluster at quant=1e6.
+
+    Returns (id, cluster) — one row per input vector.
+    """
+    vq = F.expr(
+        f"transform({vec_col}, x -> "
+        f"CAST(floor(CAST(x AS DOUBLE) * {quant}) AS BIGINT))"
+    )
+    q = df.select(F.col(id_col).alias("_vid"), vq.alias("_vq"))
+    cents = (
+        q.orderBy("_vid")
+        .limit(k)
+        .select(
+            F.row_number().over(Window.orderBy("_vid")).alias("_cid"),
+            F.col("_vq").alias("_cq"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    zero = F.lit(0).cast("long")
+    dot = F.aggregate(
+        F.zip_with("_vq", "_cq", lambda x, y: x * y), zero, lambda a, x: a + x
+    )
+    cnorm2 = F.aggregate(
+        F.zip_with("_cq", "_cq", lambda x, y: x * y), zero, lambda a, x: a + x
+    )
+    assign = None
+    for r in range(rounds):
+        w = Window.partitionBy("_vid").orderBy(F.desc("_score"), "_cid")
+        assign = (
+            q.crossJoin(F.broadcast(cents))
+            .select(
+                "_vid",
+                "_cid",
+                "_vq",
+                (dot / F.sqrt(cnorm2.cast("double"))).alias("_score"),
+            )
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+        )
+        if r < rounds - 1:
+            cells = (
+                assign.select("_cid", F.posexplode("_vq").alias("_pos", "_v"))
+                .groupBy("_cid", "_pos")
+                .agg(F.sum("_v").alias("_s"), F.count(F.lit(1)).alias("_n"))
+            )
+            # floor-mean: (s - posmod(s, n)) is divisible by n, so DIV is
+            # exact and engine-agnostic even for negative sums
+            cents = (
+                cells.groupBy("_cid")
+                .agg(
+                    F.expr(
+                        "transform("
+                        "array_sort(collect_list(struct(_pos, _s, _n))), "
+                        "p -> (p._s - ((p._s % p._n + p._n) % p._n)) "
+                        "DIV p._n)"
+                    ).alias("_cq")
+                )
+                .localCheckpoint(eager=True)
+            )
+    return assign.select(
+        F.col("_vid").alias(id_col), F.col("_cid").cast("long").alias("cluster")
+    )
+
+
+def cluster_prototypes(
+    df: DataFrame,
+    k: int = 8,
+    rounds: int = 2,
+    n_proto: int = 2,
+    n_outlier: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quant: int = 1_000_000,
+) -> DataFrame:
+    """Per-cluster prototypicality ranking over :func:`kmeans_cosine`
+    output — the SemDeDup/DataComp curation move: the most prototypical
+    members of a cluster are the near-duplicates to prune, the least
+    prototypical are the diversity to keep.
+
+    Members score as cosine-to-own-centroid where the centroid is the
+    cluster's exact integer FLOOR-MEAN vector (the k-means update rule —
+    bounded below 2^53 at any cluster size), so the ranking is
+    bit-deterministic like the k-means itself. Emits the top
+    ``n_proto`` ('proto') and bottom ``n_outlier`` ('outlier') per
+    cluster; a member that qualifies as both (tiny cluster) appears once
+    as 'proto'. Ties break on the smaller id.
+
+    Scale: k-means scans (``rounds``) + one scan for the centroid sums +
+    one for member scoring; the (id, cluster) assignment is checkpointed
+    (16 bytes/row — negligible next to the vectors), centroids broadcast.
+    """
+    assign = kmeans_cosine(
+        df, k=k, dim=dim, rounds=rounds, id_col=id_col, vec_col=vec_col,
+        quant=quant,
+    ).localCheckpoint(eager=True)
+    vq = F.expr(
+        f"transform({vec_col}, x -> "
+        f"CAST(floor(CAST(x AS DOUBLE) * {quant}) AS BIGINT))"
+    )
+    q = df.select(F.col(id_col).alias("_vid"), vq.alias("_vq"))
+    joined = q.join(
+        assign.select(F.col(id_col).alias("_vid"), "cluster"), "_vid"
+    )
+    cents = (
+        joined.select("cluster", F.posexplode("_vq").alias("_pos", "_v"))
+        .groupBy("cluster", "_pos")
+        .agg(F.sum("_v").alias("_s"), F.count(F.lit(1)).alias("_n"))
+        .groupBy("cluster")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(_pos, _s, _n))), "
+                "p -> (p._s - ((p._s % p._n + p._n) % p._n)) DIV p._n)"
+            ).alias("_cq")
+        )
+        .localCheckpoint(eager=True)
+    )
+    zero = F.lit(0).cast("long")
+    dot = F.aggregate(
+        F.zip_with("_vq", "_cq", lambda x, y: x * y), zero, lambda a, x: a + x
+    )
+    vnorm2 = F.aggregate(
+        F.zip_with("_vq", "_vq", lambda x, y: x * y), zero, lambda a, x: a + x
+    )
+    cnorm2 = F.aggregate(
+        F.zip_with("_cq", "_cq", lambda x, y: x * y), zero, lambda a, x: a + x
+    )
+    scored = joined.join(F.broadcast(cents), "cluster").select(
+        "cluster",
+        "_vid",
+        (
+            dot
+            / (F.sqrt(vnorm2.cast("double")) * F.sqrt(cnorm2.cast("double")))
+        ).alias("_score"),
+    )
+    wd = Window.partitionBy("cluster").orderBy(F.desc("_score"), "_vid")
+    wa = Window.partitionBy("cluster").orderBy("_score", F.desc("_vid"))
+    ranked = scored.select(
+        "cluster",
+        "_vid",
+        "_score",
+        F.row_number().over(wd).alias("_rd"),
+        F.row_number().over(wa).alias("_ra"),
+    )
+    return (
+        ranked.where(
+            (F.col("_rd") <= n_proto) | (F.col("_ra") <= n_outlier)
+        )
+        .select(
+            F.col("cluster").cast("long").alias("cluster"),
+            F.col("_vid").alias(id_col),
+            F.when(F.col("_rd") <= n_proto, F.lit("proto"))
+            .otherwise(F.lit("outlier"))
+            .alias("role"),
+            F.col("_rd").cast("long").alias("rank_desc"),
         )
     )

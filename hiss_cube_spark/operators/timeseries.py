@@ -28,6 +28,7 @@ __all__ = [
     "theil_sen_trend",
     "holt_linear",
     "structure_function",
+    "dtw_distance",
 ]
 
 
@@ -449,3 +450,88 @@ def structure_function(
         F.count(F.lit(1)).alias("n_pairs"),
         F.sum("d2q").cast("decimal(38,0)").alias("sum_d2q"),
     )
+
+
+def dtw_distance(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_us_col: str = "ts_us",
+    value_col: str = "value",
+    bucket_us: int = 3_600_000_000,
+    n: int = 16,
+    max_keys: int = 6,
+) -> DataFrame:
+    """Pairwise dynamic-time-warping distance between key series — the
+    elastic-alignment similarity of light curves (and any irregular
+    sensor series): unlike the lock-step structure function, DTW matches
+    shapes that are locally stretched or shifted in time.
+
+    Series are the keys' first ``n`` hourly cents-buckets (the
+    :func:`structure_function` head — exact BIGINTs); only keys with a
+    full ``n`` buckets qualify and the ``max_keys`` smallest ids pair up
+    (C(max_keys, 2) rows). The n×n DP runs INSIDE whole-stage codegen as
+    a nested higher-order fold, using the prefix-scan form of the row
+    recurrence — with m[k] = min(prev[k], prev[k-1]) and S the prefix
+    sum of the row costs,
+
+        new[j] = c[j] + min(prev[j], prev[j-1], new[j-1])
+               = S[j] + min_{k<=j} (m[k] - S[k-1])
+
+    so each row needs only prefix sums/mins (no sequential dependence a
+    declarative engine can't express; the same unrolling a recursive-CTE
+    oracle replays verbatim). Every quantity is an exact int64 — costs
+    are |Δcents|, min/+ only — so the distance is bit-identical across
+    engines with no IEEE involvement at all.
+
+    Scale shape: the bucket head is one map-side-combining aggregate over
+    events; the DP is per-pair constant work (n⁴ ≈ 65k integer ops at
+    n=16) over a broadcast-sized pair table. For all-pairs clustering at
+    scale, band the pair generation (LSH over bucket sketches) exactly
+    like the dedup family — the kernel stays this expression.
+
+    Output: (key_a, key_b, dtw_q) with dtw_q in integer cents.
+    """
+    b = _bucketed_cents(df, key_col, ts_us_col, value_col, bucket_us, n)
+    series = (
+        b.groupBy("key")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(rn, yq))), "
+                "p -> p.yq)"
+            ).alias("v"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .where(F.col("_n") == n)
+        .orderBy("key")
+        .limit(max_keys)
+        .localCheckpoint(eager=True)  # max_keys rows; both join legs reuse
+    )
+    a = series.select(F.col("key").alias("key_a"), F.col("v").alias("av"))
+    bb = series.select(F.col("key").alias("key_b"), F.col("v").alias("bv"))
+    pairs = a.join(bb, F.col("key_a") < F.col("key_b"))
+
+    INF = 10**15
+
+    def _s(upto: str) -> str:
+        # prefix sum of row-i costs c[1..upto], c[j] = |av[i] - bv[j]|
+        return (
+            f"aggregate(transform(slice(bv, 1, {upto}), "
+            f"y -> abs(element_at(av, i) - y)), "
+            f"CAST(0 AS BIGINT), (s, x) -> s + x)"
+        )
+
+    dp = (
+        f"aggregate(sequence(1, {n}), CAST(array() AS ARRAY<BIGINT>), "
+        f"(prev, i) -> transform(sequence(1, {n}), j -> "
+        f"{_s('j')} + array_min(transform(sequence(1, j), k -> "
+        f"(CASE WHEN size(prev) = 0 THEN "
+        f"CASE WHEN k = 1 THEN CAST(0 AS BIGINT) "
+        f"ELSE CAST({INF} AS BIGINT) END "
+        f"ELSE least(element_at(prev, k), "
+        f"CASE WHEN k > 1 THEN element_at(prev, k - 1) "
+        f"ELSE CAST({INF} AS BIGINT) END) END) "
+        f"- CASE WHEN k > 1 THEN {_s('k - 1')} "
+        f"ELSE CAST(0 AS BIGINT) END))), "
+        f"acc -> element_at(acc, {n}))"
+    )
+    return pairs.select("key_a", "key_b", F.expr(dp).alias("dtw_q"))
