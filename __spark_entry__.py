@@ -5994,6 +5994,90 @@ def w_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "text_mattr",
+    """
+    WITH d AS (SELECT doc_id,
+                      list_filter(string_split(text, ' '), x -> x != '') AS w
+               FROM documents),
+    tok AS (SELECT doc_id, i - 1 AS pos, w[i] AS tok
+            FROM d, unnest(generate_series(1, len(w))) t(i)),
+    n AS (SELECT doc_id, max(pos) AS mx FROM tok GROUP BY 1),
+    starts AS (SELECT doc_id, unnest(generate_series(0, mx + 1 - 50, 25)) AS s
+               FROM n WHERE mx >= 49),
+    win AS (SELECT t.doc_id, st.s, count(DISTINCT t.tok) AS dd
+            FROM starts st JOIN tok t ON t.doc_id = st.doc_id
+             AND t.pos >= st.s AND t.pos < st.s + 50
+            GROUP BY 1, 2)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+           CAST(sum(dd) AS BIGINT) AS sum_distinct,
+           round(sum(dd) / (count(*) * 50.0), 6) AS mattr
+    FROM win GROUP BY 1
+    """,
+)
+def text_mattr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving-Average Type-Token Ratio (`text_analysis.mattr`) — the
+    length-robust lexical-diversity quality feature (plain TTR shrinks
+    with length; MATTR averages fixed 50-token sliding windows, stride
+    25). Engine side uses an EQUI block join (pos DIV stride buckets,
+    constant fan-out per window) instead of the oracle's range theta
+    join — same result, shuffle-partitionable at 100 TB. All counts
+    exact integers; one closing division."""
+    from hiss_cube_spark.operators.text_analysis import mattr
+
+    return mattr(_t(spark, sf_dir, "documents"))
+
+
+@_q(
+    "w_rolling_distinct",
+    """
+    WITH ad AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+                FROM events),
+    span AS (SELECT min(day) AS d0, max(day) AS d1 FROM ad),
+    days AS (SELECT unnest(generate_series(d0, d1)) AS day FROM span),
+    cover AS (SELECT DISTINCT user_id, day + o.o AS day
+              FROM ad, unnest(generate_series(0, 6)) o(o)),
+    dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM ad GROUP BY 1),
+    wau AS (SELECT day, CAST(count(*) AS BIGINT) AS wau
+            FROM cover GROUP BY 1)
+    SELECT days.day AS day, COALESCE(dau.dau, 0) AS dau,
+           COALESCE(wau.wau, 0) AS wau
+    FROM days LEFT JOIN dau USING (day) LEFT JOIN wau USING (day)
+    """,
+)
+def w_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct actives (WAU) alongside daily actives (DAU)
+    — THE windowed-COUNT-DISTINCT problem window frames can't express
+    (distinct doesn't decompose over sliding frames). Scale-correct
+    contribution form: each (user, active-day) emits its 7 covered days
+    (constant fan-out), a second distinct collapses multi-day users, and
+    the count per day is an ordinary map-side-combining aggregate — no
+    per-day re-scan, no quadratic window, partitions by hash(user/day)
+    all the way. Dense day grid so quiet days report 0."""
+    e = _events(spark, sf_dir)
+    ad = e.select(
+        "user_id", F.expr("ts_us DIV 86400000000").alias("day")
+    ).distinct()
+    span = ad.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    days = span.select(
+        F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("day")
+    )
+    cover = ad.select(
+        "user_id", F.explode(F.sequence(F.col("day"), F.col("day") + 6)).alias("day")
+    ).distinct()
+    dau = ad.groupBy("day").agg(F.count(F.lit(1)).cast("long").alias("dau"))
+    wau = cover.groupBy("day").agg(F.count(F.lit(1)).cast("long").alias("wau"))
+    return (
+        days.join(dau, "day", "left")
+        .join(wau, "day", "left")
+        .select(
+            "day",
+            F.coalesce("dau", F.lit(0)).cast("long").alias("dau"),
+            F.coalesce("wau", F.lit(0)).cast("long").alias("wau"),
+        )
+    )
+
+
+@_q(
     "q_lateral_topk",
     """
     SELECT n.n_nationkey, s.c_custkey, s.c_acctbal
@@ -9699,6 +9783,60 @@ def cur_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _periodogram_oracle_sql() -> str:
+    """Oracle with the SAME integer-quantized DFT basis constants the
+    engine embeds (cos/sin are not correctly-rounded IEEE — neither
+    engine ever evaluates them; both consume these literals)."""
+    from hiss_cube_spark.operators.timeseries import _dft_basis
+
+    values = ",\n             ".join(
+        f"({k}, {t}, {c}, {s})" for k, t, c, s in _dft_basis(16, 8)
+    )
+    return f"""
+    WITH basis(k, t, cq, sq) AS (
+      VALUES {values}),
+    b AS (
+      SELECT user_id, epoch_us(ts) // 3600000000 AS t0,
+             CAST(sum(CAST(round(value * 100) AS DECIMAL(18,0))) AS BIGINT)
+               AS yq
+      FROM events GROUP BY 1, 2),
+    r AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY t0)
+                    AS rn FROM b),
+    h AS (SELECT user_id, rn - 1 AS t, yq FROM r WHERE rn <= 16),
+    full_keys AS (SELECT user_id FROM h GROUP BY 1 HAVING count(*) = 16),
+    sums AS (
+      SELECT h.user_id, basis.k,
+             CAST(sum(h.yq * basis.cq) AS BIGINT) AS a_q,
+             CAST(sum(h.yq * basis.sq) AS BIGINT) AS b_q
+      FROM h JOIN full_keys USING (user_id) JOIN basis USING (t)
+      GROUP BY 1, 2)
+    SELECT user_id, CAST(k AS BIGINT) AS k, a_q, b_q,
+           round((CAST(a_q AS DOUBLE) / 1e6 / 100.0)
+                 * (CAST(a_q AS DOUBLE) / 1e6 / 100.0)
+                 + (CAST(b_q AS DOUBLE) / 1e6 / 100.0)
+                 * (CAST(b_q AS DOUBLE) / 1e6 / 100.0), 6) AS power
+    FROM sums
+    """
+
+
+@_q("ts_periodogram", _periodogram_oracle_sql())
+def ts_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete periodogram per user (`operators/timeseries.periodogram`):
+    spectral power at harmonics k=1..8 over 16 hourly cents-buckets —
+    period/seasonality detection for light curves. The DFT basis is an
+    integer-quantized CONSTANT table generated once and embedded in both
+    engines (cos/sin never evaluated in-query — they are not
+    correctly-rounded IEEE); the two dot products are exact BIGINTs that
+    convert exactly to double, so power is bit-identical. Basis
+    broadcasts; bucket head is one map-side-combining aggregate."""
+    from hiss_cube_spark.operators.timeseries import periodogram
+
+    out = periodogram(_events(spark, sf_dir), n=16, k_max=8)
+    return out.select(
+        F.col("key").alias("user_id"), "k", "a_q", "b_q", "power"
+    )
+
+
 @_q(
     "ts_structure_function",
     """
@@ -9850,21 +9988,22 @@ _CHECK_PRIORITY = [
     "text_simpson_diversity", "cur_mix_weights", "stream_dedup_first",
     "stream_neardup_minhash", "graph_bfs_hops", "graph_triangles",
     "dq_outliers",
-    # the four NEW r8 queries (never driver-checked — highest priority
+    # the seven NEW r8 queries (never driver-checked — highest priority
     # after the stale trio per the staleness invariant)
     "dq_psi", "emb_kmeans_cosine", "emb_cluster_prototypes",
-    "ts_dtw_distance",
+    "ts_dtw_distance", "text_mattr", "w_rolling_distinct",
+    "ts_periodogram",
     # round-robin RE-verifications: the oldest r4-era greens in
     # definition order (the rest of the r4 cohort rotates in r9)
     "j_knn_crossmatch", "ts_transition_matrix", "ts_cusum_changepoint",
     "ts_seasonal_anomaly", "ts_seasonal_decompose", "a_corr_matrix",
     "w_mom_change", "a_top_decile_share", "a_gini", "a_weighted_median",
     "f_target_encode", "a_winsorize", "emb_matryoshka_recall",
-    "emb_dbscan", "dq_mutual_info", "dq_chi2_independence",
-    # ---- slot 50 ends at dq_chi2_independence; everything else follows
+    # ---- slot 50 ends at emb_matryoshka_recall; everything else follows
     # in definition order (all previously driver-green in r1–r7);
-    # dq_benford, p_variant_props, q_recursive_cte, text_gopher_rules
-    # lead the r9 round-robin ----
+    # emb_dbscan, dq_mutual_info, dq_chi2_independence, dq_benford,
+    # p_variant_props, q_recursive_cte, text_gopher_rules lead the r9
+    # round-robin ----
 ]
 
 

@@ -107,6 +107,9 @@ HEADLINE = [
     "emb_kmeans_cosine",
     "emb_cluster_prototypes",
     "ts_dtw_distance",
+    "text_mattr",
+    "w_rolling_distinct",
+    "ts_periodogram",
 ]
 
 # Environment-drift sentinel: per-query ratchets are expressed relative to

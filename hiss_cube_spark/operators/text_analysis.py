@@ -29,6 +29,7 @@ __all__ = [
     "bigram_lm_score",
     "linear_model_score",
     "rake_keywords",
+    "mattr",
 ]
 
 # Marker tokens per language for the n-gram/stopword heuristic. Determinism,
@@ -882,4 +883,84 @@ def readability_scores(
         (F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59)).alias(
             "fk_grade"
         ),
+    )
+
+
+def mattr(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 50,
+    stride: int = 25,
+) -> DataFrame:
+    """Moving-Average Type-Token Ratio (Covington & McFall 2010) — the
+    length-robust lexical-diversity score (plain TTR shrinks with
+    document length; MATTR averages the TTR of fixed-size sliding
+    windows, so a 100-token and a 10k-token document are comparable).
+    A standard quality-filter feature next to the Gopher rules.
+
+    Windows of ``window`` consecutive tokens start every ``stride``
+    positions and must fit entirely inside the document (docs shorter
+    than ``window`` are excluded — score them with plain TTR). All
+    counts are exact integers; the only division is the final
+    ``sum_distinct / (n_windows · window)``.
+
+    Scale shape: the window-membership join is EQUI, not a range theta
+    join — with ``stride`` dividing ``window``, token block
+    ``pos DIV stride`` limits each window to ``window/stride`` known
+    blocks, so windows expand to that constant fan-out of block keys and
+    join on (doc, block); a per-(doc, window) count_distinct finishes
+    it. Everything partitions by doc hash; no window frames, no
+    quadratic pair-up.
+    """
+    if window % stride != 0:
+        raise ValueError("stride must divide window (equi-join blocking)")
+    blocks_per_window = window // stride
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(
+            F.expr(f"filter(split({text_col}, ' '), x -> x != '')")
+        ).alias("_pos", "_tok"),
+    )
+    n = toks.groupBy("_id").agg(F.max("_pos").alias("_mx"))
+    starts = n.where(F.col("_mx") >= window - 1).select(
+        "_id",
+        F.explode(
+            F.sequence(
+                F.lit(0), F.col("_mx") + 1 - window, F.lit(stride)
+            )
+        ).alias("_s"),
+    )
+    skeys = starts.select(
+        "_id",
+        "_s",
+        F.explode(
+            F.expr(
+                f"sequence(_s DIV {stride}, _s DIV {stride} + "
+                f"{blocks_per_window - 1})"
+            )
+        ).alias("_blk"),
+    )
+    tkeys = toks.withColumn("_blk", F.expr(f"_pos DIV {stride}"))
+    win = (
+        skeys.join(tkeys, ["_id", "_blk"])
+        .where(
+            (F.col("_pos") >= F.col("_s"))
+            & (F.col("_pos") < F.col("_s") + window)
+        )
+        .groupBy("_id", "_s")
+        .agg(F.count_distinct("_tok").alias("_d"))
+    )
+    return win.groupBy("_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_windows"),
+        F.sum("_d").cast("long").alias("sum_distinct"),
+    ).select(
+        F.col("_id").alias(id_col),
+        "n_windows",
+        "sum_distinct",
+        F.round(
+            F.col("sum_distinct")
+            / (F.col("n_windows") * F.lit(float(window))),
+            6,
+        ).alias("mattr"),
     )

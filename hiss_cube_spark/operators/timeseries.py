@@ -29,6 +29,7 @@ __all__ = [
     "holt_linear",
     "structure_function",
     "dtw_distance",
+    "periodogram",
 ]
 
 
@@ -535,3 +536,78 @@ def dtw_distance(
         f"acc -> element_at(acc, {n}))"
     )
     return pairs.select("key_a", "key_b", F.expr(dp).alias("dtw_q"))
+
+
+def _dft_basis(n: int, k_max: int, quant: int = 1_000_000):
+    """Integer-quantized DFT basis rows (k, t, cos_q, sin_q).
+
+    cos/sin are NOT correctly-rounded IEEE operations, so evaluating them
+    inside a query is a cross-engine hazard; for a FIXED grid the basis
+    is a constant table, computed once here (Python libm) and embedded
+    as integer literals in both the Spark plan and any SQL oracle — the
+    engines then touch only exact integer products.
+    """
+    import math
+
+    out = []
+    for k in range(1, k_max + 1):
+        for t in range(n):
+            ang = 2.0 * math.pi * k * t / n
+            out.append(
+                (k, t,
+                 math.floor(math.cos(ang) * quant),
+                 math.floor(math.sin(ang) * quant))
+            )
+    return out
+
+
+def periodogram(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_us_col: str = "ts_us",
+    value_col: str = "value",
+    bucket_us: int = 3_600_000_000,
+    n: int = 16,
+    k_max: int = 8,
+) -> DataFrame:
+    """Discrete periodogram per key: spectral power at harmonics k=1..k_max
+    of the key's first ``n`` hourly cents-buckets — the period-detection
+    statistic of light-curve analysis (variable stars, rotation periods)
+    and of seasonality detection anywhere else.
+
+    power_k = (Σ_t y_t·cos(2πkt/n))² + (Σ_t y_t·sin(2πkt/n))², evaluated
+    against the :func:`_dft_basis` integer-quantized constants: the two
+    dot products are exact BIGINTs (≤ n·|y|·quant ≈ 1.6e13 per term —
+    exactly double-representable), and only the final square/add/round
+    are IEEE doubles, each correctly rounded. Keys need a full ``n``
+    buckets.
+
+    Scale shape: the n×k_max basis table broadcasts; the bucket head is
+    one map-side-combining aggregate; the (key, k) sums are one more.
+    """
+    b = _bucketed_cents(df, key_col, ts_us_col, value_col, bucket_us, n)
+    full = b.groupBy("key").agg(F.count(F.lit(1)).alias("_n")).where(
+        F.col("_n") == n
+    )
+    spark = df.sparkSession
+    basis = spark.createDataFrame(
+        _dft_basis(n, k_max), "k int, t int, cq long, sq long"
+    )
+    joined = (
+        b.join(full.select("key"), "key")
+        .withColumn("t", F.col("rn") - 1)
+        .join(F.broadcast(basis), "t")
+    )
+    sums = joined.groupBy("key", "k").agg(
+        F.sum(F.col("yq") * F.col("cq")).alias("a_q"),
+        F.sum(F.col("yq") * F.col("sq")).alias("b_q"),
+    )
+    a = F.col("a_q").cast("double") / 1e6 / 100.0  # basis grid, cents
+    bb = F.col("b_q").cast("double") / 1e6 / 100.0
+    return sums.select(
+        "key",
+        F.col("k").cast("long").alias("k"),
+        F.col("a_q").cast("long").alias("a_q"),
+        F.col("b_q").cast("long").alias("b_q"),
+        F.round(a * a + bb * bb, 6).alias("power"),
+    )

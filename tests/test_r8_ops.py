@@ -164,3 +164,71 @@ def test_dtw_identical_series_is_zero(spark):
     lockstep = sum(abs(min(t, 14) - max(0, t - 1)) for t in range(16)) * 100
     dtw = dtw_distance(df2, n=16, max_keys=2).collect()[0]["dtw_q"]
     assert dtw < lockstep  # elastic alignment beats lock-step comparison
+
+
+def test_mattr_hand_computed(spark):
+    from hiss_cube_spark.operators.text_analysis import mattr
+
+    # doc 1: 75 tokens = 50 distinct then 25 repeats of 'x'
+    toks = [f"w{i}" for i in range(50)] + ["x"] * 25
+    # windows: s=0 -> w0..w49 distinct=50; s=25 -> w25..w49 + 25x = 26
+    doc1 = " ".join(toks)
+    # doc 2: 40 tokens — too short, excluded
+    doc2 = " ".join(["a"] * 40)
+    df = spark.createDataFrame([(1, doc1), (2, doc2)], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in mattr(df).collect()}
+    assert 2 not in out
+    r = out[1]
+    assert r["n_windows"] == 2
+    assert r["sum_distinct"] == 50 + 26
+    assert r["mattr"] == round(76 / 100.0, 6)
+
+
+def test_rolling_distinct_contribution_form(spark):
+    # WAU(d) over the contribution form == brute-force set union
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "se", "/root/repo/__spark_entry__.py"
+    )
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    out = {
+        r["day"]: (r["dau"], r["wau"])
+        for r in m._QUERIES["w_rolling_distinct"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    e = m._events(spark, "/root/testdata/sf0.001")
+    ad = {
+        (r["user_id"], r["day"])
+        for r in e.selectExpr(
+            "user_id", "ts_us DIV 86400000000 AS day"
+        ).distinct().collect()
+    }
+    days = sorted({d for _, d in ad})
+    for d in range(days[0], days[-1] + 1):
+        dau = len({u for u, dd in ad if dd == d})
+        wau = len({u for u, dd in ad if d - 6 <= dd <= d})
+        assert out[d] == (dau, wau), d
+
+
+def test_periodogram_pure_tone(spark):
+    from hiss_cube_spark.operators.timeseries import periodogram
+
+    import math
+
+    # user 1: pure cosine at k=2 over 16 hourly buckets -> power peaks at k=2
+    rows = []
+    for t in range(16):
+        v = 100.0 * math.cos(2 * math.pi * 2 * t / 16)
+        rows.append((t, 1, t * 3_600_000_000, v))
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts_us long, value double"
+    )
+    out = {r["k"]: r["power"] for r in periodogram(df, n=16, k_max=8).collect()}
+    assert len(out) == 8
+    peak = max(out, key=out.get)
+    assert peak == 2
+    # a pure tone's off-harmonic leakage is tiny vs the peak
+    assert out[2] > 100 * max(v for k, v in out.items() if k != 2)
