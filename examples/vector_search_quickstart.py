@@ -93,6 +93,19 @@ def main() -> None:
     kept = semantic_dedup(e, threshold=0.95, n_cells=8)
     print(f"semantic dedup keeps {kept.count()}/{n}")
 
+    # spherical k-means + per-cluster prototypicality (SemDeDup curation:
+    # prune the prototypes, keep the outliers) — bit-deterministic
+    from hiss_cube_spark.operators.similarity import (
+        cluster_prototypes,
+        kmeans_cosine,
+    )
+
+    km = kmeans_cosine(e, k=8, rounds=2)
+    sizes = sorted(r["count"] for r in km.groupBy("cluster").count().collect())
+    print(f"k-means (cosine, k=8) cluster sizes: {sizes}")
+    proto = cluster_prototypes(e, k=8, rounds=2)
+    print(f"prototype/outlier picks: {proto.count()} rows (4 per cluster)")
+
     spark.stop()
 
 
