@@ -241,6 +241,14 @@ def main(argv: list[str] | None = None) -> int:
             file=sys.stderr,
         )
         return 2
+    if m:  # file:// — strip to a plain local path so _truncate/overwrite
+        # (os.path/shutil on the raw string) act on the SAME directory
+        # Spark writes to; without this, truncate on 'file:///x' is a
+        # silent no-op (os.path.isdir('file:///x') is False) while Spark
+        # happily writes /x — exactly the split the guard exists to stop
+        from urllib.parse import urlparse as _urlparse
+
+        args.output_path = _urlparse(args.output_path).path or "/"
 
     # flag > config file > built-in default (reference precedence:
     # hisscube.py reads --config once; flags are the operator override)

@@ -197,6 +197,13 @@ def numeric_histogram(
     rows before the (tiny) shuffle. The bucket index uses the same
     floor((x-lo)/w) arithmetic an ANSI oracle can express — no
     ``width_bucket`` dependency.
+
+    NULL ``col`` rows are dropped, not binned: floor(NULL-lo) is NULL and
+    Spark's least/greatest SKIP null operands, so without the filter a
+    NULL would silently land in the LAST bucket (least(n-1, NULL) = n-1)
+    — a fabricated mode in the top bin. Rows that carry no value carry no
+    histogram mass; callers who need a null count take it from
+    profile_table.
     """
     w = (float(hi) - float(lo)) / int(n_buckets)
     b = F.greatest(
@@ -207,7 +214,8 @@ def numeric_histogram(
         ),
     )
     return (
-        df.select(b.alias("bucket"), F.col(col).alias("x"))
+        df.filter(F.col(col).isNotNull())
+        .select(b.alias("bucket"), F.col(col).alias("x"))
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -246,6 +254,15 @@ def psi_drift(
     dq_kl/dq_mi precedent); a bin empty on either side yields a NULL
     term — reported, never smoothed away. Sum psi_term_q/1e9 for the
     headline PSI.
+
+    NULL handling (explicit, because Spark's least/greatest SKIP null
+    operands): a NULL ``col`` value would otherwise bucket as
+    least(n-1, NULL) = n-1 — fabricating drift in the highest bin — and
+    a NULL ``baseline_pred`` would count as "current" via otherwise(1).
+    Both are dropped before bucketing: a row with no value (or no slice
+    membership) contributes to neither distribution. Null-rate drift is
+    a separate diagnostic (profile_table / constraint_report), not a PSI
+    bin.
     """
     from pyspark.sql import Window
 
@@ -258,7 +275,8 @@ def psi_drift(
         ),
     )
     cells = (
-        df.select(b.alias("bucket"), baseline_pred.alias("_base"))
+        df.filter(F.col(col).isNotNull() & baseline_pred.isNotNull())
+        .select(b.alias("bucket"), baseline_pred.alias("_base"))
         .groupBy("bucket")
         .agg(
             F.sum(F.when(F.col("_base"), 1).otherwise(0)).cast("long").alias("n_base"),

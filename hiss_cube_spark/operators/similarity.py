@@ -1105,6 +1105,39 @@ def dbscan_embeddings(
     )
 
 
+def _quantized_pin(
+    df: DataFrame, id_col: str, vec_col: str, quant: int
+) -> DataFrame:
+    """Project ``(id, floor-quantized int64 vector)`` and localCheckpoint
+    it eagerly: ONE source scan feeds every k-means round, centroid-sum
+    and scoring pass (the ts_theil_sen/cur_source_overlap pin precedent —
+    lazy re-derivation would re-read parquet once per reference).
+
+    The exactness contract (dot and |c|² exact in int64 and losslessly
+    convertible to double) requires dim·(quant·max|x|)² < 2^53 — i.e.
+    each quantized component ≤ floor(sqrt(2^53/dim)). ``assert_true``
+    enforces exactly that per element HERE, where it executes once per
+    value thanks to the pin; normalized embeddings (components in
+    [-1, 1], quantized magnitude ≤ 1e6 vs a bound of ~1.2e7 at dim=64)
+    sit far inside. On success assert_true yields NULL, so it rides
+    along as ``+ coalesce(CAST(NULL AS BIGINT), 0)`` — a no-op in
+    codegen.
+    """
+    vq = F.expr(
+        f"transform({vec_col}, x -> "
+        f"CAST(floor(CAST(x AS DOUBLE) * {quant}) AS BIGINT) "
+        f"+ coalesce(CAST(assert_true("
+        f"abs(floor(CAST(x AS DOUBLE) * {quant})) <= "
+        f"floor(sqrt(9007199254740992.0D / size({vec_col}))), "
+        f"'kmeans_cosine: quantized |component| exceeds the int64 "
+        f"exactness bound sqrt(2^53/dim) — normalize vectors or lower "
+        f"quant') AS BIGINT), 0))"
+    )
+    return df.select(
+        F.col(id_col).alias("_vid"), vq.alias("_vq")
+    ).localCheckpoint(eager=True)
+
+
 def kmeans_cosine(
     df: DataFrame,
     k: int = 8,
@@ -1113,6 +1146,7 @@ def kmeans_cosine(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     quant: int = 1_000_000,
+    _pinned_q: DataFrame | None = None,
 ) -> DataFrame:
     """Spherical (cosine) k-means assignment over an embedding corpus —
     the training-data clustering primitive behind cluster-balanced
@@ -1137,20 +1171,29 @@ def kmeans_cosine(
       doubles — bit-identical in any engine. Ties break on the smaller
       cluster id.
 
-    Scale shape: per round ONE corpus scan — broadcast the k×dim centroid
-    table, k dots per row inside codegen (``zip_with``/``aggregate``),
-    window-argmax partitioned by id, then a (k×dim)-key integer-sum
-    shuffle for the update; centroids are eagerly checkpointed each round
-    so lineage (and scan count) stays flat. Member sums bound at
-    ~9.2e18/quant ≈ 9e12 members per cluster at quant=1e6.
+    Scale shape: the quantized ``(id, grid-vector)`` projection is
+    localCheckpointed ONCE (one source scan total — see
+    :func:`_quantized_pin`); every round broadcasts the k×dim centroid
+    table against the pin, computes k dots per row inside codegen
+    (``zip_with``/``aggregate``), window-argmaxes per id, then runs a
+    (k×dim)-key integer-sum shuffle for the update; centroids are
+    eagerly checkpointed each round so lineage stays flat. Member sums
+    bound at ~9.2e18/quant ≈ 9e12 members per cluster at quant=1e6.
+
+    Quantized component magnitudes must satisfy
+    dim·(quant·max|x|)² < 2^53 — validated per element at quantization
+    (:func:`_quantized_pin`); the exact-int64 contract is meaningless
+    beyond that bound. ``dim`` is signature-only (kept for parity with
+    :func:`sq_quantize` and stable call sites); the true dimensionality
+    is whatever the arrays carry.
 
     Returns (id, cluster) — one row per input vector.
     """
-    vq = F.expr(
-        f"transform({vec_col}, x -> "
-        f"CAST(floor(CAST(x AS DOUBLE) * {quant}) AS BIGINT))"
+    q = (
+        _pinned_q
+        if _pinned_q is not None
+        else _quantized_pin(df, id_col, vec_col, quant)
     )
-    q = df.select(F.col(id_col).alias("_vid"), vq.alias("_vq"))
     cents = (
         q.orderBy("_vid")
         .limit(k)
@@ -1230,19 +1273,18 @@ def cluster_prototypes(
     cluster; a member that qualifies as both (tiny cluster) appears once
     as 'proto'. Ties break on the smaller id.
 
-    Scale: k-means scans (``rounds``) + one scan for the centroid sums +
-    one for member scoring; the (id, cluster) assignment is checkpointed
-    (16 bytes/row — negligible next to the vectors), centroids broadcast.
+    Scale: ONE source scan for the whole family — the quantized
+    projection pin (:func:`_quantized_pin`) is built here and passed
+    into :func:`kmeans_cosine`, so every k-means round, the centroid-sum
+    pass and the member-scoring pass all read the pin; the
+    (id, cluster) assignment is additionally checkpointed (16 bytes/row
+    — negligible next to the vectors), centroids broadcast.
     """
+    q = _quantized_pin(df, id_col, vec_col, quant)
     assign = kmeans_cosine(
         df, k=k, dim=dim, rounds=rounds, id_col=id_col, vec_col=vec_col,
-        quant=quant,
+        quant=quant, _pinned_q=q,
     ).localCheckpoint(eager=True)
-    vq = F.expr(
-        f"transform({vec_col}, x -> "
-        f"CAST(floor(CAST(x AS DOUBLE) * {quant}) AS BIGINT))"
-    )
-    q = df.select(F.col(id_col).alias("_vid"), vq.alias("_vq"))
     joined = q.join(
         assign.select(F.col(id_col).alias("_vid"), "cluster"), "_vid"
     )

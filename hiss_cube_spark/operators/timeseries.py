@@ -453,6 +453,74 @@ def structure_function(
     )
 
 
+def dtw_banded_pairs(series: DataFrame, threshold_q: int) -> DataFrame:
+    """Banded candidate-pair generation for :func:`dtw_distance` — the
+    scale path that replaces the ``max_keys`` cap, built on LB_Kim
+    lower bounds so containment is a THEOREM, not a tuning outcome:
+
+    * DTW(a,b) ≥ |a₁−b₁| and ≥ |aₙ−bₙ| (endpoints always align), and
+      ≥ |max(a)−max(b)| and ≥ |min(a)−min(b)| (the max of ``a`` pairs
+      with something ≤ max(b), contributing at least the difference).
+    * 1-D staggered-grid fact: two scalars within g/2 of each other
+      fall in the same cell of at least one of the two grids with cell
+      width g and offsets {0, g/2} (their interval contains at most one
+      boundary from the union, which alternates every g/2).
+
+    So with g = 2·``threshold_q``, every pair with DTW ≤ threshold_q
+    agrees on the first-bucket signature in offset grid 0 or 1 — the
+    equi-join on (offset, floor((v₁−o)/g)) is a sound superset. The
+    remaining LB_Kim features (last/max/min within threshold_q) are
+    exact post-filters, also implied by DTW ≤ threshold_q, pruning the
+    superset before the O(n⁴)-per-pair DP verifies exactly.
+
+    Scale shape: 2 signature rows per key, one equi-join shuffle on the
+    signature key (never all-pairs), distinct on (key_a, key_b). Skewed
+    signature buckets (many keys opening at the same value) are pruned
+    by the three extra feature filters before any DP runs — the same
+    candidate-generation-then-exact-verify contract as
+    ``minhash_lsh_pairs``.
+
+    Input: (key, v ARRAY<BIGINT>). Output: (key_a, key_b), key_a < key_b.
+    """
+    g = 2 * int(threshold_q)
+    feat = series.select(
+        "key",
+        F.element_at("v", 1).alias("_f"),
+        F.element_at("v", -1).alias("_l"),
+        F.array_max("v").alias("_mx"),
+        F.array_min("v").alias("_mn"),
+    )
+    sigs = feat.select(
+        "key", "_f", "_l", "_mx", "_mn",
+        F.explode(
+            F.array(
+                F.floor(F.col("_f") / F.lit(g)),
+                F.floor((F.col("_f") - F.lit(g // 2)) / F.lit(g)) + F.lit(10**12),
+            )
+        ).alias("_sig"),
+    )
+    a = sigs.select(
+        F.col("key").alias("key_a"), F.col("_sig"),
+        F.col("_f").alias("_fa"), F.col("_l").alias("_la"),
+        F.col("_mx").alias("_mxa"), F.col("_mn").alias("_mna"),
+    )
+    b = sigs.select(
+        F.col("key").alias("key_b"), F.col("_sig"),
+        F.col("_f").alias("_fb"), F.col("_l").alias("_lb"),
+        F.col("_mx").alias("_mxb"), F.col("_mn").alias("_mnb"),
+    )
+    t = F.lit(int(threshold_q))
+    return (
+        a.join(b, "_sig")
+        .where(F.col("key_a") < F.col("key_b"))
+        .where(F.abs(F.col("_la") - F.col("_lb")) <= t)
+        .where(F.abs(F.col("_mxa") - F.col("_mxb")) <= t)
+        .where(F.abs(F.col("_mna") - F.col("_mnb")) <= t)
+        .select("key_a", "key_b")
+        .distinct()
+    )
+
+
 def dtw_distance(
     df: DataFrame,
     key_col: str = "user_id",
@@ -461,6 +529,7 @@ def dtw_distance(
     bucket_us: int = 3_600_000_000,
     n: int = 16,
     max_keys: int = 6,
+    pair_source=None,
 ) -> DataFrame:
     """Pairwise dynamic-time-warping distance between key series — the
     elastic-alignment similarity of light curves (and any irregular
@@ -486,9 +555,14 @@ def dtw_distance(
 
     Scale shape: the bucket head is one map-side-combining aggregate over
     events; the DP is per-pair constant work (n⁴ ≈ 65k integer ops at
-    n=16) over a broadcast-sized pair table. For all-pairs clustering at
-    scale, band the pair generation (LSH over bucket sketches) exactly
-    like the dedup family — the kernel stays this expression.
+    n=16). The pair SOURCE is pluggable (the DBSCAN eps-graph
+    precedent): the default keeps the deterministic ``max_keys`` cap —
+    an oracle-friendly bounded all-pairs for the registered query — and
+    ``pair_source`` (a callable ``series_df -> (key_a, key_b)``, e.g.
+    ``lambda s: dtw_banded_pairs(s, threshold_q)``) replaces it with
+    banded candidate generation over ALL qualified keys: never
+    all-pairs, containment of threshold-true pairs guaranteed by the
+    LB_Kim bounds (see :func:`dtw_banded_pairs`).
 
     Output: (key_a, key_b, dtw_q) with dtw_q in integer cents.
     """
@@ -503,13 +577,34 @@ def dtw_distance(
             F.count(F.lit(1)).alias("_n"),
         )
         .where(F.col("_n") == n)
-        .orderBy("key")
-        .limit(max_keys)
-        .localCheckpoint(eager=True)  # max_keys rows; both join legs reuse
     )
-    a = series.select(F.col("key").alias("key_a"), F.col("v").alias("av"))
-    bb = series.select(F.col("key").alias("key_b"), F.col("v").alias("bv"))
-    pairs = a.join(bb, F.col("key_a") < F.col("key_b"))
+    if pair_source is None:
+        series = (
+            series.orderBy("key")
+            .limit(max_keys)
+            # max_keys rows; both join legs reuse
+            .localCheckpoint(eager=True)
+        )
+        a = series.select(F.col("key").alias("key_a"), F.col("v").alias("av"))
+        bb = series.select(F.col("key").alias("key_b"), F.col("v").alias("bv"))
+        pairs = a.join(bb, F.col("key_a") < F.col("key_b"))
+    else:
+        # bounded intermediate (one row per qualified key) pinned once:
+        # the banding pass and both vector-attach legs reuse it
+        series = series.localCheckpoint(eager=True)
+        cand = pair_source(series.select("key", "v"))
+        pairs = (
+            cand.join(
+                series.select(F.col("key").alias("key_a"),
+                              F.col("v").alias("av")),
+                "key_a",
+            )
+            .join(
+                series.select(F.col("key").alias("key_b"),
+                              F.col("v").alias("bv")),
+                "key_b",
+            )
+        )
 
     INF = 10**15
 

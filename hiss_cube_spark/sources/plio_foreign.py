@@ -149,8 +149,15 @@ def iraf_plio_decode(buf: bytes, npix: int) -> np.ndarray:
         raise ValueError(
             f"not an IRAF PLIO line list (header word 3 = {int(w[2])})"
         )
-    # robustness: a corrupt length cannot read past the actual buffer
-    lllen = min(lllen, int(w.size))
+    # fail loudly on truncation: clamping to w.size would turn missing
+    # tail instructions into implicit zeros up to npix — a silent
+    # partial decode the tile-level size check can never catch, because
+    # this decoder always zero-fills to npix by design
+    if int(w.size) < lllen:
+        raise ValueError(
+            f"IRAF PLIO stream truncated: header says {lllen} words, "
+            f"buffer holds {int(w.size)}"
+        )
 
     out = np.zeros(npix, dtype=np.int64)
     pos, hi = 0, 1
@@ -161,6 +168,14 @@ def iraf_plio_decode(buf: bytes, npix: int) -> np.ndarray:
         if word < 0:
             raise ValueError("negative PLIO instruction word (corrupt)")
         op, data = word // _I_SHIFT, word % _I_SHIFT
+        # ZN/HN/PN carry a run length ≥ 1 by construction (pl_p2li never
+        # emits zero-length runs); data==0 here means corruption — and a
+        # PN with data==0 would step pos BACKWARD and overwrite the
+        # previous pixel. Reject rather than mis-decode.
+        if data == 0 and op in (0, 4, 5):
+            raise ValueError(
+                f"IRAF PLIO zero-length run (opcode {op}) — corrupt stream"
+            )
         if op == 0:  # ZN
             pos += data
         elif op == 1:  # SH — absolute set, 2 words
