@@ -9951,6 +9951,413 @@ def ts_dtw_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "ts_dtw_banded",
+    """
+    WITH RECURSIVE b AS (
+      SELECT user_id, epoch_us(ts) // 3600000000 AS t,
+             CAST(sum(CAST(round(value * 100) AS DECIMAL(18,0))) AS BIGINT)
+               AS yq
+      FROM events WHERE user_id < 40 GROUP BY 1, 2),
+    r AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY t) AS rn
+          FROM b),
+    ser AS (
+      SELECT user_id, array_agg(yq ORDER BY rn) AS v
+      FROM r WHERE rn <= 16 GROUP BY user_id HAVING count(*) = 16),
+    pairs AS (
+      SELECT a.user_id AS key_a, c.user_id AS key_b, a.v AS av, c.v AS bv
+      FROM ser a JOIN ser c ON a.user_id < c.user_id),
+    dp AS (
+      SELECT key_a, key_b, av, bv, -1 AS i,
+             CAST([] AS BIGINT[]) AS prev
+      FROM pairs
+      UNION ALL
+      SELECT key_a, key_b, av, bv, i + 1,
+             list_transform(S, (sj, j) -> sj + list_min(list_slice(T, 1, j)))
+      FROM (
+        SELECT key_a, key_b, av, bv, i,
+               list_transform(c, (x, j) ->
+                 CAST(list_sum(list_slice(c, 1, j)) AS BIGINT)) AS S,
+               list_transform(range(1, 17), (k) ->
+                 (CASE WHEN len(prev) = 0
+                       THEN (CASE WHEN k = 1 THEN 0
+                             ELSE 1000000000000000 END)
+                       ELSE least(prev[k],
+                                  CASE WHEN k > 1 THEN prev[k-1]
+                                       ELSE 1000000000000000 END) END)
+                 - (CASE WHEN k > 1
+                         THEN CAST(list_sum(list_slice(c, 1, k - 1))
+                                   AS BIGINT)
+                         ELSE 0 END)) AS T
+        FROM (
+          SELECT key_a, key_b, av, bv, i, prev,
+                 list_transform(bv, (y) -> abs(av[i + 2] - y)) AS c
+          FROM dp WHERE i < 15)))
+    SELECT key_a AS user_a, key_b AS user_b,
+           CAST(prev[16] AS BIGINT) AS dtw_q
+    FROM dp WHERE i = 15 AND prev[16] <= 28000
+    """,
+)
+def ts_dtw_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DTW near-pairs via BANDED candidate generation
+    (`operators/timeseries.dtw_banded_pairs`) — the 100 TB path for the
+    elastic-similarity family: no ``max_keys`` cap and no all-pairs
+    join. Candidates come from an equi-join on staggered-grid signatures
+    of the first bucket (cell 2·threshold, offsets {0, threshold} — two
+    scalars within threshold share a cell in at least one grid), pruned
+    by the other LB_Kim lower bounds (|Δlast|, |Δmax|, |Δmin| ≤
+    threshold, each a provable DTW lower bound), then verified exactly
+    by the same codegen DP fold `ts_dtw_distance` pins. Containment of
+    every threshold-true pair is a theorem, so this matches the
+    oracle's brute-force all-pairs DP + threshold filter exactly. 40
+    users × 16 hourly cents-buckets, threshold 280.00 currency units."""
+    from hiss_cube_spark.operators.timeseries import (
+        dtw_banded_pairs,
+        dtw_distance,
+    )
+
+    thr = 28_000
+    e = _events(spark, sf_dir).where(F.col("user_id") < 40)
+    out = dtw_distance(
+        e, n=16, pair_source=lambda s: dtw_banded_pairs(s, thr)
+    )
+    return out.where(F.col("dtw_q") <= thr).select(
+        F.col("key_a").alias("user_a"),
+        F.col("key_b").alias("user_b"),
+        F.col("dtw_q").cast("long").alias("dtw_q"),
+    )
+
+
+@_q(
+    "dq_quantile_sketch",
+    """
+    WITH cells AS (
+      SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS c,
+             count(*) AS cnt
+      FROM lineitem WHERE round(l_extendedprice * 100) > 0 GROUP BY 1),
+    cc AS (SELECT c, sum(cnt) OVER () AS n,
+                  sum(cnt) OVER (ORDER BY c) AS cum FROM cells),
+    bt AS (SELECT 16 * (length(bin(c)) - 1)
+                  + (16 * c) // (1::BIGINT << (length(bin(c)) - 1)) - 16
+                    AS bucket,
+                  sum(cnt) AS bn
+           FROM cells GROUP BY 1),
+    bc AS (SELECT bucket, bn,
+                  CAST(bucket // 16 AS INT) AS e,
+                  ((16 + bucket % 16)
+                   * (1::BIGINT << CAST(bucket // 16 AS INT))) // 16 AS lo,
+                  sum(bn) OVER () AS n,
+                  sum(bn) OVER (ORDER BY bucket) AS cum
+           FROM bt),
+    p AS (SELECT unnest([25, 50, 75, 90, 99]) AS pct),
+    est AS (SELECT pct, min(lo) AS est, min(e) AS e
+            FROM bc, p WHERE cum >= (n * pct + 99) // 100 GROUP BY pct),
+    ex AS (SELECT pct, min(c) AS exact
+           FROM cc, p WHERE cum >= (n * pct + 99) // 100 GROUP BY pct)
+    SELECT CAST(pct AS BIGINT) AS pct,
+           CAST(est AS BIGINT) AS est,
+           CAST(exact AS BIGINT) AS exact,
+           (est <= exact AND 16 * (exact - est) < (1::BIGINT << e))
+             AS within_bound
+    FROM est JOIN ex USING (pct)
+    """,
+)
+def dq_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch over lineitem price cents
+    (`operators/quality_checks.logbucket_quantile_report`) — DDSketch's
+    log-bucket idea with EXACT integer bucketing (base-2 octave × 16
+    linear sub-buckets via length(bin(c)) and shifts — no
+    ln-at-a-boundary ulp hazard), guaranteeing relative error ≤ 1/16 on
+    any quantile while merging associatively (bucket-count sums) across
+    partitions/days/sources. Ships the HLL-style exactness companion:
+    each percentile row carries the sketch estimate, the exact rank
+    value, and a ``within_bound`` boolean restating the bucket guarantee
+    in exact integers. One fact scan into a domain-bounded value-cell
+    table; sketch + exact legs both derive from the pinned cells."""
+    from hiss_cube_spark.operators.quality_checks import (
+        logbucket_quantile_report,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents")
+    )
+    return logbucket_quantile_report(li, "cents", probs=(25, 50, 75, 90, 99))
+
+
+@_q(
+    "ab_cuped",
+    """
+    WITH per0 AS (
+      SELECT user_id AS u,
+             CASE WHEN epoch_us(ts) < 1705363200000000 THEN 0 ELSE 1 END
+               AS period,
+             CAST(sum(CAST(round(value * 100) AS DECIMAL(18,0))) AS BIGINT)
+               AS s
+      FROM events GROUP BY 1, 2),
+    per AS (
+      SELECT u,
+             CAST(sum(CASE WHEN period = 0 THEN s ELSE 0 END) AS BIGINT)
+               AS x,
+             CAST(sum(CASE WHEN period = 1 THEN s ELSE 0 END) AS BIGINT)
+               AS y
+      FROM per0 GROUP BY 1),
+    m AS (
+      SELECT *,
+             (sum(x) OVER () - ((sum(x) OVER () % count(*) OVER ()
+                + count(*) OVER ()) % count(*) OVER ()))
+               // count(*) OVER () AS mx,
+             (sum(y) OVER () - ((sum(y) OVER () % count(*) OVER ()
+                + count(*) OVER ()) % count(*) OVER ()))
+               // count(*) OVER () AS my
+      FROM per),
+    d AS (SELECT u, y, x - mx AS dx, y - my AS dy FROM m),
+    t AS (
+      SELECT CAST((sxy * 1000000
+                   - (((sxy * 1000000) % sxx + sxx) % sxx)) // sxx
+                  AS BIGINT) AS theta_q
+      FROM (SELECT sum(dx * dy) AS sxy, sum(dx * dx) AS sxx FROM d)),
+    adj AS (
+      SELECT (u * 2654435761) % 2 AS arm, y, theta_q,
+             1000000 * dy - theta_q * dx AS a
+      FROM d CROSS JOIN t),
+    g AS (
+      SELECT arm, theta_q, count(*) AS n_users,
+             sum(y) AS sy, sum(a) AS sa
+      FROM adj GROUP BY 1, 2)
+    SELECT CAST(arm AS BIGINT) AS arm,
+           CAST(n_users AS BIGINT) AS n_users,
+           CAST((sy - ((sy % n_users + n_users) % n_users)) // n_users
+                AS BIGINT) AS mean_y_cents,
+           CAST((sa - ((sa % n_users + n_users) % n_users)) // n_users
+                AS BIGINT) AS mean_adj_q,
+           theta_q
+    FROM g
+    """,
+)
+def ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionized A/B exposure readout with CUPED variance reduction
+    (`operators/experiments.ab_cuped`): users hash deterministically
+    into two arms, pre-period spend X (Jan 1-15) controls the
+    experiment-period metric Y via Y − θ(X − X̄), θ = cov/var — the
+    standard sensitivity boost for pipeline-variant comparisons. Fully
+    integer formulation: cents sums, posmod floor-means, θ quantized at
+    1e-6 by an exact DECIMAL(38,0)/HUGEINT floor division — adjusted
+    means are BIGINTs, bit-identical across engines. One events scan +
+    windows over the per-user table."""
+    from hiss_cube_spark.operators.experiments import ab_cuped as _cuped
+
+    return _cuped(_events(spark, sf_dir), split_us=1_705_363_200_000_000)
+
+
+@_q(
+    "text_trigram_lm",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
+                  FROM documents),
+    s AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+          FROM toks WHERE len(w) >= 3),
+    g AS (SELECT doc_id, w[i] AS w1, w[i + 1] AS w2, w[i + 2] AS w3 FROM s),
+    c123 AS (SELECT w1, w2, w3, count(*) AS n123
+             FROM g WHERE doc_id % 2 = 0 GROUP BY 1, 2, 3),
+    c123m AS (SELECT *, sum(n123) OVER (PARTITION BY w1, w2) AS n12
+              FROM c123),
+    c23 AS (SELECT w2, w3, CAST(sum(n123) AS BIGINT) AS n23
+            FROM c123 GROUP BY 1, 2),
+    c23m AS (SELECT *, sum(n23) OVER (PARTITION BY w2) AS n2 FROM c23),
+    c3 AS (SELECT w3, CAST(sum(n123) AS BIGINT) AS n3 FROM c123 GROUP BY 1),
+    c3m AS (SELECT *, sum(n3) OVER () AS nn FROM c3),
+    p AS (
+      SELECT g.doc_id,
+             CASE WHEN c123m.n123 IS NOT NULL
+                    THEN c123m.n123 / c123m.n12
+                  WHEN c23m.n23 IS NOT NULL
+                    THEN 0.4 * c23m.n23 / c23m.n2
+                  WHEN c3m.n3 IS NOT NULL
+                    THEN 0.4 * 0.4 * c3m.n3 / c3m.nn
+                  ELSE 0.0 END AS p
+      FROM g
+      LEFT JOIN c123m USING (w1, w2, w3)
+      LEFT JOIN c23m USING (w2, w3)
+      LEFT JOIN c3m USING (w3))
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_trigrams,
+           round(CAST(sum(CAST(p AS DECIMAL(30,8))) AS DOUBLE) / count(*),
+                 6) AS lm3_score
+    FROM p GROUP BY doc_id
+    """,
+)
+def text_trigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram LM score with stupid backoff
+    (`operators/text_analysis.trigram_lm_score`) — the web-scale LM
+    quality filter one order above `text_lm_score`: S = c123/c12,
+    backing off through λ·c23/c2 to λ²·c3/N on unseen grams (all
+    CONTINUATION counts derived from the single trigram table — one
+    training scan, marginals as windows). Trained on the even-doc_id
+    half so the odd half genuinely exercises every backoff rung; every
+    term is rational (integer ratios × the same parsed-double λ), so
+    the score is bit-identical across engines."""
+    from hiss_cube_spark.operators.text_analysis import trigram_lm_score
+
+    return trigram_lm_score(
+        _t(spark, sf_dir, "documents"),
+        train_pred=F.col("doc_id") % 2 == 0,
+        lam=0.4,
+    )
+
+
+@_q(
+    "mm_crossmodal_dedup",
+    """
+    SELECT CAST(a.doc_id AS BIGINT) AS doc_a,
+           CAST(b.doc_id AS BIGINT) AS doc_b,
+           CAST(3 AS INT) AS n_modalities
+    FROM documents a JOIN documents b
+      ON a.doc_id // 3 = b.doc_id // 3 AND a.doc_id < b.doc_id
+    WHERE a.doc_id < 120 AND b.doc_id < 120
+    """,
+)
+def mm_crossmodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal near-duplicate mining — the query that proves the
+    fingerprint family COMPOSES: image dHash, audio Haitsma-Kalker and
+    text SimHash all feed the SAME pigeonhole banding kernel
+    (`dedup.simhash_pairs`), and a pair is confirmed when ≥2 modalities
+    agree. Planted contract (the mm_phash_neardup precedent, all three
+    modalities at once): docs 0-119 form 40 triples sharing synthesized
+    content — member j perturbs one image byte, scales audio gain by
+    (1−0.15j) (the HK fingerprint is gain-invariant by construction:
+    log-energy deltas cancel the gain), and swaps one caption token —
+    so every within-triple pair must surface with all 3 modalities
+    matched, and no cross-triple pair reaches 2. The oracle derives the
+    planted truth analytically from doc_id arithmetic; the Spark side
+    runs the REAL pipeline: synthesize → encode (PPM/WAV) → decode →
+    fingerprint → band → exact hamming verify."""
+    import numpy as _np
+    import pandas as _pd
+    from collections.abc import Iterator as _Iter
+
+    from hiss_cube_spark.operators.dedup import (
+        simhash_fingerprints,
+        simhash_pairs,
+    )
+    from hiss_cube_spark.operators.multimodal import (
+        audio_fingerprint,
+        decode_audio,
+        decode_images,
+        encode_ppm_np,
+        encode_wav_np,
+        image_phash,
+        phash_neardup_pairs,
+    )
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 120)
+        .select("doc_id")
+    )
+
+    def _synth(batches: _Iter[_pd.DataFrame]) -> _Iter[_pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                g, j = i // 3, i % 3
+                # group-keyed multiplicative-hash texture: the PER-PIXEL
+                # GRADIENT must differ between groups (dHash is a
+                # gradient sign — a linear ramp would dhash-collide
+                # across every group)
+                idx = _np.arange(12 * 16 * 3, dtype=_np.int64)
+                px = (
+                    (idx * (2 * g + 13) * 2654435761 + g * 97) % 251
+                ).astype(_np.uint8)
+                px[j] = (int(px[j]) + 2) % 251  # member perturbation
+                ppm = encode_ppm_np(px.reshape(12, 16, 3))
+                t = _np.arange(2048) / 16000.0
+                # ≥53 Hz (~7 FFT bins) between groups: neighbor tones
+                # must not alias into the same log-energy bands; three
+                # tones give every band real structure (quiet bands are
+                # quantization-noise-dominated and band-delta-unstable)
+                base = (
+                    0.5 * _np.sin(2 * _np.pi * (200.0 + g * 53.0) * t)
+                    + 0.3 * _np.sin(2 * _np.pi * (400.0 + g * 89.0) * t)
+                    + 0.2 * _np.sin(2 * _np.pi * (900.0 + g * 131.0) * t)
+                )
+                # gentle gain: HK log-energy deltas cancel gain exactly
+                # in float; int16 quantization noise re-couples it, so
+                # keep the perturbation small
+                wav = encode_wav_np((1.0 - 0.05 * j) * base, rate=16000)
+                # captions: per-group 5-token weighted vocabulary.
+                # token_code reads ONLY (first char, length, second
+                # char), so the vocab must differ in exactly those per
+                # group AND in multiset weights — a full 26-cycle over
+                # 40 sequential tokens gave every group the same code
+                # multiset (simhash 0 across all groups). Member j swaps
+                # j occurrences of one vocab token for an alt token.
+                # Measured margins (deterministic): within ≤ 9,
+                # cross ≥ 18 → threshold 12 separates exactly.
+                def _vt(v: int, alt: bool) -> str:
+                    d1, d2, dl = (13, 5, 3) if alt else (0, 0, 0)
+                    return (
+                        chr(97 + ((g * 3 + v * 7 + d1) % 26))
+                        + chr(97 + ((g * 17 + v * 11 + d2) % 26))
+                        + "z" * ((g * 2 + v + dl) % 6)
+                    )
+
+                toks = []
+                for v in range(5):
+                    toks += [_vt(v, False)] * (4 + ((g + v * 3) % 7))
+                if j > 0:
+                    v, swapped, out = j % 5, 0, []
+                    for tk in toks:
+                        if tk == _vt(v, False) and swapped < j:
+                            out.append(_vt(v, True))
+                            swapped += 1
+                        else:
+                            out.append(tk)
+                    toks = out
+                caption = " ".join(toks)
+                rows.append(
+                    (i, bytearray(ppm), bytearray(wav), caption)
+                )
+            yield _pd.DataFrame(
+                rows, columns=["doc_id", "img", "wav", "caption"]
+            )
+
+    synth = d.mapInPandas(
+        _synth,
+        schema="doc_id long, img binary, wav binary, caption string",
+    ).localCheckpoint(eager=True)  # 120 rows; three fingerprint legs reuse
+
+    img_fp = image_phash(
+        decode_images(synth.select("doc_id", F.col("img").alias("payload"))),
+        hash_size=8,
+        kind="dhash",
+    )
+    img_pairs = phash_neardup_pairs(img_fp, max_hamming=7, n_chunks=8)
+    aud_fp = audio_fingerprint(
+        decode_audio(synth.select("doc_id", F.col("wav").alias("payload")))
+    )
+    aud_pairs = simhash_pairs(
+        aud_fp, max_hamming=7, fp_col="afp", n_chunks=8
+    )
+    txt_fp = simhash_fingerprints(
+        synth.select("doc_id", F.col("caption").alias("text"))
+    )
+    txt_pairs = simhash_pairs(txt_fp, max_hamming=12, n_chunks=16)
+    # thresholds sit inside measured deterministic margins:
+    # img within 0 / cross ≥ 10 (≤7); aud 3 / ≥10 (≤7); txt 9 / ≥18 (≤12)
+
+    allp = (
+        img_pairs.select("doc_a", "doc_b")
+        .unionByName(aud_pairs.select("doc_a", "doc_b"))
+        .unionByName(txt_pairs.select("doc_a", "doc_b"))
+    )
+    return (
+        allp.groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("int").alias("n_modalities"))
+        .where(F.col("n_modalities") >= 2)
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return flagship_ml_cube(spark, "/root/testdata/sf0.001")
@@ -9967,42 +10374,40 @@ def entry(spark: SparkSession) -> DataFrame:
 # list, remaining never-checked queries first, so later rounds rotate the
 # window forward until every query has had a green row.
 _CHECK_PRIORITY = [
-    # ---- round-8 window (slots 1-50) ----
+    # ---- round-9 window (slots 1-50) ----
     # sentinels (green every round; canaries against harness drift)
     "flagship_ml_cube", "q1_pricing_summary",
-    # STALENESS INVARIANT (VERDICT r7 #2, now policy): any query whose
+    # STALENESS INVARIANT (policy since r7): any query whose
     # implementation or oracle changed since its last driver row goes
-    # first. These three changed in r7 after their r6 rows
-    # (mm_fits_codec_sweep: new layout column; mm_flac_pipeline: per-depth
-    # normalization; a1_ivw_arrays: batched kernel, and AGAIN in r8 —
-    # struct-aligned collect_list).
-    "mm_fits_codec_sweep", "mm_flac_pipeline", "a1_ivw_arrays",
-    # the full remaining round-3 cohort (last driver row r3) — after this
-    # window, every registered query's latest row is r4+
-    "cur_pack_sequences", "cur_balanced_sample", "cur_corpus_report",
-    "text_bm25_topk", "text_entropy", "text_pmi_bigrams",
-    "cur_score_calibrate", "cur_temperature_sample", "cur_best_of_cluster",
-    "cur_semantic_dedup", "mm_audio_pipeline", "a_hll_sketch",
-    "cur_decontaminate", "a_approx_stats", "cur_redact_pii",
-    "cur_quality_filter", "cur_full_pipeline", "dedup_substring_spans",
-    "text_simpson_diversity", "cur_mix_weights", "stream_dedup_first",
-    "stream_neardup_minhash", "graph_bfs_hops", "graph_triangles",
-    "dq_outliers",
-    # the seven NEW r8 queries (never driver-checked — highest priority
-    # after the stale trio per the staleness invariant)
-    "dq_psi", "emb_kmeans_cosine", "emb_cluster_prototypes",
-    "ts_dtw_distance", "text_mattr", "w_rolling_distinct",
-    "ts_periodogram",
-    # round-robin RE-verifications: the oldest r4-era greens in
-    # definition order (the rest of the r4 cohort rotates in r9)
-    "j_knn_crossmatch", "ts_transition_matrix", "ts_cusum_changepoint",
-    "ts_seasonal_anomaly", "ts_seasonal_decompose", "a_corr_matrix",
-    "w_mom_change", "a_top_decile_share", "a_gini", "a_weighted_median",
-    "f_target_encode", "a_winsorize", "emb_matryoshka_recall",
-    # ---- slot 50 ends at emb_matryoshka_recall; everything else follows
-    # in definition order (all previously driver-green in r1–r7);
-    # emb_dbscan, dq_mutual_info, dq_chi2_independence, dq_benford,
-    # p_variant_props, q_recursive_cte, text_gopher_rules lead the r9
+    # first. These five changed in r9 after their r8 rows: dq_psi +
+    # dq_histogram (NULL filtering before bucketing), emb_kmeans_cosine
+    # + emb_cluster_prototypes (single pinned projection + exactness
+    # assert), ts_dtw_distance (pluggable pair_source refactor).
+    "dq_psi", "dq_histogram", "emb_kmeans_cosine",
+    "emb_cluster_prototypes", "ts_dtw_distance",
+    # the five NEW r9 queries (never driver-checked)
+    "ts_dtw_banded", "dq_quantile_sketch", "ab_cuped",
+    "text_trigram_lm", "mm_crossmodal_dedup",
+    # the FULL remaining round-4 cohort (last driver row r4) — after this
+    # window, every registered query's latest row is r5+
+    "dedup_span_removal", "cur_perplexity_buckets", "cur_jsonl_roundtrip",
+    "text_gopher_rules", "dq_chi2_independence", "mm_video_pipeline",
+    "emb_dbscan", "q_hybrid_retrieval", "text_rake_keywords",
+    "cur_url_dedup", "cur_pack_atomic", "cur_unimax_mix",
+    "dq_mutual_info", "dq_benford", "text_ngram_novelty",
+    "cur_contamination_score", "cur_oversample_minority",
+    "cur_dedup_provenance", "text_vocab_growth", "p_variant_props",
+    "q_recursive_cte", "viz_cube_union", "o1_zorder_clustering",
+    "w_funnel_stages", "w_cohort_retention", "a_median_quartiles",
+    "o_global_topk", "a_pivot_flags", "mm_decode_stub", "mm_frame_sample",
+    "q2_min_cost_supplier", "q6_forecast_revenue", "q7_volume_shipping",
+    "q8_market_share", "q9_product_profit",
+    # round-robin RE-verifications: the oldest r5-era greens in
+    # definition order (the rest of the r5 cohort rotates in r10)
+    "j2_crossmatch", "a1_ivw_mean", "j1_theta_lookup",
+    # ---- slot 50 ends at j1_theta_lookup; everything else follows in
+    # definition order (all previously driver-green in r1–r8);
+    # j4_left_join, j6_target_grouping, a1_light_curve lead the r10
     # round-robin ----
 ]
 

@@ -110,6 +110,12 @@ HEADLINE = [
     "text_mattr",
     "w_rolling_distinct",
     "ts_periodogram",
+    # round-9 additions
+    "ts_dtw_banded",
+    "dq_quantile_sketch",
+    "ab_cuped",
+    "text_trigram_lm",
+    "mm_crossmodal_dedup",
 ]
 
 # Environment-drift sentinel: per-query ratchets are expressed relative to

@@ -1,0 +1,137 @@
+"""Experiment-analysis operators: sessionized A/B exposure analysis with
+CUPED variance reduction — the readout a training-data platform runs when
+comparing pipeline variants (filter thresholds, dedup policies, sampling
+temperatures) on downstream engagement.
+
+Everything is exact integer / decimal arithmetic end-to-end (the engine's
+cross-engine parity discipline): cents sums, floor-means via the posmod
+identity, and a 1e-6-quantized theta from an exact decimal floor
+division — so the adjusted means are bit-identical in any engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["ab_cuped"]
+
+
+def ab_cuped(
+    df: DataFrame,
+    split_us: int,
+    user_col: str = "user_id",
+    ts_us_col: str = "ts_us",
+    value_col: str = "value",
+    arm_mult: int = 2_654_435_761,
+) -> DataFrame:
+    """CUPED-adjusted A/B readout over an event stream.
+
+    Exposure model: every user is deterministically assigned an arm by
+    the integer hash ``(user_id · arm_mult) % 2`` (Knuth multiplicative
+    — exact int64 for user_id < 3.4e9; swap in xxhash64 off the parity
+    path). Pre-period metric X = Σ value-cents before ``split_us``,
+    experiment metric Y = Σ after. CUPED (Deng et al., WSDM'13) replaces
+    Y with Y − θ·(X − X̄), θ = cov(X,Y)/var(X), removing the
+    pre-existing between-user variance that X explains — the standard
+    sensitivity boost for A/B readouts.
+
+    Deterministic integer formulation: per-user X,Y are exact BIGINT
+    cents; X̄,Ȳ are floor-means (posmod identity); θ is quantized as
+    θ_q = floor(1e6·Σdxdy / Σdx²) computed in DECIMAL(38,0) (the sums
+    of products overflow int64 at scale; the posmod floor-division on
+    decimals is exact in both Spark and DuckDB), and the per-user
+    adjusted metric 1e6·dy − θ_q·dx stays in int64 (|θ_q| ~ 1e6·O(1),
+    |dx| bounded by per-user spend). Output per arm: user count,
+    floor-mean Y (cents) and floor-mean adjusted Y (1e-6 cents) — all
+    BIGINT, bit-identical across engines.
+
+    Scale shape: one map-side-combining (user, period) aggregate over
+    events, then windows over the per-user table (users ≪ events); the
+    θ reduction is a single scalar aggregate. No row-level second scan
+    of the fact table.
+    """
+    per = (
+        df.select(
+            F.col(user_col).alias("u"),
+            F.when(F.col(ts_us_col) < F.lit(int(split_us)), F.lit(0))
+            .otherwise(F.lit(1))
+            .alias("period"),
+            F.round(F.col(value_col) * 100)
+            .cast("decimal(18,0)")
+            .alias("xq"),
+        )
+        .groupBy("u", "period")
+        .agg(F.sum("xq").cast("long").alias("s"))
+        .groupBy("u")
+        .agg(
+            F.sum(F.when(F.col("period") == 0, F.col("s")).otherwise(0))
+            .cast("long")
+            .alias("x"),
+            F.sum(F.when(F.col("period") == 1, F.col("s")).otherwise(0))
+            .cast("long")
+            .alias("y"),
+        )
+    )
+    tot = Window.partitionBy()
+
+    # floor-mean via the posmod identity; the adjusted numerator is
+    # exactly divisible, so integer DIV == exact division (no double
+    # round-trip — long/long `/` loses exactness past 2^53 at scale)
+    def _floor_mean(col: str) -> F.Column:
+        s = F.sum(col).over(tot)
+        n = F.count(F.lit(1)).over(tot)
+        return F.expr(
+            f"(sum({col}) OVER () "
+            f" - ((sum({col}) OVER () % count(1) OVER () + count(1) OVER ())"
+            f"    % count(1) OVER ())) DIV count(1) OVER ()"
+        )
+
+    mx = _floor_mean("x").cast("long")
+    my = _floor_mean("y").cast("long")
+    per = per.select(
+        "u", "x", "y",
+        (F.col("x") - mx).alias("dx"),
+        (F.col("y") - my).alias("dy"),
+    ).localCheckpoint(eager=True)  # per-user table: bounded, reused 2×
+
+    d38 = "decimal(38,0)"
+    th = per.agg(
+        F.sum((F.col("dx") * F.col("dy")).cast(d38)).alias("sxy"),
+        F.sum((F.col("dx") * F.col("dx")).cast(d38)).alias("sxx"),
+    ).select(
+        F.expr(
+            "CAST((sxy * 1000000 - (((sxy * 1000000) % sxx + sxx) % sxx)) "
+            "/ sxx AS BIGINT)"
+        ).alias("theta_q")
+    )
+    arm = F.pmod(F.col("u") * F.lit(int(arm_mult)), F.lit(2)).cast("long")
+    adj = (
+        F.lit(1_000_000) * F.col("dy") - F.col("theta_q") * F.col("dx")
+    ).alias("adj")
+    out = (
+        per.crossJoin(F.broadcast(th))
+        .select(arm.alias("arm"), "y", "theta_q", adj)
+        .groupBy("arm", "theta_q")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("y").alias("_sy"),
+            F.sum("adj").alias("_sa"),
+        )
+    )
+
+    def _fm(s: str, n: str) -> F.Column:
+        return F.expr(f"({s} - (({s} % {n} + {n}) % {n})) DIV {n}")
+
+    return out.select(
+        "arm",
+        F.col("n_users").cast("long").alias("n_users"),
+        _fm("_sy", "n_users").alias("mean_y_cents"),
+        _fm("_sa", "n_users").alias("mean_adj_q"),
+        "theta_q",
+    )
+
+
+from hiss_cube_spark._serde import register_self as _register_self  # noqa: E402
+
+_register_self(__name__)

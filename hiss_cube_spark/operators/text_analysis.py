@@ -27,6 +27,7 @@ __all__ = [
     "compression_ratio",
     "pmi_bigrams",
     "bigram_lm_score",
+    "trigram_lm_score",
     "linear_model_score",
     "rake_keywords",
     "mattr",
@@ -606,6 +607,120 @@ def bigram_lm_score(
             6,
         ).alias("lm_score"),
         F.count(F.lit(1)).alias("n_bigrams"),
+    )
+
+
+def trigram_lm_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    train_pred=None,
+    lam: float = 0.4,
+) -> DataFrame:
+    """Trigram language-model score with stupid backoff (Brants et al.,
+    EMNLP'07 — the web-scale LM that skips normalization because at
+    corpus scale backoff weights matter more than proper probabilities):
+
+        S(w3|w1w2) = c123/c12                    if the trigram was seen
+                     λ · c23/c2                  else if (w2,w3) seen
+                     λ² · c3/N                   else if w3 seen
+                     0                           otherwise
+
+    where every count is a CONTINUATION count derived from the single
+    trigram table (c12 = Σ_w3 c123, c23 = Σ_w1 c123, c3 = Σ_{w1,w2},
+    N = Σ all) — so training is ONE corpus scan into one bounded gram
+    table, and all marginals are windows over it (the scan-audit
+    discipline). Every term is rational (integer ratios × a λ power both
+    engines parse to the same double; ×,/ are correctly-rounded IEEE),
+    per-term values are decimal-quantized before the per-doc sum — the
+    bigram_lm_score parity discipline, extended one order.
+
+    ``train_pred`` restricts training (e.g. ``F.col("doc_id") % 2 == 0``
+    — the held-in half) so the scored held-out half genuinely exercises
+    the backoff chain; default trains on the full corpus (backoff then
+    never fires for in-corpus docs — fine for drift scoring, useless for
+    testing the ladder).
+
+    Output: (doc_id, n_trigrams, lm3_score = round(mean S, 6)).
+    """
+    def grams(src: DataFrame, with_id: bool) -> DataFrame:
+        toks = src.select(
+            F.col(id_col), F.split(F.col(text_col), " ").alias("w")
+        )
+        n = F.size("w")
+        cols = [id_col] if with_id else []
+        return (
+            toks.where(n >= 3)
+            .select(
+                *cols,
+                F.explode(
+                    F.arrays_zip(
+                        F.slice("w", 1, n - 2).alias("w1"),
+                        F.slice("w", 2, n - 2).alias("w2"),
+                        F.slice("w", 3, n - 2).alias("w3"),
+                    )
+                ).alias("g"),
+            )
+            .select(
+                *cols,
+                F.col("g.w1").alias("w1"),
+                F.col("g.w2").alias("w2"),
+                F.col("g.w3").alias("w3"),
+            )
+        )
+
+    train = df if train_pred is None else df.where(train_pred)
+    c123 = (
+        grams(train, with_id=False)
+        .groupBy("w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).alias("n123"))
+        .localCheckpoint(eager=True)  # bounded by trigram TYPES
+    )
+    from pyspark.sql import Window
+
+    c123m = c123.select(
+        "w1", "w2", "w3", "n123",
+        F.sum("n123").over(Window.partitionBy("w1", "w2")).alias("n12"),
+    )
+    c23 = c123.groupBy("w2", "w3").agg(F.sum("n123").alias("n23"))
+    c23m = c23.select(
+        "w2", "w3", "n23",
+        F.sum("n23").over(Window.partitionBy("w2")).alias("n2"),
+    )
+    c3 = c123.groupBy("w3").agg(F.sum("n123").alias("n3"))
+    c3m = c3.select(
+        "w3", "n3", F.sum("n3").over(Window.partitionBy()).alias("nn")
+    )
+
+    g = grams(df, with_id=True)
+    s = (
+        g.join(c123m, ["w1", "w2", "w3"], "left")
+        .join(c23m, ["w2", "w3"], "left")
+        .join(c3m, ["w3"], "left")
+        .withColumn(
+            "p",
+            F.when(
+                F.col("n123").isNotNull(),
+                F.col("n123") / F.col("n12"),
+            )
+            .when(
+                F.col("n23").isNotNull(),
+                F.lit(lam) * F.col("n23") / F.col("n2"),
+            )
+            .when(
+                F.col("n3").isNotNull(),
+                F.lit(lam) * F.lit(lam) * F.col("n3") / F.col("nn"),
+            )
+            .otherwise(F.lit(0.0)),
+        )
+    )
+    return s.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_trigrams"),
+        F.round(
+            F.sum(F.col("p").cast("decimal(30,8)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("lm3_score"),
     )
 
 

@@ -37,6 +37,10 @@ QUERIES = [
     "cur_chunk_documents",
     "ann_cosine_topk",
     "ts_ewma",
+    # round 9
+    "dq_quantile_sketch",
+    "ab_cuped",
+    "text_trigram_lm",
 ]
 
 
