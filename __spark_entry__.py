@@ -9973,7 +9973,11 @@ def ts_dtw_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM pairs
       UNION ALL
       SELECT key_a, key_b, av, bv, i + 1,
-             list_transform(S, (sj, j) -> sj + list_min(list_slice(T, 1, j)))
+             list_transform(S, (sj, j) ->
+               CASE WHEN j < i OR j > i + 4
+                    THEN 1000000000000000
+                    ELSE sj + list_min(
+                           list_slice(T, greatest(1, i), j)) END)
       FROM (
         SELECT key_a, key_b, av, bv, i,
                list_transform(c, (x, j) ->
@@ -9995,31 +9999,39 @@ def ts_dtw_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM dp WHERE i < 15)))
     SELECT key_a AS user_a, key_b AS user_b,
            CAST(prev[16] AS BIGINT) AS dtw_q
-    FROM dp WHERE i = 15 AND prev[16] <= 28000
+    FROM dp WHERE i = 15 AND prev[16] <= 30000
     """,
 )
 def ts_dtw_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DTW near-pairs via BANDED candidate generation
-    (`operators/timeseries.dtw_banded_pairs`) — the 100 TB path for the
-    elastic-similarity family: no ``max_keys`` cap and no all-pairs
-    join. Candidates come from an equi-join on staggered-grid signatures
-    of the first bucket (cell 2·threshold, offsets {0, threshold} — two
-    scalars within threshold share a cell in at least one grid), pruned
-    by the other LB_Kim lower bounds (|Δlast|, |Δmax|, |Δmin| ≤
-    threshold, each a provable DTW lower bound), then verified exactly
-    by the same codegen DP fold `ts_dtw_distance` pins. Containment of
-    every threshold-true pair is a theorem, so this matches the
-    oracle's brute-force all-pairs DP + threshold filter exactly. 40
-    users × 16 hourly cents-buckets, threshold 280.00 currency units."""
+    """CONSTRAINED (Sakoe-Chiba radius 2) DTW near-pairs via banded
+    candidate generation — the production elastic-similarity miner
+    (UCR-suite shape) and the 100 TB path for the DTW family: no
+    ``max_keys`` cap, no all-pairs join. Three sound stages, each a
+    provable superset of the threshold-true pairs: (1) equi-join on
+    joint staggered-grid signatures of the four LB_Kim features
+    (first/last/max/min — each a DTW lower bound; two scalars within
+    threshold share a cell in one of two offset grids, so one of the 16
+    offset combos matches); (2) LB_Keogh envelope prefilter
+    (Σ distance-to-band-envelope ≤ DTW_r — sees per-position wiggle the
+    key-level features can't); (3) the exact in-band DP, the same
+    codegen prefix-scan fold `ts_dtw_distance` pins, with out-of-band
+    cells INF and entry points clipped to the band. The oracle runs the
+    brute-force all-pairs constrained DP + the same threshold — so
+    containment is what makes the results equal. 40 users × 16 hourly
+    cents-buckets, threshold 300.00 currency units, band ±2 h."""
     from hiss_cube_spark.operators.timeseries import (
         dtw_banded_pairs,
         dtw_distance,
     )
 
-    thr = 28_000
+    thr = 30_000
     e = _events(spark, sf_dir).where(F.col("user_id") < 40)
     out = dtw_distance(
-        e, n=16, pair_source=lambda s: dtw_banded_pairs(s, thr)
+        e,
+        n=16,
+        radius=2,
+        lb_prune_q=thr,
+        pair_source=lambda s: dtw_banded_pairs(s, thr),
     )
     return out.where(F.col("dtw_q") <= thr).select(
         F.col("key_a").alias("user_a"),

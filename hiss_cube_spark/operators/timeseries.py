@@ -466,23 +466,32 @@ def dtw_banded_pairs(series: DataFrame, threshold_q: int) -> DataFrame:
       width g and offsets {0, g/2} (their interval contains at most one
       boundary from the union, which alternates every g/2).
 
-    So with g = 2·``threshold_q``, every pair with DTW ≤ threshold_q
-    agrees on the first-bucket signature in offset grid 0 or 1 — the
-    equi-join on (offset, floor((v₁−o)/g)) is a sound superset. The
-    remaining LB_Kim features (last/max/min within threshold_q) are
-    exact post-filters, also implied by DTW ≤ threshold_q, pruning the
-    superset before the O(n⁴)-per-pair DP verifies exactly.
+    So with g = 2·``threshold_q``, a pair within threshold agrees, for
+    EACH of the four features independently, on at least one of the two
+    offset grids — hence on at least one of the 16 JOINT
+    (offset-combo, 4-feature-cell) signatures. The equi-join runs on
+    that joint signature: pruning power MULTIPLIES across features
+    (four weak per-feature filters of the same data would intersect
+    after the join; the joint key intersects before it), while
+    containment stays a theorem. The per-feature |Δ| ≤ threshold checks
+    remain as exact post-filters, and the O(n⁴)-per-pair DP verifies
+    candidates exactly.
 
-    Scale shape: 2 signature rows per key, one equi-join shuffle on the
-    signature key (never all-pairs), distinct on (key_a, key_b). Skewed
-    signature buckets (many keys opening at the same value) are pruned
-    by the three extra feature filters before any DP runs — the same
-    candidate-generation-then-exact-verify contract as
-    ``minhash_lsh_pairs``.
+    Scale shape: 16 signature rows per key, one equi-join shuffle on the
+    joint signature (never all-pairs), distinct on (key_a, key_b).
+    Pruning is DATA-DEPENDENT, like any LSH: keys whose
+    (first, last, max, min) profile concentrates inside one
+    2·threshold-wide cell per feature still collide (measured on the
+    homogeneous synthetic users: little pruning — every user shops
+    alike); real fleets with heterogeneous level/amplitude separate.
+    The honest worst case is quadratic in the largest joint bucket —
+    the same contract as ``minhash_lsh_pairs`` banding, stated rather
+    than hidden.
 
     Input: (key, v ARRAY<BIGINT>). Output: (key_a, key_b), key_a < key_b.
     """
     g = 2 * int(threshold_q)
+    h = int(threshold_q)
     feat = series.select(
         "key",
         F.element_at("v", 1).alias("_f"),
@@ -490,14 +499,19 @@ def dtw_banded_pairs(series: DataFrame, threshold_q: int) -> DataFrame:
         F.array_max("v").alias("_mx"),
         F.array_min("v").alias("_mn"),
     )
+    combos = []
+    for c in range(16):
+        offs = [(c >> b) & 1 for b in range(4)]
+        cells = [
+            F.floor((F.col(col) - F.lit(h * o)) / F.lit(g))
+            for col, o in zip(("_f", "_l", "_mx", "_mn"), offs)
+        ]
+        combos.append(F.struct(F.lit(c).alias("c"), *[
+            cell.alias(f"s{i}") for i, cell in enumerate(cells)
+        ]))
     sigs = feat.select(
         "key", "_f", "_l", "_mx", "_mn",
-        F.explode(
-            F.array(
-                F.floor(F.col("_f") / F.lit(g)),
-                F.floor((F.col("_f") - F.lit(g // 2)) / F.lit(g)) + F.lit(10**12),
-            )
-        ).alias("_sig"),
+        F.explode(F.array(*combos)).alias("_sig"),
     )
     a = sigs.select(
         F.col("key").alias("key_a"), F.col("_sig"),
@@ -513,6 +527,7 @@ def dtw_banded_pairs(series: DataFrame, threshold_q: int) -> DataFrame:
     return (
         a.join(b, "_sig")
         .where(F.col("key_a") < F.col("key_b"))
+        .where(F.abs(F.col("_fa") - F.col("_fb")) <= t)
         .where(F.abs(F.col("_la") - F.col("_lb")) <= t)
         .where(F.abs(F.col("_mxa") - F.col("_mxb")) <= t)
         .where(F.abs(F.col("_mna") - F.col("_mnb")) <= t)
@@ -530,6 +545,8 @@ def dtw_distance(
     n: int = 16,
     max_keys: int = 6,
     pair_source=None,
+    radius: int | None = None,
+    lb_prune_q: int | None = None,
 ) -> DataFrame:
     """Pairwise dynamic-time-warping distance between key series — the
     elastic-alignment similarity of light curves (and any irregular
@@ -564,7 +581,23 @@ def dtw_distance(
     all-pairs, containment of threshold-true pairs guaranteed by the
     LB_Kim bounds (see :func:`dtw_banded_pairs`).
 
-    Output: (key_a, key_b, dtw_q) with dtw_q in integer cents.
+    ``radius`` switches to SAKOE-CHIBA CONSTRAINED DTW (|i−j| ≤ radius
+    — the UCR-suite standard): cells outside the band are INF, and a
+    row's prefix-scan min is clipped to k ≥ i−radius so no path segment
+    enters the row out-of-band. Constrained DTW is what production
+    time-series mining runs, both because warps beyond a few steps are
+    physically meaningless and because it admits the LB_Keogh envelope
+    bound: with U_i = max(b[i−r..i+r]), L_i = min(b[i−r..i+r]),
+    Σ_i max(0, a_i − U_i, L_i − a_i) ≤ DTW_r(a, b) — each a_i matches
+    at least one b_j inside its band, distinct cells per i. When
+    ``lb_prune_q`` is set (candidate-source mode), pairs are dropped
+    when BOTH directions' LB_Keogh exceed it BEFORE the O(n³)-ops DP —
+    sound (LB ≤ DTW_r), and unlike the LB_Kim features it sees
+    per-position wiggle, so it prunes even when key-level aggregates
+    concentrate.
+
+    Output: (key_a, key_b, dtw_q) with dtw_q in integer cents
+    (dtw_q = INF-masked cells never reach the output corner).
     """
     b = _bucketed_cents(df, key_col, ts_us_col, value_col, bucket_us, n)
     series = (
@@ -608,6 +641,28 @@ def dtw_distance(
 
     INF = 10**15
 
+    if radius is not None and lb_prune_q is not None:
+        # LB_Keogh prefilter (both directions): O(n·radius) vs the DP's
+        # O(n³) ops — sound because LB ≤ DTW_radius
+        def _lb(x: str, y: str) -> str:
+            return (
+                f"aggregate(sequence(1, {n}), CAST(0 AS BIGINT), (s, i) -> "
+                f"s + greatest(CAST(0 AS BIGINT), "
+                f"element_at({x}, i) - array_max(slice({y}, "
+                f"greatest(1, i - {radius}), "
+                f"least({n}, i + {radius}) - greatest(1, i - {radius}) + 1)), "
+                f"array_min(slice({y}, greatest(1, i - {radius}), "
+                f"least({n}, i + {radius}) - greatest(1, i - {radius}) + 1)) "
+                f"- element_at({x}, i)))"
+            )
+
+        pairs = pairs.where(
+            F.greatest(
+                F.expr(_lb("av", "bv")), F.expr(_lb("bv", "av"))
+            )
+            <= F.lit(int(lb_prune_q))
+        )
+
     def _s(upto: str) -> str:
         # prefix sum of row-i costs c[1..upto], c[j] = |av[i] - bv[j]|
         return (
@@ -616,20 +671,45 @@ def dtw_distance(
             f"CAST(0 AS BIGINT), (s, x) -> s + x)"
         )
 
-    dp = (
-        f"aggregate(sequence(1, {n}), CAST(array() AS ARRAY<BIGINT>), "
-        f"(prev, i) -> transform(sequence(1, {n}), j -> "
-        f"{_s('j')} + array_min(transform(sequence(1, j), k -> "
-        f"(CASE WHEN size(prev) = 0 THEN "
-        f"CASE WHEN k = 1 THEN CAST(0 AS BIGINT) "
-        f"ELSE CAST({INF} AS BIGINT) END "
-        f"ELSE least(element_at(prev, k), "
-        f"CASE WHEN k > 1 THEN element_at(prev, k - 1) "
-        f"ELSE CAST({INF} AS BIGINT) END) END) "
-        f"- CASE WHEN k > 1 THEN {_s('k - 1')} "
-        f"ELSE CAST(0 AS BIGINT) END))), "
-        f"acc -> element_at(acc, {n}))"
-    )
+    if radius is None:
+        dp = (
+            f"aggregate(sequence(1, {n}), CAST(array() AS ARRAY<BIGINT>), "
+            f"(prev, i) -> transform(sequence(1, {n}), j -> "
+            f"{_s('j')} + array_min(transform(sequence(1, j), k -> "
+            f"(CASE WHEN size(prev) = 0 THEN "
+            f"CASE WHEN k = 1 THEN CAST(0 AS BIGINT) "
+            f"ELSE CAST({INF} AS BIGINT) END "
+            f"ELSE least(element_at(prev, k), "
+            f"CASE WHEN k > 1 THEN element_at(prev, k - 1) "
+            f"ELSE CAST({INF} AS BIGINT) END) END) "
+            f"- CASE WHEN k > 1 THEN {_s('k - 1')} "
+            f"ELSE CAST(0 AS BIGINT) END))), "
+            f"acc -> element_at(acc, {n}))"
+        )
+    else:
+        # Sakoe-Chiba band: out-of-band cells are INF; a row's
+        # prefix-scan entry point k is clipped to ≥ i-radius so no
+        # horizontal run starts outside the band. prev values outside
+        # row i-1's band are INF inductively, and k = j is always a
+        # finite entry in-band, so the corner is finite.
+        r = int(radius)
+        dp = (
+            f"aggregate(sequence(1, {n}), CAST(array() AS ARRAY<BIGINT>), "
+            f"(prev, i) -> transform(sequence(1, {n}), j -> "
+            f"CASE WHEN j < i - {r} OR j > i + {r} "
+            f"THEN CAST({INF} AS BIGINT) "
+            f"ELSE {_s('j')} + array_min(transform("
+            f"sequence(greatest(1, i - {r}), j), k -> "
+            f"(CASE WHEN size(prev) = 0 THEN "
+            f"CASE WHEN k = 1 THEN CAST(0 AS BIGINT) "
+            f"ELSE CAST({INF} AS BIGINT) END "
+            f"ELSE least(element_at(prev, k), "
+            f"CASE WHEN k > 1 THEN element_at(prev, k - 1) "
+            f"ELSE CAST({INF} AS BIGINT) END) END) "
+            f"- CASE WHEN k > 1 THEN {_s('k - 1')} "
+            f"ELSE CAST(0 AS BIGINT) END)) END), "
+            f"acc -> element_at(acc, {n}))"
+        )
     return pairs.select("key_a", "key_b", F.expr(dp).alias("dtw_q"))
 
 

@@ -161,3 +161,78 @@ def test_dtw_banded_pairs_contain_all_threshold_true_pairs(spark):
     assert all(banded[p] == exact[p] for p in true_pairs)
     # and the banding actually pruned (no all-pairs explosion)
     assert len(banded) < 66
+
+
+def _np_dtw(a, b, r=None):
+    import numpy as np
+
+    n = len(a)
+    D = np.full((n + 1, n + 1), float("inf"))
+    D[0, 0] = 0
+    for i in range(1, n + 1):
+        lo = 1 if r is None else max(1, i - r)
+        hi = n if r is None else min(n, i + r)
+        for j in range(lo, hi + 1):
+            c = abs(a[i - 1] - b[j - 1])
+            D[i, j] = c + min(D[i - 1, j], D[i - 1, j - 1], D[i, j - 1])
+    return int(D[n, n])
+
+
+def test_constrained_dtw_matches_reference(spark):
+    """Sakoe-Chiba DP (radius 1/2/3) and the unconstrained fold both
+    match an independent numpy DP on random integer series."""
+    import numpy as np
+
+    from hiss_cube_spark.operators.timeseries import dtw_distance
+
+    rng = np.random.default_rng(7)
+    n, hour = 16, 3_600_000_000
+    series, rows = {}, []
+    for k in range(6):
+        v = rng.integers(0, 5000, n)
+        series[k] = v
+        rows += [(k, t * hour, float(x) / 100.0) for t, x in enumerate(v)]
+    df = spark.createDataFrame(rows, "user_id long, ts_us long, value double")
+    for r in (1, 2, None):
+        out = {
+            (q["key_a"], q["key_b"]): q["dtw_q"]
+            for q in dtw_distance(df, n=n, max_keys=6, radius=r).collect()
+        }
+        for a in range(6):
+            for b in range(a + 1, 6):
+                assert out[(a, b)] == _np_dtw(series[a], series[b], r)
+
+
+def test_constrained_banded_lb_keogh_exact_vs_bruteforce(spark):
+    """banded source + LB_Keogh prefilter + constrained DP == brute-force
+    constrained all-pairs, filtered at the same threshold (every stage
+    is a sound superset, so no true pair is lost)."""
+    from hiss_cube_spark.operators.timeseries import (
+        dtw_banded_pairs,
+        dtw_distance,
+    )
+
+    n = 8
+    base = [10.0, 12.0, 11.0, 15.0, 14.0, 13.0, 12.0, 11.0]
+    seriess = {}
+    for c, shift in enumerate([0.0, 40.0, 80.0]):
+        for j in range(3):
+            seriess[c * 3 + j] = [v + shift + 0.01 * j for v in base]
+    for j, shift in enumerate([200.0, 400.0, 800.0]):
+        seriess[9 + j] = [v + shift for v in base]
+    df = _dtw_events(spark, seriess)
+    thr = 500
+    brute = {
+        (r["key_a"], r["key_b"]): r["dtw_q"]
+        for r in dtw_distance(df, n=n, max_keys=12, radius=2).collect()
+        if r["dtw_q"] <= thr
+    }
+    banded = {
+        (r["key_a"], r["key_b"]): r["dtw_q"]
+        for r in dtw_distance(
+            df, n=n, radius=2, lb_prune_q=thr,
+            pair_source=lambda s: dtw_banded_pairs(s, thr),
+        ).collect()
+        if r["dtw_q"] <= thr
+    }
+    assert banded == brute and len(brute) == 9
