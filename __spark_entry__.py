@@ -10370,6 +10370,67 @@ def mm_crossmodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "dq_cm_sketch",
+    """
+    WITH cells AS (SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS cnt
+                   FROM orders GROUP BY 1),
+    legs AS (
+      SELECT 0 AS row, ((1103515245 * k + 12345) % 2147483647) % 512
+               AS bucket, cnt FROM cells
+      UNION ALL
+      SELECT 1, ((69069 * k + 362437) % 2147483647) % 512, cnt FROM cells
+      UNION ALL
+      SELECT 2, ((1664525 * k + 1013904223) % 2147483647) % 512, cnt
+      FROM cells
+      UNION ALL
+      SELECT 3, ((22695477 * k + 1) % 2147483647) % 512, cnt FROM cells),
+    cm AS (SELECT row, bucket, CAST(sum(cnt) AS BIGINT) AS n
+           FROM legs GROUP BY 1, 2),
+    nn AS (SELECT sum(cnt) AS tot FROM cells),
+    top AS (SELECT k, cnt FROM cells ORDER BY cnt DESC, k LIMIT 15),
+    legs_top AS (
+      SELECT k, 0 AS row, ((1103515245 * k + 12345) % 2147483647) % 512
+               AS bucket FROM top
+      UNION ALL
+      SELECT k, 1, ((69069 * k + 362437) % 2147483647) % 512 FROM top
+      UNION ALL
+      SELECT k, 2, ((1664525 * k + 1013904223) % 2147483647) % 512 FROM top
+      UNION ALL
+      SELECT k, 3, ((22695477 * k + 1) % 2147483647) % 512 FROM top),
+    est AS (
+      SELECT t.k, t.cnt, min(cm.n) AS cm_n
+      FROM top t
+      JOIN legs_top lt ON lt.k = t.k
+      JOIN cm ON cm.row = lt.row AND cm.bucket = lt.bucket
+      GROUP BY 1, 2)
+    SELECT CAST(k AS BIGINT) AS key, cnt AS exact_n, cm_n,
+           cm_n >= cnt AS overestimates,
+           cm_n - cnt <= (2 * (SELECT tot FROM nn) + 511) // 512
+             AS within_eps
+    FROM est
+    """,
+)
+def dq_cm_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min heavy-hitter report over orders per customer
+    (`operators/quality_checks.cm_heavy_hitters_report`) — the mergeable
+    FREQUENCY sketch completing the sketch family (HLL = distinct,
+    log-bucket = quantiles, CM = counts): 4 hash rows × 512 counters,
+    cell-wise-sum merge (linear sketch). For the exact top-15 customers
+    the report ships exact count, CM estimate, ``overestimates`` (a
+    count-min THEOREM — every occurrence lands in its cell) and
+    ``within_eps`` (cm − exact ≤ ceil(2N/512), the ε = 2/w bound).
+    Deterministic literal (a·k+b) mod p mod w hashes — no engine-hash
+    dependency; sketch and exact both derive from ONE pinned key-grouped
+    cell table (bounded by the customer domain, not order rows)."""
+    from hiss_cube_spark.operators.quality_checks import (
+        cm_heavy_hitters_report,
+    )
+
+    o = _t(spark, sf_dir, "orders").select("o_custkey")
+    return cm_heavy_hitters_report(o, "o_custkey", top_k=15, d=4, w=512)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return flagship_ml_cube(spark, "/root/testdata/sf0.001")
@@ -10399,7 +10460,7 @@ _CHECK_PRIORITY = [
     "emb_cluster_prototypes", "ts_dtw_distance",
     # the five NEW r9 queries (never driver-checked)
     "ts_dtw_banded", "dq_quantile_sketch", "ab_cuped",
-    "text_trigram_lm", "mm_crossmodal_dedup",
+    "text_trigram_lm", "mm_crossmodal_dedup", "dq_cm_sketch",
     # the FULL remaining round-4 cohort (last driver row r4) — after this
     # window, every registered query's latest row is r5+
     "dedup_span_removal", "cur_perplexity_buckets", "cur_jsonl_roundtrip",
@@ -10416,11 +10477,11 @@ _CHECK_PRIORITY = [
     "q8_market_share", "q9_product_profit",
     # round-robin RE-verifications: the oldest r5-era greens in
     # definition order (the rest of the r5 cohort rotates in r10)
-    "j2_crossmatch", "a1_ivw_mean", "j1_theta_lookup",
-    # ---- slot 50 ends at j1_theta_lookup; everything else follows in
+    "j2_crossmatch", "a1_ivw_mean",
+    # ---- slot 50 ends at a1_ivw_mean; everything else follows in
     # definition order (all previously driver-green in r1–r8);
-    # j4_left_join, j6_target_grouping, a1_light_curve lead the r10
-    # round-robin ----
+    # j1_theta_lookup, j4_left_join, j6_target_grouping, a1_light_curve
+    # lead the r10 round-robin ----
 ]
 
 

@@ -116,6 +116,7 @@ HEADLINE = [
     "ab_cuped",
     "text_trigram_lm",
     "mm_crossmodal_dedup",
+    "dq_cm_sketch",
 ]
 
 # Environment-drift sentinel: per-query ratchets are expressed relative to

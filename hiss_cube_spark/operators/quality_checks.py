@@ -22,6 +22,8 @@ __all__ = [
     "numeric_histogram",
     "logbucket_sketch",
     "logbucket_quantile_report",
+    "cm_sketch",
+    "cm_heavy_hitters_report",
     "equidepth_profile",
     "ks_drift",
     "psi_drift",
@@ -357,6 +359,110 @@ def logbucket_quantile_report(
                 < F.expr("shiftleft(1L, cast(_e AS INT))")
             )
         ).alias("within_bound"),
+    )
+
+
+# pairwise-independent-style hash constants for the CM rows (odd
+# multipliers + offsets mod the Mersenne prime 2^31-1); literal so both
+# engines evaluate the identical integer arithmetic
+_CM_HASH = ((1103515245, 12345), (69069, 362437), (1664525, 1013904223),
+            (22695477, 1))
+_CM_P = 2_147_483_647
+
+
+def _cm_bucket(key, row: int, w: int):
+    a, b = _CM_HASH[row]
+    return F.pmod(
+        F.pmod(F.lit(a) * key + F.lit(b), F.lit(_CM_P)), F.lit(w)
+    )
+
+
+def cm_sketch(df: DataFrame, col: str, d: int = 4, w: int = 512) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) over an integer key
+    column — the mergeable FREQUENCY sketch completing the family next to
+    HLL (distinct) and the log-bucket sketch (quantiles): d hash rows ×
+    w counters; estimate(k) = min over rows of cell[row][h_row(k)],
+    which NEVER underestimates (every occurrence of k lands in its cell)
+    and overestimates by at most the colliding mass.
+
+    MERGE = cell-wise sum (a linear sketch — per-partition/per-day
+    sketches combine exactly and order-independently). Deterministic:
+    the row hashes are literal (a·k + b) mod p mod w integer arithmetic,
+    identical in any engine — no engine-hash dependency.
+
+    One scan → d rows per input row → map-side-combining groupBy on a
+    ≤ d·w integer key space. Output: (row, bucket, n).
+    """
+    key = F.col(col)
+    rows = F.array(*[
+        F.struct(F.lit(r).alias("row"),
+                 _cm_bucket(key, r, w).alias("bucket"))
+        for r in range(int(d))
+    ])
+    return (
+        df.select(F.explode(rows).alias("rb"))
+        .select("rb.row", "rb.bucket")
+        .groupBy("row", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def cm_heavy_hitters_report(
+    df: DataFrame, col: str, top_k: int = 15, d: int = 4, w: int = 512
+) -> DataFrame:
+    """Heavy-hitter report with the exactness companions (the
+    HLL/logbucket pattern): for the exact top ``top_k`` keys, ship the
+    exact count, the count-min estimate, ``overestimates`` (cm ≥ exact —
+    a THEOREM for count-min, asserted per row) and ``within_eps``
+    (cm − exact ≤ ceil(2N/w), the standard ε = 2/w error bound —
+    probabilistic in general, a fixed measured outcome on deterministic
+    data).
+
+    The sketch and the exact counts both derive from ONE key-grouped
+    cell table (bounded by the key domain), pinned once; the exact
+    top-k is a WindowGroupLimit-style orderBy/limit over it.
+    """
+    cells = (
+        df.select(F.col(col).alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)  # bounded by the key domain
+    )
+    cm = (
+        cells.select(
+            F.explode(F.array(*[
+                F.struct(F.lit(r).alias("row"),
+                         _cm_bucket(F.col("k"), r, w).alias("bucket"))
+                for r in range(int(d))
+            ])).alias("rb"),
+            "cnt",
+        )
+        .groupBy("rb.row", "rb.bucket")
+        .agg(F.sum("cnt").alias("n"))
+    )
+    top = cells.orderBy(F.desc("cnt"), "k").limit(int(top_k))
+    est = None
+    for r in range(int(d)):
+        leg = top.select(
+            "k", "cnt",
+            F.lit(r).alias("row"),
+            _cm_bucket(F.col("k"), r, w).alias("bucket"),
+        ).join(cm, ["row", "bucket"]).select("k", "cnt", "n")
+        est = leg if est is None else est.unionByName(leg)
+    # N from the pinned cells (no second fact scan); one scalar action
+    tot = int(cells.agg(F.sum("cnt")).head()[0])
+    eps_q = -(-2 * tot // int(w))  # ceil(2N/w)
+    return (
+        est.groupBy("k", "cnt")
+        .agg(F.min("n").alias("cm_n"))
+        .select(
+            F.col("k").cast("long").alias("key"),
+            F.col("cnt").cast("long").alias("exact_n"),
+            F.col("cm_n").cast("long").alias("cm_n"),
+            (F.col("cm_n") >= F.col("cnt")).alias("overestimates"),
+            (F.col("cm_n") - F.col("cnt") <= F.lit(int(eps_q)))
+            .alias("within_eps"),
+        )
     )
 
 

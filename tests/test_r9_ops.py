@@ -152,3 +152,30 @@ def test_trigram_lm_backoff_rungs(spark):
     # train doc scores itself: (1.0 [abc] + bca 1/1 + cab 1/1 + abc 1.0)/4
     assert out[0]["n_trigrams"] == 4
     assert out[0]["lm3_score"] == pytest.approx(1.0)
+
+
+# ------------------------------------------------------------- count-min
+
+def test_cm_sketch_mergeable_and_overestimates(spark):
+    from hiss_cube_spark.operators.quality_checks import (
+        cm_heavy_hitters_report,
+        cm_sketch,
+    )
+
+    rows = [(i % 37,) for i in range(3000)] + [(999,)] * 500
+    df = spark.createDataFrame(rows, "k long")
+    # merge law: per-slice sketches summed == whole sketch (linear)
+    whole = {(r["row"], r["bucket"]): r["n"]
+             for r in cm_sketch(df, "k").collect()}
+    s1 = cm_sketch(df.where("k % 2 = 0"), "k")
+    s2 = cm_sketch(df.where("k % 2 != 0"), "k")
+    merged = {(r["row"], r["bucket"]): r["n"]
+              for r in s1.unionByName(s2).groupBy("row", "bucket")
+              .agg(F.sum("n").alias("n")).collect()}
+    assert merged == whole
+    # report: the planted heavy hitter leads, estimates never underestimate
+    rep = {r["key"]: r for r in
+           cm_heavy_hitters_report(df, "k", top_k=5).collect()}
+    assert rep[999]["exact_n"] == 500
+    assert all(r["overestimates"] for r in rep.values())
+    assert all(r["cm_n"] >= r["exact_n"] for r in rep.values())
