@@ -6054,9 +6054,11 @@ def w_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-day re-scan, no quadratic window, partitions by hash(user/day)
     all the way. Dense day grid so quiet days report 0."""
     e = _events(spark, sf_dir)
+    # bounded (user, active-day) table pinned once: span/cover/dau each
+    # re-derived it lazily = 3 events scans (r9 scan-audit catch)
     ad = e.select(
         "user_id", F.expr("ts_us DIV 86400000000").alias("day")
-    ).distinct()
+    ).distinct().localCheckpoint(eager=True)
     span = ad.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
     days = span.select(
         F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("day")
@@ -10475,13 +10477,13 @@ _CHECK_PRIORITY = [
     "o_global_topk", "a_pivot_flags", "mm_decode_stub", "mm_frame_sample",
     "q2_min_cost_supplier", "q6_forecast_revenue", "q7_volume_shipping",
     "q8_market_share", "q9_product_profit",
-    # round-robin RE-verifications: the oldest r5-era greens in
-    # definition order (the rest of the r5 cohort rotates in r10)
-    "j2_crossmatch", "a1_ivw_mean",
-    # ---- slot 50 ends at a1_ivw_mean; everything else follows in
+    # changed in r9 after its r8 row (scan-audit pin) + one r5-era
+    # round-robin
+    "w_rolling_distinct", "j2_crossmatch",
+    # ---- slot 50 ends at j2_crossmatch; everything else follows in
     # definition order (all previously driver-green in r1–r8);
-    # j1_theta_lookup, j4_left_join, j6_target_grouping, a1_light_curve
-    # lead the r10 round-robin ----
+    # a1_ivw_mean, j1_theta_lookup, j4_left_join, j6_target_grouping,
+    # a1_light_curve lead the r10 round-robin ----
 ]
 
 

@@ -42,6 +42,9 @@ def main() -> None:
     if not quick:
         results.append(run("pytest", [sys.executable, "-m", "pytest", "tests/", "-q"], cwd=REPO))
     results.append(run("lazy-import lint", [sys.executable, f"{REPO}/tools/lint_lazy_imports.py", REPO]))
+    # r9 lesson (w_rolling_distinct): a new lazy re-derivation must not
+    # land silently — the audit is cheap next to parity
+    results.append(run("scan-audit", [sys.executable, f"{REPO}/tools/scan_audit.py", "/root/testdata/sf0.01", "3", "--gate"]))
     results.append(run("parity", [sys.executable, f"{REPO}/tools/parity_full.py", "/root/testdata/sf0.01"]))
     results.append(run("ansi", [sys.executable, f"{REPO}/tools/ansi_smoke.py", "/root/testdata/sf0.001"]))
     results.append(run("bench", [sys.executable, f"{REPO}/bench.py"]))
