@@ -10378,28 +10378,28 @@ def mm_crossmodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH cells AS (SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS cnt
                    FROM orders GROUP BY 1),
     legs AS (
-      SELECT 0 AS row, ((1103515245 * k + 12345) % 2147483647) % 512
+      SELECT 0 AS row, ((1103515245 * (k % 2147483647) + 12345) % 2147483647) % 512
                AS bucket, cnt FROM cells
       UNION ALL
-      SELECT 1, ((69069 * k + 362437) % 2147483647) % 512, cnt FROM cells
+      SELECT 1, ((69069 * (k % 2147483647) + 362437) % 2147483647) % 512, cnt FROM cells
       UNION ALL
-      SELECT 2, ((1664525 * k + 1013904223) % 2147483647) % 512, cnt
+      SELECT 2, ((1664525 * (k % 2147483647) + 1013904223) % 2147483647) % 512, cnt
       FROM cells
       UNION ALL
-      SELECT 3, ((22695477 * k + 1) % 2147483647) % 512, cnt FROM cells),
+      SELECT 3, ((22695477 * (k % 2147483647) + 1) % 2147483647) % 512, cnt FROM cells),
     cm AS (SELECT row, bucket, CAST(sum(cnt) AS BIGINT) AS n
            FROM legs GROUP BY 1, 2),
     nn AS (SELECT sum(cnt) AS tot FROM cells),
     top AS (SELECT k, cnt FROM cells ORDER BY cnt DESC, k LIMIT 15),
     legs_top AS (
-      SELECT k, 0 AS row, ((1103515245 * k + 12345) % 2147483647) % 512
+      SELECT k, 0 AS row, ((1103515245 * (k % 2147483647) + 12345) % 2147483647) % 512
                AS bucket FROM top
       UNION ALL
-      SELECT k, 1, ((69069 * k + 362437) % 2147483647) % 512 FROM top
+      SELECT k, 1, ((69069 * (k % 2147483647) + 362437) % 2147483647) % 512 FROM top
       UNION ALL
-      SELECT k, 2, ((1664525 * k + 1013904223) % 2147483647) % 512 FROM top
+      SELECT k, 2, ((1664525 * (k % 2147483647) + 1013904223) % 2147483647) % 512 FROM top
       UNION ALL
-      SELECT k, 3, ((22695477 * k + 1) % 2147483647) % 512 FROM top),
+      SELECT k, 3, ((22695477 * (k % 2147483647) + 1) % 2147483647) % 512 FROM top),
     est AS (
       SELECT t.k, t.cnt, min(cm.n) AS cm_n
       FROM top t
@@ -10433,6 +10433,123 @@ def dq_cm_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cm_heavy_hitters_report(o, "o_custkey", top_k=15, d=4, w=512)
 
 
+@_q(
+    "dq_sketch_merge",
+    """
+    WITH cents AS (
+      SELECT l_returnflag AS src,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+      FROM lineitem WHERE round(l_extendedprice * 100) > 0),
+    per AS (
+      SELECT src,
+             16 * (length(bin(c)) - 1)
+               + (16 * c) // (1::BIGINT << (length(bin(c)) - 1)) - 16
+               AS bucket,
+             CAST(count(*) AS BIGINT) AS n
+      FROM cents GROUP BY 1, 2),
+    merged AS (SELECT bucket, CAST(sum(n) AS BIGINT) AS n
+               FROM per GROUP BY 1),
+    whole AS (
+      SELECT 16 * (length(bin(c)) - 1)
+               + (16 * c) // (1::BIGINT << (length(bin(c)) - 1)) - 16
+               AS bucket,
+             CAST(count(*) AS BIGINT) AS n
+      FROM cents GROUP BY 1)
+    SELECT m.bucket, m.n AS merged_n, w.n AS whole_n,
+           m.n = w.n AS merge_exact
+    FROM merged m JOIN whole w USING (bucket)
+    """,
+)
+def dq_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE mergeable-sketch law as a driver-checked query: per-source
+    (l_returnflag slice) log-bucket sketches summed bucket-wise equal
+    the whole-corpus sketch EXACTLY — integer counts, associative,
+    order-independent — which is what lets per-partition/per-day/
+    per-source sketches at 100 TB combine without touching raw data
+    again. Emits every merged bucket beside the whole-build bucket and
+    a per-bucket equality boolean (all true, by construction — and the
+    driver hash-checks the actual counts, not just the boolean).
+
+    Plan shape: the per-source sketches come from ONE fact scan (a
+    (src, bucket) aggregate — the production path, each source keeping
+    its own sketch); the whole-corpus sketch is an INDEPENDENT second
+    build (its own scan), so the equality cross-checks two derivations
+    rather than comparing one expression to itself. Two scans, both
+    collapsing map-side to ≤ ~1k-bucket partials — never a pin of the
+    fact projection (which would not be scale-safe)."""
+    from hiss_cube_spark.operators.quality_checks import logbucket_sketch
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("src"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    bucket = (
+        F.lit(16) * (F.length(F.bin(F.col("cents"))) - F.lit(1))
+        + F.expr("(16 * cents) DIV shiftleft(1L, "
+                 "cast(length(bin(cents)) - 1 AS INT))")
+        - F.lit(16)
+    )
+    per = (
+        li.where(F.col("cents") > 0)
+        .select("src", bucket.cast("long").alias("bucket"))
+        .groupBy("src", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    merged = per.groupBy("bucket").agg(F.sum("n").alias("merged_n"))
+    whole = logbucket_sketch(
+        li.select("cents"), "cents"
+    ).withColumnRenamed("n", "whole_n")
+    return merged.join(whole, "bucket").select(
+        "bucket",
+        F.col("merged_n").cast("long").alias("merged_n"),
+        F.col("whole_n").cast("long").alias("whole_n"),
+        (F.col("merged_n") == F.col("whole_n")).alias("merge_exact"),
+    )
+
+
+@_q(
+    "stream_quantile_sketch",
+    """
+    WITH cents AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS c FROM events
+      WHERE round(value * 100) > 0),
+    bt AS (SELECT 16 * (length(bin(c)) - 1)
+                  + (16 * c) // (1::BIGINT << (length(bin(c)) - 1)) - 16
+                    AS bucket,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM cents GROUP BY 1),
+    bc AS (SELECT bucket, n,
+                  ((16 + bucket % 16)
+                   * (1::BIGINT << CAST(bucket // 16 AS INT))) // 16 AS lo,
+                  sum(n) OVER () AS tot,
+                  sum(n) OVER (ORDER BY bucket) AS cum
+           FROM bt),
+    p AS (SELECT unnest([25, 50, 75, 90, 99]) AS pct)
+    SELECT CAST(pct AS BIGINT) AS pct, CAST(min(lo) AS BIGINT) AS est
+    FROM bc, p WHERE cum >= (tot * pct + 99) // 100 GROUP BY pct
+    """,
+)
+def stream_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-deterministic shape of `streaming.stream_quantile_sketch`:
+    the log-bucket sketch over event value cents read back as the five
+    standing percentile estimates — the "current p99" monitor whose
+    streaming form maintains the same ≤ ~1k-counter state via one
+    built-in streaming groupBy (complete-mode snapshot, exactly-once
+    rewrite sink). The streamed cumulative sketch is BIT-IDENTICAL to
+    this batch build (the mergeable-sketch law; pinned by
+    tests/test_r9_ops.py with checkpoint replay), so the oracle checks
+    the streaming math by checking this."""
+    from hiss_cube_spark.operators.quality_checks import (
+        logbucket_estimate,
+        logbucket_sketch,
+    )
+
+    e = _events(spark, sf_dir).select(
+        F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    return logbucket_estimate(logbucket_sketch(e, "cents"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return flagship_ml_cube(spark, "/root/testdata/sf0.001")
@@ -10459,10 +10576,11 @@ _CHECK_PRIORITY = [
     # + emb_cluster_prototypes (single pinned projection + exactness
     # assert), ts_dtw_distance (pluggable pair_source refactor).
     "dq_psi", "dq_histogram", "emb_kmeans_cosine",
-    "emb_cluster_prototypes", "ts_dtw_distance",
-    # the five NEW r9 queries (never driver-checked)
+    "emb_cluster_prototypes",
+    # the eight NEW r9 queries (never driver-checked)
     "ts_dtw_banded", "dq_quantile_sketch", "ab_cuped",
     "text_trigram_lm", "mm_crossmodal_dedup", "dq_cm_sketch",
+    "stream_quantile_sketch",
     # the FULL remaining round-4 cohort (last driver row r4) — after this
     # window, every registered query's latest row is r5+
     "dedup_span_removal", "cur_perplexity_buckets", "cur_jsonl_roundtrip",
@@ -10477,13 +10595,17 @@ _CHECK_PRIORITY = [
     "o_global_topk", "a_pivot_flags", "mm_decode_stub", "mm_frame_sample",
     "q2_min_cost_supplier", "q6_forecast_revenue", "q7_volume_shipping",
     "q8_market_share", "q9_product_profit",
-    # changed in r9 after its r8 row (scan-audit pin) + one r5-era
-    # round-robin
-    "w_rolling_distinct", "j2_crossmatch",
-    # ---- slot 50 ends at j2_crossmatch; everything else follows in
+    # changed in r9 after its r8 row (scan-audit pin); final new query
+    "w_rolling_distinct", "dq_sketch_merge",
+    # ts_dtw_distance also changed in r9 (pair_source refactor), but its
+    # default-path DP expression is the identical string and local parity
+    # is green — it takes slot 51 (first after the window) so all 35
+    # r4-era + all 8 new queries fit; r10 checks it first
+    "ts_dtw_distance",
+    # ---- slot 50 ends at dq_sketch_merge; everything else follows in
     # definition order (all previously driver-green in r1–r8);
-    # a1_ivw_mean, j1_theta_lookup, j4_left_join, j6_target_grouping,
-    # a1_light_curve lead the r10 round-robin ----
+    # j2_crossmatch, a1_ivw_mean, j1_theta_lookup, j4_left_join,
+    # j6_target_grouping, a1_light_curve lead the r10 round-robin ----
 ]
 
 

@@ -117,6 +117,8 @@ HEADLINE = [
     "text_trigram_lm",
     "mm_crossmodal_dedup",
     "dq_cm_sketch",
+    "dq_sketch_merge",
+    "stream_quantile_sketch",
 ]
 
 # Environment-drift sentinel: per-query ratchets are expressed relative to

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "numeric_histogram",
     "logbucket_sketch",
+    "logbucket_estimate",
     "logbucket_quantile_report",
     "cm_sketch",
     "cm_heavy_hitters_report",
@@ -270,6 +271,43 @@ def logbucket_sketch(df: DataFrame, col: str) -> DataFrame:
     )
 
 
+def logbucket_estimate(
+    buckets: DataFrame,
+    probs: tuple[int, ...] = (25, 50, 75, 90, 99),
+) -> DataFrame:
+    """Quantile estimates from a (bucket, n) log-bucket sketch table —
+    the read side of :func:`logbucket_sketch`, usable on a merged, a
+    streamed-cumulative, or a freshly built sketch identically (that
+    interchangeability IS the sketch property). Returns
+    (pct, est) with est the lower bound of the first bucket whose
+    cumulative count reaches rank ceil(pct·n/100); guaranteed relative
+    error ≤ 1/16. Runs on a ≤ ~1k-row table: trivially cheap anywhere.
+    """
+    from pyspark.sql import Window
+
+    lo = F.expr(
+        "((16 + bucket % 16) * shiftleft(1L, cast(bucket DIV 16 AS INT))) "
+        "DIV 16"
+    )
+    bt = buckets.select(
+        "bucket", "n", lo.alias("lo"),
+        F.sum("n").over(Window.partitionBy()).alias("tot"),
+        F.sum("n").over(
+            Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("cum"),
+    )
+    pv = F.explode(F.array(*[F.lit(int(p)) for p in probs])).alias("pct")
+    rank = F.expr("(tot * pct + 99) DIV 100")
+    return (
+        bt.select("lo", "cum", "tot", pv)
+        .where(F.col("cum") >= rank)
+        .groupBy("pct")
+        .agg(F.min("lo").alias("est"))
+        .select(F.col("pct").cast("long").alias("pct"),
+                F.col("est").cast("long").alias("est"))
+    )
+
+
 def logbucket_quantile_report(
     df: DataFrame,
     col: str,
@@ -371,9 +409,15 @@ _CM_P = 2_147_483_647
 
 
 def _cm_bucket(key, row: int, w: int):
+    # reduce the key mod p FIRST: a·k overflows int64 beyond k ≈ 8.4e9
+    # (caught by the hypothesis fuzz); a·(k mod p) ≤ 1.1e9·2.1e9 < 2^63
+    # for the whole BIGINT key domain, and mod-p reduction is the
+    # canonical preimage for the (a·k + b) mod p family
     a, b = _CM_HASH[row]
     return F.pmod(
-        F.pmod(F.lit(a) * key + F.lit(b), F.lit(_CM_P)), F.lit(w)
+        F.pmod(F.lit(a) * F.pmod(key, F.lit(_CM_P)) + F.lit(b),
+               F.lit(_CM_P)),
+        F.lit(w),
     )
 
 

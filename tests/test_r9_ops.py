@@ -179,3 +179,56 @@ def test_cm_sketch_mergeable_and_overestimates(spark):
     assert rep[999]["exact_n"] == 500
     assert all(r["overestimates"] for r in rep.values())
     assert all(r["cm_n"] >= r["exact_n"] for r in rep.values())
+
+
+# --------------------------------------------------------- streaming sketch
+
+def test_stream_quantile_sketch_equals_batch_sketch(spark, tmp_path_factory):
+    """The streamed cumulative sketch after two micro-batches equals the
+    batch sketch over all data BIT-FOR-BIT (the mergeable-sketch law in
+    streaming form), and quantile estimates read identically off both."""
+    from hiss_cube_spark.operators.quality_checks import (
+        logbucket_estimate,
+        logbucket_sketch,
+    )
+    from hiss_cube_spark.streaming.sketch import stream_quantile_sketch
+
+    src = str(tmp_path_factory.mktemp("sk_src"))
+    out = str(tmp_path_factory.mktemp("sk_out"))
+    ckpt = str(tmp_path_factory.mktemp("sk_ckpt"))
+
+    b1 = [(int(v),) for v in range(1, 2001)]
+    b2 = [((v * 37) % 9000 + 100,) for v in range(3000)]
+    spark.createDataFrame(b1, "v long").coalesce(1) \
+        .write.mode("overwrite").parquet(src)
+    spark.createDataFrame(b2, "v long").coalesce(1) \
+        .write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema("v long") \
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    q = stream_quantile_sketch(stream, out, ckpt)
+    q.awaitTermination(180)
+
+    streamed = {r["bucket"]: r["n"]
+                for r in spark.read.parquet(f"{out}/latest").collect()}
+    whole = spark.createDataFrame(b1 + b2, "v long")
+    batch = {r["bucket"]: r["n"]
+             for r in logbucket_sketch(whole, "v").collect()}
+    assert streamed == batch
+
+    est_s = {r["pct"]: r["est"] for r in logbucket_estimate(
+        spark.read.parquet(f"{out}/latest")).collect()}
+    est_b = {r["pct"]: r["est"] for r in logbucket_estimate(
+        logbucket_sketch(whole, "v")).collect()}
+    assert est_s == est_b and set(est_s) == {25, 50, 75, 90, 99}
+
+    # replay over the same checkpoint: snapshot unchanged
+    q2 = stream_quantile_sketch(
+        spark.readStream.schema("v long")
+        .option("maxFilesPerTrigger", 1).parquet(src),
+        out, ckpt,
+    )
+    q2.awaitTermination(180)
+    again = {r["bucket"]: r["n"]
+             for r in spark.read.parquet(f"{out}/latest").collect()}
+    assert again == batch
