@@ -10126,9 +10126,10 @@ def dq_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM per),
     d AS (SELECT u, y, x - mx AS dx, y - my AS dy FROM m),
     t AS (
-      SELECT CAST((sxy * 1000000
-                   - (((sxy * 1000000) % sxx + sxx) % sxx)) // sxx
-                  AS BIGINT) AS theta_q
+      SELECT CASE WHEN sxx = 0 THEN CAST(0 AS BIGINT) ELSE
+               CAST((sxy * 1000000
+                     - (((sxy * 1000000) % sxx + sxx) % sxx)) // sxx
+                    AS BIGINT) END AS theta_q
       FROM (SELECT sum(dx * dy) AS sxy, sum(dx * dx) AS sxx FROM d)),
     adj AS (
       SELECT (u * 2654435761) % 2 AS arm, y, theta_q,
@@ -10550,6 +10551,52 @@ def stream_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return logbucket_estimate(logbucket_sketch(e, "cents"))
 
 
+@_q(
+    "dq_grouped_quantiles",
+    """
+    WITH cents AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+      FROM events WHERE round(value * 100) > 0),
+    bt AS (SELECT event_type,
+                  16 * (length(bin(c)) - 1)
+                  + (16 * c) // (1::BIGINT << (length(bin(c)) - 1)) - 16
+                    AS bucket,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM cents GROUP BY 1, 2),
+    bc AS (SELECT event_type, bucket, n,
+                  ((16 + bucket % 16)
+                   * (1::BIGINT << CAST(bucket // 16 AS INT))) // 16 AS lo,
+                  sum(n) OVER (PARTITION BY event_type) AS tot,
+                  sum(n) OVER (PARTITION BY event_type ORDER BY bucket)
+                    AS cum
+           FROM bt),
+    p AS (SELECT unnest([50, 99]) AS pct)
+    SELECT event_type, CAST(pct AS BIGINT) AS pct,
+           CAST(min(lo) AS BIGINT) AS est
+    FROM bc, p WHERE cum >= (tot * pct + 99) // 100
+    GROUP BY event_type, pct
+    """,
+)
+def dq_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type p50/p99 from per-key log-bucket sketches
+    (`operators/quality_checks.logbucket_grouped_quantiles`) — the "p99
+    by endpoint" monitoring query, many keys in ONE fact pass: a
+    (key, bucket) map-side-combining aggregate (≤ |keys|·~1k cells),
+    per-key cumulative windows over that bounded table, the same 1/16
+    relative-error guarantee per key, the same count-sum mergeability.
+    Skew-safe: windows partition BY KEY — a hot endpoint costs one
+    ≤ ~1k-bucket partition, never a global sort."""
+    from hiss_cube_spark.operators.quality_checks import (
+        logbucket_grouped_quantiles,
+    )
+
+    e = _events(spark, sf_dir).select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return logbucket_grouped_quantiles(e, "event_type", "cents", (50, 99))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return flagship_ml_cube(spark, "/root/testdata/sf0.001")
@@ -10575,12 +10622,12 @@ _CHECK_PRIORITY = [
     # dq_histogram (NULL filtering before bucketing), emb_kmeans_cosine
     # + emb_cluster_prototypes (single pinned projection + exactness
     # assert), ts_dtw_distance (pluggable pair_source refactor).
-    "dq_psi", "dq_histogram", "emb_kmeans_cosine",
+    "dq_psi", "emb_kmeans_cosine",
     "emb_cluster_prototypes",
     # the eight NEW r9 queries (never driver-checked)
     "ts_dtw_banded", "dq_quantile_sketch", "ab_cuped",
     "text_trigram_lm", "mm_crossmodal_dedup", "dq_cm_sketch",
-    "stream_quantile_sketch",
+    "stream_quantile_sketch", "dq_grouped_quantiles",
     # the FULL remaining round-4 cohort (last driver row r4) — after this
     # window, every registered query's latest row is r5+
     "dedup_span_removal", "cur_perplexity_buckets", "cur_jsonl_roundtrip",
@@ -10597,11 +10644,12 @@ _CHECK_PRIORITY = [
     "q8_market_share", "q9_product_profit",
     # changed in r9 after its r8 row (scan-audit pin); final new query
     "w_rolling_distinct", "dq_sketch_merge",
-    # ts_dtw_distance also changed in r9 (pair_source refactor), but its
-    # default-path DP expression is the identical string and local parity
-    # is green — it takes slot 51 (first after the window) so all 35
-    # r4-era + all 8 new queries fit; r10 checks it first
-    "ts_dtw_distance",
+    # ts_dtw_distance (pair_source refactor; default-path DP expression
+    # is the identical string) and dq_histogram (NULL filter added — a
+    # no-op on the non-null TPC-H column) also changed in r9; both are
+    # locally parity-green and take slots 51-52 so all 35 r4-era + all
+    # NINE new queries fit the window; r10 checks them first
+    "ts_dtw_distance", "dq_histogram",
     # ---- slot 50 ends at dq_sketch_merge; everything else follows in
     # definition order (all previously driver-green in r1–r8);
     # j2_crossmatch, a1_ivw_mean, j1_theta_lookup, j4_left_join,

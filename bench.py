@@ -119,6 +119,7 @@ HEADLINE = [
     "dq_cm_sketch",
     "dq_sketch_merge",
     "stream_quantile_sketch",
+    "dq_grouped_quantiles",
 ]
 
 # Environment-drift sentinel: per-query ratchets are expressed relative to

@@ -100,9 +100,13 @@ def ab_cuped(
         F.sum((F.col("dx") * F.col("dy")).cast(d38)).alias("sxy"),
         F.sum((F.col("dx") * F.col("dx")).cast(d38)).alias("sxx"),
     ).select(
+        # zero pre-period variance (every user identical X) leaves theta
+        # undefined — define it as 0 (no adjustment) instead of a
+        # division-by-zero that ANSI mode turns into a hard error
         F.expr(
+            "CASE WHEN sxx = 0 THEN CAST(0 AS BIGINT) ELSE "
             "CAST((sxy * 1000000 - (((sxy * 1000000) % sxx + sxx) % sxx)) "
-            "/ sxx AS BIGINT)"
+            "/ sxx AS BIGINT) END"
         ).alias("theta_q")
     )
     arm = F.pmod(F.col("u") * F.lit(int(arm_mult)), F.lit(2)).cast("long")

@@ -22,6 +22,7 @@ __all__ = [
     "numeric_histogram",
     "logbucket_sketch",
     "logbucket_estimate",
+    "logbucket_grouped_quantiles",
     "logbucket_quantile_report",
     "cm_sketch",
     "cm_heavy_hitters_report",
@@ -305,6 +306,66 @@ def logbucket_estimate(
         .agg(F.min("lo").alias("est"))
         .select(F.col("pct").cast("long").alias("pct"),
                 F.col("est").cast("long").alias("est"))
+    )
+
+
+def logbucket_grouped_quantiles(
+    df: DataFrame,
+    key_col: str,
+    col: str,
+    probs: tuple[int, ...] = (50, 99),
+) -> DataFrame:
+    """Per-key quantile estimates from per-key log-bucket sketches — the
+    "p99 by endpoint" monitoring shape, for MANY keys in one pass: one
+    map-side-combining (key, bucket) aggregate over the facts (state ≤
+    |keys|·~1k cells), then per-key cumulative windows over that bounded
+    table. Same 1/16 relative-error guarantee per key; same mergeability
+    (a day's (key, bucket) table adds into history by count sum).
+
+    Output: (key, pct, est). Skew-safe: the windows partition BY KEY, so
+    a hot key costs one partition of its ≤ ~1k buckets, not a global
+    sort.
+    """
+    from pyspark.sql import Window
+
+    e = F.length(F.bin(F.col(col))) - F.lit(1)
+    bucket = (
+        F.lit(16) * e
+        + F.expr(f"(16 * {col}) DIV shiftleft(1L, "
+                 f"cast(length(bin({col})) - 1 AS INT))")
+        - F.lit(16)
+    )
+    cells = (
+        df.where(F.col(col) > 0)
+        .select(F.col(key_col).alias("key"),
+                bucket.cast("long").alias("bucket"))
+        .groupBy("key", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    lo = F.expr(
+        "((16 + bucket % 16) * shiftleft(1L, cast(bucket DIV 16 AS INT))) "
+        "DIV 16"
+    )
+    bt = cells.select(
+        "key", "bucket", "n", lo.alias("lo"),
+        F.sum("n").over(Window.partitionBy("key")).alias("tot"),
+        F.sum("n").over(
+            Window.partitionBy("key").orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("cum"),
+    )
+    pv = F.explode(F.array(*[F.lit(int(p)) for p in probs])).alias("pct")
+    rank = F.expr("(tot * pct + 99) DIV 100")
+    return (
+        bt.select("key", "lo", "cum", "tot", pv)
+        .where(F.col("cum") >= rank)
+        .groupBy("key", "pct")
+        .agg(F.min("lo").alias("est"))
+        .select(
+            F.col("key").alias(key_col),
+            F.col("pct").cast("long").alias("pct"),
+            F.col("est").cast("long").alias("est"),
+        )
     )
 
 

@@ -232,3 +232,62 @@ def test_stream_quantile_sketch_equals_batch_sketch(spark, tmp_path_factory):
     again = {r["bucket"]: r["n"]
              for r in spark.read.parquet(f"{out}/latest").collect()}
     assert again == batch
+
+
+def test_ab_cuped_zero_variance_guard(spark):
+    """All users with identical pre-period X: theta is undefined — the
+    operator must define it as 0 (no adjustment), not divide by zero
+    (which ANSI mode turns into a hard error)."""
+    from hiss_cube_spark.operators.experiments import ab_cuped
+
+    rows = []
+    for u in range(6):
+        rows.append((u, 0, 50.0))                 # identical X
+        rows.append((u, 10_000_000, 10.0 * (u + 1)))
+    df = spark.createDataFrame(rows, "user_id long, ts_us long, value double")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        out = ab_cuped(df, split_us=5_000_000).collect()
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", "false")
+    assert all(r["theta_q"] == 0 for r in out)
+    # with theta 0, adjusted mean is just the centered-Y floor-mean * 1e6
+    assert {r["arm"] for r in out} == {0, 1}
+
+
+def test_cm_sketch_negative_and_huge_keys(spark):
+    """pmod keeps buckets in range for the whole BIGINT key domain —
+    including negatives and keys past the r9 overflow point (8.4e9)."""
+    from hiss_cube_spark.operators.quality_checks import (
+        cm_heavy_hitters_report,
+        cm_sketch,
+    )
+
+    keys = [-5, -2**40, 2**62, 9_000_000_000, 3]
+    rows = [(k,) for k in keys for _ in range(10)]
+    df = spark.createDataFrame(rows, "k long")
+    cells = cm_sketch(df, "k").collect()
+    assert all(0 <= r["bucket"] < 512 and 0 <= r["row"] < 4 for r in cells)
+    assert sum(r["n"] for r in cells) == 4 * len(rows)
+    rep = {r["key"]: r for r in cm_heavy_hitters_report(df, "k", 5).collect()}
+    assert set(rep) == set(keys)
+    assert all(r["cm_n"] >= r["exact_n"] == 10 for r in rep.values())
+
+
+def test_logbucket_grouped_quantiles_per_key_bound(spark):
+    from hiss_cube_spark.operators.quality_checks import (
+        logbucket_grouped_quantiles,
+    )
+
+    rows = [("a", v) for v in range(1, 1001)]
+    rows += [("b", v * 100) for v in range(1, 501)]
+    df = spark.createDataFrame(rows, "g string, c long")
+    out = {(r["g"], r["pct"]): r["est"]
+           for r in logbucket_grouped_quantiles(df, "g", "c", (50, 99)).collect()}
+    import math
+    for g, vals in (("a", list(range(1, 1001))), ("b", [v * 100 for v in range(1, 501)])):
+        vals.sort()
+        for pct in (50, 99):
+            exact = vals[math.ceil(pct * len(vals) / 100) - 1]
+            est = out[(g, pct)]
+            assert est <= exact and (exact - est) / exact <= 1 / 16 + 1e-12
