@@ -10597,6 +10597,132 @@ def dq_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return logbucket_grouped_quantiles(e, "event_type", "cents", (50, 99))
 
 
+@_q(
+    "cur_token_weighted_quality",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks,
+             length(text) AS n_chars
+      FROM documents),
+    m AS (
+      SELECT doc_id, len(toks) AS n_tokens,
+             least(len(toks) / 64.0, 1.0) * 0.4
+             + (len(list_distinct(toks)) / (1.0 * len(toks))) * 0.4
+             + least((len(list_filter(toks, x ->
+                 list_contains(['the','a'], x))) / (1.0 * len(toks)))
+                 * 5.0, 1.0) * 0.2 AS score
+      FROM t WHERE len(toks) >= 1),
+    q AS (
+      SELECT CAST(floor(score * 1000000) AS BIGINT) + 1 AS c,
+             CAST(n_tokens AS BIGINT) AS w
+      FROM m),
+    bt AS (SELECT 16 * (length(bin(c)) - 1)
+                  + (16 * c) // (1::BIGINT << (length(bin(c)) - 1)) - 16
+                    AS bucket,
+                  CAST(count(*) AS BIGINT) AS nd,
+                  CAST(sum(w) AS BIGINT) AS nt
+           FROM q GROUP BY 1),
+    bc AS (SELECT bucket, nd, nt,
+                  ((16 + bucket % 16)
+                   * (1::BIGINT << CAST(bucket // 16 AS INT))) // 16 AS lo,
+                  sum(nd) OVER () AS totd,
+                  sum(nd) OVER (ORDER BY bucket) AS cumd,
+                  sum(nt) OVER () AS tott,
+                  sum(nt) OVER (ORDER BY bucket) AS cumt
+           FROM bt),
+    p AS (SELECT unnest([25, 50, 75, 90, 99]) AS pct),
+    ed AS (SELECT pct, min(lo) AS est_doc_q
+           FROM bc, p WHERE cumd >= (totd * pct + 99) // 100 GROUP BY pct),
+    et AS (SELECT pct, min(lo) AS est_token_q
+           FROM bc, p WHERE cumt >= (tott * pct + 99) // 100 GROUP BY pct)
+    SELECT CAST(pct AS BIGINT) AS pct,
+           CAST(est_doc_q AS BIGINT) AS est_doc_q,
+           CAST(est_token_q AS BIGINT) AS est_token_q
+    FROM ed JOIN et USING (pct)
+    """,
+)
+def cur_token_weighted_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-weighted vs doc-weighted quality percentiles from ONE scan —
+    the curation distinction doc-level stats hide: "what quality does
+    the median TOKEN train on?" differs from "what quality is the median
+    DOC?" whenever length correlates with quality. One (bucket) cell
+    table carries BOTH a doc count and a token-weight sum
+    (`quality_checks.logbucket_sketch(weight_col=)` capability); two
+    cumulative windows over the ≤ ~1k-bucket table read both percentile
+    sets. The score is the engine's blended quality heuristic
+    (`text_analysis.quality_score` arithmetic — ±/× correctly-rounded
+    IEEE, replayed verbatim in the oracle), bucketed UNROUNDED on a
+    1e-6 floor grid (+1 keeps zero-score docs in-domain)."""
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: F.length(t) > 0)
+    n = F.size(toks)
+    n_d = F.lit(1.0) * n
+    score = (
+        F.least(n_d / F.lit(64.0), F.lit(1.0)) * F.lit(0.4)
+        + (F.size(F.array_distinct(toks)) / n_d) * F.lit(0.4)
+        + F.least(
+            (F.size(F.filter(toks, lambda t: t.isin("the", "a"))) / n_d)
+            * F.lit(5.0),
+            F.lit(1.0),
+        ) * F.lit(0.2)
+    )
+    q = (
+        _t(spark, sf_dir, "documents")
+        .select(n.alias("_n"), score.alias("_s"))
+        .where(F.col("_n") >= 1)
+        .select(
+            (F.floor(F.col("_s") * F.lit(1_000_000)).cast("long") + F.lit(1))
+            .alias("c"),
+            F.col("_n").cast("long").alias("w"),
+        )
+    )
+    e = F.length(F.bin(F.col("c"))) - F.lit(1)
+    bucket = (
+        F.lit(16) * e
+        + F.expr("(16 * c) DIV shiftleft(1L, "
+                 "cast(length(bin(c)) - 1 AS INT))")
+        - F.lit(16)
+    )
+    bt = (
+        q.select(bucket.cast("long").alias("bucket"), "w")
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("nd"), F.sum("w").alias("nt"))
+    )
+    lo = F.expr(
+        "((16 + bucket % 16) * shiftleft(1L, cast(bucket DIV 16 AS INT))) "
+        "DIV 16"
+    )
+    tot = Window.partitionBy()
+    cum = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    bc = bt.select(
+        "bucket", lo.alias("lo"),
+        F.sum("nd").over(tot).alias("totd"),
+        F.sum("nd").over(cum).alias("cumd"),
+        F.sum("nt").over(tot).alias("tott"),
+        F.sum("nt").over(cum).alias("cumt"),
+    )
+    pv = F.explode(
+        F.array(*[F.lit(p) for p in (25, 50, 75, 90, 99)])
+    ).alias("pct")
+    ed = (
+        bc.select("lo", "cumd", "totd", pv)
+        .where(F.col("cumd") >= F.expr("(totd * pct + 99) DIV 100"))
+        .groupBy("pct")
+        .agg(F.min("lo").alias("est_doc_q"))
+    )
+    et = (
+        bc.select("lo", "cumt", "tott", pv)
+        .where(F.col("cumt") >= F.expr("(tott * pct + 99) DIV 100"))
+        .groupBy("pct")
+        .agg(F.min("lo").alias("est_token_q"))
+    )
+    return ed.join(et, "pct").select(
+        F.col("pct").cast("long").alias("pct"),
+        F.col("est_doc_q").cast("long").alias("est_doc_q"),
+        F.col("est_token_q").cast("long").alias("est_token_q"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return flagship_ml_cube(spark, "/root/testdata/sf0.001")
@@ -10622,12 +10748,12 @@ _CHECK_PRIORITY = [
     # dq_histogram (NULL filtering before bucketing), emb_kmeans_cosine
     # + emb_cluster_prototypes (single pinned projection + exactness
     # assert), ts_dtw_distance (pluggable pair_source refactor).
-    "dq_psi", "emb_kmeans_cosine",
-    "emb_cluster_prototypes",
+    "dq_psi", "emb_cluster_prototypes",
     # the eight NEW r9 queries (never driver-checked)
     "ts_dtw_banded", "dq_quantile_sketch", "ab_cuped",
     "text_trigram_lm", "mm_crossmodal_dedup", "dq_cm_sketch",
     "stream_quantile_sketch", "dq_grouped_quantiles",
+    "cur_token_weighted_quality",
     # the FULL remaining round-4 cohort (last driver row r4) — after this
     # window, every registered query's latest row is r5+
     "dedup_span_removal", "cur_perplexity_buckets", "cur_jsonl_roundtrip",
@@ -10645,11 +10771,12 @@ _CHECK_PRIORITY = [
     # changed in r9 after its r8 row (scan-audit pin); final new query
     "w_rolling_distinct", "dq_sketch_merge",
     # ts_dtw_distance (pair_source refactor; default-path DP expression
-    # is the identical string) and dq_histogram (NULL filter added — a
-    # no-op on the non-null TPC-H column) also changed in r9; both are
-    # locally parity-green and take slots 51-52 so all 35 r4-era + all
-    # NINE new queries fit the window; r10 checks them first
-    "ts_dtw_distance", "dq_histogram",
+    # is the identical string), dq_histogram (NULL filter — a no-op on
+    # the non-null TPC-H column) and emb_kmeans_cosine (its changed path
+    # is fully CONTAINED in the in-window emb_cluster_prototypes) also
+    # changed in r9; all locally parity-green, slots 51-53 so all 35
+    # r4-era + all TEN new queries fit the window; r10 checks them first
+    "ts_dtw_distance", "dq_histogram", "emb_kmeans_cosine",
     # ---- slot 50 ends at dq_sketch_merge; everything else follows in
     # definition order (all previously driver-green in r1–r8);
     # j2_crossmatch, a1_ivw_mean, j1_theta_lookup, j4_left_join,

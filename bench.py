@@ -120,6 +120,7 @@ HEADLINE = [
     "dq_sketch_merge",
     "stream_quantile_sketch",
     "dq_grouped_quantiles",
+    "cur_token_weighted_quality",
 ]
 
 # Environment-drift sentinel: per-query ratchets are expressed relative to

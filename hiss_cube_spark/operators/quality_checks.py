@@ -237,7 +237,9 @@ def numeric_histogram(
     )
 
 
-def logbucket_sketch(df: DataFrame, col: str) -> DataFrame:
+def logbucket_sketch(
+    df: DataFrame, col: str, weight_col: str | None = None
+) -> DataFrame:
     """Mergeable quantile sketch over a positive-BIGINT column: DDSketch's
     log-bucket idea with EXACT integer bucketing — base-2 octaves split
     into 16 linear sub-buckets, so the bucket index is pure int64
@@ -256,6 +258,13 @@ def logbucket_sketch(df: DataFrame, col: str) -> DataFrame:
     Input domain: 0 < c < 2^55 (the bucket-lo arithmetic 31·2^e must
     stay in int64). One scan, one map-side-combining aggregation on a
     ≤ ~1k-value integer key — scan-bound at any corpus size.
+
+    ``weight_col`` switches to a WEIGHTED sketch (n = Σ weight instead
+    of row count): quantiles then answer "the value at the p-th
+    percentile of WEIGHT" — e.g. token-weighted quality percentiles,
+    where a long document counts by its tokens, not once. Weights must
+    be non-negative BIGINTs; exactness and mergeability are unchanged
+    (integer sums).
     """
     e = F.length(F.bin(F.col(col))) - F.lit(1)
     bucket = (
@@ -264,11 +273,18 @@ def logbucket_sketch(df: DataFrame, col: str) -> DataFrame:
                  f"cast(length(bin({col})) - 1 AS INT))")
         - F.lit(16)
     )
+    src = df.where(F.col(col) > 0)
+    if weight_col is None:
+        return (
+            src.select(bucket.cast("long").alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
     return (
-        df.where(F.col(col) > 0)
-        .select(bucket.cast("long").alias("bucket"))
+        src.select(bucket.cast("long").alias("bucket"),
+                   F.col(weight_col).alias("_w"))
         .groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.sum("_w").cast("long").alias("n"))
     )
 
 

@@ -291,3 +291,26 @@ def test_logbucket_grouped_quantiles_per_key_bound(spark):
             exact = vals[math.ceil(pct * len(vals) / 100) - 1]
             est = out[(g, pct)]
             assert est <= exact and (exact - est) / exact <= 1 / 16 + 1e-12
+
+
+def test_logbucket_sketch_weighted(spark):
+    """Weighted sketch: n = Σ weight per bucket; quantiles answer the
+    weight-percentile question (a heavy value dominates)."""
+    from hiss_cube_spark.operators.quality_checks import (
+        logbucket_estimate,
+        logbucket_sketch,
+    )
+
+    # value 100 carries 90% of the weight; value 10000 the rest
+    df = spark.createDataFrame(
+        [(100, 900), (10_000, 100)], "c long, w long"
+    )
+    sk = {r["bucket"]: r["n"]
+          for r in logbucket_sketch(df, "c", weight_col="w").collect()}
+    assert sum(sk.values()) == 1000
+    est = {r["pct"]: r["est"]
+           for r in logbucket_estimate(
+               logbucket_sketch(df, "c", weight_col="w")).collect()}
+    # p50 of WEIGHT sits in value-100's bucket; p99 in value-10000's
+    assert est[50] <= 100 and 16 * (100 - est[50]) < (1 << 6)
+    assert est[99] <= 10_000 and 10_000 < 2 * est[99] + (1 << 13)
