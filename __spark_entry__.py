@@ -10013,7 +10013,12 @@ def ts_dtw_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     joint staggered-grid signatures of the four LB_Kim features
     (first/last/max/min — each a DTW lower bound; two scalars within
     threshold share a cell in one of two offset grids, so one of the 16
-    offset combos matches); (2) LB_Keogh envelope prefilter
+    offset combos matches) EXTENDED with per-position anchor-envelope
+    keys (positions 6 and 11: probe side emits its own cell, build side
+    the ≤2r+1 distinct cells of its band-dilated window — sound because
+    a banded path aligns every a_i within the window, and it prunes
+    shape differences the key-level aggregates can't see);
+    (2) LB_Keogh envelope prefilter
     (Σ distance-to-band-envelope ≤ DTW_r — sees per-position wiggle the
     key-level features can't); (3) the exact in-band DP, the same
     codegen prefix-scan fold `ts_dtw_distance` pins, with out-of-band
@@ -10033,7 +10038,9 @@ def ts_dtw_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         n=16,
         radius=2,
         lb_prune_q=thr,
-        pair_source=lambda s: dtw_banded_pairs(s, thr),
+        pair_source=lambda s: dtw_banded_pairs(
+            s, thr, radius=2, anchors=(6, 11)
+        ),
     )
     return out.where(F.col("dtw_q") <= thr).select(
         F.col("key_a").alias("user_a"),
@@ -10132,7 +10139,7 @@ def dq_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
                     AS BIGINT) END AS theta_q
       FROM (SELECT sum(dx * dy) AS sxy, sum(dx * dx) AS sxx FROM d)),
     adj AS (
-      SELECT (u * 2654435761) % 2 AS arm, y, theta_q,
+      SELECT ((u * 2654435761) // 2147483648) % 2 AS arm, y, theta_q,
              1000000 * dy - theta_q * dx AS a
       FROM d CROSS JOIN t),
     g AS (
@@ -10739,48 +10746,41 @@ def entry(spark: SparkSession) -> DataFrame:
 # list, remaining never-checked queries first, so later rounds rotate the
 # window forward until every query has had a green row.
 _CHECK_PRIORITY = [
-    # ---- round-9 window (slots 1-50) ----
+    # ---- round-10 window (slots 1-50) ----
     # sentinels (green every round; canaries against harness drift)
     "flagship_ml_cube", "q1_pricing_summary",
     # STALENESS INVARIANT (policy since r7): any query whose
     # implementation or oracle changed since its last driver row goes
-    # first. These five changed in r9 after their r8 rows: dq_psi +
-    # dq_histogram (NULL filtering before bucketing), emb_kmeans_cosine
-    # + emb_cluster_prototypes (single pinned projection + exactness
-    # assert), ts_dtw_distance (pluggable pair_source refactor).
-    "dq_psi", "emb_cluster_prototypes",
-    # the eight NEW r9 queries (never driver-checked)
-    "ts_dtw_banded", "dq_quantile_sketch", "ab_cuped",
-    "text_trigram_lm", "mm_crossmodal_dedup", "dq_cm_sketch",
-    "stream_quantile_sketch", "dq_grouped_quantiles",
-    "cur_token_weighted_quality",
-    # the FULL remaining round-4 cohort (last driver row r4) — after this
-    # window, every registered query's latest row is r5+
-    "dedup_span_removal", "cur_perplexity_buckets", "cur_jsonl_roundtrip",
-    "text_gopher_rules", "dq_chi2_independence", "mm_video_pipeline",
-    "emb_dbscan", "q_hybrid_retrieval", "text_rake_keywords",
-    "cur_url_dedup", "cur_pack_atomic", "cur_unimax_mix",
-    "dq_mutual_info", "dq_benford", "text_ngram_novelty",
-    "cur_contamination_score", "cur_oversample_minority",
-    "cur_dedup_provenance", "text_vocab_growth", "p_variant_props",
-    "q_recursive_cte", "viz_cube_union", "o1_zorder_clustering",
-    "w_funnel_stages", "w_cohort_retention", "a_median_quartiles",
-    "o_global_topk", "a_pivot_flags", "mm_decode_stub", "mm_frame_sample",
-    "q2_min_cost_supplier", "q6_forecast_revenue", "q7_volume_shipping",
-    "q8_market_share", "q9_product_profit",
-    # changed in r9 after its r8 row (scan-audit pin); final new query
-    "w_rolling_distinct", "dq_sketch_merge",
-    # ts_dtw_distance (pair_source refactor; default-path DP expression
-    # is the identical string), dq_histogram (NULL filter — a no-op on
-    # the non-null TPC-H column) and emb_kmeans_cosine (its changed path
-    # is fully CONTAINED in the in-window emb_cluster_prototypes) also
-    # changed in r9; all locally parity-green, slots 51-53 so all 35
-    # r4-era + all TEN new queries fit the window; r10 checks them first
+    # first. ts_dtw_banded (anchor-envelope signature keys + exact
+    # integer cell floor-div) and ab_cuped (high-bit arm hash, oracle
+    # mirrored) changed in r10 after their r9 rows; ts_dtw_distance,
+    # dq_histogram and emb_kmeans_cosine changed in r9 and were staged
+    # at slots 51-53 of the r9 window (all locally parity-green).
+    "ts_dtw_banded", "ab_cuped",
     "ts_dtw_distance", "dq_histogram", "emb_kmeans_cosine",
-    # ---- slot 50 ends at dq_sketch_merge; everything else follows in
-    # definition order (all previously driver-green in r1–r8);
-    # j2_crossmatch, a1_ivw_mean, j1_theta_lookup, j4_left_join,
-    # j6_target_grouping, a1_light_curve lead the r10 round-robin ----
+    # the r5-era cohort (latest driver row round 5) in definition
+    # order — 41 of 48 fit this window (2 slots are held by the two
+    # NEW r10 queries inserted above, keeping zero-never-checked);
+    # the last 7 lead the r11 window
+    "j2_crossmatch", "a1_ivw_mean", "j1_theta_lookup", "j4_left_join",
+    "j6_target_grouping", "a1_light_curve", "j7_first_in_group",
+    "p7_completeness", "f5_time_to_mjd", "o3_cap_refs", "dedup_exact",
+    "a_unpivot_melt", "f17_unpivot", "q3_shipping_priority",
+    "q5_region_revenue", "j_semi_exists", "j_anti_not_exists",
+    "a_rollup", "a_cube", "a_grouping_sets", "set_ops", "w_rank_topk",
+    "w_distribution_ranks", "w_moving_sum", "ts_phase_fold",
+    "w_range_frame_sum", "w_first_last_nth", "s1_scan_filter_limit",
+    "s2_path_synthesis", "emb_whiten", "ann_ivf_pq_topk",
+    "emb_dbscan_blocked", "text_compression_ratio", "mm_audio_neardup",
+    "mm_image_pipeline", "mm_jpeg_pipeline", "mm_phash_neardup",
+    "q15_top_supplier", "q11_important_stock", "q12_priority_class",
+    "q13_order_count_distribution",
+    # ---- slot 50 ends at q13_order_count_distribution; slots 51+ lead
+    # the r11 round-robin: the 7 remaining r5-era queries, then the r6
+    # cohort in definition order ----
+    "q17_small_quantity_revenue", "q21_lone_returned_supplier",
+    "q22_no_order_customers", "q16_supplier_cnt", "q20_excess_suppliers",
+    "stream_ann_refresh", "text_bpe_tokens",
 ]
 
 

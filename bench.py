@@ -167,6 +167,30 @@ def main() -> None:
 
     sentinel_sec = timings.get(SENTINEL) or 1.0
     rel = {n: round(t / sentinel_sec, 3) for n, t in timings.items()}
+    side_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_last.json"
+    )
+    # round-over-round signal: median per-query ratio vs the previous
+    # bench_last.json (the prior round's committed run), common queries
+    median_vs_prev = None
+    try:
+        with open(side_path) as fh:
+            prev = json.load(fh).get("queries", {})
+        ratios = sorted(
+            timings[n] / prev[n]
+            for n in timings
+            if n in prev and prev[n] > 0
+        )
+        if ratios:
+            mid = len(ratios) // 2
+            med = (
+                ratios[mid]
+                if len(ratios) % 2
+                else (ratios[mid - 1] + ratios[mid]) / 2
+            )
+            median_vs_prev = round(med, 3)
+    except (OSError, ValueError, KeyError):
+        pass
     record = {
         "metric": "headline_queries_total",
         "value": round(total, 3),
@@ -174,25 +198,40 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "sentinel": SENTINEL,
+        "median_vs_prev": median_vs_prev,
         "rel": rel,
     }
-    # Full record (incl. the derivable rel map) goes to a side file; stdout
-    # gets ONE compact line WITHOUT rel, printed last, so the driver's
-    # bounded tail capture always contains a parseable JSON line
-    # (BENCH_r04/r05 "parsed": null was the 69-query line + rel overflowing
-    # the tail window).
+    # Full record (all per-query timings + the derivable rel map) goes to
+    # the side file; stdout gets ONE compact line, printed last and HARD
+    # BOUNDED below the driver's 2000-char tail window (BENCH_r08/r09
+    # "parsed": null was the full 93-query map front-truncating the tail):
+    # aggregates + the most expensive queries that still fit + a pointer
+    # to the side file with everything.
     try:
-        with open(
-            os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_last.json"),
-            "w",
-        ) as fh:
+        with open(side_path, "w") as fh:
             json.dump(record, fh, indent=1)
             fh.write("\n")
     except OSError:
         pass
     spark.stop()
     sys.stdout.flush()
-    compact = {k: v for k, v in record.items() if k != "rel"}
+    compact = {
+        "metric": "headline_queries_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "sf": sf,
+        "n": len(timings),
+        "sentinel": SENTINEL,
+        "median_vs_prev": median_vs_prev,
+        "file": "bench_last.json",
+        "queries": {},
+    }
+    budget = 1800
+    for name, sec in sorted(timings.items(), key=lambda kv: -kv[1]):
+        compact["queries"][name] = sec
+        if len(json.dumps(compact, separators=(",", ":"))) > budget:
+            del compact["queries"][name]
+            break
     print(json.dumps(compact, separators=(",", ":")))
     sys.stdout.flush()
 

@@ -11,7 +11,7 @@ division — so the adjusted means are bit-identical in any engine.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["ab_cuped"]
@@ -28,9 +28,11 @@ def ab_cuped(
     """CUPED-adjusted A/B readout over an event stream.
 
     Exposure model: every user is deterministically assigned an arm by
-    the integer hash ``(user_id · arm_mult) % 2`` (Knuth multiplicative
-    — exact int64 for user_id < 3.4e9; swap in xxhash64 off the parity
-    path). Pre-period metric X = Σ value-cents before ``split_us``,
+    bit 31 of the integer hash ``(user_id · arm_mult)`` (Knuth
+    multiplicative — exact int64 for user_id < 3.4e9; swap in xxhash64
+    off the parity path). A HIGH bit of the product is used because the
+    low bit of u·odd is exactly u's parity — unmixed, and confounded by
+    any parity-structured id allocation. Pre-period metric X = Σ value-cents before ``split_us``,
     experiment metric Y = Σ after. CUPED (Deng et al., WSDM'13) replaces
     Y with Y − θ·(X − X̄), θ = cov(X,Y)/var(X), removing the
     pre-existing between-user variance that X explains — the standard
@@ -73,14 +75,10 @@ def ab_cuped(
             .alias("y"),
         )
     )
-    tot = Window.partitionBy()
-
     # floor-mean via the posmod identity; the adjusted numerator is
     # exactly divisible, so integer DIV == exact division (no double
     # round-trip — long/long `/` loses exactness past 2^53 at scale)
     def _floor_mean(col: str) -> F.Column:
-        s = F.sum(col).over(tot)
-        n = F.count(F.lit(1)).over(tot)
         return F.expr(
             f"(sum({col}) OVER () "
             f" - ((sum({col}) OVER () % count(1) OVER () + count(1) OVER ())"
@@ -109,7 +107,13 @@ def ab_cuped(
             "/ sxx AS BIGINT) END"
         ).alias("theta_q")
     )
-    arm = F.pmod(F.col("u") * F.lit(int(arm_mult)), F.lit(2)).cast("long")
+    # arm = bit 31 of the multiplicative hash — the LOW bit of u·odd is
+    # just u's parity (completely unmixed), so take a HIGH bit instead;
+    # parity-structured id allocations then no longer confound the arms
+    arm = (
+        F.expr(f"pmod((u * {int(arm_mult)}) DIV 2147483648, 2)")
+        .cast("long")
+    )
     adj = (
         F.lit(1_000_000) * F.col("dy") - F.col("theta_q") * F.col("dx")
     ).alias("adj")

@@ -453,7 +453,14 @@ def structure_function(
     )
 
 
-def dtw_banded_pairs(series: DataFrame, threshold_q: int) -> DataFrame:
+def dtw_banded_pairs(
+    series: DataFrame,
+    threshold_q: int,
+    radius: int | None = None,
+    anchors: tuple[int, ...] = (),
+    max_pairs: int | None = None,
+    max_bucket: int | None = None,
+) -> DataFrame:
     """Banded candidate-pair generation for :func:`dtw_distance` — the
     scale path that replaces the ``max_keys`` cap, built on LB_Kim
     lower bounds so containment is a THEOREM, not a tuning outcome:
@@ -488,52 +495,168 @@ def dtw_banded_pairs(series: DataFrame, threshold_q: int) -> DataFrame:
     the same contract as ``minhash_lsh_pairs`` banding, stated rather
     than hidden.
 
+    ``radius`` + ``anchors`` (CONSTRAINED-DTW mode) extend the joint
+    key with per-position ENVELOPE signatures — the LB_Keogh/LB_PAA
+    idea turned into equi-join keys, for corpora whose key-level
+    aggregates concentrate but whose per-position shapes differ (where
+    scalar LB_Kim prunes nothing). Theorem: a Sakoe-Chiba path (band
+    ``radius``) aligns every a_i with some b_j, |i−j| ≤ radius, and
+    each |a_i − b_j| ≤ DTW_r(a,b); so DTW_r ≤ T implies, per anchor
+    position i, cell(a_i) equals the cell of SOME b value in the
+    dilated window b[i−r .. i+r] on at least one of the two staggered
+    grids. The PROBE side (key_a) therefore emits ONE cell per anchor
+    (its own value) and the BUILD side (key_b) emits the DISTINCT
+    cells of its dilated window — a constant ≤ (2·radius+1) per
+    anchor, never data-dependent blowup — and the joint key takes the
+    cross product with the 16 LB_Kim combos (16·2^k combos for k
+    anchors). One orientation suffices: the theorem is stated for a's
+    values probing b's windows, which holds for every true pair
+    regardless of key order. The exact per-anchor check
+    min_j |a_i − b_j| ≤ T remains as a post-join filter.
+
+    ``max_bucket`` caps each BUILD-side signature bucket at its
+    ``max_bucket`` lowest keys (row_number per joint signature) — on
+    concentrated corpora, where one bucket holds most keys and the
+    join itself is the quadratic wall, this bounds join output at
+    |keys|·combos·max_bucket, i.e. LINEAR in keys. ``max_pairs`` then
+    caps the final candidate set DETERMINISTICALLY (ordered by
+    (key_a, key_b), a TakeOrdered — top-k per partition, no global
+    sort materialization). Both caps DROP true pairs by design: on
+    i.i.d.-concentrated corpora the TRUE answer set itself is
+    quadratic (SCALING.md), so an explicit, disclosed cap is the only
+    honest bound — callers should count dropped build rows / capped
+    candidates and report them (see ``tools/scaling_dtw_keys.py``).
+    The registered query passes neither cap (exact containment).
+
     Input: (key, v ARRAY<BIGINT>). Output: (key_a, key_b), key_a < key_b.
     """
     g = 2 * int(threshold_q)
     h = int(threshold_q)
+    if anchors and radius is None:
+        raise ValueError("anchors require radius (constrained DTW only)")
+    r = int(radius) if radius is not None else 0
+
+    def _cell(expr: str, off: int) -> str:
+        # exact integer floor division via the posmod identity —
+        # long/long `/` is DOUBLE division, which mis-cells magnitudes
+        # near 2^53 and would silently break the containment theorem
+        return (
+            f"(({expr} - {off}) - ((({expr} - {off}) % {g} + {g})"
+            f" % {g})) DIV {g}"
+        )
+
     feat = series.select(
         "key",
         F.element_at("v", 1).alias("_f"),
         F.element_at("v", -1).alias("_l"),
         F.array_max("v").alias("_mx"),
         F.array_min("v").alias("_mn"),
+        *[
+            F.element_at("v", int(anc)).alias(f"_pa{i}")
+            for i, anc in enumerate(anchors)
+        ],
+        *[
+            F.expr(
+                f"slice(v, {max(1, int(anc) - r)}, "
+                f"{int(anc) + r - max(1, int(anc) - r) + 1})"
+            ).alias(f"_bw{i}")
+            for i, anc in enumerate(anchors)
+        ],
     )
-    combos = []
-    for c in range(16):
-        offs = [(c >> b) & 1 for b in range(4)]
-        cells = [
-            F.floor((F.col(col) - F.lit(h * o)) / F.lit(g))
-            for col, o in zip(("_f", "_l", "_mx", "_mn"), offs)
-        ]
-        combos.append(F.struct(F.lit(c).alias("c"), *[
-            cell.alias(f"s{i}") for i, cell in enumerate(cells)
-        ]))
-    sigs = feat.select(
-        "key", "_f", "_l", "_mx", "_mn",
-        F.explode(F.array(*combos)).alias("_sig"),
+    k = len(anchors)
+    n_combo = 16 * (1 << k)
+    probe_structs = []
+    build_arrays = []
+    for c in range(n_combo):
+        kim = [(c >> b) & 1 for b in range(4)]
+        anc_off = [(c >> (4 + i)) & 1 for i in range(k)]
+        s_fields = ", ".join(
+            f"'s{i}', {_cell(col, h * o)}"
+            for i, (col, o) in enumerate(zip(("_f", "_l", "_mx", "_mn"), kim))
+        )
+        p_fields = "".join(
+            f", 'a{i}', {_cell(f'_pa{i}', h * o)}"
+            for i, o in enumerate(anc_off)
+        )
+        probe_structs.append(
+            F.expr(f"named_struct('c', {c}, {s_fields}{p_fields})")
+        )
+        if k == 0:
+            build_arrays.append(
+                F.expr(f"array(named_struct('c', {c}, {s_fields}))")
+            )
+        else:
+            # nested transform over the distinct dilated-window cells of
+            # each anchor; ≤ (2r+1)^k structs per combo, a CONSTANT
+            expr = f"named_struct('c', {c}, {s_fields}" + "".join(
+                f", 'a{i}', a{i}" for i in range(k)
+            ) + ")"
+            for i in reversed(range(k)):
+                o = anc_off[i]
+                cells = (
+                    f"array_distinct(transform(_bw{i}, "
+                    f"x -> {_cell('x', h * o)}))"
+                )
+                expr = f"transform({cells}, a{i} -> {expr})"
+                if i < k - 1:
+                    expr = f"flatten({expr})"
+            build_arrays.append(F.expr(expr))
+    carry = ["_f", "_l", "_mx", "_mn"] + [f"_pa{i}" for i in range(k)] + [
+        f"_bw{i}" for i in range(k)
+    ]
+    probe = feat.select(
+        "key", *carry, F.explode(F.array(*probe_structs)).alias("_sig")
     )
-    a = sigs.select(
+    build = feat.select(
+        "key", *carry,
+        F.explode(F.concat(*build_arrays)).alias("_sig"),
+    )
+    a = probe.select(
         F.col("key").alias("key_a"), F.col("_sig"),
         F.col("_f").alias("_fa"), F.col("_l").alias("_la"),
         F.col("_mx").alias("_mxa"), F.col("_mn").alias("_mna"),
+        *[F.col(f"_pa{i}").alias(f"_paa{i}") for i in range(k)],
     )
-    b = sigs.select(
+    b = build.select(
         F.col("key").alias("key_b"), F.col("_sig"),
         F.col("_f").alias("_fb"), F.col("_l").alias("_lb"),
         F.col("_mx").alias("_mxb"), F.col("_mn").alias("_mnb"),
+        *[F.col(f"_bw{i}").alias(f"_bwb{i}") for i in range(k)],
     )
+    if max_bucket is not None:
+        b = (
+            b.withColumn(
+                "_rnk",
+                F.row_number().over(
+                    Window.partitionBy("_sig").orderBy("key_b")
+                ),
+            )
+            .where(F.col("_rnk") <= int(max_bucket))
+            .drop("_rnk")
+        )
     t = F.lit(int(threshold_q))
-    return (
+    out = (
         a.join(b, "_sig")
         .where(F.col("key_a") < F.col("key_b"))
         .where(F.abs(F.col("_fa") - F.col("_fb")) <= t)
         .where(F.abs(F.col("_la") - F.col("_lb")) <= t)
         .where(F.abs(F.col("_mxa") - F.col("_mxb")) <= t)
         .where(F.abs(F.col("_mna") - F.col("_mnb")) <= t)
-        .select("key_a", "key_b")
-        .distinct()
     )
+    for i in range(k):
+        # exact form of the anchor theorem: the probe value must be
+        # within T of at least one value in the dilated build window
+        out = out.where(
+            F.expr(
+                f"aggregate(_bwb{i}, CAST({10**15} AS BIGINT), "
+                f"(m, x) -> least(m, abs(_paa{i} - x)))"
+            )
+            <= t
+        )
+    out = out.select("key_a", "key_b").distinct()
+    if max_pairs is not None:
+        out = out.orderBy("key_a", "key_b").limit(int(max_pairs))
+    return out
 
 
 def dtw_distance(
@@ -590,9 +713,10 @@ def dtw_distance(
     bound: with U_i = max(b[i−r..i+r]), L_i = min(b[i−r..i+r]),
     Σ_i max(0, a_i − U_i, L_i − a_i) ≤ DTW_r(a, b) — each a_i matches
     at least one b_j inside its band, distinct cells per i. When
-    ``lb_prune_q`` is set (candidate-source mode), pairs are dropped
-    when BOTH directions' LB_Keogh exceed it BEFORE the O(n³)-ops DP —
-    sound (LB ≤ DTW_r), and unlike the LB_Kim features it sees
+    ``lb_prune_q`` is set (candidate-source mode), a pair is kept only
+    if BOTH directional LB_Keogh values are ≤ the threshold (dropped as
+    soon as EITHER exceeds it) BEFORE the O(n³)-ops DP —
+    sound (each LB ≤ DTW_r), and unlike the LB_Kim features it sees
     per-position wiggle, so it prunes even when key-level aggregates
     concentrate.
 
