@@ -10730,6 +10730,145 @@ def cur_token_weighted_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "dq_theta_intersect",
+    """
+    WITH d AS (SELECT source, string_split(text, ' ') AS w FROM documents
+               WHERE len(string_split(text, ' ')) >= 3),
+    sh AS (
+      SELECT DISTINCT source, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram
+      FROM d, unnest(generate_series(1, len(w) - 2)) t(i)),
+    hx AS (SELECT DISTINCT source,
+                  CAST(concat('0x', substr(md5(gram), 1, 15)) AS BIGINT) AS h
+           FROM sh),
+    rs AS (SELECT source, h,
+                  row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+           FROM hx),
+    smp AS (SELECT source, h FROM rs WHERE rn <= 256),
+    st AS (SELECT source, max(h) AS kth, count(*) AS cnt FROM smp GROUP BY 1),
+    th AS (SELECT source,
+                  CASE WHEN cnt < 256 THEN 1152921504606846976
+                       ELSE kth END AS theta
+           FROM st),
+    sm AS (SELECT smp.source, h, theta FROM smp JOIN th USING (source)),
+    pr AS (SELECT a.source AS source_a, b.source AS source_b,
+                  count(*) AS c, min(least(a.theta, b.theta)) AS theta
+           FROM sm a JOIN sm b ON a.h = b.h AND a.source < b.source
+           WHERE a.h < least(a.theta, b.theta)
+           GROUP BY 1, 2),
+    est AS (SELECT source_a, source_b, c,
+                   CAST((c::HUGEINT * 1152921504606846976
+                         - (c::HUGEINT * 1152921504606846976) % theta)
+                        // theta AS BIGINT) AS est_inter
+            FROM pr),
+    ex AS (SELECT a.source AS source_a, b.source AS source_b,
+                  count(*) AS exact_inter
+           FROM sh a JOIN sh b ON a.gram = b.gram AND a.source < b.source
+           GROUP BY 1, 2)
+    SELECT ex.source_a, ex.source_b,
+           CAST(exact_inter AS BIGINT) AS exact_inter,
+           CAST(coalesce(c, 0) AS BIGINT) AS c,
+           CAST(coalesce(est_inter, 0) AS BIGINT) AS est_inter,
+           round(abs(coalesce(est_inter, 0) - exact_inter) * 100.0
+                 / greatest(exact_inter, 1), 6) AS err_pct
+    FROM ex LEFT JOIN est USING (source_a, source_b)
+    """,
+)
+def dq_theta_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source distinct-intersection via KMV/theta sketches
+    (`quality_checks.kmv_samples` / `kmv_distinct_intersect`): "how many
+    distinct 3-grams do sources A and B share" estimated from k=256
+    bottom-hashes per source instead of an exact pairwise distinct join
+    — the corpus-overlap question ("do CC and Wikipedia share docs")
+    at sketch cost. The hash is the PORTABLE md5-prefix integer
+    (`kmv_hash`), so the oracle REBUILDS the sketch bit-for-bit rather
+    than trusting it; the exact intersection (the cur_source_overlap
+    per-gram shape) rides along as the check-SF companion with the
+    measured err_pct. Scale shape: per-source sketches are ≤ k rows
+    (WindowGroupLimit top-k, partial before the shuffle); the pair join
+    runs on samples only — |sources|²·k worst case, never
+    |distinct grams|²."""
+    from hiss_cube_spark.operators.dedup import source_overlap_matrix
+    from hiss_cube_spark.operators.quality_checks import (
+        kmv_distinct_intersect,
+    )
+
+    d = _t(spark, sf_dir, "documents").where(
+        F.size(F.split("text", " ")) >= 3
+    )
+    grams = d.select(
+        "source",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(split(text, ' ')) - 2), "
+                "i -> concat_ws(' ', slice(split(text, ' '), i, 3)))"
+            )
+        ).alias("gram"),
+    )
+    sk = kmv_distinct_intersect(grams, "source", "gram", k=256).select(
+        F.col("group_a").alias("source_a"),
+        F.col("group_b").alias("source_b"),
+        "c",
+        "est_inter",
+    )
+    ex = source_overlap_matrix(d).select(
+        "source_a", "source_b", F.col("n_inter").alias("exact_inter")
+    )
+    return ex.join(sk, ["source_a", "source_b"], "left").select(
+        "source_a", "source_b",
+        F.col("exact_inter").cast("long").alias("exact_inter"),
+        F.coalesce("c", F.lit(0)).cast("long").alias("c"),
+        F.coalesce("est_inter", F.lit(0)).cast("long").alias("est_inter"),
+        _r6(
+            F.abs(F.coalesce("est_inter", F.lit(0)) - F.col("exact_inter"))
+            * F.lit(100.0)
+            / F.greatest("exact_inter", F.lit(1))
+        ).alias("err_pct"),
+    )
+
+
+@_q(
+    "dq_topk_sketch",
+    """
+    WITH keys AS (SELECT CAST(floor(sqrt(user_id % 150)) AS BIGINT) AS k
+                  FROM events),
+    c AS (SELECT k, count(*) AS n FROM keys GROUP BY 1),
+    t AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM c)
+    SELECT k AS key, CAST(n AS BIGINT) AS exact_n,
+           true AS ss_found, true AS overestimates, true AS within_bound
+    FROM c, t WHERE n > nn // 8
+    """,
+)
+def dq_topk_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter DISCOVERY via SpaceSaving summaries
+    (`quality_checks.spacesaving_summaries/_merge/_report`) — the
+    missing leg of the sketch stack: count-min estimates counts for
+    KNOWN keys, SpaceSaving FINDS the heavy keys with k counters per
+    partition and a k·P-row merge. Internal counter values depend on
+    partitioning, so the registered output is exactly the facts that
+    are THEOREMS for any partitioning: the deterministic heavy-key set
+    (exact count > N DIV k, SQL-expressible) with per-row booleans
+    ss_found (discovery guarantee), overestimates (est ≥ exact) and
+    within_bound (est − exact ≤ N DIV k) — the oracle emits them as
+    literal true, so any broken guarantee is a value-hash mismatch.
+    The key is floor(sqrt(user_id mod 150)): a deterministic skew
+    transform (key v covers ~2v+1 ids) over the uniform synthetic ids,
+    identical in both engines (sqrt/floor are correctly-rounded IEEE).
+    Two linear passes by design: the bounded-state sketch pass and the
+    exact-count companion pass."""
+    from hiss_cube_spark.operators.quality_checks import spacesaving_report
+
+    e = _events(spark, sf_dir).select(
+        F.expr("cast(floor(sqrt(user_id % 150)) as bigint)").alias("hkey")
+    )
+    out = spacesaving_report(e, "hkey", k=8)
+    return out.select(
+        F.col("key").cast("long").alias("key"),
+        F.col("exact_n").cast("long").alias("exact_n"),
+        "ss_found", "overestimates", "within_bound",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return flagship_ml_cube(spark, "/root/testdata/sf0.001")
@@ -10758,6 +10897,8 @@ _CHECK_PRIORITY = [
     # at slots 51-53 of the r9 window (all locally parity-green).
     "ts_dtw_banded", "ab_cuped",
     "ts_dtw_distance", "dq_histogram", "emb_kmeans_cosine",
+    # the two NEW r10 queries (never driver-checked)
+    "dq_theta_intersect", "dq_topk_sketch",
     # the r5-era cohort (latest driver row round 5) in definition
     # order — 41 of 48 fit this window (2 slots are held by the two
     # NEW r10 queries inserted above, keeping zero-never-checked);

@@ -121,6 +121,9 @@ HEADLINE = [
     "stream_quantile_sketch",
     "dq_grouped_quantiles",
     "cur_token_weighted_quality",
+    # round-10 additions
+    "dq_theta_intersect",
+    "dq_topk_sketch",
 ]
 
 # Environment-drift sentinel: per-query ratchets are expressed relative to

@@ -26,6 +26,12 @@ __all__ = [
     "logbucket_quantile_report",
     "cm_sketch",
     "cm_heavy_hitters_report",
+    "kmv_hash",
+    "kmv_samples",
+    "kmv_distinct_intersect",
+    "spacesaving_summaries",
+    "spacesaving_merge",
+    "spacesaving_report",
     "equidepth_profile",
     "ks_drift",
     "psi_drift",
@@ -587,6 +593,290 @@ def cm_heavy_hitters_report(
     )
 
 
+# hash domain of kmv_hash: 15 hex chars of md5 = [0, 16^15) = [0, 2^60)
+_KMV_U = 1 << 60
+
+
+def kmv_hash(col: str) -> "F.Column":
+    """Portable uniform 60-bit string hash: the first 15 hex characters
+    of md5, parsed as an integer. MD5 is MD5 in every engine, so —
+    unlike xxhash64/murmur, whose seeds and variants differ — this
+    value is bit-identical in Spark (``conv(..., 16, 10)``) and DuckDB
+    (``('0x' || substr(md5(x),1,15))::BIGINT``), which is what lets a
+    whole SKETCH built on it replay exactly cross-engine."""
+    return F.expr(
+        f"cast(conv(substring(md5({col}), 1, 15), 16, 10) as bigint)"
+    )
+
+
+def kmv_samples(
+    df: DataFrame, group_col: str, key_col: str, k: int = 256
+) -> DataFrame:
+    """Per-group KMV / bottom-k (theta) DISTINCT sketch: the ``k``
+    smallest :func:`kmv_hash` values of the group's distinct keys, plus
+    the group's sampling threshold theta — the mergeable distinct-count
+    summary (Beyer et al. 2007; the Theta Sketch framework,
+    Dasgupta et al. 2016).
+
+    theta = U (the full hash domain) while the group holds ≤ k distinct
+    keys (the sketch is EXACT — nothing was discarded), else the k-th
+    smallest hash: every retained hash h satisfies h < theta (for
+    estimation-mode reads we use strict-below-theta counting), and a
+    distinct key's hash falls below theta with probability theta/U —
+    the sampling view that makes set algebra on sketches work.
+
+    MERGE LAW (suite-tested): the union sketch of two groups is the k
+    smallest of the concatenated samples with theta = min of thetas
+    (capped at the new k-th smallest) — identical to the sketch built
+    from scratch on the unioned data, a THEOREM for bottom-k sketches.
+
+    Scale shape: one scan → distinct (group, hash) with map-side
+    combine → per-group top-k by hash, which Spark executes as a
+    WindowGroupLimit (rank-limit pushdown: partial top-k BEFORE the
+    shuffle, so per-partition state is k rows per group, never the
+    distinct domain). Output: (g, h, theta, nd) — nd the group's
+    distinct count ONLY when exact-mode (≤ k), else null (a sketch
+    must not smuggle exact global counts).
+    """
+    from pyspark.sql import Window
+
+    cells = (
+        df.select(
+            F.col(group_col).alias("g"), kmv_hash(key_col).alias("h")
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("g").orderBy("h")
+    ranked = cells.select(
+        "g", "h",
+        F.row_number().over(w).alias("rn"),
+    )
+    # pin the bounded sample table (≤ k rows per group) — it feeds both
+    # the threshold aggregate and every downstream sketch-algebra join;
+    # without the pin each consumer re-runs the distinct+window scan
+    sample = ranked.where(F.col("rn") <= int(k)).localCheckpoint(
+        eager=True
+    )
+    stats = sample.groupBy("g").agg(
+        F.max("h").alias("_kth"), F.count(F.lit(1)).alias("_cnt")
+    )
+    theta = (
+        F.when(F.col("_cnt") < int(k), F.lit(_KMV_U))
+        .otherwise(F.col("_kth"))
+        .alias("theta")
+    )
+    nd = (
+        F.when(F.col("_cnt") < int(k), F.col("_cnt"))
+        .otherwise(F.lit(None).cast("long"))
+        .alias("nd")
+    )
+    return sample.join(
+        F.broadcast(stats.select("g", theta, nd)), "g"
+    ).select("g", "h", "theta", "nd")
+
+
+def kmv_distinct_intersect(
+    df: DataFrame, group_col: str, key_col: str, k: int = 256
+) -> DataFrame:
+    """Distinct-intersection estimate for every group pair from KMV
+    sketches — "how many distinct keys do sources A and B share"
+    WITHOUT an exact pairwise distinct join: the theta-sketch
+    intersection. With theta = min(theta_a, theta_b), each sketch
+    restricted to h < theta is a uniform theta/U-rate sample of its
+    group's distinct keys, so |A ∩ B| ≈ |S_a ∩ S_b ∩ {h < theta}|·U/theta.
+
+    The estimate is EXACT INTEGER arithmetic end-to-end (c·U in
+    DECIMAL(38,0), positive floor division), so the whole sketch —
+    build, thresholds, estimate — replays bit-identically in any engine
+    with md5: the oracle rebuilds it rather than trusting it.
+
+    Scale shape: sketches are k rows per group; the pair join runs on
+    SAMPLES (equi-join on h), never on the distinct domains. Output:
+    (group_a, group_b, theta-capped common-sample count c, est_inter).
+    Exactness companions are the caller's job (check-SF only — the
+    1/sqrt(k) error is probabilistic, not a theorem; the repo pattern
+    is to emit the measured error next to the estimate).
+    """
+    s = kmv_samples(df, group_col, key_col, k)
+    a = s.select(
+        F.col("g").alias("group_a"), "h",
+        F.col("theta").alias("_ta"),
+    )
+    b = s.select(
+        F.col("g").alias("group_b"), "h",
+        F.col("theta").alias("_tb"),
+    )
+    common = (
+        a.join(b, "h")
+        .where(F.col("group_a") < F.col("group_b"))
+        .where(F.col("h") < F.least("_ta", "_tb"))
+        .groupBy("group_a", "group_b")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.min(F.least("_ta", "_tb")).alias("theta"),
+        )
+    )
+    # est = floor(c·U / theta): c·U ≈ 2^68 needs decimal(38,0); the
+    # operands are positive so subtract-the-remainder IS floor division
+    return common.select(
+        "group_a", "group_b",
+        F.col("c").cast("long").alias("c"),
+        F.expr(
+            f"cast((cast(c as decimal(38,0)) * {_KMV_U} "
+            f" - (cast(c as decimal(38,0)) * {_KMV_U}) % theta) "
+            f" / theta as bigint)"
+        ).alias("est_inter"),
+    )
+
+
+def spacesaving_summaries(
+    df: DataFrame, col: str, k: int = 8
+) -> DataFrame:
+    """Per-partition SpaceSaving summaries (Metwally et al. 2005) —
+    the heavy-hitter sketch that FINDS the keys with O(k) state
+    (count-min estimates counts for keys you already know; this is the
+    missing discovery leg). One mapInPandas pass, k counters per input
+    partition, never a shuffle of the fact rows.
+
+    Per partition the classic algorithm runs key-grouped (each Arrow
+    batch collapses to value_counts first; folding a key's whole batch
+    count at once is order-equivalent to its occurrences arriving
+    consecutively): hit → counter += c; room → insert c; full → evict
+    the min counter m, insert with est = m + c. Invariants (theorems,
+    any order/partitioning): sum(counters) = n_p, min counter ≤ n_p/k,
+    est_p(x) ≥ true_p(x) for tracked x, true_p(x) ≤ min_p for evicted x.
+
+    Output per partition: item rows (key, est, pmin, 0) carrying the
+    partition's final min counter, plus ONE marker row
+    (null, 0, min_p, n_p) — exactly what :func:`spacesaving_merge`
+    needs to combine summaries without touching the data again.
+    min_p is 0 while the partition tracks < k keys (nothing was ever
+    evicted, so absent keys truly have count 0).
+    """
+    kk = int(k)
+    key_df = df.select(F.col(col).cast("string").alias("k"))
+
+    def _part(batches):
+        import pandas as pd
+
+        counters: dict = {}
+        n = 0
+        for pdf in batches:
+            vc = pdf["k"].value_counts()
+            n += int(vc.sum())
+            for key, c in vc.items():
+                c = int(c)
+                if key in counters:
+                    counters[key] += c
+                elif len(counters) < kk:
+                    counters[key] = c
+                else:
+                    mk = min(counters, key=lambda x: (counters[x], x))
+                    m = counters.pop(mk)
+                    counters[key] = m + c
+        pmin = 0 if len(counters) < kk else min(counters.values())
+        rows = [(key, est, pmin, 0) for key, est in counters.items()]
+        rows.append((None, 0, pmin, n))
+        yield pd.DataFrame(
+            rows, columns=["k", "est", "pmin", "n"]
+        )
+
+    return key_df.mapInPandas(
+        _part, "k string, est long, pmin long, n long"
+    )
+
+
+def spacesaving_merge(summaries: DataFrame, k: int = 8) -> DataFrame:
+    """Merge per-partition SpaceSaving summaries into one candidate
+    table with the conservative upper-bound rule: for key x,
+
+        est(x) = Σ_{p: x tracked} est_p(x) + Σ_{p: x absent} min_p
+               = Σ_present est_p(x) + TOTALMIN − Σ_present pmin,
+
+    which stays an OVERESTIMATE (absent ⇒ true_p ≤ min_p) with total
+    slack Σ_p min_p ≤ Σ_p n_p/k = N/k — the mergeable-summaries bound
+    (Agarwal et al., PODS'12). Candidates = keys with est > N DIV k;
+    every key with true count > N DIV k is in there (if absent from
+    ALL summaries its true count is ≤ Σ min_p ≤ N DIV k — the
+    contrapositive IS the discovery guarantee).
+
+    Input is k·P + P rows; everything here is bounded by the summary
+    size, not the corpus. Output: (k, est, n_total) candidates.
+    """
+    items = summaries.where(F.col("k").isNotNull())
+    markers = summaries.where(F.col("k").isNull())
+    tot = F.broadcast(
+        markers.agg(
+            F.sum("pmin").alias("_totalmin"), F.sum("n").alias("_n")
+        )
+    )
+    merged = (
+        items.groupBy("k")
+        .agg(
+            F.sum("est").alias("_se"), F.sum("pmin").alias("_sm")
+        )
+        .crossJoin(tot)
+        .select(
+            "k",
+            (F.col("_se") + F.col("_totalmin") - F.col("_sm"))
+            .cast("long")
+            .alias("est"),
+            F.col("_n").cast("long").alias("n_total"),
+        )
+    )
+    return merged.where(
+        F.col("est") > F.expr(f"n_total DIV {int(k)}")
+    )
+
+
+def spacesaving_report(
+    df: DataFrame, col: str, k: int = 8
+) -> DataFrame:
+    """Heavy-hitter DISCOVERY report with exactness companions (the
+    cm_heavy_hitters pattern): for every key whose EXACT count exceeds
+    N DIV k, emit the exact count plus three per-row booleans that are
+    THEOREMS of SpaceSaving regardless of partitioning or arrival
+    order — which is what makes this oracle-pairable even though the
+    sketch's internal counter values are partitioning-dependent:
+
+    * ``ss_found``      — the key is in the merged candidate set
+                          (discovery guarantee, see spacesaving_merge)
+    * ``overestimates`` — merged est ≥ exact count
+    * ``within_bound``  — merged est − exact ≤ N DIV k
+
+    Two linear passes by design: the SpaceSaving pass (bounded state,
+    the 100 TB shape) and the exact-count pass (the CHECK-side
+    companion; at scale you would not run it — the booleans are the
+    contract it certifies).
+    """
+    cand = spacesaving_merge(
+        spacesaving_summaries(df, col, k), k
+    ).localCheckpoint(eager=True)  # ≤ 2k rows
+    exact = (
+        df.select(F.col(col).cast("string").alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+    )
+    tot = F.broadcast(exact.agg(F.sum("exact_n").alias("_n")))
+    heavy = (
+        exact.crossJoin(tot)
+        .where(F.col("exact_n") > F.expr(f"_n DIV {int(k)}"))
+    )
+    return (
+        heavy.join(cand, "k", "left")
+        .select(
+            F.col("k").alias("key"),
+            F.col("exact_n").cast("long").alias("exact_n"),
+            F.col("est").isNotNull().alias("ss_found"),
+            (F.col("est") >= F.col("exact_n")).alias("overestimates"),
+            (
+                F.col("est") - F.col("exact_n")
+                <= F.expr(f"_n DIV {int(k)}")
+            ).alias("within_bound"),
+        )
+    )
+
+
 def psi_drift(
     df: DataFrame,
     col: str,
@@ -923,3 +1213,8 @@ def schema_drift(old: "DataFrame", new: "DataFrame") -> "DataFrame":
     return spark.createDataFrame(
         rows, "column string, change string, old_type string, new_type string"
     )
+
+
+from hiss_cube_spark._serde import register_self as _register_self  # noqa: E402
+
+_register_self(__name__)

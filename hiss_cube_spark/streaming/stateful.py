@@ -23,7 +23,13 @@ from pyspark.sql.types import (
     StructType,
 )
 
-__all__ = ["running_totals", "streaming_topk", "streaming_ewma", "streaming_sessionizer"]
+__all__ = [
+    "running_totals",
+    "streaming_topk",
+    "streaming_ewma",
+    "streaming_sessionizer",
+    "streaming_spacesaving",
+]
 
 _STATE = StructType(
     [
@@ -323,5 +329,99 @@ def streaming_sessionizer(
             stateStructType=state_schema,
             outputMode="append",
             timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
+
+
+def streaming_spacesaving(
+    events: DataFrame,
+    key_col: str = "k",
+    k: int = 8,
+    shards: int = 4,
+) -> DataFrame:
+    """SpaceSaving heavy-hitter DISCOVERY as a stateful stream — the
+    streaming form of `operators/quality_checks.spacesaving_summaries`:
+    keys hash into ``shards`` disjoint state groups (xxhash64, so every
+    occurrence of a key lands in ONE group's state forever), and each
+    group folds its micro-batch value_counts into ``k`` persisted
+    counters with the batched SpaceSaving update (hit → +c; room →
+    insert; full → evict min, insert at min+c). State is O(k) per shard
+    FOREVER — the bounded-memory property that makes the sketch a
+    sketch.
+
+    Because shards partition the key space, per-shard SpaceSaving
+    theorems are global facts: any key with TOTAL count > n_shard/k is
+    among its shard's counters (so certainly any key with count >
+    N_total/k), est ≥ true, est − true ≤ min_counter ≤ n_shard/k.
+    The suite asserts exactly these, plus checkpoint replay.
+
+    Emits each shard's full current summary every micro-batch
+    (``update`` mode): (shard, key, est, min_c, n_shard).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StringType
+
+    kk, nsh = int(k), int(shards)
+    out_schema = StructType(
+        [
+            StructField("shard", LongType()),
+            StructField("key", StringType()),
+            StructField("est", LongType()),
+            StructField("min_c", LongType()),
+            StructField("n_shard", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("keys", ArrayType(StringType())),
+            StructField("ests", ArrayType(LongType())),
+            StructField("n", LongType()),
+        ]
+    )
+
+    def _fold(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        keys, ests, n = state.get if state.exists else ([], [], 0)
+        counters = dict(zip(list(keys), list(ests)))
+        for pdf in pdfs:
+            vc = pdf["_k"].value_counts()
+            n += int(vc.sum())
+            for kx, c in vc.items():
+                c = int(c)
+                if kx in counters:
+                    counters[kx] += c
+                elif len(counters) < kk:
+                    counters[kx] = c
+                else:
+                    mk = min(counters, key=lambda x: (counters[x], x))
+                    m = counters.pop(mk)
+                    counters[kx] = m + c
+        state.update((list(counters.keys()), list(counters.values()), n))
+        min_c = 0 if len(counters) < kk else min(counters.values())
+        yield pd.DataFrame(
+            {
+                "shard": [key[0]] * len(counters),
+                "key": list(counters.keys()),
+                "est": list(counters.values()),
+                "min_c": [min_c] * len(counters),
+                "n_shard": [n] * len(counters),
+            }
+        )
+
+    return (
+        events.select(
+            F.pmod(F.xxhash64(F.col(key_col).cast("string")), F.lit(nsh))
+            .cast("long")
+            .alias("_shard"),
+            F.col(key_col).cast("string").alias("_k"),
+        )
+        .groupBy("_shard")
+        .applyInPandasWithState(
+            _fold,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )

@@ -145,3 +145,165 @@ def test_ab_cuped_arm_hash_mixes_parity(spark):
     assert set(arms) == {0, 1}
     # roughly balanced (multiplicative high-bit mixing): no arm < 25%
     assert min(arms.values()) >= 50
+
+
+# ---------------------------------------------------------------- sketches
+
+
+def _skewed_tokens(spark, n=4000):
+    """Deterministic Zipf-ish key stream: key j appears ~n/2^j times."""
+    rows = []
+    i = 0
+    while i < n:
+        j = 0
+        x = i
+        while x % 2 == 1 and j < 10:
+            j += 1
+            x //= 2
+        rows.append((i, f"key{j}"))
+        i += 1
+    return spark.createDataFrame(rows, "rid long, k string")
+
+
+def test_kmv_merge_law(spark):
+    """Bottom-k sketch mergeability is a THEOREM: the k smallest hashes
+    of A ∪ B are contained in (k smallest of A) ∪ (k smallest of B), so
+    merging samples == rebuilding from scratch."""
+    from hiss_cube_spark.operators.quality_checks import kmv_samples
+
+    rows = [(f"g{i % 2}", f"item{i}") for i in range(700)] + [
+        ("g0", f"shared{i}") for i in range(150)
+    ] + [("g1", f"shared{i}") for i in range(150)]
+    df = spark.createDataFrame(rows, "g string, key string")
+    k = 64
+
+    per = kmv_samples(df, "g", "key", k=k).collect()
+    whole = kmv_samples(
+        df.withColumn("g", F.lit("all")), "g", "key", k=k
+    ).collect()
+
+    # driver-side merge of the two samples (k smallest of the union)
+    hs = sorted({r.h for r in per})[:k]
+    want = sorted(r.h for r in whole)
+    assert hs == want
+    # merged theta = k-th smallest of the union (both groups were in
+    # estimation mode here)
+    assert max(hs) == max(r.theta for r in whole if r.theta)
+
+
+def test_kmv_exact_mode_small_group(spark):
+    from hiss_cube_spark.operators.quality_checks import _KMV_U, kmv_samples
+
+    rows = [("tiny", f"x{i}") for i in range(10)]
+    df = spark.createDataFrame(rows, "g string, key string")
+    out = kmv_samples(df, "g", "key", k=64).collect()
+    assert len(out) == 10
+    assert all(r.theta == _KMV_U and r.nd == 10 for r in out)
+
+
+def test_spacesaving_guarantees_any_partitioning(spark):
+    """The three report booleans are theorems for ANY partitioning: run
+    the same data through 1, 3 and 11 partitions and assert the report
+    is IDENTICAL (deterministic heavy-key set + all-true booleans)."""
+    from hiss_cube_spark.operators.quality_checks import spacesaving_report
+
+    df = _skewed_tokens(spark)
+    outs = []
+    for p in (1, 3, 11):
+        rep = spacesaving_report(df.repartition(p, "rid"), "k", k=4)
+        outs.append(sorted(map(tuple, rep.collect())))
+    assert outs[0] == outs[1] == outs[2]
+    assert len(outs[0]) >= 1
+    for key, exact_n, found, over, within in outs[0]:
+        assert found and over and within
+
+
+def test_spacesaving_merge_is_overestimate(spark):
+    """Merged est ≥ exact for EVERY candidate (not only heavy ones) and
+    the discovery threshold keeps every truly-heavy key."""
+    from hiss_cube_spark.operators.quality_checks import (
+        spacesaving_merge,
+        spacesaving_summaries,
+    )
+
+    df = _skewed_tokens(spark).repartition(5, "rid")
+    k = 4
+    cand = {
+        r.k: r.est
+        for r in spacesaving_merge(
+            spacesaving_summaries(df, "k", k=k), k=k
+        ).collect()
+    }
+    exact = {r.k: r.n for r in df.groupBy("k").count()
+             .withColumnRenamed("count", "n").collect()}
+    n_total = sum(exact.values())
+    for key, est in cand.items():
+        assert est >= exact.get(key, 0)
+    for key, n in exact.items():
+        if n > n_total // k:
+            assert key in cand
+
+
+def test_streaming_spacesaving(spark, tmp_path_factory):
+    """Streaming SpaceSaving: counters persist across micro-batch runs
+    (checkpointed state), guarantees hold over the TOTAL stream seen."""
+    import os as _os
+
+    from hiss_cube_spark.streaming.stateful import streaming_spacesaving
+    from hiss_cube_spark.streaming.windows import stream_from_directory
+
+    src = str(tmp_path_factory.mktemp("ss_src"))
+    ckpt = str(tmp_path_factory.mktemp("ss_ckpt"))
+    snap = str(tmp_path_factory.mktemp("ss_snap"))
+
+    def _stage(rows):
+        spark.createDataFrame(rows, "rid long, k string").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+    def _run():
+        stream = stream_from_directory(
+            spark, src, spark.read.parquet(src).schema
+        )
+        agg = streaming_spacesaving(stream, key_col="k", k=4, shards=2)
+
+        def _emit(batch_df, batch_id):
+            batch_df.write.mode("overwrite").parquet(
+                _os.path.join(snap, "latest")
+            )
+
+        q = (
+            agg.writeStream.outputMode("update")
+            .foreachBatch(_emit)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {
+            r.key: (r.est, r.n_shard)
+            for r in spark.read.parquet(
+                _os.path.join(snap, "latest")
+            ).collect()
+        }
+
+    batch1 = [(i, f"key{i % 7}") for i in range(70)] + [
+        (1000 + i, "hot") for i in range(40)
+    ]
+    _stage(batch1)
+    first = _run()
+    assert "hot" in first and first["hot"][0] >= 40
+
+    # run 2: more of the hot key + new noise; state carries over
+    batch2 = [(2000 + i, "hot") for i in range(30)] + [
+        (3000 + i, f"noise{i % 5}") for i in range(20)
+    ]
+    _stage(batch2)
+    second = _run()
+    exact = {}
+    for _, key in batch1 + batch2:
+        exact[key] = exact.get(key, 0) + 1
+    n_total = sum(exact.values())
+    # overestimate + discovery for the global heavy key
+    assert second["hot"][0] >= exact["hot"]
+    assert second["hot"][0] - exact["hot"] <= n_total // 4

@@ -41,6 +41,15 @@ QUERIES = [
     "dq_quantile_sketch",
     "ab_cuped",
     "text_trigram_lm",
+    "dq_grouped_quantiles",
+    "dq_cm_sketch",
+    "dq_sketch_merge",
+    "stream_quantile_sketch",
+    "cur_token_weighted_quality",
+    "mm_crossmodal_dedup",
+    # round 10
+    "dq_theta_intersect",
+    "dq_topk_sketch",
 ]
 
 
