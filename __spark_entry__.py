@@ -10784,35 +10784,72 @@ def dq_theta_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`kmv_hash`), so the oracle REBUILDS the sketch bit-for-bit rather
     than trusting it; the exact intersection (the cur_source_overlap
     per-gram shape) rides along as the check-SF companion with the
-    measured err_pct. Scale shape: per-source sketches are ≤ k rows
-    (WindowGroupLimit top-k, partial before the shuffle); the pair join
-    runs on samples only — |sources|²·k worst case, never
-    |distinct grams|²."""
-    from hiss_cube_spark.operators.dedup import source_overlap_matrix
+    measured err_pct. Scale shape: ONE corpus scan — a pinned distinct
+    (source, md5-hash) cell table (domain-bounded, the
+    cur_source_overlap pin precedent) feeds BOTH the sketch
+    (pre_hashed=True) and the exact companion (per-hash collect_set,
+    C(s,2) pair rows bounded by the source count); per-source sketches
+    are ≤ k rows (WindowGroupLimit top-k) and the pair join runs on
+    samples only — |sources|²·k worst case, never |distinct grams|².
+    The 3-scan first cut measured 46x at 100x docs; this shape is one
+    gram-scan (the corpus-linear floor)."""
     from hiss_cube_spark.operators.quality_checks import (
         kmv_distinct_intersect,
+        kmv_hash,
     )
 
     d = _t(spark, sf_dir, "documents").where(
         F.size(F.split("text", " ")) >= 3
     )
-    grams = d.select(
-        "source",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(split(text, ' ')) - 2), "
-                "i -> concat_ws(' ', slice(split(text, ' '), i, 3)))"
-            )
-        ).alias("gram"),
+    # bind the token array in its own projection BEFORE the gram
+    # lambda: an inline split(text) inside the HOF re-tokenizes the doc
+    # once PER GRAM (O(len²) per doc — measured 100 -> 21 s at 100x)
+    grams = (
+        d.select("source", F.split("text", " ").alias("w"))
+        .select(
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(w) - 2), "
+                    "i -> concat_ws(' ', slice(w, i, 3)))"
+                )
+            ).alias("gram"),
+        )
     )
-    sk = kmv_distinct_intersect(grams, "source", "gram", k=256).select(
+    # distinct FIRST, md5 after: the sketch hash runs once per DISTINCT
+    # (source, gram), not once per gram instance — at 100x replicated
+    # docs that is 100x fewer md5 evaluations (measured 105 -> ~20 s)
+    cells = (
+        grams.distinct()
+        .select("source", kmv_hash("gram").alias("h"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sk = kmv_distinct_intersect(
+        cells, "source", "h", k=256, pre_hashed=True
+    ).select(
         F.col("group_a").alias("source_a"),
         F.col("group_b").alias("source_b"),
         "c",
         "est_inter",
     )
-    ex = source_overlap_matrix(d).select(
-        "source_a", "source_b", F.col("n_inter").alias("exact_inter")
+    ex = (
+        cells.groupBy("h")
+        .agg(F.sort_array(F.collect_set("source")).alias("srcs"))
+        .where(F.size("srcs") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(srcs, (a, i) -> "
+                    "transform(slice(srcs, i + 2, size(srcs)), "
+                    "b -> struct(a, b))))"
+                )
+            ).alias("p")
+        )
+        .groupBy(
+            F.col("p.a").alias("source_a"), F.col("p.b").alias("source_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_inter"))
     )
     return ex.join(sk, ["source_a", "source_b"], "left").select(
         "source_a", "source_b",
@@ -10823,6 +10860,96 @@ def dq_theta_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.coalesce("est_inter", F.lit(0)) - F.col("exact_inter"))
             * F.lit(100.0)
             / F.greatest("exact_inter", F.lit(1))
+        ).alias("err_pct"),
+    )
+
+
+@_q(
+    "dq_kmv_distinct",
+    """
+    WITH d AS (SELECT source, string_split(text, ' ') AS w FROM documents
+               WHERE len(string_split(text, ' ')) >= 3),
+    sh AS (
+      SELECT DISTINCT source, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram
+      FROM d, unnest(generate_series(1, len(w) - 2)) t(i)),
+    hx AS (SELECT DISTINCT source,
+                  CAST(concat('0x', substr(md5(gram), 1, 15)) AS BIGINT) AS h
+           FROM sh),
+    rs AS (SELECT source, h,
+                  row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+           FROM hx),
+    smp AS (SELECT source, h FROM rs WHERE rn <= 256),
+    st AS (SELECT source, max(h) AS kth, count(*) AS cnt FROM smp GROUP BY 1),
+    es AS (SELECT source,
+                  CASE WHEN cnt < 256 THEN cnt ELSE
+                    CAST((255::HUGEINT * 1152921504606846976
+                          - (255::HUGEINT * 1152921504606846976) % kth)
+                         // kth AS BIGINT) END AS est_distinct
+           FROM st),
+    ex AS (SELECT source, count(*) AS exact_distinct FROM sh GROUP BY 1)
+    SELECT ex.source, CAST(exact_distinct AS BIGINT) AS exact_distinct,
+           CAST(est_distinct AS BIGINT) AS est_distinct,
+           round(abs(est_distinct - exact_distinct) * 100.0
+                 / greatest(exact_distinct, 1), 6) AS err_pct
+    FROM ex JOIN es USING (source)
+    """,
+)
+def dq_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinct 3-gram cardinality from the KMV sketch
+    (`quality_checks.kmv_distinct_count`) — the count-distinct leg of
+    the sketch stack (quantiles: logbucket; known-key counts: count-min;
+    key discovery: SpaceSaving; intersection: theta; cardinality: this).
+    n̂ = (k−1)·U DIV theta with the portable md5-prefix hash, so the
+    oracle REBUILDS the estimator exactly; the exact distinct count and
+    measured err_pct ride along as the check-SF companions. ONE corpus
+    scan: the pinned distinct (source, hash) cell table feeds the
+    sketch (pre_hashed=True) AND the exact count."""
+    from hiss_cube_spark.operators.quality_checks import (
+        kmv_distinct_count,
+        kmv_hash,
+    )
+
+    d = _t(spark, sf_dir, "documents").where(
+        F.size(F.split("text", " ")) >= 3
+    )
+    # bind the token array in its own projection BEFORE the gram
+    # lambda: an inline split(text) inside the HOF re-tokenizes the doc
+    # once PER GRAM (O(len²) per doc — measured 100 -> 21 s at 100x)
+    grams = (
+        d.select("source", F.split("text", " ").alias("w"))
+        .select(
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(w) - 2), "
+                    "i -> concat_ws(' ', slice(w, i, 3)))"
+                )
+            ).alias("gram"),
+        )
+    )
+    # distinct FIRST, md5 after: the sketch hash runs once per DISTINCT
+    # (source, gram), not once per gram instance — at 100x replicated
+    # docs that is 100x fewer md5 evaluations (measured 105 -> ~20 s)
+    cells = (
+        grams.distinct()
+        .select("source", kmv_hash("gram").alias("h"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    est = kmv_distinct_count(cells, "source", "h", k=256, pre_hashed=True)
+    ex = cells.groupBy("source").agg(
+        F.count(F.lit(1)).alias("exact_distinct")
+    )
+    return ex.join(
+        est.withColumnRenamed("g", "source"), "source"
+    ).select(
+        "source",
+        F.col("exact_distinct").cast("long").alias("exact_distinct"),
+        F.col("est_distinct").cast("long").alias("est_distinct"),
+        _r6(
+            F.abs(F.col("est_distinct") - F.col("exact_distinct"))
+            * F.lit(100.0)
+            / F.greatest("exact_distinct", F.lit(1))
         ).alias("err_pct"),
     )
 
@@ -10897,12 +11024,12 @@ _CHECK_PRIORITY = [
     # at slots 51-53 of the r9 window (all locally parity-green).
     "ts_dtw_banded", "ab_cuped",
     "ts_dtw_distance", "dq_histogram", "emb_kmeans_cosine",
-    # the two NEW r10 queries (never driver-checked)
-    "dq_theta_intersect", "dq_topk_sketch",
+    # the three NEW r10 queries (never driver-checked)
+    "dq_theta_intersect", "dq_topk_sketch", "dq_kmv_distinct",
     # the r5-era cohort (latest driver row round 5) in definition
-    # order — 41 of 48 fit this window (2 slots are held by the two
+    # order — 40 of 48 fit this window (3 slots are held by the three
     # NEW r10 queries inserted above, keeping zero-never-checked);
-    # the last 7 lead the r11 window
+    # the last 8 lead the r11 window
     "j2_crossmatch", "a1_ivw_mean", "j1_theta_lookup", "j4_left_join",
     "j6_target_grouping", "a1_light_curve", "j7_first_in_group",
     "p7_completeness", "f5_time_to_mjd", "o3_cap_refs", "dedup_exact",
@@ -10915,12 +11042,12 @@ _CHECK_PRIORITY = [
     "emb_dbscan_blocked", "text_compression_ratio", "mm_audio_neardup",
     "mm_image_pipeline", "mm_jpeg_pipeline", "mm_phash_neardup",
     "q15_top_supplier", "q11_important_stock", "q12_priority_class",
-    "q13_order_count_distribution",
-    # ---- slot 50 ends at q13_order_count_distribution; slots 51+ lead
-    # the r11 round-robin: the 7 remaining r5-era queries, then the r6
-    # cohort in definition order ----
-    "q17_small_quantity_revenue", "q21_lone_returned_supplier",
-    "q22_no_order_customers", "q16_supplier_cnt", "q20_excess_suppliers",
+    # ---- slot 50 ends at q12_priority_class; slots 51+ lead the r11
+    # round-robin: the 8 remaining r5-era queries, then the r6 cohort
+    # in definition order ----
+    "q13_order_count_distribution", "q17_small_quantity_revenue",
+    "q21_lone_returned_supplier", "q22_no_order_customers",
+    "q16_supplier_cnt", "q20_excess_suppliers",
     "stream_ann_refresh", "text_bpe_tokens",
 ]
 

@@ -124,6 +124,7 @@ HEADLINE = [
     # round-10 additions
     "dq_theta_intersect",
     "dq_topk_sketch",
+    "dq_kmv_distinct",
 ]
 
 # Environment-drift sentinel: per-query ratchets are expressed relative to
@@ -178,7 +179,15 @@ def main() -> None:
     median_vs_prev = None
     try:
         with open(side_path) as fh:
-            prev = json.load(fh).get("queries", {})
+            prev_rec = json.load(fh)
+        # only comparable when the previous run used the SAME scale
+        # factor (the regress gate runs this bench at sf0.01; comparing
+        # that against an sf0.1 run would report a meaningless 10x)
+        prev = (
+            prev_rec.get("queries", {})
+            if prev_rec.get("sf") == sf
+            else {}
+        )
         ratios = sorted(
             timings[n] / prev[n]
             for n in timings

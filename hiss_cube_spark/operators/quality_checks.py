@@ -28,6 +28,7 @@ __all__ = [
     "cm_heavy_hitters_report",
     "kmv_hash",
     "kmv_samples",
+    "kmv_distinct_count",
     "kmv_distinct_intersect",
     "spacesaving_summaries",
     "spacesaving_merge",
@@ -610,7 +611,11 @@ def kmv_hash(col: str) -> "F.Column":
 
 
 def kmv_samples(
-    df: DataFrame, group_col: str, key_col: str, k: int = 256
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    k: int = 256,
+    pre_hashed: bool = False,
 ) -> DataFrame:
     """Per-group KMV / bottom-k (theta) DISTINCT sketch: the ``k``
     smallest :func:`kmv_hash` values of the group's distinct keys, plus
@@ -637,13 +642,17 @@ def kmv_samples(
     distinct domain). Output: (g, h, theta, nd) — nd the group's
     distinct count ONLY when exact-mode (≤ k), else null (a sketch
     must not smuggle exact global counts).
+
+    ``pre_hashed``: the key column already IS a kmv_hash value (the
+    single-scan pattern — callers pin ONE distinct (group, h) cell
+    table and feed it to the sketch AND to exact companions, so the
+    corpus is read once however many legs consume it).
     """
     from pyspark.sql import Window
 
+    key = F.col(key_col) if pre_hashed else kmv_hash(key_col)
     cells = (
-        df.select(
-            F.col(group_col).alias("g"), kmv_hash(key_col).alias("h")
-        )
+        df.select(F.col(group_col).alias("g"), key.alias("h"))
         .distinct()
     )
     w = Window.partitionBy("g").orderBy("h")
@@ -675,8 +684,46 @@ def kmv_samples(
     ).select("g", "h", "theta", "nd")
 
 
+def kmv_distinct_count(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    k: int = 256,
+    pre_hashed: bool = False,
+) -> DataFrame:
+    """Per-group distinct-count estimate from the KMV sketch — the
+    cardinality leg of the sketch stack (count-distinct without holding
+    the distinct domain): in estimation mode the k-th smallest of a
+    uniform 60-bit hash sits at ≈ k/n of the domain, so
+    n̂ = (k−1)·U DIV theta (the unbiased KMV estimator, Beyer et al.
+    2007); in exact mode (group held ≤ k distinct keys, theta = U) the
+    sketch IS the distinct set and n̂ = nd exactly.
+
+    Integer arithmetic end-to-end ((k−1)·U in DECIMAL(38,0), positive
+    floor division) — an oracle with md5 rebuilds the estimate
+    bit-for-bit. Scale shape: everything after kmv_samples runs on
+    ≤ k rows per group. Output: (g, est_distinct).
+    """
+    s = kmv_samples(df, group_col, key_col, k, pre_hashed=pre_hashed)
+    per = s.groupBy("g").agg(
+        F.min("theta").alias("theta"), F.min("nd").alias("nd")
+    )
+    est = F.when(F.col("nd").isNotNull(), F.col("nd")).otherwise(
+        F.expr(
+            f"cast((cast({int(k) - 1} as decimal(38,0)) * {_KMV_U} "
+            f" - (cast({int(k) - 1} as decimal(38,0)) * {_KMV_U}) % theta) "
+            f" / theta as bigint)"
+        )
+    )
+    return per.select("g", est.cast("long").alias("est_distinct"))
+
+
 def kmv_distinct_intersect(
-    df: DataFrame, group_col: str, key_col: str, k: int = 256
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    k: int = 256,
+    pre_hashed: bool = False,
 ) -> DataFrame:
     """Distinct-intersection estimate for every group pair from KMV
     sketches — "how many distinct keys do sources A and B share"
@@ -697,7 +744,7 @@ def kmv_distinct_intersect(
     1/sqrt(k) error is probabilistic, not a theorem; the repo pattern
     is to emit the measured error next to the estimate).
     """
-    s = kmv_samples(df, group_col, key_col, k)
+    s = kmv_samples(df, group_col, key_col, k, pre_hashed=pre_hashed)
     a = s.select(
         F.col("g").alias("group_a"), "h",
         F.col("theta").alias("_ta"),

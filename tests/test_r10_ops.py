@@ -307,3 +307,18 @@ def test_streaming_spacesaving(spark, tmp_path_factory):
     # overestimate + discovery for the global heavy key
     assert second["hot"][0] >= exact["hot"]
     assert second["hot"][0] - exact["hot"] <= n_total // 4
+
+
+def test_kmv_distinct_count_modes(spark):
+    """Exact mode returns the true distinct count; estimation mode on a
+    5k-distinct group lands within the k=256 error regime (~1/sqrt(k))."""
+    from hiss_cube_spark.operators.quality_checks import kmv_distinct_count
+
+    rows = [("big", f"item{i}") for i in range(5000)] + [
+        ("small", f"s{i}") for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "g string, key string")
+    out = {r.g: r.est_distinct for r in
+           kmv_distinct_count(df, "g", "key", k=256).collect()}
+    assert out["small"] == 40
+    assert abs(out["big"] - 5000) / 5000 < 0.25

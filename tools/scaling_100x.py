@@ -50,6 +50,7 @@ QUERIES = [
     # round 10
     "dq_theta_intersect",
     "dq_topk_sketch",
+    "dq_kmv_distinct",
 ]
 
 
