@@ -10996,6 +10996,272 @@ def dq_topk_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "dq_k_anonymity",
+    """
+    WITH c AS (SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS nat,
+                      c_mktsegment AS seg,
+                      CAST(round(c_acctbal * 100) AS BIGINT) AS cents,
+                      CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END AS sens
+               FROM customer),
+    b AS (SELECT c_custkey, nat, seg,
+                 (cents - ((cents % 100000 + 100000) % 100000)) // 100000
+                   AS bb,
+                 sens
+          FROM c),
+    l0 AS (SELECT nat, seg, bb, count(*) AS n, count(DISTINCT sens) AS ld
+           FROM b GROUP BY 1, 2, 3),
+    l1 AS (SELECT nat, seg, count(*) AS n, count(DISTINCT sens) AS ld
+           FROM b GROUP BY 1, 2),
+    l2 AS (SELECT nat, count(*) AS n, count(DISTINCT sens) AS ld
+           FROM b GROUP BY 1),
+    l3 AS (SELECT count(*) AS n, count(DISTINCT sens) AS ld FROM b)
+    SELECT b.c_custkey, b.nat, b.seg, CAST(b.bb AS BIGINT) AS bb,
+           CAST(CASE WHEN l0.n >= 8 THEN 0 WHEN l1.n >= 8 THEN 1
+                     WHEN l2.n >= 8 THEN 2 ELSE 3 END AS BIGINT)
+             AS anon_level,
+           CAST(CASE WHEN l0.n >= 8 THEN l0.n WHEN l1.n >= 8 THEN l1.n
+                     WHEN l2.n >= 8 THEN l2.n ELSE l3.n END AS BIGINT)
+             AS group_n,
+           CAST(CASE WHEN l0.n >= 8 THEN l0.ld WHEN l1.n >= 8 THEN l1.ld
+                     WHEN l2.n >= 8 THEN l2.ld ELSE l3.ld END AS BIGINT)
+             AS l_div,
+           (CASE WHEN l0.n >= 8 THEN l0.ld WHEN l1.n >= 8 THEN l1.ld
+                 WHEN l2.n >= 8 THEN l2.ld ELSE l3.ld END) >= 2 AS l_ok
+    FROM b JOIN l0 USING (nat, seg, bb) JOIN l1 USING (nat, seg)
+           JOIN l2 USING (nat) CROSS JOIN l3
+    """,
+)
+def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Release-governance check: local-recoding k-anonymity (k=8) over
+    the quasi-identifier hierarchy (nation, segment, $1000-balance
+    bucket) with a binary-sensitive l-diversity (l=2, "is in debt")
+    check at the chosen level (`operators/privacy.k_anonymity_ladder`)
+    — the audit a training-data platform runs before releasing
+    user-derived tables. Each record reports the SMALLEST generalization
+    level whose group reaches k, that group's size, and its sensitive
+    diversity. Integer discipline: balance buckets via exact posmod
+    floor-division on cents. Scale shape: one rollup aggregate (cell
+    table bounded by the quasi-cell count, map-side combining) + 4
+    broadcast joins — no fact self-join, no fact-wide window."""
+    from hiss_cube_spark.operators.privacy import k_anonymity_ladder
+
+    c = (
+        _t(spark, sf_dir, "customer")
+        .select(
+            "c_custkey",
+            F.col("c_nationkey").cast("long").alias("nat"),
+            F.col("c_mktsegment").alias("seg"),
+            F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+            (F.col("c_acctbal") < 0).cast("int").alias("sens"),
+        )
+        .withColumn(
+            "bb",
+            F.expr(
+                "(cents - ((cents % 100000 + 100000) % 100000)) DIV 100000"
+            ),
+        )
+    )
+    out = k_anonymity_ladder(c, ["nat", "seg", "bb"], "sens", k=8, l=2)
+    return out.select(
+        "c_custkey", "nat", "seg", "bb",
+        "anon_level", "group_n", "l_div", "l_ok",
+    )
+
+
+@_q(
+    "ab_srm",
+    """
+    WITH per AS (
+      SELECT DISTINCT event_type AS segment, user_id AS u FROM events),
+    a AS (
+      SELECT segment,
+             CAST(sum(CASE WHEN ((u * 2654435761) // 2147483648) % 2 = 0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(sum(CASE WHEN ((u * 2654435761) // 2147483648) % 2 = 1
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+      FROM per GROUP BY 1)
+    SELECT segment, n_a, n_b,
+           CAST(((n_a - n_b)::HUGEINT * (n_a - n_b) * 1000000)
+                // (n_a + n_b) AS BIGINT) AS chi2_q,
+           CAST(((n_a - n_b)::HUGEINT * (n_a - n_b) * 1000000)
+                // (n_a + n_b) AS BIGINT) > 3841459 AS srm
+    FROM a
+    """,
+)
+def ab_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch guard (`operators/experiments.ab_srm`): per
+    event-type segment, distinct users per arm (the same bit-31
+    multiplicative hash as `ab_cuped`) and the 1-dof chi-square against
+    the designed 50/50 split, quantized at 1e-6 in DECIMAL(38,0) — the
+    check that voids an experiment readout when assignment or logging is
+    biased. One (segment, user) distinct + one segment aggregate; no
+    joins, no windows."""
+    from hiss_cube_spark.operators.experiments import ab_srm as _srm
+
+    return _srm(_events(spark, sf_dir))
+
+
+@_q(
+    "er_golden_record",
+    f"""
+    WITH RECURSIVE pairs AS ({_SQL_SHINGLE_JACCARD}),
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+              UNION SELECT doc_b AS a, doc_a AS b FROM pairs),
+    reach(node, label) AS (
+      SELECT DISTINCT a, a FROM edges
+      UNION
+      SELECT e.b, r.label FROM reach r JOIN edges e ON e.a = r.node),
+    cc AS (SELECT node, min(label) AS cluster_id FROM reach GROUP BY node),
+    m AS (SELECT cc.cluster_id, cc.node, d.lang, d.source, d.n_chars
+          FROM cc JOIN documents d ON d.doc_id = cc.node),
+    canon AS (SELECT cluster_id, node AS canonical_doc_id FROM (
+        SELECT cluster_id, node,
+               row_number() OVER (PARTITION BY cluster_id
+                                  ORDER BY n_chars DESC, node) AS rn
+        FROM m) WHERE rn = 1),
+    lm AS (SELECT cluster_id, lang FROM (
+        SELECT cluster_id, lang,
+               row_number() OVER (PARTITION BY cluster_id
+                                  ORDER BY count(*) DESC, lang) AS rn
+        FROM m GROUP BY cluster_id, lang) WHERE rn = 1),
+    sm AS (SELECT cluster_id, source FROM (
+        SELECT cluster_id, source,
+               row_number() OVER (PARTITION BY cluster_id
+                                  ORDER BY count(*) DESC, source) AS rn
+        FROM m GROUP BY cluster_id, source) WHERE rn = 1),
+    ag AS (SELECT cluster_id, CAST(max(n_chars) AS BIGINT) AS max_n_chars,
+                  CAST(count(*) AS BIGINT) AS n_members
+           FROM m GROUP BY 1)
+    SELECT ag.cluster_id, canon.canonical_doc_id, lm.lang, sm.source,
+           ag.max_n_chars, ag.n_members
+    FROM ag JOIN canon USING (cluster_id) JOIN lm USING (cluster_id)
+            JOIN sm USING (cluster_id)
+    """,
+)
+def er_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution survivorship (`operators/clusters.golden_records`):
+    near-dup clusters (exact-Jaccard pairs ≥ 0.8 → connected components)
+    fused into ONE golden record per cluster, field by field — canonical
+    id from the longest member (n_chars max, ties → smallest id), lang
+    and source by cluster mode (ties → lexicographically smallest),
+    max_n_chars and member count riding along. The step after
+    `dedup_clusters` decides keep/drop; this one decides WHAT the kept
+    record says. All fusion aggregates run on the matched member set
+    only (bounded by duplicate volume), never the full corpus."""
+    from hiss_cube_spark.operators.clusters import golden_records
+    from hiss_cube_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents").where(
+        F.size(F.split("text", " ")) >= 3
+    )
+    pairs = ngram_jaccard_pairs(d, threshold=0.8, n=3, prefix_filter=True)
+    out = golden_records(
+        d,
+        pairs,
+        id_col="doc_id",
+        canon_col="n_chars",
+        mode_cols=("lang", "source"),
+        max_cols=("n_chars",),
+    )
+    return out.select(
+        "cluster_id", "canonical_doc_id", "lang", "source",
+        F.col("max_n_chars").cast("long").alias("max_n_chars"),
+        "n_members",
+    )
+
+
+@_q(
+    "cur_dp_clip",
+    """
+    WITH per AS (
+      SELECT event_type, user_id,
+             count(*) AS n,
+             CAST(sum(CAST(round(value * 100) AS DECIMAL(18,0))) AS BIGINT)
+               AS v
+      FROM events GROUP BY 1, 2)
+    SELECT event_type,
+           CAST(sum(n) AS BIGINT) AS raw_count,
+           CAST(sum(least(n, 4)) AS BIGINT) AS clipped_count,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(CASE WHEN n > 4 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_count_clipped,
+           CAST(sum(v) AS BIGINT) AS raw_cents,
+           CAST(sum(greatest(-50000, least(v, 50000))) AS BIGINT)
+             AS clipped_cents,
+           CAST(sum(CASE WHEN abs(v) > 50000 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_value_clipped,
+           CAST(4 AS BIGINT) AS count_sensitivity,
+           CAST(50000 AS BIGINT) AS value_sensitivity
+    FROM per GROUP BY 1
+    """,
+)
+def cur_dp_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differential-privacy release prep
+    (`operators/privacy.bounded_contribution`): per event-type, every
+    user's contribution is clipped — event count at 4, cents sum at
+    ±$500 — so the released aggregates have bounded L1 sensitivity (the
+    quantity Laplace noise would be calibrated to; noise itself is left
+    to the release layer because it is nondeterministic). Emits clipped
+    vs raw sums and the clip-rate diagnostics. Two-level aggregate: one
+    (group, user) map-side-combining pass over events, one group pass
+    over the bounded per-user table."""
+    from hiss_cube_spark.operators.privacy import bounded_contribution
+
+    return bounded_contribution(
+        _events(spark, sf_dir),
+        user_col="user_id",
+        group_col="event_type",
+        count_cap=4,
+        value_col="value",
+        value_cap_cents=50_000,
+    )
+
+
+@_q(
+    "graph_label_propagation",
+    f"""
+    WITH pairs AS ({_SQL_SHINGLE_JACCARD}),
+    und AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+            UNION SELECT doc_b AS a, doc_a AS b FROM pairs),
+    l0 AS (SELECT DISTINCT a AS node, a AS label FROM und),
+    c1 AS (SELECT u.a AS node, l.label, count(*) AS n
+           FROM und u JOIN l0 l ON l.node = u.b GROUP BY 1, 2),
+    l1 AS (SELECT node, label FROM (
+            SELECT node, label,
+                   row_number() OVER (PARTITION BY node
+                                      ORDER BY n DESC, label) AS rn
+            FROM c1) WHERE rn = 1),
+    c2 AS (SELECT u.a AS node, l.label, count(*) AS n
+           FROM und u JOIN l1 l ON l.node = u.b GROUP BY 1, 2),
+    l2 AS (SELECT node, label FROM (
+            SELECT node, label,
+                   row_number() OVER (PARTITION BY node
+                                      ORDER BY n DESC, label) AS rn
+            FROM c2) WHERE rn = 1)
+    SELECT node, label AS community FROM l2
+    """,
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection on the near-dup similarity graph
+    (`operators/graph.label_propagation`): synchronous label propagation,
+    2 rounds, neighbor-mode labels with smallest-label tie-break — the
+    deterministic variant of Raghavan et al.'s LPA. Run on the SAME
+    exact-Jaccard pair graph as `dedup_clusters`, it is the finer lens:
+    connected components merge everything reachable, LPA keeps weakly
+    bridged cliques apart. Per round: one edge⋈label shuffle join + one
+    bounded (node, label) count + an argmax window; the oracle unrolls
+    the two rounds as CTEs (the `graph_pagerank` precedent)."""
+    from hiss_cube_spark.operators.dedup import ngram_jaccard_pairs
+    from hiss_cube_spark.operators.graph import label_propagation
+
+    d = _t(spark, sf_dir, "documents").where(
+        F.size(F.split("text", " ")) >= 3
+    )
+    pairs = ngram_jaccard_pairs(d, threshold=0.8, n=3, prefix_filter=True)
+    return label_propagation(pairs, src_col="doc_a", dst_col="doc_b")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return flagship_ml_cube(spark, "/root/testdata/sf0.001")
@@ -11043,8 +11309,12 @@ _CHECK_PRIORITY = [
     "mm_image_pipeline", "mm_jpeg_pipeline", "mm_phash_neardup",
     "q15_top_supplier", "q11_important_stock", "q12_priority_class",
     # ---- slot 50 ends at q12_priority_class; slots 51+ lead the r11
-    # round-robin: the 8 remaining r5-era queries, then the r6 cohort
-    # in definition order ----
+    # round-robin: first the four queries ADDED in r10 after the window
+    # froze (never driver-checked — the staleness invariant puts them
+    # ahead of rotation), then the 8 remaining r5-era queries, then the
+    # r6 cohort in definition order ----
+    "dq_k_anonymity", "ab_srm", "er_golden_record", "cur_dp_clip",
+    "graph_label_propagation",
     "q13_order_count_distribution", "q17_small_quantity_revenue",
     "q21_lone_returned_supplier", "q22_no_order_customers",
     "q16_supplier_cnt", "q20_excess_suppliers",

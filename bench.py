@@ -125,6 +125,11 @@ HEADLINE = [
     "dq_theta_intersect",
     "dq_topk_sketch",
     "dq_kmv_distinct",
+    "dq_k_anonymity",
+    "ab_srm",
+    "er_golden_record",
+    "cur_dp_clip",
+    "graph_label_propagation",
 ]
 
 # Environment-drift sentinel: per-query ratchets are expressed relative to

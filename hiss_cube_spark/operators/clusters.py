@@ -27,7 +27,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["connected_components", "resolve_duplicates", "resolve_duplicates_best"]
+__all__ = [
+    "connected_components",
+    "resolve_duplicates",
+    "resolve_duplicates_best",
+    "golden_records",
+]
 
 
 def connected_components(
@@ -138,3 +143,76 @@ def resolve_duplicates_best(
         .select(F.col("node").alias(id_col))
     )
     return df.join(losers, id_col, "left_anti")
+
+
+def golden_records(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    canon_col: str | None = None,
+    mode_cols: tuple[str, ...] = (),
+    max_cols: tuple[str, ...] = (),
+    src: str = "doc_a",
+    dst: str = "doc_b",
+) -> DataFrame:
+    """Entity-resolution survivorship: fuse each duplicate cluster into one
+    golden record, field by field.
+
+    After matching (pairs) and clustering (connected components), the last
+    ER step picks the surviving value PER FIELD rather than per record —
+    the canonical id comes from the ``canon_col``-max member (ties →
+    smallest id), categorical fields take their cluster-modal value (ties →
+    lexicographically smallest, so the fusion is deterministic), and
+    numeric fields take the cluster max. Singleton records need no fusion
+    and are not emitted; union them back if a full golden table is wanted.
+
+    Scale shape: the cluster map covers only matched nodes, so every
+    aggregate below runs on the (small) member set, never the full ``df``;
+    one member join + one groupBy per fusion rule, each shuffling on
+    ``cluster_id`` (bounded by duplicate volume). No window over ``df``,
+    no all-pairs work beyond what ``pairs`` already paid.
+
+    Returns one row per multi-member cluster: ``cluster_id``,
+    ``canonical_<id_col>``, the fused ``mode_cols`` / ``max_cols`` (names
+    preserved, max cols prefixed ``max_``), and ``n_members``.
+    """
+    from pyspark.sql.window import Window
+
+    cc = connected_components(pairs, src=src, dst=dst)
+    need = {id_col, *mode_cols, *max_cols}
+    if canon_col:
+        need.add(canon_col)
+    members = cc.join(
+        df.select(*[F.col(c).alias("node" if c == id_col else c) for c in need]),
+        "node",
+    ).localCheckpoint(eager=False)
+
+    agg = [F.count(F.lit(1)).cast("long").alias("n_members")] + [
+        F.max(c).alias(f"max_{c}") for c in max_cols
+    ]
+    out = members.groupBy("cluster_id").agg(*agg)
+
+    if canon_col:
+        wc = Window.partitionBy("cluster_id").orderBy(
+            F.desc(canon_col), F.asc("node")
+        )
+        canon = (
+            members.withColumn("_rn", F.row_number().over(wc))
+            .where(F.col("_rn") == 1)
+            .select("cluster_id", F.col("node").alias(f"canonical_{id_col}"))
+        )
+        out = out.join(canon, "cluster_id")
+
+    for c in mode_cols:
+        wm = Window.partitionBy("cluster_id").orderBy(
+            F.desc("_n"), F.asc(c)
+        )
+        mode = (
+            members.groupBy("cluster_id", c)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .withColumn("_rn", F.row_number().over(wm))
+            .where(F.col("_rn") == 1)
+            .select("cluster_id", c)
+        )
+        out = out.join(mode, "cluster_id")
+    return out

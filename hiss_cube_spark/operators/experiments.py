@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["ab_cuped"]
+__all__ = ["ab_cuped", "ab_srm"]
 
 
 def ab_cuped(
@@ -138,6 +138,63 @@ def ab_cuped(
         _fm("_sa", "n_users").alias("mean_adj_q"),
         "theta_q",
     )
+
+
+def ab_srm(
+    df: DataFrame,
+    user_col: str = "user_id",
+    segment_col: str = "event_type",
+    arm_mult: int = 2_654_435_761,
+    chi2_crit_q: int = 3_841_459,
+) -> DataFrame:
+    """Sample-ratio-mismatch guard: the sanity check that runs BEFORE any
+    A/B readout is trusted. Users are assigned arms by the same high-bit
+    multiplicative hash as :func:`ab_cuped`; per segment, the distinct-user
+    counts per arm feed the 1-dof chi-square against the designed 50/50
+    split — chi2 = (n_a − n_b)² / (n_a + n_b). A triggered SRM (chi2 above
+    the 95th-percentile critical value 3.841459) means the assignment or
+    logging pipeline is biased and the experiment readout is void (Fabijan
+    et al., "Diagnosing Sample Ratio Mismatch", KDD'19).
+
+    Integer discipline: chi2 is quantized at 1e-6 by an exact DECIMAL(38,0)
+    floor division (the squared numerator overflows int64 past ~3e6 users
+    per segment), so the statistic is a BIGINT, bit-identical across
+    engines. Scale shape: one distinct over (segment, user) — map-side
+    combining on exactly the natural key — then a segment-count aggregate;
+    the chi-square itself is per-segment scalar arithmetic. No windows, no
+    joins.
+    """
+    per = (
+        df.select(
+            F.col(segment_col).alias("segment"), F.col(user_col).alias("u")
+        )
+        .distinct()
+        .withColumn(
+            "arm",
+            F.expr(f"pmod((u * {int(arm_mult)}) DIV 2147483648, 2)"),
+        )
+        .groupBy("segment")
+        .agg(
+            F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_a"),
+            F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_b"),
+        )
+    )
+    # floor((n_a-n_b)^2 * 1e6 / (n_a+n_b)): numerator >= 0 and den > 0, so
+    # plain % is already the posmod and subtract-remainder-then-divide is
+    # exact (no decimal rounding can occur on an exactly-divisible value)
+    return per.select(
+        "segment", "n_a", "n_b",
+        F.expr(
+            "CAST((CAST(n_a - n_b AS DECIMAL(38,0)) * (n_a - n_b) * 1000000"
+            " - (CAST(n_a - n_b AS DECIMAL(38,0)) * (n_a - n_b) * 1000000)"
+            "   % (n_a + n_b))"
+            " / (n_a + n_b) AS BIGINT)"
+        ).alias("chi2_q"),
+    ).withColumn("srm", F.col("chi2_q") > F.lit(int(chi2_crit_q)))
 
 
 from hiss_cube_spark._serde import register_self as _register_self  # noqa: E402

@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank", "triangle_count", "bfs_hops"]
+__all__ = ["pagerank", "triangle_count", "bfs_hops", "label_propagation"]
 
 
 def pagerank(
@@ -199,3 +199,54 @@ def bfs_hops(
         dist = dist.unionByName(new)
         frontier = new.select("node")
     return dist
+
+
+def label_propagation(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iterations: int = 2,
+) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan et al.
+    2007), fully deterministic: labels start as node ids; each round every
+    node takes the MODE of its neighbors' previous-round labels over the
+    undirected graph, ties broken by the smallest label. A fixed iteration
+    count with synchronous updates (instead of the paper's randomized
+    asynchronous sweep) keeps the result engine-independent — the oracle
+    unrolls the same rounds as CTEs, the `pagerank` precedent.
+
+    Scale shape per round: one shuffle join (edges ⋈ labels on the
+    neighbor key), one map-side-combining (node, label) count, one
+    per-node argmax window over that bounded count table — the same
+    per-round cost envelope as `connected_components`, with the same
+    eager localCheckpoint lineage cut per round.
+
+    Returns ``(node, community)``.
+    """
+    from pyspark.sql.window import Window
+
+    und = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .union(
+            edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b"))
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = und.select(F.col("a").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    w = Window.partitionBy("node").orderBy(F.desc("_n"), F.asc("label"))
+    for _ in range(iterations):
+        labels = (
+            und.join(labels.withColumnRenamed("node", "b"), "b")
+            .select(F.col("a").alias("node"), "label")
+            .groupBy("node", "label")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select("node", "label")
+            .localCheckpoint(eager=True)
+        )
+    return labels.select("node", F.col("label").alias("community"))

@@ -322,3 +322,122 @@ def test_kmv_distinct_count_modes(spark):
            kmv_distinct_count(df, "g", "key", k=256).collect()}
     assert out["small"] == 40
     assert abs(out["big"] - 5000) / 5000 < 0.25
+
+
+def test_k_anonymity_ladder_levels(spark):
+    """Ladder picks the SMALLEST level whose group reaches k; l-diversity
+    is evaluated at the chosen level."""
+    from hiss_cube_spark.operators.privacy import k_anonymity_ladder
+
+    rows = (
+        # (a=1, b='x'): 5 rows, sensitive homogeneous -> level 0, l_div 1
+        [(i, 1, "x", 0) for i in range(5)]
+        # (a=1, b='y'): 2 rows -> generalizes to a=1 (n=7), mixed sens
+        + [(10, 1, "y", 0), (11, 1, "y", 1)]
+        # (a=2, b='x'): 1 row -> a=2 has n=1 -> global (n=8)
+        + [(20, 2, "x", 1)]
+    )
+    df = spark.createDataFrame(rows, "id long, a long, b string, s int")
+    out = {
+        r.id: (r.anon_level, r.group_n, r.l_div, r.l_ok)
+        for r in k_anonymity_ladder(df, ["a", "b"], "s", k=4, l=2).collect()
+    }
+    assert len(out) == 8
+    assert out[0] == (0, 5, 1, False)  # big cell, but sens-homogeneous
+    assert out[10] == (1, 7, 2, True)  # small cell -> level 1 group
+    assert out[11] == (1, 7, 2, True)
+    assert out[20] == (2, 8, 2, True)  # nothing below global reaches k
+
+
+def test_ab_srm_detects_biased_assignment(spark):
+    """A segment missing one arm's users entirely must flag SRM; a
+    balanced segment must not."""
+    from hiss_cube_spark.operators.experiments import ab_srm
+
+    arm = lambda u: ((u * 2654435761) >> 31) & 1
+    users = list(range(1, 201))
+    rows = [(u, "ok") for u in users] + [
+        (u, "biased") for u in users if arm(u) == 0
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string")
+    out = {r.segment: r for r in ab_srm(df).collect()}
+    n0 = sum(1 for u in users if arm(u) == 0)
+    assert (out["ok"].n_a, out["ok"].n_b) == (n0, 200 - n0)
+    assert not out["ok"].srm
+    assert out["biased"].n_b == 0 and out["biased"].srm
+    # chi2_q for the one-armed segment is exactly n_a * 1e6
+    assert out["biased"].chi2_q == n0 * 1_000_000
+
+
+def test_golden_record_survivorship(spark):
+    """Canonical = longest member (tie -> min id); categorical fields fuse
+    by mode with lexicographic tie-break; singletons are not emitted."""
+    from hiss_cube_spark.operators.clusters import golden_records
+
+    docs = spark.createDataFrame(
+        [
+            (1, "en", "cc", 100),
+            (2, "en", "wiki", 300),
+            (3, "de", "wiki", 300),   # ties 2 on length -> min id wins
+            (9, "fr", "books", 50),   # singleton: no pair, not emitted
+        ],
+        "doc_id long, lang string, source string, n_chars long",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], "doc_a long, doc_b long"
+    )
+    out = golden_records(
+        docs, pairs, canon_col="n_chars",
+        mode_cols=("lang", "source"), max_cols=("n_chars",),
+    ).collect()
+    assert len(out) == 1
+    g = out[0]
+    assert g.cluster_id == 1 and g.canonical_doc_id == 2
+    assert g.lang == "en"            # 2-1 majority
+    assert g.source == "wiki"        # 2-1 majority
+    assert g.max_n_chars == 300 and g.n_members == 3
+
+
+def test_bounded_contribution_clips_both_axes(spark):
+    from hiss_cube_spark.operators.privacy import bounded_contribution
+
+    rows = (
+        [(1, "g", 10.0)] * 6        # user 1: 6 events (count-clipped), $60
+        + [(2, "g", 400.0)] * 2     # user 2: 2 events, $800 (value-clipped)
+        + [(3, "g", -700.0)]        # user 3: negative, clipped at -$500
+    )
+    df = spark.createDataFrame(rows, "user_id long, event_type string, value double")
+    r = bounded_contribution(
+        df, "user_id", "event_type", count_cap=4,
+        value_col="value", value_cap_cents=50_000,
+    ).collect()[0]
+    assert (r.raw_count, r.clipped_count) == (9, 7)       # 6->4, 2, 1
+    assert (r.n_users, r.n_count_clipped) == (3, 1)
+    assert r.raw_cents == 6_000 + 80_000 - 70_000
+    assert r.clipped_cents == 6_000 + 50_000 - 50_000
+    assert r.n_value_clipped == 2
+    assert (r.count_sensitivity, r.value_sensitivity) == (4, 50_000)
+
+
+def test_label_propagation_finer_than_cc(spark):
+    """Barbell graph (two triangles + one bridge): connected components
+    merge everything; 2-round synchronous LPA keeps the far triangle out
+    of the near one's community. Exact labels pin determinism."""
+    from hiss_cube_spark.operators.clusters import connected_components
+    from hiss_cube_spark.operators.graph import label_propagation
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 6), (3, 4)],
+        "doc_a long, doc_b long",
+    )
+    cc = {r.node: r.cluster_id for r in connected_components(pairs).collect()}
+    assert set(cc.values()) == {1}
+    lp = {
+        r.node: r.community
+        for r in label_propagation(
+            pairs, src_col="doc_a", dst_col="doc_b"
+        ).collect()
+    }
+    # near triangle resolves to community 1; the far one never joins it
+    assert lp[1] == lp[2] == lp[3] == 1
+    assert lp[4] != 1 and lp[5] != 1 and lp[6] != 1

@@ -51,6 +51,12 @@ QUERIES = [
     "dq_theta_intersect",
     "dq_topk_sketch",
     "dq_kmv_distinct",
+    # round-10 second batch (er_golden_record / graph_label_propagation
+    # are near-dup-pair-density queries -> measured on the dedup 10x
+    # ladder instead, like dedup_* / cur_neardup_corpus)
+    "dq_k_anonymity",
+    "ab_srm",
+    "cur_dp_clip",
 ]
 
 
