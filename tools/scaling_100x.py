@@ -62,6 +62,7 @@ QUERIES = [
 
 def main() -> None:
     out_path = sys.argv[1] if len(sys.argv) > 1 else "/tmp/scaling_100x.json"
+    only = set(sys.argv[2:])  # optional: measure just these queries
     spec = importlib.util.spec_from_file_location(
         "entry", "/root/repo/__spark_entry__.py"
     )
@@ -79,7 +80,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qreg = mod.queries()
     results = {}
-    for name in QUERIES:
+    for name in QUERIES if not only else [q for q in QUERIES if q in only]:
         row = {}
         for label, d in (("1x", "/root/testdata/sf0.1"), ("100x", "/tmp/scale100")):
             best = float("inf")
