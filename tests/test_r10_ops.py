@@ -441,3 +441,101 @@ def test_label_propagation_finer_than_cc(spark):
     # near triangle resolves to community 1; the far one never joins it
     assert lp[1] == lp[2] == lp[3] == 1
     assert lp[4] != 1 and lp[5] != 1 and lp[6] != 1
+
+
+def test_k_anonymity_ladder_random_vs_bruteforce(spark):
+    """Seeded random tables vs a pandas brute-force reference: level
+    choice, group size and l-diversity must match on every record."""
+    import random
+
+    from hiss_cube_spark.operators.privacy import k_anonymity_ladder
+
+    for seed in (7, 99, 2026):
+        rng = random.Random(seed)
+        rows = [
+            (i, rng.randrange(3), "ab"[rng.randrange(2)], rng.randrange(4),
+             rng.randrange(2))
+            for i in range(60)
+        ]
+        k = rng.choice((2, 5, 9))
+        df = spark.createDataFrame(
+            rows, "id long, h1 long, h2 string, h3 long, s int"
+        )
+        got = {
+            r.id: (r.anon_level, r.group_n, r.l_div)
+            for r in k_anonymity_ladder(
+                df, ["h1", "h2", "h3"], "s", k=k, l=2
+            ).collect()
+        }
+        # brute force: group sizes / distinct-sensitive at each level
+        for rid, h1, h2, h3, s in rows:
+            keys = [(h1, h2, h3), (h1, h2), (h1,), ()]
+            for lvl, key in enumerate(keys):
+                grp = [r for r in rows if tuple(r[1:1 + len(key)]) == key]
+                if len(grp) >= k or lvl == 3:
+                    want = (lvl, len(grp), len({r[4] for r in grp}))
+                    break
+            assert got[rid] == want, (seed, rid, got[rid], want)
+
+
+def test_golden_records_random_vs_bruteforce(spark):
+    """Seeded random graphs + tables vs a union-find + python fusion
+    reference."""
+    import random
+
+    from hiss_cube_spark.operators.clusters import golden_records
+
+    for seed in (3, 41):
+        rng = random.Random(seed)
+        n = 30
+        docs = [
+            (i, "abcd"[rng.randrange(4)], f"s{rng.randrange(3)}",
+             rng.randrange(1, 500))
+            for i in range(n)
+        ]
+        pairs = sorted(
+            {(min(a, b), max(a, b))
+             for a, b in ((rng.randrange(n), rng.randrange(n))
+                          for _ in range(20)) if a != b}
+        )
+        df = spark.createDataFrame(
+            docs, "doc_id long, lang string, source string, n_chars long"
+        )
+        pf = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+        got = {
+            r.cluster_id: (r.canonical_doc_id, r.lang, r.source,
+                           r.max_n_chars, r.n_members)
+            for r in golden_records(
+                df, pf, canon_col="n_chars",
+                mode_cols=("lang", "source"), max_cols=("n_chars",),
+            ).collect()
+        }
+        # union-find reference
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        comps = {}
+        for node in {x for p in pairs for x in p}:
+            comps.setdefault(find(node), []).append(node)
+        want = {}
+        for members in comps.values():
+            cid = min(members)
+            rows = [docs[m] for m in members]
+            canon = min(rows, key=lambda r: (-r[3], r[0]))[0]
+
+            def mode(idx):
+                vals = [r[idx] for r in rows]
+                return min(set(vals), key=lambda v: (-vals.count(v), v))
+
+            want[cid] = (canon, mode(1), mode(2),
+                         max(r[3] for r in rows), len(rows))
+        assert got == want, seed
