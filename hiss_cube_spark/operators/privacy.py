@@ -92,6 +92,11 @@ def k_anonymity_ladder(
     the fact against per-level slices of that bounded table. No fact
     self-join, no window over the fact, one shuffle total.
 
+    Data contract: hierarchy columns must be NON-NULL (normalize a null
+    quasi-value to a sentinel first) — a null key would both collide
+    with the rollup's subtotal marker and fall out of the per-level
+    equi-joins, silently generalizing the record further than designed.
+
     Returns one row per input row: the hierarchy columns plus
     ``anon_level``, ``group_n``, ``l_div``, ``l_ok`` (all computed at
     the chosen level).

@@ -539,3 +539,63 @@ def test_golden_records_random_vs_bruteforce(spark):
             want[cid] = (canon, mode(1), mode(2),
                          max(r[3] for r in rows), len(rows))
         assert got == want, seed
+
+
+def test_bucketed_join_elides_shuffle(spark, tmp_path):
+    """Same-bucketed external tables join with ZERO Exchange in the plan
+    (the pay-once-shuffle warehouse layout); a plain parquet merge join
+    of the same data shuffles both sides. Values identical."""
+    from hiss_cube_spark.plans.bucketing import (
+        colocated_join,
+        join_exchange_count,
+        write_bucketed,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    li = spark.read.parquet(f"{sf}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    o = spark.read.parquet(f"{sf}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    write_bucketed(
+        li, "t_li_b", str(tmp_path / "li"), ["l_orderkey"], n_buckets=8
+    )
+    write_bucketed(
+        o.withColumnRenamed("o_orderkey", "l_orderkey"),
+        "t_o_b", str(tmp_path / "o"), ["l_orderkey"], n_buckets=8,
+    )
+    try:
+        b = colocated_join(spark, "t_li_b", "t_o_b", ["l_orderkey"])
+        plain = li.hint("merge").join(
+            o.withColumnRenamed("o_orderkey", "l_orderkey"), "l_orderkey"
+        )
+        assert join_exchange_count(b) == 0
+        assert join_exchange_count(plain) >= 2  # both sides shuffle
+        got = sorted(map(tuple, b.collect()))
+        want = sorted(map(tuple, plain.collect()))
+        assert got == want and len(got) > 0
+        # bucket pruning: a key-equality scan touches 1 bucket of 8.
+        # autoBucketedScan must be off — with it on, the planner replaces
+        # the bucketed scan with a plain one for join-free queries, and
+        # pruning silently disappears (documented in plans/bucketing.py).
+        import contextlib
+        import io
+
+        k = got[0][0]
+        spark.conf.set(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false"
+        )
+        try:
+            pruned = spark.table("t_li_b").where(F.col("l_orderkey") == k)
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                pruned.explain(mode="formatted")
+            assert "SelectedBucketsCount: 1 out of 8" in buf.getvalue()
+        finally:
+            spark.conf.set(
+                "spark.sql.sources.bucketing.autoBucketedScan.enabled", "true"
+            )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_li_b")
+        spark.sql("DROP TABLE IF EXISTS t_o_b")
