@@ -10730,6 +10730,40 @@ def cur_token_weighted_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _source_gram_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pinned distinct (source, kmv_hash(3-gram)) cell table — the shared
+    single-scan input of the KMV sketch queries (`dq_theta_intersect`,
+    `dq_kmv_distinct`): ONE corpus scan feeds the sketch leg AND the exact
+    companions of both. Two measured rules live here: bind the token array
+    BEFORE the gram lambda (an inline split(text) inside a HOF re-tokenizes
+    once PER GRAM — O(len²) per doc, 100 → 21 s at 100×), and distinct
+    FIRST, md5 after (the hash runs once per DISTINCT cell, not per gram
+    instance — 105 → ~20 s at 100× replicated docs)."""
+    from hiss_cube_spark.operators.quality_checks import kmv_hash
+
+    d = _t(spark, sf_dir, "documents").where(
+        F.size(F.split("text", " ")) >= 3
+    )
+    grams = (
+        d.select("source", F.split("text", " ").alias("w"))
+        .select(
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(w) - 2), "
+                    "i -> concat_ws(' ', slice(w, i, 3)))"
+                )
+            ).alias("gram"),
+        )
+    )
+    return (
+        grams.distinct()
+        .select("source", kmv_hash("gram").alias("h"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+
 @_q(
     "dq_theta_intersect",
     """
@@ -10795,36 +10829,9 @@ def dq_theta_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     gram-scan (the corpus-linear floor)."""
     from hiss_cube_spark.operators.quality_checks import (
         kmv_distinct_intersect,
-        kmv_hash,
     )
 
-    d = _t(spark, sf_dir, "documents").where(
-        F.size(F.split("text", " ")) >= 3
-    )
-    # bind the token array in its own projection BEFORE the gram
-    # lambda: an inline split(text) inside the HOF re-tokenizes the doc
-    # once PER GRAM (O(len²) per doc — measured 100 -> 21 s at 100x)
-    grams = (
-        d.select("source", F.split("text", " ").alias("w"))
-        .select(
-            "source",
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, size(w) - 2), "
-                    "i -> concat_ws(' ', slice(w, i, 3)))"
-                )
-            ).alias("gram"),
-        )
-    )
-    # distinct FIRST, md5 after: the sketch hash runs once per DISTINCT
-    # (source, gram), not once per gram instance — at 100x replicated
-    # docs that is 100x fewer md5 evaluations (measured 105 -> ~20 s)
-    cells = (
-        grams.distinct()
-        .select("source", kmv_hash("gram").alias("h"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    cells = _source_gram_cells(spark, sf_dir)
     sk = kmv_distinct_intersect(
         cells, "source", "h", k=256, pre_hashed=True
     ).select(
@@ -10904,38 +10911,9 @@ def dq_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     measured err_pct ride along as the check-SF companions. ONE corpus
     scan: the pinned distinct (source, hash) cell table feeds the
     sketch (pre_hashed=True) AND the exact count."""
-    from hiss_cube_spark.operators.quality_checks import (
-        kmv_distinct_count,
-        kmv_hash,
-    )
+    from hiss_cube_spark.operators.quality_checks import kmv_distinct_count
 
-    d = _t(spark, sf_dir, "documents").where(
-        F.size(F.split("text", " ")) >= 3
-    )
-    # bind the token array in its own projection BEFORE the gram
-    # lambda: an inline split(text) inside the HOF re-tokenizes the doc
-    # once PER GRAM (O(len²) per doc — measured 100 -> 21 s at 100x)
-    grams = (
-        d.select("source", F.split("text", " ").alias("w"))
-        .select(
-            "source",
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, size(w) - 2), "
-                    "i -> concat_ws(' ', slice(w, i, 3)))"
-                )
-            ).alias("gram"),
-        )
-    )
-    # distinct FIRST, md5 after: the sketch hash runs once per DISTINCT
-    # (source, gram), not once per gram instance — at 100x replicated
-    # docs that is 100x fewer md5 evaluations (measured 105 -> ~20 s)
-    cells = (
-        grams.distinct()
-        .select("source", kmv_hash("gram").alias("h"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    cells = _source_gram_cells(spark, sf_dir)
     est = kmv_distinct_count(cells, "source", "h", k=256, pre_hashed=True)
     ex = cells.groupBy("source").agg(
         F.count(F.lit(1)).alias("exact_distinct")
@@ -11309,7 +11287,7 @@ _CHECK_PRIORITY = [
     "mm_image_pipeline", "mm_jpeg_pipeline", "mm_phash_neardup",
     "q15_top_supplier", "q11_important_stock", "q12_priority_class",
     # ---- slot 50 ends at q12_priority_class; slots 51+ lead the r11
-    # round-robin: first the four queries ADDED in r10 after the window
+    # round-robin: first the five queries ADDED in r10 after the window
     # froze (never driver-checked — the staleness invariant puts them
     # ahead of rotation), then the 8 remaining r5-era queries, then the
     # r6 cohort in definition order ----

@@ -623,12 +623,14 @@ def kmv_samples(
     summary (Beyer et al. 2007; the Theta Sketch framework,
     Dasgupta et al. 2016).
 
-    theta = U (the full hash domain) while the group holds ≤ k distinct
-    keys (the sketch is EXACT — nothing was discarded), else the k-th
-    smallest hash: every retained hash h satisfies h < theta (for
-    estimation-mode reads we use strict-below-theta counting), and a
-    distinct key's hash falls below theta with probability theta/U —
-    the sampling view that makes set algebra on sketches work.
+    theta = U (the full hash domain) while the group holds FEWER THAN k
+    distinct keys (the sketch is EXACT — nothing was discarded; at
+    exactly k the sample is full and cannot distinguish k from more, so
+    k itself is already estimation mode), else the k-th smallest hash:
+    every retained hash h satisfies h < theta (for estimation-mode
+    reads we use strict-below-theta counting), and a distinct key's
+    hash falls below theta with probability theta/U — the sampling view
+    that makes set algebra on sketches work.
 
     MERGE LAW (suite-tested): the union sketch of two groups is the k
     smallest of the concatenated samples with theta = min of thetas
@@ -640,7 +642,7 @@ def kmv_samples(
     WindowGroupLimit (rank-limit pushdown: partial top-k BEFORE the
     shuffle, so per-partition state is k rows per group, never the
     distinct domain). Output: (g, h, theta, nd) — nd the group's
-    distinct count ONLY when exact-mode (≤ k), else null (a sketch
+    distinct count ONLY when exact-mode (< k), else null (a sketch
     must not smuggle exact global counts).
 
     ``pre_hashed``: the key column already IS a kmv_hash value (the
@@ -696,7 +698,7 @@ def kmv_distinct_count(
     the distinct domain): in estimation mode the k-th smallest of a
     uniform 60-bit hash sits at ≈ k/n of the domain, so
     n̂ = (k−1)·U DIV theta (the unbiased KMV estimator, Beyer et al.
-    2007); in exact mode (group held ≤ k distinct keys, theta = U) the
+    2007); in exact mode (group held < k distinct keys, theta = U) the
     sketch IS the distinct set and n̂ = nd exactly.
 
     Integer arithmetic end-to-end ((k−1)·U in DECIMAL(38,0), positive
@@ -799,9 +801,18 @@ def spacesaving_summaries(
     needs to combine summaries without touching the data again.
     min_p is 0 while the partition tracks < k keys (nothing was ever
     evicted, so absent keys truly have count 0).
+
+    NULL keys are EXCLUDED before sketching (and the report's exact
+    companion filters identically, so the theorems stay theorems): the
+    summary format reserves the null key for the marker row, and a
+    pandas value_counts would silently drop NaN from the counters but
+    not from a naive exact count — the null-rate is a data-quality
+    signal for profile_table/constraint_report, not a heavy-hitter key.
     """
     kk = int(k)
-    key_df = df.select(F.col(col).cast("string").alias("k"))
+    key_df = df.select(F.col(col).cast("string").alias("k")).where(
+        F.col("k").isNotNull()
+    )
 
     def _part(batches):
         import pandas as pd
@@ -899,8 +910,10 @@ def spacesaving_report(
     cand = spacesaving_merge(
         spacesaving_summaries(df, col, k), k
     ).localCheckpoint(eager=True)  # ≤ 2k rows
+    # same null exclusion as the sketch pass — see spacesaving_summaries
     exact = (
         df.select(F.col(col).cast("string").alias("k"))
+        .where(F.col("k").isNotNull())
         .groupBy("k")
         .agg(F.count(F.lit(1)).alias("exact_n"))
     )

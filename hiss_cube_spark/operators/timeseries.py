@@ -29,6 +29,7 @@ __all__ = [
     "holt_linear",
     "structure_function",
     "dtw_distance",
+    "dtw_qualified_series",
     "periodogram",
 ]
 
@@ -453,6 +454,34 @@ def structure_function(
     )
 
 
+def dtw_qualified_series(
+    df: DataFrame,
+    key_col: str,
+    ts_us_col: str,
+    value_col: str,
+    bucket_us: int,
+    n: int,
+) -> DataFrame:
+    """(key, v ARRAY<BIGINT>) series table the DTW family mines: bucketed
+    cents per key, position-sorted into a fixed-length array, keys with
+    fewer than ``n`` buckets dropped (the fixed-length contract the
+    banding anchors rely on). Shared by :func:`dtw_distance` and the
+    scaling harness so the candidate-generation measurements always run
+    over exactly the miner's series set."""
+    b = _bucketed_cents(df, key_col, ts_us_col, value_col, bucket_us, n)
+    return (
+        b.groupBy("key")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(rn, yq))), "
+                "p -> p.yq)"
+            ).alias("v"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .where(F.col("_n") == n)
+    )
+
+
 def dtw_banded_pairs(
     series: DataFrame,
     threshold_q: int,
@@ -547,16 +576,27 @@ def dtw_banded_pairs(
             f" % {g})) DIV {g}"
         )
 
+    # Anchors assume the position EXISTS in every series: element_at on a
+    # shorter series yields NULL probe keys (and empty build windows), which
+    # would SILENTLY exclude that key from every candidate pair — a quiet
+    # containment violation. Raise loudly at execution instead; callers with
+    # ragged corpora must filter to the fixed-length contract first (the
+    # dtw_distance series builder already does).
+    def _anchor(anc: int) -> "F.Column":
+        return F.expr(
+            f"CASE WHEN size(v) < {int(anc)} THEN raise_error("
+            f"'dtw_banded_pairs: series shorter than anchor position "
+            f"{int(anc)} — filter to fixed-length series first') "
+            f"ELSE element_at(v, {int(anc)}) END"
+        )
+
     feat = series.select(
         "key",
         F.element_at("v", 1).alias("_f"),
         F.element_at("v", -1).alias("_l"),
         F.array_max("v").alias("_mx"),
         F.array_min("v").alias("_mn"),
-        *[
-            F.element_at("v", int(anc)).alias(f"_pa{i}")
-            for i, anc in enumerate(anchors)
-        ],
+        *[_anchor(int(anc)).alias(f"_pa{i}") for i, anc in enumerate(anchors)],
         *[
             F.expr(
                 f"slice(v, {max(1, int(anc) - r)}, "
@@ -723,17 +763,8 @@ def dtw_distance(
     Output: (key_a, key_b, dtw_q) with dtw_q in integer cents
     (dtw_q = INF-masked cells never reach the output corner).
     """
-    b = _bucketed_cents(df, key_col, ts_us_col, value_col, bucket_us, n)
-    series = (
-        b.groupBy("key")
-        .agg(
-            F.expr(
-                "transform(array_sort(collect_list(struct(rn, yq))), "
-                "p -> p.yq)"
-            ).alias("v"),
-            F.count(F.lit(1)).alias("_n"),
-        )
-        .where(F.col("_n") == n)
+    series = dtw_qualified_series(
+        df, key_col, ts_us_col, value_col, bucket_us, n
     )
     if pair_source is None:
         series = (

@@ -409,8 +409,13 @@ def streaming_spacesaving(
             }
         )
 
+    # NULL keys are excluded up front (same contract as the batch
+    # spacesaving_summaries): a null would shard-assign (xxhash64(null)
+    # is a constant) yet vanish from value_counts, silently deflating
+    # n_shard and the per-shard heavy threshold derived from it.
     return (
-        events.select(
+        events.where(F.col(key_col).isNotNull())
+        .select(
             F.pmod(F.xxhash64(F.col(key_col).cast("string")), F.lit(nsh))
             .cast("long")
             .alias("_shard"),

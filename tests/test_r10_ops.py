@@ -599,3 +599,35 @@ def test_bucketed_join_elides_shuffle(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_li_b")
         spark.sql("DROP TABLE IF EXISTS t_o_b")
+
+
+def test_spacesaving_null_keys_excluded_consistently(spark):
+    """NULL keys are excluded from BOTH the sketch pass and the exact
+    companion, so the theorem booleans stay true even when nulls
+    dominate the column (review finding: value_counts drops NaN but a
+    naive exact count would not)."""
+    from hiss_cube_spark.operators.quality_checks import spacesaving_report
+
+    rows = [(None,)] * 60 + [("hot",)] * 30 + [(f"x{i}",) for i in range(10)]
+    df = spark.createDataFrame(rows, "k string").repartition(3)
+    out = {r.key: r for r in spacesaving_report(df, "k", k=4).collect()}
+    assert None not in out
+    assert out["hot"].exact_n == 30  # threshold from the 40 non-null rows
+    r = out["hot"]
+    assert r.ss_found and r.overestimates and r.within_bound
+
+
+def test_dtw_anchors_raise_on_short_series(spark):
+    """Anchors beyond a series' length raise loudly instead of silently
+    excluding the key from every candidate pair."""
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from hiss_cube_spark.operators.timeseries import dtw_banded_pairs
+
+    df = spark.createDataFrame(
+        [(1, list(range(16))), (2, list(range(8)))],  # key 2 too short
+        "key long, v array<bigint>",
+    )
+    with pytest.raises(SparkRuntimeException, match="shorter than anchor"):
+        dtw_banded_pairs(df, 10, radius=2, anchors=(6, 11)).collect()

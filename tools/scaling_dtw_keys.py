@@ -214,26 +214,15 @@ def main() -> None:
 
 
 def dtw_distance_series(e, spark):
-    """The qualified-series table dtw_distance builds internally
-    (first 16 full hourly buckets per key), exposed for candidate-only
-    timing."""
-    from pyspark.sql import functions as F
+    """The qualified-series table dtw_distance builds internally (first
+    16 full hourly buckets per key) — via the SHARED builder, so the
+    candidate-generation timings always run over exactly the miner's
+    series set."""
+    from hiss_cube_spark.operators.timeseries import dtw_qualified_series
 
-    from hiss_cube_spark.operators.timeseries import _bucketed_cents
-
-    b = _bucketed_cents(e, "user_id", "ts_us", "value", 3_600_000_000, 16)
-    return (
-        b.groupBy("key")
-        .agg(
-            F.expr(
-                "transform(array_sort(collect_list(struct(rn, yq))), "
-                "p -> p.yq)"
-            ).alias("v"),
-            F.count(F.lit(1)).alias("_n"),
-        )
-        .where(F.col("_n") == 16)
-        .select("key", "v")
-    )
+    return dtw_qualified_series(
+        e, "user_id", "ts_us", "value", 3_600_000_000, 16
+    ).select("key", "v")
 
 
 if __name__ == "__main__":
