@@ -67,6 +67,7 @@ def k_anonymity_ladder(
     sensitive_col: str,
     k: int = 8,
     l: int = 2,
+    broadcast: bool = True,
 ) -> DataFrame:
     """Local-recoding k-anonymity over a fixed generalization hierarchy,
     with an l-diversity check on ``sensitive_col``.
@@ -97,6 +98,13 @@ def k_anonymity_ladder(
     with the rollup's subtotal marker and fall out of the per-level
     equi-joins, silently generalizing the record further than designed.
 
+    ``broadcast=False`` is the escape hatch for hierarchies whose
+    FINEST level approaches row cardinality (quasi-cells are
+    k-anonymity's true scale axis — the rollup table is ~2× the level-0
+    cell count regardless of row count): past the executor-memory
+    broadcast comfort zone the per-level joins fall back to shuffle
+    hash joins, one shuffle per level instead of zero.
+
     Returns one row per input row: the hierarchy columns plus
     ``anon_level``, ``group_n``, ``l_div``, ``l_ok`` (all computed at
     the chosen level).
@@ -122,8 +130,11 @@ def k_anonymity_ladder(
             F.col("ld").alias(f"_ld{lvl}"),
         )
         if keep:
-            out = out.join(F.broadcast(slice_df), keep, "left")
+            bs = F.broadcast(slice_df) if broadcast else slice_df
+            out = out.join(bs, keep, "left")
         else:
+            # the fully-rolled-up slice is always ONE row — broadcast it
+            # regardless (a shuffle join on an empty key set is nonsense)
             out = out.crossJoin(F.broadcast(slice_df))
     level = F.lit(depth)
     group_n = F.col(f"_n{depth}")
