@@ -39,6 +39,9 @@ def main() -> None:
     copies = int(sys.argv[3]) if len(sys.argv) > 3 else 10
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
+    # the K-way UNION ALL is one expression tree; past ~1000 copies it
+    # trips DuckDB's default max_expression_depth
+    con.execute("SET max_expression_depth TO 100000")
     for table, keys in SHIFTED.items():
         path = f"{src}/{table}.parquet"
         if not keys or copies == 1:
