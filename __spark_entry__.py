@@ -10139,7 +10139,8 @@ def dq_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
                     AS BIGINT) END AS theta_q
       FROM (SELECT sum(dx * dy) AS sxy, sum(dx * dx) AS sxx FROM d)),
     adj AS (
-      SELECT ((u * 2654435761) // 2147483648) % 2 AS arm, y, theta_q,
+      SELECT (((u & 2147483647) * 2654435761) // 2147483648) % 2 AS arm,
+             y, theta_q,
              1000000 * dy - theta_q * dx AS a
       FROM d CROSS JOIN t),
     g AS (
@@ -11054,9 +11055,11 @@ def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT DISTINCT event_type AS segment, user_id AS u FROM events),
     a AS (
       SELECT segment,
-             CAST(sum(CASE WHEN ((u * 2654435761) // 2147483648) % 2 = 0
+             CAST(sum(CASE WHEN (((u & 2147483647) * 2654435761)
+                                 // 2147483648) % 2 = 0
                            THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
-             CAST(sum(CASE WHEN ((u * 2654435761) // 2147483648) % 2 = 1
+             CAST(sum(CASE WHEN (((u & 2147483647) * 2654435761)
+                                 // 2147483648) % 2 = 1
                            THEN 1 ELSE 0 END) AS BIGINT) AS n_b
       FROM per GROUP BY 1)
     SELECT segment, n_a, n_b,
@@ -11102,19 +11105,22 @@ def ab_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT cluster_id, lang,
                row_number() OVER (PARTITION BY cluster_id
                                   ORDER BY count(*) DESC, lang) AS rn
-        FROM m GROUP BY cluster_id, lang) WHERE rn = 1),
+        FROM m WHERE lang IS NOT NULL
+        GROUP BY cluster_id, lang) WHERE rn = 1),
     sm AS (SELECT cluster_id, source FROM (
         SELECT cluster_id, source,
                row_number() OVER (PARTITION BY cluster_id
                                   ORDER BY count(*) DESC, source) AS rn
-        FROM m GROUP BY cluster_id, source) WHERE rn = 1),
+        FROM m WHERE source IS NOT NULL
+        GROUP BY cluster_id, source) WHERE rn = 1),
     ag AS (SELECT cluster_id, CAST(max(n_chars) AS BIGINT) AS max_n_chars,
                   CAST(count(*) AS BIGINT) AS n_members
            FROM m GROUP BY 1)
     SELECT ag.cluster_id, canon.canonical_doc_id, lm.lang, sm.source,
            ag.max_n_chars, ag.n_members
-    FROM ag JOIN canon USING (cluster_id) JOIN lm USING (cluster_id)
-            JOIN sm USING (cluster_id)
+    FROM ag JOIN canon USING (cluster_id)
+            LEFT JOIN lm USING (cluster_id)
+            LEFT JOIN sm USING (cluster_id)
     """,
 )
 def er_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -161,8 +161,10 @@ def golden_records(
     After matching (pairs) and clustering (connected components), the last
     ER step picks the surviving value PER FIELD rather than per record —
     the canonical id comes from the ``canon_col``-max member (ties →
-    smallest id), categorical fields take their cluster-modal value (ties →
-    lexicographically smallest, so the fusion is deterministic), and
+    smallest id), categorical fields take their cluster-modal value over
+    the NON-NULL members (ties → lexicographically smallest, so the fusion
+    is deterministic; a cluster whose members are all NULL in that field
+    fuses to NULL), and
     numeric fields take the cluster max. Singleton records need no fusion
     and are not emitted; union them back if a full golden table is wanted.
 
@@ -207,12 +209,19 @@ def golden_records(
         wm = Window.partitionBy("cluster_id").orderBy(
             F.desc("_n"), F.asc(c)
         )
+        # NULLs are excluded from the mode CANDIDATE set: Spark's ASC is
+        # NULLS FIRST while ANSI engines default NULLS LAST, so a NULL in
+        # the tie-break (or a NULL winning the count outright on a
+        # null-heavy column) would fuse engine-dependently. A member with
+        # no value recorded casts no vote; a cluster where EVERY member is
+        # NULL keeps the row (left join) and fuses to NULL explicitly.
         mode = (
-            members.groupBy("cluster_id", c)
+            members.where(F.col(c).isNotNull())
+            .groupBy("cluster_id", c)
             .agg(F.count(F.lit(1)).alias("_n"))
             .withColumn("_rn", F.row_number().over(wm))
             .where(F.col("_rn") == 1)
             .select("cluster_id", c)
         )
-        out = out.join(mode, "cluster_id")
+        out = out.join(mode, "cluster_id", "left")
     return out

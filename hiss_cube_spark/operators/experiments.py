@@ -16,6 +16,14 @@ from pyspark.sql import functions as F
 
 __all__ = ["ab_cuped", "ab_srm"]
 
+# Shared arm-assignment hash (ab_cuped and ab_srm MUST agree — SRM guards
+# the same assignment the readout uses): bit 31 of (u31 · mult) where
+# u31 = u & 0x7FFFFFFF. The mask keeps the product inside int64 for EVERY
+# int64 user id (max (2^31−1)·mult < 2^62), so there is no engine-dependent
+# wrap/trunc behavior to diverge on; ids that differ only above bit 30
+# collide, which is fine for a hash-based 50/50 split.
+_ARM_HASH_SQL = "pmod((({u} & 2147483647) * {m}) DIV 2147483648, 2)"
+
 
 def ab_cuped(
     df: DataFrame,
@@ -28,11 +36,13 @@ def ab_cuped(
     """CUPED-adjusted A/B readout over an event stream.
 
     Exposure model: every user is deterministically assigned an arm by
-    bit 31 of the integer hash ``(user_id · arm_mult)`` (Knuth
-    multiplicative — exact int64 for user_id < 3.4e9; swap in xxhash64
-    off the parity path). A HIGH bit of the product is used because the
-    low bit of u·odd is exactly u's parity — unmixed, and confounded by
-    any parity-structured id allocation. Pre-period metric X = Σ value-cents before ``split_us``,
+    bit 31 of the integer hash ``((user_id & 0x7FFFFFFF) · arm_mult)``
+    (Knuth multiplicative over the low 31 id bits — the mask keeps the
+    product exact int64 for EVERY int64 id, so no engine wrap/trunc
+    divergence exists; swap in xxhash64 off the parity path). A HIGH bit
+    of the product is used because the low bit of u·odd is exactly u's
+    parity — unmixed, and confounded by any parity-structured id
+    allocation. Pre-period metric X = Σ value-cents before ``split_us``,
     experiment metric Y = Σ after. CUPED (Deng et al., WSDM'13) replaces
     Y with Y − θ·(X − X̄), θ = cov(X,Y)/var(X), removing the
     pre-existing between-user variance that X explains — the standard
@@ -109,11 +119,13 @@ def ab_cuped(
     )
     # arm = bit 31 of the multiplicative hash — the LOW bit of u·odd is
     # just u's parity (completely unmixed), so take a HIGH bit instead;
-    # parity-structured id allocations then no longer confound the arms
-    arm = (
-        F.expr(f"pmod((u * {int(arm_mult)}) DIV 2147483648, 2)")
-        .cast("long")
-    )
+    # parity-structured id allocations then no longer confound the arms.
+    # u is pre-masked to 31 bits so the product NEVER wraps int64 (an
+    # unmasked u above ~3.4e9 wraps in non-ANSI Spark but not in an
+    # unwrapped oracle, and a negative u diverges via trunc-DIV vs
+    # floor-//); after the mask the product is nonnegative and < 2^62,
+    # where truncation and floor agree in every engine.
+    arm = F.expr(_ARM_HASH_SQL.format(u="u", m=int(arm_mult))).cast("long")
     adj = (
         F.lit(1_000_000) * F.col("dy") - F.col("theta_q") * F.col("dx")
     ).alias("adj")
@@ -171,7 +183,7 @@ def ab_srm(
         .distinct()
         .withColumn(
             "arm",
-            F.expr(f"pmod((u * {int(arm_mult)}) DIV 2147483648, 2)"),
+            F.expr(_ARM_HASH_SQL.format(u="u", m=int(arm_mult))),
         )
         .groupBy("segment")
         .agg(

@@ -180,7 +180,21 @@ def bounded_contribution(
     fact, then a group aggregate over the bounded per-user table — the
     exact two-level shape of any per-user metric; no joins, no windows,
     no second fact scan.
+
+    ``value_col`` and ``value_cap_cents`` come as a pair: a value column
+    without a cap has no bounded sensitivity to release (and a cap without
+    a column is meaningless), so providing exactly one raises rather than
+    silently emitting a count-only table that LOOKS like a value-bounded
+    release.
     """
+    if (value_col is None) != (value_cap_cents is None):
+        raise ValueError(
+            "bounded_contribution: value_col and value_cap_cents must be "
+            "provided together (got value_col=%r, value_cap_cents=%r) — a "
+            "value column without a clip cap has unbounded sensitivity and "
+            "must not silently drop from the release"
+            % (value_col, value_cap_cents)
+        )
     aggs = [F.count(F.lit(1)).alias("n")]
     if value_col is not None:
         aggs.append(

@@ -61,12 +61,19 @@ def write_bucketed(
 
 
 def join_exchange_count(joined: DataFrame) -> int:
-    """Number of Exchange (shuffle) operators in the final physical plan —
-    0 for a properly co-located bucketed join. Plan-level, no execution."""
+    """Number of SHUFFLE Exchange operators in the final physical plan —
+    0 for a properly co-located bucketed join. Plan-level, no execution.
+
+    Counts only ShuffleExchange nodes (printed as a bare ``Exchange``):
+    ``BroadcastExchange`` (no all-to-all shuffle) and ``ReusedExchange``
+    (a pointer to an already-counted one) are excluded, so the value is a
+    true shuffle count, not a substring tally."""
+    import re
+
     # AQE finalizes the plan lazily; the initial executedPlan string still
     # shows the static Exchanges, which is what bucketing elides.
     plan = joined._jdf.queryExecution().executedPlan().toString()
-    return plan.count("Exchange")
+    return len(re.findall(r"(?<![A-Za-z])Exchange\b", plan))
 
 
 def colocated_join(

@@ -1,0 +1,125 @@
+"""Round-11 regression pins: the four ADVICE-r10 fixes.
+
+1. golden_records: NULLs excluded from the mode candidate set (Spark's
+   ASC NULLS FIRST vs ANSI NULLS LAST divergence), all-NULL cluster
+   fuses to NULL instead of dropping the row.
+2. ab_cuped/ab_srm arm hash: 31-bit pre-mask makes the assignment exact
+   int64 (no wrap) for EVERY int64 user id, including negative.
+3. bounded_contribution: value_col XOR value_cap_cents is a hard error.
+4. join_exchange_count counts only shuffle Exchanges (BroadcastExchange
+   and ReusedExchange excluded).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_golden_records_null_mode_votes_excluded(spark):
+    """A NULL plurality must not beat a real value, and the NULL tie-break
+    must not pick NULL over a value (Spark ASC = NULLS FIRST would)."""
+    from hiss_cube_spark.operators.clusters import golden_records
+
+    docs = spark.createDataFrame(
+        [
+            # cluster {1,2,3}: lang NULL,NULL,'en' -> mode must be 'en'
+            (1, None, "cc", 10),
+            (2, None, "cc", 20),
+            (3, "en", "cc", 30),
+            # cluster {7,8}: source all NULL -> row kept, source fuses NULL
+            (7, "de", None, 10),
+            (8, "fr", None, 40),
+        ],
+        "doc_id long, lang string, source string, n_chars long",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], "doc_a long, doc_b long"
+    )
+    out = {
+        r.cluster_id: r
+        for r in golden_records(
+            docs, pairs, canon_col="n_chars",
+            mode_cols=("lang", "source"), max_cols=("n_chars",),
+        ).collect()
+    }
+    assert out[1].lang == "en"          # 2 NULL votes discarded
+    assert out[1].source == "cc"
+    assert 7 in out                      # all-NULL cluster still emitted
+    assert out[7].source is None         # ... and fuses to NULL
+    assert out[7].lang == "de"           # 1-1 tie -> lexicographic min
+    assert out[7].n_members == 2
+
+
+def test_arm_hash_exact_for_full_int64_domain(spark):
+    """The 31-bit pre-mask keeps u·mult inside int64: Spark's non-ANSI
+    silent wrap and trunc-vs-floor division can no longer diverge from an
+    unwrapped engine. Pin against the Python big-int reference."""
+    from hiss_cube_spark.operators.experiments import _ARM_HASH_SQL
+
+    mult = 2_654_435_761
+    ids = [0, 1, 3, 2**31 - 1, 2**31, 2**33 + 7, 2**62, -1, -5, -(2**40)]
+
+    def ref(u):
+        return (((u & 0x7FFFFFFF) * mult) >> 31) % 2
+
+    df = spark.createDataFrame([(u,) for u in ids], "u long").select(
+        "u", F.expr(_ARM_HASH_SQL.format(u="u", m=mult)).alias("arm")
+    )
+    got = {r.u: r.arm for r in df.collect()}
+    assert got == {u: ref(u) for u in ids}
+    # both arms are populated over small sequential ids (mixing sanity)
+    seq = spark.range(0, 64).select(
+        F.expr(_ARM_HASH_SQL.format(u="id", m=mult)).alias("arm")
+    )
+    arms = {r.arm for r in seq.distinct().collect()}
+    assert arms == {0, 1}
+
+
+def test_ab_srm_and_cuped_share_assignment(spark):
+    """SRM guards the SAME assignment the CUPED readout uses: per-user arm
+    derived through ab_srm's distinct path equals ab_cuped's arm grouping
+    for ids beyond 2^31 (where the old unmasked form wrapped)."""
+    from hiss_cube_spark.operators.experiments import ab_cuped, ab_srm
+
+    big = [2**31 + k for k in range(8)] + [-(2**35) - k for k in range(8)]
+    rows = [(u, "g", 100_000 + u % 7, float(1 + u % 3)) for u in big]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts_us long, value double"
+    )
+    srm = ab_srm(df).collect()[0]
+    cuped = ab_cuped(df, split_us=100_003).collect()
+    n_by_arm = {r.arm: r.n_users for r in cuped}
+    assert srm.n_a == n_by_arm.get(0, 0)
+    assert srm.n_b == n_by_arm.get(1, 0)
+    assert srm.n_a + srm.n_b == len(big)
+
+
+def test_bounded_contribution_rejects_half_specified_value_axis(spark):
+    from hiss_cube_spark.operators.privacy import bounded_contribution
+
+    df = spark.createDataFrame(
+        [(1, "g", 1.0)], "user_id long, event_type string, value double"
+    )
+    with pytest.raises(ValueError, match="value_cap_cents"):
+        bounded_contribution(df, "user_id", "event_type", value_col="value")
+    with pytest.raises(ValueError, match="value_col"):
+        bounded_contribution(
+            df, "user_id", "event_type", value_cap_cents=100
+        )
+
+
+def test_join_exchange_count_ignores_broadcast_exchange(spark):
+    """A broadcast hash join has a BroadcastExchange but ZERO shuffle
+    Exchanges — the counter must say 0 (the substring tally said 1+)."""
+    from hiss_cube_spark.plans.bucketing import join_exchange_count
+
+    left = spark.range(0, 1000).withColumnRenamed("id", "k")
+    right = spark.range(0, 10).withColumnRenamed("id", "k")
+    j = left.join(F.broadcast(right), "k")
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan
+    assert join_exchange_count(j) == 0
+    # and a plain shuffle join still counts its exchanges
+    shuffled = left.hint("merge").join(
+        spark.range(0, 2000).withColumnRenamed("id", "k").hint("merge"), "k"
+    )
+    assert join_exchange_count(shuffled) >= 2
