@@ -736,6 +736,68 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "j_bucketed_colocated",
+    """
+    SELECT l.l_orderkey AS orderkey, o.o_custkey AS custkey,
+           round(CAST(sum(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(30,8))) AS DOUBLE), 6) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderstatus = 'O'
+    GROUP BY 1, 2
+    """,
+)
+def j_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-order revenue over the BUCKETED warehouse layout
+    (`plans/bucketing.write_bucketed` / `colocated_join`): lineitem and
+    orders are written as same-bucketed, sorted external tables on the
+    order key — the pay-once shuffle — and the fact⋈fact join + the
+    per-order aggregate then plan with ZERO shuffle Exchanges (the SMJ
+    reads both sides pre-hashed and pre-sorted; the groupBy key contains
+    the bucket key, so the existing partitioning satisfies it too). This
+    is the storage lever for any recurring 100 TB fact⋈fact workload:
+    every subsequent query on the key pays scan cost only. The write
+    happens inside the query on purpose — the driver gate then exercises
+    layout + read end-to-end (the plan-shape zero-Exchange guard lives in
+    tests/test_r11_ops.py). Reference analog: the sorted semi-sparse cube
+    layout (reference `SQLProcessor` sorted-region scans)."""
+    import os
+    import tempfile
+
+    from hiss_cube_spark.plans.bucketing import colocated_join, write_bucketed
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    o = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "O")
+        .select(F.col("o_orderkey").alias("l_orderkey"), "o_custkey")
+    )
+    # fixed per-process location: bench reps and repeated oracle runs
+    # overwrite in place instead of leaking a new copy per call
+    base = os.path.join(
+        tempfile.gettempdir(), f"hc_bucketed_{os.getpid()}"
+    )
+    write_bucketed(li, "hc_bkt_lineitem", f"{base}/li", ["l_orderkey"], n_buckets=8)
+    write_bucketed(o, "hc_bkt_orders", f"{base}/o", ["l_orderkey"], n_buckets=8)
+    j = colocated_join(spark, "hc_bkt_lineitem", "hc_bkt_orders", ["l_orderkey"])
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        j.groupBy("l_orderkey", "o_custkey")
+        .agg(
+            _r6(F.sum(_dec(rev))).alias("revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+        )
+        .select(
+            F.col("l_orderkey").alias("orderkey"),
+            F.col("o_custkey").alias("custkey"),
+            "revenue",
+            "n_items",
+        )
+    )
+
+
+@_q(
     "j_semi_exists",
     """
     SELECT c_custkey, c_mktsegment FROM customer c
@@ -11262,47 +11324,46 @@ def entry(spark: SparkSession) -> DataFrame:
 # list, remaining never-checked queries first, so later rounds rotate the
 # window forward until every query has had a green row.
 _CHECK_PRIORITY = [
-    # ---- round-10 window (slots 1-50) ----
+    # ---- round-11 window ----
     # sentinels (green every round; canaries against harness drift)
     "flagship_ml_cube", "q1_pricing_summary",
-    # STALENESS INVARIANT (policy since r7): any query whose
-    # implementation or oracle changed since its last driver row goes
-    # first. ts_dtw_banded (anchor-envelope signature keys + exact
-    # integer cell floor-div) and ab_cuped (high-bit arm hash, oracle
-    # mirrored) changed in r10 after their r9 rows; ts_dtw_distance,
-    # dq_histogram and emb_kmeans_cosine changed in r9 and were staged
-    # at slots 51-53 of the r9 window (all locally parity-green).
-    "ts_dtw_banded", "ab_cuped",
-    "ts_dtw_distance", "dq_histogram", "emb_kmeans_cosine",
-    # the three NEW r10 queries (never driver-checked)
-    "dq_theta_intersect", "dq_topk_sketch", "dq_kmv_distinct",
-    # the r5-era cohort (latest driver row round 5) in definition
-    # order — 40 of 48 fit this window (3 slots are held by the three
-    # NEW r10 queries inserted above, keeping zero-never-checked);
-    # the last 8 lead the r11 window
-    "j2_crossmatch", "a1_ivw_mean", "j1_theta_lookup", "j4_left_join",
-    "j6_target_grouping", "a1_light_curve", "j7_first_in_group",
-    "p7_completeness", "f5_time_to_mjd", "o3_cap_refs", "dedup_exact",
-    "a_unpivot_melt", "f17_unpivot", "q3_shipping_priority",
-    "q5_region_revenue", "j_semi_exists", "j_anti_not_exists",
-    "a_rollup", "a_cube", "a_grouping_sets", "set_ops", "w_rank_topk",
-    "w_distribution_ranks", "w_moving_sum", "ts_phase_fold",
-    "w_range_frame_sum", "w_first_last_nth", "s1_scan_filter_limit",
-    "s2_path_synthesis", "emb_whiten", "ann_ivf_pq_topk",
-    "emb_dbscan_blocked", "text_compression_ratio", "mm_audio_neardup",
-    "mm_image_pipeline", "mm_jpeg_pipeline", "mm_phash_neardup",
-    "q15_top_supplier", "q11_important_stock", "q12_priority_class",
-    # ---- slot 50 ends at q12_priority_class; slots 51+ lead the r11
-    # round-robin: first the five queries ADDED in r10 after the window
-    # froze (never driver-checked — the staleness invariant puts them
-    # ahead of rotation), then the 8 remaining r5-era queries, then the
-    # r6 cohort in definition order ----
-    "dq_k_anonymity", "ab_srm", "er_golden_record", "cur_dp_clip",
-    "graph_label_propagation",
+    # STALENESS INVARIANT (policy since r7): queries whose
+    # implementation or oracle changed since their last driver row go
+    # first. The r11 review fixes changed the arm hash (31-bit mask,
+    # oracle mirrored) in ab_cuped + ab_srm and the golden_records mode
+    # fusion (NULL votes excluded, left-join, oracle mirrored) in
+    # er_golden_record; j_bucketed_colocated is NEW this round (the
+    # zero-shuffle bucketed-layout query, VERDICT-r10 #6).
+    "ab_cuped", "ab_srm", "er_golden_record", "j_bucketed_colocated",
+    # the remaining never-driver-checked queries (added in r10 after
+    # that window froze; judge spot-parity ok, driver row still owed)
+    "dq_k_anonymity", "cur_dp_clip", "graph_label_propagation",
+    # the 8 r5-era stale queries (latest driver row round 5)
     "q13_order_count_distribution", "q17_small_quantity_revenue",
     "q21_lone_returned_supplier", "q22_no_order_customers",
     "q16_supplier_cnt", "q20_excess_suppliers",
     "stream_ann_refresh", "text_bpe_tokens",
+    # the r6 cohort (latest driver row round 6) in definition order —
+    # 33 of 44 fit a 50-slot window after the 17 above; the last 11
+    # (from j_asof_join) lead the r12 round-robin
+    "ts_resample_locf", "p3_nan_sanitize", "p6_json_projection",
+    "p8_cutout_wholeness", "f6_mag_to_flux", "f16_string_funcs",
+    "j5_cutout_deref", "a5_l1_distance", "a6_max_merge",
+    "q4_order_priority", "q10_returned_revenue", "q14_promo_ratio",
+    "q18_large_orders", "q19_disjunctive_predicates",
+    "q_scalar_subquery", "a_distinct_agg", "w_cumulative_sum",
+    "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash",
+    "dedup_eval_metrics", "ann_cosine_topk", "emb_cosine_pairs",
+    "j_fuzzy_match", "cdc_apply_changelog", "cdc_time_travel",
+    "dq_equidepth", "cdc_table_diff", "cdc_scd2_history",
+    "dedup_clusters", "cur_reservoir_sample", "cur_neardup_corpus",
+    "mm_png_variants",
+    # ---- slots 51+: the r12 round-robin head (rest of the r6 cohort,
+    # then r7 in definition order) ----
+    "j_asof_join", "j_interval_overlap", "cone_search",
+    "emb_centroids", "dedup_paragraphs", "graph_pagerank",
+    "j_bloom_prune", "cur_model_quality", "dq_kl_divergence",
+    "text_zipf_slope", "cur_bottomk_sample",
 ]
 
 

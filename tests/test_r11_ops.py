@@ -123,3 +123,25 @@ def test_join_exchange_count_ignores_broadcast_exchange(spark):
         spark.range(0, 2000).withColumnRenamed("id", "k").hint("merge"), "k"
     )
     assert join_exchange_count(shuffled) >= 2
+
+
+def test_bucketed_query_plans_zero_shuffle(spark):
+    """The registered j_bucketed_colocated query — join AND per-order
+    aggregate — must plan with ZERO shuffle Exchanges end-to-end: the
+    bucketed layout provides the join distribution, and the groupBy keys
+    contain the bucket key so the same partitioning satisfies the
+    aggregate too."""
+    import __spark_entry__ as entrymod
+    from hiss_cube_spark.plans.bucketing import join_exchange_count
+
+    try:
+        df = entrymod.queries()["j_bucketed_colocated"](
+            spark, "/root/testdata/sf0.001"
+        )
+        assert join_exchange_count(df) == 0
+        rows = df.collect()
+        assert len(rows) > 0
+        assert all(r.n_items >= 1 for r in rows)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS hc_bkt_lineitem")
+        spark.sql("DROP TABLE IF EXISTS hc_bkt_orders")
