@@ -59,10 +59,24 @@ def main() -> None:
                 .tolist()
             )
             parts.append(f"SELECT {cols} FROM '{path}'")
-        con.execute(
-            f"COPY ({' UNION ALL '.join(parts)}) TO '{out}/{table}.parquet'"
-        )
-        n = con.execute(f"SELECT count(*) FROM '{out}/{table}.parquet'").fetchone()[0]
+        # MULTI-FILE output (a `{table}.parquet/` DIRECTORY of part files)
+        # for replicated tables: a single DuckDB-written file has only
+        # ~1 row group per 122k rows, capping Spark's scan parallelism —
+        # the round-11 re-measure showed dq_kmv/theta at 100× were 3×
+        # slower purely from that layout. Union branches parallelize, so
+        # PER_THREAD_OUTPUT yields ~one file per thread. Spark reads the
+        # directory transparently; DuckDB needs the '/*.parquet' glob.
+        dst = f"{out}/{table}.parquet"
+        if copies > 1:
+            con.execute(
+                f"COPY ({' UNION ALL '.join(parts)}) TO '{dst}' "
+                "(FORMAT PARQUET, PER_THREAD_OUTPUT TRUE)"
+            )
+            probe = f"{dst}/*.parquet"
+        else:
+            con.execute(f"COPY ({' UNION ALL '.join(parts)}) TO '{dst}'")
+            probe = dst
+        n = con.execute(f"SELECT count(*) FROM '{probe}'").fetchone()[0]
         print(table, n, flush=True)
 
 
