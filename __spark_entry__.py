@@ -55,6 +55,25 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _spread_if_narrow(df: DataFrame, key: str) -> DataFrame:
+    """Hash-repartition ONLY when the scan is narrower than the cluster.
+
+    CPU-heavy per-row expression work (gram explode, tokenize) placed
+    directly on a scan runs at the SCAN's parallelism — a single small
+    parquet file is 1-5 row groups, so on a 32-core box the work
+    single-threads until the first shuffle. Repartitioning fixes that, but
+    paying the text shuffle UNCONDITIONALLY would be waste at warehouse
+    scale, where the input already arrives in thousands of splits (the
+    VERDICT-r10 objection). So: spread only if the plan's partition count
+    is below defaultParallelism — a no-op branch on any real corpus, a
+    ~4-8x un-serializer on single-file fixtures."""
+    sc = df.sparkSession.sparkContext
+    n = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n, F.col(key))
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events with timestamps normalized to DuckDB parity.
 
@@ -9837,8 +9856,11 @@ def cur_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     size."""
     from hiss_cube_spark.operators.dedup import source_overlap_matrix
 
-    d = _t(spark, sf_dir, "documents").where(
-        F.size(F.split("text", " ")) >= 3
+    d = _spread_if_narrow(
+        _t(spark, sf_dir, "documents").where(
+            F.size(F.split("text", " ")) >= 3
+        ),
+        "doc_id",
     )
     out = source_overlap_matrix(d)
     return out.select(
@@ -10804,8 +10826,11 @@ def _source_gram_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     instance — 105 → ~20 s at 100× replicated docs)."""
     from hiss_cube_spark.operators.quality_checks import kmv_hash
 
-    d = _t(spark, sf_dir, "documents").where(
-        F.size(F.split("text", " ")) >= 3
+    d = _spread_if_narrow(
+        _t(spark, sf_dir, "documents").where(
+            F.size(F.split("text", " ")) >= 3
+        ),
+        "doc_id",
     )
     grams = (
         d.select("source", F.split("text", " ").alias("w"))
@@ -11335,6 +11360,10 @@ _CHECK_PRIORITY = [
     # er_golden_record; j_bucketed_colocated is NEW this round (the
     # zero-shuffle bucketed-layout query, VERDICT-r10 #6).
     "ab_cuped", "ab_srm", "er_golden_record", "j_bucketed_colocated",
+    # conditional-spread plan change (same values, parity re-verified):
+    # _spread_if_narrow before the gram explode in _source_gram_cells
+    # and cur_source_overlap
+    "dq_theta_intersect", "dq_kmv_distinct", "cur_source_overlap",
     # the remaining never-driver-checked queries (added in r10 after
     # that window froze; judge spot-parity ok, driver row still owed)
     "dq_k_anonymity", "cur_dp_clip", "graph_label_propagation",
@@ -11344,8 +11373,8 @@ _CHECK_PRIORITY = [
     "q16_supplier_cnt", "q20_excess_suppliers",
     "stream_ann_refresh", "text_bpe_tokens",
     # the r6 cohort (latest driver row round 6) in definition order —
-    # 33 of 44 fit a 50-slot window after the 17 above; the last 11
-    # (from j_asof_join) lead the r12 round-robin
+    # 30 of 44 fit a 50-slot window after the 20 above; the last 14
+    # (from cdc_scd2_history) lead the r12 round-robin
     "ts_resample_locf", "p3_nan_sanitize", "p6_json_projection",
     "p8_cutout_wholeness", "f6_mag_to_flux", "f16_string_funcs",
     "j5_cutout_deref", "a5_l1_distance", "a6_max_merge",
@@ -11356,10 +11385,10 @@ _CHECK_PRIORITY = [
     "dedup_eval_metrics", "ann_cosine_topk", "emb_cosine_pairs",
     "j_fuzzy_match", "cdc_apply_changelog", "cdc_time_travel",
     "dq_equidepth", "cdc_table_diff", "cdc_scd2_history",
-    "dedup_clusters", "cur_reservoir_sample", "cur_neardup_corpus",
-    "mm_png_variants",
+    "dedup_clusters",
     # ---- slots 51+: the r12 round-robin head (rest of the r6 cohort,
     # then r7 in definition order) ----
+    "cur_reservoir_sample", "cur_neardup_corpus", "mm_png_variants",
     "j_asof_join", "j_interval_overlap", "cone_search",
     "emb_centroids", "dedup_paragraphs", "graph_pagerank",
     "j_bloom_prune", "cur_model_quality", "dq_kl_divergence",
