@@ -8364,6 +8364,77 @@ def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BPE_ORACLE_ROUND = """
+    p{k} AS (
+      SELECT t[i] AS a, t[i + 1] AS b, CAST(sum(f) AS BIGINT) AS n
+      FROM (SELECT string_split(trim(s, '|'), '|') AS t, f FROM w{j}) z,
+           unnest(generate_series(1, len(t) - 1)) AS g(i)
+      GROUP BY 1, 2),
+    m{k} AS (SELECT a, b, n FROM p{k} ORDER BY n DESC, a, b LIMIT 1),
+    a{k} AS (
+      SELECT s, f FROM w{j}
+      UNION ALL
+      SELECT substr(r.s, 1, strpos(r.s, m.pat) - 1) || m.rep
+             || substr(r.s, strpos(r.s, m.pat) + len(m.pat)), r.f
+      FROM a{k} r,
+           (SELECT '|' || a || '|' || b || '|' AS pat,
+                   '|' || a || b || '|' AS rep FROM m{k}) m
+      WHERE strpos(r.s, m.pat) > 0),
+    w{k} AS (
+      SELECT s, f FROM a{k},
+           (SELECT '|' || a || '|' || b || '|' AS pat FROM m{k}) m
+      WHERE strpos(s, pat) = 0)"""
+
+
+@_q(
+    "text_bpe_train",
+    """
+    WITH RECURSIVE w0 AS (
+      SELECT '|' || regexp_replace(word, '(.)', '\\1|', 'g') AS s,
+             CAST(count(*) AS BIGINT) AS f
+      FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      WHERE regexp_matches(word, '^[a-z]+$')
+      GROUP BY 1
+      HAVING count(*) >= 2),
+    """
+    + ",".join(_BPE_ORACLE_ROUND.format(k=k, j=k - 1) for k in (1, 2, 3, 4))
+    + """
+    SELECT CAST(r AS BIGINT) AS round, a AS left_sym, b AS right_sym,
+           n AS pair_count
+    FROM (
+      SELECT 1 AS r, * FROM m1 UNION ALL SELECT 2, * FROM m2
+      UNION ALL SELECT 3, * FROM m3 UNION ALL SELECT 4, * FROM m4)
+    """,
+)
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL-CORPUS distributed BPE merge learning
+    (`operators/tokenizer.learn_bpe_merges`): exact adjacent-pair counts
+    over the whole word-frequency table every round — no sampling — with
+    the round winner (max count, lexicographic tie-break) as the only
+    driver state (K rows). The sample-trained `text_bpe_tokens` pins its
+    token totals as constants because driver-side training is not
+    SQL-expressible; THIS query is the exact-oracle counterpart: the
+    canonical left-to-right merge fold (`aggregate` HOF, row-local) is
+    mirrored in DuckDB as iterated-FIRST-occurrence replacement inside a
+    recursive CTE per round — equivalent because a single-rule round can
+    never create a new (a,b) adjacency ('ab' differs from both 'a' and
+    'b'), so the match set is fixed and left-to-right with overlap-skip
+    is exactly what both formulations compute. Note a plain
+    replace-all is NOT canonical (its pattern consumes the shared
+    delimiter, skipping back-to-back merges) — measured and rejected.
+    Scale shape: ONE corpus scan (word table, vocab-bounded,
+    min_freq-capped); K rounds of zip_with pair explode + bounded
+    groupBy over the vocab table only."""
+    from hiss_cube_spark.operators.tokenizer import (
+        learn_bpe_merges,
+        word_frequency_table,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    w = word_frequency_table(d, word_pattern="^[a-z]+$", min_freq=2)
+    return learn_bpe_merges(w, n_merges=4)
+
+
 @_q(
     "cur_full_pipeline",
     """
@@ -11360,6 +11431,7 @@ _CHECK_PRIORITY = [
     # er_golden_record; j_bucketed_colocated is NEW this round (the
     # zero-shuffle bucketed-layout query, VERDICT-r10 #6).
     "ab_cuped", "ab_srm", "er_golden_record", "j_bucketed_colocated",
+    "text_bpe_train",
     # conditional-spread plan change (same values, parity re-verified):
     # _spread_if_narrow before the gram explode in _source_gram_cells
     # and cur_source_overlap
@@ -11373,8 +11445,8 @@ _CHECK_PRIORITY = [
     "q16_supplier_cnt", "q20_excess_suppliers",
     "stream_ann_refresh", "text_bpe_tokens",
     # the r6 cohort (latest driver row round 6) in definition order —
-    # 30 of 44 fit a 50-slot window after the 20 above; the last 14
-    # (from cdc_scd2_history) lead the r12 round-robin
+    # 29 of 44 fit a 50-slot window after the 21 above; the last 15
+    # (from dedup_clusters) lead the r12 round-robin
     "ts_resample_locf", "p3_nan_sanitize", "p6_json_projection",
     "p8_cutout_wholeness", "f6_mag_to_flux", "f16_string_funcs",
     "j5_cutout_deref", "a5_l1_distance", "a6_max_merge",
@@ -11385,9 +11457,9 @@ _CHECK_PRIORITY = [
     "dedup_eval_metrics", "ann_cosine_topk", "emb_cosine_pairs",
     "j_fuzzy_match", "cdc_apply_changelog", "cdc_time_travel",
     "dq_equidepth", "cdc_table_diff", "cdc_scd2_history",
-    "dedup_clusters",
     # ---- slots 51+: the r12 round-robin head (rest of the r6 cohort,
     # then r7 in definition order) ----
+    "dedup_clusters",
     "cur_reservoir_sample", "cur_neardup_corpus", "mm_png_variants",
     "j_asof_join", "j_interval_overlap", "cone_search",
     "emb_centroids", "dedup_paragraphs", "graph_pagerank",

@@ -132,6 +132,7 @@ HEADLINE = [
     "graph_label_propagation",
     # round-11 additions
     "j_bucketed_colocated",
+    "text_bpe_train",
 ]
 
 # Environment-drift sentinel: per-query ratchets are expressed relative to

@@ -27,7 +27,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
-__all__ = ["train_bpe", "bpe_token_counts", "bpe_encode_words"]
+__all__ = [
+    "train_bpe",
+    "bpe_token_counts",
+    "bpe_encode_words",
+    "word_frequency_table",
+    "learn_bpe_merges",
+]
 
 _END = "</w>"  # end-of-word marker, standard BPE word boundary symbol
 
@@ -106,6 +112,124 @@ def train_bpe(
             nxt[t] = nxt.get(t, 0) + c
         words = nxt
     return merges
+
+
+def word_frequency_table(
+    df: DataFrame,
+    text_col: str = "text",
+    word_pattern: str = "^[a-z]+$",
+    min_freq: int = 1,
+) -> DataFrame:
+    """(word, f) corpus word-frequency table — the ONE corpus scan of
+    distributed BPE training.
+
+    ``word_pattern`` restricts the symbol alphabet (the default keeps
+    ascii-lowercase words: no delimiter/quote hazards, byte-identical
+    collation in every engine); ``min_freq`` is the standard vocabulary
+    cap — at warehouse scale the long Zipf tail of hapaxes dominates the
+    word table while contributing nothing to merge counts, so real
+    tokenizer training always thresholds it.
+    """
+    toks = F.filter(
+        F.split(F.col(text_col), " "), lambda t: t.rlike(word_pattern)
+    )
+    w = (
+        df.select(F.explode(toks).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("f"))
+    )
+    if min_freq > 1:
+        w = w.where(F.col("f") >= min_freq)
+    return w
+
+
+def learn_bpe_merges(
+    words: DataFrame, n_merges: int = 4, word_col: str = "word", freq_col: str = "f"
+) -> DataFrame:
+    """FULL-CORPUS distributed BPE merge learning: exact pair counts every
+    round, no sampling — the scale-grade counterpart of the driver-side
+    `train_bpe` (which trains on a bounded sample because its loop is
+    local).
+
+    Per round, entirely on executors: adjacent symbol pairs of every word
+    (``zip_with`` over the symbol array — row-local, no explode of text),
+    weighted by word frequency, one map-side-combining groupBy bounded by
+    the PAIR vocabulary; the round's winner (max count, ties →
+    lexicographically smallest pair, the `train_bpe` law) is a 1-row
+    collect — driver state is K rows total. The merge applies as a
+    row-local canonical left-to-right fold (``aggregate`` HOF): within a
+    run of overlapping matches every other one merges, the exact
+    semantics of Sennrich et al.'s reference loop (pinned against
+    `train_bpe`'s python loop in tests). The corpus is scanned ONCE
+    (`word_frequency_table`); the K rounds iterate over the vocab-bounded
+    word table, re-persisted per round.
+
+    Returns (round, left_sym, right_sym, pair_count) — ``n_merges`` rows.
+    Word-interior merges only (no ``</w>`` end marker): the variant with
+    the marker changes symbols, not shapes.
+    """
+    spark = words.sparkSession
+    # right-size the vocab table once: it is orders of magnitude smaller
+    # than the corpus, and every round's fold/pair job otherwise inherits
+    # the session's shuffle.partitions (200 near-empty tasks × K rounds)
+    cur = (
+        words.select(
+            F.expr(f"split({word_col}, '')").alias("toks"),
+            F.col(freq_col).cast("long").alias("f"),
+        )
+        .repartition(spark.sparkContext.defaultParallelism)
+        .persist()
+    )
+    prev = None
+    merges: list[tuple[int, str, str, int]] = []
+    try:
+        for k in range(1, n_merges + 1):
+            pairs = (
+                cur.select(
+                    F.explode(
+                        F.expr(
+                            "zip_with(slice(toks, 1, size(toks) - 1), "
+                            "slice(toks, 2, size(toks) - 1), "
+                            "(x, y) -> named_struct('a', x, 'b', y))"
+                        )
+                    ).alias("p"),
+                    "f",
+                )
+                .groupBy("p.a", "p.b")
+                .agg(F.sum("f").alias("n"))
+            )
+            # this collect is the round's ONLY action: it fills cur's cache
+            # (one fold applied to the previous round's cached table) as a
+            # side effect — no separate materialization job needed. The
+            # previous cache must stay alive until here, then releases.
+            top = pairs.orderBy(F.desc("n"), "a", "b").limit(1).collect()
+            if prev is not None:
+                prev.unpersist()
+                prev = None
+            if not top:
+                break
+            a, b, n = top[0]["a"], top[0]["b"], int(top[0]["n"])
+            merges.append((k, a, b, n))
+            if k == n_merges:
+                break  # the last winner needs no apply pass
+            # canonical left-to-right merge fold; a/b come from the corpus
+            # alphabet (word_pattern-restricted), safe to inline
+            fold = (
+                "aggregate(toks, cast(array() as array<string>), "
+                "(acc, s) -> CASE WHEN size(acc) > 0 "
+                f"AND element_at(acc, -1) = '{a}' AND s = '{b}' "
+                f"THEN concat(slice(acc, 1, size(acc) - 1), array('{a}{b}')) "
+                "ELSE concat(acc, array(s)) END)"
+            )
+            nxt = cur.select(F.expr(fold).alias("toks"), "f").persist()
+            prev, cur = cur, nxt
+    finally:
+        cur.unpersist()
+        if prev is not None:
+            prev.unpersist()
+    return spark.createDataFrame(
+        merges, "round long, left_sym string, right_sym string, pair_count long"
+    )
 
 
 def _encode_word(word: str, ranks: dict[tuple[str, str], int]) -> int:

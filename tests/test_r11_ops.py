@@ -145,3 +145,72 @@ def test_bucketed_query_plans_zero_shuffle(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS hc_bkt_lineitem")
         spark.sql("DROP TABLE IF EXISTS hc_bkt_orders")
+
+
+def test_learn_bpe_merges_matches_reference_loop(spark):
+    """The distributed learner's fold/argmax must reproduce the canonical
+    Sennrich loop (train_bpe's python reference, minus the </w> marker)
+    on a randomized corpus — counts, pairs, order and tie-breaks."""
+    import random
+    from collections import Counter
+
+    from hiss_cube_spark.operators.tokenizer import (
+        learn_bpe_merges,
+        word_frequency_table,
+    )
+
+    rng = random.Random(7)
+    vocab = ["aa", "aaa", "abab", "banana", "bandana", "ana", "naan",
+             "abc", "cab", "aabb", "x"]
+    words = [vocab[rng.randrange(len(vocab))] for _ in range(400)]
+    df = spark.createDataFrame([(" ".join(words[i:i + 8]),)
+                                for i in range(0, 400, 8)], "text string")
+
+    got = [
+        (r["round"], r.left_sym, r.right_sym, r.pair_count)
+        for r in learn_bpe_merges(
+            word_frequency_table(df, min_freq=1), n_merges=5
+        ).orderBy("round").collect()
+    ]
+
+    # python reference: canonical left-to-right merges, no end marker
+    freqs = Counter(words)
+    table = {tuple(w): c for w, c in freqs.items()}
+    want = []
+    for k in range(1, 6):
+        pc = Counter()
+        for sym, c in table.items():
+            for i in range(len(sym) - 1):
+                pc[(sym[i], sym[i + 1])] += c
+        if not pc:
+            break
+        top = max(pc.values())
+        a, b = min(p for p, c in pc.items() if c == top)
+        want.append((k, a, b, top))
+        nxt = {}
+        for sym, c in table.items():
+            out, i = [], 0
+            while i < len(sym):
+                if i < len(sym) - 1 and sym[i] == a and sym[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            t = tuple(out)
+            nxt[t] = nxt.get(t, 0) + c
+        table = nxt
+    assert got == want
+
+
+def test_word_frequency_table_pattern_and_cap(spark):
+    from hiss_cube_spark.operators.tokenizer import word_frequency_table
+
+    df = spark.createDataFrame(
+        [("the cat the Cat c4t |pipe| the",)], "text string"
+    )
+    rows = {r.word: r.f for r in word_frequency_table(df).collect()}
+    assert rows == {"the": 3, "cat": 1}          # pattern drops Cat/c4t/|pipe|
+    capped = {r.word: r.f
+              for r in word_frequency_table(df, min_freq=2).collect()}
+    assert capped == {"the": 3}
