@@ -792,11 +792,12 @@ def j_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("o_orderstatus") == "O")
         .select(F.col("o_orderkey").alias("l_orderkey"), "o_custkey")
     )
-    # fixed per-process location: bench reps and repeated oracle runs
-    # overwrite in place instead of leaking a new copy per call
-    base = os.path.join(
-        tempfile.gettempdir(), f"hc_bucketed_{os.getpid()}"
-    )
+    # ONE fixed location (not per-pid): every run overwrites in place, so
+    # disk usage is bounded by a single layout copy no matter how many
+    # bench/driver/test processes come and go. Single-writer assumption:
+    # concurrent processes running THIS query would race the overwrite —
+    # the gate, bench, and suite each run it alone.
+    base = os.path.join(tempfile.gettempdir(), "hc_bucketed_layout")
     write_bucketed(li, "hc_bkt_lineitem", f"{base}/li", ["l_orderkey"], n_buckets=8)
     write_bucketed(o, "hc_bkt_orders", f"{base}/o", ["l_orderkey"], n_buckets=8)
     j = colocated_join(spark, "hc_bkt_lineitem", "hc_bkt_orders", ["l_orderkey"])

@@ -187,9 +187,13 @@ def learn_bpe_merges(
             pairs = (
                 cur.select(
                     F.explode(
+                        # greatest(…, 0): a size-0 token array (empty-string
+                        # word from a permissive caller pattern) must yield
+                        # zero pairs, not a negative-length slice error
                         F.expr(
-                            "zip_with(slice(toks, 1, size(toks) - 1), "
-                            "slice(toks, 2, size(toks) - 1), "
+                            "zip_with("
+                            "slice(toks, 1, greatest(size(toks) - 1, 0)), "
+                            "slice(toks, 2, greatest(size(toks) - 1, 0)), "
                             "(x, y) -> named_struct('a', x, 'b', y))"
                         )
                     ).alias("p"),
@@ -212,16 +216,34 @@ def learn_bpe_merges(
             merges.append((k, a, b, n))
             if k == n_merges:
                 break  # the last winner needs no apply pass
-            # canonical left-to-right merge fold; a/b come from the corpus
-            # alphabet (word_pattern-restricted), safe to inline
-            fold = (
-                "aggregate(toks, cast(array() as array<string>), "
-                "(acc, s) -> CASE WHEN size(acc) > 0 "
-                f"AND element_at(acc, -1) = '{a}' AND s = '{b}' "
-                f"THEN concat(slice(acc, 1, size(acc) - 1), array('{a}{b}')) "
-                "ELSE concat(acc, array(s)) END)"
-            )
-            nxt = cur.select(F.expr(fold).alias("toks"), "f").persist()
+            # canonical left-to-right merge fold; the winning symbols bind
+            # as literal Columns (never interpolated into SQL text — a
+            # quote/backslash in the alphabet cannot break the expression)
+            def _make_fold(a_sym: str, b_sym: str):
+                def _fold(acc, s):
+                    hit = (
+                        (F.size(acc) > 0)
+                        & (F.element_at(acc, -1) == F.lit(a_sym))
+                        & (s == F.lit(b_sym))
+                    )
+                    return F.when(
+                        hit,
+                        F.concat(
+                            F.slice(acc, 1, F.size(acc) - 1),
+                            F.array(F.lit(a_sym + b_sym)),
+                        ),
+                    ).otherwise(F.concat(acc, F.array(s)))
+
+                return _fold
+
+            nxt = cur.select(
+                F.aggregate(
+                    "toks",
+                    F.expr("cast(array() as array<string>)"),
+                    _make_fold(a, b),
+                ).alias("toks"),
+                "f",
+            ).persist()
             prev, cur = cur, nxt
     finally:
         cur.unpersist()

@@ -125,7 +125,7 @@ def test_join_exchange_count_ignores_broadcast_exchange(spark):
     assert join_exchange_count(shuffled) >= 2
 
 
-def test_bucketed_query_plans_zero_shuffle(spark):
+def test_bucketed_query_plans_zero_shuffle(spark, sf_dir):
     """The registered j_bucketed_colocated query — join AND per-order
     aggregate — must plan with ZERO shuffle Exchanges end-to-end: the
     bucketed layout provides the join distribution, and the groupBy keys
@@ -135,9 +135,7 @@ def test_bucketed_query_plans_zero_shuffle(spark):
     from hiss_cube_spark.plans.bucketing import join_exchange_count
 
     try:
-        df = entrymod.queries()["j_bucketed_colocated"](
-            spark, "/root/testdata/sf0.001"
-        )
+        df = entrymod.queries()["j_bucketed_colocated"](spark, sf_dir)
         assert join_exchange_count(df) == 0
         rows = df.collect()
         assert len(rows) > 0
@@ -214,3 +212,59 @@ def test_word_frequency_table_pattern_and_cap(spark):
     capped = {r.word: r.f
               for r in word_frequency_table(df, min_freq=2).collect()}
     assert capped == {"the": 3}
+
+
+def test_learn_bpe_merges_tolerates_empty_words(spark):
+    """A size-0 token array (permissive caller pattern admitting '') must
+    contribute zero pairs, not a negative-length slice error."""
+    from hiss_cube_spark.operators.tokenizer import learn_bpe_merges
+
+    words = spark.createDataFrame(
+        [("", 5), ("ab", 3), ("abab", 2)], "word string, f long"
+    )
+    got = [(r["round"], r.left_sym, r.right_sym, r.pair_count)
+           for r in learn_bpe_merges(words, n_merges=2).collect()]
+    assert got[0] == (1, "a", "b", 7)   # 3 + 2*2, '' casts no votes
+    assert got[1] == (2, "ab", "ab", 2)
+
+
+def test_learn_bpe_merges_quote_safe_symbols(spark):
+    """Winning symbols bind as literal Columns: a quote in the alphabet
+    must not break (or corrupt) the merge-apply expression."""
+    from hiss_cube_spark.operators.tokenizer import learn_bpe_merges
+
+    words = spark.createDataFrame(
+        [("d'", 4), ("d'd'", 2)], "word string, f long"
+    )
+    got = [(r["round"], r.left_sym, r.right_sym, r.pair_count)
+           for r in learn_bpe_merges(words, n_merges=2).collect()]
+    assert got[0] == (1, "d", "'", 8)
+    assert got[1] == (2, "d'", "d'", 2)
+
+
+def test_oracle_harness_reads_multifile_tables(spark, tmp_path):
+    """duck_connection must read the {table}.parquet/ DIRECTORY layout
+    the multi-file corpus maker writes (DuckDB needs the glob)."""
+    import os
+    import shutil
+
+    from oracle_harness import TABLES, duck_connection
+
+    src = "/root/testdata/sf0.001"
+    out = tmp_path / "corpus"
+    out.mkdir()
+    for t in TABLES:
+        dst = out / f"{t}.parquet"
+        if t == "documents":  # one multi-file table among single-file ones
+            dst.mkdir()
+            shutil.copy(f"{src}/{t}.parquet", dst / "part-0.parquet")
+            shutil.copy(f"{src}/{t}.parquet", dst / "part-1.parquet")
+        else:
+            shutil.copy(f"{src}/{t}.parquet", dst)
+    con = duck_connection(str(out))
+    n_single = con.execute(
+        f"SELECT count(*) FROM read_parquet('{src}/documents.parquet')"
+    ).fetchone()[0]
+    assert con.execute("SELECT count(*) FROM documents").fetchone()[0] \
+        == 2 * n_single
+    assert con.execute("SELECT count(*) FROM region").fetchone()[0] > 0

@@ -67,6 +67,16 @@ def main() -> None:
         # PER_THREAD_OUTPUT yields ~one file per thread. Spark reads the
         # directory transparently; DuckDB needs the '/*.parquet' glob.
         dst = f"{out}/{table}.parquet"
+        # rebuilds into the same out dir are the documented workflow: the
+        # tool owns dst's layout, so clear any previous build (file OR
+        # directory — PER_THREAD_OUTPUT refuses non-empty dirs, and a
+        # stale single-file table would shadow a directory write)
+        if os.path.isfile(dst):
+            os.remove(dst)
+        elif os.path.isdir(dst):
+            import shutil
+
+            shutil.rmtree(dst)
         if copies > 1:
             con.execute(
                 f"COPY ({' UNION ALL '.join(parts)}) TO '{dst}' "

@@ -99,9 +99,16 @@ def run(sf_dir: str, only: list[str]) -> int:
     )
     import __spark_entry__ as em
 
+    import os
+
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # multi-file replica tables (make_scale10) are directories —
+        # DuckDB needs the glob there, Spark reads either layout
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
 
     queries = em.queries()
     oracles = em.oracle_sql()
