@@ -536,9 +536,19 @@ def minhash_lsh_pairs(
         f"transform(array({sig_sql}), s -> transform(sequence(0, {bands - 1}), "
         f"b -> xxhash64(slice(s, b * {rows_per_band} + 1, {rows_per_band}))))[0]"
     )
-    band = ga.select(
+    # Pin the per-doc band-hash table (doc_id + `bands` longs ≈ a few
+    # hundred bytes/doc — orders of magnitude below the text) before the
+    # self-join: at bench scale one side of the band join becomes a
+    # BroadcastExchange, so WITHOUT this pin the n_hashes·|grams| min
+    # transform — the query's dominant CPU leg, and an interpreted HOF, so
+    # the leg most sensitive to host contention (PLANS.md round-12) — runs
+    # once per join side. The pin makes it exactly once per document.
+    sigs = ga.select("doc_id", F.expr(bands_sql).alias("_bands"))
+    if persist_shingles:
+        sigs = sigs.persist()
+    band = sigs.select(
         "doc_id",
-        F.posexplode(F.expr(bands_sql)).alias("band_id", "band_hash"),
+        F.posexplode("_bands").alias("band_id", "band_hash"),
     )
     a = band.alias("a")
     b = band.alias("b")
