@@ -11,22 +11,70 @@ from __future__ import annotations
 from xml.sax.saxutils import escape
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame
 
 __all__ = [
     "write_votable", "write_votable_binary", "read_votable",
     "write_votable_distributed", "write_fits_table", "write_parquet",
+    "ExportBudgetExceeded",
 ]
 
-_VOT_TYPES = {
-    "int64": "long",
-    "int32": "int",
-    "float64": "double",
-    "float32": "float",
-    "object": "char",
-    "bool": "boolean",
-}
+
+class ExportBudgetExceeded(RuntimeError):
+    """A driver-side export would exceed its ``max_bytes`` budget.
+
+    The row cap alone cannot protect the driver: a table of wide array /
+    binary / text columns blows driver memory long before 5M rows. The
+    byte budget is a LOUD guard (abort, never silently truncate mid-table);
+    raise ``max_bytes`` explicitly or use the distributed sinks
+    (`write_votable_distributed`, `write_parquet`) for bigger exports.
+    """
+
+
+# Default driver-side payload budget: 2 GiB of estimated cell bytes. Far
+# below the 128 GiB bench JVM, deliberately — exports serialize the payload
+# 2-3x over (row tuples + document string/record array + encoded bytes).
+_DEFAULT_MAX_BYTES = 2 << 30
+
+
+def _cell_nbytes(v) -> int:
+    """Cheap in-memory size estimate of one result cell (budget, not
+    billing: strings count code points, numbers 8 bytes, containers
+    recurse)."""
+    if v is None:
+        return 1
+    if isinstance(v, str):
+        return len(v)
+    if isinstance(v, (bytes, bytearray)):
+        return len(v)
+    if isinstance(v, (list, tuple)):
+        return 4 + sum(_cell_nbytes(x) for x in v)
+    if isinstance(v, dict):
+        return 4 + sum(_cell_nbytes(k) + _cell_nbytes(x) for k, x in v.items())
+    return 8
+
+
+def _budgeted_rows(df: DataFrame, max_rows: int, max_bytes: int):
+    """Stream result rows as tuples within BOTH export caps.
+
+    ``max_rows`` keeps the documented truncation semantics (a LIMIT pushed
+    into the plan). ``max_bytes`` accumulates the estimated payload as rows
+    stream through ``toLocalIterator`` — one partition resident on the
+    driver at a time, so the guard fires from bounded memory instead of the
+    collect itself OOMing — and raises :class:`ExportBudgetExceeded` the
+    moment the budget is crossed.
+    """
+    total = 0
+    for row in df.limit(max_rows).toLocalIterator():
+        t = tuple(row)
+        total += sum(_cell_nbytes(v) for v in t)
+        if total > max_bytes:
+            raise ExportBudgetExceeded(
+                f"export exceeds max_bytes={max_bytes} (estimated "
+                f"{total} bytes so far); raise max_bytes or use a "
+                f"distributed sink (write_votable_distributed/write_parquet)"
+            )
+        yield t
 
 
 # Spark simpleString type names → VOTable datatypes (distributed path).
@@ -62,15 +110,27 @@ def _votable_doc(colnames, vot_types, row_tuples) -> str:
     )
 
 
-def write_votable(df: DataFrame, path: str, max_rows: int = 5_000_000) -> None:
+def write_votable(
+    df: DataFrame,
+    path: str,
+    max_rows: int = 5_000_000,
+    max_bytes: int = _DEFAULT_MAX_BYTES,
+) -> None:
     """Serialize a result DataFrame as a VOTable 1.4 TABLEDATA document
     (ref write_VOTable, metadata_strategy_cube_visualization.py:97-100).
 
-    Driver-side: the right tool for result tables. For exports too large to
-    collect, use :func:`write_votable_distributed`."""
-    pdf = df.limit(max_rows).toPandas()
-    vts = [_VOT_TYPES.get(str(dt), "char") for dt in pdf.dtypes]
-    doc = _votable_doc(list(pdf.columns), vts, pdf.itertuples(index=False, name=None))
+    Driver-side: the right tool for result tables. Guarded twice — a row
+    cap and a byte budget (see :class:`ExportBudgetExceeded`): rows stream
+    via ``toLocalIterator`` so a wide array column aborts loudly instead of
+    OOMing the collect. For exports too large for the driver, use
+    :func:`write_votable_distributed`."""
+    vts = [
+        _SPARK_VOT_TYPES.get(f.dataType.simpleString(), "char")
+        for f in df.schema.fields
+    ]
+    doc = _votable_doc(
+        list(df.columns), vts, _budgeted_rows(df, max_rows, max_bytes)
+    )
     with open(path, "w") as f:
         f.write(doc)
 
@@ -132,7 +192,12 @@ def _votable_binary_doc(colnames, vot_types, row_tuples) -> str:
     )
 
 
-def write_votable_binary(df: DataFrame, path: str, max_rows: int = 5_000_000) -> None:
+def write_votable_binary(
+    df: DataFrame,
+    path: str,
+    max_rows: int = 5_000_000,
+    max_bytes: int = _DEFAULT_MAX_BYTES,
+) -> None:
     """Serialize a result DataFrame as VOTable 1.4 with BINARY
     serialization — format parity with the reference's astropy binary
     tabledata output (metadata_strategy_cube_visualization.py:97-100;
@@ -144,10 +209,10 @@ def write_votable_binary(df: DataFrame, path: str, max_rows: int = 5_000_000) ->
         _SPARK_VOT_TYPES.get(f.dataType.simpleString(), "char")
         for f in df.schema.fields
     ]
-    # collect row tuples directly — a pandas roundtrip would degrade a
-    # nullable long column to float64 and silently round ints above 2^53
-    # before struct.pack encodes them as 'long'
-    rows = (tuple(r) for r in df.limit(max_rows).collect())
+    # stream row tuples directly (toLocalIterator + byte budget) — a pandas
+    # roundtrip would degrade a nullable long column to float64 and silently
+    # round ints above 2^53 before struct.pack encodes them as 'long'
+    rows = _budgeted_rows(df, max_rows, max_bytes)
     doc = _votable_binary_doc(list(df.columns), vts, rows)
     with open(path, "w") as f:
         f.write(doc)
@@ -268,18 +333,48 @@ def _fits_card(key: str, value, comment: str = "") -> bytes:
     return s[:80].ljust(80).encode("ascii")
 
 
-def write_fits_table(df: DataFrame, path: str, max_rows: int = 5_000_000) -> None:
+_SPARK_FITS_FORMS = {"bigint": "K", "int": "J", "double": "D", "float": "E"}
+
+
+def write_fits_table(
+    df: DataFrame,
+    path: str,
+    max_rows: int = 5_000_000,
+    max_bytes: int = _DEFAULT_MAX_BYTES,
+) -> None:
     """Serialize a result DataFrame as FITS BINTABLE (ref write_FITS,
-    metadata_strategy_cube_visualization.py:102-104)."""
-    pdf = df.limit(max_rows).toPandas()
+    metadata_strategy_cube_visualization.py:102-104).
+
+    Rows stream through the export byte budget (see
+    :class:`ExportBudgetExceeded`); a numeric column containing NULLs
+    degrades to float64/``D`` with NaN (the FITS BINTABLE integer form has
+    no null sentinel — same behavior the earlier pandas path produced)."""
+    data_rows = list(_budgeted_rows(df, max_rows, max_bytes))
+    colvals = list(zip(*data_rows)) if data_rows else [()] * len(df.columns)
     cols, forms = [], []
-    for name, dt in zip(pdf.columns, pdf.dtypes):
-        key = str(dt)
-        if key in _FITS_FORMS:
-            cols.append(pdf[name].to_numpy())
-            forms.append((name, _FITS_FORMS[key]))
-        else:  # strings → fixed width
-            s = pdf[name].astype(str).tolist()
+    for i, fld in enumerate(df.schema.fields):
+        name, key = fld.name, fld.dataType.simpleString()
+        vals = colvals[i]
+        has_null = any(v is None for v in vals)
+        if key in _SPARK_FITS_FORMS and not (
+            has_null and _SPARK_FITS_FORMS[key] in ("K", "J")
+        ):
+            form = _SPARK_FITS_FORMS[key]
+            np_t = {"K": np.int64, "J": np.int32, "D": np.float64, "E": np.float32}[form]
+            if has_null:  # float forms: NULL encodes as NaN
+                vals = tuple(float("nan") if v is None else v for v in vals)
+            cols.append(np.array(vals, dtype=np_t))
+            forms.append((name, form))
+        elif key in _SPARK_FITS_FORMS:  # integer column with NULLs → D/NaN
+            cols.append(
+                np.array(
+                    tuple(float("nan") if v is None else float(v) for v in vals),
+                    dtype=np.float64,
+                )
+            )
+            forms.append((name, "D"))
+        else:  # strings / everything else → fixed width text
+            s = [str(v) for v in vals]
             width = max((len(x) for x in s), default=1)
             cols.append(
                 np.array([x.ljust(width).encode("ascii", "replace") for x in s], dtype=f"S{width}")
@@ -292,7 +387,7 @@ def write_fits_table(df: DataFrame, path: str, max_rows: int = 5_000_000) -> Non
             dtype.append((name, f"S{form[:-1]}"))
         else:
             dtype.append((name, {"K": ">i8", "J": ">i4", "D": ">f8", "E": ">f4"}[form]))
-    rec = np.empty(len(pdf), dtype=dtype)
+    rec = np.empty(len(data_rows), dtype=dtype)
     for arr, (name, _) in zip(cols, forms):
         rec[name] = arr
 
