@@ -133,13 +133,20 @@ HEADLINE = [
     # round-11 additions
     "j_bucketed_colocated",
     "text_bpe_train",
+    # round-12 additions
+    "j_bucketed_flagship",
+    "w_cumulative_sum",
 ]
 
-# Environment-drift sentinel: per-query ratchets are expressed relative to
-# this query's time in the same run (PLANS.md "Relative ratchet protocol").
-# q1 is pure scan+groupBy TPC-H pricing summary — stable, code untouched
-# since round 1, and it tracks machine speed, not plan changes.
-SENTINEL = "q1_pricing_summary"
+# Environment-drift sentinels: per-query ratchets are expressed relative to
+# the MEDIAN of these queries' times in the same run (PLANS.md "Relative
+# ratchet protocol"; multi-sentinel since round 12 — a single sentinel made
+# every rel-ratchet hostage to one query's jitter, and q1's own reading was
+# the r11 outlier). Three code-stable queries of different shapes: q1 is
+# pure scan+groupBy, w_cumulative_sum is one exchange + running window,
+# ann_cosine_topk is a broadcast join + per-query top-k.
+SENTINELS = ["q1_pricing_summary", "w_cumulative_sum", "ann_cosine_topk"]
+SENTINEL = SENTINELS[0]  # kept so old single-sentinel rel maps stay comparable
 
 
 def main() -> None:
@@ -177,7 +184,13 @@ def main() -> None:
         timings[name] = round(best, 3)
         total += best
 
-    sentinel_sec = timings.get(SENTINEL) or 1.0
+    sent = sorted(timings[n] for n in SENTINELS if timings.get(n))
+    sentinel_sec = (
+        (sent[len(sent) // 2] if len(sent) % 2 else
+         (sent[len(sent) // 2 - 1] + sent[len(sent) // 2]) / 2)
+        if sent
+        else 1.0
+    )
     rel = {n: round(t / sentinel_sec, 3) for n, t in timings.items()}
     side_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "bench_last.json"
@@ -218,6 +231,8 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "sentinel": SENTINEL,
+        "sentinels": {n: timings[n] for n in SENTINELS if n in timings},
+        "sentinel_median_sec": round(sentinel_sec, 3),
         "median_vs_prev": median_vs_prev,
         "rel": rel,
     }
@@ -242,8 +257,10 @@ def main() -> None:
         "sf": sf,
         "n": len(timings),
         "sentinel": SENTINEL,
+        "sentinels": {n: timings[n] for n in SENTINELS if n in timings},
         "median_vs_prev": median_vs_prev,
         "file": "bench_last.json",
+        "n_queries_omitted": 0,
         "queries": {},
     }
     # stdout budget: the driver captures a ~2000-char tail; at 101+
@@ -256,6 +273,9 @@ def main() -> None:
         if len(json.dumps(compact, separators=(",", ":"))) > budget:
             del compact["queries"][name]
             break
+    # truncation must be detectable downstream (ADVICE r11): a consumer
+    # grepping stdout for a query that didn't fit sees the omission count
+    compact["n_queries_omitted"] = len(timings) - len(compact["queries"])
     print(json.dumps(compact, separators=(",", ":")))
     sys.stdout.flush()
 

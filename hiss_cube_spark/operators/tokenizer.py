@@ -144,7 +144,13 @@ def word_frequency_table(
 
 
 def learn_bpe_merges(
-    words: DataFrame, n_merges: int = 4, word_col: str = "word", freq_col: str = "f"
+    words: DataFrame,
+    n_merges: int = 4,
+    word_col: str = "word",
+    freq_col: str = "f",
+    merge_batch: int = 1,
+    max_rounds: int = 512,
+    checkpoint_every: int = 8,
 ) -> DataFrame:
     """FULL-CORPUS distributed BPE merge learning: exact pair counts every
     round, no sampling — the scale-grade counterpart of the driver-side
@@ -155,26 +161,66 @@ def learn_bpe_merges(
     (``zip_with`` over the symbol array — row-local, no explode of text),
     weighted by word frequency, one map-side-combining groupBy bounded by
     the PAIR vocabulary; the round's winner (max count, ties →
-    lexicographically smallest pair, the `train_bpe` law) is a 1-row
+    lexicographically smallest pair, the `train_bpe` law) is a bounded
     collect — driver state is K rows total. The merge applies as a
     row-local canonical left-to-right fold (``aggregate`` HOF): within a
     run of overlapping matches every other one merges, the exact
     semantics of Sennrich et al.'s reference loop (pinned against
     `train_bpe`'s python loop in tests). The corpus is scanned ONCE
-    (`word_frequency_table`); the K rounds iterate over the vocab-bounded
+    (`word_frequency_table`); the rounds iterate over the vocab-bounded
     word table, re-persisted per round.
 
-    Returns (round, left_sym, right_sym, pair_count) — ``n_merges`` rows.
+    COST MODEL (the driver-loop bound): each round is ONE Spark job (the
+    pair-count collect, which materializes the previous round's fold as a
+    side effect), so a vocabulary of K merges costs ``ceil(K /
+    merge_batch)`` sequential jobs over the vocab-sized table — inherent
+    to BPE's global argmax, never corpus-sized, but at thousands of
+    merges the job-submission floor dominates. Two levers, both guarded:
+
+    * ``merge_batch > 1`` applies up to that many TOKEN-DISJOINT top
+      pairs per counting round (greedy in the (count desc, pair asc)
+      winner order). Disjoint pairs cannot create, destroy, or overlap
+      one another's occurrences, so the batch applies in one fold pass
+      and each reported count is exact for its table. The SELECTION is
+      the standard scalable-BPE approximation: sequential BPE recounts
+      after every merge and a pair involving a just-merged symbol can
+      overtake the batch's lower ranks, so with ``merge_batch > 1`` the
+      merge LIST may diverge from ``merge_batch=1`` (exact when it
+      doesn't, e.g. disjoint sub-alphabets; tests pin both). Batch=1 is
+      bit-exact sequential BPE.
+    * ``max_rounds`` bounds the sequential-job count loudly: asking for
+      more rounds than the cap raises instead of silently launching a
+      many-thousand-job driver loop (raise the cap explicitly, or raise
+      ``merge_batch``, or train on a sample via `train_bpe`).
+
+    Every ``checkpoint_every`` rounds the working table is
+    ``localCheckpoint``-ed instead of persisted: the fold lineage (and
+    plan analysis cost) otherwise grows linearly with the round number,
+    and an evicted persisted partition would recompute through every
+    earlier fold back to the source scan.
+
+    Returns (round, left_sym, right_sym, pair_count) — ``n_merges`` rows;
+    ``round`` is the counting-round index (rows within a batch share it).
     Word-interior merges only (no ``</w>`` end marker): the variant with
     the marker changes symbols, not shapes.
     """
+    if merge_batch < 1:
+        raise ValueError(f"merge_batch must be >= 1 (got {merge_batch})")
+    rounds_needed = -(-n_merges // merge_batch)  # ceil
+    if rounds_needed > max_rounds:
+        raise ValueError(
+            f"n_merges={n_merges} at merge_batch={merge_batch} needs "
+            f"{rounds_needed} sequential driver rounds (> max_rounds="
+            f"{max_rounds}); raise merge_batch, raise max_rounds "
+            f"explicitly, or train on a bounded sample with train_bpe"
+        )
     spark = words.sparkSession
     # right-size the vocab table once: it is orders of magnitude smaller
     # than the corpus, and every round's fold/pair job otherwise inherits
     # the session's shuffle.partitions (200 near-empty tasks × K rounds)
     cur = (
         words.select(
-            F.expr(f"split({word_col}, '')").alias("toks"),
+            F.split(F.col(word_col), "").alias("toks"),
             F.col(freq_col).cast("long").alias("f"),
         )
         .repartition(spark.sparkContext.defaultParallelism)
@@ -183,7 +229,11 @@ def learn_bpe_merges(
     prev = None
     merges: list[tuple[int, str, str, int]] = []
     try:
-        for k in range(1, n_merges + 1):
+        # max_rounds is the HARD bound on actual rounds: token-sharing
+        # winners can under-fill a batch, pushing the remainder to later
+        # rounds (rounds_needed is the optimistic lower bound the upfront
+        # guard checks)
+        for k in range(1, max_rounds + 1):
             pairs = (
                 cur.select(
                     F.explode(
@@ -202,37 +252,70 @@ def learn_bpe_merges(
                 .groupBy("p.a", "p.b")
                 .agg(F.sum("f").alias("n"))
             )
+            want = min(merge_batch, n_merges - len(merges))
             # this collect is the round's ONLY action: it fills cur's cache
             # (one fold applied to the previous round's cached table) as a
             # side effect — no separate materialization job needed. The
             # previous cache must stay alive until here, then releases.
-            top = pairs.orderBy(F.desc("n"), "a", "b").limit(1).collect()
+            # Candidate over-fetch (4x) gives the greedy disjoint filter
+            # room; still vocabulary-bounded driver state.
+            top = (
+                pairs.orderBy(F.desc("n"), "a", "b")
+                .limit(want if want == 1 else 4 * want)
+                .collect()
+            )
             if prev is not None:
                 prev.unpersist()
                 prev = None
-            if not top:
+            # greedy token-disjoint batch selection in winner order; a
+            # pair's LEFT symbol must also differ from every symbol another
+            # batch member CREATES (a+b string collision would let a later
+            # fold step match a mid-fold merged symbol — impossible in
+            # sequential mode, so excluded from batches too)
+            batch: list[tuple[str, str, int]] = []
+            used: set[str] = set()
+            created: set[str] = set()
+            for r in top:
+                a, b = r["a"], r["b"]
+                if a in used or b in used or a in created:
+                    continue
+                if any(m_a == a + b for m_a, _, _ in batch):
+                    continue
+                batch.append((a, b, int(r["n"])))
+                used.update((a, b))
+                created.add(a + b)
+                if len(batch) >= want:
+                    break
+            if not batch:
                 break
-            a, b, n = top[0]["a"], top[0]["b"], int(top[0]["n"])
-            merges.append((k, a, b, n))
-            if k == n_merges:
-                break  # the last winner needs no apply pass
-            # canonical left-to-right merge fold; the winning symbols bind
-            # as literal Columns (never interpolated into SQL text — a
-            # quote/backslash in the alphabet cannot break the expression)
-            def _make_fold(a_sym: str, b_sym: str):
+            merges.extend((k, a, b, n) for a, b, n in batch)
+            if len(merges) >= n_merges:
+                break  # the last winners need no apply pass
+            # canonical left-to-right merge fold over the WHOLE batch; the
+            # winning symbols bind as literal Columns (never interpolated
+            # into SQL text — a quote/backslash in the alphabet cannot
+            # break the expression). Token-disjointness makes the per-pair
+            # hits mutually exclusive at any fold step, so one pass
+            # applies every pair with sequential-per-pair semantics.
+            def _make_fold(pairs_batch: list[tuple[str, str, int]]):
                 def _fold(acc, s):
-                    hit = (
-                        (F.size(acc) > 0)
-                        & (F.element_at(acc, -1) == F.lit(a_sym))
-                        & (s == F.lit(b_sym))
-                    )
-                    return F.when(
-                        hit,
-                        F.concat(
+                    out = None
+                    for a_sym, b_sym, _ in pairs_batch:
+                        hit = (
+                            (F.size(acc) > 0)
+                            & (F.element_at(acc, -1) == F.lit(a_sym))
+                            & (s == F.lit(b_sym))
+                        )
+                        merged = F.concat(
                             F.slice(acc, 1, F.size(acc) - 1),
                             F.array(F.lit(a_sym + b_sym)),
-                        ),
-                    ).otherwise(F.concat(acc, F.array(s)))
+                        )
+                        out = (
+                            F.when(hit, merged)
+                            if out is None
+                            else out.when(hit, merged)
+                        )
+                    return out.otherwise(F.concat(acc, F.array(s)))
 
                 return _fold
 
@@ -240,10 +323,16 @@ def learn_bpe_merges(
                 F.aggregate(
                     "toks",
                     F.expr("cast(array() as array<string>)"),
-                    _make_fold(a, b),
+                    _make_fold(batch),
                 ).alias("toks"),
                 "f",
-            ).persist()
+            )
+            if k % checkpoint_every == 0:
+                # lineage truncation: materializes lazily on the next
+                # round's collect, like the persist it replaces
+                nxt = nxt.localCheckpoint(eager=False)
+            else:
+                nxt = nxt.persist()
             prev, cur = cur, nxt
     finally:
         cur.unpersist()
