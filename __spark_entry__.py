@@ -118,12 +118,16 @@ def _swap_persist(tag: str, df: DataFrame) -> DataFrame:
 
 
 def _bucketed_layout_dir(sf_dir: str, tag: str) -> str:
-    """Per-(user, corpus) bucketed-layout root under the system tmpdir.
+    """Per-(user, corpus) bucketed-layout root under a PRIVATE per-user
+    parent dir in the system tmpdir.
 
-    A fixed /tmp name raced concurrent processes benching DIFFERENT corpora
-    and was pre-creatable/symlinkable by other users on shared hosts
-    (ADVICE r11); keying by user + corpus path keeps disk bounded at one
-    layout copy per corpus (runs overwrite in place) without those races.
+    A fixed world-readable /tmp name raced concurrent processes benching
+    DIFFERENT corpora and was pre-creatable/symlinkable by other users on
+    shared hosts (ADVICE r11). Two layers fix both: the per-user parent is
+    created 0700 with an ownership check (a predictable name alone would
+    still let another user pre-create it — sticky-bit /tmp protects only
+    deletion), and the per-corpus leaf under it keeps disk bounded at one
+    layout copy per corpus (runs overwrite in place).
     """
     import getpass
     import hashlib
@@ -134,8 +138,17 @@ def _bucketed_layout_dir(sf_dir: str, tag: str) -> str:
         user = getpass.getuser()
     except (KeyError, OSError):  # no passwd entry (containers)
         user = f"uid{os.getuid()}"
+    parent = os.path.join(tempfile.gettempdir(), f"hc_bucketed_{user}")
+    os.makedirs(parent, mode=0o700, exist_ok=True)
+    st = os.stat(parent)
+    if st.st_uid != os.getuid():
+        raise RuntimeError(
+            f"bucketed-layout parent {parent} is owned by uid {st.st_uid}, "
+            f"not us (uid {os.getuid()}) — refusing to write through a "
+            f"foreign directory; remove it or point TMPDIR elsewhere"
+        )
     h = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
-    return os.path.join(tempfile.gettempdir(), f"hc_bucketed_{user}_{h}_{tag}")
+    return os.path.join(parent, f"{h}_{tag}")
 
 
 def _dec(c, scale: int = 8):

@@ -146,7 +146,11 @@ HEADLINE = [
 # pure scan+groupBy, w_cumulative_sum is one exchange + running window,
 # ann_cosine_topk is a broadcast join + per-query top-k.
 SENTINELS = ["q1_pricing_summary", "w_cumulative_sum", "ann_cosine_topk"]
-SENTINEL = SENTINELS[0]  # kept so old single-sentinel rel maps stay comparable
+# The r5-r11 single sentinel, kept ONLY so a reader can locate q1 in old
+# records; since r12 the rel map divides by sentinel_median_sec (the
+# median of `sentinels`), NOT by this query's time — `rel_basis` says so
+# in-band. Old rel maps (divided by q1) and new ones are mixed-denominator.
+SENTINEL = SENTINELS[0]
 
 
 def main() -> None:
@@ -233,6 +237,7 @@ def main() -> None:
         "sentinel": SENTINEL,
         "sentinels": {n: timings[n] for n in SENTINELS if n in timings},
         "sentinel_median_sec": round(sentinel_sec, 3),
+        "rel_basis": "sentinel_median_sec",
         "median_vs_prev": median_vs_prev,
         "rel": rel,
     }
@@ -258,6 +263,7 @@ def main() -> None:
         "n": len(timings),
         "sentinel": SENTINEL,
         "sentinels": {n: timings[n] for n in SENTINELS if n in timings},
+        "rel_basis": "sentinel_median_sec",
         "median_vs_prev": median_vs_prev,
         "file": "bench_last.json",
         "n_queries_omitted": 0,

@@ -197,15 +197,27 @@ def learn_bpe_merges(
     ``localCheckpoint``-ed instead of persisted: the fold lineage (and
     plan analysis cost) otherwise grows linearly with the round number,
     and an evicted persisted partition would recompute through every
-    earlier fold back to the source scan.
+    earlier fold back to the source scan. Tradeoff on a real cluster:
+    localCheckpoint blocks cannot be recomputed after executor loss
+    (persist-only lineage can) — for preemptible executors use a
+    reliable ``spark.sparkContext.setCheckpointDir`` + ``.checkpoint()``
+    variant, or a cadence larger than the expected failure-free window.
 
-    Returns (round, left_sym, right_sym, pair_count) — ``n_merges`` rows;
-    ``round`` is the counting-round index (rows within a batch share it).
+    Returns (round, left_sym, right_sym, pair_count) — ``n_merges`` rows
+    (fewer ONLY when the vocabulary's pairs exhaust first; running out of
+    ``max_rounds`` with merges still owed raises instead of silently
+    returning a short merge table); ``round`` is the counting-round index
+    (rows within a batch share it).
     Word-interior merges only (no ``</w>`` end marker): the variant with
     the marker changes symbols, not shapes.
     """
     if merge_batch < 1:
         raise ValueError(f"merge_batch must be >= 1 (got {merge_batch})")
+    if checkpoint_every < 1:
+        raise ValueError(
+            f"checkpoint_every must be >= 1 (got {checkpoint_every}); use a "
+            f"value > max_rounds to effectively disable checkpointing"
+        )
     rounds_needed = -(-n_merges // merge_batch)  # ceil
     if rounds_needed > max_rounds:
         raise ValueError(
@@ -228,6 +240,7 @@ def learn_bpe_merges(
     )
     prev = None
     merges: list[tuple[int, str, str, int]] = []
+    pairs_exhausted = False
     try:
         # max_rounds is the HARD bound on actual rounds: token-sharing
         # winners can under-fill a batch, pushing the remainder to later
@@ -287,6 +300,7 @@ def learn_bpe_merges(
                 if len(batch) >= want:
                     break
             if not batch:
+                pairs_exhausted = True
                 break
             merges.extend((k, a, b, n) for a, b, n in batch)
             if len(merges) >= n_merges:
@@ -338,6 +352,14 @@ def learn_bpe_merges(
         cur.unpersist()
         if prev is not None:
             prev.unpersist()
+    if len(merges) < n_merges and not pairs_exhausted:
+        # token-sharing winners under-filled the batches round after round;
+        # a silently short merge table would train an undersized vocabulary
+        raise ValueError(
+            f"learned only {len(merges)}/{n_merges} merges within "
+            f"max_rounds={max_rounds} (token-sharing winners under-fill "
+            f"batches); raise max_rounds or lower merge_batch"
+        )
     return spark.createDataFrame(
         merges, "round long, left_sym string, right_sym string, pair_count long"
     )

@@ -317,9 +317,6 @@ def write_votable_distributed(df: DataFrame, dir_path: str, partitions: int | No
     df.foreachPartition(_write_part)
 
 
-_FITS_FORMS = {"int64": "K", "int32": "J", "float64": "D", "float32": "E"}
-
-
 def _fits_card(key: str, value, comment: str = "") -> bytes:
     if isinstance(value, bool):
         v = "T" if value else "F"

@@ -134,6 +134,51 @@ def test_bucketed_layout_dir_scoped_per_user_and_corpus(tmp_path):
     assert entrymod._bucketed_layout_dir("/root/testdata/sf0.01", "oc") == a
 
 
+def test_bpe_review_pins(spark):
+    """r12 self-review fixes: checkpoint_every validation upfront; a run
+    that exhausts max_rounds with merges still owed raises LOUDLY instead
+    of returning a silently short merge table (token-sharing winners
+    under-fill batches); natural pair exhaustion still returns short."""
+    from hiss_cube_spark.operators.tokenizer import learn_bpe_merges
+
+    words = spark.createDataFrame(
+        [("ab", 12), ("bc", 11)], "word string, f long"
+    )
+    with pytest.raises(ValueError, match="checkpoint_every"):
+        learn_bpe_merges(words, n_merges=2, checkpoint_every=0)
+    # (a,b) wins round 1; (b,c) shares 'b' so the batch under-fills, and
+    # max_rounds=1 leaves a merge owed -> loud error
+    with pytest.raises(ValueError, match="under-fill"):
+        learn_bpe_merges(words, n_merges=2, merge_batch=2, max_rounds=1)
+    # natural exhaustion stays a legitimate short return: single-pair vocab
+    one = spark.createDataFrame([("ab", 3)], "word string, f long")
+    got = learn_bpe_merges(one, n_merges=5).collect()
+    assert [(r.left_sym, r.right_sym) for r in got] == [("a", "b")]
+
+
+def test_bucketed_layout_parent_is_private(tmp_path, monkeypatch):
+    """r12 self-review: the layout root lives under a 0700 per-user parent
+    (a predictable name alone is pre-creatable by other users on shared
+    hosts); a foreign-owned parent must be refused loudly."""
+    import os
+    import stat
+
+    import __spark_entry__ as entrymod
+
+    monkeypatch.setenv("TMPDIR", str(tmp_path))
+    import tempfile
+
+    tempfile.tempdir = None  # re-read TMPDIR
+    try:
+        p = entrymod._bucketed_layout_dir("/root/testdata/sf0.01", "oc")
+        parent = os.path.dirname(p)
+        assert parent.startswith(str(tmp_path))
+        mode = stat.S_IMODE(os.stat(parent).st_mode)
+        assert mode == 0o700
+    finally:
+        tempfile.tempdir = None
+
+
 def test_bpe_checkpoint_cadence_preserves_sequence(spark):
     """Merges crossing several checkpoint boundaries (cadence=2) must be
     bit-identical to the persist-only path and to the python loop."""
