@@ -909,7 +909,7 @@ def j_bucketed_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantize floor(x·1e6)→long (order-independent integer element sum),
     weights are exact binary quarters, sums decimal(30,8)-quantized.
     Same single-writer-per-corpus contract as j_bucketed_colocated."""
-    from hiss_cube_spark.plans.bucketing import colocated_join, write_bucketed
+    from hiss_cube_spark.plans.bucketing import write_bucketed
 
     c = _t(spark, sf_dir, "customer")
     specs = c.select(
@@ -929,16 +929,24 @@ def j_bucketed_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_bucketed(
         refs, "hc_bkt_cutout_refs", f"{base}/cr", ["spec_id"], n_buckets=8
     )
-    j = colocated_join(spark, "hc_bkt_cutout_refs", "hc_bkt_spectra", ["spec_id"])
+    # The flux fold evaluates PER SPECTRUM before the join (a projection
+    # preserves the bucketed distribution, so the SMJ stays exchange-free):
+    # folding after the join would run the 8-element HOF once per JOINED
+    # row — 10× the evaluations at this corpus's ref:spectrum fan-out,
+    # measured to dominate the whole query at 100×.
     el_q = F.expr(
         "aggregate(flux, 0L, (acc, x) -> "
         "acc + cast(floor(x * cast(1000000 as double)) as bigint))"
     )
+    sp = spark.table("hc_bkt_spectra").select(
+        "spec_id", "sigma", el_q.alias("el_q")
+    )
+    j = spark.table("hc_bkt_cutout_refs").hint("merge").join(sp, ["spec_id"])
     # flux_q: exact long (el_q × small-int ref scale) — every double it
     # feeds below converts exactly, so no multiply chain can reassociate
     # cross-engine (the /1e6·*1e6 roundtrip form 1-ulp-flipped a round-6
     # boundary between Spark and DuckDB)
-    flux_q = el_q * (F.lit(1) + F.col("ref_id") % 3)
+    flux_q = F.col("el_q") * (F.lit(1) + F.col("ref_id") % 3)
     w = F.lit(1.0) / (
         F.col("sigma") * F.col("sigma")
         + (F.col("ref_id") % 7).cast("double") * F.lit(0.25)
