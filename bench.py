@@ -153,10 +153,23 @@ SENTINELS = ["q1_pricing_summary", "w_cumulative_sum", "ann_cosine_topk"]
 SENTINEL = SENTINELS[0]
 
 
+def _loadavg_now():
+    try:
+        return round(os.getloadavg()[0], 2)
+    except OSError:
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
+
+    # contention witness: the r10-r12 investigations showed driver-bench
+    # readings taken while other work shares the box inflate shuffle/HOF
+    # heavy queries 2-6x while sentinels barely move (PLANS.md round-12);
+    # recording the load average makes that state visible IN the record.
+    load_start = _loadavg_now()
 
     spark = get_spark("hiss-cube-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -238,6 +251,8 @@ def main() -> None:
         "sentinels": {n: timings[n] for n in SENTINELS if n in timings},
         "sentinel_median_sec": round(sentinel_sec, 3),
         "rel_basis": "sentinel_median_sec",
+        "load_1m_start": load_start,
+        "load_1m_end": _loadavg_now(),
         "median_vs_prev": median_vs_prev,
         "rel": rel,
     }
@@ -264,6 +279,7 @@ def main() -> None:
         "sentinel": SENTINEL,
         "sentinels": {n: timings[n] for n in SENTINELS if n in timings},
         "rel_basis": "sentinel_median_sec",
+        "load_1m": [load_start, _loadavg_now()],
         "median_vs_prev": median_vs_prev,
         "file": "bench_last.json",
         "n_queries_omitted": 0,
