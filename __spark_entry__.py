@@ -3820,6 +3820,49 @@ def emb_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", _r6(F.col("cosine")).alias("cosine"))
 
 
+@_q(
+    "cur_emb_decontaminate",
+    f"""
+    WITH {_SQL_EMB_NORMS},
+    dots AS (
+      SELECT t.vec_id AS train_id, b.vec_id AS test_id,
+             CAST(sum(CAST(floor(CAST(t.embedding[g.i] AS DOUBLE)
+                  * CAST(b.embedding[g.i] AS DOUBLE) * 1e12) AS BIGINT))
+                  AS BIGINT) / 1e12 AS dot
+      FROM embeddings t, embeddings b,
+           unnest(generate_series(1, len(t.embedding))) g(i)
+      WHERE t.vec_id % 10 <> 0 AND b.vec_id % 10 = 0
+      GROUP BY 1, 2),
+    sims AS (
+      SELECT train_id, dot / (sqrt(nt.nrm) * sqrt(nb.nrm)) AS cosine
+      FROM dots JOIN norms nt ON nt.vec_id = train_id
+                JOIN norms nb ON nb.vec_id = test_id)
+    SELECT train_id AS vec_id, CAST(count(*) AS BIGINT) AS n_matches,
+           round(max(cosine), 6) AS max_cosine
+    FROM sims WHERE cosine >= 0.4 GROUP BY 1
+    """,
+)
+def cur_emb_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space benchmark decontamination
+    (`curation.embedding_decontaminate`): the train split (vec_id%10≠0)
+    probed against the broadcast benchmark split (vec_id%10=0); a train
+    vector is contaminated when ANY benchmark cosine ≥ 0.4 — the semantic
+    leak the n-gram `cur_decontaminate` cannot see (paraphrases share no
+    shingle). Quantized exact dot → decisions engine- and order-exact; the
+    only exchange carries one row per contaminated vector. Output is the
+    contamination report (id, match count, max cosine)."""
+    from hiss_cube_spark.operators.curation import embedding_decontaminate
+
+    e = _t(spark, sf_dir, "embeddings")
+    out = embedding_decontaminate(
+        e.where(F.col("vec_id") % 10 != 0),
+        e.where(F.col("vec_id") % 10 == 0),
+        threshold=0.4,
+        keep_matches=True,
+    )
+    return out.select("vec_id", "n_matches", _r6(F.col("max_cosine")).alias("max_cosine"))
+
+
 _SQL_LANG_SCORES = """
       SELECT doc_id, lang,
         len(list_filter(string_split(text,' '), t -> list_contains(['the','a','order','table'], t))) AS score_en,
@@ -11593,7 +11636,7 @@ _CHECK_PRIORITY = [
     # round-guard/batching/checkpoint-cadence machinery (batch=1 path
     # value-identical, re-pinned vs the python reference loop).
     "dedup_minhash_lsh", "j_bucketed_colocated", "j_bucketed_flagship",
-    "text_bpe_train",
+    "cur_emb_decontaminate", "text_bpe_train",
     # the 15 r6-era stale queries (latest driver row round 6; judge
     # spot-parity re-ran 6 of them in r11 — all ok, driver rows owed)
     "dedup_clusters",

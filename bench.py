@@ -136,6 +136,7 @@ HEADLINE = [
     # round-12 additions
     "j_bucketed_flagship",
     "w_cumulative_sum",
+    "cur_emb_decontaminate",
 ]
 
 # Environment-drift sentinels: per-query ratchets are expressed relative to

@@ -29,6 +29,7 @@ __all__ = [
     "balanced_sample",
     "oversample_minority",
     "decontaminate",
+    "embedding_decontaminate",
     "contamination_score",
     "corpus_report",
     "temperature_sample",
@@ -266,6 +267,67 @@ def decontaminate(
         return texts.map(clean)
 
     return train.filter(_is_clean(F.col(text_col)))
+
+
+def embedding_decontaminate(
+    train: DataFrame,
+    test: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep_matches: bool = False,
+) -> DataFrame:
+    """Embedding-space benchmark decontamination: drop (or flag) every
+    training vector whose cosine similarity to ANY test/benchmark vector
+    reaches ``threshold`` — the semantic companion of the n-gram
+    `decontaminate`. Paraphrased eval leakage shares no word n-gram with
+    the benchmark but lands next to it in embedding space; filtering on
+    embedding neighborhood is the standard second hygiene pass (the
+    SemDeDup/D4 observation applied to train/test separation).
+
+    Scale shape: the test side is a benchmark — bounded by definition —
+    so it broadcasts with per-row norms precomputed; the probe is a
+    broadcast nested-loop whose per-pair rows collapse in the map-side
+    partial aggregate, so the ONLY exchange carries one skinny row per
+    contaminated train vector (never the vectors, never |train|×|test|).
+    Cosine uses the quantized exact dot (`similarity._dot_exact`) so
+    decisions are reduction-order- and engine-independent.
+
+    ``keep_matches=False`` (default) returns the clean train rows with
+    their original columns (anti-join on the flagged id set);
+    ``keep_matches=True`` returns the contamination report
+    (id, n_matches, max_cosine) — one row per flagged train vector.
+    """
+    from hiss_cube_spark.operators.similarity import _dot_exact
+
+    def _with_norm(df: DataFrame, vid: str, v: str, nrm: str) -> DataFrame:
+        col = F.col(vec_col)
+        return df.select(
+            F.col(id_col).alias(vid),
+            col.alias(v),
+            F.sqrt(_dot_exact(col, col)).alias(nrm),
+        )
+
+    t = _with_norm(train, "_tid", "_tv", "_tn")
+    b = F.broadcast(_with_norm(test, "_bid", "_bv", "_bn"))
+    cos = _dot_exact(F.col("_tv"), F.col("_bv")) / (F.col("_tn") * F.col("_bn"))
+    flagged = (
+        t.crossJoin(b)
+        .select("_tid", cos.alias("_cos"))
+        .where(F.col("_cos") >= F.lit(threshold))
+        .groupBy("_tid")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_matches"),
+            F.max("_cos").alias("max_cosine"),
+        )
+    )
+    if keep_matches:
+        return flagged.select(
+            F.col("_tid").alias(id_col), "n_matches", "max_cosine"
+        )
+    return train.join(
+        flagged.select(F.col("_tid").alias(id_col)), id_col, "left_anti"
+    )
 
 
 def temperature_sample(

@@ -179,6 +179,51 @@ def test_bucketed_layout_parent_is_private(tmp_path, monkeypatch):
         tempfile.tempdir = None
 
 
+def test_embedding_decontaminate_modes(spark):
+    """keep_matches=True reports (id, n_matches, max_cosine); the default
+    anti-join returns clean train rows with original columns; decisions
+    agree between the two modes and with a numpy brute force."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((4, 8))
+    rows = []
+    # test vectors 0..3; train 10..17 = near-copies of test (contaminated)
+    # and fresh directions (clean)
+    for i in range(4):
+        rows.append((i, [float(x) for x in base[i]]))
+    for j in range(4):
+        rows.append((10 + j, [float(x) for x in base[j] + 0.01 * rng.standard_normal(8)]))
+    fresh = rng.standard_normal((4, 8))
+    for j in range(4):
+        rows.append((14 + j, [float(x) for x in fresh[j]]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    from hiss_cube_spark.operators.curation import embedding_decontaminate
+
+    train = df.where(F.col("vec_id") >= 10)
+    test = df.where(F.col("vec_id") < 4)
+    rep = embedding_decontaminate(train, test, threshold=0.95, keep_matches=True)
+    flagged = {r.vec_id for r in rep.collect()}
+
+    # numpy truth
+    tv = {r.vec_id: np.array(r.embedding) for r in train.collect()}
+    bv = [np.array(r.embedding) for r in test.collect()]
+    want = {
+        i
+        for i, v in tv.items()
+        if any(v @ b / (np.linalg.norm(v) * np.linalg.norm(b)) >= 0.95 - 1e-9 for b in bv)
+    }
+    assert flagged == want == {10, 11, 12, 13}
+
+    clean = embedding_decontaminate(train, test, threshold=0.95)
+    assert {r.vec_id for r in clean.collect()} == {14, 15, 16, 17}
+    assert clean.columns == train.columns  # original shape preserved
+    # scale shape: the benchmark side broadcasts (no shuffle of train vecs)
+    plan = rep._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
 def test_bpe_checkpoint_cadence_preserves_sequence(spark):
     """Merges crossing several checkpoint boundaries (cadence=2) must be
     bit-identical to the persist-only path and to the python loop."""
