@@ -11646,8 +11646,9 @@ _CHECK_PRIORITY = [
     "j_bloom_prune", "cur_model_quality", "dq_kl_divergence",
     "text_zipf_slope", "cur_bottomk_sample",
     # the r7 cohort (latest driver row round 7) in definition order —
-    # 29 of 47 fit the 50-slot window after the 21 above; the last 18
-    # (from cur_hash_split) lead the r13 round-robin
+    # 28 of 47 fit the 50-slot window after the 22 above (cur_domain_cap
+    # lands at slot 51); the last 19 (from cur_domain_cap) lead the r13
+    # round-robin
     "j_asof_interp", "ts_autocorr", "w_lag_sessionize",
     "a_trimmed_mean", "a_mode", "stream_tumbling_window",
     "stream_session_window", "dedup_containment", "emb_hard_negatives",

@@ -276,6 +276,7 @@ def embedding_decontaminate(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     keep_matches: bool = False,
+    use_kernel: bool = True,
 ) -> DataFrame:
     """Embedding-space benchmark decontamination: drop (or flag) every
     training vector whose cosine similarity to ANY test/benchmark vector
@@ -297,8 +298,85 @@ def embedding_decontaminate(
     their original columns (anti-join on the flagged id set);
     ``keep_matches=True`` returns the contamination report
     (id, n_matches, max_cosine) — one row per flagged train vector.
+
+    ``use_kernel=True`` (default) runs the probe as a chunked numpy
+    matmul inside ``mapInPandas`` against the benchmark matrix broadcast
+    to every task (the `cosine_pairs_blocked` kernel precedent —
+    bit-identical quantized semantics, measured ~4× over the interpreted
+    Catalyst lambdas at sf0.1): the report is then produced entirely
+    MAP-SIDE — zero shuffles, zero joins, one linear pass over train.
+    ``use_kernel=False`` keeps the pure-expression broadcast-join path.
     """
     from hiss_cube_spark.operators.similarity import _dot_exact
+
+    if use_kernel:
+        import numpy as _np
+
+        # bounded-benchmark collect (the `decontaminate` gram-set / PQ
+        # codebook exception): ids + matrix + quantized norms broadcast once
+        rows = test.select(F.col(vec_col).alias("v")).collect()
+        if not rows:  # empty benchmark: nothing can be contaminated
+            if keep_matches:
+                return train.sparkSession.createDataFrame(
+                    [], f"{id_col} long, n_matches long, max_cosine double"
+                )
+            return train
+        bm = _np.stack([_np.asarray(r["v"], dtype=_np.float64) for r in rows])
+        bnrm = _np.sqrt(
+            _np.floor(bm * bm * 1e12).astype(_np.int64).sum(axis=1) / 1e12
+        )
+        bc = train.sparkSession.sparkContext.broadcast((bm, bnrm))
+
+        def _probe(batches):
+            mb, nb = bc.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                out_id, out_n, out_max = [], [], []
+                for lo in range(0, len(pdf), 256):  # bound the 3-D temp
+                    chunk = pdf.iloc[lo : lo + 256]
+                    mt = _np.stack(
+                        [_np.asarray(v, dtype=_np.float64) for v in chunk["_tv"]]
+                    )
+                    dots = (
+                        _np.floor(mt[:, None, :] * mb[None, :, :] * 1e12)
+                        .astype(_np.int64)
+                        .sum(axis=2)
+                        / 1e12
+                    )
+                    tnrm = _np.sqrt(
+                        _np.floor(mt * mt * 1e12).astype(_np.int64).sum(axis=1)
+                        / 1e12
+                    )
+                    cos = dots / (tnrm[:, None] * nb[None, :])
+                    hit = cos >= threshold
+                    n = hit.sum(axis=1)
+                    keep = n > 0
+                    if keep.any():
+                        out_id.extend(chunk["_tid"].to_numpy()[keep].tolist())
+                        out_n.extend(n[keep].astype("int64").tolist())
+                        out_max.extend(
+                            _np.where(hit, cos, -_np.inf).max(axis=1)[keep].tolist()
+                        )
+                yield pd.DataFrame(
+                    {
+                        id_col: pd.Series(out_id, dtype="int64"),
+                        "n_matches": pd.Series(out_n, dtype="int64"),
+                        "max_cosine": pd.Series(out_max, dtype="float64"),
+                    }
+                )
+
+        flagged_report = train.select(
+            F.col(id_col).cast("long").alias("_tid"), F.col(vec_col).alias("_tv")
+        ).mapInPandas(
+            _probe,
+            schema=f"{id_col} long, n_matches long, max_cosine double",
+        )
+        if keep_matches:
+            return flagged_report
+        return train.join(
+            flagged_report.select(id_col), id_col, "left_anti"
+        )
 
     def _with_norm(df: DataFrame, vid: str, v: str, nrm: str) -> DataFrame:
         col = F.col(vec_col)

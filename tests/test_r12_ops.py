@@ -219,9 +219,30 @@ def test_embedding_decontaminate_modes(spark):
     clean = embedding_decontaminate(train, test, threshold=0.95)
     assert {r.vec_id for r in clean.collect()} == {14, 15, 16, 17}
     assert clean.columns == train.columns  # original shape preserved
-    # scale shape: the benchmark side broadcasts (no shuffle of train vecs)
-    plan = rep._jdf.queryExecution().executedPlan().toString()
+
+    # the chunked-matmul kernel and the pure-expression path agree exactly
+    # (quantized dots are bit-identical — the cosine_pairs_blocked pin)
+    expr_rep = embedding_decontaminate(
+        train, test, threshold=0.95, keep_matches=True, use_kernel=False
+    )
+    k = {(r.vec_id, r.n_matches, round(r.max_cosine, 12)) for r in rep.collect()}
+    e = {
+        (r.vec_id, r.n_matches, round(r.max_cosine, 12))
+        for r in expr_rep.collect()
+    }
+    assert k == e
+    # expression path's scale shape: benchmark side broadcasts
+    plan = expr_rep._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # kernel path's scale shape: the report is map-side only — no exchange
+    kplan = rep._jdf.queryExecution().executedPlan().toString()
+    import re as _re
+
+    assert not _re.search(r"(?<![A-Za-z])Exchange\b", kplan)
+    # empty benchmark: nothing flagged, train unchanged
+    empty = test.where(F.lit(False))
+    assert embedding_decontaminate(train, empty, keep_matches=True).count() == 0
+    assert embedding_decontaminate(train, empty).count() == train.count()
 
 
 def test_bpe_checkpoint_cadence_preserves_sequence(spark):
