@@ -138,14 +138,41 @@ def _bucketed_layout_dir(sf_dir: str, tag: str) -> str:
         user = getpass.getuser()
     except (KeyError, OSError):  # no passwd entry (containers)
         user = f"uid{os.getuid()}"
+    import stat as statmod
+
     parent = os.path.join(tempfile.gettempdir(), f"hc_bucketed_{user}")
-    os.makedirs(parent, mode=0o700, exist_ok=True)
-    st = os.stat(parent)
+    try:
+        os.makedirs(parent, mode=0o700, exist_ok=True)
+    except FileExistsError:
+        pass  # non-directory squatting on the name: refused below via lstat
+    # lstat, not stat: os.stat follows symlinks, so an attacker who
+    # pre-created the predictable name as a symlink to a directory we
+    # already own (e.g. $HOME) would pass an os.stat ownership check and
+    # redirect our mode("overwrite") deletes into that target (ADVICE r12).
+    st = os.lstat(parent)
+    if statmod.S_ISLNK(st.st_mode):
+        raise RuntimeError(
+            f"bucketed-layout parent {parent} is a symlink — refusing to "
+            f"write through it; remove it or point TMPDIR elsewhere"
+        )
+    if not statmod.S_ISDIR(st.st_mode):
+        raise RuntimeError(
+            f"bucketed-layout parent {parent} exists but is not a "
+            f"directory — remove it or point TMPDIR elsewhere"
+        )
     if st.st_uid != os.getuid():
         raise RuntimeError(
             f"bucketed-layout parent {parent} is owned by uid {st.st_uid}, "
             f"not us (uid {os.getuid()}) — refusing to write through a "
             f"foreign directory; remove it or point TMPDIR elsewhere"
+        )
+    if statmod.S_IMODE(st.st_mode) & 0o077:
+        # pre-existing parent with group/other permissions: another user
+        # could plant entries under it between our check and the write
+        raise RuntimeError(
+            f"bucketed-layout parent {parent} has permissive mode "
+            f"{oct(statmod.S_IMODE(st.st_mode))} (expected 0o700) — "
+            f"chmod it or point TMPDIR elsewhere"
         )
     h = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
     return os.path.join(parent, f"{h}_{tag}")
@@ -10739,6 +10766,172 @@ def mm_crossmodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _caption_retrieval_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planted image+caption corpus for `mm_caption_retrieval` (and its
+    recall companion test): docs 0-119 in 40 triples — images share a
+    group-keyed texture with a one-byte member perturbation (dHash
+    hamming 0 within, ≥ 10 across), captions share a per-group weighted
+    vocabulary with j token swaps for member j (SimHash hamming ≤ 9
+    within, ≥ 18 across; the mm_crossmodal_dedup measured margins)."""
+    import numpy as _np
+    import pandas as _pd
+    from collections.abc import Iterator as _Iter
+
+    from hiss_cube_spark.operators.multimodal import encode_ppm_np
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 120)
+        .select("doc_id")
+    )
+
+    def _synth(batches: _Iter[_pd.DataFrame]) -> _Iter[_pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                g, j = i // 3, i % 3
+                # group-keyed multiplicative-hash texture (per-pixel
+                # gradient differs between groups; a ramp would
+                # dhash-collide) + one-byte member perturbation
+                idx = _np.arange(12 * 16 * 3, dtype=_np.int64)
+                px = (
+                    (idx * (2 * g + 13) * 2654435761 + g * 97) % 251
+                ).astype(_np.uint8)
+                px[j] = (int(px[j]) + 2) % 251
+                ppm = encode_ppm_np(px.reshape(12, 16, 3))
+
+                # per-group 5-token weighted vocabulary; member j swaps j
+                # occurrences of one token for its alt form
+                def _vt(v: int, alt: bool) -> str:
+                    d1, d2, dl = (13, 5, 3) if alt else (0, 0, 0)
+                    return (
+                        chr(97 + ((g * 3 + v * 7 + d1) % 26))
+                        + chr(97 + ((g * 17 + v * 11 + d2) % 26))
+                        + "z" * ((g * 2 + v + dl) % 6)
+                    )
+
+                toks = []
+                for v in range(5):
+                    toks += [_vt(v, False)] * (4 + ((g + v * 3) % 7))
+                if j > 0:
+                    v, swapped, out = j % 5, 0, []
+                    for tk in toks:
+                        if tk == _vt(v, False) and swapped < j:
+                            out.append(_vt(v, True))
+                            swapped += 1
+                        else:
+                            out.append(tk)
+                    toks = out
+                rows.append((i, bytearray(ppm), " ".join(toks)))
+            yield _pd.DataFrame(rows, columns=["doc_id", "img", "caption"])
+
+    return d.mapInPandas(
+        _synth, schema="doc_id long, img binary, caption string"
+    ).localCheckpoint(eager=True)  # ≤120 rows; both fingerprint legs reuse
+
+
+@_q(
+    "mm_caption_retrieval",
+    """
+    SELECT CAST(a.doc_id AS BIGINT) AS query_id,
+           CAST(b.doc_id AS BIGINT) AS retrieved_id,
+           TRUE AS img_match
+    FROM documents a JOIN documents b
+      ON a.doc_id // 3 = b.doc_id // 3 AND a.doc_id <> b.doc_id
+    WHERE a.doc_id < 120 AND b.doc_id < 120
+    """,
+)
+def mm_caption_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-text cross-modal retrieval eval (the CLIP-recall shape): each
+    doc carries an image and a caption; a caption query retrieves its
+    top-2 candidate docs by TEXT similarity, and each retrieval is
+    verified CROSS-MODALLY — is the retrieved doc's IMAGE a perceptual
+    near-duplicate of the query's image? The planted contract (the
+    mm_crossmodal_dedup precedent, same measured margins): docs 0-119
+    form 40 triples; within a triple, images differ by one pixel byte
+    (dHash hamming 0, cross ≥ 10) and captions swap j vocab tokens
+    (SimHash hamming ≤ 9 within, ≥ 18 across). So every query's top-2
+    text candidates are exactly its two triple-mates and both pass the
+    image check — the oracle derives that truth from doc_id arithmetic
+    while Spark runs the REAL pipeline: synthesize → PPM encode → decode
+    → dHash / SimHash → pigeonhole banding → hamming rank → window top-2
+    → phash verify join.
+
+    Scale shape: candidate generation is banded (`simhash_pairs`
+    pigeonhole chunks — an exact sub-quadratic superset at hamming ≤ 12,
+    never all-pairs), ranking is a per-query row_number window over the
+    bounded candidate set (partial WindowGroupLimit before the
+    exchange), and the image verification is an equi-join against the
+    banded phash pair table — at 100 TB every stage is
+    fingerprint-width rows; payload bytes never shuffle. The
+    recall-vs-exact-ranking companion (banded top-2 ≡ brute-force
+    hamming top-2, recall@2 = 1.0) is pinned in
+    tests/test_r13_fixes.py."""
+    from hiss_cube_spark.operators.dedup import (
+        simhash_fingerprints,
+        simhash_pairs,
+    )
+    from hiss_cube_spark.operators.multimodal import (
+        decode_images,
+        image_phash,
+        phash_neardup_pairs,
+    )
+
+    synth = _caption_retrieval_corpus(spark, sf_dir)
+
+    # text leg: banded candidates at hamming ≤ 12 (within-triple only)
+    txt_fp = simhash_fingerprints(
+        synth.select("doc_id", F.col("caption").alias("text"))
+    )
+    cand = simhash_pairs(txt_fp, max_hamming=12, n_chunks=16)
+    sym = cand.select(
+        F.col("doc_a").alias("query_id"),
+        F.col("doc_b").alias("retrieved_id"),
+        "hamming",
+    ).unionByName(
+        cand.select(
+            F.col("doc_b").alias("query_id"),
+            F.col("doc_a").alias("retrieved_id"),
+            "hamming",
+        )
+    )
+    top2 = (
+        sym.withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    "hamming", "retrieved_id"
+                )
+            ),
+        )
+        .where(F.col("rnk") <= 2)
+        .select("query_id", "retrieved_id")
+    )
+
+    # image leg: banded perceptual near-dup pairs, symmetrized
+    img_fp = image_phash(
+        decode_images(synth.select("doc_id", F.col("img").alias("payload"))),
+        hash_size=8,
+        kind="dhash",
+    )
+    ip = phash_neardup_pairs(img_fp, max_hamming=7, n_chunks=8)
+    ip_sym = ip.select(
+        F.col("doc_a").alias("query_id"), F.col("doc_b").alias("retrieved_id")
+    ).unionByName(
+        ip.select(
+            F.col("doc_b").alias("query_id"),
+            F.col("doc_a").alias("retrieved_id"),
+        )
+    ).withColumn("_img", F.lit(True))
+
+    return top2.join(ip_sym, ["query_id", "retrieved_id"], "left").select(
+        "query_id",
+        "retrieved_id",
+        F.coalesce(F.col("_img"), F.lit(False)).alias("img_match"),
+    )
+
+
 @_q(
     "dq_cm_sketch",
     """
@@ -11623,50 +11816,52 @@ def entry(spark: SparkSession) -> DataFrame:
 # list, remaining never-checked queries first, so later rounds rotate the
 # window forward until every query has had a green row.
 _CHECK_PRIORITY = [
-    # ---- round-12 window ----
+    # ---- round-13 window ----
     # sentinels (green every round; canaries against harness drift)
     "flagship_ml_cube", "q1_pricing_summary",
     # STALENESS INVARIANT (policy since r7): queries whose
     # implementation or oracle changed since their last driver row go
-    # first. r12 changes: dedup_minhash_lsh gained the band-hash-table
-    # pin (plan change, values unchanged, parity re-verified);
-    # j_bucketed_colocated's layout dir is now per-(user, corpus);
-    # j_bucketed_flagship is NEW (the astronomy-side bucketed layout,
-    # VERDICT-r11 #7); text_bpe_train's trainer gained the
-    # round-guard/batching/checkpoint-cadence machinery (batch=1 path
-    # value-identical, re-pinned vs the python reference loop).
-    "dedup_minhash_lsh", "j_bucketed_colocated", "j_bucketed_flagship",
-    "cur_emb_decontaminate", "text_bpe_train",
-    # the 15 r6-era stale queries (latest driver row round 6; judge
-    # spot-parity re-ran 6 of them in r11 — all ok, driver rows owed)
-    "dedup_clusters",
-    "cur_reservoir_sample", "cur_neardup_corpus", "mm_png_variants",
-    "j_asof_join", "j_interval_overlap", "cone_search",
-    "emb_centroids", "dedup_paragraphs", "graph_pagerank",
-    "j_bloom_prune", "cur_model_quality", "dq_kl_divergence",
-    "text_zipf_slope", "cur_bottomk_sample",
-    # the r7 cohort (latest driver row round 7) in definition order —
-    # 28 of 47 fit the 50-slot window after the 22 above (cur_domain_cap
-    # lands at slot 51); the last 19 (from cur_domain_cap) lead the r13
+    # first. r13 changes: mm_caption_retrieval is NEW (image-text
+    # cross-modal retrieval eval, VERDICT-r12 #7);
+    # cur_emb_decontaminate's kernel gained the benchmark collect
+    # budget + original-id-type plumbing + single-tenant broadcast
+    # (ADVICE r12, values unchanged, parity re-verified);
+    # text_bpe_train's trainer no longer unpersists checkpointed
+    # generations (ADVICE r12); j_bucketed_colocated /
+    # j_bucketed_flagship share the hardened lstat/no-symlink layout
+    # parent (ADVICE r12 medium).
+    "mm_caption_retrieval", "cur_emb_decontaminate", "text_bpe_train",
+    "j_bucketed_colocated", "j_bucketed_flagship",
+    # the 19 r7-era stale queries (latest driver row round 7; judge
+    # spot-parity re-ran 6 of them in r12 — all ok, driver rows owed)
+    "cur_domain_cap", "cur_hash_split", "cur_stratified_kfold",
+    "cur_weighted_sample", "text_heavy_hitters", "text_tfidf_topk",
+    "w_gaps_islands", "q_lateral_topk", "j_range_join",
+    "stream_sliding_window", "stream_interval_join", "ts_ewma",
+    "mm_exif_pipeline", "j5_tiled_cutout_service", "ts_theil_sen",
+    "ts_holt_linear", "j_polar_crossmatch", "text_readability",
+    "ts_structure_function",
+    # the r8 cohort (latest driver row round 8, 43 queries) in
+    # definition order — 24 fit the 50-slot window after the 26 above;
+    # the remaining 19 (from mm_audio_pipeline) lead the r14
     # round-robin
-    "j_asof_interp", "ts_autocorr", "w_lag_sessionize",
-    "a_trimmed_mean", "a_mode", "stream_tumbling_window",
-    "stream_session_window", "dedup_containment", "emb_hard_negatives",
-    "ann_sq_topk", "emb_random_projection", "ann_lsh_topk",
-    "ann_pq_topk", "text_langid", "text_quality", "text_token_count",
-    "text_fingerprint", "text_repetition", "f_udtf_tokens",
-    "dq_constraint_report", "dq_ks_drift", "dq_mad_outliers",
-    "dq_segment_drift", "dq_profile_table", "cdc_incremental_agg",
-    "text_lm_score", "cur_incremental_dedup", "cur_chunk_documents",
-    "cur_domain_cap",
-    # ---- slots 51+: the r13 round-robin head (rest of the r7 cohort
+    "j_knn_crossmatch", "ts_transition_matrix", "ts_cusum_changepoint",
+    "ts_seasonal_anomaly", "ts_seasonal_decompose", "a1_ivw_arrays",
+    "a_corr_matrix", "w_mom_change", "a_top_decile_share", "a_gini",
+    "a_weighted_median", "f_target_encode", "a_winsorize",
+    "emb_matryoshka_recall", "cur_pack_sequences", "cur_balanced_sample",
+    "cur_corpus_report", "text_bm25_topk", "text_entropy",
+    "text_pmi_bigrams", "cur_score_calibrate", "cur_temperature_sample",
+    "cur_best_of_cluster", "cur_semantic_dedup",
+    # ---- slots 51+: the r14 round-robin head (rest of the r8 cohort
     # in definition order) ----
-    "cur_hash_split", "cur_stratified_kfold", "cur_weighted_sample",
-    "text_heavy_hitters", "text_tfidf_topk", "w_gaps_islands",
-    "q_lateral_topk", "j_range_join", "stream_sliding_window",
-    "stream_interval_join", "ts_ewma", "mm_exif_pipeline",
-    "j5_tiled_cutout_service", "ts_theil_sen", "ts_holt_linear",
-    "j_polar_crossmatch", "text_readability", "ts_structure_function",
+    "mm_audio_pipeline", "text_mattr", "a_hll_sketch",
+    "cur_decontaminate", "mm_fits_codec_sweep", "mm_flac_pipeline",
+    "a_approx_stats", "cur_redact_pii", "cur_quality_filter",
+    "cur_full_pipeline", "dedup_substring_spans",
+    "text_simpson_diversity", "cur_mix_weights", "stream_dedup_first",
+    "stream_neardup_minhash", "graph_bfs_hops", "graph_triangles",
+    "dq_outliers", "ts_periodogram",
 ]
 
 

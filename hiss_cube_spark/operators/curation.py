@@ -22,6 +22,7 @@ from pyspark.sql.window import Window
 from hiss_cube_spark.operators.text_analysis import tokenize
 
 __all__ = [
+    "BenchmarkBudgetExceeded",
     "hash_split",
     "stratified_kfold",
     "weighted_sample",
@@ -48,6 +49,18 @@ __all__ = [
 _MIX = 2654435761
 
 _DEFAULT_WEIGHTS: dict[str, float] = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+class BenchmarkBudgetExceeded(RuntimeError):
+    """The `embedding_decontaminate` kernel path collects the benchmark
+    (test) side to the driver — bounded by definition of a benchmark, but a
+    mis-aimed call that passes a large corpus as ``test`` would otherwise
+    OOM the driver silently. This guard raises loudly instead (the
+    `exports.ExportBudgetExceeded` precedent)."""
+
+
+# one live benchmark broadcast per session (see embedding_decontaminate)
+_EMB_DECON_BC: dict = {}
 
 
 def split_bucket(id_col: Column, n_buckets: int = 1000) -> Column:
@@ -277,6 +290,8 @@ def embedding_decontaminate(
     vec_col: str = "embedding",
     keep_matches: bool = False,
     use_kernel: bool = True,
+    max_benchmark_rows: int = 500_000,
+    max_benchmark_bytes: int = 1 << 30,
 ) -> DataFrame:
     """Embedding-space benchmark decontamination: drop (or flag) every
     training vector whose cosine similarity to ANY test/benchmark vector
@@ -306,26 +321,68 @@ def embedding_decontaminate(
     Catalyst lambdas at sf0.1): the report is then produced entirely
     MAP-SIDE — zero shuffles, zero joins, one linear pass over train.
     ``use_kernel=False`` keeps the pure-expression broadcast-join path.
+
+    The kernel collect is guarded by ``max_benchmark_rows`` /
+    ``max_benchmark_bytes`` (streamed via ``toLocalIterator`` so the guard
+    fires from bounded driver memory): a call that aims ``test`` at a
+    large corpus raises :class:`BenchmarkBudgetExceeded` instead of
+    OOMing the driver. The benchmark broadcast is single-tenant per
+    session (the `_swap_persist` precedent): each call destroys the
+    broadcast of the PREVIOUS call, so repeated calls don't leak executor
+    memory — re-running a DataFrame returned by an EARLIER call after a
+    newer call recomputes against a destroyed broadcast and fails; rerun
+    the operator instead.
     """
     from hiss_cube_spark.operators.similarity import _dot_exact
 
     if use_kernel:
         import numpy as _np
 
+        id_sql = train.schema[id_col].dataType.simpleString()
+        if id_sql not in (
+            "tinyint", "smallint", "int", "bigint", "string",
+        ):
+            raise TypeError(
+                f"embedding_decontaminate kernel path supports integral or "
+                f"string {id_col!r} (got {id_sql}); pass use_kernel=False "
+                f"for other id types"
+            )
+        id_is_int = id_sql != "string"
+        report_schema = f"{id_col} {id_sql}, n_matches long, max_cosine double"
+
         # bounded-benchmark collect (the `decontaminate` gram-set / PQ
-        # codebook exception): ids + matrix + quantized norms broadcast once
-        rows = test.select(F.col(vec_col).alias("v")).collect()
+        # codebook exception): ids + matrix + quantized norms broadcast
+        # once. Streamed row-at-a-time so the budget guard fires BEFORE
+        # the driver holds an unbounded result (BenchmarkBudgetExceeded).
+        rows, nbytes = [], 0
+        for r in test.select(F.col(vec_col).alias("v")).toLocalIterator():
+            rows.append(r)
+            nbytes += 8 * len(r["v"]) if r["v"] is not None else 8
+            if len(rows) > max_benchmark_rows or nbytes > max_benchmark_bytes:
+                raise BenchmarkBudgetExceeded(
+                    f"benchmark side exceeds the kernel collect budget "
+                    f"(rows>{max_benchmark_rows} or est bytes>"
+                    f"{max_benchmark_bytes}): a benchmark is bounded by "
+                    f"definition — if this is a corpus-vs-corpus "
+                    f"comparison use semantic_dedup/cosine_pairs instead, "
+                    f"or raise max_benchmark_rows/max_benchmark_bytes"
+                )
         if not rows:  # empty benchmark: nothing can be contaminated
             if keep_matches:
-                return train.sparkSession.createDataFrame(
-                    [], f"{id_col} long, n_matches long, max_cosine double"
-                )
+                return train.sparkSession.createDataFrame([], report_schema)
             return train
         bm = _np.stack([_np.asarray(r["v"], dtype=_np.float64) for r in rows])
         bnrm = _np.sqrt(
             _np.floor(bm * bm * 1e12).astype(_np.int64).sum(axis=1) / 1e12
         )
+        old_bc = _EMB_DECON_BC.pop("bc", None)
+        if old_bc is not None:
+            try:
+                old_bc.destroy()
+            except Exception:
+                pass  # session torn down between calls
         bc = train.sparkSession.sparkContext.broadcast((bm, bnrm))
+        _EMB_DECON_BC["bc"] = bc
 
         def _probe(batches):
             mb, nb = bc.value
@@ -360,18 +417,19 @@ def embedding_decontaminate(
                         )
                 yield pd.DataFrame(
                     {
-                        id_col: pd.Series(out_id, dtype="int64"),
+                        id_col: pd.Series(
+                            out_id, dtype="int64" if id_is_int else "object"
+                        ),
                         "n_matches": pd.Series(out_n, dtype="int64"),
                         "max_cosine": pd.Series(out_max, dtype="float64"),
                     }
                 )
 
+        # the id rides through the kernel in its ORIGINAL type (a long
+        # cast here silently nulled string doc ids, ADVICE r12)
         flagged_report = train.select(
-            F.col(id_col).cast("long").alias("_tid"), F.col(vec_col).alias("_tv")
-        ).mapInPandas(
-            _probe,
-            schema=f"{id_col} long, n_matches long, max_cosine double",
-        )
+            F.col(id_col).alias("_tid"), F.col(vec_col).alias("_tv")
+        ).mapInPandas(_probe, schema=report_schema)
         if keep_matches:
             return flagged_report
         return train.join(

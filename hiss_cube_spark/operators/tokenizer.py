@@ -202,6 +202,9 @@ def learn_bpe_merges(
     (persist-only lineage can) — for preemptible executors use a
     reliable ``spark.sparkContext.setCheckpointDir`` + ``.checkpoint()``
     variant, or a cadence larger than the expected failure-free window.
+    Checkpointed generations are never explicitly unpersisted (their
+    blocks ARE the recovery data once lineage is truncated); the
+    ContextCleaner reclaims them on garbage collection.
 
     Returns (round, left_sym, right_sym, pair_count) — ``n_merges`` rows
     (fewer ONLY when the vocabulary's pairs exhaust first; running out of
@@ -238,7 +241,9 @@ def learn_bpe_merges(
         .repartition(spark.sparkContext.defaultParallelism)
         .persist()
     )
+    cur_ckpt = False  # whether cur's generation is localCheckpoint-ed
     prev = None
+    prev_ckpt = False
     merges: list[tuple[int, str, str, int]] = []
     pairs_exhausted = False
     try:
@@ -278,7 +283,15 @@ def learn_bpe_merges(
                 .collect()
             )
             if prev is not None:
-                prev.unpersist()
+                # NEVER unpersist a checkpointed generation: its lineage
+                # was truncated, so deleting the checkpoint blocks leaves
+                # downstream recomputation (executor loss, dynamic
+                # allocation) with nothing to replay — 'checkpoint block
+                # not found' instead of a recompute (ADVICE r12). Those
+                # blocks are reclaimed by the ContextCleaner when the
+                # DataFrame is garbage-collected.
+                if not prev_ckpt:
+                    prev.unpersist()
                 prev = None
             # greedy token-disjoint batch selection in winner order; a
             # pair's LEFT symbol must also differ from every symbol another
@@ -341,16 +354,19 @@ def learn_bpe_merges(
                 ).alias("toks"),
                 "f",
             )
-            if k % checkpoint_every == 0:
+            nxt_ckpt = k % checkpoint_every == 0
+            if nxt_ckpt:
                 # lineage truncation: materializes lazily on the next
                 # round's collect, like the persist it replaces
                 nxt = nxt.localCheckpoint(eager=False)
             else:
                 nxt = nxt.persist()
             prev, cur = cur, nxt
+            prev_ckpt, cur_ckpt = cur_ckpt, nxt_ckpt
     finally:
-        cur.unpersist()
-        if prev is not None:
+        if not cur_ckpt:
+            cur.unpersist()
+        if prev is not None and not prev_ckpt:
             prev.unpersist()
     if len(merges) < n_merges and not pairs_exhausted:
         # token-sharing winners under-filled the batches round after round;
