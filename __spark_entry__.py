@@ -11800,6 +11800,86 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_propagation(pairs, src_col="doc_a", dst_col="doc_b")
 
 
+_BLOCKLIST = ["slow fast", "hash value", "big vector", "customer query"]
+
+
+@_q(
+    "cur_blocklist_filter",
+    """
+    WITH h AS (
+      SELECT doc_id,
+             (length(text) - length(replace(text, 'slow fast', ''))) // 9 AS h1,
+             (length(text) - length(replace(text, 'hash value', ''))) // 10 AS h2,
+             (length(text) - length(replace(text, 'big vector', ''))) // 10 AS h3,
+             (length(text) - length(replace(text, 'customer query', ''))) // 14 AS h4
+      FROM documents)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST((CASE WHEN h1 > 0 THEN 1 ELSE 0 END)
+              + (CASE WHEN h2 > 0 THEN 1 ELSE 0 END)
+              + (CASE WHEN h3 > 0 THEN 1 ELSE 0 END)
+              + (CASE WHEN h4 > 0 THEN 1 ELSE 0 END) AS INT) AS n_phrases,
+           CAST(h1 + h2 + h3 + h4 AS BIGINT) AS total_hits,
+           h1 + h2 + h3 + h4 >= 2 AS blocked
+    FROM h
+    """,
+)
+def cur_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-phrase blocklist scan (`curation.blocklist_filter`): per-doc
+    distinct-phrase and total occurrence counts over a 4-phrase policy
+    list, ``blocked`` at ≥ 2 hits. Counting is the replace-length
+    identity — exact integer math, no regex dialect — compiled to native
+    expressions in ONE whole-stage-codegen scan (no shuffle, no UDF);
+    the docstring documents the Aho-Corasick kernel as the 10⁵-pattern
+    path. The oracle replays the identity phrase by phrase."""
+    from hiss_cube_spark.operators.curation import blocklist_filter
+
+    return blocklist_filter(
+        _t(spark, sf_dir, "documents"), _BLOCKLIST, min_hits=2
+    )
+
+
+@_q(
+    "f_woe_binning",
+    """
+    WITH b AS (
+      SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y,
+             ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bin
+      FROM orders),
+    pb AS (SELECT bin, CAST(sum(y) AS BIGINT) AS n_pos,
+                  CAST(sum(1 - y) AS BIGINT) AS n_neg
+           FROM b GROUP BY bin),
+    t AS (SELECT CAST(sum(n_pos) AS BIGINT) AS p, CAST(sum(n_neg) AS BIGINT) AS n
+          FROM pb)
+    SELECT bin, n_pos, n_neg,
+           round(ln(((n_pos + 0.5) / p) / ((n_neg + 0.5) / n)), 6) AS woe,
+           round((((n_pos + 0.5) / p) - ((n_neg + 0.5) / n))
+                 * ln(((n_pos + 0.5) / p) / ((n_neg + 0.5) / n)), 6) AS iv_term
+    FROM pb, t
+    """,
+)
+def f_woe_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence / information-value screen
+    (`curation.woe_iv_binning`): urgent-order label vs order-value
+    deciles — the classical "does this feature separate the classes"
+    report run before training a corpus-quality classifier. Exact
+    ntile(10) with a unique tiebreak, 0.5-count smoothing, round(,6)
+    ln canonicalization (the Benford precedent). One fact scan + the
+    ntile ordering + a 10-row aggregate; totals broadcast back. At
+    100 TB the exact ntile's global sort is replaced by approx-quantile
+    bin edges (the report tolerates ±ε bin boundaries); the exact form
+    is the oracle-checkable one."""
+    from hiss_cube_spark.operators.curation import woe_iv_binning
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        (F.col("o_orderpriority") == "1-URGENT").alias("urgent"),
+    )
+    return woe_iv_binning(
+        o, "o_totalprice", "urgent", n_bins=10, order_col="o_orderkey"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return flagship_ml_cube(spark, "/root/testdata/sf0.001")
@@ -11830,7 +11910,8 @@ _CHECK_PRIORITY = [
     # generations (ADVICE r12); j_bucketed_colocated /
     # j_bucketed_flagship share the hardened lstat/no-symlink layout
     # parent (ADVICE r12 medium).
-    "mm_caption_retrieval", "cur_emb_decontaminate", "text_bpe_train",
+    "mm_caption_retrieval", "cur_blocklist_filter", "f_woe_binning",
+    "cur_emb_decontaminate", "text_bpe_train",
     "j_bucketed_colocated", "j_bucketed_flagship",
     # the 19 r7-era stale queries (latest driver row round 7; judge
     # spot-parity re-ran 6 of them in r12 — all ok, driver rows owed)
@@ -11842,8 +11923,8 @@ _CHECK_PRIORITY = [
     "ts_holt_linear", "j_polar_crossmatch", "text_readability",
     "ts_structure_function",
     # the r8 cohort (latest driver row round 8, 43 queries) in
-    # definition order — 24 fit the 50-slot window after the 26 above;
-    # the remaining 19 (from mm_audio_pipeline) lead the r14
+    # definition order — 22 fit the 50-slot window after the 28 above;
+    # the remaining 21 (from cur_best_of_cluster) lead the r14
     # round-robin
     "j_knn_crossmatch", "ts_transition_matrix", "ts_cusum_changepoint",
     "ts_seasonal_anomaly", "ts_seasonal_decompose", "a1_ivw_arrays",
@@ -11852,9 +11933,9 @@ _CHECK_PRIORITY = [
     "emb_matryoshka_recall", "cur_pack_sequences", "cur_balanced_sample",
     "cur_corpus_report", "text_bm25_topk", "text_entropy",
     "text_pmi_bigrams", "cur_score_calibrate", "cur_temperature_sample",
-    "cur_best_of_cluster", "cur_semantic_dedup",
     # ---- slots 51+: the r14 round-robin head (rest of the r8 cohort
     # in definition order) ----
+    "cur_best_of_cluster", "cur_semantic_dedup",
     "mm_audio_pipeline", "text_mattr", "a_hll_sketch",
     "cur_decontaminate", "mm_fits_codec_sweep", "mm_flac_pipeline",
     "a_approx_stats", "cur_redact_pii", "cur_quality_filter",

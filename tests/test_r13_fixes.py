@@ -251,6 +251,58 @@ def test_incremental_dedup_bucketed_index_plan(spark, sf_dir, tmp_path):
         spark.sql("DROP TABLE IF EXISTS idx_fp_bucketed_t")
 
 
+def test_blocklist_filter_exact_counts(spark):
+    from hiss_cube_spark.operators.curation import blocklist_filter
+
+    df = spark.createDataFrame(
+        [
+            (1, "aa bb aa bb cc"),
+            (2, "aa bb"),
+            (3, "zz zz zz"),
+            (4, "aa bbaa bb"),  # 'aa bb' occurs at 0 and 5 (non-overlapping)
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_phrases"], r["total_hits"], r["blocked"])
+        for r in blocklist_filter(df, ["aa bb", "cc"], min_hits=2).collect()
+    }
+    assert got[1] == (2, 3, True)  # 'aa bb' twice + 'cc' once
+    assert got[2] == (1, 1, False)
+    assert got[3] == (0, 0, False)
+    assert got[4] == (1, 2, True)
+
+    with pytest.raises(ValueError, match="at least one"):
+        blocklist_filter(df, [])
+    with pytest.raises(ValueError, match="empty"):
+        blocklist_filter(df, ["ok", ""])
+
+
+def test_woe_iv_binning_hand_computed(spark):
+    import math
+
+    from hiss_cube_spark.operators.curation import woe_iv_binning
+
+    df = spark.createDataFrame(
+        [(1, 1.0, True), (2, 2.0, True), (3, 3.0, True), (4, 4.0, False)],
+        "k long, x double, y boolean",
+    )
+    got = {
+        r["bin"]: r
+        for r in woe_iv_binning(df, "x", "y", n_bins=2, order_col="k").collect()
+    }
+    # bin 1 = {1,2}: 2 pos / 0 neg; bin 2 = {3,4}: 1 pos / 1 neg; P=3, N=1
+    assert (got[1]["n_pos"], got[1]["n_neg"]) == (2, 0)
+    assert (got[2]["n_pos"], got[2]["n_neg"]) == (1, 1)
+    w1 = math.log((2.5 / 3) / (0.5 / 1))
+    assert got[1]["woe"] == round(w1, 6)
+    assert got[1]["iv_term"] == round((2.5 / 3 - 0.5 / 1) * w1, 6)
+    # perfectly balanced bin: smoothing keeps shares equal -> woe 0 only
+    # when pos/neg shares match; here (1.5/3) vs (1.5/1) differ
+    w2 = math.log((1.5 / 3) / (1.5 / 1))
+    assert got[2]["woe"] == round(w2, 6)
+
+
 def test_bpe_checkpointed_generation_survives_recompute(spark):
     """ADVICE r12: unpersisting a localCheckpoint-ed generation deletes
     the blocks its truncated lineage depends on. After training with
