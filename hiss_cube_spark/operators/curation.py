@@ -558,33 +558,123 @@ def corpus_report(
         )
     )
 
+def _build_aho_corasick(phrases: list[str]):
+    """Goto/fail/output tables for greedy non-overlapping multi-pattern
+    counting. Returns (goto: list[dict[ch, state]], fail: list[int],
+    out: list[list[pattern_id]]) — plain containers, broadcast-friendly.
+    """
+    goto: list[dict] = [{}]
+    out: list[list[int]] = [[]]
+    for pid, p in enumerate(phrases):
+        s = 0
+        for ch in p:
+            if ch not in goto[s]:
+                goto.append({})
+                out.append([])
+                goto[s][ch] = len(goto) - 1
+            s = goto[s][ch]
+        out[s].append(pid)
+    fail = [0] * len(goto)
+    from collections import deque
+
+    q = deque()
+    for s in goto[0].values():
+        q.append(s)
+    while q:
+        r = q.popleft()
+        for ch, s in goto[r].items():
+            q.append(s)
+            f = fail[r]
+            while f and ch not in goto[f]:
+                f = fail[f]
+            fail[s] = goto[f].get(ch, 0) if goto[f].get(ch, 0) != s else 0
+            out[s] = out[s] + out[fail[s]]
+    return goto, fail, out
+
+
 def blocklist_filter(
     df: DataFrame,
     phrases: list[str],
     text_col: str = "text",
     id_col: str = "doc_id",
     min_hits: int = 1,
+    use_automaton: bool = False,
 ) -> DataFrame:
     """Multi-phrase blocklist scan (brand-safety / policy filtering): per
     document, the number of distinct blocklist phrases present and the
     total occurrence count; ``blocked`` = total hits ≥ ``min_hits``.
 
-    Occurrences are counted with the replace-length identity
-    ``(len(t) − len(replace(t, p))) / len(p)`` — exact integer math with
-    no regex-dialect semantics, so any ANSI engine reproduces it
-    bit-for-bit. Phrases compile to native column expressions (one
-    whole-stage-codegen scan, no shuffle, no UDF); this is the right
-    shape up to a few hundred phrases. For dictionary-scale blocklists
-    (10⁵+ patterns) the linear per-phrase scan loses to a single
-    Aho-Corasick automaton pass — that variant belongs in a broadcast
-    pandas-UDF kernel (the `decontaminate` gram-set precedent), not in
-    this expression builder.
+    Occurrences are GREEDY NON-OVERLAPPING per phrase (the replace
+    semantics: after a match, the next match of the same phrase starts
+    past its end; different phrases count independently).
+
+    Two interchangeable engines, identical outputs:
+
+    * ``use_automaton=False`` (default): the replace-length identity
+      ``(len(t) − len(replace(t, p))) / len(p)`` compiled to native
+      column expressions — exact integer math, no regex dialect, one
+      whole-stage-codegen scan, no shuffle, no UDF. Per-phrase cost is a
+      full substring scan, so the scan is O(|text|·|phrases|): the right
+      shape up to a few hundred phrases.
+    * ``use_automaton=True``: one broadcast Aho-Corasick automaton pass
+      per document inside ``mapInPandas`` (the `decontaminate` gram-set
+      precedent) — O(|text| + hits) independent of dictionary size, the
+      10⁴-10⁶-pattern path. Greedy non-overlap is enforced with a
+      per-pattern last-match-end cursor, so it is bit-equal to the
+      expression engine (property-tested).
     """
     if not phrases:
         raise ValueError("blocklist_filter needs at least one phrase")
     if any(not p for p in phrases):
         raise ValueError("empty blocklist phrase (would divide by zero)")
-    t = F.col(text_col)
+    if use_automaton:
+        goto, fail, out = _build_aho_corasick(phrases)
+        plens = [len(p) for p in phrases]
+        bc = df.sparkSession.sparkContext.broadcast((goto, fail, out, plens))
+
+        def _scan(batches):
+            goto_t, fail_t, out_t, lens_t = bc.value
+            n_pat = len(lens_t)
+            for pdf in batches:
+                ids, n_ph, tot = [], [], []
+                for rid, text in zip(pdf["_id"], pdf["_t"]):
+                    counts = [0] * n_pat
+                    last_end = [0] * n_pat
+                    s = 0
+                    for i, ch in enumerate(text or ""):
+                        while s and ch not in goto_t[s]:
+                            s = fail_t[s]
+                        s = goto_t[s].get(ch, 0)
+                        for pid in out_t[s]:
+                            start = i + 1 - lens_t[pid]
+                            if start >= last_end[pid]:
+                                counts[pid] += 1
+                                last_end[pid] = i + 1
+                    ids.append(rid)
+                    n_ph.append(sum(1 for c in counts if c > 0))
+                    tot.append(sum(counts))
+                yield pd.DataFrame(
+                    {
+                        "_id": pd.Series(ids),
+                        "n_phrases": pd.Series(n_ph, dtype="int32"),
+                        "total_hits": pd.Series(tot, dtype="int64"),
+                    }
+                )
+
+        id_sql = df.schema[id_col].dataType.simpleString()
+        res = df.select(
+            F.col(id_col).alias("_id"), F.col(text_col).alias("_t")
+        ).mapInPandas(
+            _scan, schema=f"_id {id_sql}, n_phrases int, total_hits long"
+        )
+        return res.select(
+            F.col("_id").alias(id_col),
+            "n_phrases",
+            "total_hits",
+            (F.col("total_hits") >= F.lit(min_hits)).alias("blocked"),
+        )
+    # NULL text counts as zero hits (kernel parity), not NULL outputs
+    t = F.coalesce(F.col(text_col), F.lit(""))
     counts = [
         (
             (F.length(t) - F.length(F.replace(t, F.lit(p), F.lit(""))))

@@ -278,6 +278,43 @@ def test_blocklist_filter_exact_counts(spark):
         blocklist_filter(df, ["ok", ""])
 
 
+def test_blocklist_automaton_equals_expression(spark):
+    """The Aho-Corasick kernel and the replace-identity expression engine
+    must agree bit-for-bit, including overlapping-occurrence cases
+    ('aaaa'/'aa' -> greedy non-overlap = 2) and patterns that are
+    substrings/suffixes of each other."""
+    import random
+
+    from hiss_cube_spark.operators.curation import blocklist_filter
+
+    rng = random.Random(13)
+    vocab = ["aa", "ab", "ba", "b", "aab", "ca"]
+    rows = [(0, "aaaa"), (1, "aabab"), (2, ""), (3, None)]
+    rows += [
+        (i, "".join(rng.choice(vocab) for _ in range(rng.randint(0, 30))))
+        for i in range(4, 60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    phrases = ["aa", "aab", "ba", "ab"]
+
+    def canon(res):
+        return sorted(
+            (r["doc_id"], r["n_phrases"], r["total_hits"], r["blocked"])
+            for r in res.collect()
+        )
+
+    expr = canon(blocklist_filter(df, phrases, min_hits=3))
+    auto = canon(blocklist_filter(df, phrases, min_hits=3, use_automaton=True))
+    assert expr == auto
+    # planted greedy-non-overlap pin: 'aaaa' has 'aa' at 0 and 2 only
+    d0 = [r for r in auto if r[0] == 0][0]
+    assert d0[2] == 2 + 0 + 0 + 0  # 'aa' twice; 'aab'/'ba'/'ab' absent
+    # None text flows through the kernel as zero hits
+    full = blocklist_filter(df, phrases, use_automaton=True).collect()
+    d3 = [r for r in full if r["doc_id"] == 3][0]
+    assert (d3["n_phrases"], d3["total_hits"], d3["blocked"]) == (0, 0, False)
+
+
 def test_woe_iv_binning_hand_computed(spark):
     import math
 
