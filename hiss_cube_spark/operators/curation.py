@@ -328,12 +328,12 @@ def embedding_decontaminate(
     ``max_benchmark_bytes`` (streamed via ``toLocalIterator`` so the guard
     fires from bounded driver memory): a call that aims ``test`` at a
     large corpus raises :class:`BenchmarkBudgetExceeded` instead of
-    OOMing the driver. The benchmark broadcast is single-tenant per
-    session (the `_swap_persist` precedent): each call destroys the
-    broadcast of the PREVIOUS call, so repeated calls don't leak executor
-    memory — re-running a DataFrame returned by an EARLIER call after a
-    newer call recomputes against a destroyed broadcast and fails; rerun
-    the operator instead.
+    OOMing the driver. Each call ``unpersist``s the PREVIOUS call's
+    benchmark broadcast (the `_swap_persist` precedent), so repeated
+    calls don't accumulate executor copies; a DataFrame returned by an
+    earlier call stays valid — its tasks re-fetch the broadcast from the
+    driver on next use (unpersist removes executor blocks, not the
+    value; destroy would strand live results).
     """
     from hiss_cube_spark.operators.similarity import _dot_exact
 
@@ -380,7 +380,7 @@ def embedding_decontaminate(
         old_bc = _EMB_DECON_BC.pop("bc", None)
         if old_bc is not None:
             try:
-                old_bc.destroy()
+                old_bc.unpersist(False)
             except Exception:
                 pass  # session torn down between calls
         bc = train.sparkSession.sparkContext.broadcast((bm, bnrm))

@@ -90,18 +90,24 @@ def test_emb_decontaminate_benchmark_budget(spark):
 
 
 def test_emb_decontaminate_broadcast_single_tenant(spark):
-    """Repeated kernel calls must not accumulate live broadcasts: the
-    registry holds exactly one, and it is the latest call's."""
+    """Repeated kernel calls must not accumulate executor broadcast
+    copies (registry holds exactly one, the latest call's) — while a
+    DataFrame returned by an EARLIER call stays collectable after a
+    newer call (unpersist re-ships from the driver; destroy would
+    strand it — the bug the full-suite r12 test caught)."""
     from hiss_cube_spark.operators import curation
 
     train = _vec_df(spark, [(1, [1.0, 0.0])])
     test = _vec_df(spark, [(2, [1.0, 0.0])])
-    curation.embedding_decontaminate(train, test, keep_matches=True).count()
+    rep1 = curation.embedding_decontaminate(train, test, keep_matches=True)
+    rep1.count()
     first = curation._EMB_DECON_BC["bc"]
     curation.embedding_decontaminate(train, test, keep_matches=True).count()
     second = curation._EMB_DECON_BC["bc"]
     assert first is not second
     assert len(curation._EMB_DECON_BC) == 1
+    # the earlier result must survive the swap
+    assert rep1.count() == 1
 
 
 def test_bucketed_layout_parent_symlink_refused(tmp_path, monkeypatch):
