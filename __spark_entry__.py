@@ -10639,10 +10639,6 @@ def mm_crossmodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     planted truth analytically from doc_id arithmetic; the Spark side
     runs the REAL pipeline: synthesize → encode (PPM/WAV) → decode →
     fingerprint → band → exact hamming verify."""
-    import numpy as _np
-    import pandas as _pd
-    from collections.abc import Iterator as _Iter
-
     from hiss_cube_spark.operators.dedup import (
         simhash_fingerprints,
         simhash_pairs,
@@ -10651,89 +10647,13 @@ def mm_crossmodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         audio_fingerprint,
         decode_audio,
         decode_images,
-        encode_ppm_np,
-        encode_wav_np,
         image_phash,
         phash_neardup_pairs,
     )
 
-    d = (
-        _t(spark, sf_dir, "documents")
-        .where(F.col("doc_id") < 120)
-        .select("doc_id")
-    )
-
-    def _synth(batches: _Iter[_pd.DataFrame]) -> _Iter[_pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for doc_id in pdf["doc_id"]:
-                i = int(doc_id)
-                g, j = i // 3, i % 3
-                # group-keyed multiplicative-hash texture: the PER-PIXEL
-                # GRADIENT must differ between groups (dHash is a
-                # gradient sign — a linear ramp would dhash-collide
-                # across every group)
-                idx = _np.arange(12 * 16 * 3, dtype=_np.int64)
-                px = (
-                    (idx * (2 * g + 13) * 2654435761 + g * 97) % 251
-                ).astype(_np.uint8)
-                px[j] = (int(px[j]) + 2) % 251  # member perturbation
-                ppm = encode_ppm_np(px.reshape(12, 16, 3))
-                t = _np.arange(2048) / 16000.0
-                # ≥53 Hz (~7 FFT bins) between groups: neighbor tones
-                # must not alias into the same log-energy bands; three
-                # tones give every band real structure (quiet bands are
-                # quantization-noise-dominated and band-delta-unstable)
-                base = (
-                    0.5 * _np.sin(2 * _np.pi * (200.0 + g * 53.0) * t)
-                    + 0.3 * _np.sin(2 * _np.pi * (400.0 + g * 89.0) * t)
-                    + 0.2 * _np.sin(2 * _np.pi * (900.0 + g * 131.0) * t)
-                )
-                # gentle gain: HK log-energy deltas cancel gain exactly
-                # in float; int16 quantization noise re-couples it, so
-                # keep the perturbation small
-                wav = encode_wav_np((1.0 - 0.05 * j) * base, rate=16000)
-                # captions: per-group 5-token weighted vocabulary.
-                # token_code reads ONLY (first char, length, second
-                # char), so the vocab must differ in exactly those per
-                # group AND in multiset weights — a full 26-cycle over
-                # 40 sequential tokens gave every group the same code
-                # multiset (simhash 0 across all groups). Member j swaps
-                # j occurrences of one vocab token for an alt token.
-                # Measured margins (deterministic): within ≤ 9,
-                # cross ≥ 18 → threshold 12 separates exactly.
-                def _vt(v: int, alt: bool) -> str:
-                    d1, d2, dl = (13, 5, 3) if alt else (0, 0, 0)
-                    return (
-                        chr(97 + ((g * 3 + v * 7 + d1) % 26))
-                        + chr(97 + ((g * 17 + v * 11 + d2) % 26))
-                        + "z" * ((g * 2 + v + dl) % 6)
-                    )
-
-                toks = []
-                for v in range(5):
-                    toks += [_vt(v, False)] * (4 + ((g + v * 3) % 7))
-                if j > 0:
-                    v, swapped, out = j % 5, 0, []
-                    for tk in toks:
-                        if tk == _vt(v, False) and swapped < j:
-                            out.append(_vt(v, True))
-                            swapped += 1
-                        else:
-                            out.append(tk)
-                    toks = out
-                caption = " ".join(toks)
-                rows.append(
-                    (i, bytearray(ppm), bytearray(wav), caption)
-                )
-            yield _pd.DataFrame(
-                rows, columns=["doc_id", "img", "wav", "caption"]
-            )
-
-    synth = d.mapInPandas(
-        _synth,
-        schema="doc_id long, img binary, wav binary, caption string",
-    ).localCheckpoint(eager=True)  # 120 rows; three fingerprint legs reuse
+    # shared planted-triple corpus (one definition of the measured
+    # margins for this query AND mm_caption_retrieval)
+    synth = _caption_retrieval_corpus(spark, sf_dir, with_audio=True)
 
     img_fp = image_phash(
         decode_images(synth.select("doc_id", F.col("img").alias("payload"))),
@@ -10766,18 +10686,28 @@ def mm_crossmodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _caption_retrieval_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Planted image+caption corpus for `mm_caption_retrieval` (and its
-    recall companion test): docs 0-119 in 40 triples — images share a
+def _caption_retrieval_corpus(
+    spark: SparkSession, sf_dir: str, with_audio: bool = False
+) -> DataFrame:
+    """Planted multimodal triple corpus shared by `mm_crossmodal_dedup`
+    (with_audio=True) and `mm_caption_retrieval` / its recall companion
+    test (with_audio=False): docs 0-119 in 40 triples — images share a
     group-keyed texture with a one-byte member perturbation (dHash
     hamming 0 within, ≥ 10 across), captions share a per-group weighted
     vocabulary with j token swaps for member j (SimHash hamming ≤ 9
-    within, ≥ 18 across; the mm_crossmodal_dedup measured margins)."""
+    within, ≥ 18 across), and the optional audio leg shares three
+    per-group tones with a member gain scale (HK fingerprint hamming 3
+    within, ≥ 10 across). ONE definition carries the measured margins
+    both queries' planted oracles depend on — tweaking it re-runs
+    through both contracts."""
     import numpy as _np
     import pandas as _pd
     from collections.abc import Iterator as _Iter
 
-    from hiss_cube_spark.operators.multimodal import encode_ppm_np
+    from hiss_cube_spark.operators.multimodal import (
+        encode_ppm_np,
+        encode_wav_np,
+    )
 
     d = (
         _t(spark, sf_dir, "documents")
@@ -10791,9 +10721,10 @@ def _caption_retrieval_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             for doc_id in pdf["doc_id"]:
                 i = int(doc_id)
                 g, j = i // 3, i % 3
-                # group-keyed multiplicative-hash texture (per-pixel
-                # gradient differs between groups; a ramp would
-                # dhash-collide) + one-byte member perturbation
+                # group-keyed multiplicative-hash texture: the PER-PIXEL
+                # GRADIENT must differ between groups (dHash is a
+                # gradient sign — a linear ramp would dhash-collide
+                # across every group); one-byte member perturbation
                 idx = _np.arange(12 * 16 * 3, dtype=_np.int64)
                 px = (
                     (idx * (2 * g + 13) * 2654435761 + g * 97) % 251
@@ -10801,8 +10732,15 @@ def _caption_retrieval_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                 px[j] = (int(px[j]) + 2) % 251
                 ppm = encode_ppm_np(px.reshape(12, 16, 3))
 
-                # per-group 5-token weighted vocabulary; member j swaps j
-                # occurrences of one token for its alt form
+                # captions: per-group 5-token weighted vocabulary.
+                # token_code reads ONLY (first char, length, second
+                # char), so the vocab must differ in exactly those per
+                # group AND in multiset weights — a full 26-cycle over
+                # 40 sequential tokens gave every group the same code
+                # multiset (simhash 0 across all groups). Member j swaps
+                # j occurrences of one vocab token for an alt token.
+                # Measured margins (deterministic): within ≤ 9,
+                # cross ≥ 18 → threshold 12 separates exactly.
                 def _vt(v: int, alt: bool) -> str:
                     d1, d2, dl = (13, 5, 3) if alt else (0, 0, 0)
                     return (
@@ -10823,12 +10761,43 @@ def _caption_retrieval_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                         else:
                             out.append(tk)
                     toks = out
-                rows.append((i, bytearray(ppm), " ".join(toks)))
-            yield _pd.DataFrame(rows, columns=["doc_id", "img", "caption"])
+                caption = " ".join(toks)
+                if with_audio:
+                    t = _np.arange(2048) / 16000.0
+                    # ≥53 Hz (~7 FFT bins) between groups: neighbor
+                    # tones must not alias into the same log-energy
+                    # bands; three tones give every band real structure
+                    # (quiet bands are quantization-noise-dominated and
+                    # band-delta-unstable)
+                    base = (
+                        0.5 * _np.sin(2 * _np.pi * (200.0 + g * 53.0) * t)
+                        + 0.3 * _np.sin(2 * _np.pi * (400.0 + g * 89.0) * t)
+                        + 0.2 * _np.sin(2 * _np.pi * (900.0 + g * 131.0) * t)
+                    )
+                    # gentle gain: HK log-energy deltas cancel gain
+                    # exactly in float; int16 quantization noise
+                    # re-couples it, so keep the perturbation small
+                    wav = encode_wav_np((1.0 - 0.05 * j) * base, rate=16000)
+                    rows.append(
+                        (i, bytearray(ppm), bytearray(wav), caption)
+                    )
+                else:
+                    rows.append((i, bytearray(ppm), caption))
+            cols = (
+                ["doc_id", "img", "wav", "caption"]
+                if with_audio
+                else ["doc_id", "img", "caption"]
+            )
+            yield _pd.DataFrame(rows, columns=cols)
 
-    return d.mapInPandas(
-        _synth, schema="doc_id long, img binary, caption string"
-    ).localCheckpoint(eager=True)  # ≤120 rows; both fingerprint legs reuse
+    schema = (
+        "doc_id long, img binary, wav binary, caption string"
+        if with_audio
+        else "doc_id long, img binary, caption string"
+    )
+    return d.mapInPandas(_synth, schema=schema).localCheckpoint(
+        eager=True
+    )  # ≤120 rows; every fingerprint leg reuses
 
 
 @_q(
@@ -11806,13 +11775,14 @@ _BLOCKLIST = ["slow fast", "hash value", "big vector", "customer query"]
 @_q(
     "cur_blocklist_filter",
     """
-    WITH h AS (
+    WITH d AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+    h AS (
       SELECT doc_id,
-             (length(text) - length(replace(text, 'slow fast', ''))) // 9 AS h1,
-             (length(text) - length(replace(text, 'hash value', ''))) // 10 AS h2,
-             (length(text) - length(replace(text, 'big vector', ''))) // 10 AS h3,
-             (length(text) - length(replace(text, 'customer query', ''))) // 14 AS h4
-      FROM documents)
+             (length(t) - length(replace(t, 'slow fast', ''))) // 9 AS h1,
+             (length(t) - length(replace(t, 'hash value', ''))) // 10 AS h2,
+             (length(t) - length(replace(t, 'big vector', ''))) // 10 AS h3,
+             (length(t) - length(replace(t, 'customer query', ''))) // 14 AS h4
+      FROM d)
     SELECT CAST(doc_id AS BIGINT) AS doc_id,
            CAST((CASE WHEN h1 > 0 THEN 1 ELSE 0 END)
               + (CASE WHEN h2 > 0 THEN 1 ELSE 0 END)
@@ -11911,7 +11881,7 @@ _CHECK_PRIORITY = [
     # j_bucketed_flagship share the hardened lstat/no-symlink layout
     # parent (ADVICE r12 medium).
     "mm_caption_retrieval", "cur_blocklist_filter", "f_woe_binning",
-    "cur_emb_decontaminate", "text_bpe_train",
+    "mm_crossmodal_dedup", "cur_emb_decontaminate", "text_bpe_train",
     "j_bucketed_colocated", "j_bucketed_flagship",
     # the 19 r7-era stale queries (latest driver row round 7; judge
     # spot-parity re-ran 6 of them in r12 — all ok, driver rows owed)
@@ -11923,8 +11893,8 @@ _CHECK_PRIORITY = [
     "ts_holt_linear", "j_polar_crossmatch", "text_readability",
     "ts_structure_function",
     # the r8 cohort (latest driver row round 8, 43 queries) in
-    # definition order — 22 fit the 50-slot window after the 28 above;
-    # the remaining 21 (from cur_best_of_cluster) lead the r14
+    # definition order — 21 fit the 50-slot window after the 29 above;
+    # the remaining 22 (from cur_temperature_sample) lead the r14
     # round-robin
     "j_knn_crossmatch", "ts_transition_matrix", "ts_cusum_changepoint",
     "ts_seasonal_anomaly", "ts_seasonal_decompose", "a1_ivw_arrays",
@@ -11932,10 +11902,10 @@ _CHECK_PRIORITY = [
     "a_weighted_median", "f_target_encode", "a_winsorize",
     "emb_matryoshka_recall", "cur_pack_sequences", "cur_balanced_sample",
     "cur_corpus_report", "text_bm25_topk", "text_entropy",
-    "text_pmi_bigrams", "cur_score_calibrate", "cur_temperature_sample",
+    "text_pmi_bigrams", "cur_score_calibrate",
     # ---- slots 51+: the r14 round-robin head (rest of the r8 cohort
     # in definition order) ----
-    "cur_best_of_cluster", "cur_semantic_dedup",
+    "cur_temperature_sample", "cur_best_of_cluster", "cur_semantic_dedup",
     "mm_audio_pipeline", "text_mattr", "a_hll_sketch",
     "cur_decontaminate", "mm_fits_codec_sweep", "mm_flac_pipeline",
     "a_approx_stats", "cur_redact_pii", "cur_quality_filter",

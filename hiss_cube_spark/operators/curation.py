@@ -61,8 +61,18 @@ class BenchmarkBudgetExceeded(RuntimeError):
     `exports.ExportBudgetExceeded` precedent)."""
 
 
-# one live benchmark broadcast per session (see embedding_decontaminate)
+# one live broadcast per session and operator (see embedding_decontaminate /
+# blocklist_filter): each call unpersists the previous call's executor
+# copies; the lock serializes concurrent swaps so no broadcast is orphaned.
+# The latest broadcast's value stays reachable (hence driver-resident)
+# until the next call or session end — bounded by the operators' own
+# collect budgets.
+import threading as _threading
+
 _EMB_DECON_BC: dict = {}
+_EMB_DECON_BC_LOCK = _threading.Lock()
+_BLOCKLIST_BC: dict = {}
+_BLOCKLIST_BC_LOCK = _threading.Lock()
 
 
 def split_bucket(id_col: Column, n_buckets: int = 1000) -> Column:
@@ -358,8 +368,13 @@ def embedding_decontaminate(
         # the driver holds an unbounded result (BenchmarkBudgetExceeded).
         rows, nbytes = [], 0
         for r in test.select(F.col(vec_col).alias("v")).toLocalIterator():
+            if r["v"] is None:
+                # a NULL benchmark vector can contaminate nothing (the
+                # expression path's NULL cosines filter out) — skip it
+                # instead of crashing np.stack on a 0-d element
+                continue
             rows.append(r)
-            nbytes += 8 * len(r["v"]) if r["v"] is not None else 8
+            nbytes += 8 * len(r["v"])
             if len(rows) > max_benchmark_rows or nbytes > max_benchmark_bytes:
                 raise BenchmarkBudgetExceeded(
                     f"benchmark side exceeds the kernel collect budget "
@@ -377,14 +392,15 @@ def embedding_decontaminate(
         bnrm = _np.sqrt(
             _np.floor(bm * bm * 1e12).astype(_np.int64).sum(axis=1) / 1e12
         )
-        old_bc = _EMB_DECON_BC.pop("bc", None)
-        if old_bc is not None:
-            try:
-                old_bc.unpersist(False)
-            except Exception:
-                pass  # session torn down between calls
-        bc = train.sparkSession.sparkContext.broadcast((bm, bnrm))
-        _EMB_DECON_BC["bc"] = bc
+        with _EMB_DECON_BC_LOCK:
+            old_bc = _EMB_DECON_BC.pop("bc", None)
+            if old_bc is not None:
+                try:
+                    old_bc.unpersist(False)
+                except Exception:
+                    pass  # session torn down between calls
+            bc = train.sparkSession.sparkContext.broadcast((bm, bnrm))
+            _EMB_DECON_BC["bc"] = bc
 
         def _probe(batches):
             mb, nb = bc.value
@@ -587,7 +603,9 @@ def _build_aho_corasick(phrases: list[str]):
             f = fail[r]
             while f and ch not in goto[f]:
                 f = fail[f]
-            fail[s] = goto[f].get(ch, 0) if goto[f].get(ch, 0) != s else 0
+            # f is strictly shallower than s's parent r, so goto[f][ch]
+            # can never be s itself — no self-loop guard needed
+            fail[s] = goto[f].get(ch, 0)
             out[s] = out[s] + out[fail[s]]
     return goto, fail, out
 
@@ -630,16 +648,27 @@ def blocklist_filter(
     if use_automaton:
         goto, fail, out = _build_aho_corasick(phrases)
         plens = [len(p) for p in phrases]
-        bc = df.sparkSession.sparkContext.broadcast((goto, fail, out, plens))
+        sc = df.sparkSession.sparkContext
+        with _BLOCKLIST_BC_LOCK:
+            old_bc = _BLOCKLIST_BC.pop("bc", None)
+            if old_bc is not None:
+                try:
+                    old_bc.unpersist(False)
+                except Exception:
+                    pass  # session torn down between calls
+            bc = sc.broadcast((goto, fail, out, plens))
+            _BLOCKLIST_BC["bc"] = bc
 
         def _scan(batches):
             goto_t, fail_t, out_t, lens_t = bc.value
-            n_pat = len(lens_t)
             for pdf in batches:
                 ids, n_ph, tot = [], [], []
                 for rid, text in zip(pdf["_id"], pdf["_t"]):
-                    counts = [0] * n_pat
-                    last_end = [0] * n_pat
+                    # per-row state is dict-of-matched-patterns, NOT
+                    # O(|dictionary|) arrays: per-doc cost stays
+                    # O(|text| + hits) at 10⁵-10⁶ patterns
+                    counts: dict = {}
+                    last_end: dict = {}
                     s = 0
                     for i, ch in enumerate(text or ""):
                         while s and ch not in goto_t[s]:
@@ -647,12 +676,12 @@ def blocklist_filter(
                         s = goto_t[s].get(ch, 0)
                         for pid in out_t[s]:
                             start = i + 1 - lens_t[pid]
-                            if start >= last_end[pid]:
-                                counts[pid] += 1
+                            if start >= last_end.get(pid, 0):
+                                counts[pid] = counts.get(pid, 0) + 1
                                 last_end[pid] = i + 1
                     ids.append(rid)
-                    n_ph.append(sum(1 for c in counts if c > 0))
-                    tot.append(sum(counts))
+                    n_ph.append(len(counts))
+                    tot.append(sum(counts.values()))
                 yield pd.DataFrame(
                     {
                         "_id": pd.Series(ids),

@@ -202,9 +202,12 @@ def learn_bpe_merges(
     (persist-only lineage can) — for preemptible executors use a
     reliable ``spark.sparkContext.setCheckpointDir`` + ``.checkpoint()``
     variant, or a cadence larger than the expected failure-free window.
-    Checkpointed generations are never explicitly unpersisted (their
-    blocks ARE the recovery data once lineage is truncated); the
-    ContextCleaner reclaims them on garbage collection.
+    A LIVE checkpointed generation is never unpersisted (its blocks ARE
+    the recovery data once lineage is truncated), but the moment a newer
+    checkpoint materializes the older one is superseded — nothing can
+    recompute through it — and is released immediately. Retention is
+    bounded at one live checkpoint + two persisted generations; only the
+    FINAL checkpoint is left to the ContextCleaner.
 
     Returns (round, left_sym, right_sym, pair_count) — ``n_merges`` rows
     (fewer ONLY when the vocabulary's pairs exhaust first; running out of
@@ -244,6 +247,14 @@ def learn_bpe_merges(
     cur_ckpt = False  # whether cur's generation is localCheckpoint-ed
     prev = None
     prev_ckpt = False
+    # `anchor` = the latest MATERIALIZED checkpointed generation. Its
+    # blocks are load-bearing (persist-only generations recompute through
+    # it), so it is never unpersisted while current — but the moment a
+    # NEWER checkpoint materializes, nothing can recompute through the
+    # old anchor, and it is released. Retention is thus bounded at one
+    # live checkpoint + two persisted generations, instead of one
+    # corpus-sized copy per checkpointed round left to driver GC.
+    anchor = None
     merges: list[tuple[int, str, str, int]] = []
     pairs_exhausted = False
     try:
@@ -282,15 +293,24 @@ def learn_bpe_merges(
                 .limit(want if want == 1 else 4 * want)
                 .collect()
             )
+            # the collect above materialized `cur`; if cur is a
+            # checkpoint generation its lineage is truncated NOW, so the
+            # previous anchor checkpoint can no longer be recomputed
+            # through — release it and promote cur (ADVICE r12: a LIVE
+            # checkpointed generation must never be unpersisted, because
+            # deleting its blocks strands every lineage rooted at it;
+            # a SUPERSEDED one is referenced by nothing)
+            if cur_ckpt and cur is not anchor:
+                if anchor is not None:
+                    anchor.unpersist()
+                anchor = cur
             if prev is not None:
-                # NEVER unpersist a checkpointed generation: its lineage
-                # was truncated, so deleting the checkpoint blocks leaves
-                # downstream recomputation (executor loss, dynamic
-                # allocation) with nothing to replay — 'checkpoint block
-                # not found' instead of a recompute (ADVICE r12). Those
-                # blocks are reclaimed by the ContextCleaner when the
-                # DataFrame is garbage-collected.
-                if not prev_ckpt:
+                # a checkpointed prev became `anchor` at ITS
+                # materializing collect (one round earlier); persist-only
+                # generations release as soon as their successor is
+                # materialized — recomputes walk lineage back to the
+                # anchor
+                if prev is not anchor:
                     prev.unpersist()
                 prev = None
             # greedy token-disjoint batch selection in winner order; a
@@ -364,10 +384,12 @@ def learn_bpe_merges(
             prev, cur = cur, nxt
             prev_ckpt, cur_ckpt = cur_ckpt, nxt_ckpt
     finally:
-        if not cur_ckpt:
-            cur.unpersist()
-        if prev is not None and not prev_ckpt:
-            prev.unpersist()
+        # the final anchor checkpoint stays live (its blocks may still
+        # back `cur`'s lineage mid-teardown); ContextCleaner reclaims it
+        # on GC — bounded at ONE generation, not one per checkpoint round
+        for df in (cur, prev):
+            if df is not None and df is not anchor:
+                df.unpersist()
     if len(merges) < n_merges and not pairs_exhausted:
         # token-sharing winners under-filled the batches round after round;
         # a silently short merge table would train an undersized vocabulary
