@@ -40,6 +40,7 @@ def connected_components(
     src: str = "doc_a",
     dst: str = "doc_b",
     max_iter: int = 25,
+    symmetric: bool = False,
 ) -> DataFrame:
     """(node, cluster_id) for every node appearing in ``pairs``; cluster_id
     is the minimum node id of the connected component.
@@ -47,6 +48,9 @@ def connected_components(
     Converges in diameter-many rounds and stops early as soon as a round
     changes nothing. Raises if ``max_iter`` rounds don't reach the fixpoint
     (a diameter that large means the input is not a near-dup pair list).
+    ``symmetric=True`` declares that ``pairs`` already carries BOTH
+    directions of every edge (e.g. DBSCAN's eps-graph), skipping the
+    symmetrizing union.
 
     Per-round driver latency is ONE action: the round's label table carries
     a lazy localCheckpoint and the convergence probe is a full (non-limited)
@@ -54,21 +58,30 @@ def connected_components(
     every checkpoint partition (a ``limit(1)`` probe would short-circuit
     and leave partitions uncomputed behind a truncated lineage), so the
     old eager-checkpoint-then-count pair of cluster round-trips collapses
-    into one. ``edges`` and the initial labels stay EAGER: each is read by
-    two consumers inside round 1's action, and a lazy persist there lets
-    the two stages race and compute the same partitions twice (measured:
-    +30% tasks at sf0.1) — duplicate work that would be a real cost at
-    scale, unlike the per-round table whose only consumer in its
-    materializing action is the convergence probe itself.
+    into one. The initial labels stay EAGER: they are read by two consumers
+    inside round 1's action, and a lazy persist there lets the two stages
+    race and compute the same partitions twice (measured: +30% tasks at
+    sf0.1) — duplicate work that would be a real cost at scale. ``edges``
+    is a LAZY checkpoint whose only consumer in its materializing action is
+    the init-labels groupBy, so init folds the edge materialization into
+    its own action (one driver round-trip fewer); every later round reads
+    the checkpointed blocks.
+
+    The edge list is deliberately NOT deduplicated: min-label propagation
+    is idempotent under duplicate edges (every aggregate here is a MIN),
+    so the former ``distinct()`` was a pure extra shuffle — duplicate
+    edges only re-probe a join hash slot. Callers all emit distinct pairs
+    anyway; a caller with heavy duplication should dedup upstream.
     """
     edges = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    # Undirected: propagate along both directions of every edge.
-    edges = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
-    edges = edges.localCheckpoint(eager=True)
+    if not symmetric:
+        # Undirected: propagate along both directions of every edge.
+        edges = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    edges = edges.localCheckpoint(eager=False)
 
     # Initial labels = min(self, direct neighbors): identical to one
     # propagation round from identity labels, but a single map-side-combining
-    # groupBy with no join (every node appears as `a` after the union above).
+    # groupBy with no join (every node appears as `a` after symmetrization).
     labels = (
         edges.groupBy("a")
         .agg(F.min("b").alias("_nb"))

@@ -1081,12 +1081,15 @@ def dbscan_embeddings(
             "node", F.coalesce("nbrs", F.lit(0)).alias("nbrs")
         )
     core = deg.where(F.col("nbrs") + 1 >= min_pts).select("node")
-    ce = (
-        und.join(core.select(F.col("node").alias("id_a")), "id_a")
-        .join(core.select(F.col("node").alias("id_b")), "id_b")
-        .where(F.col("id_a") < F.col("id_b"))
+    # `und` already carries both directions of every eps-edge, so the
+    # core-core subgraph is symmetric as-is: pass it straight through with
+    # symmetric=True instead of halving it (id_a < id_b) only for
+    # connected_components to re-union the mirror — one filter and one
+    # union branch (a second scan of the checkpointed eps-graph) saved.
+    ce = und.join(core.select(F.col("node").alias("id_a")), "id_a").join(
+        core.select(F.col("node").alias("id_b")), "id_b"
     )
-    cc = connected_components(ce, src="id_a", dst="id_b")
+    cc = connected_components(ce, src="id_a", dst="id_b", symmetric=True)
     # cores with no core neighbor form singleton clusters labelled by
     # themselves (CC only emits nodes that appear in an edge)
     singles = core.join(cc.select("node"), "node", "left_anti").select(
