@@ -859,8 +859,25 @@ def j_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     # other's path (ADVICE r11). Single-writer assumption within a corpus
     # stands: the gate, bench, and suite each run this query alone.
     base = _bucketed_layout_dir(sf_dir, "oc")
-    write_bucketed(li, "hc_bkt_lineitem", f"{base}/li", ["l_orderkey"], n_buckets=8)
-    write_bucketed(o, "hc_bkt_orders", f"{base}/o", ["l_orderkey"], n_buckets=8)
+    # The two layout writes are independent jobs — submit them from two
+    # driver threads so the small orders write back-fills executor slots
+    # the lineitem write's tail leaves idle (guide §2.6 overlap pattern;
+    # at cluster scale this is the same two-jobs-in-flight discipline).
+    # Each job stays internally parallel; only the driver-side barrier
+    # between them is removed.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fli = pool.submit(
+            write_bucketed,
+            li, "hc_bkt_lineitem", f"{base}/li", ["l_orderkey"], 8,
+        )
+        fo = pool.submit(
+            write_bucketed,
+            o, "hc_bkt_orders", f"{base}/o", ["l_orderkey"], 8,
+        )
+        fli.result()
+        fo.result()
     j = colocated_join(spark, "hc_bkt_lineitem", "hc_bkt_orders", ["l_orderkey"])
     rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
     return (
@@ -952,10 +969,21 @@ def j_bucketed_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderkey") % 5).cast("int").alias("band"),
     )
     base = _bucketed_layout_dir(sf_dir, "fl")
-    write_bucketed(specs, "hc_bkt_spectra", f"{base}/sp", ["spec_id"], n_buckets=8)
-    write_bucketed(
-        refs, "hc_bkt_cutout_refs", f"{base}/cr", ["spec_id"], n_buckets=8
-    )
+    # Independent layout writes overlap from two driver threads (guide
+    # §2.6) — same rationale as j_bucketed_colocated.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fsp = pool.submit(
+            write_bucketed,
+            specs, "hc_bkt_spectra", f"{base}/sp", ["spec_id"], 8,
+        )
+        fcr = pool.submit(
+            write_bucketed,
+            refs, "hc_bkt_cutout_refs", f"{base}/cr", ["spec_id"], 8,
+        )
+        fsp.result()
+        fcr.result()
     # The flux fold evaluates PER SPECTRUM before the join (a projection
     # preserves the bucketed distribution, so the SMJ stays exchange-free):
     # folding after the join would run the 8-element HOF once per JOINED
@@ -9168,6 +9196,12 @@ def stream_neardup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sa = feats.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("_sa"))
     sb = feats.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("_sb"))
+    # EAGER checkpoint on purpose: the first consumer is cc0, whose
+    # symmetrizing union reads this table through TWO branches of one
+    # action — a lazy checkpoint there would compute the band join +
+    # signature verify twice before the blocks exist (the clusters.py
+    # "+30% tasks" hazard), so the one extra driver action is the
+    # cheaper side of the trade.
     pairs = (
         F.broadcast(cand)
         .join(sa, "doc_a")
@@ -11357,7 +11391,7 @@ def dq_theta_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cells = _source_gram_cells(spark, sf_dir)
     sk = kmv_distinct_intersect(
-        cells, "source", "h", k=256, pre_hashed=True
+        cells, "source", "h", k=256, pre_hashed=True, assume_distinct=True
     ).select(
         F.col("group_a").alias("source_a"),
         F.col("group_b").alias("source_b"),
@@ -11438,7 +11472,9 @@ def dq_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hiss_cube_spark.operators.quality_checks import kmv_distinct_count
 
     cells = _source_gram_cells(spark, sf_dir)
-    est = kmv_distinct_count(cells, "source", "h", k=256, pre_hashed=True)
+    est = kmv_distinct_count(
+        cells, "source", "h", k=256, pre_hashed=True, assume_distinct=True
+    )
     ex = cells.groupBy("source").agg(
         F.count(F.lit(1)).alias("exact_distinct")
     )

@@ -913,13 +913,19 @@ def remove_duplicated_spans(
     Returns (doc_id, n_tokens, n_removed, clean_text).
 
     Plan shape, linear at 100 TB: one explode to (doc, pos, key) windows,
-    one groupBy for duplicated keys, one rank window per key to elect the
-    first occurrence (state is one row per duplicated gram), one
-    position-explode of the loser windows into covered positions, and one
-    anti-join of token positions against that cover — no interval lists,
-    no per-doc Python. ``hash_grams`` swaps gram strings for 8-byte
-    xxhash64 shuffle keys (collision odds ~n_grams²/2⁶⁴); the string path
-    is the bit-exact oracle.
+    one rank window per key to elect the first occurrence (state is one
+    row per duplicated gram), one position-explode of the loser windows
+    folded into a per-doc sorted cut-position array, and ONE join of that
+    (duplicated-content-sized) cut table back to the docs — the clean
+    text is rebuilt in-place with native array expressions
+    (``array_except`` over the position range, ``element_at`` gather), so
+    the corpus's token payload never crosses an exchange. The former
+    formulation exploded EVERY token into rows and shuffled them twice
+    (anti-join + collect_list rebuild) — 5 exchanges and token-granular
+    shuffle bytes vs 3 exchanges carrying only gram keys and cut
+    positions. ``hash_grams`` swaps gram strings for 8-byte xxhash64
+    shuffle keys (collision odds ~n_grams²/2⁶⁴); the string path is the
+    bit-exact oracle.
     """
     toks = F.split(F.col(text_col), " ")
     d = df.select(F.col(id_col).alias("doc_id"), toks.alias("w")).withColumn(
@@ -946,31 +952,35 @@ def remove_duplicated_spans(
         .withColumn("_rn", F.row_number().over(wk))
         .where((F.col("_c") >= min_count) & (F.col("_rn") > 1))
     )
-    covered = losers.select(
+    # per-doc sorted cut positions in ONE exchange (collect_set dedups
+    # overlapping windows, so the former covered.distinct() exchange is
+    # folded away); table size is bounded by duplicated content, not the
+    # corpus
+    cuts = losers.select(
         "doc_id", F.explode(F.expr(f"sequence(pos, pos + {n - 1})")).alias("p")
-    ).distinct()
-    tokens = d.select(
-        "doc_id", "n_tokens", F.posexplode("w").alias("p", "tok")
+    ).groupBy("doc_id").agg(
+        F.sort_array(F.collect_set("p")).alias("_cut")
     )
-    kept = tokens.join(covered, ["doc_id", "p"], "left_anti")
-    rebuilt = kept.groupBy("doc_id", "n_tokens").agg(
-        F.count(F.lit(1)).alias("_n_kept"),
-        F.array_join(
-            F.expr("transform(array_sort(collect_list(struct(p, tok))), s -> s.tok)"),
-            " ",
-        ).alias("clean_text"),
-    )
-    # docs whose every token was cut vanish from `kept` — restore as empty
+    # docs with no duplicated window keep _cut = NULL (left join) and
+    # rebuild to their original text via the empty-cut branch
     return (
-        d.select("doc_id", "n_tokens")
-        .join(rebuilt.drop("n_tokens"), "doc_id", "left")
+        d.join(cuts, "doc_id", "left")
+        .withColumn(
+            "_keep",
+            F.expr("array_except(sequence(0, n_tokens - 1), coalesce(_cut, array()))"),
+        )
         .select(
             "doc_id",
             F.col("n_tokens").cast("long").alias("n_tokens"),
-            (F.col("n_tokens") - F.coalesce("_n_kept", F.lit(0)))
-            .cast("long")
-            .alias("n_removed"),
-            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            (F.col("n_tokens") - F.size("_keep")).cast("long").alias("n_removed"),
+            # coalesce matches the former formulation on NULL-text rows
+            # (no tokens -> empty clean text, not NULL)
+            F.coalesce(
+                F.array_join(
+                    F.expr("transform(_keep, i -> element_at(w, i + 1))"), " "
+                ),
+                F.lit(""),
+            ).alias("clean_text"),
         )
     )
 

@@ -616,6 +616,7 @@ def kmv_samples(
     key_col: str,
     k: int = 256,
     pre_hashed: bool = False,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """Per-group KMV / bottom-k (theta) DISTINCT sketch: the ``k``
     smallest :func:`kmv_hash` values of the group's distinct keys, plus
@@ -649,14 +650,20 @@ def kmv_samples(
     single-scan pattern — callers pin ONE distinct (group, h) cell
     table and feed it to the sketch AND to exact companions, so the
     corpus is read once however many legs consume it).
+
+    ``assume_distinct``: the caller guarantees (group, key) rows are
+    already globally distinct (e.g. the pinned cell table IS a
+    distinct); skips this function's dedup, removing a full exchange
+    of the cell domain from the sketch path. Only set when the input
+    is distinct by construction — a duplicated cell would be sampled
+    twice and shift ranks.
     """
     from pyspark.sql import Window
 
     key = F.col(key_col) if pre_hashed else kmv_hash(key_col)
-    cells = (
-        df.select(F.col(group_col).alias("g"), key.alias("h"))
-        .distinct()
-    )
+    cells = df.select(F.col(group_col).alias("g"), key.alias("h"))
+    if not assume_distinct:
+        cells = cells.distinct()
     w = Window.partitionBy("g").orderBy("h")
     ranked = cells.select(
         "g", "h",
@@ -692,6 +699,7 @@ def kmv_distinct_count(
     key_col: str,
     k: int = 256,
     pre_hashed: bool = False,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """Per-group distinct-count estimate from the KMV sketch — the
     cardinality leg of the sketch stack (count-distinct without holding
@@ -706,7 +714,8 @@ def kmv_distinct_count(
     bit-for-bit. Scale shape: everything after kmv_samples runs on
     ≤ k rows per group. Output: (g, est_distinct).
     """
-    s = kmv_samples(df, group_col, key_col, k, pre_hashed=pre_hashed)
+    s = kmv_samples(df, group_col, key_col, k, pre_hashed=pre_hashed,
+                    assume_distinct=assume_distinct)
     per = s.groupBy("g").agg(
         F.min("theta").alias("theta"), F.min("nd").alias("nd")
     )
@@ -726,6 +735,7 @@ def kmv_distinct_intersect(
     key_col: str,
     k: int = 256,
     pre_hashed: bool = False,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """Distinct-intersection estimate for every group pair from KMV
     sketches — "how many distinct keys do sources A and B share"
@@ -746,7 +756,8 @@ def kmv_distinct_intersect(
     1/sqrt(k) error is probabilistic, not a theorem; the repo pattern
     is to emit the measured error next to the estimate).
     """
-    s = kmv_samples(df, group_col, key_col, k, pre_hashed=pre_hashed)
+    s = kmv_samples(df, group_col, key_col, k, pre_hashed=pre_hashed,
+                    assume_distinct=assume_distinct)
     a = s.select(
         F.col("g").alias("group_a"), "h",
         F.col("theta").alias("_ta"),

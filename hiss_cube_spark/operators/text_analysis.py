@@ -688,9 +688,14 @@ def trigram_lm_score(
         F.sum("n23").over(Window.partitionBy("w2")).alias("n2"),
     )
     c3 = c123.groupBy("w3").agg(F.sum("n123").alias("n3"))
-    c3m = c3.select(
-        "w3", "n3", F.sum("n3").over(Window.partitionBy()).alias("nn")
-    )
+    # N as a broadcast scalar, not a Window.partitionBy() global window:
+    # c3 is VOCABULARY-sized, and a global window funnels the whole
+    # unigram table through one partition (the one single-partition
+    # exchange in this operator's plan); the 1-row cross join attaches
+    # the same value with no exchange on c3 at all.
+    c3m = c3.crossJoin(
+        F.broadcast(c3.agg(F.sum("n3").alias("nn")))
+    ).select("w3", "n3", "nn")
 
     g = grams(df, with_id=True)
     s = (
