@@ -9211,7 +9211,7 @@ def stream_neardup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     even = (F.col("doc_a") % 2 == 0) & (F.col("doc_b") % 2 == 0)
-    cc0 = connected_components(pairs.where(even))
+    cc0 = connected_components(pairs.where(even), edges_materialized=True)
     losers0 = cc0.where(F.col("node") != F.col("cluster_id")).select(
         F.col("node").alias("doc_id")
     )
@@ -9247,7 +9247,7 @@ def stream_neardup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(in_b1b.withColumnRenamed("doc_id", "doc_b"), "doc_b")
         .select("doc_a", "doc_b")
     )
-    cc1 = connected_components(pairs1)
+    cc1 = connected_components(pairs1, edges_materialized=True)
     losers1 = cc1.where(F.col("node") != F.col("cluster_id")).select(
         F.col("node").alias("doc_id")
     )

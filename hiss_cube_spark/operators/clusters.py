@@ -41,6 +41,7 @@ def connected_components(
     dst: str = "doc_b",
     max_iter: int = 25,
     symmetric: bool = False,
+    edges_materialized: bool = False,
 ) -> DataFrame:
     """(node, cluster_id) for every node appearing in ``pairs``; cluster_id
     is the minimum node id of the connected component.
@@ -72,9 +73,20 @@ def connected_components(
     so the former ``distinct()`` was a pure extra shuffle — duplicate
     edges only re-probe a join hash slot. Callers all emit distinct pairs
     anyway; a caller with heavy duplication should dedup upstream.
+
+    ``edges_materialized=True`` declares that ``pairs`` is already cheap
+    to re-read (checkpointed / persisted blocks or a trivial derivation
+    of them). Otherwise the directed edge list is eagerly checkpointed
+    BEFORE the symmetrizing union: the union reads its input through two
+    branches of one action, which would compute the caller's pair plan
+    twice (measured 1.5-2x on the AllPairs-verify plan feeding
+    dedup_clusters — one extra driver action buys half the pair
+    compute).
     """
     edges = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     if not symmetric:
+        if not edges_materialized:
+            edges = edges.localCheckpoint(eager=True)
         # Undirected: propagate along both directions of every edge.
         edges = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
     edges = edges.localCheckpoint(eager=False)
@@ -216,10 +228,15 @@ def golden_records(
     need = {id_col, *mode_cols, *max_cols}
     if canon_col:
         need.add(canon_col)
+    # EAGER when mode columns exist: the final action then reads members
+    # through 1 + len(mode_cols) subtrees, and a lazy checkpoint lets the
+    # racing subtrees compute the member join once each before blocks
+    # appear (the clusters.py "+30% tasks" hazard); with no mode columns
+    # the single consumer materializes it lazily for free.
     members = cc.join(
         df.select(*[F.col(c).alias("node" if c == id_col else c) for c in need]),
         "node",
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=bool(mode_cols))
 
     agg = [F.count(F.lit(1)).cast("long").alias("n_members")] + [
         F.max(c).alias(f"max_{c}") for c in max_cols

@@ -123,8 +123,13 @@ def triangle_count(
     aggregation + join. Use it when the graph has power-law hubs (web
     domains, citation graphs); the oracle pins the id variant.
     """
-    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).where(
-        F.col(src) != F.col(dst)
+    # materialize the directed list before the symmetrizing union (and,
+    # under degree orientation, the degree aggregate) — each consumer
+    # branch would otherwise re-run the caller's whole edge derivation
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .where(F.col(src) != F.col(dst))
+        .localCheckpoint(eager=True)
     )
     und = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
     if orient == "degree":
@@ -227,11 +232,16 @@ def label_propagation(
     """
     from pyspark.sql.window import Window
 
+    # Materialize the directed list once before symmetrizing: the union
+    # reads its input through two branches of one action, which would
+    # compute the caller's edge plan twice (the connected_components
+    # pre-checkpoint rationale — one extra driver action for half the
+    # edge-derivation compute).
+    de = edges.select(
+        F.col(src_col).alias("a"), F.col(dst_col).alias("b")
+    ).localCheckpoint(eager=True)
     und = (
-        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
-        .union(
-            edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b"))
-        )
+        de.union(de.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .where(F.col("a") != F.col("b"))
         .distinct()
         .localCheckpoint(eager=True)

@@ -1062,12 +1062,16 @@ def dbscan_embeddings(
         pairs = cosine_pairs(
             corpus, threshold, id_col=id_col, vec_col=vec_col, exact=True
         ).select("id_a", "id_b")
+    # materialize the ONE-DIRECTIONAL pair list, not the mirrored one:
+    # the all-pairs kernel runs exactly once (the former und checkpoint
+    # computed it twice through the union's two branches before blocks
+    # existed), the eps-graph's four subtrees (degrees, core-core edges,
+    # border assignment, CC) re-read the half-size blocks through the
+    # trivial union, and checkpoint storage halves
+    pairs = pairs.localCheckpoint(eager=True)
     und = pairs.union(
         pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
     )
-    # the eps-graph feeds four subtrees (degrees, core-core edges, border
-    # assignment, CC) — materialize once so the all-pairs kernel runs once
-    und = und.localCheckpoint(eager=True)
     all_ids = corpus.select(F.col(id_col).alias("node"))
     deg = und.groupBy(F.col("id_a").alias("node")).agg(
         F.count(F.lit(1)).alias("nbrs")
