@@ -240,12 +240,30 @@ def balanced_sample(
     )
 
 
+def collect_decontaminate_grams(
+    test: DataFrame, text_col: str = "text", n: int = 3
+) -> frozenset:
+    """The benchmark-side distinct gram set of :func:`decontaminate`,
+    collected to the driver (bounded: the test side is a benchmark by
+    definition). Exposed so a caller composing a multi-stage pipeline can
+    run this action CONCURRENTLY with an earlier stage's jobs (guide-§2.6
+    overlap) and pass the result via ``decontaminate(test_grams=...)`` —
+    byte-identical filtering either way."""
+    from hiss_cube_spark.operators.dedup import shingle_array
+
+    test_grams = test.select(
+        F.explode(shingle_array(F.col(text_col), n)).alias("gram")
+    ).distinct()
+    return frozenset(r[0] for r in test_grams.collect())
+
+
 def decontaminate(
     train: DataFrame,
     test: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
+    test_grams: frozenset | None = None,
 ) -> DataFrame:
     """Benchmark decontamination: drop every training document that shares
     at least one word ``n``-gram with any test/benchmark document.
@@ -266,16 +284,16 @@ def decontaminate(
     shorter than ``n`` tokens emit one short gram (their whole token list);
     a short doc is only dropped if an identical short doc — not a longer
     superset — appears in the test set.
-    """
-    from hiss_cube_spark.operators.dedup import shingle_array
 
+    ``test_grams`` accepts a pre-collected gram set from
+    :func:`collect_decontaminate_grams`, letting a multi-stage caller run
+    that driver action concurrently with earlier stages; the filter is
+    byte-identical either way.
+    """
     spark = train.sparkSession
-    test_grams = test.select(
-        F.explode(shingle_array(F.col(text_col), n)).alias("gram")
-    ).distinct()
-    bad = spark.sparkContext.broadcast(
-        frozenset(r[0] for r in test_grams.collect())
-    )
+    if test_grams is None:
+        test_grams = collect_decontaminate_grams(test, text_col, n)
+    bad = spark.sparkContext.broadcast(test_grams)
 
     @pandas_udf("boolean")
     def _is_clean(texts: pd.Series) -> pd.Series:

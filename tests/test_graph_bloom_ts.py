@@ -325,7 +325,9 @@ def test_cusum_changepoint_locates_level_shift(spark):
     last pre-shift point."""
     import importlib.util
 
-    spec = importlib.util.spec_from_file_location("_entry", "__spark_entry__.py")
+    spec = importlib.util.spec_from_file_location(
+        "_entry", "/root/repo/__spark_entry__.py"
+    )
     entry = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(entry)
     # reuse the registered query's math on a hand-built frame via the same

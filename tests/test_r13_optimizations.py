@@ -7,6 +7,11 @@ the formulation it replaced.
 2. `query_disc_nest_many_np` (batched ring walk) ≡ scalar
    `query_disc_nest_np` per probe, polar + random + degenerate probes.
 3. `golden_records` struct-min fusion: non-numeric canon_col now raises.
+4. `connected_components` flags: ``symmetric=True`` on a both-directions
+   list and ``edges_materialized=True`` ≡ the default result.
+5. KMV chain ``assume_distinct=True`` on a distinct cell table ≡ default.
+6. `remove_duplicated_spans` array rebuild: token-exact pins (all-cut,
+   mid-doc cut, duplicate-free, sub-n docs).
 """
 
 from __future__ import annotations
@@ -143,3 +148,93 @@ def test_golden_records_rejects_non_numeric_canon(spark):
     pairs = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
     with pytest.raises(TypeError, match="must be numeric"):
         golden_records(docs, pairs, canon_col="name")
+
+
+def test_cc_symmetric_and_materialized_flags_identical(spark):
+    """connected_components: symmetric=True on a both-directions list and
+    edges_materialized=True must return exactly the default result."""
+    from hiss_cube_spark.operators.clusters import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23), (5, 5)],
+        "doc_a long, doc_b long",
+    )
+    want = sorted(
+        (r.node, r.cluster_id) for r in connected_components(pairs).collect()
+    )
+    sym = pairs.union(
+        pairs.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    )
+    got_sym = sorted(
+        (r.node, r.cluster_id)
+        for r in connected_components(sym, symmetric=True).collect()
+    )
+    got_mat = sorted(
+        (r.node, r.cluster_id)
+        for r in connected_components(
+            pairs.localCheckpoint(eager=True), edges_materialized=True
+        ).collect()
+    )
+    assert got_sym == want
+    assert got_mat == want
+
+
+def test_kmv_assume_distinct_identical(spark):
+    """kmv_samples/kmv_distinct_* with assume_distinct=True on an
+    already-distinct cell table must be row-identical to the default."""
+    from hiss_cube_spark.operators.quality_checks import (
+        kmv_distinct_count,
+        kmv_distinct_intersect,
+        kmv_hash,
+    )
+
+    rows = [("a", f"t{i}") for i in range(400)] + [
+        ("b", f"t{i}") for i in range(150, 500)
+    ]
+    cells = (
+        spark.createDataFrame(rows, "g string, key string")
+        .select("g", kmv_hash("key").alias("h"))
+        .distinct()
+    )
+    for fn in (kmv_distinct_count, kmv_distinct_intersect):
+        want = sorted(
+            tuple(r) for r in fn(cells, "g", "h", k=64, pre_hashed=True).collect()
+        )
+        got = sorted(
+            tuple(r)
+            for r in fn(
+                cells, "g", "h", k=64, pre_hashed=True, assume_distinct=True
+            ).collect()
+        )
+        assert got == want
+
+
+def test_span_removal_array_rebuild_pins(spark):
+    """remove_duplicated_spans after the array-rebuild rewrite: token-exact
+    clean text, all-cut docs rebuild to '', duplicate-free docs unchanged."""
+    from hiss_cube_spark.operators.dedup import remove_duplicated_spans
+
+    base = "one two three four five"          # 5-gram duplicated across docs
+    docs = [
+        (0, base),                             # first occurrence -> kept
+        (1, base),                             # exact dup -> fully cut
+        (2, f"intro {base} outro"),            # overlapping windows cut mid-doc
+        (3, "alpha beta gamma delta epsilon"), # no duplicated gram -> unchanged
+        (4, "tiny doc"),                       # < n tokens -> unchanged
+    ]
+    out = {
+        r.doc_id: r
+        for r in remove_duplicated_spans(
+            spark.createDataFrame(docs, "doc_id long, text string"),
+            n=5,
+            min_count=2,
+        ).collect()
+    }
+    assert out[0].clean_text == base and out[0].n_removed == 0
+    assert out[1].clean_text == "" and out[1].n_removed == 5
+    assert out[2].clean_text == "intro outro" and out[2].n_removed == 5
+    assert out[3].clean_text == docs[3][1] and out[3].n_removed == 0
+    assert out[4].clean_text == "tiny doc" and out[4].n_removed == 0
+    assert all(out[i].n_tokens == len(docs[i][1].split()) for i in out)
