@@ -10758,6 +10758,12 @@ def _caption_retrieval_corpus(
         encode_wav_np,
     )
 
+    # Deliberately NOT _spread_if_narrow'd (measured r13, twice): at 120
+    # rows the synth/fingerprint kernels finish in ~0.1 s serial, so a
+    # 32-way fan-out LOSES — corpus build 0.5→0.8 s and the downstream
+    # banding stages 2.6→3.9 s from 32 tasks/stage of scheduling where
+    # one suffices. The mm_jpeg repartition precedent applies to heavy
+    # per-row codecs, not this corpus.
     d = (
         _t(spark, sf_dir, "documents")
         .where(F.col("doc_id") < 120)
@@ -11048,15 +11054,22 @@ def dq_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     a per-bucket equality boolean (all true, by construction — and the
     driver hash-checks the actual counts, not just the boolean).
 
-    Plan shape: the per-source sketches come from ONE fact scan (a
-    (src, bucket) aggregate — the production path, each source keeping
-    its own sketch); the whole-corpus sketch is an INDEPENDENT second
-    build (its own scan), so the equality cross-checks two derivations
-    rather than comparing one expression to itself. Two scans, both
-    collapsing map-side to ≤ ~1k-bucket partials — never a pin of the
-    fact projection (which would not be scale-safe)."""
-    from hiss_cube_spark.operators.quality_checks import logbucket_sketch
-
+    Plan shape (r13): ONE fact scan via GROUPING SETS
+    ((src, bucket), (bucket)) — the per-source sketches are the gid=0
+    slice (the production path, each source keeping its own sketch) and
+    the whole-corpus sketch is the gid!=0 slice, aggregated DIRECTLY
+    from the expanded raw rows, so the equality still cross-checks two
+    derivations (per-source-then-merge vs direct build) while the fact
+    table is read once: the two slices consume one ReusedExchange of
+    ≤ |src|·~1k + ~1k partial rows instead of two full scans
+    (guide §2.2/§6 — halves the fact I/O at 100 TB; plan diff
+    2 parquet scans → 1, plans/r13/dq_sketch_merge_after.txt). The
+    pre-r13 shape built the whole-corpus sketch from its own scan; the
+    merged values are bit-identical (integer counts, same bucket
+    expression), per the original intent of cross-checking rather than
+    comparing one expression to itself. Both slices collapse map-side
+    to ≤ ~1k-bucket partials — never a pin of the fact projection
+    (which would not be scale-safe)."""
     li = _t(spark, sf_dir, "lineitem").select(
         F.col("l_returnflag").alias("src"),
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
@@ -11067,16 +11080,25 @@ def dq_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                  "cast(length(bin(cents)) - 1 AS INT))")
         - F.lit(16)
     )
-    per = (
+    gs = (
         li.where(F.col("cents") > 0)
         .select("src", bucket.cast("long").alias("bucket"))
-        .groupBy("src", "bucket")
-        .agg(F.count(F.lit(1)).alias("n"))
+        .groupingSets([["src", "bucket"], ["bucket"]], "src", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"), F.grouping_id().alias("_gid"))
+        # LAZY checkpoint: without it Catalyst pushes each slice's
+        # grouping-id filter below the aggregate, cloning the whole
+        # scan+Expand subtree per slice (2 fact scans again). The
+        # checkpoint makes the aggregate ONE physical subtree — the
+        # scan and its exchange run once; only the ≤ ~1k-row final-agg
+        # tail is evaluated per consuming branch. Lazy, not eager: the
+        # bench action materializes it, no extra driver job.
+        .localCheckpoint(eager=False)
     )
+    per = gs.where(F.col("_gid") == 0).select("src", "bucket", "n")
     merged = per.groupBy("bucket").agg(F.sum("n").alias("merged_n"))
-    whole = logbucket_sketch(
-        li.select("cents"), "cents"
-    ).withColumnRenamed("n", "whole_n")
+    whole = gs.where(F.col("_gid") != 0).select(
+        "bucket", F.col("n").alias("whole_n")
+    )
     return merged.join(whole, "bucket").select(
         "bucket",
         F.col("merged_n").cast("long").alias("merged_n"),

@@ -238,3 +238,65 @@ def test_span_removal_array_rebuild_pins(spark):
     assert out[3].clean_text == docs[3][1] and out[3].n_removed == 0
     assert out[4].clean_text == "tiny doc" and out[4].n_removed == 0
     assert all(out[i].n_tokens == len(docs[i][1].split()) for i in out)
+
+
+def test_sketch_merge_grouping_sets_single_scan(spark, sf_dir):
+    """dq_sketch_merge grouping-sets rewrite: (a) values identical to the
+    retired two-scan formulation (per-source sketch + independent whole
+    build), (b) the final plan reads the fact table at most once — the
+    whole-corpus slice must come from the shared Expand, not a second
+    scan."""
+    import contextlib
+    import io
+
+    import __spark_entry__ as entry
+    from hiss_cube_spark.operators.quality_checks import logbucket_sketch
+
+    df = entry.queries()["dq_sketch_merge"](spark, sf_dir)
+
+    # (a) equivalence vs the pre-r13 two-scan build, row for row
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.col("l_returnflag").alias("src"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    bucket = (
+        F.lit(16) * (F.length(F.bin(F.col("cents"))) - F.lit(1))
+        + F.expr(
+            "(16 * cents) DIV shiftleft(1L, "
+            "cast(length(bin(cents)) - 1 AS INT))"
+        )
+        - F.lit(16)
+    )
+    per = (
+        li.where(F.col("cents") > 0)
+        .select("src", bucket.cast("long").alias("bucket"))
+        .groupBy("src", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    old = (
+        per.groupBy("bucket")
+        .agg(F.sum("n").alias("merged_n"))
+        .join(
+            logbucket_sketch(li.select("cents"), "cents").withColumnRenamed(
+                "n", "whole_n"
+            ),
+            "bucket",
+        )
+        .select(
+            "bucket",
+            F.col("merged_n").cast("long").alias("merged_n"),
+            F.col("whole_n").cast("long").alias("whole_n"),
+            (F.col("merged_n") == F.col("whole_n")).alias("merge_exact"),
+        )
+    )
+    got = sorted(map(tuple, df.collect()))
+    want = sorted(map(tuple, old.collect()))
+    assert got == want and len(got) > 0
+
+    # (b) plan shape: at most one parquet scan (the checkpointed grouping
+    # sets subtree; 0 visible when the explain renders the checkpoint RDD)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        entry.queries()["dq_sketch_merge"](spark, sf_dir).explain("formatted")
+    n_scans = buf.getvalue().count("Location:")
+    assert n_scans <= 1, f"expected <=1 parquet scan, saw {n_scans}"
