@@ -421,7 +421,9 @@ def logbucket_quantile_report(
         .where(F.col("c") > 0)
         .groupBy("c")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .localCheckpoint(eager=True)  # bounded by the value domain
+        # bounded by the value domain; LAZY (r13): the sketch and exact
+        # legs share the groupBy exchange below the pin
+        .localCheckpoint(eager=False)
     )
     from pyspark.sql import Window
 
@@ -549,46 +551,55 @@ def cm_heavy_hitters_report(
     The sketch and the exact counts both derive from ONE key-grouped
     cell table (bounded by the key domain), pinned once; the exact
     top-k is a WindowGroupLimit-style orderBy/limit over it.
+
+    Zero driver barriers (r13): the cell pin is a LAZY checkpoint (its
+    shuffle runs once; only the bounded final-agg tail is re-read per
+    consuming branch), the d probe legs are ONE explode + ONE join
+    instead of d joins unioned, and N reaches ``within_eps`` as a
+    broadcast 1-row aggregate instead of a driver ``head()`` — the
+    whole report is a single action with no collect in the path.
     """
     cells = (
         df.select(F.col(col).alias("k"))
         .groupBy("k")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .localCheckpoint(eager=True)  # bounded by the key domain
+        .localCheckpoint(eager=False)  # bounded by the key domain
     )
-    cm = (
-        cells.select(
+
+    def _legs(src: DataFrame, *extra: str) -> DataFrame:
+        return src.select(
+            *extra,
             F.explode(F.array(*[
                 F.struct(F.lit(r).alias("row"),
                          _cm_bucket(F.col("k"), r, w).alias("bucket"))
                 for r in range(int(d))
             ])).alias("rb"),
-            "cnt",
-        )
-        .groupBy("rb.row", "rb.bucket")
+        ).select(*extra, F.col("rb.row").alias("row"),
+                 F.col("rb.bucket").alias("bucket"))
+
+    cm = (
+        _legs(cells, "cnt")
+        .groupBy("row", "bucket")
         .agg(F.sum("cnt").alias("n"))
     )
     top = cells.orderBy(F.desc("cnt"), "k").limit(int(top_k))
-    est = None
-    for r in range(int(d)):
-        leg = top.select(
-            "k", "cnt",
-            F.lit(r).alias("row"),
-            _cm_bucket(F.col("k"), r, w).alias("bucket"),
-        ).join(cm, ["row", "bucket"]).select("k", "cnt", "n")
-        est = leg if est is None else est.unionByName(leg)
-    # N from the pinned cells (no second fact scan); one scalar action
-    tot = int(cells.agg(F.sum("cnt")).head()[0])
-    eps_q = -(-2 * tot // int(w))  # ceil(2N/w)
+    est = _legs(top, "k", "cnt").join(cm, ["row", "bucket"]).select(
+        "k", "cnt", "n"
+    )
+    # N as a broadcast scalar: ceil(2N/w) in integer arithmetic, exactly
+    # the retired driver-side -(-2*tot // w)
+    tot = F.broadcast(cells.agg(F.sum("cnt").alias("_tot")))
     return (
         est.groupBy("k", "cnt")
         .agg(F.min("n").alias("cm_n"))
+        .crossJoin(tot)
         .select(
             F.col("k").cast("long").alias("key"),
             F.col("cnt").cast("long").alias("exact_n"),
             F.col("cm_n").cast("long").alias("cm_n"),
             (F.col("cm_n") >= F.col("cnt")).alias("overestimates"),
-            (F.col("cm_n") - F.col("cnt") <= F.lit(int(eps_q)))
+            (F.col("cm_n") - F.col("cnt")
+             <= F.expr(f"(2 * _tot + {int(w) - 1}) DIV {int(w)}"))
             .alias("within_eps"),
         )
     )
@@ -671,9 +682,13 @@ def kmv_samples(
     )
     # pin the bounded sample table (≤ k rows per group) — it feeds both
     # the threshold aggregate and every downstream sketch-algebra join;
-    # without the pin each consumer re-runs the distinct+window scan
+    # without the pin each consumer re-runs the distinct+window scan.
+    # LAZY (r13): the window's rank-limit pushdown bounds the exchange
+    # at ≤ k rows per group per map partition, so the post-shuffle tail
+    # the two consumers each evaluate is trivial — the shuffle itself is
+    # shared — and the eager variant's extra driver action goes away
     sample = ranked.where(F.col("rn") <= int(k)).localCheckpoint(
-        eager=True
+        eager=False
     )
     stats = sample.groupBy("g").agg(
         F.max("h").alias("_kth"), F.count(F.lit(1)).alias("_cnt")
@@ -918,9 +933,11 @@ def spacesaving_report(
     companion; at scale you would not run it — the booleans are the
     contract it certifies).
     """
+    # ≤ 2k rows; LAZY — cand has exactly one consumer (the left join),
+    # so an eager checkpoint bought nothing but its own driver action
     cand = spacesaving_merge(
         spacesaving_summaries(df, col, k), k
-    ).localCheckpoint(eager=True)  # ≤ 2k rows
+    ).localCheckpoint(eager=False)
     # same null exclusion as the sketch pass — see spacesaving_summaries
     exact = (
         df.select(F.col(col).cast("string").alias("k"))
@@ -1207,7 +1224,7 @@ def ks_drift_grouped(
     curd = (
         df.groupBy(F.col(group_col).alias("g"), F.col(value_col).alias("v"))
         .agg(F.count(F.lit(1)).alias("c_g"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)  # LAZY r13: shared exchange below
     )
     if reference is df:
         refd = curd.groupBy("v").agg(F.sum("c_g").alias("c_r"))
@@ -1215,7 +1232,7 @@ def ks_drift_grouped(
         refd = (
             reference.groupBy(F.col(value_col).alias("v"))
             .agg(F.count(F.lit(1)).alias("c_r"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)  # LAZY r13: same trade
         )
     n_ref = refd.agg(F.sum("c_r").alias("n_ref"))
     groups = curd.select("g").distinct()
