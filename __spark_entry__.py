@@ -1481,9 +1481,11 @@ def ts_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy(F.expr("ts_us DIV 3600000000").alias("bucket"))
         .agg(F.count(F.lit(1)).alias("n"))
         # |hours|-row series; every later stage re-references it —
-        # materialize so the corpus is scanned ONCE (the audit counted 8
-        # event scans from lazy re-derivation of this tiny table)
-        .localCheckpoint(eager=True)
+        # pinned so the corpus is scanned ONCE (the audit counted 8
+        # event scans from lazy re-derivation of this tiny table).
+        # LAZY (r13): consumers share the groupBy exchange below the
+        # pin; only the |hours|-row final-agg tail re-reads per branch
+        .localCheckpoint(eager=False)
     )
     w = Window.orderBy("bucket").rowsBetween(-11, 12)
     det = (
@@ -1572,9 +1574,11 @@ def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy(F.expr("ts_us DIV 3600000000").alias("bucket"))
         .agg(F.count(F.lit(1)).alias("n"))
         # |hours|-row series; every later stage re-references it —
-        # materialize so the corpus is scanned ONCE (the audit counted 8
-        # event scans from lazy re-derivation of this tiny table)
-        .localCheckpoint(eager=True)
+        # pinned so the corpus is scanned ONCE (the audit counted 8
+        # event scans from lazy re-derivation of this tiny table).
+        # LAZY (r13): consumers share the groupBy exchange below the
+        # pin; only the |hours|-row final-agg tail re-reads per branch
+        .localCheckpoint(eager=False)
     )
     w = Window.orderBy("bucket").rowsBetween(-11, 12)
     tr = b.withColumn(
@@ -6395,9 +6399,11 @@ def w_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _events(spark, sf_dir)
     # bounded (user, active-day) table pinned once: span/cover/dau each
     # re-derived it lazily = 3 events scans (r9 scan-audit catch)
+    # LAZY (r13): the distinct's exchange is shared; per-branch tail is
+    # the bounded (user, day) final agg only
     ad = e.select(
         "user_id", F.expr("ts_us DIV 86400000000").alias("day")
-    ).distinct().localCheckpoint(eager=True)
+    ).distinct().localCheckpoint(eager=False)
     span = ad.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
     days = span.select(
         F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("day")
@@ -7473,9 +7479,11 @@ def j_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("l_suppkey", "yr")
         .agg(F.min("_d").alias("lo"), (F.min("_d") + F.lit(6)).alias("hi"))
-        # materialize the (small) interval table once — both self-join sides
-        # replan the lineitem scan+aggregation otherwise (no exchange reuse)
-        .localCheckpoint(eager=True)
+        # pin the (small) interval table once — both self-join sides
+        # replan the lineitem scan+aggregation otherwise (no exchange
+        # reuse). LAZY (r13): the sides share the groupBy exchange; the
+        # per-branch tail is the per-(supplier, yr) final agg only
+        .localCheckpoint(eager=False)
     )
     a = iv.select(F.col("l_suppkey").alias("supp_a"), "yr", F.col("lo").alias("lo_a"), F.col("hi").alias("hi_a"))
     b = iv.select(F.col("l_suppkey").alias("supp_b"), "yr", F.col("lo").alias("lo_b"), F.col("hi").alias("hi_b"))
@@ -8420,7 +8428,7 @@ def w_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.where(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts_us").alias("u1"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)  # LAZY r13: shared exchange below
     )
     c = (
         e.where(F.col("event_type") == "click")
@@ -8428,7 +8436,7 @@ def w_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((F.col("ts_us") > F.col("u1")) & (F.col("ts_us") <= F.col("u1") + week))
         .groupBy("user_id", "u1")
         .agg(F.min("ts_us").alias("u2"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)  # LAZY r13: shared exchange below
     )
     p = (
         e.where(F.col("event_type") == "purchase")
@@ -11351,11 +11359,16 @@ def _source_gram_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("gram"),
         )
     )
+    # LAZY pin (r13): both consumers (sketch leg + exact companion)
+    # share everything below the final (source, h) distinct's exchange;
+    # only that bounded final-agg tail is evaluated per branch, and the
+    # eager variant's dedicated driver action disappears into the
+    # query's own job
     return (
         grams.distinct()
         .select("source", kmv_hash("gram").alias("h"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
 
 

@@ -1033,7 +1033,9 @@ def source_overlap_matrix(
     pergram = (
         grams.groupBy("gram")
         .agg(F.sort_array(F.collect_set(source_col)).alias("srcs"))
-        .localCheckpoint(eager=True)
+        # LAZY (r13): both consumers share the groupBy exchange below
+        # the pin; only the gram-domain final agg re-reads per branch
+        .localCheckpoint(eager=False)
     )
     sizes = pergram.select(F.explode("srcs").alias(source_col)).groupBy(
         source_col

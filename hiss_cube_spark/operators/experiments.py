@@ -101,7 +101,9 @@ def ab_cuped(
         "u", "x", "y",
         (F.col("x") - mx).alias("dx"),
         (F.col("y") - my).alias("dy"),
-    ).localCheckpoint(eager=True)  # per-user table: bounded, reused 2×
+    ).localCheckpoint(eager=False)  # per-user table: bounded, reused 2×
+    # (LAZY r13: the global-window stage below the pin is shared; the
+    # bounded per-user tail re-evaluates per consumer)
 
     d38 = "decimal(38,0)"
     th = per.agg(

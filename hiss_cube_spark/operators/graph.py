@@ -55,7 +55,7 @@ def pagerank(
     e = (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)  # LAZY r13: shared distinct below
     )
     nodes = (
         e.select(F.col("src").alias("node"))
@@ -244,7 +244,10 @@ def label_propagation(
         de.union(de.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .where(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint(eager=True)
+        # LAZY (r13): the distinct's exchange is shared by the label
+        # init and every propagation round; tail is the deduped edge
+        # final agg only
+        .localCheckpoint(eager=False)
     )
     labels = und.select(F.col("a").alias("node")).distinct().select(
         "node", F.col("node").alias("label")

@@ -588,7 +588,8 @@ def bigram_lm_score(
     c2 = (
         tb.groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("n2"))
-        .localCheckpoint(eager=True)
+        # LAZY (r13): same trade as c123 above
+        .localCheckpoint(eager=False)
     )
     c1 = c2.groupBy("w1").agg(F.sum("n2").alias("n1"))
     vocab = c2.agg(F.countDistinct("w2").alias("vsz"))
@@ -674,7 +675,11 @@ def trigram_lm_score(
         grams(train, with_id=False)
         .groupBy("w1", "w2", "w3")
         .agg(F.count(F.lit(1)).alias("n123"))
-        .localCheckpoint(eager=True)  # bounded by trigram TYPES
+        # bounded by trigram TYPES; LAZY (r13) — the three marginal
+        # consumers share the groupBy exchange below the pin and only
+        # re-read its type-bounded final-agg tail, so the eager
+        # variant's dedicated driver action is pure overhead
+        .localCheckpoint(eager=False)
     )
     from pyspark.sql import Window
 

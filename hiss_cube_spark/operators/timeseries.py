@@ -304,9 +304,11 @@ def theil_sen_trend(
     each re-scanning + re-reducing the raw event table (the round-5
     scan-audit pattern). No driver-side work, no data-sized collect.
     """
+    # LAZY pin (r13): the self-join legs share _bucketed_cents' key
+    # exchange; only the horizon-capped window tail re-evaluates per leg
     b = _bucketed_cents(
         df, key_col, ts_us_col, value_col, bucket_us, horizon
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     lhs = b.select(
         "key", F.col("t").alias("ti"), F.col("yq").alias("yi"),
         F.col("rn").alias("ri"),
@@ -435,9 +437,10 @@ def structure_function(
     Output: (key, lag, n_pairs, sum_d2q) — sum_d2q in cents² so callers
     can aggregate further exactly; divide by n_pairs·10⁴ for units².
     """
+    # LAZY pin (r13): same trade as theil_sen_trend above
     b = _bucketed_cents(
         df, key_col, ts_us_col, value_col, bucket_us, horizon
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     lhs = b.select("key", F.col("t").alias("ti"), F.col("yq").alias("yi"),
                    F.col("rn").alias("ri"))
     rhs = b.select("key", F.col("t").alias("tj"), F.col("yq").alias("yj"),
