@@ -9225,7 +9225,9 @@ def stream_neardup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # signature verify twice before the blocks exist (the clusters.py
     # "+30% tasks" hazard), so the one extra driver action is the
     # cheaper side of the trade.
-    pairs = (
+    from hiss_cube_spark.operators.clusters import _coalesce_checkpointed
+
+    pairs = _coalesce_checkpointed(
         F.broadcast(cand)
         .join(sa, "doc_a")
         .join(sb, "doc_b")
@@ -11077,7 +11079,18 @@ def dq_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     expression), per the original intent of cross-checking rather than
     comparing one expression to itself. Both slices collapse map-side
     to ≤ ~1k-bucket partials — never a pin of the fact projection
-    (which would not be scale-safe)."""
+    (which would not be scale-safe).
+
+    SCOPE of the check (ADVICE r13): since both slices derive from the
+    SAME checkpointed scan/Expand/aggregate subtree, the equality now
+    certifies MERGE ALGEBRA ONLY — that per-source-then-merge equals
+    the direct whole-corpus aggregation path over one set of scanned
+    rows. It can no longer detect scan-level faults or scan
+    nondeterminism, which the pre-r13 two-independent-scan shape could;
+    that independent-scan audit remains available by rebuilding the
+    whole-corpus sketch via ``logbucket_sketch`` on a fresh scan (the
+    equivalence test in tests/test_r13_optimizations.py does exactly
+    this cross-derivation comparison)."""
     li = _t(spark, sf_dir, "lineitem").select(
         F.col("l_returnflag").alias("src"),
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),

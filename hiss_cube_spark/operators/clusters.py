@@ -34,6 +34,45 @@ __all__ = [
     "golden_records",
 ]
 
+# Per-partition byte target when right-sizing a materialized edge list for
+# the iterative rounds (guide §2.2: fewer, larger partitions — an iterative
+# loop re-scans its working set every round, so near-empty partitions pay
+# their task overhead D times).
+_EDGE_PARTITION_BYTES = 32 << 20
+
+
+def _coalesce_checkpointed(
+    df: DataFrame, target_bytes: int = _EDGE_PARTITION_BYTES
+) -> DataFrame:
+    """Narrow-coalesce an eagerly ``localCheckpoint``-ed DataFrame to a
+    data-proportional partition count.
+
+    A checkpointed edge/pair table inherits the partitioning of the plan
+    that PRODUCED it (e.g. the 1-partition-per-core fan-out that spreads
+    the shingle compute), but the result is usually orders of magnitude
+    smaller than the corpus — near-dup pairs are rare — so every iterative
+    round downstream would re-scan dozens of near-empty partitions per
+    job, D times. The blocks are already materialized, so ``coalesce`` is
+    a NARROW merge of block reads: upstream parallelism (already spent) is
+    unaffected, no shuffle is added, and the count is derived from the
+    MEASURED cached bytes (storage-registry lookup, no extra action) —
+    one partition per ``target_bytes``, so a genuinely large edge list at
+    cluster scale keeps its width. No-op when the size cannot be read
+    (plan is not a bare checkpoint scan) or the table is already narrow.
+    """
+    try:
+        rid = df._jdf.queryExecution().analyzed().rdd().id()
+        sc = df.sparkSession.sparkContext
+        for info in sc._jsc.sc().getRDDStorageInfo():
+            if info.id() == rid:
+                size = info.memSize() + info.diskSize()
+                cur = info.numCachedPartitions()
+                n = int(max(1, min(cur, -(-size // target_bytes))))
+                return df.coalesce(n) if n < cur else df
+    except Exception:
+        pass
+    return df
+
 
 def connected_components(
     pairs: DataFrame,
@@ -86,7 +125,10 @@ def connected_components(
     edges = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     if not symmetric:
         if not edges_materialized:
-            edges = edges.localCheckpoint(eager=True)
+            # right-size the materialized pair list before the rounds:
+            # it inherits the corpus fan-out's partitioning but is tiny
+            # relative to it, and every round below re-scans it
+            edges = _coalesce_checkpointed(edges.localCheckpoint(eager=True))
         # Undirected: propagate along both directions of every edge.
         edges = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
     edges = edges.localCheckpoint(eager=False)

@@ -126,7 +126,9 @@ def triangle_count(
     # materialize the directed list before the symmetrizing union (and,
     # under degree orientation, the degree aggregate) — each consumer
     # branch would otherwise re-run the caller's whole edge derivation
-    e = (
+    from .clusters import _coalesce_checkpointed
+
+    e = _coalesce_checkpointed(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .where(F.col(src) != F.col(dst))
         .localCheckpoint(eager=True)
@@ -151,7 +153,7 @@ def triangle_count(
     # materialize it once (it IS the algorithm's working set) or the
     # whole upstream edge derivation re-executes per leg (6 fact-table
     # scans for a 4-table edge definition)
-    ranked = ranked.localCheckpoint(eager=True)
+    ranked = _coalesce_checkpointed(ranked.localCheckpoint(eager=True))
     w1 = ranked.select(F.col("a").alias("x"), F.col("b").alias("y"))
     w2 = ranked.select(F.col("a").alias("y"), F.col("b").alias("z"))
     w3 = ranked.select(F.col("a").alias("x"), F.col("b").alias("z"))
@@ -237,9 +239,13 @@ def label_propagation(
     # compute the caller's edge plan twice (the connected_components
     # pre-checkpoint rationale — one extra driver action for half the
     # edge-derivation compute).
-    de = edges.select(
-        F.col(src_col).alias("a"), F.col(dst_col).alias("b")
-    ).localCheckpoint(eager=True)
+    from .clusters import _coalesce_checkpointed
+
+    de = _coalesce_checkpointed(
+        edges.select(
+            F.col(src_col).alias("a"), F.col(dst_col).alias("b")
+        ).localCheckpoint(eager=True)
+    )
     und = (
         de.union(de.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .where(F.col("a") != F.col("b"))

@@ -559,6 +559,15 @@ def cm_heavy_hitters_report(
     broadcast 1-row aggregate instead of a driver ``head()`` — the
     whole report is a single action with no collect in the path.
     """
+    # LAZY pin invariant (ADVICE r13): one consumer below (`top`) is an
+    # orderBy+limit — normally the lazy+limit hazard (a limit can
+    # short-circuit materialization and leave partitions uncomputed
+    # behind truncated lineage, forcing a catch-up job). It is safe HERE
+    # because the sibling `cm` and `tot` branches of the SAME single
+    # action aggregate every `cells` partition, so the pin is fully
+    # materialized by that action regardless of the limit. A refactor
+    # that drops the full-scan siblings (or splits the action) must
+    # flip this pin back to eager=True per the documented lazy-pin rule.
     cells = (
         df.select(F.col(col).alias("k"))
         .groupBy("k")

@@ -1067,8 +1067,12 @@ def dbscan_embeddings(
     # computed it twice through the union's two branches before blocks
     # existed), the eps-graph's four subtrees (degrees, core-core edges,
     # border assignment, CC) re-read the half-size blocks through the
-    # trivial union, and checkpoint storage halves
-    pairs = pairs.localCheckpoint(eager=True)
+    # trivial union, and checkpoint storage halves. Right-size the
+    # materialized blocks before the CC rounds re-scan them (narrow
+    # coalesce over measured bytes — clusters.py rationale).
+    from .clusters import _coalesce_checkpointed
+
+    pairs = _coalesce_checkpointed(pairs.localCheckpoint(eager=True))
     und = pairs.union(
         pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
     )

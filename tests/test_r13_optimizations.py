@@ -300,3 +300,23 @@ def test_sketch_merge_grouping_sets_single_scan(spark, sf_dir):
         entry.queries()["dq_sketch_merge"](spark, sf_dir).explain("formatted")
     n_scans = buf.getvalue().count("Location:")
     assert n_scans <= 1, f"expected <=1 parquet scan, saw {n_scans}"
+
+    # (c) the one-scan claim checked DIRECTLY (ADVICE r13): the final
+    # explain above hides the scan inside the checkpoint RDD lineage, so
+    # (b) alone cannot see a regression to two scans BELOW the pin.
+    # Explain the pre-checkpoint grouping-sets frame (same construction,
+    # no localCheckpoint) and require exactly one scan + one Expand.
+    gs_pre = (
+        li.where(F.col("cents") > 0)
+        .select("src", bucket.cast("long").alias("bucket"))
+        .groupingSets([["src", "bucket"], ["bucket"]], "src", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"), F.grouping_id().alias("_gid"))
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        gs_pre.explain("formatted")
+    pre_plan = buf.getvalue()
+    n_scans_pre = pre_plan.count("Location:")
+    n_expand_pre = pre_plan.count("Expand")
+    assert n_scans_pre == 1, f"grouping-sets frame: {n_scans_pre} scans"
+    assert n_expand_pre >= 1, "grouping-sets frame lost its Expand"
