@@ -106,14 +106,32 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PERSISTED: dict[str, DataFrame] = {}
 
 
-def _swap_persist(tag: str, df: DataFrame) -> DataFrame:
-    """Persist ``df``, releasing the cache a previous run of the same query
-    left behind — bench loops and repeated oracle runs otherwise accumulate
-    cached blocks in long-lived sessions (one live copy per tag, max)."""
+def _swap_persist(tag: str, df: DataFrame, ckpt: bool = False) -> DataFrame:
+    """Pin ``df``, releasing the pin a previous run of the same query left
+    behind — bench loops and repeated oracle runs otherwise accumulate
+    cached blocks in long-lived sessions (one live copy per tag, max).
+
+    ``ckpt=True`` pins via a LAZY ``localCheckpoint`` instead of
+    ``persist``: a cached plan's output partitioning is pinned pre-AQE
+    (``canChangeCachedPlanOutputPartitioning`` is off), so a persisted
+    stage table keeps its full shuffle width even when the data is tiny,
+    and every consumer re-scans the near-empty partitions; the checkpoint
+    stores the AQE-coalesced final plan instead (r14: cur_full_pipeline
+    −24%, dedup_eval_metrics −29% interleaved A/B). Use ``ckpt=False``
+    where the pin's FIRST action reads it through two plan branches
+    (e.g. a self-join of the pinned table) — a lazy checkpoint there
+    computes the partitions twice before the blocks exist (the
+    clusters.py "+30% tasks" hazard; dedup_simhash measured SLOWER with
+    the checkpoint pin for exactly this reason)."""
     old = _PERSISTED.get(tag)
     if old is not None:
-        old.unpersist(False)
-    _PERSISTED[tag] = df.persist()
+        try:
+            # a checkpointed pin's blocks belong to the internal RDD, not
+            # the plan cache — DataFrame.unpersist would be a no-op there
+            old._jdf.queryExecution().analyzed().rdd().unpersist(False)
+        except Exception:
+            old.unpersist(False)
+    _PERSISTED[tag] = df.localCheckpoint(eager=False) if ckpt else df.persist()
     return _PERSISTED[tag]
 
 
@@ -223,12 +241,22 @@ def _images(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _spectra(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
-    return c.select(
-        F.col("c_custkey").alias("spec_id"),
-        F.pmod(F.col("c_custkey") * F.lit(11.317), F.lit(360.0)).alias("ra"),
-        (F.pmod(F.col("c_custkey") * F.lit(5.113), F.lit(170.0)) - F.lit(85.0)).alias("dec"),
-        F.col("c_acctbal").alias("flux"),
-        (F.lit(0.5) + F.pmod(F.col("c_custkey"), F.lit(10)) * F.lit(0.25)).alias("sigma"),
+    # spread-if-narrow (r14): every consumer explodes disc covers and
+    # evaluates trig distance per candidate ON the scan partitioning —
+    # a single-file scan single-threads that compute under a broadcast
+    # join (measured: flagship_ml_cube exec ran 6 tasks total on 32
+    # cores; spreading cut its median 1.92→1.28 s, j2_crossmatch
+    # 1.12→0.77, j_knn_crossmatch 1.82→1.30 interleaved). No-op branch
+    # on any real warehouse scan that already arrives in many splits.
+    return _spread_if_narrow(
+        c.select(
+            F.col("c_custkey").alias("spec_id"),
+            F.pmod(F.col("c_custkey") * F.lit(11.317), F.lit(360.0)).alias("ra"),
+            (F.pmod(F.col("c_custkey") * F.lit(5.113), F.lit(170.0)) - F.lit(85.0)).alias("dec"),
+            F.col("c_acctbal").alias("flux"),
+            (F.lit(0.5) + F.pmod(F.col("c_custkey"), F.lit(10)) * F.lit(0.25)).alias("sigma"),
+        ),
+        "spec_id",
     )
 
 
@@ -3038,7 +3066,7 @@ def dedup_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         prefix_filter=True,
     )
     pred = simhash_pairs(
-        _swap_persist("dedup_eval:fps", simhash_fingerprints(d)),
+        _swap_persist("dedup_eval:fps", simhash_fingerprints(d), ckpt=True),
         max_hamming=7,
         n_chunks=8,
     )
@@ -8807,9 +8835,9 @@ def cur_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     raw = _t(spark, sf_dir, "documents")
     q = quality_filter(raw).where("keep").select("doc_id")
-    s1 = _swap_persist("pipe_s1", raw.join(q, "doc_id"))
+    s1 = _swap_persist("pipe_s1", raw.join(q, "doc_id"), ckpt=True)
     ex = exact_dedup(s1).select(F.col("canonical_id").alias("doc_id"))
-    s2 = _swap_persist("pipe_s2", raw.join(ex, "doc_id"))
+    s2 = _swap_persist("pipe_s2", raw.join(ex, "doc_id"), ckpt=True)
     pairs = ngram_jaccard_pairs(s2, threshold=0.8, n=3, prefix_filter=True)
     test = raw.where(F.col("doc_id") % 10 == 0)
     # The benchmark gram set depends only on the raw test split, not on
@@ -8818,11 +8846,13 @@ def cur_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # decontaminate() with the precomputed set is byte-identical.
     with ThreadPoolExecutor(max_workers=1) as pool:
         grams = pool.submit(collect_decontaminate_grams, test, "text", 5)
-        s3 = _swap_persist("pipe_s3", resolve_duplicates(s2, pairs))
+        s3 = _swap_persist("pipe_s3", resolve_duplicates(s2, pairs), ckpt=True)
         test_grams = grams.result()
     train = s3.where(F.col("doc_id") % 10 != 0)
     s4 = _swap_persist(
-        "pipe_s4", decontaminate(train, test, n=5, test_grams=test_grams)
+        "pipe_s4",
+        decontaminate(train, test, n=5, test_grams=test_grams),
+        ckpt=True,
     )
     s5 = domain_cap(
         s4.withColumn("url", F.concat(F.lit("http://"), F.col("source"))),

@@ -234,17 +234,46 @@ def learn_bpe_merges(
         )
     spark = words.sparkSession
     # right-size the vocab table once: it is orders of magnitude smaller
-    # than the corpus, and every round's fold/pair job otherwise inherits
-    # the session's shuffle.partitions (200 near-empty tasks × K rounds)
-    cur = (
-        words.select(
-            F.split(F.col(word_col), "").alias("toks"),
-            F.col(freq_col).cast("long").alias("f"),
-        )
-        .repartition(spark.sparkContext.defaultParallelism)
-        .persist()
+    # than the corpus, and every round's fold/pair job re-scans it. With
+    # AQE partition coalescing on (the session default) the word table's
+    # own groupBy exchange already lands data-proportionally sized
+    # partitions (measured at sf0.1: 31 rows -> 1 partition instead of a
+    # defaultParallelism fan-out re-scanned K rounds x stages; a 100 TB
+    # vocabulary keeps its width via the advisory size) — an explicit
+    # per-core repartition both added an exchange and pinned near-empty
+    # round tables at core-count width (r13 driver scaling 0.57: the
+    # query ran FASTER on 8 cores than 32). Without AQE coalescing, fall
+    # back to the old explicit right-sizing so the rounds never inherit
+    # a raw shuffle.partitions=200 fan-out.
+    base = words.select(
+        F.split(F.col(word_col), "").alias("toks"),
+        F.col(freq_col).cast("long").alias("f"),
     )
-    cur_ckpt = False  # whether cur's generation is localCheckpoint-ed
+    aqe_sized = (
+        str(spark.conf.get("spark.sql.adaptive.enabled", "false")).lower()
+        == "true"
+        and str(
+            spark.conf.get(
+                "spark.sql.adaptive.coalescePartitions.enabled", "true"
+            )
+        ).lower()
+        == "true"
+    )
+    if not aqe_sized:
+        base = base.repartition(spark.sparkContext.defaultParallelism)
+    # Generation 0 is a LAZY checkpoint, not a persist: a cached plan's
+    # output partitioning is pinned pre-AQE (Spark leaves
+    # canChangeCachedPlanOutputPartitioning off), so a persist here kept
+    # the word table at the groupBy's full shuffle width — measured 32
+    # near-empty partitions re-scanned by every round's job at sf0.1 —
+    # while the checkpoint materializes the AQE-coalesced final plan
+    # (1 data-proportional partition at sf0.1; a 100 TB vocabulary keeps
+    # its advisory-sized width) and every fold generation inherits that
+    # width. Lazy is safe: the pin sits directly above the round's
+    # pair-count groupBy, whose exchange scans every partition at the
+    # materializing collect (the r13 lazy-pin rule).
+    cur = base.localCheckpoint(eager=False)
+    cur_ckpt = True  # whether cur's generation is localCheckpoint-ed
     prev = None
     prev_ckpt = False
     # `anchor` = the latest MATERIALIZED checkpointed generation. Its
