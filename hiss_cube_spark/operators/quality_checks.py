@@ -427,11 +427,16 @@ def logbucket_quantile_report(
     )
     from pyspark.sql import Window
 
-    n = F.sum("cnt").over(Window.partitionBy())
+    # total row count as ONE broadcast scalar shared by both legs (the
+    # text_trigram_lm r13 precedent): the former Window.partitionBy()
+    # total funneled the whole value-domain cell table through a second
+    # single-partition window pass per leg — the global ORDER (cum) is
+    # the only thing that genuinely needs the single-partition sort
+    tot = F.broadcast(cells.agg(F.sum("cnt").alias("n")))
     cum_c = F.sum("cnt").over(
         Window.orderBy("c").rowsBetween(Window.unboundedPreceding, 0)
     )
-    cells2 = cells.select("c", n.alias("n"), cum_c.alias("cum"))
+    cells2 = cells.select("c", cum_c.alias("cum")).crossJoin(tot)
 
     e = F.length(F.bin(F.col("c"))) - F.lit(1)
     bucket = (
@@ -449,13 +454,14 @@ def logbucket_quantile_report(
         "((16 + bucket % 16) * shiftleft(1L, cast(bucket DIV 16 AS INT))) "
         "DIV 16"
     )
+    # same total (sum of bucket counts == sum of cell counts) — reuse the
+    # broadcast scalar instead of a second global window over the buckets
     bt = bt.select(
         "bucket", "bn", be.alias("e"), lo.alias("lo"),
-        F.sum("bn").over(Window.partitionBy()).alias("n"),
         F.sum("bn").over(
             Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
         ).alias("cum"),
-    )
+    ).crossJoin(tot)
 
     pv = F.explode(F.array(*[F.lit(int(p)) for p in probs])).alias("pct")
     rank = F.expr("(n * pct + 99) DIV 100")

@@ -431,12 +431,15 @@ def test_plan_shapes_hold(spark, sf_dir):
     assert "CartesianProduct" not in plan("dedup_containment")
     assert "CartesianProduct" not in plan("ann_sq_topk")
     # the composed 6-stage curation funnel: no cartesian anywhere, the
-    # persisted survivor-id stages ARE reused (InMemoryTableScan), and the
-    # exchange count stays bounded (47 at audit time — a de-optimization
-    # that re-materializes stages would blow well past this)
+    # pinned survivor-id stages ARE reused — as checkpoint RDD scans
+    # since r14 (`_swap_persist(..., ckpt=True)`; InMemoryTableScan
+    # accepted for a persist-pinned variant) — and the exchange count
+    # stays bounded (47 at the r12 audit, 14 behind the r14 checkpoint
+    # pins — a de-optimization that re-materializes stages from source
+    # would blow well past this)
     p = plan("cur_full_pipeline")
     assert "CartesianProduct" not in p
-    assert "InMemoryTableScan" in p
+    assert "Scan ExistingRDD" in p or "InMemoryTableScan" in p
     assert p.count("Exchange") <= 60, p.count("Exchange")
     # streaming near-dup result: banded fingerprint join, never cartesian,
     # bounded exchanges (9 at audit time)
